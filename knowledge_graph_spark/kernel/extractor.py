@@ -1,0 +1,245 @@
+# -*- coding: utf-8 -*-
+"""Triple-extraction kernel: text -> {entities, relations}.
+
+A from-scratch, deterministic reimplementation of the reference
+extraction contract (/root/reference/backend/kgapi/extractor.py:79-156),
+designed to run vectorised inside Spark pandas UDFs (see
+``operators/extraction.py``). Per-operator parity map (SURVEY.md §2.2):
+
+- E1  tokenize/tag/sents   -> kernel/tokenizer.py (rule cascade)
+- E2  rule entity matcher  -> :func:`_matcher_entities` (ORG/PRODUCT/TITLE
+      patterns, vocab verbatim from extractor.py:44-60)
+- E3  overlap suppression  -> :func:`_add_span` (token-level overlap check;
+      model entities registered first, mirrors extractor.py:62-75)
+- E4  id assignment        -> enumerate spans sorted by start; id = "e{i+1}"
+      (extractor.py:88-99)
+- E5  label canonicalization -> ENTITY_MAPPING.get(label, label)
+      (extractor.py:89)
+- E6  SVO relations        -> per VERB not in STOP_VERBS, first subj /
+      first obj (extractor.py:102-120); "first child" realised as the
+      nearest eligible noun by the shallow-dependency heuristic below
+- E7  prep->pobj relation  -> pre-verbal PP object, emitted when
+      (no obj or prep_obj != obj) (extractor.py:107,122-131)
+- E8  token->entity resolution -> entity_map lookup (extractor.py:112-113)
+- E9  sentence co-occurrence   -> unordered different-type pairs not
+      already related (extractor.py:133-145)
+- E10 similarity gate      -> hashed-ngram cosine > 0.15, round 2
+      (extractor.py:146-154; spaCy vectors replaced, see similarity.py)
+- E11 assembly             -> {"entities": [...], "relations": [...]}
+
+Dead ``iobj`` extraction (extractor.py:106) intentionally not
+implemented — it has no observable effect in the reference
+(SURVEY.md §7.4). Shallow-dependency heuristic (stand-in for the spaCy
+parser, no model in sandbox): for a verb v within its sentence,
+
+- subj  = nearest NOUN/PROPN left of v that is not the object of a
+  preposition (the token immediately before it is not ADP); scanning
+  continues past other verbs and past PPs,
+- obj   = nearest NOUN/PROPN right of v before the next verb, not
+  ADP-preceded,
+- prep_obj = the noun immediately after the nearest pre-verbal ADP
+  (Chinese PPs precede their verb: "A 与 B 达成 X" -> prep_obj B).
+
+All state is row-local: the output is a pure function of the input
+string, hence byte-stable under any Spark repartitioning.
+"""
+
+from __future__ import annotations
+
+from .similarity import SIM_THRESHOLD, calculate_similarity
+from .tokenizer import Doc, Token, tokenize
+from . import vocab as V
+
+_NOUNish = ("NOUN", "PROPN")
+_CLAUSE_PUNCT = set("，、：,;")
+
+
+def _model_entities(doc: Doc) -> list[tuple[int, int, str]]:
+    """Model-NER stand-in: spans (start_tok, end_tok_exclusive, label)
+    from tokenizer hints (dates/money/percent/numbers, gazetteer GPEs,
+    rule PERSONs, quoted + repeat-mention ORGs)."""
+    spans = [(t.i, t.i + 1, t.ner) for t in doc.tokens if t.ner]
+    spans.sort(key=lambda s: (s[0], s[1]))
+    return spans
+
+
+def _matcher_entities(doc: Doc) -> list[tuple[int, int, str]]:
+    """Rule matcher pass (reference extractor.py:44-60): ORG suffix
+    single-token; PRODUCT two-token (智能+X系统… / 新型+X技术…);
+    TITLE two-token pairs. Emitted in document order per pattern scan."""
+    out: list[tuple[int, int, str]] = []
+    toks = doc.tokens
+    for t in toks:
+        if t.text.endswith(V.ORG_SUFFIXES) and len(t.text) > min(
+            len(s) for s in V.ORG_SUFFIXES if t.text.endswith(s)
+        ):
+            out.append((t.i, t.i + 1, "ORG"))
+    for t in toks[:-1]:
+        nxt = toks[t.i + 1]
+        if t.text == "智能" and nxt.text.endswith(V.PRODUCT_SUFFIXES_SMART) and len(nxt.text) > 2:
+            out.append((t.i, t.i + 2, "PRODUCT"))
+        if t.text == "新型" and nxt.text.endswith(V.PRODUCT_SUFFIXES_NEW) and len(nxt.text) > 2:
+            out.append((t.i, t.i + 2, "PRODUCT"))
+        if t.text in V.TITLE_FIRST and nxt.text in V.TITLE_SECOND:
+            out.append((t.i, t.i + 2, "TITLE"))
+    out.sort(key=lambda s: (s[0], s[1]))
+    return out
+
+
+def _add_span(spans: list[tuple[int, int, str]], covered: set[int],
+              cand: tuple[int, int, str]) -> None:
+    """Overlap suppression (reference add_ent, extractor.py:62-75): a
+    candidate is added only if none of its tokens overlaps an existing
+    entity; earlier-registered entities take precedence."""
+    s, e, label = cand
+    if any(i in covered for i in range(s, e)):
+        return
+    spans.append(cand)
+    covered.update(range(s, e))
+
+
+def _span_text(doc: Doc, s: int, e: int) -> str:
+    """Surface text of a token span, reconstructed from char offsets."""
+    first, last = doc.tokens[s], doc.tokens[e - 1]
+    return doc.text[first.idx : last.idx + len(last.text)]
+
+
+def extract_entities_relations(text: str) -> dict:
+    """text -> {"entities": [...], "relations": [...]}; reference
+    signature extractor.py:79. Pure and deterministic."""
+    if not text:
+        return {"entities": [], "relations": []}
+    doc = tokenize(text)
+    toks = doc.tokens
+
+    # entity registration: model entities first, then matcher patterns,
+    # both with token-overlap suppression (precedence per extractor.py:62-75)
+    spans: list[tuple[int, int, str]] = []
+    covered: set[int] = set()
+    for cand in _model_entities(doc):
+        _add_span(spans, covered, cand)
+    for cand in _matcher_entities(doc):
+        _add_span(spans, covered, cand)
+    spans.sort(key=lambda s: (s[0], s[1]))  # doc.ents order = by start
+
+    entities: list[dict] = []
+    entity_map: dict[int, str] = {}
+    for i, (s, e, label) in enumerate(spans):
+        ent_type = V.ENTITY_MAPPING.get(label, label)  # E5
+        entity_id = f"e{i + 1}"
+        entities.append({
+            "id": entity_id,
+            "name": _span_text(doc, s, e),
+            "type": ent_type,
+            "start": s,
+            "end": e,
+        })
+        for token_idx in range(s, e):
+            entity_map[token_idx] = entity_id
+
+    # E6/E7: verb-anchored relations via the shallow-dependency heuristic
+    relations: list[dict] = []
+    for sent in doc.sents:
+        for v in range(sent.start, sent.end):
+            tok = toks[v]
+            if tok.pos != "VERB" or tok.text in V.STOP_VERBS:
+                continue
+            subj_i = obj_i = prep_i = None
+            # left scan: nearest non-PP noun = subj; nearest PP noun = prep_obj
+            # (scans stop at clause punctuation — commas bound the clause)
+            k = v - 1
+            while k >= sent.start:
+                t = toks[k]
+                if t.pos == "PUNCT" and t.text in _CLAUSE_PUNCT:
+                    break
+                if t.pos in _NOUNish:
+                    before = toks[k - 1] if k - 1 >= sent.start else None
+                    if before is not None and before.pos == "ADP":
+                        if prep_i is None:
+                            prep_i = k
+                        k -= 2  # skip past the ADP
+                        continue
+                    subj_i = k
+                    break
+                k -= 1
+            # right scan: nearest non-PP noun before the next verb = obj
+            k = v + 1
+            while k < sent.end:
+                t = toks[k]
+                if t.pos == "VERB" or (t.pos == "PUNCT" and t.text in _CLAUSE_PUNCT):
+                    break
+                if t.pos in _NOUNish:
+                    before = toks[k - 1]
+                    if before.pos != "ADP":
+                        obj_i = k
+                        break
+                k += 1
+
+            rel_type = V.VERB_RELATION_MAP.get(tok.text, tok.text)
+            if subj_i is not None and obj_i is not None:
+                subj_ent = entity_map.get(subj_i)   # E8
+                obj_ent = entity_map.get(obj_i)
+                if subj_ent and obj_ent:
+                    relations.append({
+                        "source": subj_ent,
+                        "target": obj_ent,
+                        "type": rel_type,
+                        "verb": tok.text,
+                    })
+            if subj_i is not None and prep_i is not None and (
+                obj_i is None or prep_i != obj_i
+            ):
+                subj_ent = entity_map.get(subj_i)
+                prep_ent = entity_map.get(prep_i)
+                if subj_ent and prep_ent:
+                    relations.append({
+                        "source": subj_ent,
+                        "target": prep_ent,
+                        "type": rel_type,
+                        "verb": tok.text,
+                    })
+
+    # E9/E10: sentence-scoped co-occurrence with similarity gate
+    for si, sent in enumerate(doc.sents):
+        sent_entities = [
+            ent for ent in entities
+            if ent["start"] < len(doc) and sent.start <= ent["start"] < sent.end
+        ]
+        if len(sent_entities) >= 2:
+            for i in range(len(sent_entities)):
+                for j in range(i + 1, len(sent_entities)):
+                    if sent_entities[i]["type"] == sent_entities[j]["type"]:
+                        continue
+                    has_relation = any(
+                        (r["source"] == sent_entities[i]["id"] and r["target"] == sent_entities[j]["id"])
+                        or (r["source"] == sent_entities[j]["id"] and r["target"] == sent_entities[i]["id"])
+                        for r in relations
+                    )
+                    if not has_relation:
+                        similarity = calculate_similarity(
+                            sent_entities[i]["name"], sent_entities[j]["name"]
+                        )
+                        if similarity > SIM_THRESHOLD:
+                            relations.append({
+                                "source": sent_entities[i]["id"],
+                                "target": sent_entities[j]["id"],
+                                "type": "co-occurrence",
+                                "verb": "同现",
+                                "similarity": round(similarity, 2),
+                            })
+
+    return {"entities": entities, "relations": relations}
+
+
+def triples(result: dict, keep_co_occurrence: bool = True) -> list[dict]:
+    """Resolve relation endpoints to entity names — the (subj, pred, obj)
+    verification unit, rendering per reference extractor.py:178-185."""
+    by_id = {e["id"]: e for e in result["entities"]}
+    out = []
+    for rel in result["relations"]:
+        if not keep_co_occurrence and rel["type"] == "co-occurrence":
+            continue
+        s, t = by_id.get(rel["source"]), by_id.get(rel["target"])
+        if s and t:
+            out.append({"subj": s["name"], "pred": rel["type"], "obj": t["name"]})
+    return out
