@@ -1,0 +1,156 @@
+# -*- coding: utf-8 -*-
+"""Graph materialization: extraction output -> nodes/edges LakeTables.
+
+Set-based reimplementation of the reference's per-row Neo4j writers
+(/root/reference/backend/kgapi/kg_writer.py):
+
+- ``sanitize_relation_type`` (kg_writer.py:11-16): ``-`` -> ``_``,
+  must fullmatch ``[A-Za-z0-9_]+``, uppercased. Invalid types (all
+  unmapped Chinese predicates) are NOT silently printed-and-dropped as
+  in the reference (kg_writer.py:48-52) — they are counted and
+  quarantined to a ``dropped_relations`` table (SURVEY.md §7.4.4).
+- endpoint validation (kg_writer.py:44-46): relations whose source or
+  target id lacks a node become dropped rows, via ``left_semi``-shaped
+  joins instead of per-row dict lookups.
+- node MERGE keys on ``(graph_id, id)`` — NOT bare ``id`` as the
+  reference does (kg_writer.py:24), which cross-graph-clobbers.
+  Intentional divergence, SURVEY.md §7.4.1.
+- edge MERGE ``ON CREATE`` semantics (kg_writer.py:56-57): existing
+  edge rows keep their properties; new rows insert. LakeTable
+  ``when_matched="ignore"``.
+
+Scale note: one reference "graph" is one extraction run over the whole
+batch of pages. Entity ids are per-document (``e1..eN``), so the
+materialized node id namespaces them by url: ``xxhash64(url):eK``.
+This keeps the reference's node schema (id/name/type/graph_id/user_id)
+while staying collision-free at 10^12 documents. All derivations are
+projections (no shuffle); the only shuffles are the MERGE anti-joins,
+which hash-partition on the merge key.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, functions as F
+
+# sanitized pattern per kg_writer.py:13
+_VALID_REL = r"^[A-Za-z0-9_]+$"
+
+
+def sanitize_relation_type(rel_type: str) -> str:
+    """Scalar reference-parity helper (kg_writer.py:11-16). Raises on
+    invalid types exactly like the reference; the Spark path uses the
+    columnar split below instead."""
+    rel_type = rel_type.replace("-", "_")
+    if re.fullmatch(r"[A-Za-z0-9_]+", rel_type):
+        return rel_type.upper()
+    raise ValueError(f"illegal relation type: {rel_type}")
+
+
+def with_sanitized_type(relations: DataFrame) -> DataFrame:
+    """Adds ``rel_type`` (sanitized, NULL when invalid) columnar-ly."""
+    cleaned = F.regexp_replace(F.col("type"), "-", "_")
+    return relations.withColumn(
+        "rel_type",
+        F.when(cleaned.rlike(_VALID_REL), F.upper(cleaned)).otherwise(F.lit(None)),
+    )
+
+
+def build_nodes(entities: DataFrame, graph_id: str, user_id: str) -> DataFrame:
+    """entities(url,id,name,type,...) -> nodes rows (FIXTURES.md §5).
+    Node id namespaced by url hash; pure projection, no shuffle."""
+    nid = F.concat_ws(":", F.hex(F.xxhash64("url")), F.col("id"))
+    return entities.select(
+        F.lit(graph_id).alias("graph_id"),
+        F.lit(user_id).alias("user_id"),
+        nid.alias("id"),
+        "name",
+        "type",
+        F.col("url"),
+    )
+
+
+def build_edges(
+    relations: DataFrame, nodes: DataFrame, graph_id: str, user_id: str
+) -> tuple[DataFrame, DataFrame]:
+    """relations(url,source,target,type,verb,similarity) ->
+    (edges, dropped_relations).
+
+    Drop reasons mirror the reference's two skip paths:
+    - ``invalid_type``     (kg_writer.py:48-52)
+    - ``missing_endpoint`` (kg_writer.py:44-46)
+    """
+    nid = lambda c: F.concat_ws(":", F.hex(F.xxhash64("url")), F.col(c))
+    rels = with_sanitized_type(relations).select(
+        "url",
+        nid("source").alias("src"),
+        nid("target").alias("dst"),
+        "type",
+        "rel_type",
+        "verb",
+        F.coalesce(F.col("similarity"), F.lit(0.0)).alias("similarity"),
+    )
+
+    node_ids = nodes.select(F.col("id").alias("src")).distinct()
+    # endpoint validation: semi-join on src then dst (kg_writer.py:44-46)
+    with_src = rels.join(node_ids, on="src", how="left_semi")
+    node_ids_dst = nodes.select(F.col("id").alias("dst")).distinct()
+    valid_endpoints = with_src.join(node_ids_dst, on="dst", how="left_semi")
+    missing = rels.exceptAll(valid_endpoints.select(*rels.columns))
+
+    good = valid_endpoints.filter(F.col("rel_type").isNotNull())
+    bad_type = valid_endpoints.filter(F.col("rel_type").isNull())
+
+    edges = good.select(
+        F.lit(graph_id).alias("graph_id"),
+        F.lit(user_id).alias("user_id"),
+        "src",
+        "dst",
+        "rel_type",
+        "verb",
+        "similarity",
+        "url",
+    )
+    dropped = (
+        bad_type.withColumn("reason", F.lit("invalid_type"))
+        .unionByName(missing.withColumn("reason", F.lit("missing_endpoint")))
+        .select("url", "src", "dst", "type", "verb", "similarity", "reason")
+        .withColumn("graph_id", F.lit(graph_id))
+    )
+    return edges, dropped
+
+
+def materialize_graph(
+    extracted: DataFrame,
+    nodes_table,
+    edges_table,
+    dropped_table,
+    graph_id: str,
+    user_id: str = "user_001",
+    batch_id: str | None = None,
+) -> dict:
+    """End-to-end: nested extraction result -> MERGE INTO node/edge
+    LakeTables, with counters recorded in the snapshot lineage.
+
+    ``user_id`` default mirrors the reference (kg_writer.py:256).
+    Returns the commit summary (counters included) for metrics.
+    """
+    from .extraction import entities_table, relations_table
+
+    ents = entities_table(extracted)
+    rels = relations_table(extracted)
+    nodes = build_nodes(ents, graph_id, user_id)
+    edges, dropped = build_edges(rels, nodes, graph_id, user_id)
+
+    n_nodes, n_edges, n_dropped = nodes.count(), edges.count(), dropped.count()
+    counters = {"nodes": n_nodes, "edges": n_edges, "dropped_relations": n_dropped}
+
+    bid = batch_id or graph_id
+    nodes_table.merge_into(nodes, on=["graph_id", "id"], when_matched="update",
+                           batch_id=f"{bid}/nodes", counters=counters)
+    edges_table.merge_into(edges, on=["graph_id", "src", "dst", "rel_type"],
+                           when_matched="ignore", batch_id=f"{bid}/edges",
+                           counters=counters)
+    dropped_table.append(dropped, batch_id=f"{bid}/dropped")
+    return counters

@@ -1,0 +1,163 @@
+# -*- coding: utf-8 -*-
+"""Entity linking: MinHash-LSH blocking + n-gram cosine scoring.
+
+North-star addition (BASELINE.json: "entity linking via MinHash-LSH
+blocking plus TF-IDF cosine scoring") — the reference has no linking
+stage; its positional ids collide across graphs instead
+(/root/reference/backend/kgapi/kg_writer.py:24). This operator finds
+surface-form near-duplicates among entity names (深度智云 / 深度智云公司)
+and emits same_as pairs for connected-components canonicalization.
+
+All-Spark, no Python in the hot path:
+
+1. distinct names (entity mentions repeat massively at corpus scale —
+   dedupe FIRST so every later stage is O(|vocabulary|), not O(|mentions|))
+2. char-bigram shingles via JVM-side ``transform(sequence(...))`` —
+   no UDF
+3. K=8 minhashes in ONE hash-aggregate: ``min(xxhash64(shingle, k))``
+4. LSH bands (B=4, R=2): band key = hash of two adjacent minhashes;
+   identical band key -> candidate pair
+5. skew guard: LSH buckets larger than ``max_bucket`` are dropped
+   (a bucket of hub-suffix names like *公司 would produce a quadratic
+   self-join; standard LSH practice, loss only affects recall of
+   already-ambiguous blocks)
+6. verify candidates with exact weighted cosine over shared shingles
+   (IDF-weighted, computed with a groupBy over exploded shingles —
+   set-based, no quadratic work)
+
+Scaling: one shuffle for the minhash agg, one for the band self-join,
+one for the verification join — all on bounded-vocabulary data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# B=8 bands of R=2 rows: candidate-recall for Jaccard 0.6 pairs is
+# 1-(1-0.36)^8 ≈ 0.97 (vs 0.83 at B=4), at the cost of 16 cheap
+# min-aggregates in one shuffle
+N_HASHES = 16
+BANDS = 8
+
+
+def _shingles(col: str = "name"):
+    """char-2-gram array, JVM-side; 1-char names shingle to themselves."""
+    return F.when(
+        F.length(col) >= 2,
+        F.expr(f"transform(sequence(0, length({col})-2), i -> substring({col}, i+1, 2))"),
+    ).otherwise(F.array(F.col(col)))
+
+
+def candidate_pairs(
+    names: DataFrame, max_bucket: int = 64
+) -> DataFrame:
+    """names(name) -> candidate (name_a, name_b) pairs, name_a < name_b."""
+    distinct = names.select("name").distinct()
+    sh = distinct.select(
+        "name", F.explode(_shingles("name")).alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64("shingle", F.lit(k))).alias(f"mh{k}")
+        for k in range(N_HASHES)
+    ]
+    sig = sh.groupBy("name").agg(*aggs)
+
+    bands = []
+    for b in range(BANDS):
+        key = F.xxhash64(
+            F.lit(b), F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
+        ).alias("band_key")
+        bands.append(sig.select("name", key))
+    banded = bands[0]
+    for extra in bands[1:]:
+        banded = banded.unionByName(extra)
+
+    # skew guard: drop oversized buckets before the self-join
+    w = Window.partitionBy("band_key")
+    banded = (
+        banded.withColumn("_n", F.count("*").over(w))
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on="band_key")
+        .filter(F.col("a.name") < F.col("b.name"))
+        .select(
+            F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b")
+        )
+        .distinct()
+    )
+
+
+def scored_pairs(names: DataFrame, max_bucket: int = 64) -> DataFrame:
+    """Candidate pairs with IDF-weighted shingle-cosine similarity.
+
+    cosine(a,b) = sum_{g in a∩b} idf(g)^2 / (||a|| * ||b||), with
+    idf(g) = ln(1 + N/df(g)) over the distinct-name corpus. Entirely
+    set-based: explode -> join on shingle -> aggregate."""
+    distinct = names.select("name").distinct().cache()
+    n_names = distinct.count()
+
+    sh = distinct.select(
+        "name", F.explode(F.array_distinct(_shingles("name"))).alias("shingle")
+    )
+    idf = sh.groupBy("shingle").agg(
+        F.log(F.lit(1.0) + F.lit(float(n_names)) / F.count("*")).alias("idf")
+    )
+    weighted = sh.join(idf, "shingle")
+    norms = weighted.groupBy("name").agg(
+        F.sqrt(F.sum(F.col("idf") * F.col("idf"))).alias("norm")
+    )
+
+    cands = candidate_pairs(distinct, max_bucket)
+    wa = weighted.select(
+        F.col("name").alias("name_a"), "shingle", F.col("idf").alias("idf_a")
+    )
+    wb = weighted.select(
+        F.col("name").alias("name_b"), "shingle", F.col("idf").alias("idf_b")
+    )
+    dots = (
+        cands.join(wa, "name_a")
+        .join(wb, ["name_b", "shingle"])
+        .groupBy("name_a", "name_b")
+        .agg(F.sum(F.col("idf_a") * F.col("idf_b")).alias("dot"))
+    )
+    na = norms.select(F.col("name").alias("name_a"), F.col("norm").alias("norm_a"))
+    nb = norms.select(F.col("name").alias("name_b"), F.col("norm").alias("norm_b"))
+    return (
+        dots.join(na, "name_a")
+        .join(nb, "name_b")
+        .select(
+            "name_a", "name_b",
+            (F.col("dot") / (F.col("norm_a") * F.col("norm_b"))).alias("score"),
+        )
+    )
+
+
+def same_as_edges(
+    names: DataFrame, threshold: float = 0.9, max_bucket: int = 64
+) -> DataFrame:
+    """Final same-entity pairs: high cosine OR prefix containment.
+
+    Two precision-first rules (canonicalization must not conflate
+    sibling orgs like 华星科技公司 / 华星科技银行, which share a stem):
+
+    - IDF-weighted bigram cosine >= 0.9 (near-identical strings only;
+      one-char-apart org names like 青云/凌云科技中心 score ≈0.8 and
+      must NOT merge), or
+    - one name is a prefix of the other with >= 3 shared chars — the
+      abbreviation pattern (华星科技 ⊂ 华星科技公司), which is how
+      Chinese news actually shortens org names."""
+    prefix_rule = (
+        (F.length("name_a") >= 3)
+        & (
+            F.col("name_b").startswith(F.col("name_a"))
+            | F.col("name_a").startswith(F.col("name_b"))
+        )
+    )
+    return scored_pairs(names, max_bucket).filter(
+        (F.col("score") >= threshold) | prefix_rule
+    )

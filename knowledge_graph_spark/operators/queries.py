@@ -1,0 +1,172 @@
+# -*- coding: utf-8 -*-
+"""Graph-store query surface (reference Q1-Q9, SURVEY.md §2.3).
+
+Spark-native equivalents of the reference's Cypher reads
+(/root/reference/backend/kgapi/kg_writer.py:72-251) and deletes
+(:213-230). Each function takes node/edge DataFrames so it composes
+with LakeTable reads, temp views, or test fixtures alike.
+
+Plan shapes (verified via .explain):
+- ``query_graph``: graph_id filter pushes into the parquet scan; the
+  two edge->node resolutions are equi joins that AQE turns into
+  broadcast hash joins (per-graph node sets are small relative to the
+  corpus).
+- ``query_graphs_by_user``: ONE shuffle (groupBy graph_id + collect),
+  replacing the reference's N+1 per-graph round-trip loop
+  (kg_writer.py:152-154) — SURVEY.md §7.4.3.
+- deletes return the surviving DataFrames; DETACH semantics remove
+  edges whose graph died OR whose endpoint died (left_anti against
+  surviving nodes), mirroring Neo4j DETACH DELETE (kg_writer.py:215).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def graph_links(nodes: DataFrame, edges: DataFrame, graph_id: str) -> DataFrame:
+    """Q1 relational core: edges of one graph with both endpoints
+    resolved (kg_writer.py:74-80). Returns one row per link with node
+    payloads; assembly to {nodes, links} happens driver-side."""
+    e = edges.filter(F.col("graph_id") == graph_id)
+    n = nodes.filter(F.col("graph_id") == graph_id).dropDuplicates(["id"])
+    a = n.select(
+        F.col("id").alias("src"),
+        F.col("name").alias("src_name"),
+        F.col("type").alias("src_type"),
+    )
+    b = n.select(
+        F.col("id").alias("dst"),
+        F.col("name").alias("dst_name"),
+        F.col("type").alias("dst_type"),
+    )
+    return (
+        e.join(F.broadcast(a), on="src", how="inner")
+        .join(F.broadcast(b), on="dst", how="inner")
+        .select(
+            "src", "dst", "rel_type", "verb", "similarity",
+            "src_name", "src_type", "dst_name", "dst_type",
+            # label = verb or type, Chinese surface preferred (kg_writer.py:113)
+            F.coalesce(
+                F.when(F.col("verb") != "", F.col("verb")), F.col("rel_type")
+            ).alias("label"),
+        )
+    )
+
+
+def query_graph(spark, nodes: DataFrame, edges: DataFrame, graph_id: str) -> dict:
+    """Q1/Q2: one graph as the frontend ``{nodes, links}`` document
+    (kg_writer.py:72-120, shape pinned by frontend/static/graph.json).
+    Node identity ``id or name`` (kg_writer.py:103-104); node-only
+    fallback when the graph has no edges (kg_writer.py:86-93)."""
+    links_df = graph_links(nodes, edges, graph_id)
+    link_rows = links_df.collect()
+
+    if not link_rows:
+        node_rows = (
+            nodes.filter(F.col("graph_id") == graph_id)
+            .dropDuplicates(["id"]).collect()
+        )
+        out_nodes = {}
+        for r in node_rows:
+            d = r.asDict()
+            out_nodes[d.get("id") or d.get("name")] = d
+        return {"nodes": list(out_nodes.values()), "links": []}
+
+    out_nodes: dict = {}
+    links = []
+    for r in link_rows:
+        d = r.asDict()
+        a_id, b_id = d["src"], d["dst"]
+        out_nodes[a_id] = {"id": a_id, "name": d["src_name"], "type": d["src_type"],
+                           "graph_id": graph_id}
+        out_nodes[b_id] = {"id": b_id, "name": d["dst_name"], "type": d["dst_type"],
+                           "graph_id": graph_id}
+        links.append({
+            "source": a_id, "target": b_id, "type": d["rel_type"],
+            "label": d["label"], "verb": d["verb"], "similarity": d["similarity"],
+        })
+    return {"nodes": list(out_nodes.values()), "links": links}
+
+
+def list_user_graphs(nodes: DataFrame, user_id: str) -> DataFrame:
+    """Q3 (kg_writer.py:124-133): DISTINCT graph_id for a user."""
+    return (
+        nodes.filter(F.col("user_id") == user_id)
+        .select("graph_id").distinct()
+    )
+
+
+def query_graphs_by_user(nodes: DataFrame, edges: DataFrame, user_id: str) -> DataFrame:
+    """Q4 (kg_writer.py:135-172) in ONE pass: all of a user's graphs
+    with node+link structs collected per graph_id — no per-graph loop."""
+    n = nodes.filter(F.col("user_id") == user_id)
+    graph_nodes = n.groupBy("graph_id").agg(
+        F.collect_list(F.struct("id", "name", "type")).alias("nodes")
+    )
+    e = edges.filter(F.col("user_id") == user_id)
+    graph_links_agg = e.groupBy("graph_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("src").alias("source"), F.col("dst").alias("target"),
+                F.col("rel_type").alias("type"),
+                F.coalesce(
+                    F.when(F.col("verb") != "", F.col("verb")), F.col("rel_type")
+                ).alias("label"),
+            )
+        ).alias("links")
+    )
+    return graph_nodes.join(graph_links_agg, on="graph_id", how="left").select(
+        "graph_id", "nodes",
+        F.coalesce(F.col("links"), F.array()).alias("links"),
+    )
+
+
+def query_all_graphs(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Q5 (kg_writer.py:177-209): same as Q4 without the user filter."""
+    graph_nodes = nodes.groupBy("graph_id").agg(
+        F.collect_list(F.struct("id", "name", "type")).alias("nodes")
+    )
+    graph_links_agg = edges.groupBy("graph_id").agg(
+        F.collect_list(F.struct(
+            F.col("src").alias("source"), F.col("dst").alias("target"),
+            F.col("rel_type").alias("type"),
+        )).alias("links")
+    )
+    return graph_nodes.join(graph_links_agg, on="graph_id", how="left").select(
+        "graph_id", "nodes", F.coalesce(F.col("links"), F.array()).alias("links")
+    )
+
+
+def search_entities_by_keyword(nodes: DataFrame, user_id: str, keyword: str) -> DataFrame:
+    """Q6 (kg_writer.py:234-251): user filter + name CONTAINS keyword."""
+    return nodes.filter(
+        (F.col("user_id") == user_id) & F.col("name").contains(keyword)
+    )
+
+
+def _detach(nodes_kept: DataFrame, edges: DataFrame) -> DataFrame:
+    """DETACH semantics: an edge survives only if BOTH endpoints survive."""
+    ids = nodes_kept.select(F.col("id")).distinct()
+    return (
+        edges.join(ids.withColumnRenamed("id", "src"), on="src", how="left_semi")
+        .join(ids.withColumnRenamed("id", "dst"), on="dst", how="left_semi")
+    )
+
+
+def clear_all_graphs(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Q7 (kg_writer.py:213-216): drop every node with a graph_id."""
+    kept = nodes.filter(F.col("graph_id").isNull())
+    return kept, _detach(kept, edges)
+
+
+def clear_graph_by_id(nodes: DataFrame, edges: DataFrame, graph_id: str) -> tuple[DataFrame, DataFrame]:
+    """Q8 (kg_writer.py:220-223)."""
+    kept = nodes.filter(F.col("graph_id") != graph_id)
+    return kept, _detach(kept, edges)
+
+
+def clear_graphs_by_user(nodes: DataFrame, edges: DataFrame, user_id: str) -> tuple[DataFrame, DataFrame]:
+    """Q9 (kg_writer.py:227-230)."""
+    kept = nodes.filter(F.col("user_id") != user_id)
+    return kept, _detach(kept, edges)

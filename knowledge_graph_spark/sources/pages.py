@@ -85,6 +85,12 @@ _TEMPLATES = [
     "{P}在{O}担任{T}。",
     "{O}任命{P}先生。",
     "{O}提升产品质量。",            # mapped verb, obj not entity
+    "{O}举办{NP}展示活动。",         # raw-verb fallthrough WITH entity obj ->
+                                    # unsanitizable Chinese predicate, exercises
+                                    # the dropped_relations quarantine path
+    "“{OA}”与{O2}达成合作。",        # quoted ABBREVIATED mention of the page's
+                                    # first org (stem+kind, no suffix) ->
+                                    # ground truth for entity linking
 ]
 
 _EN_SENTENCES = [
@@ -127,8 +133,13 @@ def _sentence(seed: int, page: int, k: int) -> str:
     o2 = _org(seed, page, f"p{k}")
     if o2 == o:
         o2 = _org(seed, page, f"q{k}")
+    # abbreviation of the page's FIRST org (sentence 0's O slot): stem+kind
+    # without the suffix — the classic Chinese shortening (华星科技公司 ->
+    # 华星科技). Pages that also mention the full form give the linking
+    # stage known-by-construction same_as ground truth.
+    oa = _pick(seed, page, "o0s", _ORG_STEMS) + _pick(seed, page, "o0k", _ORG_KINDS)
     return t.format(
-        O=o, O2=o2,
+        O=o, O2=o2, OA=oa,
         P=_person(seed, page, f"pe{k}"),
         L=_pick(seed, page, f"l{k}", _LOCS),
         PR="智能" + _pick(seed, page, f"pm{k}", _PROD_MID) + _pick(seed, page, f"ps{k}", _PROD_SUF),
