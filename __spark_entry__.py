@@ -1,38 +1,728 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+# -*- coding: utf-8 -*-
+"""Driver contract for the PySpark KG-construction engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``   — flagship smoke: synthetic pages -> extraction ->
+  (subj, pred, obj) triples at sf0.001 scale.
+- ``queries()``      — one entry per implemented operator
+  (SURVEY.md §2 + the training-data operators); each callable takes
+  (spark, sf_dir) and returns a DataFrame.
+- ``oracle_sql()``   — DuckDB-runnable ANSI SQL oracles for every
+  SQL-expressible query (same column names/aliases as the Spark side).
+  KG-kernel / hash-sketch queries (xxhash64-based) have no SQL
+  equivalent and are intentionally omitted -> rows-only checks.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+_WAREHOUSES: dict[str, str] = {}  # sf_dir -> warehouse root (pipeline ran once)
+_KG_PAGES = 300
+_KG_GRAPH_ID = "graph_fixed"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _warehouse(spark: SparkSession, sf_dir: str):
+    """Run the KG pipeline once per sf_dir on the deterministic synthetic
+    pages corpus; later KG queries read the persisted tables."""
+    from knowledge_graph_spark.pipeline import KGWarehouse, run_pipeline
+    from knowledge_graph_spark.sources.pages import generate_spark
+
+    if sf_dir not in _WAREHOUSES:
+        root = tempfile.mkdtemp(prefix="kg_wh_")
+        pages = generate_spark(spark, _KG_PAGES, partitions=8)
+        wh = KGWarehouse(root)
+        run_pipeline(spark, pages, wh, graph_id=_KG_GRAPH_ID, link_entities=True)
+        _WAREHOUSES[sf_dir] = root
+    from knowledge_graph_spark.pipeline import KGWarehouse as _W
+
+    return _W(_WAREHOUSES[sf_dir])
+
+
+# documents with planted duplicates — SAME construction on both sides so
+# the dedup queries verify against a DuckDB oracle (doc_id % 50 == 0
+# rows are cloned with id+1_000_000).
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    clones = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    return docs.unionByName(clones)
+
+
+_DOCS_DUP_SQL = (
+    "SELECT doc_id, text, lang, source, n_chars FROM documents "
+    "UNION ALL "
+    "SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars "
+    "FROM documents WHERE doc_id % 50 = 0"
+)
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pages -> html2text+extract -> triples (sf0.001 scale)."""
+    from knowledge_graph_spark.operators.extraction import extract, triples_table
+    from knowledge_graph_spark.sources.pages import generate_spark
+
+    pages = generate_spark(spark, 100, partitions=4)
+    return triples_table(extract(pages))
+
+
+# ---------------------------------------------------------------------------
+# relational queries (classical operator coverage; all DuckDB-oracled)
+# ---------------------------------------------------------------------------
+
+
+def _q_pricing_summary(spark, sf_dir):
+    """Scan + filter + groupBy aggregate (TPC-H Q1 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                         AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                    AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4)                         AS avg_qty,
+       COUNT(*)                                          AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _q_nation_revenue(spark, sf_dir):
+    """Multi-way equi join (broadcast dims) + aggregate."""
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    c, n = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_SQL_NATION_REVENUE = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def _q_customers_without_orders(spark, sf_dir):
+    """Anti join (reference S5 endpoint-validation shape): customers
+    with no order since 1998 (lapsed customers — non-empty at every sf)."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    recent = o.filter(F.col("o_orderdate") >= "1998-01-01").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        c.join(recent, "c_custkey", "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+_SQL_CUST_NO_ORDERS = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+)
+ORDER BY c_custkey
+"""
+
+
+def _q_top_parts_per_brand(spark, sf_dir):
+    """Window function: row_number per partition (reference needs this
+    for per-doc numbering at scale; SURVEY.md §2.5)."""
+    from pyspark.sql import Window
+
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        p.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("p_brand", "rank", "p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_brand", "rank")
+    )
+
+
+_SQL_TOP_PARTS = """
+SELECT p_brand, rank, p_partkey, p_name, p_retailprice
+FROM (
+  SELECT p_brand, p_partkey, p_name, p_retailprice,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rank
+  FROM part
+) WHERE rank <= 3
+ORDER BY p_brand, rank
+"""
+
+
+def _q_events_daily(spark, sf_dir):
+    """Date functions + distinct aggregate over the events stream table."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.to_date("ts").alias("day"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+_SQL_EVENTS_DAILY = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
+def _q_supplier_nation_union(spark, sf_dir):
+    """Union + distinct: all party names per nation (supplier ∪ customer)."""
+    s, c = _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    parties = (
+        s.select(F.col("s_nationkey").alias("nk"), F.lit("supplier").alias("kind"))
+        .unionByName(
+            c.select(F.col("c_nationkey").alias("nk"), F.lit("customer").alias("kind"))
+        )
+    )
+    return (
+        parties.join(F.broadcast(n), parties.nk == n.n_nationkey)
+        .groupBy("n_name", "kind")
+        .agg(F.count("*").alias("n_parties"))
+        .orderBy("n_name", "kind")
+    )
+
+
+_SQL_SUPPLIER_NATION_UNION = """
+SELECT n_name, kind, COUNT(*) AS n_parties
+FROM (
+  SELECT s_nationkey AS nk, 'supplier' AS kind FROM supplier
+  UNION ALL
+  SELECT c_nationkey AS nk, 'customer' AS kind FROM customer
+) p JOIN nation ON p.nk = n_nationkey
+GROUP BY n_name, kind
+ORDER BY n_name, kind
+"""
+
+
+def _q_order_priority_semi(spark, sf_dir):
+    """Left-semi join (EXISTS): orders having at least one line item
+    shipped after the order half-year (TPC-H Q4 shape)."""
+    o, li = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_shipdate") >= "1997-01-01").select("l_orderkey")
+    return (
+        o.join(late.withColumnRenamed("l_orderkey", "o_orderkey"),
+               "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_SQL_ORDER_PRIORITY = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate >= TIMESTAMP '1997-01-01'
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data operators over documents/embeddings (oracled where SQL can)
+# ---------------------------------------------------------------------------
+
+
+def _q_dedup_exact_groups(spark, sf_dir):
+    from knowledge_graph_spark.operators.dedup import exact_duplicates
+
+    out = exact_duplicates(_docs_with_dups(spark, sf_dir))
+    return out.select("content_hash", "n_dups", "keep_id").orderBy("keep_id")
+
+
+_SQL_DEDUP_EXACT = f"""
+WITH d AS ({_DOCS_DUP_SQL})
+SELECT sha256(text) AS content_hash,
+       COUNT(*) AS n_dups,
+       MIN(doc_id) AS keep_id
+FROM d
+GROUP BY sha256(text)
+HAVING COUNT(*) > 1
+ORDER BY keep_id
+"""
+
+
+def _q_dedup_exact_survivors(spark, sf_dir):
+    from knowledge_graph_spark.operators.dedup import dedup_exact
+
+    return (
+        dedup_exact(_docs_with_dups(spark, sf_dir))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+_SQL_DEDUP_SURVIVORS = f"""
+WITH d AS ({_DOCS_DUP_SQL}),
+r AS (SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM d)
+SELECT doc_id, lang, source FROM r WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard on adjacent-doc pairs (the verification
+    stage of MinHash dedup, on a deterministic pair set so DuckDB can
+    replicate it)."""
+    from knowledge_graph_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    pairs = docs.select(F.col("doc_id").alias("id_a")).filter(
+        F.col("id_a") % 2 == 0
+    ).withColumn("id_b", F.col("id_a") + 1)
+    return (
+        ngram_jaccard_pairs(docs, pairs, n=3)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a")
+    )
+
+
+_SQL_NGRAM_JACCARD = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x != '')) >= 3
+           THEN list_transform(
+             range(len(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x != '')) - 2),
+             i -> list_aggregate(list_slice(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x != ''), i + 1, i + 3), 'string_agg', ' '))
+           ELSE [list_aggregate(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x != ''), 'string_agg', ' ')]
+           END) AS sh
+  FROM documents WHERE doc_id < 60
+),
+p AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+      WHERE doc_id < 60 AND doc_id % 2 = 0)
+SELECT id_a, id_b,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+FROM p JOIN d a ON p.id_a = a.doc_id JOIN d b ON p.id_b = b.doc_id
+ORDER BY id_a
+"""
+
+
+def _q_token_counts(spark, sf_dir):
+    from knowledge_graph_spark.operators.textstats import with_token_counts
+
+    return (
+        with_token_counts(_t(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[\x{4e00}-\x{9fff}]')) AS n_bpe_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def _q_language_id(spark, sf_dir):
+    from knowledge_graph_spark.operators.textstats import with_language_id
+
+    return (
+        with_language_id(_t(spark, sf_dir, "documents"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang_pred")
+    )
+
+
+_SQL_LANGUAGE_ID = r"""
+WITH s AS (
+  SELECT doc_id,
+         GREATEST(length(text), 1) AS total,
+         length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+         length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS asc_letters,
+         (CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(text) || ' ' LIKE '% and %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(text) || ' ' LIKE '% of %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(text) || ' ' LIKE '% to %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(text) || ' ' LIKE '% in %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(text) || ' ' LIKE '% is %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(text) || ' ' LIKE '% that %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(text) || ' ' LIKE '% for %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(text) || ' ' LIKE '% with %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(text) || ' ' LIKE '% was %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(text) || ' ' LIKE '% are %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(text) || ' ' LIKE '% this %' THEN 1 ELSE 0 END) AS stop_hits
+  FROM documents
+)
+SELECT lang_pred, COUNT(*) AS n_docs FROM (
+  SELECT CASE WHEN CAST(cjk AS DOUBLE) / total > 0.25 THEN 'zh'
+              WHEN CAST(asc_letters AS DOUBLE) / total > 0.5 AND stop_hits >= 1 THEN 'en'
+              ELSE 'other' END AS lang_pred
+  FROM s
+) GROUP BY lang_pred ORDER BY lang_pred
+"""
+
+
+def _q_quality_scores(spark, sf_dir):
+    from knowledge_graph_spark.operators.textstats import with_quality_score
+
+    return (
+        with_quality_score(_t(spark, sf_dir, "documents"))
+        .groupBy("source")
+        .agg(
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.round(F.avg("punct_ratio"), 4).alias("avg_punct_ratio"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_QUALITY = r"""
+WITH s AS (
+  SELECT source,
+         GREATEST(length(text), 1) AS total,
+         length(text) AS len,
+         length(text) - length(regexp_replace(text, '[[:punct:]，。、；：！？“”‘’（）《》【】]', '', 'g')) AS punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits
+  FROM documents
+)
+SELECT source,
+       ROUND(AVG(GREATEST(0.0, 1.0
+         - CASE WHEN len < 20 THEN 0.5 ELSE 0.0 END
+         - CASE WHEN CAST(punct AS DOUBLE) / total > 0.3 THEN 0.25 ELSE 0.0 END
+         - CASE WHEN CAST(digits AS DOUBLE) / total > 0.3 THEN 0.25 ELSE 0.0 END)), 4) AS avg_quality,
+       ROUND(AVG(CAST(punct AS DOUBLE) / total), 4) AS avg_punct_ratio,
+       COUNT(*) AS n_docs
+FROM s GROUP BY source ORDER BY source
+"""
+
+
+def _q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline (exact; DuckDB-oracled)."""
+    from knowledge_graph_spark.operators.simsearch import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return (
+        brute_force_topk(emb, queries, k=5)
+        .select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
+_SQL_EMBEDDING_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+           FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec) DESC,
+                                     e.vec_id) AS rank
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, rank, vec_id, ROUND(cos, 6) AS cosine
+FROM scored WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def _q_embedding_label_centroids(spark, sf_dir):
+    """Vector aggregate: per-label mean embedding norm + count (array
+    math JVM-side; DuckDB mirrors with list_aggregate)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.expr(
+        "sqrt(aggregate(embedding, cast(0.0 as double), (a, x) -> a + cast(x as double) * x))"
+    )
+    return (
+        emb.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+_SQL_EMB_CENTROIDS = """
+SELECT label, COUNT(*) AS n_vecs,
+       ROUND(AVG(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum'))), 4) AS avg_norm
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# hash-sketch queries (no SQL equivalent -> rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    from knowledge_graph_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs_with_dups(spark, sf_dir)).orderBy("id_a", "id_b")
+
+
+def _q_simhash_neardups(spark, sf_dir):
+    from knowledge_graph_spark.operators.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(
+        _docs_with_dups(spark, sf_dir), max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+def _q_fingerprints(spark, sf_dir):
+    from knowledge_graph_spark.operators.textstats import with_fingerprint
+
+    return (
+        with_fingerprint(_t(spark, sf_dir, "documents"))
+        .select("doc_id", "content_hash", "fingerprint")
+        .orderBy("doc_id")
+    )
+
+
+def _q_embedding_neardups(spark, sf_dir):
+    from knowledge_graph_spark.operators.dedup import embedding_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    clones = emb.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    return (
+        embedding_near_duplicates(emb.unionByName(clones), threshold=0.999)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _q_ivf_topk(spark, sf_dir):
+    from knowledge_graph_spark.operators.simsearch import ivf_index, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assign, cent = ivf_index(emb, n_cells=8, n_iter=2)
+    return (
+        ivf_topk(assign, cent, queries, k=5, n_probe=4)
+        .select("query_id", "rank", "vec_id", F.round("cosine", 4).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries (extraction kernel is non-SQL -> rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+def _q_kg_triples(spark, sf_dir):
+    wh = _warehouse(spark, sf_dir)
+    return (
+        wh.triples.read(spark)
+        .select("url", "subj", "pred", "obj")
+        .orderBy("url", "subj", "pred", "obj")
+    )
+
+
+def _q_kg_entities(spark, sf_dir):
+    from knowledge_graph_spark.operators.extraction import entities_table
+
+    wh = _warehouse(spark, sf_dir)
+    return (
+        entities_table(wh.extracted.read(spark))
+        .orderBy("url", "id")
+    )
+
+
+def _q_kg_graph_links(spark, sf_dir):
+    from knowledge_graph_spark.operators.queries import graph_links
+
+    wh = _warehouse(spark, sf_dir)
+    return graph_links(
+        wh.nodes.read(spark), wh.edges.read(spark), _KG_GRAPH_ID
+    ).orderBy("src", "dst", "rel_type")
+
+
+def _q_kg_keyword_search(spark, sf_dir):
+    from knowledge_graph_spark.operators.queries import search_entities_by_keyword
+
+    wh = _warehouse(spark, sf_dir)
+    return (
+        search_entities_by_keyword(wh.nodes.read(spark), "user_001", "公司")
+        .select("graph_id", "id", "name", "type")
+        .orderBy("id")
+    )
+
+
+def _q_kg_user_graphs(spark, sf_dir):
+    from knowledge_graph_spark.operators.queries import query_graphs_by_user
+
+    wh = _warehouse(spark, sf_dir)
+    out = query_graphs_by_user(
+        wh.nodes.read(spark), wh.edges.read(spark), "user_001"
+    )
+    return out.select(
+        "graph_id",
+        F.size("nodes").cast("long").alias("n_nodes"),
+        F.size("links").cast("long").alias("n_links"),
+    ).orderBy("graph_id")
+
+
+def _q_kg_canonical_entities(spark, sf_dir):
+    wh = _warehouse(spark, sf_dir)
+    nodes = wh.nodes.read(spark)
+    return (
+        nodes.groupBy("canonical_id")
+        .agg(
+            F.countDistinct("name").alias("n_surface_forms"),
+            F.count("*").alias("n_mentions"),
+        )
+        .filter(F.col("n_surface_forms") > 1)
+        .orderBy("canonical_id")
+    )
+
+
+def _q_kg_dropped_relations(spark, sf_dir):
+    wh = _warehouse(spark, sf_dir)
+    return (
+        wh.dropped.read(spark)
+        .groupBy("reason", "type")
+        .agg(F.count("*").alias("n_dropped"))
+        .orderBy("reason", "type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # classical relational operators (DuckDB-oracled)
+        "pricing_summary": _q_pricing_summary,
+        "nation_revenue": _q_nation_revenue,
+        "customers_without_orders": _q_customers_without_orders,
+        "top_parts_per_brand": _q_top_parts_per_brand,
+        "events_daily": _q_events_daily,
+        "supplier_nation_union": _q_supplier_nation_union,
+        "order_priority_semi": _q_order_priority_semi,
+        # training-data operators (DuckDB-oracled)
+        "dedup_exact_groups": _q_dedup_exact_groups,
+        "dedup_exact_survivors": _q_dedup_exact_survivors,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "token_counts": _q_token_counts,
+        "language_id": _q_language_id,
+        "quality_scores": _q_quality_scores,
+        "embedding_topk": _q_embedding_topk,
+        "embedding_label_centroids": _q_embedding_label_centroids,
+        # hash-sketch operators (rows-only)
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_neardups": _q_simhash_neardups,
+        "fingerprints": _q_fingerprints,
+        "embedding_neardups": _q_embedding_neardups,
+        "ivf_topk": _q_ivf_topk,
+        # KG construction pipeline (rows-only)
+        "kg_triples": _q_kg_triples,
+        "kg_entities": _q_kg_entities,
+        "kg_graph_links": _q_kg_graph_links,
+        "kg_keyword_search": _q_kg_keyword_search,
+        "kg_user_graphs": _q_kg_user_graphs,
+        "kg_canonical_entities": _q_kg_canonical_entities,
+        "kg_dropped_relations": _q_kg_dropped_relations,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": _SQL_PRICING,
+        "nation_revenue": _SQL_NATION_REVENUE,
+        "customers_without_orders": _SQL_CUST_NO_ORDERS,
+        "top_parts_per_brand": _SQL_TOP_PARTS,
+        "events_daily": _SQL_EVENTS_DAILY,
+        "supplier_nation_union": _SQL_SUPPLIER_NATION_UNION,
+        "order_priority_semi": _SQL_ORDER_PRIORITY,
+        "dedup_exact_groups": _SQL_DEDUP_EXACT,
+        "dedup_exact_survivors": _SQL_DEDUP_SURVIVORS,
+        "ngram_jaccard": _SQL_NGRAM_JACCARD,
+        "token_counts": _SQL_TOKEN_COUNTS,
+        "language_id": _SQL_LANGUAGE_ID,
+        "quality_scores": _SQL_QUALITY,
+        "embedding_topk": _SQL_EMBEDDING_TOPK,
+        "embedding_label_centroids": _SQL_EMB_CENTROIDS,
+    }

@@ -1,0 +1,91 @@
+# -*- coding: utf-8 -*-
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` = total wall seconds across the headline queries. The
+per-query dict includes the KG pipeline end-to-end (the north-star
+triples/sec path, also reported as ``triples_per_sec``) plus the
+relational/training-data headliners.
+
+Scaling evidence (north_rule: efficiency >= 0.8 from N to 4N):
+  SPARK_GRAFT_CPUS=8 python bench.py   # N
+  SPARK_GRAFT_CPUS=32 python bench.py  # 4N
+See BENCH/BASELINE.md for recorded numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# KG corpus sized ~10 pages per core-second of extraction work; fixed per
+# sf so throughput numbers are comparable across parallelism levels
+KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "3000"))
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from knowledge_graph_spark.pipeline import KGWarehouse, run_pipeline
+    from knowledge_graph_spark.session import get_spark
+    from knowledge_graph_spark.sources.pages import generate_spark
+
+    spark = get_spark(app="kg-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+
+    # ---- KG pipeline end-to-end (the north-star metric) ---------------
+    t0 = time.time()
+    pages = generate_spark(spark, KG_PAGES, partitions=CPUS * 2)
+    wh = KGWarehouse(tempfile.mkdtemp(prefix="kg_bench_"))
+    run_pipeline(spark, pages, wh, graph_id="graph_bench", link_entities=True)
+    kg_wall = time.time() - t0
+    n_triples = wh.triples.read(spark).count()
+    timings["kg_pipeline"] = round(kg_wall, 3)
+
+    # ---- headline relational / training-data queries ------------------
+    headliners = [
+        "pricing_summary", "nation_revenue", "top_parts_per_brand",
+        "events_daily", "order_priority_semi",
+        "dedup_exact_survivors", "minhash_pairs", "simhash_neardups",
+        "token_counts", "language_id", "quality_scores",
+        "embedding_topk", "embedding_neardups",
+    ]
+    qs = entrymod.queries()
+    for name in headliners:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "kg_construction_and_headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": CPUS,
+        "kg_pages": KG_PAGES,
+        "kg_triples": n_triples,
+        "triples_per_sec": round(n_triples / kg_wall, 1),
+        "pages_per_sec": round(KG_PAGES / kg_wall, 1),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -146,11 +146,18 @@ def search_entities_by_keyword(nodes: DataFrame, user_id: str, keyword: str) -> 
 
 
 def _detach(nodes_kept: DataFrame, edges: DataFrame) -> DataFrame:
-    """DETACH semantics: an edge survives only if BOTH endpoints survive."""
-    ids = nodes_kept.select(F.col("id")).distinct()
+    """DETACH semantics: an edge survives only if BOTH endpoints survive.
+
+    The node key is (graph_id, id) — SURVEY.md §7.4.1 — so the
+    endpoint-existence semi-joins carry graph_id too; without it, graphs
+    built from the same corpus (same url-hash ids) would keep each
+    other's edges alive."""
+    ids = nodes_kept.select("graph_id", F.col("id")).distinct()
     return (
-        edges.join(ids.withColumnRenamed("id", "src"), on="src", how="left_semi")
-        .join(ids.withColumnRenamed("id", "dst"), on="dst", how="left_semi")
+        edges.join(ids.withColumnRenamed("id", "src"),
+                   on=["graph_id", "src"], how="left_semi")
+        .join(ids.withColumnRenamed("id", "dst"),
+              on=["graph_id", "dst"], how="left_semi")
     )
 
 

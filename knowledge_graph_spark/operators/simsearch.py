@@ -1,0 +1,169 @@
+# -*- coding: utf-8 -*-
+"""Similarity search over embedding columns (array<float>).
+
+ANN layer for the training-data pipeline: brute-force cosine top-k as
+the exact baseline, and an IVF (inverted-file, k-means-coarse-quantizer)
+variant as the scale path — probe a few centroids instead of the whole
+corpus.
+
+Scale design:
+- dot products are JVM-side ``aggregate(zip_with(...))`` — vectorized
+  codegen, no Python;
+- brute force is one broadcast (queries are small) + one global top-k
+  per query via window row_number — the shuffle moves (qid, vid, score)
+  triples, never vectors;
+- IVF training uses Lloyd's iterations as DataFrame aggregations
+  (deterministic seed-free init: the k smallest xxhash64(vec_id));
+  assignment joins vectors to the broadcast centroid table; queries
+  probe ``n_probe`` nearest centroids so each query scans ~n_probe/k of
+  the corpus. At 10^9 vectors x k=65536 cells this is the standard
+  FAISS-IVF layout expressed relationally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a: str, b: str):
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * y), "
+        f"cast(0.0 as double), (acc, z) -> acc + z)"
+    )
+
+
+def _norm(c: str):
+    return F.expr(
+        f"sqrt(aggregate({c}, cast(0.0 as double), (a, x) -> a + cast(x as double) * x))"
+    )
+
+
+def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     qid_col: str = "query_id", qvec_col: str = "query_vec",
+                     ) -> DataFrame:
+    """Exact cosine top-k: (query_id, vec_id, cosine, rank).
+
+    Queries broadcast to every partition of the corpus; per-query top-k
+    via row_number over the score window. Self-matches (same id) are
+    not excluded — callers filter if needed."""
+    v = vectors.select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).alias("vec"),
+                       _norm(vec_col).alias("vnorm"))
+    q = queries.select(F.col(qid_col).alias("query_id"),
+                       F.col(qvec_col).alias("qvec"),
+                       _norm(qvec_col).alias("qnorm"))
+    scored = v.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id",
+        (_dot("vec", "qvec") / (F.col("vnorm") * F.col("qnorm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF: k-means coarse quantizer + probed search
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(vectors: DataFrame, n_cells: int = 16,
+                        n_iter: int = 5, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Lloyd's k-means as DataFrame ops -> (cell_id, centroid).
+
+    Deterministic init: the n_cells vectors with smallest
+    xxhash64(id). Each iteration: assign (broadcast centroids,
+    argmin L2) then re-average per cell with one groupBy over
+    posexploded components. Empty cells keep their previous centroid."""
+    v = vectors.select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).cast("array<double>").alias("vec"))
+    cent = (
+        v.withColumn("_h", F.xxhash64("vec_id"))
+        .orderBy("_h").limit(n_cells)
+        .select(
+            (F.row_number().over(Window.orderBy("_h")) - 1).alias("cell_id"),
+            F.col("vec").alias("centroid"),
+        )
+    )
+    for _ in range(n_iter):
+        assigned = _assign_cells(v, cent)
+        new_cent = (
+            assigned.select("cell_id", F.posexplode("vec").alias("j", "x"))
+            .groupBy("cell_id", "j").agg(F.avg("x").alias("m"))
+            .groupBy("cell_id")
+            .agg(F.array_sort(F.collect_list(F.struct("j", "m"))).alias("jm"))
+            .select("cell_id", F.col("jm.m").alias("centroid"))
+        )
+        cent = (
+            cent.select("cell_id", F.col("centroid").alias("old"))
+            .join(new_cent, "cell_id", "left")
+            .select("cell_id", F.coalesce("centroid", "old").alias("centroid"))
+        )
+    return cent
+
+
+def _assign_cells(v: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Argmin-L2 assignment: broadcast the centroid table, score all
+    cells per vector, keep the best via min-of-struct (no window)."""
+    d2 = F.expr(
+        "aggregate(zip_with(vec, centroid, (x, c) -> (x - c) * (x - c)), "
+        "cast(0.0 as double), (a, y) -> a + y)"
+    )
+    scored = v.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "vec", F.struct(d2.alias("d2"), F.col("cell_id")).alias("sc")
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min("sc").alias("best"), F.first("vec").alias("vec"))
+        .select("vec_id", "vec", F.col("best.cell_id").alias("cell_id"))
+    )
+
+
+def ivf_index(vectors: DataFrame, n_cells: int = 16, n_iter: int = 5,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              ) -> tuple[DataFrame, DataFrame]:
+    """-> (assignments(vec_id, vec, cell_id), centroids(cell_id, centroid)).
+    Persist both as tables partitioned by cell_id for production use."""
+    v = vectors.select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).cast("array<double>").alias("vec"))
+    cent = train_ivf_centroids(vectors, n_cells, n_iter, vec_col, id_col)
+    return _assign_cells(v, cent), cent
+
+
+def ivf_topk(assignments: DataFrame, centroids: DataFrame,
+             queries: DataFrame, k: int = 10, n_probe: int = 4,
+             qid_col: str = "query_id", qvec_col: str = "query_vec",
+             ) -> DataFrame:
+    """Probed search: per query rank centroids by L2, keep ``n_probe``
+    cells, scan only vectors in those cells, cosine top-k.
+
+    Partition pruning is the point: the scan joins on cell_id, so with
+    a cell-partitioned assignment table only n_probe/n_cells of the
+    corpus is read per query."""
+    q = queries.select(F.col(qid_col).alias("query_id"),
+                       F.col(qvec_col).cast("array<double>").alias("qvec"))
+    d2 = F.expr(
+        "aggregate(zip_with(qvec, centroid, (x, c) -> (x - c) * (x - c)), "
+        "cast(0.0 as double), (a, y) -> a + y)"
+    )
+    probe_w = Window.partitionBy("query_id").orderBy("d2", "cell_id")
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("query_id", "qvec", "cell_id", d2.alias("d2"))
+        .withColumn("_r", F.row_number().over(probe_w))
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "qvec", "cell_id")
+    )
+    cos = _dot("vec", "qvec") / (_norm("vec") * _norm("qvec"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        assignments.join(F.broadcast(probes), "cell_id")
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

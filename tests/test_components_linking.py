@@ -1,0 +1,80 @@
+# -*- coding: utf-8 -*-
+"""Connected components + entity linking unit tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from knowledge_graph_spark.operators.components import (
+    canonical_mapping, connected_components,
+)
+from knowledge_graph_spark.operators.linking import (
+    candidate_pairs, same_as_edges, scored_pairs,
+)
+
+
+def test_connected_components_chain_and_islands(spark):
+    # components: {1,2,3,4}, {10,11}, {20 self-loop ignored}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)], "u long, v long"
+    )
+    out = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert out[1] == out[2] == out[3] == out[4] == 1
+    assert out[10] == out[11] == 10
+
+
+def test_connected_components_star_skew(spark):
+    """A hub node connected to 200 leaves (the skew case the star
+    algorithm must handle without quadratic blowup)."""
+    hub = spark.createDataFrame(
+        [(1000, i) for i in range(1, 201)], "u long, v long"
+    )
+    out = connected_components(hub)
+    comps = out.select("component").distinct().collect()
+    assert len(comps) == 1 and comps[0]["component"] == 1
+
+
+def test_candidate_pairs_recall_on_near_names(spark):
+    names = spark.createDataFrame(
+        [("华星科技公司",), ("华星科技",), ("完全不同名称",)], "name string"
+    )
+    pairs = candidate_pairs(names).collect()
+    assert any({p["name_a"], p["name_b"]} == {"华星科技公司", "华星科技"} for p in pairs)
+
+
+def test_scored_pairs_orders_similarity(spark):
+    names = spark.createDataFrame(
+        [("华星科技公司",), ("华星科技集团",), ("蓝海生物银行",)], "name string"
+    )
+    scores = {
+        frozenset((r["name_a"], r["name_b"])): r["score"]
+        for r in scored_pairs(names).collect()
+    }
+    # IDF down-weights the shared stem in a tiny corpus, so the absolute
+    # score is modest — what matters is the ORDER: same-stem pair beats
+    # any cross-stem pair
+    close = scores.get(frozenset(("华星科技公司", "华星科技集团")))
+    assert close is not None and close > 0.3
+    for k, v in scores.items():
+        if "蓝海生物银行" in k:
+            assert v < close
+
+
+def test_same_as_prefix_abbreviation_rule(spark):
+    names = spark.createDataFrame(
+        [("华星科技公司",), ("华星科技",), ("青云数据中心",)], "name string"
+    )
+    links = same_as_edges(names).collect()
+    assert any({l["name_a"], l["name_b"]} == {"华星科技公司", "华星科技"} for l in links)
+    # unrelated names never link
+    assert not any("青云数据中心" in (l["name_a"], l["name_b"]) for l in links)
+
+
+def test_canonical_mapping_shortest_representative(spark):
+    same = spark.createDataFrame(
+        [("华星科技公司", "华星科技"), ("华星科技公司", "华星科技有限公司")],
+        "name_a string, name_b string",
+    )
+    m = {r["name"]: r["canonical_name"] for r in canonical_mapping(same).collect()}
+    assert set(m.values()) == {"华星科技"}
+    assert len(m) == 3

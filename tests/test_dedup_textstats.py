@@ -1,0 +1,239 @@
+# -*- coding: utf-8 -*-
+"""Training-data operators: dedup, text stats, similarity search,
+multimodal plumbing — over the driver's documents/embeddings tables."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_spark.operators import dedup as D
+from knowledge_graph_spark.operators import simsearch as S
+from knowledge_graph_spark.operators import textstats as T
+from knowledge_graph_spark.operators import multimodal as M
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+# ---- exact dedup ----------------------------------------------------------
+
+
+def test_exact_duplicates_finds_planted(spark, docs):
+    """Plant a duplicate and verify it is found with min-id survivor."""
+    planted = docs.limit(1).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text", "lang",
+        "source", "n_chars",
+    )
+    all_docs = docs.unionByName(planted)
+    dups = D.exact_duplicates(all_docs)
+    assert dups.count() >= 1
+    r = dups.orderBy("keep_id").first()
+    assert r["keep_id"] == min(r["dup_ids"])
+    survivors = D.dedup_exact(all_docs)
+    assert survivors.count() == all_docs.count() - dups.agg(
+        F.sum(F.col("n_dups") - 1)
+    ).first()[0]
+
+
+# ---- minhash / jaccard ----------------------------------------------------
+
+
+def test_minhash_finds_near_duplicates(spark, docs):
+    """A doc with one word changed must be caught by LSH + Jaccard."""
+    base = docs.orderBy("doc_id").limit(5)
+    mutated = base.select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra trailing words here")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    all_docs = docs.unionByName(mutated)
+    pairs = D.minhash_lsh_pairs(all_docs, n=3)
+    hits = pairs.filter(
+        (F.col("id_b") - F.col("id_a")) == 20_000_000
+    ).count()
+    assert hits >= 4  # near-identical docs must collide in >=1 band
+
+    scored = D.ngram_jaccard_pairs(all_docs, pairs, n=3)
+    strong = scored.filter(
+        ((F.col("id_b") - F.col("id_a")) == 20_000_000) & (F.col("jaccard") > 0.7)
+    )
+    assert strong.count() >= 4
+
+
+def test_jaccard_identical_is_one(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in D.ngram_jaccard_pairs(docs, pairs, n=2).collect()}
+    assert out[(1, 2)] == pytest.approx(1.0)
+    assert out[(1, 3)] == pytest.approx(0.0)
+
+
+def test_dedup_minhash_survivors(spark, docs):
+    sample = docs.orderBy("doc_id").limit(50)
+    clones = sample.limit(3).select(
+        (F.col("doc_id") + 30_000_000).alias("doc_id"), "text", "lang",
+        "source", "n_chars",
+    )
+    all_docs = sample.unionByName(clones)
+    survivors = D.dedup_minhash(all_docs, threshold=0.9)
+    # every planted clone must die; natural near-dups inside the word-salad
+    # corpus may legitimately merge a base pair or two
+    assert survivors.filter(F.col("doc_id") >= 30_000_000).count() == 0
+    assert 47 <= survivors.count() <= 50
+
+
+# ---- simhash --------------------------------------------------------------
+
+
+def test_simhash_identical_and_blocking(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "the quick brown fox jumps over the lazy dog again and again"),
+         (3, "completely unrelated content about spark query optimization")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    assert fp[1] == fp[2] and fp[1] != fp[3]
+    pairs = D.simhash_near_duplicates(docs, max_hamming=3).collect()
+    assert any(p["id_a"] == 1 and p["id_b"] == 2 and p["hamming"] == 0 for p in pairs)
+    assert not any(p["id_b"] == 3 for p in pairs)
+
+
+# ---- embedding near-dup + ANN --------------------------------------------
+
+
+def test_embedding_near_duplicates(spark, emb):
+    clones = emb.limit(3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    allv = emb.unionByName(clones)
+    pairs = D.embedding_near_duplicates(allv, threshold=0.999)
+    exact = pairs.filter((F.col("id_b") - F.col("id_a")) == 1_000_000)
+    assert exact.count() == 3
+
+
+def test_brute_force_topk_self_is_top1(spark, emb):
+    queries = emb.limit(4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = S.brute_force_topk(emb, queries, k=5)
+    top1 = out.filter(F.col("rank") == 1).collect()
+    assert len(top1) == 4
+    for r in top1:
+        assert r["vec_id"] == r["query_id"]
+        assert r["cosine"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ivf_recall_vs_brute_force(spark, emb):
+    queries = emb.limit(8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in S.brute_force_topk(emb, queries, k=3).collect()
+    }
+    assign, cent = S.ivf_index(emb, n_cells=8, n_iter=3)
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in S.ivf_topk(assign, cent, queries, k=3, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall  # half the cells probed -> high recall
+
+
+# ---- text stats -----------------------------------------------------------
+
+
+def test_token_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world foo"), (2, "深度学习模型"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_tokens"], r["n_bpe_tokens"])
+           for r in T.with_token_counts(docs).collect()}
+    assert out[1] == (3, 3)
+    assert out[2] == (1, 6)  # 1 ws token, 6 CJK chars
+    assert out[3] == (0, 0)
+
+
+def test_language_id(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat and this is english text"),
+         (2, "华星科技公司宣布收购蓝海数据集团"),
+         (3, "1234 5678 !!!! ????")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in T.with_language_id(docs).collect()}
+    assert out == {1: "en", 2: "zh", 3: "other"}
+
+
+def test_quality_score(spark):
+    docs = spark.createDataFrame(
+        [(1, "A well formed sentence with reasonable structure and length."),
+         (2, "!!!???!!!.,;:!!!???"),
+         (3, "x")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["quality"] for r in T.with_quality_score(docs).collect()}
+    assert out[1] == pytest.approx(1.0)
+    assert out[2] < 0.5 and out[3] <= 0.5
+
+
+def test_fingerprint_deterministic_and_discriminative(spark):
+    base = "word " * 100
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, "entirely other content " * 20)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["fingerprint"], r["content_hash"])
+           for r in T.with_fingerprint(docs).collect()}
+    assert out[1] == out[2]  # identical text -> identical signature
+    assert out[1][0] != out[3][0] and out[1][1] != out[3][1]
+    # stable across a second evaluation (pure function of text)
+    again = {r["doc_id"]: (r["fingerprint"], r["content_hash"])
+             for r in T.with_fingerprint(docs).collect()}
+    assert again == out
+
+
+# ---- multimodal plumbing --------------------------------------------------
+
+
+def test_multimodal_decode_and_features(spark):
+    media = M.synthetic_media(spark, 30)
+    dec = M.decode_metadata(media)
+    assert dec.filter(~F.col("ok")).count() == 0
+    img = dec.filter(F.col("kind") == "image").first()
+    assert img["width"] > 0 and img["height"] > 0
+    au = dec.filter(F.col("kind") == "audio").first()
+    assert au["sample_rate"] > 0
+
+    feats = M.extract_features(media)
+    rows = feats.collect()
+    assert all(len(r["feature"]) == M.FEATURE_DIM for r in rows)
+    # determinism: same payload -> same feature
+    again = {r["media_id"]: r["feature"] for r in M.extract_features(media).collect()}
+    for r in rows:
+        assert again[r["media_id"]] == r["feature"]
+
+
+def test_frame_sampling(spark):
+    media = M.synthetic_media(spark, 30)
+    frames = M.sample_frames(media, every_n=24)
+    assert frames.count() > 0
+    assert frames.filter(F.col("frame_idx") % 24 != 0).count() == 0

@@ -1,0 +1,162 @@
+# -*- coding: utf-8 -*-
+"""End-to-end Spark pipeline tests: pages -> extraction -> graph ->
+queries, resume idempotence, repartition stability, golden parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_spark.kernel.extractor import extract_entities_relations, triples
+from knowledge_graph_spark.kernel.html2text import html_to_text
+from knowledge_graph_spark.operators.extraction import (
+    entities_table, extract, relations_table, triples_table,
+)
+from knowledge_graph_spark.operators import queries as Q
+from knowledge_graph_spark.pipeline import KGWarehouse, run_pipeline
+from knowledge_graph_spark.sources.pages import generate_spark, page_row
+
+
+def test_extraction_matches_kernel_golden(spark, pages_df, extracted_df):
+    """P/R vs the pinned kernel output (the golden oracle) must be 1.0:
+    same kernel, so any divergence is a partitioning/ordering bug."""
+    spark_triples = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in triples_table(extracted_df).collect()
+    }
+    golden = set()
+    for p in [page_row(i) for i in range(120)]:
+        text = p["text"] if p["text"] is not None else html_to_text(p["html"])
+        for t in triples(extract_entities_relations(text)):
+            golden.add((t["subj"], t["pred"], t["obj"]))
+    assert golden, "golden corpus produced no triples — generator broken"
+    # set-level P/R (duplicate triples across pages collapse)
+    tp = len(spark_triples & golden)
+    precision = tp / max(len(spark_triples), 1)
+    recall = tp / max(len(golden), 1)
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+
+
+def test_extraction_stable_under_repartitioning(spark, pages_df):
+    a = extract(pages_df, partitions=2)
+    b = extract(pages_df, partitions=7)
+    ta = {(r["subj"], r["pred"], r["obj"], r["url"]) for r in triples_table(a).collect()}
+    tb = {(r["subj"], r["pred"], r["obj"], r["url"]) for r in triples_table(b).collect()}
+    assert ta == tb
+
+
+def test_exploded_tables_consistent(spark, extracted_df):
+    ents = entities_table(extracted_df)
+    rels = relations_table(extracted_df)
+    assert ents.filter(F.col("id").isNull() | F.col("name").isNull()).count() == 0
+    # every relation endpoint resolves to an entity of the same url
+    joined = rels.join(
+        ents.select("url", F.col("id").alias("source")),
+        on=["url", "source"], how="left_anti",
+    )
+    assert joined.count() == 0
+
+
+def test_pipeline_end_to_end_and_resume(spark, tmp_path):
+    pages = generate_spark(spark, 60, partitions=3)
+    wh = KGWarehouse(str(tmp_path))
+    c1 = run_pipeline(spark, pages, wh, graph_id="g1", link_entities=True)
+    assert c1["nodes"] > 0 and c1["edges"] > 0 and c1["triples"] > 0
+
+    nodes_before = wh.nodes.read(spark).count()
+    hist_before = len(wh.nodes.history())
+    # resume: same graph_id -> every stage skips, state unchanged
+    c2 = run_pipeline(spark, pages, wh, graph_id="g1", link_entities=True)
+    assert wh.nodes.read(spark).count() == nodes_before
+    assert c2["graph_id"] == "g1"
+
+
+def test_query_graph_shape(spark, tmp_path):
+    pages = generate_spark(spark, 40, partitions=2)
+    wh = KGWarehouse(str(tmp_path))
+    run_pipeline(spark, pages, wh, graph_id="g1", link_entities=False)
+    nodes, edges = wh.nodes.read(spark), wh.edges.read(spark)
+    g = Q.query_graph(spark, nodes, edges, "g1")
+    assert g["nodes"] and g["links"]
+    for ln in g["links"]:
+        assert {"source", "target", "type", "label"} <= set(ln)
+    node_ids = {n["id"] for n in g["nodes"]}
+    for ln in g["links"]:
+        assert ln["source"] in node_ids and ln["target"] in node_ids
+    # missing graph -> empty fallback (kg_writer.py:86-93)
+    g2 = Q.query_graph(spark, nodes, edges, "nope")
+    assert g2 == {"nodes": [], "links": []}
+
+
+def test_sanitization_quarantine(spark, tmp_path):
+    """Chinese predicates (raw-verb fallthrough) must be dropped from
+    edges but preserved in dropped_relations (reference kg_writer.py:48-52
+    prints-and-drops; we quarantine — SURVEY.md §7.4.4)."""
+    pages = generate_spark(spark, 120, partitions=3)
+    wh = KGWarehouse(str(tmp_path))
+    run_pipeline(spark, pages, wh, graph_id="g1", link_entities=False)
+    edges = wh.edges.read(spark)
+    assert edges.filter(~F.col("rel_type").rlike("^[A-Z0-9_]+$")).count() == 0
+    dropped = wh.dropped.read(spark)
+    assert dropped.filter(F.col("reason") == "invalid_type").count() > 0
+
+
+def test_keyword_search(spark, tmp_path):
+    pages = generate_spark(spark, 40, partitions=2)
+    wh = KGWarehouse(str(tmp_path))
+    run_pipeline(spark, pages, wh, graph_id="g1", link_entities=False)
+    hits = Q.search_entities_by_keyword(wh.nodes.read(spark), "user_001", "公司")
+    assert hits.count() > 0
+    assert hits.filter(~F.col("name").contains("公司")).count() == 0
+
+
+def test_detach_delete(spark, tmp_path):
+    pages = generate_spark(spark, 40, partitions=2)
+    wh = KGWarehouse(str(tmp_path))
+    run_pipeline(spark, pages, wh, graph_id="g1", link_entities=False)
+    run_pipeline(spark, pages, wh, graph_id="g2", link_entities=False)
+    nodes, edges = wh.nodes.read(spark), wh.edges.read(spark)
+    kept_n, kept_e = Q.clear_graph_by_id(nodes, edges, "g1")
+    assert kept_n.filter(F.col("graph_id") == "g1").count() == 0
+    assert kept_e.filter(F.col("graph_id") == "g1").count() == 0
+    assert kept_n.filter(F.col("graph_id") == "g2").count() > 0
+    # no dangling endpoints
+    ids = {r["id"] for r in kept_n.select("id").distinct().collect()}
+    for r in kept_e.select("src", "dst").collect():
+        assert r["src"] in ids and r["dst"] in ids
+
+
+def test_query_graphs_by_user_single_pass(spark, tmp_path):
+    pages = generate_spark(spark, 30, partitions=2)
+    wh = KGWarehouse(str(tmp_path))
+    run_pipeline(spark, pages, wh, graph_id="g1", link_entities=False)
+    run_pipeline(spark, generate_spark(spark, 30, 43, 2), wh,
+                 graph_id="g2", link_entities=False)
+    out = Q.query_graphs_by_user(
+        wh.nodes.read(spark), wh.edges.read(spark), "user_001"
+    ).collect()
+    assert {r["graph_id"] for r in out} == {"g1", "g2"}
+    for r in out:
+        assert len(r["nodes"]) > 0
+
+
+def test_entity_linking_canonicalizes_abbreviations(spark, tmp_path):
+    """The OA template emits stem+kind abbreviations (华星科技) of full
+    org names (华星科技公司) — linking must map both to one canonical id."""
+    pages = generate_spark(spark, 200, partitions=4)
+    wh = KGWarehouse(str(tmp_path))
+    run_pipeline(spark, pages, wh, graph_id="g1", link_entities=True)
+    nodes = wh.nodes.read(spark)
+    assert "canonical_id" in nodes.columns
+    merged = (
+        nodes.groupBy("canonical_id")
+        .agg(F.countDistinct("name").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    assert merged.count() > 0
+    # canonical ids never conflate different stems
+    bad = (
+        nodes.filter(F.col("name") != F.col("canonical_id"))
+        .filter(~F.col("name").startswith(F.substring(F.col("canonical_id"), 1, 2)))
+    )
+    assert bad.count() == 0
