@@ -92,15 +92,21 @@ def build_edges(
         F.coalesce(F.col("similarity"), F.lit(0.0)).alias("similarity"),
     )
 
+    # endpoint validation (kg_writer.py:44-46) as ONE pass: two marker
+    # left joins against the distinct node-id set, then a filter split —
+    # replaces the semi+semi+exceptAll shape, whose exceptAll re-shuffled
+    # the whole relation set a second time just to find the dropped rows
     node_ids = nodes.select(F.col("id").alias("src")).distinct()
-    # endpoint validation: semi-join on src then dst (kg_writer.py:44-46)
-    with_src = rels.join(node_ids, on="src", how="left_semi")
     node_ids_dst = nodes.select(F.col("id").alias("dst")).distinct()
-    valid_endpoints = with_src.join(node_ids_dst, on="dst", how="left_semi")
-    missing = rels.exceptAll(valid_endpoints.select(*rels.columns))
+    flagged = (
+        rels.join(node_ids.withColumn("_src_ok", F.lit(1)), on="src", how="left")
+        .join(node_ids_dst.withColumn("_dst_ok", F.lit(1)), on="dst", how="left")
+    )
+    endpoint_ok = F.col("_src_ok").isNotNull() & F.col("_dst_ok").isNotNull()
 
-    good = valid_endpoints.filter(F.col("rel_type").isNotNull())
-    bad_type = valid_endpoints.filter(F.col("rel_type").isNull())
+    good = flagged.filter(endpoint_ok & F.col("rel_type").isNotNull())
+    bad_type = flagged.filter(endpoint_ok & F.col("rel_type").isNull())
+    missing = flagged.filter(~endpoint_ok)
 
     edges = good.select(
         F.lit(graph_id).alias("graph_id"),
@@ -121,6 +127,19 @@ def build_edges(
     return edges, dropped
 
 
+def build_graph_tables(
+    extracted: DataFrame, graph_id: str, user_id: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """extraction result -> (nodes, edges, dropped) DataFrames."""
+    from .extraction import entities_table, relations_table
+
+    ents = entities_table(extracted)
+    rels = relations_table(extracted)
+    nodes = build_nodes(ents, graph_id, user_id)
+    edges, dropped = build_edges(rels, nodes, graph_id, user_id)
+    return nodes, edges, dropped
+
+
 def materialize_graph(
     extracted: DataFrame,
     nodes_table,
@@ -135,22 +154,37 @@ def materialize_graph(
 
     ``user_id`` default mirrors the reference (kg_writer.py:256).
     Returns the commit summary (counters included) for metrics.
+
+    One Spark job per table: the merge itself counts the written
+    snapshot (parquet metadata), so no separate ``count()`` actions
+    recompute the join DAGs — at 10^12 docs those recomputations were
+    three extra full passes. The three writes share one cached pass
+    over the extraction output (nodes feeds the edge validation joins,
+    and edges/dropped split the same flagged relation set), so the
+    scan + explode + joins run once, not once per table.
     """
     from .extraction import entities_table, relations_table
 
     ents = entities_table(extracted)
     rels = relations_table(extracted)
-    nodes = build_nodes(ents, graph_id, user_id)
+    nodes = build_nodes(ents, graph_id, user_id).persist()
     edges, dropped = build_edges(rels, nodes, graph_id, user_id)
-
-    n_nodes, n_edges, n_dropped = nodes.count(), edges.count(), dropped.count()
-    counters = {"nodes": n_nodes, "edges": n_edges, "dropped_relations": n_dropped}
+    edges = edges.persist()
+    dropped = dropped.persist()
 
     bid = batch_id or graph_id
-    nodes_table.merge_into(nodes, on=["graph_id", "id"], when_matched="update",
-                           batch_id=f"{bid}/nodes", counters=counters)
-    edges_table.merge_into(edges, on=["graph_id", "src", "dst", "rel_type"],
-                           when_matched="ignore", batch_id=f"{bid}/edges",
-                           counters=counters)
-    dropped_table.append(dropped, batch_id=f"{bid}/dropped")
-    return counters
+    try:
+        r1 = nodes_table.merge_into(nodes, on=["graph_id", "id"],
+                                    when_matched="update", batch_id=f"{bid}/nodes")
+        r2 = edges_table.merge_into(edges, on=["graph_id", "src", "dst", "rel_type"],
+                                    when_matched="ignore", batch_id=f"{bid}/edges")
+        r3 = dropped_table.append(dropped, batch_id=f"{bid}/dropped")
+    finally:
+        nodes.unpersist()
+        edges.unpersist()
+        dropped.unpersist()
+    return {
+        "nodes": r1.get("rows", 0),
+        "edges": r2.get("rows", 0),
+        "dropped_relations": r3.get("rows", 0),
+    }

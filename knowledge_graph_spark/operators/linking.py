@@ -49,10 +49,13 @@ def _shingles(col: str = "name"):
 
 
 def candidate_pairs(
-    names: DataFrame, max_bucket: int = 64
+    names: DataFrame, max_bucket: int = 64, assume_distinct: bool = False
 ) -> DataFrame:
-    """names(name) -> candidate (name_a, name_b) pairs, name_a < name_b."""
-    distinct = names.select("name").distinct()
+    """names(name) -> candidate (name_a, name_b) pairs, name_a < name_b.
+
+    ``assume_distinct`` skips the dedupe shuffle when the caller already
+    distinct-ed (scored_pairs does)."""
+    distinct = names.select("name") if assume_distinct else names.select("name").distinct()
     sh = distinct.select(
         "name", F.explode(_shingles("name")).alias("shingle")
     )
@@ -62,15 +65,13 @@ def candidate_pairs(
     ]
     sig = sh.groupBy("name").agg(*aggs)
 
-    bands = []
-    for b in range(BANDS):
-        key = F.xxhash64(
-            F.lit(b), F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
-        ).alias("band_key")
-        bands.append(sig.select("name", key))
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionByName(extra)
+    # all bands in ONE pass: explode an array of band keys (a B-way
+    # union would rescan the signature table B times)
+    band_keys = F.array(*[
+        F.xxhash64(F.lit(b), F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
+        for b in range(BANDS)
+    ])
+    banded = sig.select("name", F.explode(band_keys).alias("band_key"))
 
     # skew guard: drop oversized buckets before the self-join
     w = Window.partitionBy("band_key")
@@ -107,12 +108,14 @@ def scored_pairs(names: DataFrame, max_bucket: int = 64) -> DataFrame:
     idf = sh.groupBy("shingle").agg(
         F.log(F.lit(1.0) + F.lit(float(n_names)) / F.count("*")).alias("idf")
     )
-    weighted = sh.join(idf, "shingle")
+    # weighted feeds three consumers (norms, wa, wb) — persist so the
+    # explode+join runs once, not per branch
+    weighted = sh.join(idf, "shingle").persist()
     norms = weighted.groupBy("name").agg(
         F.sqrt(F.sum(F.col("idf") * F.col("idf"))).alias("norm")
     )
 
-    cands = candidate_pairs(distinct, max_bucket)
+    cands = candidate_pairs(distinct, max_bucket, assume_distinct=True)
     wa = weighted.select(
         F.col("name").alias("name_a"), "shingle", F.col("idf").alias("idf_a")
     )

@@ -65,8 +65,10 @@ def run_pipeline(
 ) -> dict:
     graph_id = graph_id or default_graph_id()
     counters: dict = {"graph_id": graph_id}
+    stage_s: dict = {}
 
     # ---- stage 1: extraction (persisted so resume never re-parses) ----
+    t0 = time.time()
     bid = f"{graph_id}/extracted"
     if bid not in warehouse.extracted.applied_batches():
         extracted = extract(pages, partitions=partitions)
@@ -74,32 +76,42 @@ def run_pipeline(
     extracted = warehouse.extracted.read(spark)
 
     counters["pages"] = extracted.count()
+    stage_s["extract"] = round(time.time() - t0, 2)
 
     # ---- stage 2: triples -------------------------------------------
+    t0 = time.time()
     trip = triples_table(extracted).withColumn("graph_id", F.lit(graph_id))
     warehouse.triples.append(trip, batch_id=f"{graph_id}/triples")
     counters["triples"] = warehouse.triples.read(spark).filter(
         F.col("graph_id") == graph_id
     ).count()
+    stage_s["triples"] = round(time.time() - t0, 2)
 
     # ---- stage 3: graph materialization (MERGE) ----------------------
+    t0 = time.time()
     mat = graph_build.materialize_graph(
         extracted, warehouse.nodes, warehouse.edges, warehouse.dropped,
         graph_id=graph_id, user_id=user_id, batch_id=graph_id,
     )
     counters.update(mat)
+    stage_s["materialize"] = round(time.time() - t0, 2)
 
     # ---- stage 4: entity linking + canonicalization ------------------
     if link_entities:
+        t0 = time.time()
         nodes = warehouse.nodes.read(spark)
         names = nodes.filter(F.col("graph_id") == graph_id).select("name")
         links = same_as_edges(names)
         warehouse.same_as.overwrite(links, batch_id=f"{graph_id}/same_as")
+        stage_s["linking"] = round(time.time() - t0, 2)
+        t0 = time.time()
         mapping = canonical_mapping(warehouse.same_as.read(spark))
         canon = nodes.join(F.broadcast(mapping), on="name", how="left").withColumn(
             "canonical_id", F.coalesce("canonical_name", "name")
         ).drop("canonical_name")
         warehouse.nodes.overwrite(canon, batch_id=f"{graph_id}/canonical")
         counters["linked_names"] = mapping.count()
+        stage_s["canonicalize"] = round(time.time() - t0, 2)
 
+    counters["stage_seconds"] = stage_s
     return counters

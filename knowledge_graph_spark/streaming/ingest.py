@@ -1,0 +1,112 @@
+# -*- coding: utf-8 -*-
+"""Structured-Streaming incremental KG ingestion.
+
+The reference's "自动化...更新" (automated update) semantics are batch
+re-runs with per-row Neo4j MERGE (/root/reference/backend/kgapi/
+kg_writer.py:24,56 — MERGE = idempotent re-apply). The scale-correct
+equivalent is a micro-batch stream: new page files land in a directory
+(the Iceberg-commit stand-in), each micro-batch runs the SAME
+extraction + materialization operators as the batch pipeline, and
+``foreachBatch`` MERGEs into the LakeTables with the batch id recorded
+in lineage — giving exactly-once table state on top of Spark's
+at-least-once micro-batch replay.
+
+Also provides the classic streaming-analytics surface over the
+``events`` table shape: watermarked sliding-window aggregation
+(readStream -> withWatermark -> groupBy(window) -> writeStream).
+
+Scale notes:
+- ``maxFilesPerTrigger`` bounds micro-batch size so extraction cost per
+  trigger is predictable;
+- the MERGE key set matches the batch path, so a page re-crawled in a
+  later batch updates its nodes (when_matched="update") but preserves
+  first-seen edge properties (when_matched="ignore") — identical
+  semantics to the reference's ON CREATE SET;
+- checkpointLocation + LakeTable batch ids make crash/replay safe from
+  both ends (source offsets AND sink idempotence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.pages import PAGES_SCHEMA
+
+
+def read_pages_stream(
+    spark: SparkSession, directory: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream of page parquet drops (Iceberg-commit stand-in)."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(directory)
+    )
+
+
+def start_kg_ingest(
+    pages_stream: DataFrame,
+    warehouse,
+    checkpoint_dir: str,
+    user_id: str = "user_001",
+    graph_id: str = "graph_stream",
+):
+    """pages stream -> extraction -> MERGE INTO nodes/edges per batch.
+
+    Returns the StreamingQuery. Each micro-batch reuses the batch
+    operators; LakeTable batch ids (``stream/{graph_id}/{batch_id}``)
+    de-duplicate replayed batches after a crash."""
+    from ..operators.extraction import extract, triples_table
+    from ..operators.graph_build import materialize_graph
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        extracted = extract(batch_df)
+        bid = f"stream/{graph_id}/{batch_id}"
+        warehouse.extracted.append(extracted, batch_id=f"{bid}/extracted")
+        extracted = warehouse.extracted.read(batch_df.sparkSession)
+        # restrict to this batch's urls for the incremental MERGE input
+        urls = batch_df.select("url").distinct()
+        fresh = extracted.join(F.broadcast(urls), "url", "left_semi")
+        trip = triples_table(fresh).withColumn("graph_id", F.lit(graph_id))
+        warehouse.triples.append(trip, batch_id=f"{bid}/triples")
+        materialize_graph(
+            fresh, warehouse.nodes, warehouse.edges, warehouse.dropped,
+            graph_id=graph_id, user_id=user_id, batch_id=bid,
+        )
+
+    return (
+        pages_stream.writeStream
+        .foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked (sliding) window aggregation over the events shape
+    (event_id, ts, user_id, event_type, value). Late rows beyond the
+    watermark are dropped; state is bounded by watermark horizon."""
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n_events", "total_value",
+        )
+    )

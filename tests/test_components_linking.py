@@ -34,6 +34,19 @@ def test_connected_components_star_skew(spark):
     assert len(comps) == 1 and comps[0]["component"] == 1
 
 
+def test_connected_components_distributed_path_matches_driver(spark):
+    """Force the star-round path (driver_threshold=0) and check it
+    yields the identical labeling as the union-find path."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (5, 3), (100, 2)], "u long, v long"
+    )
+    drv = {r["node"]: r["component"]
+           for r in connected_components(edges).collect()}
+    dist = {r["node"]: r["component"]
+            for r in connected_components(edges, driver_threshold=0).collect()}
+    assert drv == dist
+
+
 def test_candidate_pairs_recall_on_near_names(spark):
     names = spark.createDataFrame(
         [("华星科技公司",), ("华星科技",), ("完全不同名称",)], "name string"

@@ -1,0 +1,114 @@
+# -*- coding: utf-8 -*-
+"""Physical-plan audits: the optimizations we claim must be visible in
+the plan Catalyst actually produces.
+
+- predicate pushdown reaches the parquet scan (PushedFilters)
+- column pruning reaches the scan (ReadSchema is narrow)
+- small dimension joins broadcast (BroadcastHashJoin)
+- hot paths run in whole-stage codegen with NO row-Python
+  (no BatchEvalPython; the extraction kernel is the single sanctioned
+  Python crossing and must be Arrow-vectorized: ArrowEvalPython /
+  MapInPandas)
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+
+def test_filter_pushdown_reaches_scan(spark, lineitem):
+    df = lineitem.filter(F.col("l_shipdate") <= "1998-09-02").select(
+        "l_returnflag", "l_quantity"
+    )
+    p = plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+
+
+def test_column_pruning_reaches_scan(spark, lineitem):
+    df = lineitem.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    p = plan(df)
+    # scan must read only the two referenced columns
+    assert "ReadSchema: struct<l_quantity:double,l_returnflag:string>" in p
+
+
+def test_dim_join_broadcasts(spark, lineitem):
+    supp = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+    df = lineitem.join(supp, lineitem.l_suppkey == supp.s_suppkey)
+    assert "BroadcastHashJoin" in plan(df)
+
+
+def test_graph_query_uses_broadcast_joins(spark, tmp_path):
+    from knowledge_graph_spark.operators.queries import graph_links
+    from knowledge_graph_spark.pipeline import KGWarehouse, run_pipeline
+    from knowledge_graph_spark.sources.pages import generate_spark
+
+    wh = KGWarehouse(str(tmp_path))
+    run_pipeline(spark, generate_spark(spark, 30, partitions=2), wh,
+                 graph_id="g1", link_entities=False)
+    df = graph_links(wh.nodes.read(spark), wh.edges.read(spark), "g1")
+    p = plan(df)
+    assert p.count("BroadcastHashJoin") >= 2  # both endpoint resolutions
+    assert "EqualTo(graph_id,g1)" in p  # graph filter pushed into the scans
+
+
+def test_textstats_have_no_python(spark):
+    from knowledge_graph_spark.operators.textstats import (
+        with_language_id, with_quality_score, with_token_counts,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = with_quality_score(with_language_id(with_token_counts(docs)))
+    p = plan(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # formatted mode marks codegen stages with a leading '*'
+    assert "\n* " in p or "+- * " in p
+
+
+def test_dedup_sketches_have_no_python(spark):
+    from knowledge_graph_spark.operators.dedup import (
+        minhash_signatures, simhash,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for df in (minhash_signatures(docs), simhash(docs)):
+        p = plan(df)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_extraction_is_arrow_vectorized(spark):
+    from knowledge_graph_spark.operators.extraction import extract
+    from knowledge_graph_spark.sources.pages import generate_spark
+
+    df = extract(generate_spark(spark, 10))
+    p = plan(df)
+    # mapInPandas shows as MapInPandas (Arrow batches); row-Python
+    # (BatchEvalPython) must never appear
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_triples_resolution_is_join_free(spark):
+    """id->name resolution must be the row-local map lookup, not a join
+    (two full-table shuffles saved at corpus scale)."""
+    from knowledge_graph_spark.operators.extraction import extract, triples_table
+    from knowledge_graph_spark.sources.pages import generate_spark
+
+    df = triples_table(extract(generate_spark(spark, 10)))
+    p = plan(df)
+    assert "Join" not in p and "Exchange" not in p

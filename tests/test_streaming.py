@@ -1,0 +1,85 @@
+# -*- coding: utf-8 -*-
+"""Structured-Streaming ingest: incremental micro-batch KG building
+equals the one-shot batch result; windowed event aggregation works with
+watermarks."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from knowledge_graph_spark.pipeline import KGWarehouse, run_pipeline
+from knowledge_graph_spark.sources.pages import generate_spark
+from knowledge_graph_spark.streaming.ingest import (
+    read_pages_stream, start_kg_ingest, windowed_event_counts,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def test_stream_ingest_matches_batch(spark, tmp_path):
+    """Drop pages as two parquet files; the stream must MERGE the same
+    triples/nodes/edges as a one-shot batch run over all pages."""
+    drop_dir = str(tmp_path / "drops")
+    pages = generate_spark(spark, 60, partitions=2).cache()
+    pages.filter(F.crc32("url") % 2 == 0).write.parquet(
+        f"{drop_dir}/batch_a.parquet"
+    )
+    pages.filter(F.crc32("url") % 2 == 1).write.parquet(
+        f"{drop_dir}/batch_b.parquet"
+    )
+
+    wh_stream = KGWarehouse(str(tmp_path / "wh_stream"))
+    q = start_kg_ingest(
+        read_pages_stream(spark, drop_dir + "/*", max_files_per_trigger=1),
+        wh_stream, str(tmp_path / "ckpt"), graph_id="gs",
+    )
+    q.awaitTermination(300)
+
+    wh_batch = KGWarehouse(str(tmp_path / "wh_batch"))
+    run_pipeline(spark, pages, wh_batch, graph_id="gs", link_entities=False)
+
+    def triples_set(wh):
+        return {
+            (r["url"], r["subj"], r["pred"], r["obj"])
+            for r in wh.triples.read(spark).collect()
+        }
+
+    assert triples_set(wh_stream) == triples_set(wh_batch)
+    assert (
+        wh_stream.nodes.read(spark).count()
+        == wh_batch.nodes.read(spark).count()
+    )
+    # lineage recorded one batch id per micro-batch
+    assert len(wh_stream.nodes.history()) >= 2
+
+
+def test_windowed_event_counts_batch_semantics(spark):
+    """The windowed aggregation is testable in batch mode (same plan,
+    no watermark dropping when data is static)."""
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = windowed_event_counts(events, window="6 hours")
+    rows = out.collect()
+    assert rows
+    assert sum(r["n_events"] for r in rows) == events.count()
+    for r in rows:
+        assert (r["window_end"] - r["window_start"]).total_seconds() == 6 * 3600
+
+
+def test_stream_restart_is_idempotent(spark, tmp_path):
+    """Re-running the stream over the same directory (fresh checkpoint,
+    same batch ids) must not duplicate rows — LakeTable idempotence."""
+    drop_dir = str(tmp_path / "drops")
+    pages = generate_spark(spark, 30, partitions=1)
+    pages.write.parquet(f"{drop_dir}/batch_a.parquet")
+
+    wh = KGWarehouse(str(tmp_path / "wh"))
+    for ckpt in ("c1", "c2"):  # second run replays micro-batch 0
+        q = start_kg_ingest(
+            read_pages_stream(spark, drop_dir + "/*"),
+            wh, str(tmp_path / ckpt), graph_id="gs",
+        )
+        q.awaitTermination(300)
+    urls = wh.triples.read(spark).select("url", "subj", "pred", "obj")
+    assert urls.count() == urls.distinct().count()
