@@ -31,7 +31,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # KG corpus size is fixed per bench run (not per sf) so throughput is
 # comparable across parallelism levels; large enough that per-page work
 # dominates the pipeline's fixed orchestration cost
-KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "12000"))
+KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))
 
 
 def main():
@@ -59,8 +59,10 @@ def main():
 
     t0 = time.time()
     wh = KGWarehouse(f"{tmp}/wh")
+    # one extraction partition per core: measured sweet spot — smaller
+    # tasks pay per-task Arrow stream setup without amortizing it
     counters = run_pipeline(spark, pages, wh, graph_id="graph_bench",
-                            partitions=CPUS * 2, link_entities=True)
+                            partitions=CPUS, link_entities=True)
     kg_wall = time.time() - t0
     n_triples = wh.triples.read(spark).count()
     timings["kg_pipeline"] = round(kg_wall, 3)

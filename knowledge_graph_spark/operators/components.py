@@ -116,7 +116,13 @@ def connected_components(
         spark = edges.sparkSession
         pairs = [(r["u"], r["v"]) for r in cur.collect()]
         labels = _union_find_local(pairs)
-        return spark.createDataFrame(labels, "node long, component long")
+        # few, large slices: a default-parallelism parallelize would give
+        # every downstream stage dozens of micro-tasks
+        slices = max(1, len(labels) // 500_000)
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(labels, slices),
+            "node long, component long",
+        )
     prev_sig = None
     for _ in range(max_iter):
         cur = _star_round(cur).localCheckpoint(eager=True)
@@ -141,16 +147,28 @@ def connected_components(
     )
 
 
-def canonical_mapping(same_as: DataFrame) -> DataFrame:
+def canonical_mapping(same_as: DataFrame,
+                      small_threshold: int = 2_000_000) -> DataFrame:
     """same_as(name_a, name_b) -> (name, canonical_name).
 
-    Hashes names to longs for the star rounds, then resolves the
+    Hashes names to longs for the component search, then resolves the
     component's canonical representative back to a name: the member
     with the minimum (length, name) — i.e. the shortest, then
-    lexicographically first, surface form."""
+    lexicographically first, surface form.
+
+    The component/representative tables are RDD-backed (no Catalyst
+    stats), so without hints Spark plans sort-merge joins with a full
+    shuffle-partition fan-out — hundreds of micro-tasks for kilobyte
+    tables. When the same_as set is small we know comp/rep are too:
+    broadcast them explicitly."""
     h = lambda c: F.xxhash64(F.col(c))
     edges = same_as.select(h("name_a").alias("u"), h("name_b").alias("v"))
-    comp = connected_components(edges)
+    comp = connected_components(edges, driver_threshold=small_threshold)
+    small = same_as.isStreaming is False and (
+        same_as.limit(small_threshold + 1).count() <= small_threshold
+    )
+    if small:
+        comp = F.broadcast(comp)
 
     members = (
         same_as.select(F.col("name_a").alias("name"))
@@ -163,4 +181,6 @@ def canonical_mapping(same_as: DataFrame) -> DataFrame:
     rep = members.groupBy("component").agg(
         F.min(F.struct(F.length("name").alias("l"), F.col("name"))).alias("r")
     ).select("component", F.col("r.name").alias("canonical_name"))
+    if small:
+        rep = F.broadcast(rep)
     return members.join(rep, "component").select("name", "canonical_name")

@@ -30,6 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions.vectors import word_ngrams
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -69,30 +71,13 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
-def _word_shingles(text_col: str, n: int):
-    """n-gram-of-words shingles, JVM-side: lowercase, split on non-word
-    runs, slide a window of n via transform(sequence(...))."""
-    words = F.expr(
-        f"filter(split(lower({text_col}), '[^\\\\p{{L}}\\\\p{{N}}]+'), x -> x != '')"
-    )
-    return F.expr(
-        f"""
-        CASE WHEN size(filter(split(lower({text_col}), '[^\\\\p{{L}}\\\\p{{N}}]+'), x -> x != '')) >= {n}
-        THEN transform(
-            sequence(0, size(filter(split(lower({text_col}), '[^\\\\p{{L}}\\\\p{{N}}]+'), x -> x != '')) - {n}),
-            i -> array_join(slice(filter(split(lower({text_col}), '[^\\\\p{{L}}\\\\p{{N}}]+'), x -> x != ''), i + 1, {n}), ' '))
-        ELSE array(array_join(filter(split(lower({text_col}), '[^\\\\p{{L}}\\\\p{{N}}]+'), x -> x != ''), ' '))
-        END
-        """
-    )
-
-
 def shingle_table(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3) -> DataFrame:
-    """(doc_id, shingle) exploded distinct word-n-gram shingles."""
+    """(doc_id, shingle) exploded distinct word-n-gram shingles
+    (JVM-side lambda expressions, functions/vectors.py)."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(_word_shingles(text_col, n))).alias("shingle"),
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("shingle"),
     )
 
 
@@ -304,18 +289,14 @@ def embedding_near_duplicates(embeddings: DataFrame, id_col: str = "vec_id",
     for sb in sign_bits[1:]:
         key = key + sb
 
-    norm = F.expr(
-        f"sqrt(aggregate({vec_col}, cast(0.0 as double), (a, x) -> a + cast(x as double) * x))"
-    )
+    from ..functions.vectors import dot, norm
+
     v = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
-        key.alias("bucket"), norm.alias("norm"),
+        key.alias("bucket"), norm(vec_col).alias("norm"),
     )
     a, b = v.alias("a"), v.alias("b")
-    cos = F.expr(
-        "aggregate(zip_with(a.vec, b.vec, (x, y) -> cast(x as double) * y), "
-        "cast(0.0 as double), (acc, z) -> acc + z)"
-    ) / (F.col("a.norm") * F.col("b.norm"))
+    cos = dot("a.vec", "b.vec") / (F.col("a.norm") * F.col("b.norm"))
     return (
         a.join(b, on=F.col("a.bucket") == F.col("b.bucket"))
         .filter(F.col("a.vid") < F.col("b.vid"))

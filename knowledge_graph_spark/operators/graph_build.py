@@ -127,16 +127,68 @@ def build_edges(
     return edges, dropped
 
 
+def build_edges_rowlocal(
+    extracted: DataFrame, graph_id: str, user_id: str
+) -> tuple[DataFrame, DataFrame]:
+    """(edges, dropped) straight from the nested extraction result —
+    ZERO joins.
+
+    Endpoint validation (reference kg_writer.py:44-46) checks a
+    relation's source/target against the entity-id set of the same
+    extraction result; since our ids are per-document, that membership
+    test is row-local: ``array_contains(entities.id, r.source)``. The
+    generic join-based :func:`build_edges` remains for merging
+    relations against an arbitrary node table, but the pipeline path
+    never needs to shuffle 10^12 relation rows against 10^12 node ids
+    just to re-check a per-document invariant."""
+    ids = F.col("entities.id")
+    rows = extracted.select(
+        "url", ids.alias("_ids"), F.explode("relations").alias("r")
+    )
+    nid = lambda c: F.concat_ws(":", F.hex(F.xxhash64("url")), F.col(c))
+    cleaned = F.regexp_replace(F.col("r.type"), "-", "_")
+    flagged = rows.select(
+        "url",
+        nid("r.source").alias("src"),
+        nid("r.target").alias("dst"),
+        F.col("r.type").alias("type"),
+        F.when(cleaned.rlike(_VALID_REL), F.upper(cleaned))
+        .otherwise(F.lit(None)).alias("rel_type"),
+        F.col("r.verb").alias("verb"),
+        F.coalesce(F.col("r.similarity"), F.lit(0.0)).alias("similarity"),
+        (
+            F.array_contains("_ids", F.col("r.source"))
+            & F.array_contains("_ids", F.col("r.target"))
+        ).alias("_ok"),
+    )
+    good = flagged.filter(F.col("_ok") & F.col("rel_type").isNotNull())
+    edges = good.select(
+        F.lit(graph_id).alias("graph_id"),
+        F.lit(user_id).alias("user_id"),
+        "src", "dst", "rel_type", "verb", "similarity", "url",
+    )
+    dropped = (
+        flagged.filter(~F.col("_ok") | F.col("rel_type").isNull())
+        .withColumn(
+            "reason",
+            F.when(~F.col("_ok"), F.lit("missing_endpoint"))
+            .otherwise(F.lit("invalid_type")),
+        )
+        .select("url", "src", "dst", "type", "verb", "similarity", "reason")
+        .withColumn("graph_id", F.lit(graph_id))
+    )
+    return edges, dropped
+
+
 def build_graph_tables(
     extracted: DataFrame, graph_id: str, user_id: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """extraction result -> (nodes, edges, dropped) DataFrames."""
-    from .extraction import entities_table, relations_table
+    from .extraction import entities_table
 
     ents = entities_table(extracted)
-    rels = relations_table(extracted)
     nodes = build_nodes(ents, graph_id, user_id)
-    edges, dropped = build_edges(rels, nodes, graph_id, user_id)
+    edges, dropped = build_edges_rowlocal(extracted, graph_id, user_id)
     return nodes, edges, dropped
 
 
@@ -155,34 +207,25 @@ def materialize_graph(
     ``user_id`` default mirrors the reference (kg_writer.py:256).
     Returns the commit summary (counters included) for metrics.
 
-    One Spark job per table: the merge itself counts the written
+    One Spark job per table, ZERO joins: nodes/edges/dropped all derive
+    from the nested extraction result with row-local operations
+    (endpoint validation via ``array_contains`` against the same row's
+    entity ids — see :func:`build_edges_rowlocal`), so each write is a
+    parquet scan + project + write. The merge itself counts the written
     snapshot (parquet metadata), so no separate ``count()`` actions
-    recompute the join DAGs — at 10^12 docs those recomputations were
-    three extra full passes. The three writes share one cached pass
-    over the extraction output (nodes feeds the edge validation joins,
-    and edges/dropped split the same flagged relation set), so the
-    scan + explode + joins run once, not once per table.
+    recompute anything.
     """
-    from .extraction import entities_table, relations_table
-
-    ents = entities_table(extracted)
-    rels = relations_table(extracted)
-    nodes = build_nodes(ents, graph_id, user_id).persist()
-    edges, dropped = build_edges(rels, nodes, graph_id, user_id)
-    edges = edges.persist()
-    dropped = dropped.persist()
+    nodes, edges, dropped = build_graph_tables(extracted, graph_id, user_id)
 
     bid = batch_id or graph_id
-    try:
-        r1 = nodes_table.merge_into(nodes, on=["graph_id", "id"],
-                                    when_matched="update", batch_id=f"{bid}/nodes")
-        r2 = edges_table.merge_into(edges, on=["graph_id", "src", "dst", "rel_type"],
-                                    when_matched="ignore", batch_id=f"{bid}/edges")
-        r3 = dropped_table.append(dropped, batch_id=f"{bid}/dropped")
-    finally:
-        nodes.unpersist()
-        edges.unpersist()
-        dropped.unpersist()
+    # node ids are (url-hash, per-doc entity id) — unique within any
+    # batch by construction, so the merge skips its dedupe shuffle
+    r1 = nodes_table.merge_into(nodes, on=["graph_id", "id"],
+                                when_matched="update",
+                                batch_id=f"{bid}/nodes", dedupe=False)
+    r2 = edges_table.merge_into(edges, on=["graph_id", "src", "dst", "rel_type"],
+                                when_matched="ignore", batch_id=f"{bid}/edges")
+    r3 = dropped_table.append(dropped, batch_id=f"{bid}/dropped")
     return {
         "nodes": r1.get("rows", 0),
         "edges": r2.get("rows", 0),

@@ -33,6 +33,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions.vectors import char_ngrams
+
 # B=8 bands of R=2 rows: candidate-recall for Jaccard 0.6 pairs is
 # 1-(1-0.36)^8 ≈ 0.97 (vs 0.83 at B=4), at the cost of 16 cheap
 # min-aggregates in one shuffle
@@ -41,11 +43,9 @@ BANDS = 8
 
 
 def _shingles(col: str = "name"):
-    """char-2-gram array, JVM-side; 1-char names shingle to themselves."""
-    return F.when(
-        F.length(col) >= 2,
-        F.expr(f"transform(sequence(0, length({col})-2), i -> substring({col}, i+1, 2))"),
-    ).otherwise(F.array(F.col(col)))
+    """char-2-gram array (functions/vectors.py); 1-char names shingle
+    to themselves."""
+    return char_ngrams(col, 2)
 
 
 def candidate_pairs(

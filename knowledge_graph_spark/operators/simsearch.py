@@ -24,18 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-
-def _dot(a: str, b: str):
-    return F.expr(
-        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * y), "
-        f"cast(0.0 as double), (acc, z) -> acc + z)"
-    )
-
-
-def _norm(c: str):
-    return F.expr(
-        f"sqrt(aggregate({c}, cast(0.0 as double), (a, x) -> a + cast(x as double) * x))"
-    )
+from ..functions.vectors import dot as _dot, l2_sq, norm as _norm
 
 
 def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
@@ -110,10 +99,7 @@ def train_ivf_centroids(vectors: DataFrame, n_cells: int = 16,
 def _assign_cells(v: DataFrame, centroids: DataFrame) -> DataFrame:
     """Argmin-L2 assignment: broadcast the centroid table, score all
     cells per vector, keep the best via min-of-struct (no window)."""
-    d2 = F.expr(
-        "aggregate(zip_with(vec, centroid, (x, c) -> (x - c) * (x - c)), "
-        "cast(0.0 as double), (a, y) -> a + y)"
-    )
+    d2 = l2_sq("vec", "centroid")
     scored = v.crossJoin(F.broadcast(centroids)).select(
         "vec_id", "vec", F.struct(d2.alias("d2"), F.col("cell_id")).alias("sc")
     )
@@ -147,10 +133,7 @@ def ivf_topk(assignments: DataFrame, centroids: DataFrame,
     corpus is read per query."""
     q = queries.select(F.col(qid_col).alias("query_id"),
                        F.col(qvec_col).cast("array<double>").alias("qvec"))
-    d2 = F.expr(
-        "aggregate(zip_with(qvec, centroid, (x, c) -> (x - c) * (x - c)), "
-        "cast(0.0 as double), (a, y) -> a + y)"
-    )
+    d2 = l2_sq("qvec", "centroid")
     probe_w = Window.partitionBy("query_id").orderBy("d2", "cell_id")
     probes = (
         q.crossJoin(F.broadcast(centroids))

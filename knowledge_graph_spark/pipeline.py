@@ -72,7 +72,11 @@ def run_pipeline(
     bid = f"{graph_id}/extracted"
     if bid not in warehouse.extracted.applied_batches():
         extracted = extract(pages, partitions=partitions)
-        warehouse.extracted.append(extracted, batch_id=bid)
+        # extraction runs wide (CPU-bound), but its OUTPUT is small rows:
+        # land it in fewer, bigger files so the three downstream scans
+        # and their writes aren't a small-file / commit-rename storm
+        write_parts = max(8, (partitions or spark.sparkContext.defaultParallelism) // 4)
+        warehouse.extracted.append(extracted.repartition(write_parts), batch_id=bid)
     extracted = warehouse.extracted.read(spark)
 
     counters["pages"] = extracted.count()
@@ -105,12 +109,15 @@ def run_pipeline(
         warehouse.same_as.overwrite(links, batch_id=f"{graph_id}/same_as")
         stage_s["linking"] = round(time.time() - t0, 2)
         t0 = time.time()
-        mapping = canonical_mapping(warehouse.same_as.read(spark))
+        # persist: the mapping DAG (CC + representative joins) feeds the
+        # broadcast build, the overwrite, and the counter — one compute
+        mapping = canonical_mapping(warehouse.same_as.read(spark)).persist()
+        counters["linked_names"] = mapping.count()
         canon = nodes.join(F.broadcast(mapping), on="name", how="left").withColumn(
             "canonical_id", F.coalesce("canonical_name", "name")
         ).drop("canonical_name")
         warehouse.nodes.overwrite(canon, batch_id=f"{graph_id}/canonical")
-        counters["linked_names"] = mapping.count()
+        mapping.unpersist()
         stage_s["canonicalize"] = round(time.time() - t0, 2)
 
     counters["stage_seconds"] = stage_s

@@ -145,6 +145,7 @@ class LakeTable:
         when_matched: str = "update",
         batch_id: Optional[str] = None,
         counters: Optional[dict] = None,
+        dedupe: bool = True,
     ) -> dict:
         """Iceberg-style MERGE:
 
@@ -158,10 +159,13 @@ class LakeTable:
         Update rows are deduplicated on the merge key first (last-writer
         -wins is meaningless inside one batch; dropDuplicates keeps an
         arbitrary-but-single row, matching repeated MERGE idempotence).
+        Callers whose batches are key-unique by construction pass
+        ``dedupe=False`` and skip that shuffle.
         """
         if batch_id and batch_id in self.applied_batches():
             return {"skipped": True, "batch_id": batch_id}
-        updates = updates.dropDuplicates(on)
+        if dedupe:
+            updates = updates.dropDuplicates(on)
         if not self.exists():
             return self._write_snapshot(updates, f"merge:{when_matched}", batch_id, counters)
         current = self.read(updates.sparkSession)
