@@ -290,6 +290,68 @@ ORDER BY o_orderpriority
 """
 
 
+def _q_events_windowed(spark, sf_dir):
+    """Epoch-aligned tumbling-window aggregation (batch twin of the
+    streaming windowed_event_counts)."""
+    from knowledge_graph_spark.operators.events import windowed_counts
+
+    out = windowed_counts(_t(spark, sf_dir, "events"), hours=6)
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_epoch"),
+        "event_type", "n_events", "n_users", "total_value",
+    ).orderBy("window_epoch", "event_type")
+
+
+_SQL_EVENTS_WINDOWED = """
+SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600 AS window_epoch,
+       event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_epoch, event_type
+"""
+
+
+def _q_events_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min gap) summarized per user."""
+    from knowledge_graph_spark.operators.events import session_stats
+
+    return session_stats(_t(spark, sf_dir, "events"), gap_minutes=30).orderBy(
+        "user_id"
+    )
+
+
+_SQL_EVENTS_SESSIONS = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+),
+sess AS (
+  SELECT user_id, session_id,
+         MIN(ts) AS session_start, MAX(ts) AS session_end,
+         COUNT(*) AS n_events
+  FROM s GROUP BY user_id, session_id
+)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       ROUND(AVG((epoch_us(session_end) - epoch_us(session_start)) / 1000000.0), 4) AS avg_session_sec,
+       ROUND(AVG(n_events), 4) AS avg_events_per_session
+FROM sess GROUP BY user_id ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data operators over documents/embeddings (oracled where SQL can)
 # ---------------------------------------------------------------------------
@@ -667,6 +729,40 @@ def _q_kg_dropped_relations(spark, sf_dir):
     )
 
 
+def _q_kg_detach_delete(spark, sf_dir):
+    """Q8 DETACH DELETE semantics, evaluated non-destructively: the
+    surviving node/edge counts after deleting the fixed graph, plus a
+    dangling-endpoint check (must be 0)."""
+    from knowledge_graph_spark.operators.queries import clear_graph_by_id
+
+    wh = _warehouse(spark, sf_dir)
+    nodes, edges = wh.nodes.read(spark), wh.edges.read(spark)
+    kept_n, kept_e = clear_graph_by_id(nodes, edges, _KG_GRAPH_ID)
+    dangling = kept_e.join(
+        kept_n.select("graph_id", F.col("id").alias("src")).distinct(),
+        on=["graph_id", "src"], how="left_anti",
+    )
+    return spark.createDataFrame(
+        [(kept_n.count(), kept_e.count(), dangling.count())],
+        "surviving_nodes long, surviving_edges long, dangling_edges long",
+    )
+
+
+def _q_kg_clear_user(spark, sf_dir):
+    """Q9: per-user delete, non-destructive counts (the fixed corpus
+    has exactly one user, so everything dies)."""
+    from knowledge_graph_spark.operators.queries import clear_graphs_by_user
+
+    wh = _warehouse(spark, sf_dir)
+    kept_n, kept_e = clear_graphs_by_user(
+        wh.nodes.read(spark), wh.edges.read(spark), "user_001"
+    )
+    return spark.createDataFrame(
+        [(kept_n.count(), kept_e.count())],
+        "surviving_nodes long, surviving_edges long",
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -680,6 +776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": _q_customers_without_orders,
         "top_parts_per_brand": _q_top_parts_per_brand,
         "events_daily": _q_events_daily,
+        "events_windowed": _q_events_windowed,
+        "events_sessions": _q_events_sessions,
         "supplier_nation_union": _q_supplier_nation_union,
         "order_priority_semi": _q_order_priority_semi,
         # training-data operators (DuckDB-oracled)
@@ -705,6 +803,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_user_graphs": _q_kg_user_graphs,
         "kg_canonical_entities": _q_kg_canonical_entities,
         "kg_dropped_relations": _q_kg_dropped_relations,
+        "kg_detach_delete": _q_kg_detach_delete,
+        "kg_clear_user": _q_kg_clear_user,
     }
 
 
@@ -715,6 +815,8 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": _SQL_CUST_NO_ORDERS,
         "top_parts_per_brand": _SQL_TOP_PARTS,
         "events_daily": _SQL_EVENTS_DAILY,
+        "events_windowed": _SQL_EVENTS_WINDOWED,
+        "events_sessions": _SQL_EVENTS_SESSIONS,
         "supplier_nation_union": _SQL_SUPPLIER_NATION_UNION,
         "order_priority_semi": _SQL_ORDER_PRIORITY,
         "dedup_exact_groups": _SQL_DEDUP_EXACT,

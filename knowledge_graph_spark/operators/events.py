@@ -1,0 +1,89 @@
+# -*- coding: utf-8 -*-
+"""Event-stream analytics operators (batch forms).
+
+The reference has no stream processing; these cover the events-table
+workloads a production corpus pipeline runs next to KG construction:
+fixed-window aggregation (the batch twin of
+streaming/ingest.windowed_event_counts) and gap-based sessionization.
+
+Both are pure window/aggregate plans — sessionization is the classic
+two-window trick (lag -> gap flag -> running sum = session id), which
+Catalyst executes with one shuffle per user partition, no Python, no
+iteration. At 10^12 events the shuffle key is user_id; AQE skew-join /
+salting applies for pathological power users (see functions/skew.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def windowed_counts(events: DataFrame, hours: int = 6) -> DataFrame:
+    """Fixed tumbling windows over ts: (window_start, event_type,
+    n_events, n_users, total_value). Epoch-aligned so a SQL oracle can
+    reproduce the bucketing exactly."""
+    bucket = (F.unix_timestamp("ts") / (hours * 3600)).cast("long")
+    return (
+        events.groupBy(
+            F.from_unixtime(bucket * hours * 3600).cast("timestamp").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the gap
+    since the user's previous event exceeds ``gap_minutes``.
+
+    Returns one row per session: (user_id, session_id, session_start,
+    session_end, n_events, total_value). session_id is 1-based per
+    user in time order — deterministic, so it value-matches a SQL
+    oracle using the identical two-window construction."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap: unix_timestamp() truncates to seconds and
+    # would mis-classify gaps that straddle the threshold fractionally;
+    # cast covers TIMESTAMP_NTZ parquet columns (session TZ is UTC)
+    us = lambda c: F.unix_micros(c.cast("timestamp") if hasattr(c, "cast")
+                                 else F.col(c).cast("timestamp"))
+    gap = us("ts") - us(F.lag("ts").over(w))
+    is_new = F.when(
+        gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    with_sess = (
+        events.withColumn("_new", is_new)
+        .withColumn("session_id", F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))
+    )
+    return (
+        with_sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user session summary: session count, mean session length
+    (seconds), mean events per session."""
+    s = sessionize(events, gap_minutes)
+    dur = (
+        F.unix_micros(F.col("session_end").cast("timestamp"))
+        - F.unix_micros(F.col("session_start").cast("timestamp"))
+    ) / F.lit(1_000_000.0)
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.round(F.avg(dur), 4).alias("avg_session_sec"),
+            F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
+        )
+    )

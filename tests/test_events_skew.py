@@ -1,0 +1,80 @@
+# -*- coding: utf-8 -*-
+"""Event analytics (windows, sessionization) and skew-salting helpers."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_spark.functions.skew import (
+    salted_agg, salted_count, salted_join,
+)
+from knowledge_graph_spark.operators.events import (
+    session_stats, sessionize, windowed_counts,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet").cache()
+
+
+def test_windowed_counts_partition_events(spark, events):
+    out = windowed_counts(events, hours=6)
+    assert out.agg(F.sum("n_events")).first()[0] == events.count()
+    # epoch-aligned buckets
+    bad = out.filter(F.unix_timestamp("window_start") % (6 * 3600) != 0)
+    assert bad.count() == 0
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00", 100),
+        (2, "2024-01-01 10:10:00", 100),   # same session (10 min gap)
+        (3, "2024-01-01 11:30:00", 100),   # new session (80 min gap)
+        (4, "2024-01-01 09:00:00", 200),   # other user
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, user_id long") \
+        .withColumn("ts", F.to_timestamp("ts")).withColumn("value", F.lit(1.0))
+    out = {(r["user_id"], r["session_id"]): r["n_events"]
+           for r in sessionize(df, gap_minutes=30).collect()}
+    assert out == {(100, 1): 2, (100, 2): 1, (200, 1): 1}
+
+
+def test_sessionize_covers_all_events(spark, events):
+    s = sessionize(events, gap_minutes=30)
+    assert s.agg(F.sum("n_events")).first()[0] == events.count()
+    stats = session_stats(events, gap_minutes=30)
+    assert stats.count() == events.select("user_id").distinct().count()
+
+
+def test_salted_count_matches_plain(spark, events):
+    plain = {r["event_type"]: r["n"] for r in
+             events.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    salted = {r["event_type"]: r["n"] for r in
+              salted_count(events, ["event_type"], n_salts=8).collect()}
+    assert salted == plain
+
+
+def test_salted_agg_sum_max(spark, events):
+    plain = events.groupBy("event_type").agg(
+        F.sum("value").alias("s"), F.max("value").alias("m"))
+    salted = salted_agg(events, ["event_type"], [
+        ("value", F.sum, F.sum, "s"), ("value", F.max, F.max, "m"),
+    ], n_salts=8)
+    p = {r["event_type"]: (round(r["s"], 6), r["m"]) for r in plain.collect()}
+    s = {r["event_type"]: (round(r["s"], 6), r["m"]) for r in salted.collect()}
+    assert p == s
+
+
+def test_salted_join_matches_plain(spark, events):
+    dim = events.select("event_type").distinct().withColumn(
+        "weight", F.length("event_type").cast("double"))
+    plain = events.join(dim, "event_type").agg(F.sum("weight")).first()[0]
+    salted = salted_join(events, dim, "event_type", n_salts=8).agg(
+        F.sum("weight")).first()[0]
+    assert salted == plain
