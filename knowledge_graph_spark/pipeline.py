@@ -62,30 +62,53 @@ def run_pipeline(
     user_id: str = "user_001",
     partitions: int | None = None,
     link_entities: bool = True,
+    batch_suffix: str | None = None,
 ) -> dict:
+    """One batch of the KG construction pipeline.
+
+    ``batch_suffix`` marks an UPDATE batch over an existing graph
+    (e.g. a re-crawl): same graph_id, fresh batch ids, and the
+    extraction table replaces rows per url (MERGE update) so changed
+    pages re-extract while the graph MERGE keeps reference semantics —
+    node rows update, existing edge properties persist (ON CREATE).
+    For high-frequency incremental ingestion use streaming/ingest.py,
+    which processes only the new pages per micro-batch.
+    """
     graph_id = graph_id or default_graph_id()
+    sfx = f"@{batch_suffix}" if batch_suffix else ""
     counters: dict = {"graph_id": graph_id}
     stage_s: dict = {}
 
     # ---- stage 1: extraction (persisted so resume never re-parses) ----
     t0 = time.time()
-    bid = f"{graph_id}/extracted"
+    bid = f"{graph_id}{sfx}/extracted"
     if bid not in warehouse.extracted.applied_batches():
         extracted = extract(pages, partitions=partitions)
         # extraction runs wide (CPU-bound), but its OUTPUT is small rows:
         # land it in fewer, bigger files so the three downstream scans
         # and their writes aren't a small-file / commit-rename storm
         write_parts = max(8, (partitions or spark.sparkContext.defaultParallelism) // 4)
-        warehouse.extracted.append(extracted.repartition(write_parts), batch_id=bid)
+        # url-keyed MERGE: a re-crawled url replaces its extraction row
+        warehouse.extracted.merge_into(
+            extracted.repartition(write_parts), on=["url"],
+            when_matched="update", batch_id=bid, dedupe=False,
+        )
     extracted = warehouse.extracted.read(spark)
 
     counters["pages"] = extracted.count()
     stage_s["extract"] = round(time.time() - t0, 2)
 
-    # ---- stage 2: triples -------------------------------------------
+    # ---- stage 2: triples (per-graph refresh) ------------------------
     t0 = time.time()
-    trip = triples_table(extracted).withColumn("graph_id", F.lit(graph_id))
-    warehouse.triples.append(trip, batch_id=f"{graph_id}/triples")
+    tbid = f"{graph_id}{sfx}/triples"
+    if tbid not in warehouse.triples.applied_batches():
+        trip = triples_table(extracted).withColumn("graph_id", F.lit(graph_id))
+        if warehouse.triples.exists():
+            others = warehouse.triples.read(spark).filter(
+                F.col("graph_id") != graph_id
+            )
+            trip = others.unionByName(trip)
+        warehouse.triples.overwrite(trip, batch_id=tbid)
     counters["triples"] = warehouse.triples.read(spark).filter(
         F.col("graph_id") == graph_id
     ).count()
@@ -95,7 +118,7 @@ def run_pipeline(
     t0 = time.time()
     mat = graph_build.materialize_graph(
         extracted, warehouse.nodes, warehouse.edges, warehouse.dropped,
-        graph_id=graph_id, user_id=user_id, batch_id=graph_id,
+        graph_id=graph_id, user_id=user_id, batch_id=f"{graph_id}{sfx}",
     )
     counters.update(mat)
     stage_s["materialize"] = round(time.time() - t0, 2)
@@ -106,7 +129,7 @@ def run_pipeline(
         nodes = warehouse.nodes.read(spark)
         names = nodes.filter(F.col("graph_id") == graph_id).select("name")
         links = same_as_edges(names)
-        warehouse.same_as.overwrite(links, batch_id=f"{graph_id}/same_as")
+        warehouse.same_as.overwrite(links, batch_id=f"{graph_id}{sfx}/same_as")
         stage_s["linking"] = round(time.time() - t0, 2)
         t0 = time.time()
         # persist: the mapping DAG (CC + representative joins) feeds the
@@ -116,7 +139,7 @@ def run_pipeline(
         canon = nodes.join(F.broadcast(mapping), on="name", how="left").withColumn(
             "canonical_id", F.coalesce("canonical_name", "name")
         ).drop("canonical_name")
-        warehouse.nodes.overwrite(canon, batch_id=f"{graph_id}/canonical")
+        warehouse.nodes.overwrite(canon, batch_id=f"{graph_id}{sfx}/canonical")
         mapping.unpersist()
         stage_s["canonicalize"] = round(time.time() - t0, 2)
 

