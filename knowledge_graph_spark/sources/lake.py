@@ -39,6 +39,12 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 
 
+def F_count():
+    from pyspark.sql import functions as F
+
+    return F.count("*")
+
+
 class LakeTable:
     def __init__(self, root: str, name: str):
         self.dir = os.path.join(root, name)
@@ -99,7 +105,17 @@ class LakeTable:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
-        rows = df.sparkSession.read.parquet(path).count()
+        written = df.sparkSession.read.parquet(path)
+        rows = written.count()
+        # per-partition lineage counters (north-star requirement):
+        # one row-count per partition value, recorded in the manifest
+        partition_rows = None
+        if partition_by:
+            partition_rows = {
+                "|".join(str(r[c]) for c in partition_by): r["_n"]
+                for r in written.groupBy(*partition_by)
+                .agg(F_count().alias("_n")).collect()
+            }
         manifest = self._manifest() if self.exists() else {
             "table": self.dir, "snap_id": 0, "current": None, "lineage": [],
         }
@@ -112,6 +128,8 @@ class LakeTable:
             "counters": counters or {},
             "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
+        if partition_rows is not None:
+            entry["partition_rows"] = partition_rows
         manifest["snap_id"] = snap_id
         manifest["current"] = snap_name
         manifest["lineage"].append(entry)
