@@ -21,7 +21,11 @@ distributed star rounds below. Algorithm (node labels are 64-bit longs):
 Convergence: O(log^2 n) rounds worst case, 2-4 rounds on name-similarity
 graphs (components are tiny cliques). Skew: the groupBy-min partial-
 aggregates map-side (hub nodes with millions of neighbours combine
-before the shuffle); AQE skew-join handles the residual join skew.
+before the shuffle); the residual skew sits in the mins-join, where a
+hub key's fan-out is handled by AQE's skew-join split (enabled in
+session.py) — salting by hand is unnecessary here because the build
+side (one min row per key) broadcasts under AQE once partial
+aggregation shrinks it.
 
 Input/output contract uses long ids; callers map strings to longs with
 ``xxhash64`` (collision probability negligible below ~2^32 entities and

@@ -201,30 +201,41 @@ def dedup_minhash(docs: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
+# 4 x 16-bit lanes per long: bit b's mask selects original bits
+# b, b+16, b+32, b+48 into lanes 0..3 of the summed accumulator
+_LANE_MASK = 0x0001000100010001
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text", n: int = 2) -> DataFrame:
     """64-bit SimHash per document, entirely JVM-side.
 
-    For each of 64 bit positions, sum +1/-1 votes of each shingle's
-    xxhash64 bit; fingerprint bit = sign. Expressed as one explode +
-    one groupBy with 64 conditional-sum aggregates (map-side partials
-    make the shuffle tiny)."""
+    Classic SimHash: for each of 64 bit positions, the +1/-1 votes of
+    every shingle's xxhash64 bit; fingerprint bit = sign. Computed with
+    SIMD-in-a-register lane packing: ``(h >> b) & 0x0001000100010001``
+    accumulates FOUR bit-counters per sum (16-bit lanes), so the
+    aggregate needs 16 lane-sums + 1 count instead of 64 conditional
+    sums — 4x fewer aggregation buffers per group, same result
+    (``ones*2 > n`` ⟺ vote sum > 0). Lane capacity 65535 distinct
+    shingles per doc; beyond that (a document with >65k distinct word
+    bigrams — ~entire-vocabulary² scale) carries would corrupt lanes.
+    Map-side partial aggregation keeps the shuffle tiny."""
     sh = shingle_table(docs, id_col, text_col, n).withColumn(
         "h", F.xxhash64("shingle")
     )
     aggs = [
-        F.sum(
-            F.when(F.expr(f"(h >> {bit}) & 1") == 1, 1).otherwise(-1)
-        ).alias(f"b{bit}")
-        for bit in range(64)
-    ]
-    votes = sh.groupBy("doc_id").agg(*aggs)
+        F.sum(F.expr(f"(h >> {b}) & {_LANE_MASK}")).alias(f"l{b}")
+        for b in range(16)
+    ] + [F.count("*").alias("n")]
+    lanes = sh.groupBy("doc_id").agg(*aggs)
     fp = F.lit(0).cast("long")
     for bit in range(64):
-        fp = fp + F.when(F.col(f"b{bit}") > 0,
-                         F.lit(1).cast("long") * (2 ** bit if bit < 63 else -(2 ** 63))
-                         ).otherwise(F.lit(0).cast("long"))
-    return votes.select("doc_id", fp.alias("simhash"))
+        b, k = bit % 16, bit // 16
+        ones = F.expr(f"(l{b} >> {16 * k}) & 65535")
+        add = 2 ** bit if bit < 63 else -(2 ** 63)
+        fp = fp + F.when(ones * 2 > F.col("n"),
+                         F.lit(add).cast("long")).otherwise(F.lit(0).cast("long"))
+    return lanes.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",

@@ -71,6 +71,12 @@ def extract(pages: DataFrame, partitions: Optional[int] = None) -> DataFrame:
     One Arrow round-trip; html->text recovery fused. Repartitioning on
     the unique url balances the NLP cost across tasks regardless of
     host skew.
+
+    Partition sizing: ONE partition per core is the measured sweet
+    spot locally (each task pays a fixed Arrow stream setup; ~4k-row
+    tasks ran 3x slower than ~30k-row tasks at 1M pages). On a cluster
+    use ~2-3x total cores so stragglers rebalance, with >=30k rows per
+    task.
     """
     cols = pages.select("url", "html", "text", "lang")
     if partitions:

@@ -77,6 +77,18 @@ def test_lineage_and_counters(spark, tbl):
     assert h[-1]["parent"] is None
 
 
+def test_merge_commutative_on_disjoint_batches(spark, tmp_path):
+    """SURVEY §5.2(4): applying disjoint batches in either order yields
+    the identical table (insert-only merges commute)."""
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    b = spark.createDataFrame([(3, "c"), (4, "d")], "k int, v string")
+    t1 = LakeTable(str(tmp_path), "ab")
+    t1.merge_into(a, on=["k"]); t1.merge_into(b, on=["k"])
+    t2 = LakeTable(str(tmp_path), "ba")
+    t2.merge_into(b, on=["k"]); t2.merge_into(a, on=["k"])
+    assert rows(t1.read(spark)) == rows(t2.read(spark))
+
+
 def test_vacuum_keeps_current(spark, tbl):
     for i in range(4):
         tbl.overwrite(spark.createDataFrame([(i, "x")], "k int, v string"))
