@@ -1,0 +1,59 @@
+# -*- coding: utf-8 -*-
+"""Smoke parity on the reference repo's own example input.
+
+The input string is the reference's hard-coded demo paragraph
+(/root/reference/backend/kgapi/extractor.py:192 — quoted as test DATA,
+no code is reproduced). The sandbox cannot run the reference's spaCy
+model, so exact-output parity is measured against our pinned kernel
+spec (tests/golden_triples.json, SURVEY.md §7.0); this test instead
+pins the STRUCTURAL contract on real-world prose: entity surface
+forms/types the vocabularies mandate, SVO extraction firing on mapped
+verbs, and stop-verbs staying silent."""
+
+from __future__ import annotations
+
+from knowledge_graph_spark.kernel.extractor import (
+    extract_entities_relations, triples,
+)
+
+REFERENCE_DEMO = (
+    '在2023年6月15日，北京的人工智能公司"深度智云"宣布与上海的科技巨头"未来科技"'
+    '达成战略合作协议。根据协议，深度智云将为未来科技开发基于大语言模型的智能客服系统，'
+    '该系统将集成自然语言处理和计算机视觉技术，预计在2024年3月正式上线。'
+    '深度智云的首席执行官李明博士表示，此次合作将加速人工智能技术在金融、医疗和教育领域的应用。'
+    '未来科技的董事会主席王建国先生则强调，双方将共同投资5亿元人民币，'
+    '在深圳建立一个联合研发中心，专注于生成式AI和多模态交互技术的研究。'
+    '此外，著名科学家张教授也将加入该项目，担任技术顾问。'
+    '这一合作被行业专家认为是AI领域的里程碑事件，将重塑中国科技产业的格局。'
+)
+
+
+def test_reference_demo_structural_contract():
+    r = extract_entities_relations(REFERENCE_DEMO)
+    ents = {(e["name"], e["type"]) for e in r["entities"]}
+
+    # quoted org mentions + repeat mentions (model-NER stand-in)
+    assert ("深度智云", "Organization") in ents
+    assert ("未来科技", "Organization") in ents
+    # rule patterns: ORG suffix, PRODUCT, TITLE, person, date, money, GPE
+    assert ("人工智能公司", "Organization") in ents
+    assert ("智能客服系统", "Product") in ents
+    assert ("首席执行官", "Title") in ents
+    assert ("李明", "Person") in ents and ("王建国", "Person") in ents
+    assert ("2023年6月15日", "DATE") in ents
+    assert ("5亿元人民币", "MONEY") in ents
+    assert ("北京", "Location") in ents and ("深圳", "Location") in ents
+
+    ts = {(t["subj"], t["pred"], t["obj"]) for t in triples(r)}
+    # mapped verb 开发 -> develop with entity endpoints
+    assert ("深度智云", "develop", "智能客服系统") in ts
+    # stop verbs (是/表示/认为/强调) never produce SVO predicates
+    preds = {t["pred"] for t in triples(r)}
+    assert preds.isdisjoint({"是", "表示", "认为", "强调"})
+    # co-occurrence edges carry the reference payload
+    co = [x for x in r["relations"] if x["type"] == "co-occurrence"]
+    assert co and all(x["verb"] == "同现" and 0 < x["similarity"] <= 1 for x in co)
+
+    # extraction is total and ids dense on real prose
+    ids = [e["id"] for e in r["entities"]]
+    assert ids == [f"e{i + 1}" for i in range(len(ids))]
