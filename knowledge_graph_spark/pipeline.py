@@ -53,6 +53,19 @@ class KGWarehouse:
         self.dropped = LakeTable(root, "dropped_relations")
         self.same_as = LakeTable(root, "same_as")
 
+    def tables(self) -> list[LakeTable]:
+        return [self.extracted, self.triples, self.nodes, self.edges,
+                self.dropped, self.same_as]
+
+    def vacuum(self, keep_last: int = 2) -> dict:
+        """Expire old snapshots across all tables (Iceberg
+        expire_snapshots equivalent). keep_last >= 2 preserves one
+        rollback target besides the current snapshot."""
+        return {
+            t.dir.rsplit("/", 1)[-1]: t.vacuum(keep_last)
+            for t in self.tables()
+        }
+
 
 def run_pipeline(
     spark: SparkSession,
@@ -142,6 +155,11 @@ def run_pipeline(
         warehouse.nodes.overwrite(canon, batch_id=f"{graph_id}{sfx}/canonical")
         mapping.unpersist()
         stage_s["canonicalize"] = round(time.time() - t0, 2)
+
+    # snapshot hygiene: expire superseded snapshots, keep one rollback
+    # target per table (a month-long ingest would otherwise retain one
+    # full table copy per stage per batch)
+    warehouse.vacuum(keep_last=2)
 
     counters["stage_seconds"] = stage_s
     return counters
