@@ -31,15 +31,26 @@ def assert_plan(df: DataFrame, contains: list[str] | None = None,
     return p
 
 
-def audit(df: DataFrame) -> dict:
-    """Summarize scale-relevant plan features."""
+def audit(df: DataFrame, execute: bool = False) -> dict:
+    """Summarize scale-relevant plan features.
+
+    ``execute=True`` runs the query first so AQE finalizes its stages —
+    whole-stage-codegen markers only exist on the FINAL plan; the
+    pre-execution view of an adaptive plan never shows them."""
+    if execute:
+        # collect() (not count()) — count builds a NEW query execution;
+        # only an action through THIS Dataset finalizes its own AQE plan
+        df.collect()
     p = explain_string(df)
+    # codegen markers ('*(n)') only show on the executed-plan string;
+    # the formatted view of an un-finalized AQE plan hides them
+    simple = df._jdf.queryExecution().executedPlan().toString()
     return {
         "pushed_filters": "PushedFilters: [" in p and "PushedFilters: []" not in p,
         "broadcast_joins": p.count("BroadcastHashJoin"),
         "sortmerge_joins": p.count("SortMergeJoin"),
         "shuffles": p.count("Exchange"),
-        "codegen": ("\n* " in p) or ("+- * " in p),
+        "codegen": "*(" in simple or "\n* " in p or "+- * " in p,
         "row_python": "BatchEvalPython" in p,
         "arrow_python": ("ArrowEvalPython" in p) or ("MapInPandas" in p),
     }

@@ -88,6 +88,33 @@ def test_query_graph_shape(spark, tmp_path):
     assert g2 == {"nodes": [], "links": []}
 
 
+def test_rowlocal_edges_equal_join_edges(spark, extracted_df):
+    """The pipeline's join-free edge builder must produce exactly the
+    edge/dropped sets of the generic join-based builder."""
+    from knowledge_graph_spark.operators.extraction import (
+        entities_table, relations_table,
+    )
+    from knowledge_graph_spark.operators.graph_build import (
+        build_edges, build_edges_rowlocal, build_nodes,
+    )
+
+    nodes = build_nodes(entities_table(extracted_df), "g", "u")
+    e1, d1 = build_edges(relations_table(extracted_df), nodes, "g", "u")
+    e2, d2 = build_edges_rowlocal(extracted_df, "g", "u")
+
+    def eset(df):
+        return {tuple(r) for r in
+                df.select("graph_id", "src", "dst", "rel_type", "verb",
+                          "similarity", "url").collect()}
+
+    def dset(df):
+        return {tuple(r) for r in
+                df.select("url", "src", "dst", "type", "reason").collect()}
+
+    assert eset(e1) == eset(e2)
+    assert dset(d1) == dset(d2)
+
+
 def test_sanitization_quarantine(spark, tmp_path):
     """Chinese predicates (raw-verb fallthrough) must be dropped from
     edges but preserved in dropped_relations (reference kg_writer.py:48-52
