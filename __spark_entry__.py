@@ -632,6 +632,50 @@ def _q_embedding_neardups(spark, sf_dir):
     )
 
 
+def _q_media_metadata(spark, sf_dir):
+    """Multimodal plumbing: deterministic synthetic media -> Arrow-
+    batched metadata decode, summarized per kind. The codec is a
+    deterministic stub (no image/audio libs in the sandbox); the
+    Spark-side schema/batching/error-capture path is fully real."""
+    from knowledge_graph_spark.operators.multimodal import (
+        decode_metadata, synthetic_media,
+    )
+
+    media = synthetic_media(spark, 90)
+    return (
+        decode_metadata(media)
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_ok"),
+            F.max("width").alias("max_width"),
+            F.max("sample_rate").alias("max_sample_rate"),
+        )
+        .orderBy("kind")
+    )
+
+
+def _q_media_features(spark, sf_dir):
+    """Media feature vectors -> similarity search over them: the
+    multimodal output feeds the generic ANN operator unchanged."""
+    from knowledge_graph_spark.operators.multimodal import (
+        extract_features, synthetic_media,
+    )
+    from knowledge_graph_spark.operators.simsearch import brute_force_topk
+
+    feats = extract_features(synthetic_media(spark, 60))
+    queries = feats.filter(F.col("media_id") < 3).select(
+        F.col("media_id").alias("query_id"), F.col("feature").alias("query_vec")
+    )
+    return (
+        brute_force_topk(feats, queries, k=3, id_col="media_id",
+                         vec_col="feature")
+        .select("query_id", "rank", F.col("vec_id").alias("media_id"),
+                F.round("cosine", 4).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
 def _q_ivf_topk(spark, sf_dir):
     from knowledge_graph_spark.operators.simsearch import ivf_index, ivf_topk
 
@@ -795,6 +839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "embedding_neardups": _q_embedding_neardups,
         "ivf_topk": _q_ivf_topk,
+        "media_metadata": _q_media_metadata,
+        "media_features_topk": _q_media_features,
         # KG construction pipeline (rows-only)
         "kg_triples": _q_kg_triples,
         "kg_entities": _q_kg_entities,
