@@ -140,6 +140,34 @@ def test_brute_force_topk_self_is_top1(spark, emb):
         assert r["cosine"] == pytest.approx(1.0, abs=1e-6)
 
 
+def test_ivf_persisted_index_prunes_partitions(spark, emb, tmp_path):
+    """The cell-partitioned assignment table must prune to the probed
+    cells (plan-level partition filter), and return the same results
+    as the in-memory index."""
+    path = str(tmp_path / "ivf")
+    S.write_ivf_index(emb, path, n_cells=8, n_iter=2)
+    assign, cent = S.read_ivf_index(spark, path)
+    queries = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = S.ivf_topk(assign, cent, queries, k=3, n_probe=2)
+    rows = out.collect()
+    assert len(rows) == 6
+
+    # pruning visible in the plan: the probes join against the
+    # partition column triggers dynamic partition pruning on the scan
+    from knowledge_graph_spark.plans.audit import explain_string
+
+    p = explain_string(out)
+    assert "dynamicpruning" in p.lower() or "PartitionFilters: [" in p
+
+    # equal to the unpersisted path
+    a2, c2 = S.ivf_index(emb, n_cells=8, n_iter=2)
+    out2 = {(r["query_id"], r["rank"], r["vec_id"])
+            for r in S.ivf_topk(a2, c2, queries, k=3, n_probe=2).collect()}
+    assert {(r["query_id"], r["rank"], r["vec_id"]) for r in rows} == out2
+
+
 def test_ivf_recall_vs_brute_force(spark, emb):
     queries = emb.limit(8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
