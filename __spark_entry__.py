@@ -518,17 +518,27 @@ WITH s AS (
          GREATEST(length(text), 1) AS total,
          length(text) AS len,
          length(text) - length(regexp_replace(text, '[[:punct:]，。、；：！？“”‘’（）《》【】]', '', 'g')) AS punct,
-         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS words
   FROM documents
+),
+s2 AS (
+  SELECT source, total, len, punct, digits,
+         len(words) AS n_words,
+         CASE WHEN len(words) > 0
+              THEN CAST(list_aggregate(list_transform(words, w -> length(w)), 'sum') AS DOUBLE) / len(words)
+              ELSE 0.0 END AS mean_wl
+  FROM s
 )
 SELECT source,
        ROUND(AVG(GREATEST(0.0, 1.0
          - CASE WHEN len < 20 THEN 0.5 ELSE 0.0 END
          - CASE WHEN CAST(punct AS DOUBLE) / total > 0.3 THEN 0.25 ELSE 0.0 END
-         - CASE WHEN CAST(digits AS DOUBLE) / total > 0.3 THEN 0.25 ELSE 0.0 END)), 4) AS avg_quality,
+         - CASE WHEN CAST(digits AS DOUBLE) / total > 0.3 THEN 0.25 ELSE 0.0 END
+         - CASE WHEN n_words >= 5 AND (mean_wl < 2 OR mean_wl > 12) THEN 0.25 ELSE 0.0 END)), 4) AS avg_quality,
        ROUND(AVG(CAST(punct AS DOUBLE) / total), 4) AS avg_punct_ratio,
        COUNT(*) AS n_docs
-FROM s GROUP BY source ORDER BY source
+FROM s2 GROUP BY source ORDER BY source
 """
 
 

@@ -59,7 +59,13 @@ def with_sanitized_type(relations: DataFrame) -> DataFrame:
 
 def build_nodes(entities: DataFrame, graph_id: str, user_id: str) -> DataFrame:
     """entities(url,id,name,type,...) -> nodes rows (FIXTURES.md §5).
-    Node id namespaced by url hash; pure projection, no shuffle."""
+    Node id namespaced by url hash; pure projection, no shuffle.
+
+    ``canonical_id`` defaults to ``name`` so the node schema is STABLE
+    across pipeline stages: the linking stage (pipeline.py stage 4)
+    overwrites it with the component representative, and any later
+    merge (update batch, streaming micro-batch) unions against the
+    same column set — schema drift across runs was a crash."""
     nid = F.concat_ws(":", F.hex(F.xxhash64("url")), F.col("id"))
     return entities.select(
         F.lit(graph_id).alias("graph_id"),
@@ -68,6 +74,7 @@ def build_nodes(entities: DataFrame, graph_id: str, user_id: str) -> DataFrame:
         "name",
         "type",
         F.col("url"),
+        F.col("name").alias("canonical_id"),
     )
 
 
@@ -222,12 +229,23 @@ def materialize_graph(
     # batch by construction, so the merge skips its dedupe shuffle
     r1 = nodes_table.merge_into(nodes, on=["graph_id", "id"],
                                 when_matched="update",
-                                batch_id=f"{bid}/nodes", dedupe=False)
+                                batch_id=f"{bid}/nodes", dedupe=False,
+                                partition_by=["graph_id"])
     r2 = edges_table.merge_into(edges, on=["graph_id", "src", "dst", "rel_type"],
-                                when_matched="ignore", batch_id=f"{bid}/edges")
-    r3 = dropped_table.append(dropped, batch_id=f"{bid}/dropped")
+                                when_matched="ignore", batch_id=f"{bid}/edges",
+                                partition_by=["graph_id"])
+    r3 = dropped_table.append(dropped, batch_id=f"{bid}/dropped",
+                              partition_by=["graph_id"])
+    # per-batch deltas under the original keys (what THIS batch wrote:
+    # an idempotent resume reports 0), snapshot totals under *_total —
+    # callers reading "nodes" as a this-run counter were getting the
+    # cumulative table size before
+    skipped = r1.get("skipped", False)
     return {
-        "nodes": r1.get("rows", 0),
-        "edges": r2.get("rows", 0),
-        "dropped_relations": r3.get("rows", 0),
+        "nodes": 0 if skipped else nodes.count(),
+        "edges": 0 if r2.get("skipped", False) else edges.count(),
+        "dropped_relations": 0 if r3.get("skipped", False) else dropped.count(),
+        "nodes_total": r1.get("rows", 0),
+        "edges_total": r2.get("rows", 0),
+        "dropped_total": r3.get("rows", 0),
     }

@@ -65,17 +65,21 @@ def _fake_decode(payload: bytes, kind: str) -> dict:
     raise NotImplementedError(f"unknown media kind: {kind}")
 
 
+def _real_decode(payload: bytes, kind: str) -> dict:
+    """SWAP POINT for production codecs. Implement with PIL (image),
+    soundfile (audio), pyav (video) and return the DECODED_SCHEMA
+    metadata fields. Until then it signals 'not wired' so the caller
+    falls back to the deterministic fake — rows are decoded either
+    way, never quarantined just because a library happens to be
+    importable."""
+    raise NotImplementedError
+
+
 def _decode_one(payload: bytes, kind: str) -> dict:
-    try:  # real decoders, if the environment has them
-        if kind == "image":
-            from PIL import Image  # noqa: F401
-            raise NotImplementedError("real image decode: wire PIL here")
-        if kind == "audio":
-            import soundfile  # noqa: F401
-            raise NotImplementedError("real audio decode: wire soundfile here")
-    except ImportError:
-        pass
-    return _fake_decode(payload, kind)
+    try:
+        return _real_decode(payload, kind)
+    except (ImportError, NotImplementedError):
+        return _fake_decode(payload, kind)
 
 
 def decode_metadata(media: DataFrame) -> DataFrame:

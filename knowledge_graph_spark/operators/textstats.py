@@ -81,7 +81,9 @@ def with_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     - ``mean_word_len``   — avg whitespace-token length
     - ``quality``         — 1 minus penalties for: too short (<20 chars),
       punctuation-heavy (>0.3), digit-heavy (>0.3), degenerate word
-      length (<2 or >12)
+      length (mean <2 or >12 over >=5 whitespace tokens — the Gopher
+      word-length filter, applied only when the text is actually
+      space-delimited so CJK prose isn't blanket-penalized)
     """
     length = F.greatest(F.length(text_col), F.lit(1))
     # ASCII punct spelled as explicit ranges so the DuckDB oracle
@@ -108,6 +110,11 @@ def with_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(F.length(text_col) < 20, 0.5).otherwise(0.0)
         + F.when(F.col("punct_ratio") > 0.3, 0.25).otherwise(0.0)
         + F.when(F.col("digit_ratio") > 0.3, 0.25).otherwise(0.0)
+        + F.when(
+            (F.size(words) >= 5)
+            & ((F.col("mean_word_len") < 2) | (F.col("mean_word_len") > 12)),
+            0.25,
+        ).otherwise(0.0)
     )
     return out.withColumn(
         "quality", F.greatest(F.lit(0.0), F.lit(1.0) - penalty)

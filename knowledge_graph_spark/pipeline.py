@@ -41,6 +41,31 @@ def default_graph_id() -> str:
     return time.strftime("graph_%Y%m%d%H%M%S")
 
 
+# url-hash buckets for partition-scoped commits on url-keyed tables.
+# Sized so one bucket ≈ one comfortable rewrite unit; at production
+# scale raise it with table size (Iceberg: bucket(N, url)) — an
+# incremental batch then rewrites only the buckets its urls hash into.
+N_URL_BUCKETS = 16
+
+
+def with_url_bucket(df: DataFrame, buckets: int = N_URL_BUCKETS) -> DataFrame:
+    return df.withColumn(
+        "url_bucket", F.pmod(F.xxhash64("url"), F.lit(buckets)).cast("int")
+    )
+
+
+def _graph_rows(table: LakeTable, graph_id: str) -> int:
+    """Rows belonging to one graph, answered from the manifest's
+    per-partition counters — zero Spark jobs."""
+    entry = table.current_entry() or {}
+    rows = entry.get("partition_rows")
+    if rows is None:
+        return entry.get("rows", 0)
+    return sum(
+        n for k, n in rows.items() if k.split("|", 1)[0] == graph_id
+    )
+
+
 class KGWarehouse:
     """The engine's table catalog (Iceberg-catalog stand-in)."""
 
@@ -101,30 +126,35 @@ def run_pipeline(
         # land it in fewer, bigger files so the three downstream scans
         # and their writes aren't a small-file / commit-rename storm
         write_parts = max(8, (partitions or spark.sparkContext.defaultParallelism) // 4)
-        # url-keyed MERGE: a re-crawled url replaces its extraction row
+        # url-keyed MERGE, partitioned by url-hash bucket: a re-crawl
+        # batch rewrites only the buckets its urls land in; the rest of
+        # the table is carried forward by manifest reference
         warehouse.extracted.merge_into(
-            extracted.repartition(write_parts), on=["url"],
+            with_url_bucket(extracted.repartition(write_parts)), on=["url"],
             when_matched="update", batch_id=bid, dedupe=False,
+            partition_by=["url_bucket"],
         )
     extracted = warehouse.extracted.read(spark)
 
-    counters["pages"] = extracted.count()
+    # table totals come from the manifest (counted at commit), not a job
+    counters["pages"] = (warehouse.extracted.current_entry() or {}).get("rows", 0)
     stage_s["extract"] = round(time.time() - t0, 2)
 
-    # ---- stage 2: triples (per-graph refresh) ------------------------
+    # ---- stage 2: triples (per-graph refresh, partition-scoped) ------
     t0 = time.time()
     tbid = f"{graph_id}{sfx}/triples"
     if tbid not in warehouse.triples.applied_batches():
-        trip = triples_table(extracted).withColumn("graph_id", F.lit(graph_id))
-        if warehouse.triples.exists():
-            others = warehouse.triples.read(spark).filter(
-                F.col("graph_id") != graph_id
-            )
-            trip = others.unionByName(trip)
-        warehouse.triples.overwrite(trip, batch_id=tbid)
-    counters["triples"] = warehouse.triples.read(spark).filter(
-        F.col("graph_id") == graph_id
-    ).count()
+        trip = with_url_bucket(
+            triples_table(extracted).withColumn("graph_id", F.lit(graph_id))
+        )
+        # merge key graph_id over a (graph_id, url_bucket) partition
+        # spec = refresh exactly this graph's partitions; other graphs'
+        # files are never read or rewritten
+        warehouse.triples.merge_into(
+            trip, on=["graph_id"], when_matched="update", dedupe=False,
+            batch_id=tbid, partition_by=["graph_id", "url_bucket"],
+        )
+    counters["triples"] = _graph_rows(warehouse.triples, graph_id)
     stage_s["triples"] = round(time.time() - t0, 2)
 
     # ---- stage 3: graph materialization (MERGE) ----------------------
@@ -139,20 +169,26 @@ def run_pipeline(
     # ---- stage 4: entity linking + canonicalization ------------------
     if link_entities:
         t0 = time.time()
-        nodes = warehouse.nodes.read(spark)
-        names = nodes.filter(F.col("graph_id") == graph_id).select("name")
+        # the manifest is the partition index: read ONLY this graph's
+        # node partition, never the whole table
+        g_nodes = warehouse.nodes.read_partitions(spark, [graph_id])
+        names = g_nodes.select("name")
         links = same_as_edges(names)
         warehouse.same_as.overwrite(links, batch_id=f"{graph_id}{sfx}/same_as")
         stage_s["linking"] = round(time.time() - t0, 2)
         t0 = time.time()
         # persist: the mapping DAG (CC + representative joins) feeds the
-        # broadcast build, the overwrite, and the counter — one compute
+        # broadcast build, the merge, and the counter — one compute
         mapping = canonical_mapping(warehouse.same_as.read(spark)).persist()
         counters["linked_names"] = mapping.count()
-        canon = nodes.join(F.broadcast(mapping), on="name", how="left").withColumn(
+        canon = g_nodes.join(F.broadcast(mapping), on="name", how="left").withColumn(
             "canonical_id", F.coalesce("canonical_name", "name")
         ).drop("canonical_name")
-        warehouse.nodes.overwrite(canon, batch_id=f"{graph_id}{sfx}/canonical")
+        # partition-scoped: only this graph's partition is rewritten
+        warehouse.nodes.merge_into(
+            canon, on=["graph_id", "id"], when_matched="update", dedupe=False,
+            batch_id=f"{graph_id}{sfx}/canonical", partition_by=["graph_id"],
+        )
         mapping.unpersist()
         stage_s["canonicalize"] = round(time.time() - t0, 2)
 

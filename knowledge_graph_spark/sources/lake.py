@@ -4,18 +4,30 @@
 The north-star pipeline needs ``MERGE INTO`` node/edge tables with
 snapshot isolation and idempotent resume (BASELINE.json north_rule);
 the sandbox's pyspark 4.1.2 ships no Iceberg/Delta jars, so this module
-provides the minimal equivalent (~200 LoC):
+provides the minimal equivalent:
 
 - immutable parquet **snapshots** under ``<root>/<name>/snap-NNNNNN/``
 - a JSON **manifest** holding the current-snapshot pointer, lineage
   (one entry per commit: operation, parent, row counts, applied batch
   ids) and user counters, committed via atomic ``os.replace``
-- ``merge_into`` with Iceberg-like WHEN MATCHED semantics, implemented
-  as anti-join + union + full snapshot rewrite
+- **partition-scoped commits** (the Iceberg behavior that matters at
+  100 TB): a partitioned ``merge_into``/``append`` rewrites ONLY the
+  partitions the batch touches; untouched partition directories are
+  carried forward in the manifest *by reference* — their files are
+  never read, rewritten, or copied. ``append`` on a partitioned table
+  adds new files without reading the current snapshot at all.
+- ``merge_into`` with Iceberg-like WHEN MATCHED semantics
 - **idempotent batch application**: every write can carry a
   ``batch_id``; re-applying an already-committed batch is a no-op, so
   any stage resumes safely after a crash (at-least-once driver, exactly
   -once table state)
+
+Partition layout: rows are bucketed by a synthetic ``_pk`` string
+column (``"|".join(partition values)``) so the data files keep every
+user column; the manifest maps partition key -> list of directory
+references (possibly spanning snapshots). Keys must be non-null and
+must not contain ``"|"`` (graph ids, url-hash buckets — the engine's
+partition columns — satisfy this by construction).
 
 On a real cluster this class is swapped for
 ``spark.sql("MERGE INTO ...")`` against Iceberg; the call sites are
@@ -34,15 +46,18 @@ import json
 import os
 import shutil
 import time
+import urllib.parse
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
+_PK = "_pk"
 
-def F_count():
+
+def _f():
     from pyspark.sql import functions as F
 
-    return F.count("*")
+    return F
 
 
 class LakeTable:
@@ -68,8 +83,16 @@ class LakeTable:
     def current_snapshot(self) -> Optional[str]:
         if not self.exists():
             return None
+        return self._manifest()["current"]
+
+    def current_entry(self) -> Optional[dict]:
+        if not self.exists():
+            return None
         m = self._manifest()
-        return m["current"]
+        for e in reversed(m["lineage"]):
+            if e["snapshot"] == m["current"]:
+                return e
+        return None
 
     def applied_batches(self) -> set[str]:
         if not self.exists():
@@ -84,38 +107,70 @@ class LakeTable:
     # ---- read --------------------------------------------------------
 
     def read(self, spark: SparkSession) -> DataFrame:
-        snap = self.current_snapshot()
-        if snap is None:
+        entry = self.current_entry()
+        if entry is None:
             raise FileNotFoundError(f"LakeTable {self.dir} has no snapshot")
-        return spark.read.parquet(os.path.join(self.dir, snap))
+        dirs = entry.get("partition_dirs")
+        if dirs is None:
+            return spark.read.parquet(os.path.join(self.dir, entry["snapshot"]))
+        paths = [os.path.join(self.dir, p) for ps in dirs.values() for p in ps]
+        return spark.read.parquet(*paths)
+
+    def read_partitions(self, spark: SparkSession, keys: list[str]) -> Optional[DataFrame]:
+        """Scan only the named partitions (planning-time pruning: the
+        manifest IS the partition index, unlisted files are never opened)."""
+        entry = self.current_entry()
+        dirs = (entry or {}).get("partition_dirs") or {}
+        paths = [os.path.join(self.dir, p) for k in keys for p in dirs.get(k, [])]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
 
     # ---- write primitives ---------------------------------------------
 
     def _next_snap_id(self) -> int:
         return (self._manifest()["snap_id"] + 1) if self.exists() else 1
 
-    def _write_snapshot(
-        self, df: DataFrame, op: str, batch_id: Optional[str],
-        counters: Optional[dict] = None, partition_by: Optional[list[str]] = None,
-    ) -> dict:
-        snap_id = self._next_snap_id()
-        snap_name = f"snap-{snap_id:06d}"
+    @staticmethod
+    def _pk_col(partition_by: list[str]):
+        F = _f()
+        return F.concat_ws("|", *[F.col(c).cast("string") for c in partition_by])
+
+    def _persist(self, df: DataFrame, snap_name: str,
+                 partition_by: Optional[list[str]]):
+        """Write df under snap_name. Returns (partition_dirs, partition_rows,
+        rows) — the first two None when unpartitioned."""
         path = os.path.join(self.dir, snap_name)
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(path)
+        F = _f()
+        if not partition_by:
+            df.write.mode("overwrite").parquet(path)
+            rows = df.sparkSession.read.parquet(path).count()
+            return None, None, rows
+        df.withColumn(_PK, self._pk_col(partition_by)).write.mode(
+            "overwrite"
+        ).partitionBy(_PK).parquet(path)
+        if not any(d.startswith(_PK + "=") for d in os.listdir(path)):
+            return {}, {}, 0  # empty batch: nothing written
+        # per-partition lineage counters (north-star requirement): the
+        # re-read costs parquet footers only; cast handles partition-
+        # value type inference (ints read back as "0" either way)
         written = df.sparkSession.read.parquet(path)
-        rows = written.count()
-        # per-partition lineage counters (north-star requirement):
-        # one row-count per partition value, recorded in the manifest
-        partition_rows = None
-        if partition_by:
-            partition_rows = {
-                "|".join(str(r[c]) for c in partition_by): r["_n"]
-                for r in written.groupBy(*partition_by)
-                .agg(F_count().alias("_n")).collect()
-            }
+        counts = {
+            str(r["k"]): r["n"]
+            for r in written.groupBy(F.col(_PK).cast("string").alias("k"))
+            .agg(F.count("*").alias("n")).collect()
+        }
+        dirs = {}
+        for d in os.listdir(path):
+            if d.startswith(_PK + "="):
+                key = urllib.parse.unquote(d[len(_PK) + 1:])
+                dirs[key] = [f"{snap_name}/{d}"]
+        return dirs, counts, sum(counts.values())
+
+    def _commit_entry(self, op: str, batch_id: Optional[str],
+                      counters: Optional[dict], snap_name: str, rows: int,
+                      partition_dirs=None, partition_rows=None,
+                      carried: int = 0) -> dict:
         manifest = self._manifest() if self.exists() else {
             "table": self.dir, "snap_id": 0, "current": None, "lineage": [],
         }
@@ -128,13 +183,55 @@ class LakeTable:
             "counters": counters or {},
             "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
-        if partition_rows is not None:
+        if partition_dirs is not None:
+            entry["partition_dirs"] = partition_dirs
             entry["partition_rows"] = partition_rows
-        manifest["snap_id"] = snap_id
+            entry["carried_partitions"] = carried
+        manifest["snap_id"] = int(snap_name.split("-")[1])
         manifest["current"] = snap_name
         manifest["lineage"].append(entry)
         self._commit(manifest)
         return entry
+
+    def _write_snapshot(
+        self, df: DataFrame, op: str, batch_id: Optional[str],
+        counters: Optional[dict] = None, partition_by: Optional[list[str]] = None,
+    ) -> dict:
+        snap_name = f"snap-{self._next_snap_id():06d}"
+        dirs, counts, rows = self._persist(df, snap_name, partition_by)
+        return self._commit_entry(op, batch_id, counters, snap_name, rows,
+                                  dirs, counts)
+
+    # ---- partition-key helpers ----------------------------------------
+
+    @staticmethod
+    def _keys_of(df: DataFrame, partition_by: list[str]) -> set[str]:
+        """Distinct partition keys present in df (small collect: one
+        string per touched partition)."""
+        F = _f()
+        pk = F.concat_ws("|", *[F.col(c).cast("string") for c in partition_by])
+        return {r["k"] for r in df.select(pk.alias("k")).distinct().collect()}
+
+    @staticmethod
+    def _match_subset(old_keys, partition_by, key_df: DataFrame) -> set[str]:
+        """Partitions whose values on key_df's columns match any key_df
+        row — the DELETE-side reach when the merge key is a strict
+        subset of the partition spec (e.g. refresh-whole-graph on a
+        (graph_id, url_bucket)-partitioned table). A key sharing NO
+        column with the partition spec matches every partition: such a
+        merge cannot be scoped (the key could live anywhere)."""
+        common = [(i, c) for i, c in enumerate(partition_by)
+                  if c in key_df.columns]
+        wanted = {
+            tuple(str(r[c]) for _, c in common)
+            for r in key_df.select(*[c for _, c in common]).distinct().collect()
+        }
+        out = set()
+        for k in old_keys:
+            parts = k.split("|")
+            if tuple(parts[i] for i, _ in common) in wanted:
+                out.add(k)
+        return out
 
     # ---- public ops ----------------------------------------------------
 
@@ -148,13 +245,33 @@ class LakeTable:
 
     def append(
         self, df: DataFrame, batch_id: Optional[str] = None,
-        counters: Optional[dict] = None,
+        counters: Optional[dict] = None, partition_by: Optional[list[str]] = None,
     ) -> dict:
+        """Fast append. On a partitioned table this is a pure file add:
+        the new rows are written as fresh directories and the manifest
+        carries every existing directory forward by reference — the
+        current snapshot is NEVER read (Iceberg append semantics).
+        Unpartitioned tables keep the legacy read+union rewrite."""
         if batch_id and batch_id in self.applied_batches():
             return {"skipped": True, "batch_id": batch_id}
+        entry = self.current_entry()
+        old_dirs = (entry or {}).get("partition_dirs")
+        if partition_by and (entry is None or old_dirs is not None):
+            snap_name = f"snap-{self._next_snap_id():06d}"
+            new_dirs, new_counts, new_rows = self._persist(df, snap_name, partition_by)
+            dirs = {k: list(v) for k, v in (old_dirs or {}).items()}
+            counts = dict((entry or {}).get("partition_rows") or {})
+            for k, paths in new_dirs.items():
+                dirs.setdefault(k, []).extend(paths)
+                counts[k] = counts.get(k, 0) + new_counts[k]
+            return self._commit_entry(
+                "append", batch_id, counters, snap_name,
+                sum(counts.values()), dirs, counts,
+                carried=len(dirs) - len(new_dirs),
+            )
         if self.exists():
             df = self.read(df.sparkSession).unionByName(df)
-        return self._write_snapshot(df, "append", batch_id, counters)
+        return self._write_snapshot(df, "append", batch_id, counters, partition_by)
 
     def merge_into(
         self,
@@ -164,15 +281,31 @@ class LakeTable:
         batch_id: Optional[str] = None,
         counters: Optional[dict] = None,
         dedupe: bool = True,
+        partition_by: Optional[list[str]] = None,
+        delete_keys: Optional[DataFrame] = None,
     ) -> dict:
         """Iceberg-style MERGE:
 
         - ``when_matched="update"``  — MATCHED THEN UPDATE (row replaced
           by the update row), NOT MATCHED THEN INSERT. Node-table
-          semantics (reference MERGE..SET, kg_writer.py:24-25).
+          semantics (reference MERGE..SET, kg_writer.py:24-25). With
+          multi-row keys (``dedupe=False``) this is a key-scoped
+          replace: ALL current rows sharing a key present in the batch
+          are replaced by the batch's rows for that key.
         - ``when_matched="ignore"``  — ON CREATE only: matched rows keep
           their existing values, unmatched are inserted. Edge-table
           semantics (reference ON CREATE SET, kg_writer.py:56-57).
+
+        ``delete_keys`` (update mode): the key set to clear, when wider
+        than the keys present in ``updates`` — e.g. a re-crawled page
+        that now extracts zero triples must still delete its old rows.
+
+        ``partition_by``: partition-scoped commit. Only partitions whose
+        key appears in ``updates``/``delete_keys`` are read and
+        rewritten; every other partition directory is carried forward by
+        manifest reference (its files untouched on disk). The merge key
+        may be a strict subset of the partition spec (the reach is then
+        computed by prefix match over the manifest's partition index).
 
         Update rows are deduplicated on the merge key first (last-writer
         -wins is meaningless inside one batch; dropDuplicates keeps an
@@ -185,17 +318,70 @@ class LakeTable:
         if dedupe:
             updates = updates.dropDuplicates(on)
         if not self.exists():
-            return self._write_snapshot(updates, f"merge:{when_matched}", batch_id, counters)
+            return self._write_snapshot(updates, f"merge:{when_matched}",
+                                        batch_id, counters, partition_by)
+        entry = self.current_entry()
+        old_dirs = entry.get("partition_dirs")
+        if partition_by and old_dirs is not None:
+            return self._merge_partitioned(
+                updates, on, when_matched, batch_id, counters,
+                partition_by, delete_keys, entry,
+            )
         current = self.read(updates.sparkSession)
+        result = self._merged(current, updates, on, when_matched, delete_keys)
+        return self._write_snapshot(result, f"merge:{when_matched}", batch_id,
+                                    counters, partition_by)
+
+    @staticmethod
+    def _merged(current: Optional[DataFrame], updates: DataFrame, on: list[str],
+                when_matched: str, delete_keys: Optional[DataFrame]) -> DataFrame:
+        if current is None:
+            return updates
         if when_matched == "update":
-            kept = current.join(updates.select(*on), on=on, how="left_anti")
-            result = kept.unionByName(updates)
-        elif when_matched == "ignore":
+            keys = (delete_keys if delete_keys is not None else updates).select(*on)
+            kept = current.join(keys, on=on, how="left_anti")
+            return kept.unionByName(updates)
+        if when_matched == "ignore":
             fresh = updates.join(current.select(*on), on=on, how="left_anti")
-            result = current.unionByName(fresh)
-        else:
-            raise ValueError(f"unknown when_matched: {when_matched}")
-        return self._write_snapshot(result, f"merge:{when_matched}", batch_id, counters)
+            return current.unionByName(fresh)
+        raise ValueError(f"unknown when_matched: {when_matched}")
+
+    def _merge_partitioned(
+        self, updates, on, when_matched, batch_id, counters,
+        partition_by, delete_keys, entry,
+    ) -> dict:
+        old_dirs: dict = entry["partition_dirs"]
+        old_rows: dict = entry.get("partition_rows") or {}
+        spark = updates.sparkSession
+
+        # the partitions this commit must rewrite
+        touched = self._keys_of(updates, partition_by)
+        if delete_keys is not None:
+            if all(c in delete_keys.columns for c in partition_by):
+                touched |= self._keys_of(delete_keys, partition_by)
+            else:
+                touched |= self._match_subset(old_dirs, partition_by, delete_keys)
+        if not all(c in on for c in partition_by):
+            # merge key narrower than the partition spec: the anti-join
+            # can reach any partition matching a key prefix
+            touched |= self._match_subset(old_dirs, partition_by, updates.select(*on))
+
+        cur_touched = self.read_partitions(
+            spark, [k for k in touched if k in old_dirs]
+        )
+        result = self._merged(cur_touched, updates, on, when_matched, delete_keys)
+
+        snap_name = f"snap-{self._next_snap_id():06d}"
+        new_dirs, new_counts, _ = self._persist(result, snap_name, partition_by)
+        dirs = {k: v for k, v in old_dirs.items() if k not in touched}
+        rows_by = {k: old_rows.get(k, 0) for k in dirs}
+        carried = len(dirs)
+        dirs.update(new_dirs)
+        rows_by.update(new_counts)
+        return self._commit_entry(
+            f"merge:{when_matched}", batch_id, counters, snap_name,
+            sum(rows_by.values()), dirs, rows_by, carried=carried,
+        )
 
     def delete_where(
         self, spark: SparkSession, condition: str,
@@ -206,21 +392,34 @@ class LakeTable:
         from this plus an anti-join at the call site, operators/queries.)"""
         if batch_id and batch_id in self.applied_batches():
             return {"skipped": True, "batch_id": batch_id}
-        from pyspark.sql import functions as F
-
+        F = _f()
         current = self.read(spark)
         kept = current.filter(~F.expr(condition))
         return self._write_snapshot(kept, f"delete:{condition}", batch_id)
 
     def vacuum(self, keep_last: int = 2) -> list[str]:
-        """Drop all but the newest ``keep_last`` snapshots."""
+        """Drop snapshot directories not reachable from the newest
+        ``keep_last`` lineage entries. A directory is reachable if it
+        is one of those snapshots OR any of their ``partition_dirs``
+        references points into it (carried-forward partitions keep
+        their donor snapshot alive — reference counting, like Iceberg's
+        expire_snapshots honoring live manifests)."""
         if not self.exists():
             return []
         m = self._manifest()
-        snaps = [e["snapshot"] for e in m["lineage"] if not e.get("skipped")]
-        live = set(snaps[-keep_last:]) | {m["current"]}
+        entries = [e for e in m["lineage"] if not e.get("skipped")]
+        keep = entries[-keep_last:]
+        live = {m["current"]}
+        for e in keep:
+            live.add(e["snapshot"])
+            for paths in (e.get("partition_dirs") or {}).values():
+                for p in paths:
+                    live.add(p.split("/", 1)[0])
         removed = []
-        for s in set(snaps) - live:
+        for e in entries:
+            s = e["snapshot"]
+            if s in live:
+                continue
             p = os.path.join(self.dir, s)
             if os.path.exists(p):
                 shutil.rmtree(p)

@@ -28,7 +28,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..sources.pages import PAGES_SCHEMA
 
@@ -58,23 +58,50 @@ def start_kg_ingest(
     de-duplicate replayed batches after a crash."""
     from ..operators.extraction import extract, triples_table
     from ..operators.graph_build import materialize_graph
+    from ..pipeline import with_url_bucket
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        extracted = extract(batch_df)
         bid = f"stream/{graph_id}/{batch_id}"
-        warehouse.extracted.append(extracted, batch_id=f"{bid}/extracted")
-        extracted = warehouse.extracted.read(batch_df.sparkSession)
-        # restrict to this batch's urls for the incremental MERGE input
-        urls = batch_df.select("url").distinct()
-        fresh = extracted.join(F.broadcast(urls), "url", "left_semi")
-        trip = triples_table(fresh).withColumn("graph_id", F.lit(graph_id))
-        warehouse.triples.append(trip, batch_id=f"{bid}/triples")
+        # one trigger can deliver the same url twice (two file drops in
+        # one batch): keep the newest crawl so downstream merges stay
+        # key-unique and node/triple tables never hold duplicate rows
+        w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+        batch_df = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn")
+        )
+        # the micro-batch's own extraction IS the merge input — never
+        # re-read the accumulated extracted table per trigger (that scan
+        # is O(table), the opposite of incremental). persist() because
+        # three tables consume it.
+        extracted = with_url_bucket(extract(batch_df)).persist()
+        # a re-crawled url REPLACES its rows in every table (url-keyed
+        # merge, same semantics as the batch pipeline's update path);
+        # partition-scoped commits rewrite only this batch's url buckets
+        warehouse.extracted.merge_into(
+            extracted, on=["url"], when_matched="update",
+            batch_id=f"{bid}/extracted", dedupe=False,
+            partition_by=["url_bucket"],
+        )
+        trip = triples_table(extracted).withColumn("graph_id", F.lit(graph_id))
+        trip = with_url_bucket(trip)
+        # delete_keys = the batch's full url set: a page whose re-crawl
+        # now yields ZERO triples still clears its stale rows
+        batch_keys = with_url_bucket(extracted.select("url")).withColumn(
+            "graph_id", F.lit(graph_id)
+        )
+        warehouse.triples.merge_into(
+            trip, on=["graph_id", "url"], when_matched="update",
+            batch_id=f"{bid}/triples", dedupe=False,
+            partition_by=["graph_id", "url_bucket"], delete_keys=batch_keys,
+        )
         materialize_graph(
-            fresh, warehouse.nodes, warehouse.edges, warehouse.dropped,
+            extracted, warehouse.nodes, warehouse.edges, warehouse.dropped,
             graph_id=graph_id, user_id=user_id, batch_id=bid,
         )
+        extracted.unpersist()
 
     return (
         pages_stream.writeStream

@@ -95,3 +95,106 @@ def test_vacuum_keeps_current(spark, tbl):
     removed = tbl.vacuum(keep_last=1)
     assert removed
     assert rows(tbl.read(spark)) == [(3, "x")]
+
+
+def test_partitioned_merge_carries_untouched_partitions(spark, tbl):
+    """Partition-scoped commit: a merge touching 1 of 3 partitions must
+    carry the other 2 forward BY REFERENCE — same relative paths in the
+    manifest, files untouched on disk."""
+    import os
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", "v0") for i in range(9)], "k int, g string, v string"
+    )
+    tbl.overwrite(df, partition_by=["g"])
+    e0 = tbl.history()[-1]
+    before = {k: list(v) for k, v in e0["partition_dirs"].items()}
+    mtimes = {
+        p: os.path.getmtime(os.path.join(tbl.dir, p)) for ps in before.values()
+        for p in ps
+    }
+
+    upd = spark.createDataFrame([(0, "g0", "v1"), (99, "g0", "v1")],
+                                "k int, g string, v string")
+    tbl.merge_into(upd, on=["g", "k"], when_matched="update",
+                   partition_by=["g"])
+    e1 = tbl.history()[-1]
+    dirs = e1["partition_dirs"]
+    assert e1["carried_partitions"] == 2
+    assert dirs["g1"] == before["g1"] and dirs["g2"] == before["g2"]
+    assert dirs["g0"] != before["g0"]
+    for p in dirs["g1"] + dirs["g2"]:
+        assert os.path.getmtime(os.path.join(tbl.dir, p)) == mtimes[p]
+    # row counts in the manifest track the merge
+    assert e1["partition_rows"] == {"g0": 4, "g1": 3, "g2": 3}
+    got = sorted(
+        tuple(r) for r in tbl.read(spark).filter("g = 'g0'").collect()
+    )
+    assert got == [(0, "g0", "v1"), (3, "g0", "v0"), (6, "g0", "v0"),
+                   (99, "g0", "v1")]
+
+
+def test_partitioned_append_never_reads_current(spark, tbl):
+    """Append on a partitioned table is a pure file add: old dirs stay
+    referenced, new rows land in new dirs, totals accumulate."""
+    a = spark.createDataFrame([(1, "g0"), (2, "g1")], "k int, g string")
+    b = spark.createDataFrame([(3, "g0")], "k int, g string")
+    tbl.append(a, partition_by=["g"])
+    first = {k: list(v) for k, v in tbl.history()[-1]["partition_dirs"].items()}
+    tbl.append(b, partition_by=["g"])
+    e = tbl.history()[-1]
+    assert e["partition_dirs"]["g1"] == first["g1"]
+    assert len(e["partition_dirs"]["g0"]) == 2
+    assert e["partition_rows"] == {"g0": 2, "g1": 1}
+    assert e["rows"] == 3
+    assert sorted(tuple(r) for r in tbl.read(spark).collect()) == [
+        (1, "g0"), (2, "g1"), (3, "g0")
+    ]
+
+
+def test_partitioned_merge_subset_key_reaches_whole_group(spark, tbl):
+    """Merge key narrower than the partition spec (refresh-one-graph on
+    a (g, bucket) layout): every partition of that graph is replaced,
+    other graphs' partitions carried."""
+    df = spark.createDataFrame(
+        [("g1", 0, "old"), ("g1", 1, "old"), ("g2", 0, "keep")],
+        "g string, b int, v string",
+    )
+    tbl.overwrite(df, partition_by=["g", "b"])
+    upd = spark.createDataFrame([("g1", 1, "new")], "g string, b int, v string")
+    tbl.merge_into(upd, on=["g"], when_matched="update", dedupe=False,
+                   partition_by=["g", "b"])
+    got = sorted(tuple(r) for r in tbl.read(spark).collect())
+    # g1's bucket-0 rows died with the graph refresh even though the
+    # update only contained bucket-1 rows
+    assert got == [("g1", 1, "new"), ("g2", 0, "keep")]
+    assert tbl.history()[-1]["carried_partitions"] == 1
+
+
+def test_partitioned_merge_delete_keys_clear_stale_rows(spark, tbl):
+    """A re-crawled key that now produces ZERO rows still clears its old
+    rows via delete_keys."""
+    df = spark.createDataFrame([("u1", "g0", 1), ("u2", "g0", 2)],
+                               "url string, g string, v int")
+    tbl.overwrite(df, partition_by=["g"])
+    empty = spark.createDataFrame([], "url string, g string, v int")
+    keys = spark.createDataFrame([("u1", "g0")], "url string, g string")
+    tbl.merge_into(empty, on=["url"], when_matched="update", dedupe=False,
+                   partition_by=["g"], delete_keys=keys)
+    assert [tuple(r) for r in tbl.read(spark).collect()] == [("u2", "g0", 2)]
+
+
+def test_vacuum_preserves_carried_partition_donors(spark, tbl):
+    """Snapshots still referenced by the current snapshot's carried
+    partition_dirs must survive vacuum."""
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(6)], "k int, g string"
+    )
+    tbl.overwrite(df, partition_by=["g"])           # snap-1 (donor)
+    for v in ("g0", "g1"):
+        upd = spark.createDataFrame([(100, v)], "k int, g string")
+        tbl.merge_into(upd, on=["g", "k"], partition_by=["g"])  # snaps 2..3
+    removed = tbl.vacuum(keep_last=1)
+    # snap-1 still holds g2's only copy -> must NOT be removed
+    assert "snap-000001" not in removed
+    assert tbl.read(spark).filter("g = 'g2'").count() == 2

@@ -83,3 +83,35 @@ def test_stream_restart_is_idempotent(spark, tmp_path):
         q.awaitTermination(300)
     urls = wh.triples.read(spark).select("url", "subj", "pred", "obj")
     assert urls.count() == urls.distinct().count()
+
+
+def test_stream_recrawl_replaces_rows(spark, tmp_path):
+    """A url re-crawled in a later micro-batch REPLACES its extraction
+    and triple rows (url-keyed merge) — no duplicate extraction rows,
+    no stale triples (ADVICE r1 medium)."""
+    drop_dir = str(tmp_path / "drops")
+    pages = generate_spark(spark, 20, partitions=1).cache()
+    pages.write.parquet(f"{drop_dir}/batch_a.parquet")
+
+    wh = KGWarehouse(str(tmp_path / "wh"))
+    q = start_kg_ingest(read_pages_stream(spark, drop_dir + "/*"),
+                        wh, str(tmp_path / "c1"), graph_id="gs")
+    q.awaitTermination(300)
+
+    # re-crawl the same urls with different content in a second drop
+    pages.withColumn(
+        "text", F.concat(F.coalesce("text", F.lit("")), F.lit("华星科技公司收购九州网络公司。"))
+    ).write.parquet(f"{drop_dir}/batch_b.parquet")
+    q = start_kg_ingest(read_pages_stream(spark, drop_dir + "/*"),
+                        wh, str(tmp_path / "c1"), graph_id="gs")
+    q.awaitTermination(300)
+
+    ext = wh.extracted.read(spark)
+    assert ext.count() == ext.select("url").distinct().count() == 20
+    # all extraction rows reflect the NEW content
+    assert ext.filter(F.col("text").contains("华星科技公司收购九州网络公司")).count() == 20
+    # triples contain the new relation and no url has rows from both crawls
+    trips = wh.triples.read(spark)
+    assert trips.filter(
+        (F.col("subj") == "华星科技公司") & (F.col("pred") == "acquire")
+    ).count() >= 1
