@@ -32,13 +32,23 @@ implemented — it has no observable effect in the reference
 (SURVEY.md §7.4). Shallow-dependency heuristic (stand-in for the spaCy
 parser, no model in sandbox): for a verb v within its sentence,
 
-- subj  = nearest NOUN/PROPN left of v that is not the object of a
-  preposition (the token immediately before it is not ADP); scanning
-  continues past other verbs and past PPs,
-- obj   = nearest NOUN/PROPN right of v before the next verb, not
-  ADP-preceded,
-- prep_obj = the noun immediately after the nearest pre-verbal ADP
-  (Chinese PPs precede their verb: "A 与 B 达成 X" -> prep_obj B).
+- noun phrases are walked as CHAINS: adjacent nouns, attributive
+  的-links (北京的人工智能公司) and quote-wrapped appositive names
+  (科技巨头“未来科技”) form one NP whose head is the rightmost
+  entity-mapped noun — the stand-in for the dep-tree head,
+- subj  = head of the nearest left NP chain not governed by a
+  preposition (chain start not ADP-preceded); a non-entity head is
+  kept as fallback while the scan continues looking for an
+  entity-headed NP; if the clause (bounded by 、，：) yields no entity
+  subject, the scan crosses the clause boundary accepting only
+  Person/Organization entities (long-distance nsubj recovery),
+- obj   = nearest right noun outside any PP, before the next verb or
+  clause punct; when the post-verbal region is one ADP-opened chain
+  running to the clause edge (开发基于X的Y), the chain's FINAL noun is
+  the object and earlier nouns stay prepositional,
+- prep_obj = head of the nearest pre-verbal ADP-governed NP chain
+  ("A 与 B 达成 X" -> B); if none, the post-verbal PP's
+  entity-preferred noun (宣布与...“未来科技”达成 -> 未来科技).
 
 All state is row-local: the output is a pure function of the input
 string, hence byte-stable under any Spark repartitioning.
@@ -52,6 +62,35 @@ from . import vocab as V
 
 _NOUNish = ("NOUN", "PROPN")
 _CLAUSE_PUNCT = set("，、：,;")
+_QUOTE_PUNCT = set("“”「」『』\"'‘’")
+
+
+def _np_chain(toks, sent_start: int, k: int, entity_map: dict):
+    """Walk left from the noun at ``k`` through one NP chain: adjacent
+    nouns, attributive 的-links, quote-wrapped appositive names.
+    Returns (chain_start, head): head = rightmost entity-mapped noun in
+    the chain (the dep head this shallow heuristic stands in for),
+    falling back to ``k`` itself."""
+    nouns = [k]
+    j = k - 1
+    while j >= sent_start:
+        t = toks[j]
+        prev_nounish = j - 1 >= sent_start and (
+            toks[j - 1].pos in _NOUNish
+            or (toks[j - 1].pos == "PUNCT" and toks[j - 1].text in _QUOTE_PUNCT)
+        )
+        if t.pos in _NOUNish:
+            nouns.append(j)
+            j -= 1
+        elif t.pos == "PART" and t.text == "的" and j - 1 >= sent_start \
+                and toks[j - 1].pos in _NOUNish:
+            j -= 1
+        elif t.pos == "PUNCT" and t.text in _QUOTE_PUNCT and prev_nounish:
+            j -= 1
+        else:
+            break
+    head = next((i for i in nouns if i in entity_map), k)
+    return j + 1, head
 
 
 def _model_entities(doc: Doc) -> list[tuple[int, int, str]]:
@@ -137,6 +176,13 @@ def extract_entities_relations(text: str) -> dict:
         for token_idx in range(s, e):
             entity_map[token_idx] = entity_id
 
+    # token -> canonical entity type (for the Person/Org-only
+    # long-distance subject recovery below)
+    ent_type_at: dict[int, str] = {}
+    for ent in entities:
+        for token_idx in range(ent["start"], ent["end"]):
+            ent_type_at[token_idx] = ent["type"]
+
     # E6/E7: verb-anchored relations via the shallow-dependency heuristic
     relations: list[dict] = []
     for sent in doc.sents:
@@ -145,35 +191,78 @@ def extract_entities_relations(text: str) -> dict:
             if tok.pos != "VERB" or tok.text in V.STOP_VERBS:
                 continue
             subj_i = obj_i = prep_i = None
-            # left scan: nearest non-PP noun = subj; nearest PP noun = prep_obj
-            # (scans stop at clause punctuation — commas bound the clause)
+            clause_stop = None
+            # left scan: nearest non-PP NP head = subj (entity-preferred),
+            # nearest ADP-governed NP head = prep_obj; NP chains walk
+            # 的-links and quoted appositives (科技巨头“未来科技”)
             k = v - 1
             while k >= sent.start:
                 t = toks[k]
                 if t.pos == "PUNCT" and t.text in _CLAUSE_PUNCT:
+                    clause_stop = k
                     break
                 if t.pos in _NOUNish:
-                    before = toks[k - 1] if k - 1 >= sent.start else None
+                    start, head = _np_chain(toks, sent.start, k, entity_map)
+                    before = toks[start - 1] if start - 1 >= sent.start else None
                     if before is not None and before.pos == "ADP":
                         if prep_i is None:
-                            prep_i = k
-                        k -= 2  # skip past the ADP
+                            prep_i = head
+                        k = start - 2  # skip past the ADP
                         continue
-                    subj_i = k
-                    break
+                    if head in entity_map:
+                        subj_i = head
+                        break
+                    if subj_i is None:
+                        subj_i = head  # fallback; keep looking for an entity NP
+                    k = start - 1
+                    continue
                 k -= 1
-            # right scan: nearest non-PP noun before the next verb = obj
+            # long-distance nsubj recovery: the clause had no entity
+            # subject (双方将共同投资…) — cross the clause boundary for
+            # the nearest Person/Organization entity (agents only;
+            # DATE/MONEY/GPE make no sense as recovered subjects)
+            if clause_stop is not None and (
+                subj_i is None or subj_i not in entity_map
+            ):
+                j = clause_stop - 1
+                while j >= sent.start:
+                    if toks[j].pos in _NOUNish and ent_type_at.get(j) in (
+                        "Person", "Organization"
+                    ):
+                        subj_i = j
+                        break
+                    j -= 1
+            # right scan: nearest noun OUTSIDE any PP = obj; an
+            # ADP-opened chain that runs to the clause edge yields its
+            # final noun as obj (开发基于X的Y); a chain cut off by the
+            # next verb stays fully prepositional (宣布与…“未来科技”达成)
+            pp_nouns: list[int] = []
+            pp_active = False
+            hit_verb = False
             k = v + 1
             while k < sent.end:
                 t = toks[k]
-                if t.pos == "VERB" or (t.pos == "PUNCT" and t.text in _CLAUSE_PUNCT):
+                if t.pos == "VERB":
+                    hit_verb = True
                     break
-                if t.pos in _NOUNish:
-                    before = toks[k - 1]
-                    if before.pos != "ADP":
+                if t.pos == "PUNCT" and t.text in _CLAUSE_PUNCT:
+                    break
+                if t.pos == "ADP":
+                    pp_active = True
+                elif t.pos in _NOUNish:
+                    if pp_active:
+                        pp_nouns.append(k)
+                    else:
                         obj_i = k
                         break
                 k += 1
+            if obj_i is None and pp_nouns and not hit_verb:
+                obj_i = pp_nouns.pop()
+            if prep_i is None and pp_nouns:
+                prep_i = next(
+                    (i for i in reversed(pp_nouns) if i in entity_map),
+                    pp_nouns[-1],
+                )
 
             rel_type = V.VERB_RELATION_MAP.get(tok.text, tok.text)
             if subj_i is not None and obj_i is not None:

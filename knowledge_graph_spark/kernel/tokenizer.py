@@ -151,10 +151,14 @@ _FUNCTION_TAGS = ("VERB", "ADP", "ADV", "DET", "CCONJ", "PART")
 def _has_interior_function_word(run: str) -> bool:
     """True if any interior position of a candidate name run starts a
     known function word (verb/adp/...) — such runs are clause fragments,
-    not names."""
+    not names. Exception: a SINGLE-char function word at index 1 is the
+    interior of a two-char stem (泰和数据实验室, 天和中心), not a
+    conjunction — 华星科技和蓝海集团 still splits (和 at index 4)."""
     for k in range(1, len(run)):
         m = _lexicon_match(run, k)
         if m and m[1] in _FUNCTION_TAGS:
+            if k == 1 and len(m[0]) == 1:
+                continue
             return True
     return False
 
@@ -311,6 +315,16 @@ def tokenize(text: str) -> Doc:
                 matched_name = name
                 break
         if matched_name:
+            # a LONGER org-suffix run beats the gazetteer abbreviation:
+            # “卓越能源” elsewhere must not truncate 卓越能源医院 here
+            run = _cjk_run(text, pos)
+            org = _org_run(run)
+            if org and len(org) > len(matched_name) \
+                    and not _has_interior_function_word(org):
+                emit(org, pos, "PROPN")
+                prev_text = org
+                pos += len(org)
+                continue
             emit(matched_name, pos, "PROPN", "ORG")
             prev_text = matched_name
             pos += len(matched_name)

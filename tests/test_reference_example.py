@@ -47,6 +47,18 @@ def test_reference_demo_structural_contract():
     ts = {(t["subj"], t["pred"], t["obj"]) for t in triples(r)}
     # mapped verb 开发 -> develop with entity endpoints
     assert ("深度智云", "develop", "智能客服系统") in ts
+    # round-2 fidelity gate (VERDICT r1 #5 / reference extractor.py:104-131):
+    # the 宣布/达成 SVO chain through the appositive+quote construction
+    # (科技巨头“未来科技” is the ADP-governed NP, 深度智云 the long-range
+    # subject past the 宣布 clause)
+    assert ("深度智云", "announce", "未来科技") in ts
+    assert ("深度智云", "reach", "未来科技") in ts
+    # the 投资 clause (双方将共同投资5亿元人民币): no entity subject in
+    # the clause, recovered across the comma to the Person 王建国
+    assert ("王建国", "invest", "5亿元人民币") in ts
+    # and the 建立 clause resolves both the object and the 在-PP
+    assert ("王建国", "建立", "联合研发中心") in ts
+    assert ("王建国", "建立", "深圳") in ts
     # stop verbs (是/表示/认为/强调) never produce SVO predicates
     preds = {t["pred"] for t in triples(r)}
     assert preds.isdisjoint({"是", "表示", "认为", "强调"})
