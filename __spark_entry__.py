@@ -59,7 +59,13 @@ def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         "text", "lang", "source", "n_chars",
     )
-    return docs.unionByName(clones)
+    # the bench corpus is ONE small parquet file (single row group ->
+    # single scan partition); spread the CPU-bound sketch work across
+    # cores. Production corpora arrive in thousands of file splits and
+    # never need this.
+    return docs.unionByName(clones).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
 
 
 _DOCS_DUP_SQL = (

@@ -18,19 +18,62 @@ Scale notes (the whole point):
 - every operator dedupes on *content hashes*, so the shuffles move
   64-bit keys, not document bodies; full texts are only re-joined when
   a caller asks for survivors.
-- LSH band keys are 64-bit hashes -> band self-joins are equi joins on
-  longs; oversized buckets (boilerplate-identical shingle sets) are
-  dropped by a skew guard before the join can go quadratic.
+- candidate pairs are generated INSIDE the bucket aggregation
+  (:func:`_bucket_pairs`): one groupBy collects each bucket's sorted id
+  list and a JVM ``transform``/``slice`` emits the triangular pairs —
+  no bucket self-join, no window pass, so an LSH stage costs exactly
+  one shuffle after the signature aggregate. Buckets above
+  ``max_bucket`` are dropped whole (the standard quadratic-blowup
+  guard; loss is confined to boilerplate clusters that are already
+  ambiguous). The collect is bounded by the same guard in expectation;
+  a degenerate corpus (10^6 byte-identical docs) should run
+  :func:`exact_duplicates` first — as every production dedup pipeline
+  does.
 - SimHash blocking splits the 64-bit fingerprint into 4 x 16-bit bands:
   any pair within Hamming distance 3 shares at least one exact band
-  (pigeonhole), so candidate generation is again an equi join.
+  (pigeonhole).
+- embedding LSH is BANDED (OR-of-bands of random hyperplanes) with the
+  rows-per-band chosen from the corpus size, so the bucket key space
+  GROWS with N instead of saturating (round-1 single-band construction
+  had 256 static buckets -> quadratic at 10^9 vectors).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+import math
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions.vectors import word_ngrams
+from ..functions.xxh64 import spark_xxhash64
+
+
+def _bucket_pairs(keyed: DataFrame, key_cols: list[str], max_bucket: int,
+                  payload: Column) -> DataFrame:
+    """(bucket keys, payload) -> distinct candidate pairs (a, b) with
+    a < b, generated inside ONE aggregation: per bucket, sort the
+    payloads and emit the strict upper triangle via JVM lambdas.
+    Buckets of size > max_bucket are dropped (skew guard) and size-1
+    buckets emit nothing."""
+    grouped = (
+        keyed.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list(payload)).alias("_ids"))
+        .filter((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket))
+    )
+    pairs = F.flatten(
+        F.transform(
+            "_ids",
+            lambda x, i: F.transform(
+                F.slice("_ids", i + F.lit(2), F.size("_ids")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
+        .distinct()
+    )
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -105,10 +148,10 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
 
     bands=8, rows=2 over 16 hashes: P(candidate | Jaccard s) =
-    1-(1-s^2)^8 — 0.96 at s=0.6, 0.04 at s=0.07. Buckets larger than
-    ``max_bucket`` (boilerplate clusters) are dropped before the
-    self-join — the standard quadratic-blowup guard; recall loss is
-    confined to blocks that are already ambiguous."""
+    1-(1-s^2)^8 — 0.96 at s=0.6, 0.04 at s=0.07. Pair generation is
+    in-aggregate (:func:`_bucket_pairs`): signature agg + bucket agg +
+    distinct = 3 shuffles total (round 1's window+self-join plan ran
+    26 exchanges)."""
     rows = num_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, n, num_hashes)
     band_cols = [
@@ -121,19 +164,9 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.h").alias("h"))
-
-    w = Window.partitionBy("band", "h")
-    banded = (
-        banded.withColumn("_n", F.count("*").over(w))
-        .filter(F.col("_n") <= max_bucket)
-        .drop("_n")
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(b, on=["band", "h"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
+    return _bucket_pairs(banded, ["band", "h"], max_bucket,
+                         F.col("doc_id")).withColumnsRenamed(
+        {"a": "id_a", "b": "id_b"}
     )
 
 
@@ -240,13 +273,15 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", n: int = 2,
-                            max_hamming: int = 3) -> DataFrame:
+                            max_hamming: int = 3,
+                            max_bucket: int = 256) -> DataFrame:
     """Pairs within Hamming distance ``max_hamming`` of 64-bit SimHash.
 
     Blocking: split the fingerprint into 4 x 16-bit bands; any pair at
-    distance <= 3 agrees on >= 1 band exactly (pigeonhole), so the
-    candidate join is an equi join on (band, 16 bits). Hamming distance
-    verified with bit_count(xor) — one JVM expression."""
+    distance <= 3 agrees on >= 1 band exactly (pigeonhole). Candidate
+    pairs come from the in-aggregate triangle (:func:`_bucket_pairs`,
+    payload carries the fingerprint so Hamming verification is a
+    row-local ``bit_count(xor)``) — no self-join, no window."""
     fps = simhash(docs, id_col, text_col, n)
     band_cols = [
         F.struct(F.lit(b).alias("band"),
@@ -257,15 +292,15 @@ def simhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
         "doc_id", "simhash", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", "simhash",
              F.col("bk.band").alias("band"), F.col("bk.bits").alias("bits"))
-    a, b = banded.alias("a"), banded.alias("b")
+    pairs = _bucket_pairs(
+        banded, ["band", "bits"], max_bucket,
+        F.struct(F.col("doc_id"), F.col("simhash")),
+    )
     return (
-        a.join(b, on=["band", "bits"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
+        pairs.select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
             F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
 
@@ -275,43 +310,95 @@ def simhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
+def lsh_rows_per_band(n_vectors: int, target_bucket: int = 64,
+                      min_rows: int = 4, max_rows: int = 24) -> int:
+    """Hyperplanes per band so the expected bucket size stays ~constant:
+    2^r buckets per band -> r = log2(N / target). The key space GROWS
+    with the corpus (10^9 vectors -> 2^24 buckets/band) instead of the
+    round-1 fixed 256."""
+    return min(max_rows, max(
+        min_rows, math.ceil(math.log2(max(n_vectors, 2) / target_bucket))
+    ))
+
+
+def hyperplanes(bands: int, rows_per_band: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random plane matrix (bands*rows planes x dim):
+    component j of plane p = xxhash64(p, j) scaled to [-1, 1]. Computed
+    driver-side with the pure-Python xxhash64 twin and shipped as ONE
+    array literal — executors do plain multiply-adds, no per-element
+    hashing (round 1 hashed dim*planes times per row)."""
+    return [
+        [spark_xxhash64(p, j) / 9.223372036854776e18 for j in range(dim)]
+        for p in range(bands * rows_per_band)
+    ]
+
+
 def embedding_near_duplicates(embeddings: DataFrame, id_col: str = "vec_id",
                               vec_col: str = "embedding",
                               threshold: float = 0.95,
-                              n_planes: int = 8) -> DataFrame:
-    """Vector near-duplicates: cosine >= threshold, blocked by
-    random-hyperplane LSH (sign of dot with ``n_planes`` seeded
-    pseudo-random planes -> one band key; near-identical vectors
-    collide with high probability).
+                              bands: int = 8, rows_per_band: int | None = None,
+                              max_bucket: int = 1024,
+                              n_vectors: int | None = None) -> DataFrame:
+    """Vector near-duplicates: cosine >= threshold, blocked by BANDED
+    random-hyperplane LSH — OR over ``bands`` bands of ``rows_per_band``
+    sign bits each, so a 0.999-cosine pair flipping one plane's sign
+    still collides in another band (round 1's single AND-band silently
+    missed it).
 
-    The plane test avoids materializing plane vectors: component j of
-    plane p uses the deterministic hash xxhash64(p, j) scaled to [-1,1].
-    Dot products via ``aggregate`` over zipped arrays — JVM-side."""
-    dim_expr = f"size({vec_col})"
-    sign_bits = []
-    for p in range(n_planes):
-        dot = F.expr(
-            f"aggregate(zip_with({vec_col}, sequence(0, {dim_expr}-1), "
-            f"(x, j) -> x * (cast(xxhash64({p}, j) as double) / 9.223372036854776e18)), "
-            f"cast(0.0 as double), (acc, y) -> acc + y)"
-        )
-        sign_bits.append(F.when(dot >= 0, 2 ** p).otherwise(0))
-    key = sign_bits[0]
-    for sb in sign_bits[1:]:
-        key = key + sb
-
+    Collision math: P(plane agrees) = 1 - theta/pi; P(pair survives) =
+    1 - (1 - p^r)^B — at r=8, B=8: 0.9998 for cosine 0.999, 0.89 for
+    0.95. ``rows_per_band`` defaults to log2(N/64): constant expected
+    bucket size at any corpus scale. Oversized buckets are dropped
+    (guard the round-1 version lacked), candidate pairs come from the
+    in-aggregate triangle, and only then are vectors re-joined for the
+    exact cosine verification — the bucket stage shuffles (band, bits,
+    id) triples, never vectors."""
     from ..functions.vectors import dot, norm
 
-    v = embeddings.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
-        key.alias("bucket"), norm(vec_col).alias("norm"),
+    if n_vectors is None:
+        n_vectors = embeddings.count()
+    if rows_per_band is None:
+        rows_per_band = lsh_rows_per_band(n_vectors)
+    first = embeddings.select(F.size(vec_col).alias("d")).first()
+    dim = first["d"] if first else 0
+    planes = F.lit(hyperplanes(bands, rows_per_band, dim))
+
+    # one pass: array<boolean> of all band*rows sign bits per vector
+    signs = F.transform(
+        planes,
+        lambda p: F.aggregate(
+            F.zip_with(F.col(vec_col), p, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        ) >= 0,
     )
-    a, b = v.alias("a"), v.alias("b")
-    cos = dot("a.vec", "b.vec") / (F.col("a.norm") * F.col("b.norm"))
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            sum(
+                (F.when(F.element_at("_signs", b * rows_per_band + r + 1),
+                        F.lit(2 ** r)).otherwise(F.lit(0))
+                 for r in range(rows_per_band)),
+                F.lit(0),
+            ).cast("long").alias("bits"),
+        )
+        for b in range(bands)
+    ]
+    banded = (
+        embeddings.select(F.col(id_col).alias("vid"), signs.alias("_signs"))
+        .select("vid", F.explode(F.array(*band_cols)).alias("bk"))
+        .select("vid", F.col("bk.band").alias("band"), F.col("bk.bits").alias("bits"))
+    )
+    pairs = _bucket_pairs(banded, ["band", "bits"], max_bucket, F.col("vid"))
+
+    v = embeddings.select(F.col(id_col).alias("vid"),
+                          F.col(vec_col).alias("vec"),
+                          norm(vec_col).alias("norm"))
+    cos = dot("va.vec", "vb.vec") / (F.col("va.norm") * F.col("vb.norm"))
     return (
-        a.join(b, on=F.col("a.bucket") == F.col("b.bucket"))
-        .filter(F.col("a.vid") < F.col("b.vid"))
-        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"),
+        pairs.join(v.alias("va"), pairs.a == F.col("va.vid"))
+        .join(v.alias("vb"), pairs.b == F.col("vb.vid"))
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"),
                 cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

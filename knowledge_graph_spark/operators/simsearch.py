@@ -62,15 +62,30 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
 
 def train_ivf_centroids(vectors: DataFrame, n_cells: int = 16,
                         n_iter: int = 5, vec_col: str = "embedding",
-                        id_col: str = "vec_id") -> DataFrame:
+                        id_col: str = "vec_id",
+                        sample_cap: int = 262_144) -> DataFrame:
     """Lloyd's k-means as DataFrame ops -> (cell_id, centroid).
 
-    Deterministic init: the n_cells vectors with smallest
-    xxhash64(id). Each iteration: assign (broadcast centroids,
-    argmin L2) then re-average per cell with one groupBy over
-    posexploded components. Empty cells keep their previous centroid."""
+    SAMPLE-trained (FAISS practice: the coarse quantizer learns from
+    ~256k vectors regardless of corpus size): rows whose
+    ``pmod(xxhash64(id), ceil(N/cap)) = 0`` form a deterministic
+    ~``sample_cap``-row training set, so a 10^9-vector corpus never
+    feeds Lloyd iterations (round 1 shuffled n·dim posexploded rows
+    per iteration — ~3·10^11 at scale).
+
+    Deterministic init: the n_cells training vectors with smallest
+    xxhash64(id). Each iteration: assign (broadcast centroids, argmin
+    L2), then re-average per cell with ONE groupBy of dim column-sums
+    (vector aggregate, no explode). Empty cells keep their previous
+    centroid."""
     v = vectors.select(F.col(id_col).alias("vec_id"),
                        F.col(vec_col).cast("array<double>").alias("vec"))
+    first = v.select(F.size("vec").alias("d")).first()
+    dim = first["d"] if first else 0
+    n = v.count()
+    if n > sample_cap:
+        k = -(-n // sample_cap)  # ceil
+        v = v.filter(F.pmod(F.xxhash64("vec_id"), F.lit(k)) == 0)
     cent = (
         v.withColumn("_h", F.xxhash64("vec_id"))
         .orderBy("_h").limit(n_cells)
@@ -79,14 +94,17 @@ def train_ivf_centroids(vectors: DataFrame, n_cells: int = 16,
             F.col("vec").alias("centroid"),
         )
     )
+    sums = [F.sum(F.col("vec")[j]).alias(f"s{j}") for j in range(dim)]
     for _ in range(n_iter):
         assigned = _assign_cells(v, cent)
         new_cent = (
-            assigned.select("cell_id", F.posexplode("vec").alias("j", "x"))
-            .groupBy("cell_id", "j").agg(F.avg("x").alias("m"))
-            .groupBy("cell_id")
-            .agg(F.array_sort(F.collect_list(F.struct("j", "m"))).alias("jm"))
-            .select("cell_id", F.col("jm.m").alias("centroid"))
+            assigned.groupBy("cell_id")
+            .agg(F.count("*").alias("_n"), *sums)
+            .select(
+                "cell_id",
+                F.array(*[F.col(f"s{j}") / F.col("_n") for j in range(dim)]
+                        ).alias("centroid"),
+            )
         )
         cent = (
             cent.select("cell_id", F.col("centroid").alias("old"))

@@ -265,3 +265,56 @@ def test_frame_sampling(spark):
     frames = M.sample_frames(media, every_n=24)
     assert frames.count() > 0
     assert frames.filter(F.col("frame_idx") % 24 != 0).count() == 0
+
+
+def test_embedding_lsh_recall_on_perturbed_vectors(spark, emb):
+    """Banded OR-of-bands construction (round-2 fix): a near-clone whose
+    perturbation flips SOME plane signs must still be found — the
+    round-1 single AND-band missed any pair differing in one sign."""
+    base = emb.limit(10).collect()
+    perturbed = [
+        (r["vec_id"] + 1_000_000,
+         [x * (1.004 if j % 7 == 0 else 1.0) + (0.003 if j % 5 == 0 else 0.0)
+          for j, x in enumerate(r["embedding"])],
+         r["label"])
+        for r in base
+    ]
+    allv = emb.unionByName(
+        spark.createDataFrame(perturbed,
+                              "vec_id long, embedding array<float>, label string")
+    )
+    pairs = D.embedding_near_duplicates(allv, threshold=0.995)
+    hits = pairs.filter((F.col("id_b") - F.col("id_a")) == 1_000_000).count()
+    assert hits >= 8, hits  # >= 80% recall on 10 planted near-clones
+
+
+def test_embedding_lsh_bucket_space_grows_with_corpus():
+    """The band-key space must scale with N (expected bucket size held
+    ~constant), not saturate at a fixed 256 buckets."""
+    r1k = D.lsh_rows_per_band(1_000)
+    r1m = D.lsh_rows_per_band(1_000_000)
+    r1b = D.lsh_rows_per_band(1_000_000_000)
+    assert r1k < r1m < r1b
+    assert 2 ** r1b >= 1_000_000_000 // 128  # ~constant expected bucket size
+
+
+def test_ivf_training_input_is_bounded(spark, emb):
+    """Sample-trained quantizer (round-2 fix): the training predicate
+    selects ~sample_cap rows regardless of corpus size, and training on
+    the sample still yields n_cells usable centroids."""
+    from knowledge_graph_spark.functions.xxh64 import spark_xxhash64
+
+    n = emb.count()
+    cap = 32
+    k = -(-n // cap)
+    picked = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(k)) == 0)
+    cnt = picked.count()
+    assert 0 < cnt <= 4 * cap  # bounded (hash-uniform, not exact)
+    # the predicate is the twin-reproducible deterministic sample
+    ids = {r["vec_id"] for r in picked.select("vec_id").collect()}
+    twin = {r["vec_id"] for r in emb.select("vec_id").collect()
+            if spark_xxhash64(("long", r["vec_id"])) % k == 0}
+    assert ids == twin
+    cent = S.train_ivf_centroids(emb, n_cells=8, n_iter=2, sample_cap=cap)
+    rows = cent.collect()
+    assert len(rows) == 8 and all(len(r["centroid"]) > 0 for r in rows)
