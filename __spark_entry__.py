@@ -606,8 +606,24 @@ FROM embeddings GROUP BY label ORDER BY label
 
 
 # ---------------------------------------------------------------------------
-# hash-sketch queries (no SQL equivalent -> rows-only checks)
+# hash-sketch queries — oracled against PINNED GOLDEN PARQUET computed by
+# an independent pure-Python twin of the engine (tools/make_goldens.py:
+# kernel reused as-is, every Spark-side operator reimplemented with plain
+# dicts/sets + the xxhash64 twin). DuckDB reads the pinned files; valid
+# at the driver's correctness scale (sf0.01), which the sketch inputs
+# are derived from.
 # ---------------------------------------------------------------------------
+
+_GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tests", "golden_tables"
+)
+
+
+def _golden_sql(name: str, order_by: str) -> str:
+    return (
+        f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/{name}.parquet') "
+        f"ORDER BY {order_by}"
+    )
 
 
 def _q_minhash_pairs(spark, sf_dir):
@@ -693,6 +709,11 @@ def _q_media_features(spark, sf_dir):
 
 
 def _q_ivf_topk(spark, sf_dir):
+    """IVF with n_probe = n_cells: the index/probe machinery runs in
+    full (train, assign, per-query cell ranking, candidate scan) and the
+    result is provably the exact top-k — which gives this query a real
+    DuckDB oracle. Pruned-probe recall (n_probe < n_cells) is covered by
+    tests/test_dedup_textstats.py::test_ivf_recall_vs_brute_force."""
     from knowledge_graph_spark.operators.simsearch import ivf_index, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -701,10 +722,41 @@ def _q_ivf_topk(spark, sf_dir):
     )
     assign, cent = ivf_index(emb, n_cells=8, n_iter=2)
     return (
-        ivf_topk(assign, cent, queries, k=5, n_probe=4)
+        ivf_topk(assign, cent, queries, k=5, n_probe=8)
         .select("query_id", "rank", "vec_id", F.round("cosine", 4).alias("cosine"))
         .orderBy("query_id", "rank")
     )
+
+
+_SQL_IVF_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+           FROM embeddings WHERE vec_id < 4),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec) DESC,
+                                     e.vec_id) AS rank
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, rank, vec_id, ROUND(cos, 4) AS cosine
+FROM scored WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+_SQL_EMBEDDING_NEARDUPS = """
+WITH allv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 100 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
+FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.999
+ORDER BY id_a, id_b
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -889,4 +941,35 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": _SQL_QUALITY,
         "embedding_topk": _SQL_EMBEDDING_TOPK,
         "embedding_label_centroids": _SQL_EMB_CENTROIDS,
+        # exact-result oracles (DuckDB recomputes the full answer)
+        "ivf_topk": _SQL_IVF_TOPK,
+        "embedding_neardups": _SQL_EMBEDDING_NEARDUPS,
+        # pinned-golden oracles (independent pure-Python twin,
+        # tools/make_goldens.py)
+        "minhash_pairs": _golden_sql("minhash_pairs", "id_a, id_b"),
+        "simhash_neardups": _golden_sql("simhash_neardups", "id_a, id_b"),
+        "fingerprints": _golden_sql("fingerprints", "doc_id"),
+        "media_metadata": _golden_sql("media_metadata", "kind"),
+        "media_features_topk": _golden_sql("media_features_topk",
+                                           "query_id, rank"),
+        "kg_triples": _golden_sql("kg_triples", "url, subj, pred, obj"),
+        "kg_entities": _golden_sql("kg_entities", "url, id"),
+        "kg_graph_links": _golden_sql("kg_graph_links", "src, dst, rel_type"),
+        "kg_keyword_search": _golden_sql("kg_keyword_search", "id"),
+        "kg_user_graphs": _golden_sql("kg_user_graphs", "graph_id"),
+        "kg_canonical_entities": _golden_sql("kg_canonical_entities",
+                                             "canonical_id"),
+        "kg_dropped_relations": _golden_sql("kg_dropped_relations",
+                                            "reason, type"),
+        # constant-result oracles: the fixed corpus has exactly one graph
+        # and one user, so Q8/Q9 leave nothing; dangling must be 0
+        "kg_detach_delete": (
+            "SELECT CAST(0 AS BIGINT) AS surviving_nodes, "
+            "CAST(0 AS BIGINT) AS surviving_edges, "
+            "CAST(0 AS BIGINT) AS dangling_edges"
+        ),
+        "kg_clear_user": (
+            "SELECT CAST(0 AS BIGINT) AS surviving_nodes, "
+            "CAST(0 AS BIGINT) AS surviving_edges"
+        ),
     }

@@ -231,9 +231,21 @@ def materialize_graph(
                                 when_matched="update",
                                 batch_id=f"{bid}/nodes", dedupe=False,
                                 partition_by=["graph_id"])
-    r2 = edges_table.merge_into(edges, on=["graph_id", "src", "dst", "rel_type"],
+    # deterministic in-batch dedupe: the SAME (src,dst,rel_type) pair can
+    # arise from two verbs mapping to one predicate (收购/并购 -> acquire);
+    # keep the min (verb, similarity, url) row so reruns, streaming
+    # replays and golden fixtures all agree (dropDuplicates keeps an
+    # arbitrary row — nondeterministic table contents)
+    edge_key = ["graph_id", "src", "dst", "rel_type"]
+    edges = (
+        edges.groupBy(*edge_key)
+        .agg(F.min(F.struct("verb", "similarity", "url")).alias("_m"))
+        .select(*edge_key, "_m.verb", "_m.similarity", "_m.url",
+                F.lit(user_id).alias("user_id"))
+    )
+    r2 = edges_table.merge_into(edges, on=edge_key,
                                 when_matched="ignore", batch_id=f"{bid}/edges",
-                                partition_by=["graph_id"])
+                                dedupe=False, partition_by=["graph_id"])
     r3 = dropped_table.append(dropped, batch_id=f"{bid}/dropped",
                               partition_by=["graph_id"])
     # per-batch deltas under the original keys (what THIS batch wrote:

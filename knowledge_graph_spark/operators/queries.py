@@ -62,14 +62,17 @@ def query_graph(spark, nodes: DataFrame, edges: DataFrame, graph_id: str) -> dic
     links_df = graph_links(nodes, edges, graph_id)
     link_rows = links_df.collect()
 
+    # full node payloads (ALL props incl. user_id — reference spreads the
+    # whole node dict, kg_writer.py:96-110); one small per-graph collect
+    node_rows = (
+        nodes.filter(F.col("graph_id") == graph_id)
+        .dropDuplicates(["id"]).collect()
+    )
+    payload = {r["id"]: r.asDict() for r in node_rows}
+
     if not link_rows:
-        node_rows = (
-            nodes.filter(F.col("graph_id") == graph_id)
-            .dropDuplicates(["id"]).collect()
-        )
         out_nodes = {}
-        for r in node_rows:
-            d = r.asDict()
+        for d in payload.values():
             out_nodes[d.get("id") or d.get("name")] = d
         return {"nodes": list(out_nodes.values()), "links": []}
 
@@ -78,10 +81,14 @@ def query_graph(spark, nodes: DataFrame, edges: DataFrame, graph_id: str) -> dic
     for r in link_rows:
         d = r.asDict()
         a_id, b_id = d["src"], d["dst"]
-        out_nodes[a_id] = {"id": a_id, "name": d["src_name"], "type": d["src_type"],
-                           "graph_id": graph_id}
-        out_nodes[b_id] = {"id": b_id, "name": d["dst_name"], "type": d["dst_type"],
-                           "graph_id": graph_id}
+        out_nodes[a_id] = payload.get(a_id) or {
+            "id": a_id, "name": d["src_name"], "type": d["src_type"],
+            "graph_id": graph_id,
+        }
+        out_nodes[b_id] = payload.get(b_id) or {
+            "id": b_id, "name": d["dst_name"], "type": d["dst_type"],
+            "graph_id": graph_id,
+        }
         links.append({
             "source": a_id, "target": b_id, "type": d["rel_type"],
             "label": d["label"], "verb": d["verb"], "similarity": d["similarity"],

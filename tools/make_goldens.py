@@ -1,0 +1,558 @@
+# -*- coding: utf-8 -*-
+"""Golden-table generator: a pure-Python, Spark-free twin of the engine.
+
+Regenerates ``tests/golden_tables/*.parquet`` — the oracle side of the
+driver's correctness gate for queries whose semantics DuckDB SQL cannot
+express (hash sketches, the KG construction pipeline). The twin
+recomputes every value with plain Python:
+
+- the extraction kernel is reused directly (it is already pure Python —
+  the SPARK side wraps it in Arrow UDFs, which is exactly the layer
+  under test),
+- every Spark-side operator (graph build, MERGE dedupe, MinHash/SimHash
+  sketches, LSH banding, entity linking, connected components) is
+  REIMPLEMENTED here with plain dicts/sets plus the pure-Python
+  xxhash64 twin (functions/xxh64.py, verified bit-equal to Spark).
+
+So a hash-match in CORRECTNESS_r{N}.json means: the distributed plan
+computes the same values as an independent single-threaded
+implementation of the same spec.
+
+Usage:
+    python tools/make_goldens.py            # writes tests/golden_tables/
+    python tools/make_goldens.py --sf-dir /root/testdata/sf0.01
+
+Regenerate CONSCIOUSLY after any kernel or sketch-parameter change
+(same policy as tests/golden_triples.json).
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import math
+import os
+import sys
+import unicodedata
+from collections import defaultdict
+from decimal import ROUND_HALF_UP, Decimal
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from knowledge_graph_spark.functions.xxh64 import spark_xxhash64
+from knowledge_graph_spark.kernel.extractor import extract_entities_relations
+from knowledge_graph_spark.kernel.html2text import html_to_text
+from knowledge_graph_spark.sources.pages import page_row
+
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "tests", "golden_tables")
+
+KG_PAGES = 300            # __spark_entry__._KG_PAGES
+GRAPH_ID = "graph_fixed"  # __spark_entry__._KG_GRAPH_ID
+USER_ID = "user_001"
+
+
+# ---------------------------------------------------------------------------
+# small twins of JVM-side expressions
+# ---------------------------------------------------------------------------
+
+
+def hex_u64(v: int) -> str:
+    """Spark F.hex(long): uppercase hex of the unsigned 64-bit value."""
+    return format(v & 0xFFFFFFFFFFFFFFFF, "X")
+
+
+def round_half_up(x: float, digits: int) -> float:
+    """Spark ROUND: BigDecimal.valueOf(x).setScale(d, HALF_UP).
+    repr(x) == Double.toString(x) (shortest round-trip repr)."""
+    return float(Decimal(repr(x)).quantize(Decimal(1).scaleb(-digits),
+                                           rounding=ROUND_HALF_UP))
+
+
+def word_tokens(text: str) -> list[str]:
+    """Twin of functions/vectors.word_tokens: lowercase, split on runs
+    of non-letter/non-digit (java regex [^\\p{L}\\p{N}]+)."""
+    out, cur = [], []
+    for ch in text.lower():
+        if unicodedata.category(ch)[0] in ("L", "N"):
+            cur.append(ch)
+        else:
+            if cur:
+                out.append("".join(cur))
+            cur = []
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def word_ngrams(text: str, n: int) -> list[str]:
+    w = word_tokens(text)
+    if len(w) >= n:
+        return [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+    return [" ".join(w)]
+
+
+def char_bigrams(s: str) -> list[str]:
+    return [s[i:i + 2] for i in range(len(s) - 1)] if len(s) >= 2 else [s]
+
+
+def xxh_str(s: str, *ints: int) -> int:
+    return spark_xxhash64(s, *ints)
+
+
+# ---------------------------------------------------------------------------
+# documents corpus (sf0.01) for the sketch goldens
+# ---------------------------------------------------------------------------
+
+
+def load_documents(sf_dir: str) -> list[dict]:
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    docs = [{"doc_id": d, "text": t}
+            for d, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())]
+    # __spark_entry__._docs_with_dups: doc_id % 50 == 0 cloned at +1M
+    clones = [{"doc_id": d["doc_id"] + 1_000_000, "text": d["text"]}
+              for d in docs if d["doc_id"] % 50 == 0]
+    return docs + clones
+
+
+def golden_minhash_pairs(docs: list[dict], n: int = 3, num_hashes: int = 16,
+                         bands: int = 8, max_bucket: int = 256) -> list[dict]:
+    rows_per = num_hashes // bands
+    buckets: dict[tuple, list[int]] = defaultdict(list)
+    for d in docs:
+        shingles = set(word_ngrams(d["text"], n))
+        mh = [min(xxh_str(s, k) for s in shingles) for k in range(num_hashes)]
+        for b in range(bands):
+            h = spark_xxhash64(
+                *[("long", mh[b * rows_per + r]) for r in range(rows_per)]
+            )
+            buckets[(b, h)].append(d["doc_id"])
+    pairs = set()
+    for ids in buckets.values():
+        if 2 <= len(ids) <= max_bucket:
+            ids = sorted(ids)
+            for i, a in enumerate(ids):
+                for b_ in ids[i + 1:]:
+                    pairs.add((a, b_))
+    return [{"id_a": a, "id_b": b} for a, b in sorted(pairs)]
+
+
+def simhash64(text: str, n: int = 2) -> int:
+    shingles = word_ngrams(text, n)  # NOT distinct (shingle_table explodes
+    # array_distinct -> actually distinct; keep identical to Spark:
+    shingles = sorted(set(shingles))
+    hs = [spark_xxhash64(s) & 0xFFFFFFFFFFFFFFFF for s in shingles]
+    cnt = len(hs)
+    fp = 0
+    for bit in range(64):
+        ones = sum((h >> bit) & 1 for h in hs)
+        if ones * 2 > cnt:
+            fp |= 1 << bit
+    return fp  # unsigned
+
+
+def to_signed(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def golden_simhash_pairs(docs: list[dict], max_hamming: int = 3,
+                         max_bucket: int = 256) -> list[dict]:
+    fps = {d["doc_id"]: simhash64(d["text"]) for d in docs}
+    buckets: dict[tuple, list[int]] = defaultdict(list)
+    for did, fp in fps.items():
+        for b in range(4):
+            buckets[(b, (fp >> (16 * b)) & 0xFFFF)].append(did)
+    pairs = set()
+    for ids in buckets.values():
+        if 2 <= len(ids) <= max_bucket:
+            ids = sorted(ids)
+            for i, a in enumerate(ids):
+                for b_ in ids[i + 1:]:
+                    ham = bin(fps[a] ^ fps[b_]).count("1")
+                    if ham <= max_hamming:
+                        pairs.add((a, b_, ham))
+    return [{"id_a": a, "id_b": b, "hamming": h} for a, b, h in sorted(pairs)]
+
+
+def golden_fingerprints(sf_dir: str, window: int = 64,
+                        stride: int = 32) -> list[dict]:
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    out = []
+    for did, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        subs = [text[i:i + window]
+                for i in range(0, max(len(text) - window, 0) + 1, stride)]
+        fp = min(spark_xxhash64(s) for s in subs)
+        out.append({
+            "doc_id": did,
+            "content_hash": hashlib.sha256(text.encode("utf-8")).hexdigest(),
+            "fingerprint": fp,
+        })
+    return sorted(out, key=lambda r: r["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# multimodal goldens (twin drives the same pure decode kernels row-by-row;
+# the Spark side under test is the Arrow batching / schema plumbing)
+# ---------------------------------------------------------------------------
+
+
+def _synthetic_media(n: int, seed: int = 7) -> list[dict]:
+    import struct
+
+    kinds = ["image", "audio", "video"]
+    out = []
+    for i in range(n):
+        payload = hashlib.blake2b(
+            struct.pack("<qq", seed, i), digest_size=32
+        ).digest() * (1 + i % 4)
+        out.append({"media_id": i, "kind": kinds[i % 3], "payload": payload})
+    return out
+
+
+def golden_media_metadata() -> list[dict]:
+    from knowledge_graph_spark.operators.multimodal import _decode_one
+
+    agg: dict[str, dict] = {}
+    for m in _synthetic_media(90):
+        meta = _decode_one(m["payload"], m["kind"])
+        a = agg.setdefault(m["kind"], {"n_items": 0, "n_ok": 0,
+                                       "max_width": 0, "max_sample_rate": 0})
+        a["n_items"] += 1
+        a["n_ok"] += 1
+        a["max_width"] = max(a["max_width"], meta["width"])
+        a["max_sample_rate"] = max(a["max_sample_rate"], meta["sample_rate"])
+    return [{"kind": k, **v} for k, v in sorted(agg.items())]
+
+
+def golden_media_features_topk(k: int = 3) -> list[dict]:
+    import numpy as np
+
+    from knowledge_graph_spark.operators.multimodal import FEATURE_DIM
+    import struct as _s
+
+    def feature(payload: bytes) -> list[float]:
+        seed = hashlib.blake2b(payload, digest_size=32).digest()
+        raw = b"".join(
+            hashlib.blake2b(seed + _s.pack("<I", c), digest_size=64).digest()
+            for c in range((FEATURE_DIM * 4 + 63) // 64)
+        )[: FEATURE_DIM * 4]
+        v = np.frombuffer(raw, dtype="<u4").astype(np.float64)
+        v = (v / 2 ** 32) * 2 - 1
+        v = v / (np.linalg.norm(v) or 1.0)
+        return v.astype(np.float32).tolist()
+
+    media = _synthetic_media(60)
+    feats = {m["media_id"]: feature(m["payload"]) for m in media}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    def norm(a):
+        acc = 0.0
+        for x in a:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
+    out = []
+    for qid in (0, 1, 2):
+        qv = feats[qid]
+        scored = sorted(
+            ((dot(v, qv) / (norm(v) * norm(qv)), mid)
+             for mid, v in feats.items()),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (cos, mid) in enumerate(scored[:k], 1):
+            out.append({"query_id": qid, "rank": rank, "media_id": mid,
+                        "cosine": round_half_up(cos, 4)})
+    return out
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline twin
+# ---------------------------------------------------------------------------
+
+
+def extract_corpus() -> list[dict]:
+    """page -> {url, text, entities, relations} via the pure kernel."""
+    out = []
+    for i in range(KG_PAGES):
+        p = page_row(i)
+        text = p["text"] if p["text"] is not None else html_to_text(p["html"])
+        r = extract_entities_relations(text)
+        out.append({"url": p["url"], "text": text, **r})
+    return out
+
+
+def sanitize_rel(t: str):
+    t = t.replace("-", "_")
+    if t and all(c.isascii() and (c.isalnum() or c == "_") for c in t):
+        return t.upper()
+    return None
+
+
+def build_graph(corpus: list[dict]):
+    """Twin of graph_build.build_graph_tables + the deterministic edge
+    dedupe in materialize_graph."""
+    nodes, edges_raw, dropped = [], [], []
+    for doc in corpus:
+        uhex = hex_u64(spark_xxhash64(doc["url"]))
+        ids = {e["id"] for e in doc["entities"]}
+        for e in doc["entities"]:
+            nodes.append({
+                "graph_id": GRAPH_ID, "user_id": USER_ID,
+                "id": f"{uhex}:{e['id']}", "name": e["name"],
+                "type": e["type"], "url": doc["url"],
+                "canonical_id": e["name"],  # overwritten by linking below
+            })
+        for r in doc["relations"]:
+            rel = sanitize_rel(r["type"])
+            ok = r["source"] in ids and r["target"] in ids
+            row = {
+                "url": doc["url"], "src": f"{uhex}:{r['source']}",
+                "dst": f"{uhex}:{r['target']}", "type": r["type"],
+                "rel_type": rel, "verb": r["verb"],
+                "similarity": float(r.get("similarity") or 0.0),
+            }
+            if ok and rel is not None:
+                edges_raw.append(row)
+            else:
+                row2 = dict(row)
+                row2["reason"] = "missing_endpoint" if not ok else "invalid_type"
+                dropped.append(row2)
+    # deterministic per-key dedupe: min (verb, similarity, url)
+    best: dict[tuple, tuple] = {}
+    for e in edges_raw:
+        key = (GRAPH_ID, e["src"], e["dst"], e["rel_type"])
+        val = (e["verb"], e["similarity"], e["url"])
+        if key not in best or val < best[key]:
+            best[key] = val
+    edges = [
+        {"graph_id": k[0], "src": k[1], "dst": k[2], "rel_type": k[3],
+         "verb": v[0], "similarity": v[1], "url": v[2], "user_id": USER_ID}
+        for k, v in best.items()
+    ]
+    return nodes, edges, dropped
+
+
+# ---- entity linking twin (operators/linking.py) ---------------------------
+
+N_HASHES, BANDS, MAX_BUCKET = 16, 8, 64
+
+
+def candidate_pairs(names: list[str]) -> set[tuple[str, str]]:
+    buckets: dict[int, list[str]] = defaultdict(list)
+    for name in names:
+        sh = char_bigrams(name)
+        mh = [min(spark_xxhash64(g, k) for g in sh) for k in range(N_HASHES)]
+        for b in range(BANDS):
+            key = spark_xxhash64(b, ("long", mh[2 * b]), ("long", mh[2 * b + 1]))
+            buckets[key].append(name)
+    pairs = set()
+    for members in buckets.values():
+        if len(members) <= MAX_BUCKET:
+            ms = sorted(set(members))
+            for i, a in enumerate(ms):
+                for b_ in ms[i + 1:]:
+                    pairs.add((a, b_))
+    return pairs
+
+
+def same_as_pairs(names: list[str], threshold: float = 0.9) -> set[tuple[str, str]]:
+    distinct = sorted(set(names))
+    n_names = len(distinct)
+    grams = {name: sorted(set(char_bigrams(name))) for name in distinct}
+    df: dict[str, int] = defaultdict(int)
+    for gs in grams.values():
+        for g in gs:
+            df[g] += 1
+    idf = {g: math.log(1.0 + n_names / c) for g, c in df.items()}
+    norms = {
+        name: math.sqrt(sum(idf[g] * idf[g] for g in gs))
+        for name, gs in grams.items()
+    }
+    out = set()
+    for a, b in candidate_pairs(distinct):
+        shared = set(grams[a]) & set(grams[b])
+        dot = sum(idf[g] * idf[g] for g in shared)
+        score = dot / (norms[a] * norms[b]) if norms[a] and norms[b] else 0.0
+        if abs(score - threshold) < 1e-9:
+            print(f"  WARNING: borderline linking score {score!r} for {a}/{b}")
+        prefix = len(a) >= 3 and (b.startswith(a) or a.startswith(b))
+        if score >= threshold or prefix:
+            out.add((a, b))
+    return out
+
+
+def canonical_mapping(pairs: set[tuple[str, str]]) -> dict[str, str]:
+    parent: dict[str, str] = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp: dict[str, list[str]] = defaultdict(list)
+    for name in parent:
+        comp[find(name)].append(name)
+    mapping = {}
+    for members in comp.values():
+        rep = min(members, key=lambda s: (len(s), s))
+        for m in members:
+            mapping[m] = rep
+    return mapping
+
+
+# ---------------------------------------------------------------------------
+# writers
+# ---------------------------------------------------------------------------
+
+
+def write(name: str, rows: list[dict], schema: pa.Schema) -> None:
+    os.makedirs(OUT_DIR, exist_ok=True)
+    path = os.path.join(OUT_DIR, f"{name}.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), path)
+    print(f"  wrote {name}.parquet: {len(rows)} rows")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                    help="documents/embeddings scale used by the driver gate")
+    args = ap.parse_args()
+
+    print("sketch goldens (sf0.01 documents corpus)...")
+    docs = load_documents(args.sf_dir)
+    write("minhash_pairs", golden_minhash_pairs(docs), pa.schema([
+        ("id_a", pa.int64()), ("id_b", pa.int64())]))
+    write("simhash_neardups", golden_simhash_pairs(docs), pa.schema([
+        ("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int32())]))
+    write("fingerprints", golden_fingerprints(args.sf_dir), pa.schema([
+        ("doc_id", pa.int64()), ("content_hash", pa.string()),
+        ("fingerprint", pa.int64())]))
+
+    print("media goldens...")
+    write("media_metadata", golden_media_metadata(), pa.schema([
+        ("kind", pa.string()), ("n_items", pa.int64()), ("n_ok", pa.int64()),
+        ("max_width", pa.int32()), ("max_sample_rate", pa.int32())]))
+    write("media_features_topk", golden_media_features_topk(), pa.schema([
+        ("query_id", pa.int64()), ("rank", pa.int32()),
+        ("media_id", pa.int64()), ("cosine", pa.float64())]))
+
+    print("KG pipeline twin (300 pages)...")
+    corpus = extract_corpus()
+
+    triples = []
+    for doc in corpus:
+        by_id = {e["id"]: e["name"] for e in doc["entities"]}
+        for r in doc["relations"]:
+            s, o = by_id.get(r["source"]), by_id.get(r["target"])
+            if s and o:
+                triples.append({"url": doc["url"], "subj": s,
+                                "pred": r["type"], "obj": o})
+    triples.sort(key=lambda d: (d["url"], d["subj"], d["pred"], d["obj"]))
+    write("kg_triples", triples, pa.schema([
+        ("url", pa.string()), ("subj", pa.string()),
+        ("pred", pa.string()), ("obj", pa.string())]))
+
+    ents = [
+        {"url": doc["url"], "id": e["id"], "name": e["name"],
+         "type": e["type"], "start": e["start"], "end": e["end"]}
+        for doc in corpus for e in doc["entities"]
+    ]
+    ents.sort(key=lambda d: (d["url"], d["id"]))
+    write("kg_entities", ents, pa.schema([
+        ("url", pa.string()), ("id", pa.string()), ("name", pa.string()),
+        ("type", pa.string()), ("start", pa.int32()), ("end", pa.int32())]))
+
+    nodes, edges, dropped = build_graph(corpus)
+
+    print("  linking twin...")
+    mapping = canonical_mapping(same_as_pairs([n["name"] for n in nodes]))
+    for n_ in nodes:
+        n_["canonical_id"] = mapping.get(n_["name"], n_["name"])
+
+    # kg_graph_links: edges joined to node payloads (one row per link)
+    by_id = {}
+    for n_ in nodes:
+        by_id.setdefault(n_["id"], n_)  # dropDuplicates(["id"]) keeps one
+    links = []
+    for e in edges:
+        a, b = by_id.get(e["src"]), by_id.get(e["dst"])
+        if a is None or b is None:
+            continue
+        links.append({
+            "src": e["src"], "dst": e["dst"], "rel_type": e["rel_type"],
+            "verb": e["verb"], "similarity": e["similarity"],
+            "src_name": a["name"], "src_type": a["type"],
+            "dst_name": b["name"], "dst_type": b["type"],
+            "label": e["verb"] if e["verb"] != "" else e["rel_type"],
+        })
+    links.sort(key=lambda d: (d["src"], d["dst"], d["rel_type"]))
+    write("kg_graph_links", links, pa.schema([
+        ("src", pa.string()), ("dst", pa.string()), ("rel_type", pa.string()),
+        ("verb", pa.string()), ("similarity", pa.float64()),
+        ("src_name", pa.string()), ("src_type", pa.string()),
+        ("dst_name", pa.string()), ("dst_type", pa.string()),
+        ("label", pa.string())]))
+
+    kw = sorted(
+        ({"graph_id": n_["graph_id"], "id": n_["id"], "name": n_["name"],
+          "type": n_["type"]}
+         for n_ in nodes if "公司" in n_["name"]),
+        key=lambda d: d["id"],
+    )
+    write("kg_keyword_search", kw, pa.schema([
+        ("graph_id", pa.string()), ("id", pa.string()),
+        ("name", pa.string()), ("type", pa.string())]))
+
+    write("kg_user_graphs",
+          [{"graph_id": GRAPH_ID, "n_nodes": len(nodes), "n_links": len(edges)}],
+          pa.schema([("graph_id", pa.string()), ("n_nodes", pa.int64()),
+                     ("n_links", pa.int64())]))
+
+    canon: dict[str, dict] = {}
+    for n_ in nodes:
+        c = canon.setdefault(n_["canonical_id"], {"names": set(), "n": 0})
+        c["names"].add(n_["name"])
+        c["n"] += 1
+    canon_rows = sorted(
+        ({"canonical_id": k, "n_surface_forms": len(v["names"]),
+          "n_mentions": v["n"]}
+         for k, v in canon.items() if len(v["names"]) > 1),
+        key=lambda d: d["canonical_id"],
+    )
+    write("kg_canonical_entities", canon_rows, pa.schema([
+        ("canonical_id", pa.string()), ("n_surface_forms", pa.int64()),
+        ("n_mentions", pa.int64())]))
+
+    drop_agg: dict[tuple, int] = defaultdict(int)
+    for d in dropped:
+        drop_agg[(d["reason"], d["type"])] += 1
+    drop_rows = sorted(
+        ({"reason": k[0], "type": k[1], "n_dropped": v}
+         for k, v in drop_agg.items()),
+        key=lambda d: (d["reason"], d["type"]),
+    )
+    write("kg_dropped_relations", drop_rows, pa.schema([
+        ("reason", pa.string()), ("type", pa.string()),
+        ("n_dropped", pa.int64())]))
+
+    print("done:", OUT_DIR)
+
+
+if __name__ == "__main__":
+    main()
