@@ -310,12 +310,15 @@ def simhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
-def lsh_rows_per_band(n_vectors: int, target_bucket: int = 64,
-                      min_rows: int = 4, max_rows: int = 24) -> int:
-    """Hyperplanes per band so the expected bucket size stays ~constant:
-    2^r buckets per band -> r = log2(N / target). The key space GROWS
-    with the corpus (10^9 vectors -> 2^24 buckets/band) instead of the
-    round-1 fixed 256."""
+def lsh_rows_per_band(n_vectors: int, target_bucket: int = 4,
+                      min_rows: int = 4, max_rows: int = 32) -> int:
+    """Hyperplanes per band so the expected bucket size stays ~constant
+    and SMALL: 2^r buckets per band -> r = log2(N / target). Near-dup
+    blocking wants ~4 rows/bucket — candidate volume is then
+    ~N * target/2 * bands (linear in N); a 64-row target measured 500k
+    candidate pairs on a 2k corpus. The key space GROWS with the corpus
+    (10^9 vectors -> 2^28 buckets/band) instead of the round-1 fixed
+    256; identical clones collide in every band regardless of r."""
     return min(max_rows, max(
         min_rows, math.ceil(math.log2(max(n_vectors, 2) / target_bucket))
     ))
@@ -361,33 +364,37 @@ def embedding_near_duplicates(embeddings: DataFrame, id_col: str = "vec_id",
         rows_per_band = lsh_rows_per_band(n_vectors)
     first = embeddings.select(F.size(vec_col).alias("d")).first()
     dim = first["d"] if first else 0
-    planes = F.lit(hyperplanes(bands, rows_per_band, dim))
 
-    # one pass: array<boolean> of all band*rows sign bits per vector
-    signs = F.transform(
-        planes,
-        lambda p: F.aggregate(
-            F.zip_with(F.col(vec_col), p, lambda x, w: x.cast("double") * w),
-            F.lit(0.0),
-            lambda acc, y: acc + y,
-        ) >= 0,
-    )
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            sum(
-                (F.when(F.element_at("_signs", b * rows_per_band + r + 1),
-                        F.lit(2 ** r)).otherwise(F.lit(0))
-                 for r in range(rows_per_band)),
-                F.lit(0),
-            ).cast("long").alias("bits"),
-        )
-        for b in range(bands)
-    ]
+    # band signatures via an Arrow-vectorized pandas UDF: the sign bits
+    # are one (batch x dim) @ (dim x planes) BLAS matmul per Arrow
+    # batch — the measured JVM alternative (nested higher-order
+    # functions, interpreted, never codegen'd) costs ~1 ms/row. This is
+    # the sanctioned Python crossing: vectorized, no per-row work. The
+    # exact-cosine verification below stays JVM-side.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    planes = np.array(hyperplanes(bands, rows_per_band, dim), dtype=np.float64)
+    r = rows_per_band
+    weights = (np.int64(1) << np.arange(r, dtype=np.int64))
+
+    def _band_bits(vecs: "pd.Series") -> "pd.Series":
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        signs = (m @ planes.T) >= 0  # (n, bands*r)
+        cols = [signs[:, b * r:(b + 1) * r] @ weights for b in range(bands)]
+        return pd.Series(list(np.stack(cols, axis=1)))
+
+    # explicit Series->Series annotations (this module uses
+    # `from __future__ import annotations`, which stringifies hints and
+    # defeats pandas_udf's inference)
+    _band_bits.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    band_bits = pandas_udf(_band_bits, "array<long>")
+
     banded = (
-        embeddings.select(F.col(id_col).alias("vid"), signs.alias("_signs"))
-        .select("vid", F.explode(F.array(*band_cols)).alias("bk"))
-        .select("vid", F.col("bk.band").alias("band"), F.col("bk.bits").alias("bits"))
+        embeddings.select(F.col(id_col).alias("vid"),
+                          band_bits(vec_col).alias("_bits"))
+        .select("vid", F.posexplode("_bits").alias("band", "bits"))
     )
     pairs = _bucket_pairs(banded, ["band", "bits"], max_bucket, F.col("vid"))
 

@@ -226,11 +226,14 @@ def materialize_graph(
 
     bid = batch_id or graph_id
     # node ids are (url-hash, per-doc entity id) — unique within any
-    # batch by construction, so the merge skips its dedupe shuffle
+    # batch by construction, so the merge skips its dedupe shuffle;
+    # touched_keys=[graph_id] skips partition discovery (this batch by
+    # definition writes exactly one graph partition)
     r1 = nodes_table.merge_into(nodes, on=["graph_id", "id"],
                                 when_matched="update",
                                 batch_id=f"{bid}/nodes", dedupe=False,
-                                partition_by=["graph_id"])
+                                partition_by=["graph_id"],
+                                touched_keys=[graph_id])
     # deterministic in-batch dedupe: the SAME (src,dst,rel_type) pair can
     # arise from two verbs mapping to one predicate (收购/并购 -> acquire);
     # keep the min (verb, similarity, url) row so reruns, streaming
@@ -245,18 +248,34 @@ def materialize_graph(
     )
     r2 = edges_table.merge_into(edges, on=edge_key,
                                 when_matched="ignore", batch_id=f"{bid}/edges",
-                                dedupe=False, partition_by=["graph_id"])
+                                dedupe=False, partition_by=["graph_id"],
+                                touched_keys=[graph_id])
     r3 = dropped_table.append(dropped, batch_id=f"{bid}/dropped",
                               partition_by=["graph_id"])
-    # per-batch deltas under the original keys (what THIS batch wrote:
-    # an idempotent resume reports 0), snapshot totals under *_total —
-    # callers reading "nodes" as a this-run counter were getting the
-    # cumulative table size before
-    skipped = r1.get("skipped", False)
+    # per-batch deltas under the original keys (what THIS batch
+    # produced: entity mentions, valid relations pre-dedupe, quarantined
+    # relations; an idempotent resume reports 0) — ONE aggregate job
+    # over the nested extraction result, not three table counts. The
+    # *_total keys carry the snapshot sizes from the manifest for free.
+    if r1.get("skipped", False):
+        n_nodes = n_valid = n_dropped = 0
+    else:
+        valid = (
+            "size(filter(relations, r -> "
+            "regexp_like(replace(r.type, '-', '_'), '^[A-Za-z0-9_]+$')))"
+        )
+        stats = extracted.select(
+            F.sum(F.size("entities")).alias("n_nodes"),
+            F.sum(F.expr(valid)).alias("n_valid"),
+            F.sum(F.size("relations")).alias("n_rel"),
+        ).first()
+        n_nodes = stats["n_nodes"] or 0
+        n_valid = stats["n_valid"] or 0
+        n_dropped = (stats["n_rel"] or 0) - n_valid
     return {
-        "nodes": 0 if skipped else nodes.count(),
-        "edges": 0 if r2.get("skipped", False) else edges.count(),
-        "dropped_relations": 0 if r3.get("skipped", False) else dropped.count(),
+        "nodes": n_nodes,
+        "edges": n_valid,
+        "dropped_relations": n_dropped,
         "nodes_total": r1.get("rows", 0),
         "edges_total": r2.get("rows", 0),
         "dropped_total": r3.get("rows", 0),

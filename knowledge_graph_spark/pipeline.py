@@ -122,18 +122,24 @@ def run_pipeline(
     bid = f"{graph_id}{sfx}/extracted"
     if bid not in warehouse.extracted.applied_batches():
         extracted = extract(pages, partitions=partitions)
-        # extraction runs wide (CPU-bound), but its OUTPUT is small rows:
-        # land it in fewer, bigger files so the three downstream scans
-        # and their writes aren't a small-file / commit-rename storm
-        write_parts = max(8, (partitions or spark.sparkContext.defaultParallelism) // 4)
         # url-keyed MERGE, partitioned by url-hash bucket: a re-crawl
         # batch rewrites only the buckets its urls land in; the rest of
-        # the table is carried forward by manifest reference
+        # the table is carried forward by manifest reference. The lake
+        # layer re-buckets by partition key for the write, so no extra
+        # repartition here. On update batches the merge consumes its
+        # input twice (touched-key discovery + write) — persist so the
+        # NLP pass runs exactly once; the first batch is a single-pass
+        # snapshot write.
+        upd = with_url_bucket(extracted)
+        is_update = warehouse.extracted.exists()
+        if is_update:
+            upd = upd.persist()
         warehouse.extracted.merge_into(
-            with_url_bucket(extracted.repartition(write_parts)), on=["url"],
-            when_matched="update", batch_id=bid, dedupe=False,
-            partition_by=["url_bucket"],
+            upd, on=["url"], when_matched="update", batch_id=bid,
+            dedupe=False, partition_by=["url_bucket"],
         )
+        if is_update:
+            upd.unpersist()
     extracted = warehouse.extracted.read(spark)
 
     # table totals come from the manifest (counted at commit), not a job
@@ -149,10 +155,13 @@ def run_pipeline(
         )
         # merge key graph_id over a (graph_id, url_bucket) partition
         # spec = refresh exactly this graph's partitions; other graphs'
-        # files are never read or rewritten
+        # files are never read or rewritten. Touched keys are declared
+        # (this graph x every bucket — the refresh reaches all of them
+        # by definition) so no discovery job recomputes the triples.
         warehouse.triples.merge_into(
             trip, on=["graph_id"], when_matched="update", dedupe=False,
             batch_id=tbid, partition_by=["graph_id", "url_bucket"],
+            touched_keys=[f"{graph_id}|{b}" for b in range(N_URL_BUCKETS)],
         )
     counters["triples"] = _graph_rows(warehouse.triples, graph_id)
     stage_s["triples"] = round(time.time() - t0, 2)
@@ -188,6 +197,7 @@ def run_pipeline(
         warehouse.nodes.merge_into(
             canon, on=["graph_id", "id"], when_matched="update", dedupe=False,
             batch_id=f"{graph_id}{sfx}/canonical", partition_by=["graph_id"],
+            touched_keys=[graph_id],
         )
         mapping.unpersist()
         stage_s["canonicalize"] = round(time.time() - t0, 2)

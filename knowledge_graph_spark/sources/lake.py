@@ -60,6 +60,10 @@ def _f():
     return F
 
 
+def F_col(name: str):
+    return _f().col(name)
+
+
 class LakeTable:
     def __init__(self, root: str, name: str):
         self.dir = os.path.join(root, name)
@@ -136,6 +140,25 @@ class LakeTable:
         F = _f()
         return F.concat_ws("|", *[F.col(c).cast("string") for c in partition_by])
 
+    @staticmethod
+    def _footer_rows(path: str) -> int:
+        """Row count from parquet footers — no Spark job. (On a real
+        cluster this comes from the write task commit stats.)"""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        return total
+
+    # parallel writers per partition key: pure key-partitioning would
+    # serialize each partition's write through ONE task (a whole-graph
+    # refresh then writes single-threaded); the salt keeps files-per-key
+    # bounded while letting big partitions write in parallel
+    WRITE_SALT = 4
+
     def _persist(self, df: DataFrame, snap_name: str,
                  partition_by: Optional[list[str]]):
         """Write df under snap_name. Returns (partition_dirs, partition_rows,
@@ -144,27 +167,22 @@ class LakeTable:
         F = _f()
         if not partition_by:
             df.write.mode("overwrite").parquet(path)
-            rows = df.sparkSession.read.parquet(path).count()
-            return None, None, rows
-        df.withColumn(_PK, self._pk_col(partition_by)).write.mode(
-            "overwrite"
-        ).partitionBy(_PK).parquet(path)
-        if not any(d.startswith(_PK + "=") for d in os.listdir(path)):
-            return {}, {}, 0  # empty batch: nothing written
-        # per-partition lineage counters (north-star requirement): the
-        # re-read costs parquet footers only; cast handles partition-
-        # value type inference (ints read back as "0" either way)
-        written = df.sparkSession.read.parquet(path)
-        counts = {
-            str(r["k"]): r["n"]
-            for r in written.groupBy(F.col(_PK).cast("string").alias("k"))
-            .agg(F.count("*").alias("n")).collect()
-        }
-        dirs = {}
+            return None, None, self._footer_rows(path)
+        # co-locate each partition key in few tasks before the
+        # partitionBy write: otherwise every task fans out one file per
+        # key it sees (k tasks x p keys files) — a small-file storm
+        salt = (F.rand(0) * self.WRITE_SALT).cast("int")
+        df.withColumn(_PK, self._pk_col(partition_by)).repartition(
+            F_col(_PK), salt
+        ).write.mode("overwrite").partitionBy(_PK).parquet(path)
+        # per-partition lineage counters (north-star requirement) from
+        # the written footers — zero Spark jobs
+        dirs, counts = {}, {}
         for d in os.listdir(path):
             if d.startswith(_PK + "="):
                 key = urllib.parse.unquote(d[len(_PK) + 1:])
                 dirs[key] = [f"{snap_name}/{d}"]
+                counts[key] = self._footer_rows(os.path.join(path, d))
         return dirs, counts, sum(counts.values())
 
     def _commit_entry(self, op: str, batch_id: Optional[str],
@@ -283,6 +301,7 @@ class LakeTable:
         dedupe: bool = True,
         partition_by: Optional[list[str]] = None,
         delete_keys: Optional[DataFrame] = None,
+        touched_keys: Optional[list[str]] = None,
     ) -> dict:
         """Iceberg-style MERGE:
 
@@ -307,6 +326,13 @@ class LakeTable:
         may be a strict subset of the partition spec (the reach is then
         computed by prefix match over the manifest's partition index).
 
+        ``touched_keys``: caller-declared SUPERSET of the partition keys
+        this batch can touch (format ``"v1|v2"``). Skips the
+        touched-key discovery job — which otherwise recomputes
+        ``updates`` once just to enumerate its partitions. Must cover
+        every partition the merge writes to or deletes from; declaring
+        extra keys only costs re-writing those partitions verbatim.
+
         Update rows are deduplicated on the merge key first (last-writer
         -wins is meaningless inside one batch; dropDuplicates keeps an
         arbitrary-but-single row, matching repeated MERGE idempotence).
@@ -325,7 +351,7 @@ class LakeTable:
         if partition_by and old_dirs is not None:
             return self._merge_partitioned(
                 updates, on, when_matched, batch_id, counters,
-                partition_by, delete_keys, entry,
+                partition_by, delete_keys, entry, touched_keys,
             )
         current = self.read(updates.sparkSession)
         result = self._merged(current, updates, on, when_matched, delete_keys)
@@ -348,23 +374,28 @@ class LakeTable:
 
     def _merge_partitioned(
         self, updates, on, when_matched, batch_id, counters,
-        partition_by, delete_keys, entry,
+        partition_by, delete_keys, entry, touched_keys=None,
     ) -> dict:
         old_dirs: dict = entry["partition_dirs"]
         old_rows: dict = entry.get("partition_rows") or {}
         spark = updates.sparkSession
 
         # the partitions this commit must rewrite
-        touched = self._keys_of(updates, partition_by)
-        if delete_keys is not None:
-            if all(c in delete_keys.columns for c in partition_by):
-                touched |= self._keys_of(delete_keys, partition_by)
-            else:
-                touched |= self._match_subset(old_dirs, partition_by, delete_keys)
-        if not all(c in on for c in partition_by):
-            # merge key narrower than the partition spec: the anti-join
-            # can reach any partition matching a key prefix
-            touched |= self._match_subset(old_dirs, partition_by, updates.select(*on))
+        if touched_keys is not None:
+            touched = set(touched_keys)
+        else:
+            touched = self._keys_of(updates, partition_by)
+            if delete_keys is not None:
+                if all(c in delete_keys.columns for c in partition_by):
+                    touched |= self._keys_of(delete_keys, partition_by)
+                else:
+                    touched |= self._match_subset(old_dirs, partition_by,
+                                                  delete_keys)
+            if not all(c in on for c in partition_by):
+                # merge key narrower than the partition spec: the anti-
+                # join can reach any partition matching a key prefix
+                touched |= self._match_subset(old_dirs, partition_by,
+                                              updates.select(*on))
 
         cur_touched = self.read_partitions(
             spark, [k for k in touched if k in old_dirs]
