@@ -632,6 +632,19 @@ def _q_minhash_pairs(spark, sf_dir):
     return minhash_lsh_pairs(_docs_with_dups(spark, sf_dir)).orderBy("id_a", "id_b")
 
 
+def _q_dedup_near_survivors(spark, sf_dir):
+    """Full near-dup dedup pipeline: LSH candidates -> exact word-3-gram
+    Jaccard >= 0.7 -> connected components -> min-id survivor per
+    component. Oracled against the pure-Python twin's golden."""
+    from knowledge_graph_spark.operators.dedup import dedup_minhash
+
+    return (
+        dedup_minhash(_docs_with_dups(spark, sf_dir), threshold=0.7)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 def _q_simhash_neardups(spark, sf_dir):
     from knowledge_graph_spark.operators.dedup import simhash_near_duplicates
 
@@ -903,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_label_centroids": _q_embedding_label_centroids,
         # hash-sketch operators (rows-only)
         "minhash_pairs": _q_minhash_pairs,
+        "dedup_near_survivors": _q_dedup_near_survivors,
         "simhash_neardups": _q_simhash_neardups,
         "fingerprints": _q_fingerprints,
         "embedding_neardups": _q_embedding_neardups,
@@ -947,6 +961,7 @@ def oracle_sql() -> dict[str, str]:
         # pinned-golden oracles (independent pure-Python twin,
         # tools/make_goldens.py)
         "minhash_pairs": _golden_sql("minhash_pairs", "id_a, id_b"),
+        "dedup_near_survivors": _golden_sql("dedup_near_survivors", "doc_id"),
         "simhash_neardups": _golden_sql("simhash_neardups", "id_a, id_b"),
         "fingerprints": _golden_sql("fingerprints", "doc_id"),
         "media_metadata": _golden_sql("media_metadata", "kind"),

@@ -178,6 +178,47 @@ def golden_simhash_pairs(docs: list[dict], max_hamming: int = 3,
     return [{"id_a": a, "id_b": b, "hamming": h} for a, b, h in sorted(pairs)]
 
 
+def golden_near_survivors(sf_dir: str, docs: list[dict],
+                          threshold: float = 0.7, n: int = 3) -> list[dict]:
+    """Twin of dedup.dedup_minhash: LSH candidates -> exact distinct-
+    word-n-gram Jaccard >= threshold -> union-find components -> min-id
+    survivor per component; output (doc_id, source) of survivors."""
+    pairs = golden_minhash_pairs(docs, n=n)
+    shingles = {d["doc_id"]: set(word_ngrams(d["text"], n)) for d in docs}
+    dup = set()
+    for p in pairs:
+        a, b = p["id_a"], p["id_b"]
+        sa, sb = shingles[a], shingles[b]
+        inter = len(sa & sb)
+        jac = inter / (len(sa) + len(sb) - inter) if (sa or sb) else 0.0
+        if jac >= threshold:
+            dup.add((a, b))
+    parent: dict[int, int] = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        return r
+
+    for a, b in dup:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    losers = {x for x in parent if find(x) != x}
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "source"])
+    src = dict(zip(tbl["doc_id"].to_pylist(), tbl["source"].to_pylist()))
+    out = []
+    for d in docs:
+        if d["doc_id"] in losers:
+            continue
+        base = d["doc_id"] % 1_000_000  # clones inherit the base doc's source
+        out.append({"doc_id": d["doc_id"], "source": src[base]})
+    return sorted(out, key=lambda r: r["doc_id"])
+
+
 def golden_fingerprints(sf_dir: str, window: int = 64,
                         stride: int = 32) -> list[dict]:
     tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
@@ -440,6 +481,8 @@ def main() -> None:
         ("id_a", pa.int64()), ("id_b", pa.int64())]))
     write("simhash_neardups", golden_simhash_pairs(docs), pa.schema([
         ("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int32())]))
+    write("dedup_near_survivors", golden_near_survivors(args.sf_dir, docs),
+          pa.schema([("doc_id", pa.int64()), ("source", pa.string())]))
     write("fingerprints", golden_fingerprints(args.sf_dir), pa.schema([
         ("doc_id", pa.int64()), ("content_hash", pa.string()),
         ("fingerprint", pa.int64())]))
