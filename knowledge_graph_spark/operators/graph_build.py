@@ -207,12 +207,20 @@ def materialize_graph(
     graph_id: str,
     user_id: str = "user_001",
     batch_id: str | None = None,
+    mor_seq: int | None = None,
 ) -> dict:
     """End-to-end: nested extraction result -> MERGE INTO node/edge
     LakeTables, with counters recorded in the snapshot lineage.
 
     ``user_id`` default mirrors the reference (kg_writer.py:256).
     Returns the commit summary (counters included) for metrics.
+
+    ``mor_seq`` switches the node/edge commits to MERGE-ON-READ
+    (O(batch) append + read-time resolution; the streaming path —
+    copy-on-write bucketing degenerates to O(table) once a micro-batch
+    touches every bucket). Policies mirror the COW semantics exactly:
+    nodes resolve last-writer-wins (MERGE..SET), edges first-writer-wins
+    (ON CREATE SET).
 
     One Spark job per table, ZERO joins: nodes/edges/dropped all derive
     from the nested extraction result with row-local operations
@@ -229,11 +237,17 @@ def materialize_graph(
     # batch by construction, so the merge skips its dedupe shuffle;
     # touched_keys=[graph_id] skips partition discovery (this batch by
     # definition writes exactly one graph partition)
-    r1 = nodes_table.merge_into(nodes, on=["graph_id", "id"],
-                                when_matched="update",
-                                batch_id=f"{bid}/nodes", dedupe=False,
-                                partition_by=["graph_id"],
-                                touched_keys=[graph_id])
+    if mor_seq is not None:
+        r1 = nodes_table.merge_on_read(
+            nodes, on=["graph_id", "id"], seq=mor_seq, policy="last",
+            batch_id=f"{bid}/nodes", partition_by=["graph_id"],
+        )
+    else:
+        r1 = nodes_table.merge_into(nodes, on=["graph_id", "id"],
+                                    when_matched="update",
+                                    batch_id=f"{bid}/nodes", dedupe=False,
+                                    partition_by=["graph_id"],
+                                    touched_keys=[graph_id])
     # deterministic in-batch dedupe: the SAME (src,dst,rel_type) pair can
     # arise from two verbs mapping to one predicate (收购/并购 -> acquire);
     # keep the min (verb, similarity, url) row so reruns, streaming
@@ -246,10 +260,17 @@ def materialize_graph(
         .select(*edge_key, "_m.verb", "_m.similarity", "_m.url",
                 F.lit(user_id).alias("user_id"))
     )
-    r2 = edges_table.merge_into(edges, on=edge_key,
-                                when_matched="ignore", batch_id=f"{bid}/edges",
-                                dedupe=False, partition_by=["graph_id"],
-                                touched_keys=[graph_id])
+    if mor_seq is not None:
+        r2 = edges_table.merge_on_read(
+            edges, on=edge_key, seq=mor_seq, policy="first",
+            batch_id=f"{bid}/edges", partition_by=["graph_id"],
+        )
+    else:
+        r2 = edges_table.merge_into(edges, on=edge_key,
+                                    when_matched="ignore",
+                                    batch_id=f"{bid}/edges",
+                                    dedupe=False, partition_by=["graph_id"],
+                                    touched_keys=[graph_id])
     r3 = dropped_table.append(dropped, batch_id=f"{bid}/dropped",
                               partition_by=["graph_id"])
     # per-batch deltas under the original keys (what THIS batch

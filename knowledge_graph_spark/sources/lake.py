@@ -52,6 +52,8 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 
 _PK = "_pk"
+_SEQ = "_seq"   # merge-on-read write sequence
+_TOMB = "_tomb"  # merge-on-read tombstone marker
 
 
 def _f():
@@ -116,19 +118,45 @@ class LakeTable:
             raise FileNotFoundError(f"LakeTable {self.dir} has no snapshot")
         dirs = entry.get("partition_dirs")
         if dirs is None:
-            return spark.read.parquet(os.path.join(self.dir, entry["snapshot"]))
-        paths = [os.path.join(self.dir, p) for ps in dirs.values() for p in ps]
-        return spark.read.parquet(*paths)
+            df = spark.read.parquet(os.path.join(self.dir, entry["snapshot"]))
+        else:
+            paths = [os.path.join(self.dir, p) for ps in dirs.values() for p in ps]
+            df = spark.read.parquet(*paths)
+        return self._resolve_mor(df, entry)
 
     def read_partitions(self, spark: SparkSession, keys: list[str]) -> Optional[DataFrame]:
         """Scan only the named partitions (planning-time pruning: the
-        manifest IS the partition index, unlisted files are never opened)."""
+        manifest IS the partition index, unlisted files are never
+        opened). MOR resolution is partition-local, so reading a subset
+        of partitions stays correct as long as each partition's dirs
+        are all listed — which the manifest guarantees."""
         entry = self.current_entry()
         dirs = (entry or {}).get("partition_dirs") or {}
         paths = [os.path.join(self.dir, p) for k in keys for p in dirs.get(k, [])]
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        return self._resolve_mor(spark.read.parquet(*paths), entry)
+
+    @staticmethod
+    def _resolve_mor(df: DataFrame, entry: dict) -> DataFrame:
+        """Merge-on-read resolution: keep each key's rows from its
+        winning write sequence ('last' = newest _seq wins, the UPDATE
+        policy; 'first' = oldest wins, the ON-CREATE policy), then drop
+        tombstones. No-op for copy-on-write snapshots."""
+        mor = entry.get("mor")
+        if not mor:
+            return df
+        from pyspark.sql import Window
+
+        F = _f()
+        w = Window.partitionBy(*mor["key"])
+        win = (F.max if mor["policy"] == "last" else F.min)(_SEQ).over(w)
+        return (
+            df.withColumn("_win", win)
+            .filter(F.col(_SEQ) == F.col("_win"))
+            .filter(~F.col(_TOMB))
+            .drop(_SEQ, _TOMB, "_win")
+        )
 
     # ---- write primitives ---------------------------------------------
 
@@ -188,7 +216,8 @@ class LakeTable:
     def _commit_entry(self, op: str, batch_id: Optional[str],
                       counters: Optional[dict], snap_name: str, rows: int,
                       partition_dirs=None, partition_rows=None,
-                      carried: int = 0) -> dict:
+                      carried: int = 0,
+                      partition_by: Optional[list[str]] = None) -> dict:
         manifest = self._manifest() if self.exists() else {
             "table": self.dir, "snap_id": 0, "current": None, "lineage": [],
         }
@@ -205,6 +234,8 @@ class LakeTable:
             entry["partition_dirs"] = partition_dirs
             entry["partition_rows"] = partition_rows
             entry["carried_partitions"] = carried
+            if partition_by is not None:
+                entry["partition_spec"] = list(partition_by)
         manifest["snap_id"] = int(snap_name.split("-")[1])
         manifest["current"] = snap_name
         manifest["lineage"].append(entry)
@@ -218,7 +249,7 @@ class LakeTable:
         snap_name = f"snap-{self._next_snap_id():06d}"
         dirs, counts, rows = self._persist(df, snap_name, partition_by)
         return self._commit_entry(op, batch_id, counters, snap_name, rows,
-                                  dirs, counts)
+                                  dirs, counts, partition_by=partition_by)
 
     # ---- partition-key helpers ----------------------------------------
 
@@ -274,6 +305,11 @@ class LakeTable:
             return {"skipped": True, "batch_id": batch_id}
         entry = self.current_entry()
         old_dirs = (entry or {}).get("partition_dirs")
+        if entry is not None and entry.get("mor") and _SEQ not in df.columns:
+            raise ValueError(
+                f"{self.dir}: plain append to a merge-on-read table "
+                "(rows lack the _seq column) — use merge_on_read()"
+            )
         if partition_by and (entry is None or old_dirs is not None):
             snap_name = f"snap-{self._next_snap_id():06d}"
             new_dirs, new_counts, new_rows = self._persist(df, snap_name, partition_by)
@@ -282,14 +318,24 @@ class LakeTable:
             for k, paths in new_dirs.items():
                 dirs.setdefault(k, []).extend(paths)
                 counts[k] = counts.get(k, 0) + new_counts[k]
-            return self._commit_entry(
+            out = self._commit_entry(
                 "append", batch_id, counters, snap_name,
                 sum(counts.values()), dirs, counts,
-                carried=len(dirs) - len(new_dirs),
+                carried=len(dirs) - len(new_dirs), partition_by=partition_by,
             )
-        if self.exists():
-            df = self.read(df.sparkSession).unionByName(df)
-        return self._write_snapshot(df, "append", batch_id, counters, partition_by)
+        else:
+            if self.exists():
+                df = self.read(df.sparkSession).unionByName(df)
+            out = self._write_snapshot(df, "append", batch_id, counters,
+                                       partition_by)
+        # a MOR table's resolution spec survives appends (merge_on_read
+        # routes here and re-stamps the same spec)
+        if entry is not None and entry.get("mor") and not out.get("skipped"):
+            m = self._manifest()
+            m["lineage"][-1]["mor"] = entry["mor"]
+            self._commit(m)
+            out["mor"] = entry["mor"]
+        return out
 
     def merge_into(
         self,
@@ -347,6 +393,11 @@ class LakeTable:
             return self._write_snapshot(updates, f"merge:{when_matched}",
                                         batch_id, counters, partition_by)
         entry = self.current_entry()
+        if entry.get("mor"):
+            raise ValueError(
+                f"{self.dir}: copy-on-write merge on a merge-on-read "
+                "table — compact() it first or use merge_on_read()"
+            )
         old_dirs = entry.get("partition_dirs")
         if partition_by and old_dirs is not None:
             return self._merge_partitioned(
@@ -412,7 +463,108 @@ class LakeTable:
         return self._commit_entry(
             f"merge:{when_matched}", batch_id, counters, snap_name,
             sum(rows_by.values()), dirs, rows_by, carried=carried,
+            partition_by=partition_by,
         )
+
+    def merge_on_read(
+        self,
+        updates: DataFrame,
+        on: list[str],
+        seq: int,
+        policy: str = "last",
+        batch_id: Optional[str] = None,
+        tombstone_keys: Optional[DataFrame] = None,
+        partition_by: Optional[list[str]] = None,
+        counters: Optional[dict] = None,
+    ) -> dict:
+        """Iceberg-v2-style MERGE-ON-READ: the commit APPENDS the batch
+        (pure file add, current snapshot never read — O(batch) I/O no
+        matter how the keys hash across partitions, where copy-on-write
+        bucketing degenerates to O(table) once a batch touches every
+        bucket); readers resolve each key to its winning sequence.
+
+        - ``policy="last"``  — newest ``seq`` wins per key (UPDATE
+          semantics; node/extraction tables).
+        - ``policy="first"`` — oldest ``seq`` wins (ON CREATE semantics;
+          edge tables: later writes never overwrite properties).
+        - ``tombstone_keys`` — keys whose new version has ZERO rows
+          (a re-crawl that lost all its triples): one marker row per
+          key is appended; resolution drops the key entirely.
+
+        Read amplification grows with appended batches — call
+        :func:`compact` periodically (streaming: every N batches).
+        """
+        if batch_id and batch_id in self.applied_batches():
+            return {"skipped": True, "batch_id": batch_id}
+        F = _f()
+        upd = updates.withColumn(_SEQ, F.lit(int(seq))).withColumn(
+            _TOMB, F.lit(False)
+        )
+        if tombstone_keys is not None:
+            # tombstones carry the key columns AND the partition columns
+            # (a tombstone must land in the same partition as the rows
+            # it kills, or partition-scoped reads would miss it); all
+            # other columns null
+            keep = list(on) + [
+                c for c in (partition_by or [])
+                if c in tombstone_keys.columns and c not in on
+            ]
+            tombs = tombstone_keys.select(*keep).distinct()
+            for c in updates.columns:
+                if c not in keep:
+                    tombs = tombs.withColumn(
+                        c, F.lit(None).cast(updates.schema[c].dataType)
+                    )
+            tombs = tombs.select(*updates.columns).withColumn(
+                _SEQ, F.lit(int(seq))
+            ).withColumn(_TOMB, F.lit(True))
+            upd = upd.unionByName(tombs)
+        entry = self.current_entry()
+        if entry is not None and not entry.get("mor"):
+            raise ValueError(
+                f"{self.dir}: merge_on_read on a copy-on-write table; "
+                "compact()/overwrite() it first or use merge_into"
+            )
+        out = self.append(upd, batch_id=batch_id, counters=counters,
+                          partition_by=partition_by)
+        # stamp the resolution spec on the new lineage entry
+        m = self._manifest()
+        m["lineage"][-1]["mor"] = {"key": on, "policy": policy}
+        self._commit(m)
+        out["mor"] = {"key": on, "policy": policy}
+        return out
+
+    def compact(self, spark: SparkSession, batch_id: Optional[str] = None) -> dict:
+        """Materialize the MOR resolution (and/or fold multi-dir
+        partitions) into a fresh single-dir-per-partition snapshot.
+        Keeps the mor spec with the accumulated history reset to one
+        base sequence, so subsequent merge_on_read batches apply on a
+        compacted base — Iceberg's rewrite_data_files."""
+        if batch_id and batch_id in self.applied_batches():
+            return {"skipped": True, "batch_id": batch_id}
+        entry = self.current_entry()
+        if entry is None:
+            raise FileNotFoundError(f"LakeTable {self.dir} has no snapshot")
+        F = _f()
+        mor = entry.get("mor")
+        resolved = self.read(spark)
+        if mor:
+            resolved = resolved.withColumn(_SEQ, F.lit(0)).withColumn(
+                _TOMB, F.lit(False)
+            )
+        partition_by = None
+        if entry.get("partition_dirs") is not None:
+            # recover the partition spec from the pk of... the caller's
+            # spec isn't stored per-column; re-partition by the same key
+            partition_by = entry.get("partition_spec")
+        out = self._write_snapshot(resolved, "compact", batch_id,
+                                   partition_by=partition_by)
+        if mor:
+            m = self._manifest()
+            m["lineage"][-1]["mor"] = mor
+            self._commit(m)
+            out["mor"] = mor
+        return out
 
     def delete_where(
         self, spark: SparkSession, condition: str,

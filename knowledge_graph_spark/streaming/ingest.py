@@ -50,12 +50,25 @@ def start_kg_ingest(
     checkpoint_dir: str,
     user_id: str = "user_001",
     graph_id: str = "graph_stream",
+    compact_every: int = 16,
 ):
     """pages stream -> extraction -> MERGE INTO nodes/edges per batch.
 
     Returns the StreamingQuery. Each micro-batch reuses the batch
     operators; LakeTable batch ids (``stream/{graph_id}/{batch_id}``)
-    de-duplicate replayed batches after a crash."""
+    de-duplicate replayed batches after a crash.
+
+    Commits are MERGE-ON-READ (Iceberg-v2 style): every micro-batch is
+    a pure O(batch) file APPEND — the accumulated tables are never read
+    or rewritten per trigger (url keys hash across every partition
+    bucket, so copy-on-write merges degenerate to O(table) as soon as a
+    batch exceeds ~bucket-count urls). Readers resolve each key to its
+    winning write: extracted/triples/nodes last-writer-wins (a re-crawl
+    replaces its rows; a re-crawl with ZERO triples tombstones them),
+    edges first-writer-wins (reference ON CREATE SET). Every
+    ``compact_every`` batches the MOR history folds into a fresh base
+    snapshot so read amplification stays bounded.
+    """
     from ..operators.extraction import extract, triples_table
     from ..operators.graph_build import materialize_graph
     from ..pipeline import with_url_bucket
@@ -63,6 +76,7 @@ def start_kg_ingest(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        spark = batch_df.sparkSession
         bid = f"stream/{graph_id}/{batch_id}"
         # one trigger can deliver the same url twice (two file drops in
         # one batch): keep the newest crawl so downstream merges stay
@@ -72,36 +86,38 @@ def start_kg_ingest(
             batch_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn")
         )
-        # the micro-batch's own extraction IS the merge input — never
+        # the micro-batch's own extraction IS the commit input — never
         # re-read the accumulated extracted table per trigger (that scan
         # is O(table), the opposite of incremental). persist() because
         # three tables consume it.
         extracted = with_url_bucket(extract(batch_df)).persist()
-        # a re-crawled url REPLACES its rows in every table (url-keyed
-        # merge, same semantics as the batch pipeline's update path);
-        # partition-scoped commits rewrite only this batch's url buckets
-        warehouse.extracted.merge_into(
-            extracted, on=["url"], when_matched="update",
-            batch_id=f"{bid}/extracted", dedupe=False,
-            partition_by=["url_bucket"],
+        warehouse.extracted.merge_on_read(
+            extracted, on=["url"], seq=batch_id, policy="last",
+            batch_id=f"{bid}/extracted", partition_by=["url_bucket"],
         )
-        trip = triples_table(extracted).withColumn("graph_id", F.lit(graph_id))
-        trip = with_url_bucket(trip)
-        # delete_keys = the batch's full url set: a page whose re-crawl
-        # now yields ZERO triples still clears its stale rows
+        trip = with_url_bucket(
+            triples_table(extracted).withColumn("graph_id", F.lit(graph_id))
+        )
+        # tombstone keys = the batch's full url set: a page whose
+        # re-crawl now yields ZERO triples still clears its stale rows
         batch_keys = with_url_bucket(extracted.select("url")).withColumn(
             "graph_id", F.lit(graph_id)
         )
-        warehouse.triples.merge_into(
-            trip, on=["graph_id", "url"], when_matched="update",
-            batch_id=f"{bid}/triples", dedupe=False,
-            partition_by=["graph_id", "url_bucket"], delete_keys=batch_keys,
+        warehouse.triples.merge_on_read(
+            trip, on=["graph_id", "url"], seq=batch_id, policy="last",
+            batch_id=f"{bid}/triples", tombstone_keys=batch_keys,
+            partition_by=["graph_id", "url_bucket"],
         )
         materialize_graph(
             extracted, warehouse.nodes, warehouse.edges, warehouse.dropped,
             graph_id=graph_id, user_id=user_id, batch_id=bid,
+            mor_seq=batch_id,
         )
         extracted.unpersist()
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            for t in (warehouse.extracted, warehouse.triples,
+                      warehouse.nodes, warehouse.edges):
+                t.compact(spark, batch_id=f"{bid}/compact/{t.dir}")
 
     return (
         pages_stream.writeStream

@@ -198,3 +198,66 @@ def test_vacuum_preserves_carried_partition_donors(spark, tbl):
     # snap-1 still holds g2's only copy -> must NOT be removed
     assert "snap-000001" not in removed
     assert tbl.read(spark).filter("g = 'g2'").count() == 2
+
+
+def test_merge_on_read_last_and_first_policies(spark, tbl):
+    """MOR semantics: 'last' = update (newest seq wins), tombstones kill
+    keys; commits never read the current snapshot (op = append)."""
+    b0 = spark.createDataFrame([("u1", "g", 0, "a"), ("u2", "g", 0, "b")],
+                               "url string, g string, b int, v string")
+    tbl.merge_on_read(b0, on=["url"], seq=0, partition_by=["g"])
+    b1 = spark.createDataFrame([("u1", "g", 0, "A")],
+                               "url string, g string, b int, v string")
+    dead = spark.createDataFrame([("u2", "g")], "url string, g string")
+    tbl.merge_on_read(b1, on=["url"], seq=1, tombstone_keys=dead,
+                      partition_by=["g"])
+    got = sorted(tuple(r) for r in tbl.read(spark).collect())
+    # u1 replaced by seq 1, u2 tombstoned
+    assert got == [("u1", "g", 0, "A")]
+    # both commits were appends: snapshot 1's dir is still referenced
+    e = tbl.current_entry()
+    assert e["op"] == "append"
+    assert any(p.startswith("snap-000001/") for p in e["partition_dirs"]["g"])
+
+
+def test_merge_on_read_first_policy_on_create(spark, tbl):
+    a = spark.createDataFrame([(1, "g", "orig")], "k int, g string, v string")
+    b = spark.createDataFrame([(1, "g", "clobber"), (2, "g", "new")],
+                              "k int, g string, v string")
+    tbl.merge_on_read(a, on=["k"], seq=0, policy="first", partition_by=["g"])
+    tbl.merge_on_read(b, on=["k"], seq=1, policy="first", partition_by=["g"])
+    got = sorted(tuple(r) for r in tbl.read(spark).collect())
+    # k=1 keeps its FIRST-seen value (ON CREATE), k=2 inserts
+    assert got == [(1, "g", "orig"), (2, "g", "new")]
+
+
+def test_compact_folds_mor_history(spark, tbl):
+    for s in range(4):
+        df = spark.createDataFrame([(1, "g", f"v{s}"), (10 + s, "g", "x")],
+                                   "k int, g string, v string")
+        tbl.merge_on_read(df, on=["k"], seq=s, partition_by=["g"])
+    before = sorted(tuple(r) for r in tbl.read(spark).collect())
+    assert (1, "g", "v3") in before and len(before) == 5
+    n_dirs_before = len(tbl.current_entry()["partition_dirs"]["g"])
+    assert n_dirs_before == 4  # one appended dir per batch
+    tbl.compact(spark)
+    e = tbl.current_entry()
+    assert len(e["partition_dirs"]["g"]) == 1  # folded
+    assert e["mor"]  # still a MOR table
+    assert sorted(tuple(r) for r in tbl.read(spark).collect()) == before
+    # and further MOR batches apply on the compacted base
+    tbl.merge_on_read(
+        spark.createDataFrame([(1, "g", "v9")], "k int, g string, v string"),
+        on=["k"], seq=9, partition_by=["g"])
+    assert (1, "g", "v9") in {tuple(r) for r in tbl.read(spark).collect()}
+
+
+def test_cow_and_mor_modes_do_not_mix(spark, tbl):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "g", "a")], "k int, g string, v string")
+    tbl.merge_on_read(df, on=["k"], seq=0, partition_by=["g"])
+    with _pytest.raises(ValueError):
+        tbl.merge_into(df, on=["k"], partition_by=["g"])
+    with _pytest.raises(ValueError):
+        tbl.append(df, partition_by=["g"])

@@ -115,3 +115,56 @@ def test_stream_recrawl_replaces_rows(spark, tmp_path):
     assert trips.filter(
         (F.col("subj") == "华星科技公司") & (F.col("pred") == "acquire")
     ).count() >= 1
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """True streaming runs (writeStream, append mode): a row older than
+    the watermark arriving in a LATER micro-batch must not resurrect
+    its window; only windows the watermark has passed are emitted.
+    Two checkpoint-continuation runs make the batch boundary (and hence
+    the watermark at the late row's arrival) deterministic — the
+    watermark survives restart via the checkpoint commit log."""
+    import datetime as dt
+
+    drop_dir = str(tmp_path / "ev")
+    schema = ("event_id long, ts timestamp, user_id string, "
+              "event_type string, value double")
+
+    def ev(i, hour, minute=0):
+        return (i, dt.datetime(2024, 1, 1, hour, minute), "u1", "click", 1.0)
+
+    def run_once(name):
+        emitted: list = []
+
+        def sink(batch_df, _bid):
+            emitted.extend(batch_df.collect())
+
+        stream = spark.readStream.schema(schema).parquet(drop_dir + "/*")
+        out = windowed_event_counts(stream, window="1 hour",
+                                    watermark="30 minutes")
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        return {r["window_start"].hour: r["n_events"] for r in emitted}
+
+    # run 1: on-time rows up to 11:05 -> watermark 10:35 at commit
+    spark.createDataFrame([ev(1, 10), ev(2, 10, 20), ev(3, 11, 5)], schema) \
+        .coalesce(1).write.parquet(f"{drop_dir}/b0.parquet")
+    first = run_once("wm_run1")
+    assert 10 not in first  # window end 11:00 > watermark 10:35: open
+
+    # run 2: one LATE row (08:00 < watermark) + one fresh row (13:00)
+    spark.createDataFrame([ev(4, 8), ev(5, 13)], schema) \
+        .coalesce(1).write.parquet(f"{drop_dir}/b1.parquet")
+    rows = run_once("wm_run2")
+    # watermark advanced to 12:30: the 10:00 window closes with its TWO
+    # on-time rows — the late 08:00 row neither resurrects its own
+    # window nor contaminates others
+    assert rows.get(10) == 2
+    assert 8 not in rows
+    # windows not yet passed by the watermark (13:00) stay unemitted
+    assert 13 not in rows
