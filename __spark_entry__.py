@@ -830,6 +830,21 @@ def _q_kg_user_graphs(spark, sf_dir):
     ).orderBy("graph_id")
 
 
+def _q_kg_all_graphs(spark, sf_dir):
+    """Q5 (no user filter) — same aggregation shape as Q4 over every
+    graph; on the fixed single-graph corpus its oracle is the Q4
+    golden."""
+    from knowledge_graph_spark.operators.queries import query_all_graphs
+
+    wh = _warehouse(spark, sf_dir)
+    out = query_all_graphs(wh.nodes.read(spark), wh.edges.read(spark))
+    return out.select(
+        "graph_id",
+        F.size("nodes").cast("long").alias("n_nodes"),
+        F.size("links").cast("long").alias("n_links"),
+    ).orderBy("graph_id")
+
+
 def _q_kg_canonical_entities(spark, sf_dir):
     wh = _warehouse(spark, sf_dir)
     nodes = wh.nodes.read(spark)
@@ -929,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_links": _q_kg_graph_links,
         "kg_keyword_search": _q_kg_keyword_search,
         "kg_user_graphs": _q_kg_user_graphs,
+        "kg_all_graphs": _q_kg_all_graphs,
         "kg_canonical_entities": _q_kg_canonical_entities,
         "kg_dropped_relations": _q_kg_dropped_relations,
         "kg_detach_delete": _q_kg_detach_delete,
@@ -972,6 +988,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_graph_links": _golden_sql("kg_graph_links", "src, dst, rel_type"),
         "kg_keyword_search": _golden_sql("kg_keyword_search", "id"),
         "kg_user_graphs": _golden_sql("kg_user_graphs", "graph_id"),
+        "kg_all_graphs": _golden_sql("kg_user_graphs", "graph_id"),
         "kg_canonical_entities": _golden_sql("kg_canonical_entities",
                                              "canonical_id"),
         "kg_dropped_relations": _golden_sql("kg_dropped_relations",

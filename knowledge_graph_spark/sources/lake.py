@@ -566,6 +566,37 @@ class LakeTable:
             out["mor"] = mor
         return out
 
+    def rollback(self, snapshot: str) -> dict:
+        """Iceberg ``rollback_to_snapshot``: re-commit an older lineage
+        entry as current. Pure metadata — no data files move; vacuum's
+        reference counting keeps the restored snapshot's files alive."""
+        m = self._manifest()
+        target = next(
+            (e for e in reversed(m["lineage"])
+             if e["snapshot"] == snapshot and not e.get("skipped")), None
+        )
+        if target is None:
+            raise ValueError(f"{self.dir}: no lineage entry for {snapshot}")
+        entry = {
+            k: target[k]
+            for k in ("snapshot", "rows", "partition_dirs", "partition_rows",
+                      "partition_spec", "mor")
+            if k in target
+        }
+        entry.update({
+            "parent": m["current"],
+            "op": f"rollback:{snapshot}",
+            "batch_id": None,
+            "counters": {},
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        })
+        # snap_id keeps monotonically increasing: the next write must not
+        # collide with directories that still exist on disk
+        m["current"] = target["snapshot"]
+        m["lineage"].append(entry)
+        self._commit(m)
+        return entry
+
     def delete_where(
         self, spark: SparkSession, condition: str,
         batch_id: Optional[str] = None,

@@ -261,3 +261,23 @@ def test_cow_and_mor_modes_do_not_mix(spark, tbl):
         tbl.merge_into(df, on=["k"], partition_by=["g"])
     with _pytest.raises(ValueError):
         tbl.append(df, partition_by=["g"])
+
+
+def test_rollback_to_snapshot(spark, tbl):
+    """Iceberg rollback: pure-metadata restore of an older snapshot;
+    later writes keep allocating fresh snapshot ids (no dir collision)."""
+    tbl.overwrite(spark.createDataFrame([(1, "v1")], "k int, v string"))
+    tbl.overwrite(spark.createDataFrame([(1, "v2")], "k int, v string"))
+    tbl.rollback("snap-000001")
+    assert rows(tbl.read(spark)) == [(1, "v1")]
+    tbl.overwrite(spark.createDataFrame([(1, "v3")], "k int, v string"))
+    assert tbl.current_entry()["snapshot"] == "snap-000003"
+    assert rows(tbl.read(spark)) == [(1, "v3")]
+    # partitioned + carried refs survive a rollback too
+    t2 = LakeTable(tbl.dir + "_p", "t")
+    t2.overwrite(spark.createDataFrame([(1, "g0"), (2, "g1")], "k int, g string"),
+                 partition_by=["g"])
+    t2.merge_into(spark.createDataFrame([(9, "g0")], "k int, g string"),
+                  on=["g", "k"], partition_by=["g"])
+    t2.rollback("snap-000001")
+    assert rows(t2.read(spark)) == [(1, "g0"), (2, "g1")]
