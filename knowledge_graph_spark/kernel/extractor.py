@@ -63,6 +63,9 @@ from . import vocab as V
 _NOUNish = ("NOUN", "PROPN")
 _CLAUSE_PUNCT = set("，、：,;")
 _QUOTE_PUNCT = set("“”「」『』\"'‘’")
+# quantity/time entity types: valid objects, but deferred as subjects —
+# an agent NP further left wins (dep parsers attach nsubj to the agent)
+_QUANT_TYPES = {"DATE", "MONEY", "TIME", "PERCENT", "Number"}
 
 
 def _np_chain(toks, sent_start: int, k: int, entity_map: dict):
@@ -209,11 +212,16 @@ def extract_entities_relations(text: str) -> dict:
                             prep_i = head
                         k = start - 2  # skip past the ADP
                         continue
-                    if head in entity_map:
+                    if head in entity_map and ent_type_at.get(head) not in _QUANT_TYPES:
                         subj_i = head
                         break
-                    if subj_i is None:
-                        subj_i = head  # fallback; keep looking for an entity NP
+                    if subj_i is None or (
+                        subj_i not in entity_map and head in entity_map
+                    ):
+                        # quantity entities (投资3亿元用于建设…) and
+                        # non-entity nouns are subject FALLBACKS only —
+                        # keep scanning for an agent NP
+                        subj_i = head
                     k = start - 1
                     continue
                 k -= 1
@@ -223,6 +231,7 @@ def extract_entities_relations(text: str) -> dict:
             # DATE/MONEY/GPE make no sense as recovered subjects)
             if clause_stop is not None and (
                 subj_i is None or subj_i not in entity_map
+                or ent_type_at.get(subj_i) in _QUANT_TYPES
             ):
                 j = clause_stop - 1
                 while j >= sent.start:

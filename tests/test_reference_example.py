@@ -69,3 +69,40 @@ def test_reference_demo_structural_contract():
     # extraction is total and ids dense on real prose
     ids = [e["id"] for e in r["entities"]]
     assert ids == [f"e{i + 1}" for i in range(len(ids))]
+
+
+REFERENCE_DEMO_2 = (
+    '2023年12月20日，位于南京的半导体制造商“中芯先进”宣布，'
+    '与合肥的高校“华东科技大学”签订产学研合作协议。'
+    '此次合作将围绕3纳米制程工艺、EDA工具优化及晶圆测试自动化等领域展开。'
+    '中芯先进计划投资3亿元用于建设联合实验室，并将选派技术骨干担任企业导师，'
+    '指导高校研究生参与芯片原型设计。'
+    '华东科技大学校长李志强指出，该项目不仅将提升我国高端芯片设计能力，'
+    '也将为地方产业发展注入新动能。'
+)
+
+
+def test_reference_demo2_held_out_prose():
+    """The reference's second demo paragraph (extractor.py:193, quoted
+    as test DATA) — held-out real prose the kernel was never tuned on
+    during round 1."""
+    r = extract_entities_relations(REFERENCE_DEMO_2)
+    ents = {(e["name"], e["type"]) for e in r["entities"]}
+    assert ("中芯先进", "Organization") in ents
+    assert ("华东科技大学", "Organization") in ents
+    assert ("李志强", "Person") in ents
+    assert ("南京", "Location") in ents and ("合肥", "Location") in ents
+    assert ("3亿元", "MONEY") in ents
+    assert ("2023年12月20日", "DATE") in ents
+
+    ts = {(t["subj"], t["pred"], t["obj"]) for t in triples(r)}
+    # the 签订-clause resolves through the quoted appositive chain
+    assert ("中芯先进", "签订", "华东科技大学") in ts
+    # quantity entities defer as subjects: the agent NP wins
+    assert ("中芯先进", "invest", "3亿元") in ts
+    assert ("中芯先进", "建设", "联合实验室") in ts
+    assert not any(
+        s == "3亿元" for s, p, _ in ts if p != "co-occurrence"
+    )
+    preds = {t["pred"] for t in triples(r)}
+    assert preds.isdisjoint({"是", "指出", "认为"})
