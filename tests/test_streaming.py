@@ -168,3 +168,38 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert 8 not in rows
     # windows not yet passed by the watermark (13:00) stay unemitted
     assert 13 not in rows
+
+
+def test_stream_compaction_preserves_state(spark, tmp_path):
+    """With compact_every=1 the ingest compacts after every eligible
+    batch; resolved table contents must be identical to an uncompacted
+    run, and the MOR spec must survive so later batches still apply."""
+    drop_dir = str(tmp_path / "drops")
+    pages = generate_spark(spark, 30, partitions=1).cache()
+    pages.filter(F.crc32("url") % 2 == 0).write.parquet(f"{drop_dir}/a.parquet")
+    pages.filter(F.crc32("url") % 2 == 1).write.parquet(f"{drop_dir}/b.parquet")
+
+    wh_c = KGWarehouse(str(tmp_path / "wh_c"))
+    q = start_kg_ingest(
+        read_pages_stream(spark, drop_dir + "/*", max_files_per_trigger=1),
+        wh_c, str(tmp_path / "ck1"), graph_id="gs", compact_every=1,
+    )
+    q.awaitTermination(300)
+
+    wh_u = KGWarehouse(str(tmp_path / "wh_u"))
+    q = start_kg_ingest(
+        read_pages_stream(spark, drop_dir + "/*", max_files_per_trigger=1),
+        wh_u, str(tmp_path / "ck2"), graph_id="gs", compact_every=0,
+    )
+    q.awaitTermination(300)
+
+    def snap(wh):
+        return (
+            sorted((r["url"], r["subj"], r["pred"], r["obj"])
+                   for r in wh.triples.read(spark).collect()),
+            wh.nodes.read(spark).count(),
+            wh.edges.read(spark).count(),
+        )
+
+    assert snap(wh_c) == snap(wh_u)
+    assert any(e["op"] == "compact" for e in wh_c.triples.history())
