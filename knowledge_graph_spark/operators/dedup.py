@@ -310,6 +310,25 @@ def simhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
+def dedup_embeddings(embeddings: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     threshold: float = 0.99) -> DataFrame:
+    """Embedding near-dup survivor set: banded-LSH candidates -> exact
+    cosine >= threshold -> connected components -> keep min id per
+    component (the vector twin of :func:`dedup_minhash`)."""
+    from .components import connected_components
+
+    pairs = embedding_near_duplicates(embeddings, id_col, vec_col, threshold)
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    )
+    losers = (
+        comp.filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias(id_col))
+    )
+    return embeddings.join(losers, on=id_col, how="left_anti")
+
+
 def lsh_rows_per_band(n_vectors: int, target_bucket: int = 4,
                       min_rows: int = 4, max_rows: int = 32) -> int:
     """Hyperplanes per band so the expected bucket size stays ~constant

@@ -318,3 +318,17 @@ def test_ivf_training_input_is_bounded(spark, emb):
     cent = S.train_ivf_centroids(emb, n_cells=8, n_iter=2, sample_cap=cap)
     rows = cent.collect()
     assert len(rows) == 8 and all(len(r["centroid"]) > 0 for r in rows)
+
+
+def test_dedup_embeddings_survivors(spark, emb):
+    """Vector survivor set: planted clones die, their originals and all
+    other vectors survive."""
+    clones = emb.limit(4).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    allv = emb.unionByName(clones)
+    n = emb.count()
+    survivors = D.dedup_embeddings(allv, threshold=0.999)
+    ids = {r["vec_id"] for r in survivors.select("vec_id").collect()}
+    assert len(ids) == n            # every clone removed
+    assert all(i < 1_000_000 for i in ids)  # min-id keeps the original
