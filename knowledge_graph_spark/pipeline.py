@@ -153,14 +153,13 @@ def run_pipeline(
         trip = with_url_bucket(
             triples_table(extracted).withColumn("graph_id", F.lit(graph_id))
         )
-        # merge key graph_id over a (graph_id, url_bucket) partition
-        # spec = refresh exactly this graph's partitions; other graphs'
-        # files are never read or rewritten. Touched keys are declared
-        # (this graph x every bucket — the refresh reaches all of them
-        # by definition) so no discovery job recomputes the triples.
-        warehouse.triples.merge_into(
-            trip, on=["graph_id"], when_matched="update", dedupe=False,
-            batch_id=tbid, partition_by=["graph_id", "url_bucket"],
+        # dynamic partition overwrite: the stage regenerates this
+        # graph's FULL triple set, so its partitions are replaced
+        # wholesale — no read of the old rows, no anti-join; other
+        # graphs' files are never touched. Touched keys are declared
+        # (this graph x every bucket) so no discovery job runs either.
+        warehouse.triples.overwrite_partitions(
+            trip, partition_by=["graph_id", "url_bucket"], batch_id=tbid,
             touched_keys=[f"{graph_id}|{b}" for b in range(N_URL_BUCKETS)],
         )
     counters["triples"] = _graph_rows(warehouse.triples, graph_id)
@@ -193,11 +192,12 @@ def run_pipeline(
         canon = g_nodes.join(F.broadcast(mapping), on="name", how="left").withColumn(
             "canonical_id", F.coalesce("canonical_name", "name")
         ).drop("canonical_name")
-        # partition-scoped: only this graph's partition is rewritten
-        warehouse.nodes.merge_into(
-            canon, on=["graph_id", "id"], when_matched="update", dedupe=False,
-            batch_id=f"{graph_id}{sfx}/canonical", partition_by=["graph_id"],
-            touched_keys=[graph_id],
+        # dynamic partition overwrite: canon IS the full refreshed
+        # content of this graph's partition — replace it wholesale
+        # (no read-back anti-join); other graphs' partitions carried
+        warehouse.nodes.overwrite_partitions(
+            canon, partition_by=["graph_id"],
+            batch_id=f"{graph_id}{sfx}/canonical", touched_keys=[graph_id],
         )
         mapping.unpersist()
         stage_s["canonicalize"] = round(time.time() - t0, 2)

@@ -466,6 +466,49 @@ class LakeTable:
             partition_by=partition_by,
         )
 
+    def overwrite_partitions(
+        self,
+        df: DataFrame,
+        partition_by: list[str],
+        touched_keys: Optional[list[str]] = None,
+        batch_id: Optional[str] = None,
+        counters: Optional[dict] = None,
+    ) -> dict:
+        """Dynamic partition overwrite (Iceberg INSERT OVERWRITE ...
+        PARTITION): every partition named in ``touched_keys`` (or
+        present in ``df``) is REPLACED by df's rows wholesale — the old
+        partition data is never read, no anti-join runs. The right
+        primitive when a stage regenerates a partition's full contents
+        (per-graph triples refresh, canonicalization rewrite); plain
+        ``merge_into`` pays a read+anti-join for rows that are all
+        doomed anyway."""
+        if batch_id and batch_id in self.applied_batches():
+            return {"skipped": True, "batch_id": batch_id}
+        entry = self.current_entry()
+        if entry is None or entry.get("partition_dirs") is None:
+            return self._write_snapshot(df, "overwrite_partitions", batch_id,
+                                        counters, partition_by)
+        if entry.get("mor"):
+            raise ValueError(
+                f"{self.dir}: overwrite_partitions on a merge-on-read table"
+            )
+        touched = set(touched_keys) if touched_keys is not None else \
+            self._keys_of(df, partition_by)
+        old_dirs: dict = entry["partition_dirs"]
+        old_rows: dict = entry.get("partition_rows") or {}
+        snap_name = f"snap-{self._next_snap_id():06d}"
+        new_dirs, new_counts, _ = self._persist(df, snap_name, partition_by)
+        dirs = {k: v for k, v in old_dirs.items() if k not in touched}
+        rows_by = {k: old_rows.get(k, 0) for k in dirs}
+        carried = len(dirs)
+        dirs.update(new_dirs)
+        rows_by.update(new_counts)
+        return self._commit_entry(
+            "overwrite_partitions", batch_id, counters, snap_name,
+            sum(rows_by.values()), dirs, rows_by, carried=carried,
+            partition_by=partition_by,
+        )
+
     def merge_on_read(
         self,
         updates: DataFrame,

@@ -281,3 +281,21 @@ def test_rollback_to_snapshot(spark, tbl):
                   on=["g", "k"], partition_by=["g"])
     t2.rollback("snap-000001")
     assert rows(t2.read(spark)) == [(1, "g0"), (2, "g1")]
+
+
+def test_overwrite_partitions_replaces_wholesale(spark, tbl):
+    """Dynamic partition overwrite: touched partitions replaced without
+    reading their old rows; untouched carried by reference."""
+    df = spark.createDataFrame(
+        [("g1", 1, "old"), ("g1", 2, "old"), ("g2", 1, "keep")],
+        "g string, k int, v string",
+    )
+    tbl.overwrite(df, partition_by=["g"])
+    before_g2 = list(tbl.current_entry()["partition_dirs"]["g2"])
+    new = spark.createDataFrame([("g1", 9, "new")], "g string, k int, v string")
+    tbl.overwrite_partitions(new, partition_by=["g"], touched_keys=["g1"])
+    got = sorted(tuple(r) for r in tbl.read(spark).collect())
+    assert got == [("g1", 9, "new"), ("g2", 1, "keep")]
+    e = tbl.current_entry()
+    assert e["partition_dirs"]["g2"] == before_g2
+    assert e["op"] == "overwrite_partitions"
