@@ -144,3 +144,30 @@ def test_triples_resolution_is_join_free(spark):
     df = triples_table(extract(generate_spark(spark, 10)))
     p = plan(df)
     assert "Join" not in p and "Exchange" not in p
+
+
+def test_minhash_pairs_plan_has_no_join_no_window(spark):
+    """Round-2 redesign locked in: LSH candidate pairs come from ONE
+    bucket aggregation (collect_list + triangular transform) — any
+    Join or Window reappearing in this plan is a regression to the
+    26-Exchange round-1 shape."""
+    from knowledge_graph_spark.operators.dedup import (
+        minhash_lsh_pairs, simhash_near_duplicates,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for df in (minhash_lsh_pairs(docs), simhash_near_duplicates(docs)):
+        p = plan(df)
+        assert "Join" not in p and "Window" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_embedding_lsh_python_is_arrow_only(spark):
+    """The LSH signature matmul is the sanctioned Arrow crossing; the
+    verification joins and bucket agg stay JVM-side with no row-Python."""
+    from knowledge_graph_spark.operators.dedup import embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    p = plan(embedding_near_duplicates(emb, threshold=0.99, n_vectors=200))
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p
