@@ -539,6 +539,13 @@ class LakeTable:
         """
         if batch_id and batch_id in self.applied_batches():
             return {"skipped": True, "batch_id": batch_id}
+        if not partition_by:
+            # the unpartitioned append path rewrites via a RESOLVED read
+            # (no _seq/_tomb) — MOR requires the partitioned file-add
+            # layout to stay O(batch)
+            raise ValueError(
+                f"{self.dir}: merge_on_read requires partition_by"
+            )
         F = _f()
         upd = updates.withColumn(_SEQ, F.lit(int(seq))).withColumn(
             _TOMB, F.lit(False)
@@ -567,6 +574,12 @@ class LakeTable:
             raise ValueError(
                 f"{self.dir}: merge_on_read on a copy-on-write table; "
                 "compact()/overwrite() it first or use merge_into"
+            )
+        if entry is not None and entry.get("mor") != {"key": on, "policy": policy}:
+            raise ValueError(
+                f"{self.dir}: merge_on_read spec {on}/{policy} conflicts "
+                f"with the table's {entry['mor']} — resolution is a table "
+                "property, not a per-batch choice"
             )
         out = self.append(upd, batch_id=batch_id, counters=counters,
                           partition_by=partition_by)
@@ -597,9 +610,7 @@ class LakeTable:
             )
         partition_by = None
         if entry.get("partition_dirs") is not None:
-            # recover the partition spec from the pk of... the caller's
-            # spec isn't stored per-column; re-partition by the same key
-            partition_by = entry.get("partition_spec")
+            partition_by = entry.get("partition_spec")  # recorded at write
         out = self._write_snapshot(resolved, "compact", batch_id,
                                    partition_by=partition_by)
         if mor:
