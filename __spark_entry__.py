@@ -27,6 +27,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 _WAREHOUSES: dict[str, str] = {}  # sf_dir -> warehouse root (pipeline ran once)
 _KG_PAGES = 300
 _KG_GRAPH_ID = "graph_fixed"
+# second graph/user over a DISJOINT page slice: the deletion and
+# multi-graph queries (Q5/Q8/Q9) verify non-trivial survivor counts —
+# with one graph their oracles were constants that could not fail
+_KG_PAGES_B = 60
+_KG_GRAPH_ID_B = "graph_fixed_b"
+_KG_USER_B = "user_002"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -35,15 +41,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _warehouse(spark: SparkSession, sf_dir: str):
     """Run the KG pipeline once per sf_dir on the deterministic synthetic
-    pages corpus; later KG queries read the persisted tables."""
+    pages corpus — TWO graphs for TWO users over disjoint page slices
+    (the second run also exercises the update/merge path of the
+    extracted table); later KG queries read the persisted tables."""
     from knowledge_graph_spark.pipeline import KGWarehouse, run_pipeline
     from knowledge_graph_spark.sources.pages import generate_spark
 
     if sf_dir not in _WAREHOUSES:
         root = tempfile.mkdtemp(prefix="kg_wh_")
-        pages = generate_spark(spark, _KG_PAGES, partitions=8)
         wh = KGWarehouse(root)
-        run_pipeline(spark, pages, wh, graph_id=_KG_GRAPH_ID, link_entities=True)
+        pages_a = generate_spark(spark, _KG_PAGES, partitions=8)
+        run_pipeline(spark, pages_a, wh, graph_id=_KG_GRAPH_ID,
+                     link_entities=True)
+        pages_b = generate_spark(spark, _KG_PAGES_B, partitions=2,
+                                 start=_KG_PAGES)
+        run_pipeline(spark, pages_b, wh, graph_id=_KG_GRAPH_ID_B,
+                     user_id=_KG_USER_B, link_entities=True)
         _WAREHOUSES[sf_dir] = root
     from knowledge_graph_spark.pipeline import KGWarehouse as _W
 
@@ -663,6 +676,31 @@ def _q_fingerprints(spark, sf_dir):
     )
 
 
+_EMB_STATS: dict[str, tuple[int, int]] = {}
+
+
+def _emb_stats(sf_dir: str) -> tuple[int, int]:
+    """(n_vectors, dim) of the embeddings table from parquet footers —
+    the catalog-stats stand-in (zero Spark jobs; production reads these
+    from Iceberg table metadata)."""
+    if sf_dir not in _EMB_STATS:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        files = []
+        if os.path.isdir(path):
+            for root, _d, fs in os.walk(path):
+                files += [os.path.join(root, f) for f in fs
+                          if f.endswith(".parquet")]
+        else:
+            files = [path]
+        n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        first = pq.ParquetFile(files[0]).read_row_group(0, columns=["embedding"])
+        dim = len(first.column(0)[0])
+        _EMB_STATS[sf_dir] = (n, dim)
+    return _EMB_STATS[sf_dir]
+
+
 def _q_embedding_neardups(spark, sf_dir):
     from knowledge_graph_spark.operators.dedup import embedding_near_duplicates
 
@@ -670,8 +708,13 @@ def _q_embedding_neardups(spark, sf_dir):
     clones = emb.filter(F.col("vec_id") % 100 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
     )
+    # corpus size known without a job: footer count + exact clone count
+    # (vec_id is contiguous 0..n-1, so multiples of 100 = floor((n-1)/100)+1)
+    n, dim = _emb_stats(sf_dir)
+    n_total = n + (n - 1) // 100 + 1
     return (
-        embedding_near_duplicates(emb.unionByName(clones), threshold=0.999)
+        embedding_near_duplicates(emb.unionByName(clones), threshold=0.999,
+                                  n_vectors=n_total, dim=dim)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
@@ -832,8 +875,8 @@ def _q_kg_user_graphs(spark, sf_dir):
 
 def _q_kg_all_graphs(spark, sf_dir):
     """Q5 (no user filter) — same aggregation shape as Q4 over every
-    graph; on the fixed single-graph corpus its oracle is the Q4
-    golden."""
+    graph; the two-graph corpus gives it its own 2-row golden, distinct
+    from Q4's user-filtered result."""
     from knowledge_graph_spark.operators.queries import query_all_graphs
 
     wh = _warehouse(spark, sf_dir)
@@ -871,8 +914,11 @@ def _q_kg_dropped_relations(spark, sf_dir):
 
 def _q_kg_detach_delete(spark, sf_dir):
     """Q8 DETACH DELETE semantics, evaluated non-destructively: the
-    surviving node/edge counts after deleting the fixed graph, plus a
-    dangling-endpoint check (must be 0)."""
+    surviving node/edge counts after deleting graph A — with the
+    two-graph corpus the survivors are graph B's non-trivial counts
+    (computed independently by the pure-Python twin), plus a
+    dangling-endpoint check (must be 0): a DETACH bug that leaves
+    orphans of ANOTHER graph is now visible."""
     from knowledge_graph_spark.operators.queries import clear_graph_by_id
 
     wh = _warehouse(spark, sf_dir)
@@ -889,8 +935,9 @@ def _q_kg_detach_delete(spark, sf_dir):
 
 
 def _q_kg_clear_user(spark, sf_dir):
-    """Q9: per-user delete, non-destructive counts (the fixed corpus
-    has exactly one user, so everything dies)."""
+    """Q9: per-user delete, non-destructive counts — user_001's death
+    must leave exactly user_002's graph standing (twin-computed
+    golden)."""
     from knowledge_graph_spark.operators.queries import clear_graphs_by_user
 
     wh = _warehouse(spark, sf_dir)
@@ -988,20 +1035,14 @@ def oracle_sql() -> dict[str, str]:
         "kg_graph_links": _golden_sql("kg_graph_links", "src, dst, rel_type"),
         "kg_keyword_search": _golden_sql("kg_keyword_search", "id"),
         "kg_user_graphs": _golden_sql("kg_user_graphs", "graph_id"),
-        "kg_all_graphs": _golden_sql("kg_user_graphs", "graph_id"),
+        "kg_all_graphs": _golden_sql("kg_all_graphs", "graph_id"),
         "kg_canonical_entities": _golden_sql("kg_canonical_entities",
                                              "canonical_id"),
         "kg_dropped_relations": _golden_sql("kg_dropped_relations",
                                             "reason, type"),
-        # constant-result oracles: the fixed corpus has exactly one graph
-        # and one user, so Q8/Q9 leave nothing; dangling must be 0
-        "kg_detach_delete": (
-            "SELECT CAST(0 AS BIGINT) AS surviving_nodes, "
-            "CAST(0 AS BIGINT) AS surviving_edges, "
-            "CAST(0 AS BIGINT) AS dangling_edges"
-        ),
-        "kg_clear_user": (
-            "SELECT CAST(0 AS BIGINT) AS surviving_nodes, "
-            "CAST(0 AS BIGINT) AS surviving_edges"
-        ),
+        # twin-computed survivor counts: deleting graph A / user_001
+        # must leave exactly graph B standing (non-trivial since round 3)
+        "kg_detach_delete": _golden_sql("kg_detach_delete",
+                                        "surviving_nodes"),
+        "kg_clear_user": _golden_sql("kg_clear_user", "surviving_nodes"),
     }

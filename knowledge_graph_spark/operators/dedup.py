@@ -21,14 +21,14 @@ Scale notes (the whole point):
 - candidate pairs are generated INSIDE the bucket aggregation
   (:func:`_bucket_pairs`): one groupBy collects each bucket's sorted id
   list and a JVM ``transform``/``slice`` emits the triangular pairs —
-  no bucket self-join, no window pass, so an LSH stage costs exactly
-  one shuffle after the signature aggregate. Buckets above
-  ``max_bucket`` are dropped whole (the standard quadratic-blowup
-  guard; loss is confined to boilerplate clusters that are already
-  ambiguous). The collect is bounded by the same guard in expectation;
-  a degenerate corpus (10^6 byte-identical docs) should run
-  :func:`exact_duplicates` first — as every production dedup pipeline
-  does.
+  no bucket self-join, so an LSH stage costs exactly one shuffle after
+  the signature aggregate (the count-window guard shares the groupBy's
+  exchange). Buckets above ``max_bucket`` are dropped whole BEFORE
+  collect_list — filtered in the spillable window operator, so a
+  degenerate boilerplate bucket (10^6 byte-identical docs) never
+  materializes its id array in a single aggregation row. Loss is
+  confined to boilerplate clusters that are already ambiguous — the
+  standard quadratic-blowup guard.
 - SimHash blocking splits the 64-bit fingerprint into 4 x 16-bit bands:
   any pair within Hamming distance 3 shares at least one exact band
   (pigeonhole).
@@ -51,14 +51,24 @@ from ..functions.xxh64 import spark_xxhash64
 def _bucket_pairs(keyed: DataFrame, key_cols: list[str], max_bucket: int,
                   payload: Column) -> DataFrame:
     """(bucket keys, payload) -> distinct candidate pairs (a, b) with
-    a < b, generated inside ONE aggregation: per bucket, sort the
-    payloads and emit the strict upper triangle via JVM lambdas.
-    Buckets of size > max_bucket are dropped (skew guard) and size-1
-    buckets emit nothing."""
-    grouped = (
-        keyed.groupBy(*key_cols)
-        .agg(F.sort_array(F.collect_list(payload)).alias("_ids"))
-        .filter((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket))
+    a < b: per bucket, sort the payloads and emit the strict upper
+    triangle via JVM lambdas. Buckets of size > max_bucket are dropped
+    (skew guard) and size-1 buckets emit nothing.
+
+    The guard runs BEFORE collect_list, as a count window over the same
+    bucket keys: an oversized boilerplate bucket is filtered row-by-row
+    in the (spillable) window operator and never materializes its id
+    array in a single aggregation row. The window's exchange hash-
+    partitions on the bucket keys, so the following groupBy reuses that
+    distribution — still exactly one shuffle for the whole stage."""
+    w = Window.partitionBy(*key_cols)
+    sized = (
+        keyed.withColumn("_n", F.count("*").over(w))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
+        .drop("_n")
+    )
+    grouped = sized.groupBy(*key_cols).agg(
+        F.sort_array(F.collect_list(payload)).alias("_ids")
     )
     pairs = F.flatten(
         F.transform(
@@ -100,13 +110,21 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
 def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Survivor set after exact dedup: the min-id row per content hash.
-    One shuffle on a 256-bit hash — never on document bodies."""
-    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col))
-    return (
-        docs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+
+    The survivor KEYS are computed on (hash, id) pairs only — the
+    hash-keyed aggregation never shuffles document bodies (the round-2
+    window version moved full rows through the exchange). Bodies move
+    once, through the id-keyed semi join that restores the surviving
+    rows — the table's natural storage key, so on an id-bucketed /
+    storage-partitioned table that join is shuffle-free."""
+    keys = (
+        docs.select(F.col(id_col).alias("_did"),
+                    F.sha2(F.col(text_col), 256).alias("_h"))
+        .groupBy("_h")
+        .agg(F.min("_did").alias(id_col))
+        .select(id_col)
     )
+    return docs.join(keys, on=id_col, how="left_semi")
 
 
 # ---------------------------------------------------------------------------
@@ -360,7 +378,8 @@ def embedding_near_duplicates(embeddings: DataFrame, id_col: str = "vec_id",
                               threshold: float = 0.95,
                               bands: int = 8, rows_per_band: int | None = None,
                               max_bucket: int = 1024,
-                              n_vectors: int | None = None) -> DataFrame:
+                              n_vectors: int | None = None,
+                              dim: int | None = None) -> DataFrame:
     """Vector near-duplicates: cosine >= threshold, blocked by BANDED
     random-hyperplane LSH — OR over ``bands`` bands of ``rows_per_band``
     sign bits each, so a 0.999-cosine pair flipping one plane's sign
@@ -377,12 +396,17 @@ def embedding_near_duplicates(embeddings: DataFrame, id_col: str = "vec_id",
     id) triples, never vectors."""
     from ..functions.vectors import dot, norm
 
+    # n_vectors/dim: thread them in from table metadata (parquet footer
+    # counts, catalog stats) — the count()/first() fallbacks each run a
+    # driver-side job per call, which a production pipeline should never
+    # pay for numbers its catalog already knows
     if n_vectors is None:
         n_vectors = embeddings.count()
     if rows_per_band is None:
         rows_per_band = lsh_rows_per_band(n_vectors)
-    first = embeddings.select(F.size(vec_col).alias("d")).first()
-    dim = first["d"] if first else 0
+    if dim is None:
+        first = embeddings.select(F.size(vec_col).alias("d")).first()
+        dim = first["d"] if first else 0
 
     # band signatures via an Arrow-vectorized pandas UDF: the sign bits
     # are one (batch x dim) @ (dim x planes) BLAS matmul per Arrow

@@ -15,23 +15,26 @@ All-Spark, no Python in the hot path:
 2. char-bigram shingles via JVM-side ``transform(sequence(...))`` —
    no UDF
 3. K=8 minhashes in ONE hash-aggregate: ``min(xxhash64(shingle, k))``
-4. LSH bands (B=4, R=2): band key = hash of two adjacent minhashes;
-   identical band key -> candidate pair
+4. LSH bands (B=8, R=2): band key = hash of two adjacent minhashes;
+   identical band key -> candidate pair, generated INSIDE the bucket
+   aggregation (operators/dedup.py ``_bucket_pairs`` — no bucket
+   self-join, no distinct pass)
 5. skew guard: LSH buckets larger than ``max_bucket`` are dropped
-   (a bucket of hub-suffix names like *公司 would produce a quadratic
-   self-join; standard LSH practice, loss only affects recall of
-   already-ambiguous blocks)
+   before their id lists materialize (a bucket of hub-suffix names
+   like *公司 would otherwise go quadratic; standard LSH practice,
+   loss only affects recall of already-ambiguous blocks)
 6. verify candidates with exact weighted cosine over shared shingles
    (IDF-weighted, computed with a groupBy over exploded shingles —
    set-based, no quadratic work)
 
-Scaling: one shuffle for the minhash agg, one for the band self-join,
-one for the verification join — all on bounded-vocabulary data.
+Scaling: one shuffle for the minhash agg, one for the bucket pair
+aggregation (+ its distinct), one for the verification join — all on
+bounded-vocabulary data.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from ..functions.vectors import char_ngrams
 
@@ -73,24 +76,16 @@ def candidate_pairs(
     ])
     banded = sig.select("name", F.explode(band_keys).alias("band_key"))
 
-    # skew guard: drop oversized buckets before the self-join
-    w = Window.partitionBy("band_key")
-    banded = (
-        banded.withColumn("_n", F.count("*").over(w))
-        .filter(F.col("_n") <= max_bucket)
-        .drop("_n")
-    )
+    # in-aggregate triangular pair generation (operators/dedup.py
+    # _bucket_pairs — the shape that cut minhash dedup from 26 to 8
+    # exchanges): one count-window skew guard + one collect per bucket,
+    # pairs emitted by JVM lambdas — no bucket self-join, no second
+    # scan of the banded table
+    from .dedup import _bucket_pairs
 
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(b, on="band_key")
-        .filter(F.col("a.name") < F.col("b.name"))
-        .select(
-            F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b")
-        )
-        .distinct()
-    )
+    return _bucket_pairs(
+        banded, ["band_key"], max_bucket, F.col("name")
+    ).withColumnsRenamed({"a": "name_a", "b": "name_b"})
 
 
 def scored_pairs(names: DataFrame, max_bucket: int = 64) -> DataFrame:

@@ -45,6 +45,11 @@ def graph_links(nodes: DataFrame, edges: DataFrame, graph_id: str) -> DataFrame:
         .join(F.broadcast(b), on="dst", how="inner")
         .select(
             "src", "dst", "rel_type", "verb", "similarity",
+            # the reference spreads EVERY relationship property into the
+            # link payload (**r, kg_writer.py:109-115) — graph_id and
+            # user_id included (set ON CREATE, kg_writer.py:57); url is
+            # this engine's provenance property and spreads with them
+            "graph_id", "user_id", "url",
             "src_name", "src_type", "dst_name", "dst_type",
             # label = verb or type, Chinese surface preferred (kg_writer.py:113)
             F.coalesce(
@@ -89,9 +94,12 @@ def query_graph(spark, nodes: DataFrame, edges: DataFrame, graph_id: str) -> dic
             "id": b_id, "name": d["dst_name"], "type": d["dst_type"],
             "graph_id": graph_id,
         }
+        # full **r spread (kg_writer.py:109-115): every edge property
+        # rides the link payload, graph_id/user_id/url included
         links.append({
             "source": a_id, "target": b_id, "type": d["rel_type"],
             "label": d["label"], "verb": d["verb"], "similarity": d["similarity"],
+            "graph_id": d["graph_id"], "user_id": d["user_id"], "url": d["url"],
         })
     return {"nodes": list(out_nodes.values()), "links": links}
 

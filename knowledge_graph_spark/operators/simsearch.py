@@ -9,9 +9,11 @@ corpus.
 Scale design:
 - dot products are JVM-side ``aggregate(zip_with(...))`` — vectorized
   codegen, no Python;
-- brute force is one broadcast (queries are small) + one global top-k
-  per query via window row_number — the shuffle moves (qid, vid, score)
-  triples, never vectors;
+- brute force is one broadcast (queries are small) + a TWO-PHASE
+  per-query top-k (salted local row_number, then a global window over
+  at most salt_buckets*k survivors) — the shuffles move (qid, vid,
+  score) triples, never vectors, and no single reducer ever sees a
+  query's full candidate set;
 - IVF training uses Lloyd's iterations as DataFrame aggregations
   (deterministic seed-free init: the k smallest xxhash64(vec_id));
   assignment joins vectors to the broadcast centroid table; queries
@@ -26,6 +28,44 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.vectors import dot as _dot, l2_sq, norm as _norm
 
+# salt fan-out of the two-phase top-k's first pass: each query's N
+# candidate rows spread over this many reducers before the global
+# (S*k)-row pass — sized so phase 1 keeps a 1000-executor cluster busy
+TOPK_SALT_BUCKETS = 64
+
+
+def _per_query_topk(scored: DataFrame, k: int,
+                    salt_buckets: int = TOPK_SALT_BUCKETS) -> DataFrame:
+    """(query_id, vec_id, cosine) -> top-k per query with a dense
+    ``rank``, in TWO phases: a salted local top-k (row_number within
+    (query_id, salt-of-vec_id) — N rows spread over ``salt_buckets``
+    reducers per query) followed by the global per-query window over at
+    most salt_buckets*k survivors.
+
+    A single global window funnels every scored row of a query through
+    ONE reducer — 24 GB/query at 10^9 vectors; the salted pre-pass
+    bounds the global stage's input to S*k rows per query. Correct
+    because each bucket's top-k is a superset of the bucket's
+    contribution to the global top-k. Ties break on vec_id, so the
+    result is deterministic and identical to the one-pass plan."""
+    salt = F.pmod(F.xxhash64("vec_id"), F.lit(salt_buckets))
+    w_local = Window.partitionBy("query_id", "_salt").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    local = (
+        scored.withColumn("_salt", salt)
+        .withColumn("_r", F.row_number().over(w_local))
+        .filter(F.col("_r") <= k)
+        .drop("_salt", "_r")
+    )
+    w_global = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w_global))
+        .filter(F.col("rank") <= k)
+    )
+
 
 def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
@@ -34,8 +74,9 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     """Exact cosine top-k: (query_id, vec_id, cosine, rank).
 
     Queries broadcast to every partition of the corpus; per-query top-k
-    via row_number over the score window. Self-matches (same id) are
-    not excluded — callers filter if needed."""
+    via the salted two-phase window (:func:`_per_query_topk` — no
+    single-reducer funnel). Self-matches (same id) are not excluded —
+    callers filter if needed."""
     v = vectors.select(F.col(id_col).alias("vec_id"),
                        F.col(vec_col).alias("vec"),
                        _norm(vec_col).alias("vnorm"))
@@ -46,13 +87,7 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
         "query_id", "vec_id",
         (_dot("vec", "qvec") / (F.col("vnorm") * F.col("qnorm"))).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("vec_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _per_query_topk(scored, k)
 
 
 # ---------------------------------------------------------------------------
@@ -181,10 +216,11 @@ def ivf_topk(assignments: DataFrame, centroids: DataFrame,
         .select("query_id", "qvec", "cell_id")
     )
     cos = _dot("vec", "qvec") / (_norm("vec") * _norm("qvec"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
+    scored = (
         assignments.join(F.broadcast(probes), "cell_id")
         .select("query_id", "vec_id", cos.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
     )
+    # candidate set is already bounded to ~n_probe/n_cells of the corpus,
+    # but a hot cell at 10^9 vectors still holds millions of rows — the
+    # salted two-phase pass keeps the final ranking off a single reducer
+    return _per_query_topk(scored, k)

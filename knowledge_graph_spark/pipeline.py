@@ -132,15 +132,41 @@ def run_pipeline(
         # snapshot write.
         upd = with_url_bucket(extracted)
         is_update = warehouse.extracted.exists()
+        touched = None
         if is_update:
             upd = upd.persist()
+            # url_bucket is a pure function of the merge key, so the
+            # batch's distinct buckets are EXACTLY the partitions this
+            # merge can write or delete — declare them, or the lake
+            # layer (whose _match_subset sees no common column between
+            # ['url'] and ['url_bucket']) conservatively rewrites every
+            # bucket, turning each update batch into a full-table rewrite
+            touched = [
+                str(r[0]) for r in upd.select("url_bucket").distinct().collect()
+            ]
         warehouse.extracted.merge_into(
             upd, on=["url"], when_matched="update", batch_id=bid,
-            dedupe=False, partition_by=["url_bucket"],
+            dedupe=False, partition_by=["url_bucket"], touched_keys=touched,
         )
         if is_update:
             upd.unpersist()
     extracted = warehouse.extracted.read(spark)
+
+    # ---- graph scope -------------------------------------------------
+    # The extracted table is SHARED url-keyed storage (a url's extraction
+    # is computed once, reused by every graph) — but a graph is defined
+    # by the pages handed to ITS runs (reference: one extraction run =
+    # one graph). Scope stages 2-4 to this graph's accumulated url set:
+    # this batch's urls ∪ urls already materialized for the graph. On a
+    # fresh warehouse the table holds exactly this batch, so the scope
+    # join is skipped — the single-graph bulk path stays join-free.
+    if warehouse.extracted.current_entry().get("parent") is not None:
+        scope = pages.select("url").distinct()
+        prior = (warehouse.nodes.read_partitions(spark, [graph_id])
+                 if warehouse.nodes.exists() else None)
+        if prior is not None:
+            scope = scope.unionByName(prior.select("url")).distinct()
+        extracted = extracted.join(scope, on="url", how="left_semi")
 
     # table totals come from the manifest (counted at commit), not a job
     counters["pages"] = (warehouse.extracted.current_entry() or {}).get("rows", 0)
@@ -178,8 +204,15 @@ def run_pipeline(
     if link_entities:
         t0 = time.time()
         # the manifest is the partition index: read ONLY this graph's
-        # node partition, never the whole table
+        # node partition, never the whole table. None = the graph has
+        # no node partition (zero-entity corpus, or a legacy
+        # unpartitioned manifest): nothing to link — skip the stage
         g_nodes = warehouse.nodes.read_partitions(spark, [graph_id])
+        if g_nodes is None:
+            counters["linked_names"] = 0
+            counters["stage_seconds"] = stage_s
+            warehouse.vacuum(keep_last=2)
+            return counters
         names = g_nodes.select("name")
         links = same_as_edges(names)
         warehouse.same_as.overwrite(links, batch_id=f"{graph_id}{sfx}/same_as")

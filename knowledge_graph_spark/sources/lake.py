@@ -103,9 +103,12 @@ class LakeTable:
     def applied_batches(self) -> set[str]:
         if not self.exists():
             return set()
-        return {
-            e["batch_id"] for e in self._manifest()["lineage"] if e.get("batch_id")
-        }
+        m = self._manifest()
+        out = {e["batch_id"] for e in m["lineage"] if e.get("batch_id")}
+        # batch ids of lineage entries folded away by vacuum() — the
+        # idempotence guarantee outlives the detailed history
+        out.update(m.get("applied_batch_archive") or [])
+        return out
 
     def history(self) -> list[dict]:
         return self._manifest()["lineage"] if self.exists() else []
@@ -217,7 +220,8 @@ class LakeTable:
                       counters: Optional[dict], snap_name: str, rows: int,
                       partition_dirs=None, partition_rows=None,
                       carried: int = 0,
-                      partition_by: Optional[list[str]] = None) -> dict:
+                      partition_by: Optional[list[str]] = None,
+                      mor: Optional[dict] = None) -> dict:
         manifest = self._manifest() if self.exists() else {
             "table": self.dir, "snap_id": 0, "current": None, "lineage": [],
         }
@@ -236,7 +240,17 @@ class LakeTable:
             entry["carried_partitions"] = carried
             if partition_by is not None:
                 entry["partition_spec"] = list(partition_by)
-        manifest["snap_id"] = int(snap_name.split("-")[1])
+        if mor is not None:
+            # the resolution spec MUST land in the same atomic commit as
+            # the lineage entry: a second stamping commit would leave a
+            # crash window where the batch_id is applied but readers
+            # resolve nothing (raw _seq/_tomb rows surface)
+            entry["mor"] = mor
+        # monotonic even when a commit re-points at an older snapshot
+        # (metadata-only delete after a rollback): the next write must
+        # not collide with directories still on disk
+        manifest["snap_id"] = max(manifest["snap_id"],
+                                  int(snap_name.split("-")[1]))
         manifest["current"] = snap_name
         manifest["lineage"].append(entry)
         self._commit(manifest)
@@ -245,11 +259,13 @@ class LakeTable:
     def _write_snapshot(
         self, df: DataFrame, op: str, batch_id: Optional[str],
         counters: Optional[dict] = None, partition_by: Optional[list[str]] = None,
+        mor: Optional[dict] = None,
     ) -> dict:
         snap_name = f"snap-{self._next_snap_id():06d}"
         dirs, counts, rows = self._persist(df, snap_name, partition_by)
         return self._commit_entry(op, batch_id, counters, snap_name, rows,
-                                  dirs, counts, partition_by=partition_by)
+                                  dirs, counts, partition_by=partition_by,
+                                  mor=mor)
 
     # ---- partition-key helpers ----------------------------------------
 
@@ -295,12 +311,17 @@ class LakeTable:
     def append(
         self, df: DataFrame, batch_id: Optional[str] = None,
         counters: Optional[dict] = None, partition_by: Optional[list[str]] = None,
+        mor: Optional[dict] = None,
     ) -> dict:
         """Fast append. On a partitioned table this is a pure file add:
         the new rows are written as fresh directories and the manifest
         carries every existing directory forward by reference — the
         current snapshot is NEVER read (Iceberg append semantics).
-        Unpartitioned tables keep the legacy read+union rewrite."""
+        Unpartitioned tables keep the legacy read+union rewrite.
+
+        ``mor``: resolution spec to stamp on the new lineage entry IN
+        THE SAME atomic commit (merge_on_read passes it; a MOR table's
+        existing spec is carried automatically otherwise)."""
         if batch_id and batch_id in self.applied_batches():
             return {"skipped": True, "batch_id": batch_id}
         entry = self.current_entry()
@@ -310,6 +331,11 @@ class LakeTable:
                 f"{self.dir}: plain append to a merge-on-read table "
                 "(rows lack the _seq column) — use merge_on_read()"
             )
+        # a MOR table's resolution spec survives appends: carry it into
+        # the new entry atomically (never a follow-up commit — a crash
+        # between two commits would strand an applied batch without mor)
+        if mor is None and entry is not None and entry.get("mor"):
+            mor = entry["mor"]
         if partition_by and (entry is None or old_dirs is not None):
             snap_name = f"snap-{self._next_snap_id():06d}"
             new_dirs, new_counts, new_rows = self._persist(df, snap_name, partition_by)
@@ -322,19 +348,13 @@ class LakeTable:
                 "append", batch_id, counters, snap_name,
                 sum(counts.values()), dirs, counts,
                 carried=len(dirs) - len(new_dirs), partition_by=partition_by,
+                mor=mor,
             )
         else:
             if self.exists():
                 df = self.read(df.sparkSession).unionByName(df)
             out = self._write_snapshot(df, "append", batch_id, counters,
-                                       partition_by)
-        # a MOR table's resolution spec survives appends (merge_on_read
-        # routes here and re-stamps the same spec)
-        if entry is not None and entry.get("mor") and not out.get("skipped"):
-            m = self._manifest()
-            m["lineage"][-1]["mor"] = entry["mor"]
-            self._commit(m)
-            out["mor"] = entry["mor"]
+                                       partition_by, mor=mor)
         return out
 
     def merge_into(
@@ -581,13 +601,14 @@ class LakeTable:
                 f"with the table's {entry['mor']} — resolution is a table "
                 "property, not a per-batch choice"
             )
+        # the mor spec rides the append's ONE atomic commit — a crash can
+        # leave either no trace of the batch (clean replay) or a complete
+        # entry (replay skipped), never an applied-but-unresolvable state
         out = self.append(upd, batch_id=batch_id, counters=counters,
-                          partition_by=partition_by)
-        # stamp the resolution spec on the new lineage entry
-        m = self._manifest()
-        m["lineage"][-1]["mor"] = {"key": on, "policy": policy}
-        self._commit(m)
-        out["mor"] = {"key": on, "policy": policy}
+                          partition_by=partition_by,
+                          mor={"key": on, "policy": policy})
+        if not out.get("skipped"):
+            out["mor"] = {"key": on, "policy": policy}
         return out
 
     def compact(self, spark: SparkSession, batch_id: Optional[str] = None) -> dict:
@@ -612,11 +633,9 @@ class LakeTable:
         if entry.get("partition_dirs") is not None:
             partition_by = entry.get("partition_spec")  # recorded at write
         out = self._write_snapshot(resolved, "compact", batch_id,
-                                   partition_by=partition_by)
+                                   partition_by=partition_by,
+                                   mor=mor if mor else None)
         if mor:
-            m = self._manifest()
-            m["lineage"][-1]["mor"] = mor
-            self._commit(m)
             out["mor"] = mor
         return out
 
@@ -651,18 +670,98 @@ class LakeTable:
         self._commit(m)
         return entry
 
+    def _table_columns(self, entry: dict) -> list[str]:
+        """Column names of the stored files (one footer read, no job)."""
+        import pyarrow.parquet as pq
+
+        for paths in (entry.get("partition_dirs") or {}).values():
+            for rel in paths:
+                d = os.path.join(self.dir, rel)
+                for root, _dirs, files in os.walk(d):
+                    for f in files:
+                        if f.endswith(".parquet"):
+                            return pq.ParquetFile(
+                                os.path.join(root, f)
+                            ).schema_arrow.names
+        return []
+
+    def _prune_delete_keys(self, spark: SparkSession, condition: str,
+                           entry: dict) -> Optional[set[str]]:
+        """Partition keys a DELETE predicate can reach, evaluated on the
+        manifest's partition index (planning-time prune, zero data
+        files opened). Non-partition columns evaluate as NULL, and a
+        partition is pruned only when the predicate is definitively
+        FALSE for it (three-valued logic: UNKNOWN = could match) — so
+        mixed predicates like ``graph_id='g' AND url='u'`` still prune
+        to one graph. Keys are evaluated in their canonical string form
+        — exact for the engine's partition columns (graph ids, integer
+        buckets). Returns None when evaluation fails (unscopeable)."""
+        spec = entry.get("partition_spec")
+        dirs = entry.get("partition_dirs")
+        if not spec or dirs is None:
+            return None
+        try:
+            F = _f()
+            keys_df = spark.createDataFrame(
+                [tuple(k.split("|")) for k in dirs],
+                ", ".join(f"`{c}` string" for c in spec),
+            )
+            for c in self._table_columns(entry):
+                if c not in spec and c != _PK:
+                    keys_df = keys_df.withColumn(c, F.lit(None))
+            matched = (
+                keys_df.withColumn("_m", F.expr(condition))
+                .filter(F.col("_m").isNull() | F.col("_m"))
+                .collect()
+            )
+        except Exception:
+            return None  # unresolvable/unevaluable -> full rewrite
+        return {"|".join(r[c] for c in spec) for r in matched}
+
     def delete_where(
         self, spark: SparkSession, condition: str,
         batch_id: Optional[str] = None,
     ) -> dict:
         """DELETE FROM t WHERE condition — rewrite keeping the negation.
         (Iceberg DELETE equivalent; reference DETACH DELETE is composed
-        from this plus an anti-join at the call site, operators/queries.)"""
+        from this plus an anti-join at the call site, operators/queries.)
+
+        Partition-pruned: when the predicate resolves against the
+        partition columns alone, only partitions that can contain
+        matching rows are read and rewritten — the rest are carried by
+        manifest reference, byte-untouched (Iceberg metadata-delete
+        behavior). Predicates touching data columns, MOR tables, and
+        unpartitioned tables take the full-rewrite path."""
         if batch_id and batch_id in self.applied_batches():
             return {"skipped": True, "batch_id": batch_id}
         F = _f()
+        entry = self.current_entry()
+        touched = None
+        if entry is not None and not entry.get("mor"):
+            touched = self._prune_delete_keys(spark, condition, entry)
+        if touched is not None:
+            spec = entry["partition_spec"]
+            old_dirs: dict = entry["partition_dirs"]
+            touched &= set(old_dirs)  # only partitions that exist
+            if not touched:
+                # nothing can match: pure-metadata commit carrying every
+                # partition forward (records the batch_id for resume)
+                return self._commit_entry(
+                    f"delete:{condition}", batch_id, None,
+                    entry["snapshot"], entry["rows"],
+                    dict(old_dirs), dict(entry.get("partition_rows") or {}),
+                    carried=len(old_dirs), partition_by=spec,
+                )
+            cur = self.read_partitions(spark, sorted(touched))
+            # SQL DELETE removes rows where the predicate is TRUE; rows
+            # evaluating NULL are kept (coalesce, not bare negation)
+            kept = cur.filter(~F.coalesce(F.expr(condition), F.lit(False)))
+            return self.overwrite_partitions(
+                kept, partition_by=spec, touched_keys=sorted(touched),
+                batch_id=batch_id,
+            )
         current = self.read(spark)
-        kept = current.filter(~F.expr(condition))
+        kept = current.filter(~F.coalesce(F.expr(condition), F.lit(False)))
         return self._write_snapshot(kept, f"delete:{condition}", batch_id)
 
     def vacuum(self, keep_last: int = 2) -> list[str]:
@@ -671,7 +770,15 @@ class LakeTable:
         is one of those snapshots OR any of their ``partition_dirs``
         references points into it (carried-forward partitions keep
         their donor snapshot alive — reference counting, like Iceberg's
-        expire_snapshots honoring live manifests)."""
+        expire_snapshots honoring live manifests).
+
+        Also FOLDS the expired lineage entries: their batch ids move to
+        a compact ``applied_batch_archive`` set (idempotent-resume
+        checks still see them) and the detailed entries are dropped, so
+        a month-long micro-batch stream keeps an O(keep_last) manifest
+        instead of one entry per table per batch. Rollback targets are
+        therefore limited to the retained history — the same contract
+        as Iceberg's expire_snapshots."""
         if not self.exists():
             return []
         m = self._manifest()
@@ -692,4 +799,19 @@ class LakeTable:
             if os.path.exists(p):
                 shutil.rmtree(p)
                 removed.append(s)
+        # fold expired entries (everything before the keep window) into
+        # the archive; directories may outlive their entry (carried-
+        # partition donors) — reachability above is directory-based, so
+        # folding the entry never drops live files
+        expired = entries[:-keep_last] if keep_last > 0 else entries
+        if expired:
+            archive = set(m.get("applied_batch_archive") or [])
+            archive.update(
+                e["batch_id"] for e in expired if e.get("batch_id")
+            )
+            m["applied_batch_archive"] = sorted(archive)
+            kept_set = {id(e) for e in keep}
+            m["lineage"] = [e for e in m["lineage"]
+                            if e.get("skipped") or id(e) in kept_set]
+            self._commit(m)
         return removed

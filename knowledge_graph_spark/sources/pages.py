@@ -248,12 +248,16 @@ def read_partitioned_pages(spark, path: str):
     return spark.read.parquet(path)
 
 
-def generate_spark(spark, n: int, seed: int = 42, partitions: int | None = None):
+def generate_spark(spark, n: int, seed: int = 42, partitions: int | None = None,
+                   start: int = 0):
     """Distributed generation: spark.range drives page indices; each
-    partition builds its rows independently (pure function of index)."""
+    partition builds its rows independently (pure function of index).
+    ``start`` offsets the index range — disjoint page slices build
+    disjoint corpora (multi-graph fixtures)."""
     import pandas as pd
 
-    rng = spark.range(0, n, 1, partitions) if partitions else spark.range(0, n)
+    rng = (spark.range(start, start + n, 1, partitions) if partitions
+           else spark.range(start, start + n))
 
     def build(batches):
         for pdf in batches:

@@ -115,9 +115,14 @@ def start_kg_ingest(
         )
         extracted.unpersist()
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            # dropped included: its partitioned append adds one directory
+            # per micro-batch; plain compact folds multi-dir partitions
+            # even without a MOR spec (unbounded small-file growth
+            # otherwise)
             for t in (warehouse.extracted, warehouse.triples,
-                      warehouse.nodes, warehouse.edges):
-                t.compact(spark, batch_id=f"{bid}/compact/{t.dir}")
+                      warehouse.nodes, warehouse.edges, warehouse.dropped):
+                if t.exists():
+                    t.compact(spark, batch_id=f"{bid}/compact/{t.dir}")
 
     return (
         pages_stream.writeStream

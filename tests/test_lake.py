@@ -299,3 +299,97 @@ def test_overwrite_partitions_replaces_wholesale(spark, tbl):
     e = tbl.current_entry()
     assert e["partition_dirs"]["g2"] == before_g2
     assert e["op"] == "overwrite_partitions"
+
+
+def test_merge_on_read_commit_is_atomic(spark, tbl):
+    """The MOR resolution spec must land in the SAME manifest commit as
+    the lineage entry: a crash between two commits would leave the
+    batch_id applied but the entry unresolvable (raw _seq/_tomb rows
+    surfacing to readers)."""
+    commits = []
+    orig = tbl._commit
+    tbl._commit = lambda m: (commits.append(1), orig(m))[1]
+    df = spark.createDataFrame([(1, "g", "a")], "k int, g string, v string")
+    tbl.merge_on_read(df, on=["k"], seq=0, partition_by=["g"])
+    assert len(commits) == 1
+    assert tbl.current_entry()["mor"] == {"key": ["k"], "policy": "last"}
+    # same guarantee on the follow-up append path and on compact
+    commits.clear()
+    tbl.merge_on_read(
+        spark.createDataFrame([(2, "g", "b")], "k int, g string, v string"),
+        on=["k"], seq=1, partition_by=["g"])
+    assert len(commits) == 1 and tbl.current_entry()["mor"]
+    commits.clear()
+    tbl.compact(spark)
+    assert len(commits) == 1 and tbl.current_entry()["mor"]
+
+
+def test_delete_where_prunes_partitions(spark, tbl):
+    """A DELETE whose predicate constrains partition columns rewrites
+    only matching partitions; the rest are carried by reference with
+    files byte-untouched on disk."""
+    import os
+
+    df = spark.createDataFrame(
+        [("g1", 1, "a"), ("g1", 2, "b"), ("g2", 3, "c"), ("g3", 4, "d")],
+        "g string, k int, v string",
+    )
+    tbl.overwrite(df, partition_by=["g"])
+    before = {k: list(v) for k, v in tbl.current_entry()["partition_dirs"].items()}
+    mtimes = {
+        p: os.path.getmtime(os.path.join(tbl.dir, p))
+        for ps in before.values() for p in ps
+    }
+    tbl.delete_where(spark, "g = 'g1' AND k = 1")
+    e = tbl.current_entry()
+    # g2/g3 carried verbatim, g1 rewritten
+    assert e["partition_dirs"]["g2"] == before["g2"]
+    assert e["partition_dirs"]["g3"] == before["g3"]
+    assert e["partition_dirs"]["g1"] != before["g1"]
+    for p in before["g2"] + before["g3"]:
+        assert os.path.getmtime(os.path.join(tbl.dir, p)) == mtimes[p]
+    assert rows(tbl.read(spark)) == [("g1", 2, "b"), ("g2", 3, "c"),
+                                     ("g3", 4, "d")]
+
+
+def test_delete_where_data_column_falls_back(spark, tbl):
+    """Predicate on a non-partition column cannot be scoped -> full
+    rewrite, still correct."""
+    df = spark.createDataFrame([("g1", 1, "x"), ("g2", 2, "y")],
+                               "g string, k int, v string")
+    tbl.overwrite(df, partition_by=["g"])
+    tbl.delete_where(spark, "v = 'x'")
+    assert rows(tbl.read(spark)) == [("g2", 2, "y")]
+
+
+def test_delete_where_no_match_is_metadata_only(spark, tbl):
+    """A partition-column predicate matching nothing commits pure
+    metadata: every partition carried, batch_id recorded for resume."""
+    df = spark.createDataFrame([("g1", 1, "x")], "g string, k int, v string")
+    tbl.overwrite(df, partition_by=["g"])
+    before = tbl.current_entry()["partition_dirs"]
+    out = tbl.delete_where(spark, "g = 'nope'", batch_id="del1")
+    assert out["partition_dirs"] == before
+    assert out["carried_partitions"] == 1
+    assert tbl.delete_where(spark, "g = 'nope'", batch_id="del1").get("skipped")
+    assert rows(tbl.read(spark)) == [("g1", 1, "x")]
+
+
+def test_vacuum_folds_lineage(spark, tbl):
+    """A long stream of commits keeps an O(keep_last) manifest after
+    vacuum; folded batch ids still dedupe replays (idempotent resume)."""
+    for s in range(8):
+        df = spark.createDataFrame([(s, "g", "v")], "k int, g string, v string")
+        tbl.merge_on_read(df, on=["k"], seq=s, partition_by=["g"],
+                          batch_id=f"b{s}")
+    tbl.compact(spark)
+    tbl.vacuum(keep_last=2)
+    assert len(tbl.history()) <= 2
+    # every folded batch id still recognized -> replay is a no-op
+    for s in range(8):
+        assert f"b{s}" in tbl.applied_batches()
+        r = tbl.merge_on_read(
+            spark.createDataFrame([(99, "g", "X")], "k int, g string, v string"),
+            on=["k"], seq=s, partition_by=["g"], batch_id=f"b{s}")
+        assert r.get("skipped")
+    assert sorted(r[0] for r in tbl.read(spark).collect()) == list(range(8))

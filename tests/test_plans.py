@@ -146,11 +146,16 @@ def test_triples_resolution_is_join_free(spark):
     assert "Join" not in p and "Exchange" not in p
 
 
-def test_minhash_pairs_plan_has_no_join_no_window(spark):
+def test_minhash_pairs_plan_shape(spark):
     """Round-2 redesign locked in: LSH candidate pairs come from ONE
-    bucket aggregation (collect_list + triangular transform) — any
-    Join or Window reappearing in this plan is a regression to the
-    26-Exchange round-1 shape."""
+    bucket aggregation (collect_list + triangular transform) — a Join
+    reappearing, or the exchange count growing, is a regression toward
+    the 26-Exchange round-1 shape. The one allowed Window is the
+    round-3 skew guard (count-before-collect): it must SHARE the bucket
+    aggregation's exchange, keeping the stage at 3 shuffles total
+    (signature agg, bucket agg, distinct)."""
+    import re
+
     from knowledge_graph_spark.operators.dedup import (
         minhash_lsh_pairs, simhash_near_duplicates,
     )
@@ -158,7 +163,8 @@ def test_minhash_pairs_plan_has_no_join_no_window(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     for df in (minhash_lsh_pairs(docs), simhash_near_duplicates(docs)):
         p = plan(df)
-        assert "Join" not in p and "Window" not in p
+        assert "Join" not in p
+        assert len(re.findall(r"\(\d+\) Exchange", p)) == 3
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
@@ -171,3 +177,60 @@ def test_embedding_lsh_python_is_arrow_only(spark):
     p = plan(embedding_near_duplicates(emb, threshold=0.99, n_vectors=200))
     assert "ArrowEvalPython" in p
     assert "BatchEvalPython" not in p
+
+
+def test_topk_is_two_phase(spark):
+    """Per-query top-k must pre-reduce in a salted local window before
+    the global per-query window: one global window alone funnels every
+    scored row of a query through a single reducer."""
+    import re
+
+    from knowledge_graph_spark.operators.simsearch import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    p = plan(brute_force_topk(emb, q, k=3))
+    wins = re.findall(r"\(\d+\) Window(?!GroupLimit)", p)
+    assert len(wins) == 2  # salted local pass + bounded global pass
+    # Spark's rank-limit pushdown must also fire: map-side top-k prune
+    # before each exchange (WindowGroupLimit Partial)
+    assert "WindowGroupLimit" in p
+
+
+def test_linking_candidate_pairs_has_no_self_join(spark):
+    """Entity-linking candidates use the in-aggregate triangle
+    (_bucket_pairs), not the round-1/2 bucket self-join."""
+    import re
+
+    from knowledge_graph_spark.operators.linking import candidate_pairs
+
+    names = spark.createDataFrame(
+        [(f"实体{i}公司",) for i in range(40)], "name string"
+    )
+    p = plan(candidate_pairs(names))
+    assert "Join" not in p
+    # distinct names + signature agg + bucket agg + pair distinct
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 4
+
+
+def test_dedup_exact_survivors_no_body_shuffle(spark):
+    """Survivor keys aggregate on (hash, id) only; document bodies must
+    not ride the hash-keyed exchange (they move once, through the
+    id-keyed semi join)."""
+    from knowledge_graph_spark.operators.dedup import dedup_exact
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(dedup_exact(docs))
+    # the hash-agg exchange partitions on _h and must not carry text
+    for block in p.split("(")[1:]:
+        if block.startswith("Exchange") or ") Exchange" in block[:4]:
+            pass
+    import re
+    # locate Exchange detail sections: 'Arguments: hashpartitioning(_h...'
+    segs = re.findall(r"\(\d+\) Exchange[\s\S]*?(?=\(\d+\) )", p)
+    hash_segs = [s for s in segs if "_h" in s]
+    assert hash_segs, "expected a hash-keyed exchange"
+    for s in hash_segs:
+        assert "text" not in s

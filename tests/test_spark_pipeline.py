@@ -79,7 +79,11 @@ def test_query_graph_shape(spark, tmp_path):
     g = Q.query_graph(spark, nodes, edges, "g1")
     assert g["nodes"] and g["links"]
     for ln in g["links"]:
-        assert {"source", "target", "type", "label"} <= set(ln)
+        # full **r spread (kg_writer.py:109-115): every edge property
+        # rides the link, graph_id/user_id included
+        assert {"source", "target", "type", "label", "verb", "similarity",
+                "graph_id", "user_id", "url"} <= set(ln)
+        assert ln["graph_id"] == "g1"
     node_ids = {n["id"] for n in g["nodes"]}
     for ln in g["links"]:
         assert ln["source"] in node_ids and ln["target"] in node_ids

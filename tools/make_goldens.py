@@ -53,6 +53,9 @@ OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 KG_PAGES = 300            # __spark_entry__._KG_PAGES
 GRAPH_ID = "graph_fixed"  # __spark_entry__._KG_GRAPH_ID
 USER_ID = "user_001"
+KG_PAGES_B = 60               # __spark_entry__._KG_PAGES_B
+GRAPH_ID_B = "graph_fixed_b"  # second graph over a disjoint page slice
+USER_ID_B = "user_002"
 
 
 # ---------------------------------------------------------------------------
@@ -321,10 +324,10 @@ def golden_media_features_topk(k: int = 3) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 
-def extract_corpus() -> list[dict]:
+def extract_corpus(n: int = KG_PAGES, start: int = 0) -> list[dict]:
     """page -> {url, text, entities, relations} via the pure kernel."""
     out = []
-    for i in range(KG_PAGES):
+    for i in range(start, start + n):
         p = page_row(i)
         text = p["text"] if p["text"] is not None else html_to_text(p["html"])
         r = extract_entities_relations(text)
@@ -339,7 +342,8 @@ def sanitize_rel(t: str):
     return None
 
 
-def build_graph(corpus: list[dict]):
+def build_graph(corpus: list[dict], graph_id: str = GRAPH_ID,
+                user_id: str = USER_ID):
     """Twin of graph_build.build_graph_tables + the deterministic edge
     dedupe in materialize_graph."""
     nodes, edges_raw, dropped = [], [], []
@@ -348,7 +352,7 @@ def build_graph(corpus: list[dict]):
         ids = {e["id"] for e in doc["entities"]}
         for e in doc["entities"]:
             nodes.append({
-                "graph_id": GRAPH_ID, "user_id": USER_ID,
+                "graph_id": graph_id, "user_id": user_id,
                 "id": f"{uhex}:{e['id']}", "name": e["name"],
                 "type": e["type"], "url": doc["url"],
                 "canonical_id": e["name"],  # overwritten by linking below
@@ -371,15 +375,17 @@ def build_graph(corpus: list[dict]):
     # deterministic per-key dedupe: min (verb, similarity, url)
     best: dict[tuple, tuple] = {}
     for e in edges_raw:
-        key = (GRAPH_ID, e["src"], e["dst"], e["rel_type"])
+        key = (graph_id, e["src"], e["dst"], e["rel_type"])
         val = (e["verb"], e["similarity"], e["url"])
         if key not in best or val < best[key]:
             best[key] = val
     edges = [
         {"graph_id": k[0], "src": k[1], "dst": k[2], "rel_type": k[3],
-         "verb": v[0], "similarity": v[1], "url": v[2], "user_id": USER_ID}
+         "verb": v[0], "similarity": v[1], "url": v[2], "user_id": user_id}
         for k, v in best.items()
     ]
+    for d in dropped:
+        d["graph_id"] = graph_id
     return nodes, edges, dropped
 
 
@@ -495,8 +501,12 @@ def main() -> None:
         ("query_id", pa.int64()), ("rank", pa.int32()),
         ("media_id", pa.int64()), ("cosine", pa.float64())]))
 
-    print("KG pipeline twin (300 pages)...")
-    corpus = extract_corpus()
+    print("KG pipeline twin (300 + 60 pages, two graphs / two users)...")
+    corpus_a = extract_corpus(KG_PAGES, 0)
+    corpus_b = extract_corpus(KG_PAGES_B, KG_PAGES)
+    # kg_triples / kg_entities read the SHARED url-keyed tables — both
+    # graphs' pages appear (urls are disjoint by construction)
+    corpus = corpus_a + corpus_b
 
     triples = []
     for doc in corpus:
@@ -521,25 +531,32 @@ def main() -> None:
         ("url", pa.string()), ("id", pa.string()), ("name", pa.string()),
         ("type", pa.string()), ("start", pa.int32()), ("end", pa.int32())]))
 
-    nodes, edges, dropped = build_graph(corpus)
+    nodes_a, edges_a, dropped_a = build_graph(corpus_a, GRAPH_ID, USER_ID)
+    nodes_b, edges_b, dropped_b = build_graph(corpus_b, GRAPH_ID_B, USER_ID_B)
 
-    print("  linking twin...")
-    mapping = canonical_mapping(same_as_pairs([n["name"] for n in nodes]))
-    for n_ in nodes:
-        n_["canonical_id"] = mapping.get(n_["name"], n_["name"])
+    print("  linking twin (per graph)...")
+    for ns in (nodes_a, nodes_b):
+        mapping = canonical_mapping(same_as_pairs([n["name"] for n in ns]))
+        for n_ in ns:
+            n_["canonical_id"] = mapping.get(n_["name"], n_["name"])
+    nodes = nodes_a + nodes_b
 
-    # kg_graph_links: edges joined to node payloads (one row per link)
+    # kg_graph_links: graph A's edges joined to node payloads (one row
+    # per link) — full **r property spread (graph_id, user_id, url ride
+    # along, kg_writer.py:109-115)
     by_id = {}
-    for n_ in nodes:
+    for n_ in nodes_a:
         by_id.setdefault(n_["id"], n_)  # dropDuplicates(["id"]) keeps one
     links = []
-    for e in edges:
+    for e in edges_a:
         a, b = by_id.get(e["src"]), by_id.get(e["dst"])
         if a is None or b is None:
             continue
         links.append({
             "src": e["src"], "dst": e["dst"], "rel_type": e["rel_type"],
             "verb": e["verb"], "similarity": e["similarity"],
+            "graph_id": e["graph_id"], "user_id": e["user_id"],
+            "url": e["url"],
             "src_name": a["name"], "src_type": a["type"],
             "dst_name": b["name"], "dst_type": b["type"],
             "label": e["verb"] if e["verb"] != "" else e["rel_type"],
@@ -548,14 +565,17 @@ def main() -> None:
     write("kg_graph_links", links, pa.schema([
         ("src", pa.string()), ("dst", pa.string()), ("rel_type", pa.string()),
         ("verb", pa.string()), ("similarity", pa.float64()),
+        ("graph_id", pa.string()), ("user_id", pa.string()),
+        ("url", pa.string()),
         ("src_name", pa.string()), ("src_type", pa.string()),
         ("dst_name", pa.string()), ("dst_type", pa.string()),
         ("label", pa.string())]))
 
+    # keyword search filters user_001 -> graph A's nodes only
     kw = sorted(
         ({"graph_id": n_["graph_id"], "id": n_["id"], "name": n_["name"],
           "type": n_["type"]}
-         for n_ in nodes if "公司" in n_["name"]),
+         for n_ in nodes_a if "公司" in n_["name"]),
         key=lambda d: d["id"],
     )
     write("kg_keyword_search", kw, pa.schema([
@@ -563,9 +583,31 @@ def main() -> None:
         ("name", pa.string()), ("type", pa.string())]))
 
     write("kg_user_graphs",
-          [{"graph_id": GRAPH_ID, "n_nodes": len(nodes), "n_links": len(edges)}],
+          [{"graph_id": GRAPH_ID, "n_nodes": len(nodes_a),
+            "n_links": len(edges_a)}],
           pa.schema([("graph_id", pa.string()), ("n_nodes", pa.int64()),
                      ("n_links", pa.int64())]))
+
+    write("kg_all_graphs",
+          [{"graph_id": GRAPH_ID, "n_nodes": len(nodes_a),
+            "n_links": len(edges_a)},
+           {"graph_id": GRAPH_ID_B, "n_nodes": len(nodes_b),
+            "n_links": len(edges_b)}],
+          pa.schema([("graph_id", pa.string()), ("n_nodes", pa.int64()),
+                     ("n_links", pa.int64())]))
+
+    # deleting graph A (Q8) or user_001 (Q9) must leave exactly graph B
+    # standing with zero dangling edges — non-trivial survivor oracles
+    write("kg_detach_delete",
+          [{"surviving_nodes": len(nodes_b), "surviving_edges": len(edges_b),
+            "dangling_edges": 0}],
+          pa.schema([("surviving_nodes", pa.int64()),
+                     ("surviving_edges", pa.int64()),
+                     ("dangling_edges", pa.int64())]))
+    write("kg_clear_user",
+          [{"surviving_nodes": len(nodes_b), "surviving_edges": len(edges_b)}],
+          pa.schema([("surviving_nodes", pa.int64()),
+                     ("surviving_edges", pa.int64())]))
 
     canon: dict[str, dict] = {}
     for n_ in nodes:
@@ -583,7 +625,7 @@ def main() -> None:
         ("n_mentions", pa.int64())]))
 
     drop_agg: dict[tuple, int] = defaultdict(int)
-    for d in dropped:
+    for d in dropped_a + dropped_b:
         drop_agg[(d["reason"], d["type"])] += 1
     drop_rows = sorted(
         ({"reason": k[0], "type": k[1], "n_dropped": v}
