@@ -561,6 +561,138 @@ FROM s2 GROUP BY source ORDER BY source
 """
 
 
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters: top-2-gram dominance and
+    duplicate-3-gram fraction per document."""
+    from knowledge_graph_spark.operators.textstats import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return (
+        repetition_stats(docs)
+        .select(
+            "doc_id",
+            F.round("top_2gram_frac", 6).alias("top_2gram_frac"),
+            F.round("dup_3gram_frac", 6).alias("dup_3gram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_REPETITION = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                     x -> x != '') AS w
+  FROM documents WHERE doc_id < 200
+),
+e2 AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w) >= 2
+    THEN list_transform(range(len(w) - 1),
+         i -> list_aggregate(list_slice(w, i + 1, i + 2), 'string_agg', ' '))
+    ELSE [list_aggregate(w, 'string_agg', ' ')] END) AS g
+  FROM toks
+),
+c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM e2 GROUP BY 1, 2),
+t2 AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_2gram_frac
+       FROM c2 GROUP BY 1),
+e3 AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w) >= 3
+    THEN list_transform(range(len(w) - 2),
+         i -> list_aggregate(list_slice(w, i + 1, i + 3), 'string_agg', ' '))
+    ELSE [list_aggregate(w, 'string_agg', ' ')] END) AS g
+  FROM toks
+),
+d3 AS (SELECT doc_id,
+              1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*) AS dup_3gram_frac
+       FROM e3 GROUP BY 1)
+SELECT t2.doc_id,
+       ROUND(top_2gram_frac, 6) AS top_2gram_frac,
+       ROUND(dup_3gram_frac, 6) AS dup_3gram_frac
+FROM t2 JOIN d3 USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# deterministic PII injection — SAME construction on both sides so the
+# detection/redaction queries verify against a DuckDB oracle (the raw
+# corpus contains no PII-shaped spans)
+def _docs_with_pii(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    txt = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(txt, F.lit(" contact u"),
+                 F.col("doc_id").cast("string"), F.lit("@example.com")),
+    ).otherwise(txt)
+    txt = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(txt, F.lit(" tel 13800138000")),
+    ).otherwise(txt)
+    return docs.withColumn("text", txt)
+
+
+_DOCS_PII_SQL = (
+    "SELECT doc_id, source, "
+    "CASE WHEN doc_id % 11 = 0 THEN "
+    "  (CASE WHEN doc_id % 7 = 0 THEN text || ' contact u' || doc_id || '@example.com' ELSE text END) || ' tel 13800138000' "
+    "ELSE "
+    "  (CASE WHEN doc_id % 7 = 0 THEN text || ' contact u' || doc_id || '@example.com' ELSE text END) "
+    "END AS text FROM documents"
+)
+
+
+def _q_pii_scrub(spark, sf_dir):
+    """PII detection + redaction audit: per source, how many docs carry
+    email/phone spans, total spans, and the residual count AFTER
+    redaction (must be zero — the scrub is verified, not assumed)."""
+    from knowledge_graph_spark.operators.textstats import (
+        redact_pii, with_pii_counts,
+    )
+
+    docs = with_pii_counts(_docs_with_pii(spark, sf_dir))
+    residual = with_pii_counts(
+        redact_pii(docs.select("doc_id", "source", "text"))
+    ).select(
+        "doc_id",
+        (F.col("n_emails") + F.col("n_phones")).alias("n_residual"),
+    )
+    return (
+        docs.join(residual, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum(F.when((F.col("n_emails") > 0) | (F.col("n_phones") > 0), 1)
+                  .otherwise(0)).alias("n_docs_with_pii"),
+            F.sum("n_emails").alias("total_emails"),
+            F.sum("n_phones").alias("total_phones"),
+            F.sum("n_residual").alias("residual_after_redaction"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_PII = rf"""
+WITH d AS ({_DOCS_PII_SQL}),
+c AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS n_emails,
+         len(regexp_extract_all(text, '1[0-9]{{10}}')) AS n_phones,
+         regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+             '1[0-9]{{10}}', '<PHONE>', 'g') AS redacted
+  FROM d
+)
+SELECT source,
+       SUM(CASE WHEN n_emails > 0 OR n_phones > 0 THEN 1 ELSE 0 END) AS n_docs_with_pii,
+       SUM(n_emails) AS total_emails,
+       SUM(n_phones) AS total_phones,
+       SUM(len(regexp_extract_all(redacted, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'))
+         + len(regexp_extract_all(redacted, '1[0-9]{{10}}'))) AS residual_after_redaction
+FROM c GROUP BY source ORDER BY source
+"""
+
+
 def _q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline (exact; DuckDB-oracled)."""
     from knowledge_graph_spark.operators.simsearch import brute_force_topk
@@ -974,6 +1106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "language_id": _q_language_id,
         "quality_scores": _q_quality_scores,
+        "repetition_stats": _q_repetition_stats,
+        "pii_scrub": _q_pii_scrub,
         "embedding_topk": _q_embedding_topk,
         "embedding_label_centroids": _q_embedding_label_centroids,
         # hash-sketch operators (rows-only)
@@ -1016,6 +1150,8 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _SQL_TOKEN_COUNTS,
         "language_id": _SQL_LANGUAGE_ID,
         "quality_scores": _SQL_QUALITY,
+        "repetition_stats": _SQL_REPETITION,
+        "pii_scrub": _SQL_PII,
         "embedding_topk": _SQL_EMBEDDING_TOPK,
         "embedding_label_centroids": _SQL_EMB_CENTROIDS,
         # exact-result oracles (DuckDB recomputes the full answer)

@@ -148,3 +148,79 @@ def with_fingerprint(docs: DataFrame, text_col: str = "text",
         docs.withColumn("content_hash", F.sha2(F.col(text_col), 256))
         .withColumn("fingerprint", F.array_min(sub_hashes))
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition statistics (Gopher repetition filters)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", ) -> DataFrame:
+    """Gopher-style repetition signals per document (token-based):
+
+    - ``top_2gram_frac`` — occurrences of the most frequent word-2-gram
+      over all 2-gram occurrences (boilerplate / template spam has a
+      dominant repeated phrase)
+    - ``dup_3gram_frac`` — fraction of word-3-gram occurrences that are
+      repeats (1 − distinct/total)
+
+    Set-based and shuffle-bounded: explode grams → per-(doc, gram)
+    count → per-doc aggregate; both stats share the partitioning on
+    doc_id, and the gram shuffles carry 64-bit-hashable short strings,
+    never document bodies. At 100 TB this is the same shape as the
+    shingle stages of MinHash dedup (proven there)."""
+    from ..functions.vectors import word_ngrams
+
+    g2 = docs.select(F.col(id_col).alias("doc_id"),
+                     F.explode(word_ngrams(text_col, 2)).alias("g"))
+    top2 = (
+        g2.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c") / F.sum("c")).alias("top_2gram_frac"))
+    )
+    g3 = docs.select(F.col(id_col).alias("doc_id"),
+                     F.explode(word_ngrams(text_col, 3)).alias("g"))
+    dup3 = (
+        g3.groupBy("doc_id")
+        .agg((F.lit(1.0) - F.countDistinct("g") / F.count("*"))
+             .alias("dup_3gram_frac"))
+    )
+    return top2.join(dup3, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+# patterns chosen to mean the same thing in Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"1[0-9]{10}"  # CN mobile shape; swap per-locale in prod
+
+
+def with_pii_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``n_emails`` / ``n_phones``: occurrences of email-shaped and
+    phone-shaped spans. Pure codegen (regexp_extract_all)."""
+    return (
+        docs.withColumn(
+            "n_emails",
+            F.size(F.expr(f"regexp_extract_all({text_col}, '{_EMAIL_RE}', 0)")),
+        )
+        .withColumn(
+            "n_phones",
+            F.size(F.expr(f"regexp_extract_all({text_col}, '{_PHONE_RE}', 0)")),
+        )
+    )
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text",
+               email_token: str = "<EMAIL>",
+               phone_token: str = "<PHONE>") -> DataFrame:
+    """Replaces email/phone spans with redaction tokens (the standard
+    pre-training scrub). Row-local regexp_replace — no shuffle."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), _EMAIL_RE, email_token),
+        _PHONE_RE, phone_token,
+    )
+    return docs.withColumn(text_col, redacted)

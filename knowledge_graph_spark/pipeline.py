@@ -156,11 +156,20 @@ def run_pipeline(
     # The extracted table is SHARED url-keyed storage (a url's extraction
     # is computed once, reused by every graph) — but a graph is defined
     # by the pages handed to ITS runs (reference: one extraction run =
-    # one graph). Scope stages 2-4 to this graph's accumulated url set:
-    # this batch's urls ∪ urls already materialized for the graph. On a
-    # fresh warehouse the table holds exactly this batch, so the scope
-    # join is skipped — the single-graph bulk path stays join-free.
-    if warehouse.extracted.current_entry().get("parent") is not None:
+    # one graph). When ANOTHER graph has ever written extraction into
+    # this warehouse, scope stages 2-4 to this graph's accumulated url
+    # set: this batch's urls ∪ urls already materialized for the graph.
+    # The check is pure metadata — extraction batch ids encode their
+    # graph ({graph_id}[@suffix]/extracted), and a crashed foreign run
+    # leaves its batch id behind, so the window where foreign urls could
+    # silently join this graph is closed. A single-graph warehouse (the
+    # bulk-construction path) never pays the scope join.
+    foreign = {
+        bid.split("/", 1)[0].split("@", 1)[0]
+        for bid in warehouse.extracted.applied_batches()
+        if bid.endswith("/extracted") and not bid.startswith("stream/")
+    } - {graph_id}
+    if foreign:
         scope = pages.select("url").distinct()
         prior = (warehouse.nodes.read_partitions(spark, [graph_id])
                  if warehouse.nodes.exists() else None)

@@ -191,20 +191,41 @@ class LakeTable:
     WRITE_SALT = 4
 
     def _persist(self, df: DataFrame, snap_name: str,
-                 partition_by: Optional[list[str]]):
+                 partition_by: Optional[list[str]],
+                 n_keys: Optional[int] = None):
         """Write df under snap_name. Returns (partition_dirs, partition_rows,
-        rows) — the first two None when unpartitioned."""
+        rows) — the first two None when unpartitioned.
+
+        ``n_keys``: number of partition keys this write touches, when the
+        caller knows it. The write salt scales so key-count × salt covers
+        the cluster: a whole-graph refresh (ONE key) would otherwise
+        funnel the write through WRITE_SALT tasks while the rest of the
+        cluster idles; with many keys the salt stays at the minimum so
+        files-per-key remain bounded."""
         path = os.path.join(self.dir, snap_name)
         F = _f()
         if not partition_by:
             df.write.mode("overwrite").parquet(path)
             return None, None, self._footer_rows(path)
+        spark = df.sparkSession
+        par = spark.sparkContext.defaultParallelism
+        salt_n = self.WRITE_SALT
+        if n_keys:
+            salt_n = min(max(par, self.WRITE_SALT),
+                         max(self.WRITE_SALT, -(-par // n_keys)))
         # co-locate each partition key in few tasks before the
         # partitionBy write: otherwise every task fans out one file per
-        # key it sees (k tasks x p keys files) — a small-file storm
-        salt = (F.rand(0) * self.WRITE_SALT).cast("int")
+        # key it sees (k tasks x p keys files) — a small-file storm.
+        # The partition COUNT is explicit (REPARTITION_BY_NUM): a
+        # column-only repartition is re-coalesced by AQE toward its
+        # advisory size, which funnels a small-table write through 1-2
+        # tasks while the cluster idles. Each (key, salt) combo still
+        # lands wholly in one task, so files-per-key stays <= salt_n.
+        n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                      (n_keys or 1) * salt_n)
+        salt = (F.rand(0) * salt_n).cast("int")
         df.withColumn(_PK, self._pk_col(partition_by)).repartition(
-            F_col(_PK), salt
+            n_parts, F_col(_PK), salt
         ).write.mode("overwrite").partitionBy(_PK).parquet(path)
         # per-partition lineage counters (north-star requirement) from
         # the written footers — zero Spark jobs
@@ -259,10 +280,10 @@ class LakeTable:
     def _write_snapshot(
         self, df: DataFrame, op: str, batch_id: Optional[str],
         counters: Optional[dict] = None, partition_by: Optional[list[str]] = None,
-        mor: Optional[dict] = None,
+        mor: Optional[dict] = None, n_keys: Optional[int] = None,
     ) -> dict:
         snap_name = f"snap-{self._next_snap_id():06d}"
-        dirs, counts, rows = self._persist(df, snap_name, partition_by)
+        dirs, counts, rows = self._persist(df, snap_name, partition_by, n_keys)
         return self._commit_entry(op, batch_id, counters, snap_name, rows,
                                   dirs, counts, partition_by=partition_by,
                                   mor=mor)
@@ -410,8 +431,11 @@ class LakeTable:
         if dedupe:
             updates = updates.dropDuplicates(on)
         if not self.exists():
-            return self._write_snapshot(updates, f"merge:{when_matched}",
-                                        batch_id, counters, partition_by)
+            return self._write_snapshot(
+                updates, f"merge:{when_matched}", batch_id, counters,
+                partition_by,
+                n_keys=len(touched_keys) if touched_keys else None,
+            )
         entry = self.current_entry()
         if entry.get("mor"):
             raise ValueError(
@@ -474,7 +498,8 @@ class LakeTable:
         result = self._merged(cur_touched, updates, on, when_matched, delete_keys)
 
         snap_name = f"snap-{self._next_snap_id():06d}"
-        new_dirs, new_counts, _ = self._persist(result, snap_name, partition_by)
+        new_dirs, new_counts, _ = self._persist(result, snap_name, partition_by,
+                                                n_keys=len(touched))
         dirs = {k: v for k, v in old_dirs.items() if k not in touched}
         rows_by = {k: old_rows.get(k, 0) for k in dirs}
         carried = len(dirs)
@@ -506,8 +531,10 @@ class LakeTable:
             return {"skipped": True, "batch_id": batch_id}
         entry = self.current_entry()
         if entry is None or entry.get("partition_dirs") is None:
-            return self._write_snapshot(df, "overwrite_partitions", batch_id,
-                                        counters, partition_by)
+            return self._write_snapshot(
+                df, "overwrite_partitions", batch_id, counters, partition_by,
+                n_keys=len(touched_keys) if touched_keys else None,
+            )
         if entry.get("mor"):
             raise ValueError(
                 f"{self.dir}: overwrite_partitions on a merge-on-read table"
@@ -517,7 +544,8 @@ class LakeTable:
         old_dirs: dict = entry["partition_dirs"]
         old_rows: dict = entry.get("partition_rows") or {}
         snap_name = f"snap-{self._next_snap_id():06d}"
-        new_dirs, new_counts, _ = self._persist(df, snap_name, partition_by)
+        new_dirs, new_counts, _ = self._persist(df, snap_name, partition_by,
+                                                n_keys=len(touched))
         dirs = {k: v for k, v in old_dirs.items() if k not in touched}
         rows_by = {k: old_rows.get(k, 0) for k in dirs}
         carried = len(dirs)

@@ -332,3 +332,47 @@ def test_dedup_embeddings_survivors(spark, emb):
     ids = {r["vec_id"] for r in survivors.select("vec_id").collect()}
     assert len(ids) == n            # every clone removed
     assert all(i < 1_000_000 for i in ids)  # min-id keeps the original
+
+
+def test_repetition_stats_detects_boilerplate(spark):
+    from knowledge_graph_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "click here click here click here click here"),
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    # doc 1: "click here" dominates; every 3-gram repeats heavily
+    assert got[1]["top_2gram_frac"] > 0.5
+    assert got[1]["dup_3gram_frac"] > 0.5
+    # doc 2: all grams unique
+    assert got[2]["dup_3gram_frac"] == 0.0
+    assert got[2]["top_2gram_frac"] < 0.2
+
+
+def test_pii_redaction_scrubs_all_matches(spark):
+    from knowledge_graph_spark.operators.textstats import (
+        redact_pii, with_pii_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "write to alice.smith+x@mail.example.org or call 13812345678"),
+            (2, "no pii here at all"),
+            (3, "two mails: a@b.co and c.d@e-f.org"),
+        ],
+        "doc_id long, text string",
+    )
+    counts = {r["doc_id"]: (r["n_emails"], r["n_phones"])
+              for r in with_pii_counts(docs).collect()}
+    assert counts[1] == (1, 1) and counts[2] == (0, 0) and counts[3] == (2, 0)
+    red = redact_pii(docs)
+    residual = with_pii_counts(red).selectExpr(
+        "sum(n_emails + n_phones) AS r").first()["r"]
+    assert residual == 0
+    txt = {r["doc_id"]: r["text"] for r in red.collect()}
+    assert "<EMAIL>" in txt[1] and "<PHONE>" in txt[1]
+    assert txt[2] == "no pii here at all"

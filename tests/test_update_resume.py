@@ -133,3 +133,28 @@ def test_update_batch_rewrites_only_touched_partitions(spark, tmp_path):
     e = wh.triples.current_entry()
     for k, paths in g1_dirs.items():
         assert e["partition_dirs"][k] == paths  # carried by reference
+
+
+def test_second_graph_scopes_to_its_own_pages(spark, tmp_path):
+    """A second graph built into the SAME warehouse must contain only
+    its own pages — the shared extracted table is url-keyed storage,
+    not graph membership (round-3 graph scoping)."""
+    wh = KGWarehouse(str(tmp_path))
+    pages_a = generate_spark(spark, 20, partitions=2)
+    run_pipeline(spark, pages_a, wh, graph_id="gA", link_entities=False)
+    pages_b = generate_spark(spark, 10, partitions=1, start=20)
+    run_pipeline(spark, pages_b, wh, graph_id="gB", user_id="u2",
+                 link_entities=False)
+    urls_a = {r[0] for r in pages_a.select("url").distinct().collect()}
+    urls_b = {r[0] for r in pages_b.select("url").distinct().collect()}
+    trips = wh.triples.read(spark)
+    got_b = {r[0] for r in trips.filter("graph_id = 'gB'")
+             .select("url").distinct().collect()}
+    assert got_b and got_b <= urls_b  # no graph-A pages leaked into B
+    got_a = {r[0] for r in trips.filter("graph_id = 'gA'")
+             .select("url").distinct().collect()}
+    assert got_a and got_a <= urls_a
+    nodes_b_urls = {r[0] for r in wh.nodes.read(spark)
+                    .filter("graph_id = 'gB'").select("url")
+                    .distinct().collect()}
+    assert nodes_b_urls <= urls_b
