@@ -693,6 +693,112 @@ FROM c GROUP BY source ORDER BY source
 """
 
 
+def _q_curate_corpus(spark, sf_dir):
+    """The training-data operators composed end-to-end: language gate ->
+    quality gate -> Gopher repetition gates -> exact-dedup survivors,
+    over the planted-duplicate corpus. Verifies the CASCADE, not just
+    the stages."""
+    from knowledge_graph_spark.operators.curate import curate_corpus
+
+    out = curate_corpus(_docs_with_dups(spark, sf_dir))
+    return (
+        out.select(
+            "doc_id", "lang_pred",
+            F.round("quality", 4).alias("quality"),
+            F.round("top_2gram_frac", 6).alias("top_2gram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_CURATE = rf"""
+WITH d AS ({_DOCS_DUP_SQL}),
+sig AS (
+  SELECT doc_id, text,
+         GREATEST(length(text), 1) AS total,
+         length(text) AS len,
+         length(text) - length(regexp_replace(text, '[\x{{4e00}}-\x{{9fff}}]', '', 'g')) AS cjk,
+         length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS asc_letters,
+         (CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(text) || ' ' LIKE '% and %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(text) || ' ' LIKE '% of %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(text) || ' ' LIKE '% to %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(text) || ' ' LIKE '% in %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(text) || ' ' LIKE '% is %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(text) || ' ' LIKE '% that %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(text) || ' ' LIKE '% for %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(text) || ' ' LIKE '% with %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(text) || ' ' LIKE '% was %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(text) || ' ' LIKE '% are %' THEN 1 ELSE 0 END
+        + CASE WHEN ' ' || lower(text) || ' ' LIKE '% this %' THEN 1 ELSE 0 END) AS stop_hits,
+         length(text) - length(regexp_replace(text, '[!-/:-@\[-`{{-~，。、；：！？“”‘’（）《》【】]', '', 'g')) AS punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS words
+  FROM d
+),
+scored AS (
+  SELECT doc_id, text,
+         CASE WHEN CAST(cjk AS DOUBLE) / total > 0.25 THEN 'zh'
+              WHEN CAST(asc_letters AS DOUBLE) / total > 0.5 AND stop_hits >= 1 THEN 'en'
+              ELSE 'other' END AS lang_pred,
+         GREATEST(0.0, 1.0
+           - CASE WHEN len < 20 THEN 0.5 ELSE 0.0 END
+           - CASE WHEN CAST(punct AS DOUBLE) / total > 0.3 THEN 0.25 ELSE 0.0 END
+           - CASE WHEN CAST(digits AS DOUBLE) / total > 0.3 THEN 0.25 ELSE 0.0 END
+           - CASE WHEN len(words) >= 5 AND (
+                 CAST(list_aggregate(list_transform(words, w -> length(w)), 'sum') AS DOUBLE) / len(words) < 2
+              OR CAST(list_aggregate(list_transform(words, w -> length(w)), 'sum') AS DOUBLE) / len(words) > 12)
+             THEN 0.25 ELSE 0.0 END) AS quality
+  FROM sig
+),
+cand AS (
+  SELECT doc_id, text, lang_pred, quality FROM scored
+  WHERE lang_pred = 'en' AND quality >= 0.75
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{{L}}\p{{N}}]+'),
+                     x -> x != '') AS w
+  FROM cand
+),
+e2 AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w) >= 2
+    THEN list_transform(range(len(w) - 1),
+         i -> list_aggregate(list_slice(w, i + 1, i + 2), 'string_agg', ' '))
+    ELSE [list_aggregate(w, 'string_agg', ' ')] END) AS g
+  FROM toks
+),
+c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM e2 GROUP BY 1, 2),
+t2 AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top2 FROM c2 GROUP BY 1),
+e3 AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w) >= 3
+    THEN list_transform(range(len(w) - 2),
+         i -> list_aggregate(list_slice(w, i + 1, i + 3), 'string_agg', ' '))
+    ELSE [list_aggregate(w, 'string_agg', ' ')] END) AS g
+  FROM toks
+),
+d3 AS (SELECT doc_id,
+              1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*) AS dup3
+       FROM e3 GROUP BY 1),
+keep AS (
+  SELECT cand.doc_id, cand.text, cand.lang_pred, cand.quality, t2.top2
+  FROM cand JOIN t2 USING (doc_id) JOIN d3 USING (doc_id)
+  WHERE top2 <= 0.07 AND dup3 <= 0.6
+),
+surv AS (
+  SELECT doc_id, lang_pred, quality, top2,
+         ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM keep
+)
+SELECT doc_id, lang_pred,
+       ROUND(quality, 4) AS quality,
+       ROUND(top2, 6) AS top_2gram_frac
+FROM surv WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 def _q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline (exact; DuckDB-oracled)."""
     from knowledge_graph_spark.operators.simsearch import brute_force_topk
@@ -1108,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "repetition_stats": _q_repetition_stats,
         "pii_scrub": _q_pii_scrub,
+        "curate_corpus": _q_curate_corpus,
         "embedding_topk": _q_embedding_topk,
         "embedding_label_centroids": _q_embedding_label_centroids,
         # hash-sketch operators (rows-only)
@@ -1152,6 +1259,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": _SQL_QUALITY,
         "repetition_stats": _SQL_REPETITION,
         "pii_scrub": _SQL_PII,
+        "curate_corpus": _SQL_CURATE,
         "embedding_topk": _SQL_EMBEDDING_TOPK,
         "embedding_label_centroids": _SQL_EMB_CENTROIDS,
         # exact-result oracles (DuckDB recomputes the full answer)

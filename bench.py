@@ -74,7 +74,7 @@ def main():
         "events_daily", "order_priority_semi",
         "dedup_exact_survivors", "minhash_pairs", "simhash_neardups",
         "token_counts", "language_id", "quality_scores",
-        "repetition_stats", "pii_scrub",
+        "repetition_stats", "pii_scrub", "curate_corpus",
         "embedding_topk", "embedding_neardups",
     ]
     qs = entrymod.queries()

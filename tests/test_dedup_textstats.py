@@ -376,3 +376,28 @@ def test_pii_redaction_scrubs_all_matches(spark):
     txt = {r["doc_id"]: r["text"] for r in red.collect()}
     assert "<EMAIL>" in txt[1] and "<PHONE>" in txt[1]
     assert txt[2] == "no pii here at all"
+
+
+def test_curate_corpus_gates_compose(spark):
+    from knowledge_graph_spark.operators.curate import curate_corpus
+
+    good = "the quick brown fox jumps over the lazy dog and runs far away today"
+    docs = spark.createDataFrame(
+        [
+            (1, good),                                   # survives
+            (2, good),                                   # exact dup of 1 -> dropped
+            (3, "click here click here click here click here click here"),  # repetition
+            (4, "这是一段中文文本，应当被语言闸门过滤掉，因为目标语言是英文。"),  # lang gate
+            (5, "x" * 10),                               # quality gate (too short)
+            (6, "the cat sat on the mat and then it sat on the hat for a while"),
+        ],
+        "doc_id long, text string",
+    )
+    # short test docs have naturally higher top-2gram mass than a web
+    # corpus; widen that gate (the default 0.07 targets ~300-word docs)
+    gates = {"max_top_2gram_frac": 0.2}
+    got = {r["doc_id"] for r in curate_corpus(docs, gates=gates).collect()}
+    assert got == {1, 6}
+    # audit columns survive the cascade
+    cols = set(curate_corpus(docs, gates=gates).columns)
+    assert {"lang_pred", "quality", "top_2gram_frac", "dup_3gram_frac"} <= cols

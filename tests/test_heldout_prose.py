@@ -87,6 +87,49 @@ HELDOUT: list[tuple[str, list[tuple[str, str, str]]]] = [
     ("陆涛是江南水务集团的总经理。", []),
     ("庐州会展中心成为行业标杆。", []),
     ("孔雀纺织企业降低生产成本。", []),
+    # -- round-3 extension: harder constructions ----------------------
+    # serial appoint + serve_as (two verbs, shared person)
+    ("建华集团任命邵芸担任首席科学家。",
+     [("建华集团", "appoint", "邵芸"),
+      ("邵芸", "serve_as", "首席科学家")]),
+    # leading date clause + locative PP
+    ("2024年5月，恒基建材集团在成都成立西部配送中心。",
+     [("恒基建材集团", "found", "西部配送中心"),
+      ("恒基建材集团", "found", "成都")]),
+    # MONEY object with 万元人民币 shape
+    ("青禾农业企业获得2000万元人民币。",
+     [("青禾农业企业", "win", "2000万元人民币")]),
+    # person with honorific cue as subject
+    ("林峰博士加入远望航天研究院。",
+     [("林峰", "join", "远望航天研究院")]),
+    # 地-interior org names on both sides
+    ("德信地产集团战胜洪城置业企业。",
+     [("德信地产集团", "defeat", "洪城置业企业")]),
+    # pronoun subject (no entity) + stop verb: nothing may fire
+    ("孙倩是复旦金融学院的副主任分析师。她支持产学研项目。", []),
+    # conjunction clause: second verb has a non-entity object
+    ("国研智库中心发表新型评估方法，并获得行业奖项。",
+     [("国研智库中心", "publish", "新型评估方法")]),
+    # coordinated persons: the reference's prep rule emits BOTH the
+    # dobj triple and the 与-pobj triple for the same verb. (Org names
+    # whose FIRST char is a one-char preposition — 同德/和信 — are a
+    # declared segmentation limitation of the model-free tokenizer:
+    # 同/和 must keep working as real prepositions.)
+    ("沈刚与秦岚加入仁德慈善中心。",
+     [("沈刚", "join", "仁德慈善中心"),
+      ("沈刚", "join", "秦岚")]),
+    # locative PP + entity object (both triples per E6+E7)
+    ("华清水务企业在苏州投资污水处理实验室。",
+     [("华清水务企业", "invest", "污水处理实验室"),
+      ("华清水务企业", "invest", "苏州")]),
+    # raw-verb fallthrough with a PRODUCT object (unmapped 推出 keeps
+    # its surface form as the predicate, extractor.py:109)
+    ("彩云通信集团推出智能语音应用。",
+     [("彩云通信集团", "推出", "智能语音应用")]),
+    # stop verb 包括 with an org-shaped object: nothing may fire
+    ("榆林煤业集团包括三家子公司。", []),
+    # mapped verb, non-entity object: nothing may fire
+    ("天虹百货集团提升会员服务。", []),
 ]
 
 
