@@ -371,6 +371,66 @@ FROM sess GROUP BY user_id ORDER BY user_id
 """
 
 
+def _q_asof_purchases(spark, sf_dir):
+    """AS-OF join (Spark lacks it natively): every purchase joined to
+    the user's most recent prior-or-simultaneous click; NULL when none.
+    Oracled against DuckDB's native ASOF LEFT JOIN."""
+    from knowledge_graph_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id")
+    out = asof_join(purchases, clicks, payload=["event_id", "ts"],
+                    tiebreak="event_id")
+    return out.select(
+        "event_id", "user_id",
+        F.col("r_event_id"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.col("r_ts").cast("timestamp"))).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+_SQL_ASOF = """
+SELECT l.event_id, l.user_id, r.event_id AS r_event_id,
+       epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+FROM (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""
+
+
+def _q_range_view_clicks(spark, sf_dir):
+    """Bounded range join (theta join made equi via Δ-width time
+    buckets): clicks within 4 h after a view by the same user."""
+    from knowledge_graph_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "ts", "user_id")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id")
+    out = range_join(views, clicks, delta_seconds=4 * 3600)
+    return out.select(
+        "event_id", "user_id", "r_event_id",
+        (F.unix_micros(F.col("r_ts").cast("timestamp"))
+         - F.unix_micros(F.col("ts").cast("timestamp"))).alias("gap_us"),
+    ).orderBy("event_id", "r_event_id")
+
+
+_SQL_RANGE = """
+SELECT l.event_id, l.user_id, r.event_id AS r_event_id,
+       epoch_us(r.ts) - epoch_us(l.ts) AS gap_us
+FROM (SELECT event_id, ts, user_id FROM events WHERE event_type = 'view') l
+JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND r.ts > l.ts
+ AND epoch_us(r.ts) <= epoch_us(l.ts) + 14400000000
+ORDER BY l.event_id, r_event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data operators over documents/embeddings (oracled where SQL can)
 # ---------------------------------------------------------------------------
@@ -1205,6 +1265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "supplier_nation_union": _q_supplier_nation_union,
         "order_priority_semi": _q_order_priority_semi,
+        "asof_purchases": _q_asof_purchases,
+        "range_view_clicks": _q_range_view_clicks,
         # training-data operators (DuckDB-oracled)
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_exact_survivors": _q_dedup_exact_survivors,
@@ -1251,6 +1313,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": _SQL_EVENTS_SESSIONS,
         "supplier_nation_union": _SQL_SUPPLIER_NATION_UNION,
         "order_priority_semi": _SQL_ORDER_PRIORITY,
+        "asof_purchases": _SQL_ASOF,
+        "range_view_clicks": _SQL_RANGE,
         "dedup_exact_groups": _SQL_DEDUP_EXACT,
         "dedup_exact_survivors": _SQL_DEDUP_SURVIVORS,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,

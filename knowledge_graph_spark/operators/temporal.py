@@ -1,0 +1,113 @@
+# -*- coding: utf-8 -*-
+"""Temporal join operators: as-of join and bounded range join.
+
+Spark has no native ASOF JOIN (DuckDB/kdb/Pandas do) and a naive
+time-range join plans as a broadcast-nested-loop theta join — both are
+must-haves for event analytics next to the KG pipeline. Each is
+implemented as a composition of DataFrame primitives that keeps the
+plan equi-shuffle shaped:
+
+- :func:`asof_join` — the union-tag trick: union both sides ordered by
+  (key, ts, side), carry the right payload forward with
+  ``last(..., ignorenulls=True)`` over a running window, keep left
+  rows. ONE shuffle on the key, a spillable sort, zero Python — the
+  canonical distributed as-of (Flink's event-time join and
+  pandas.merge_asof do the same walk per key).
+- :func:`range_join` — time-bucketing: with bucket width = the range
+  span Δ, any right row in ``(l.ts, l.ts + Δ]`` lives in the left
+  row's bucket or the next one, so exploding TWO candidate buckets per
+  left row turns the theta join into an equi join on (key, bucket) +
+  a residual row-local filter. Shuffle volume is 2|L| + |R| keyed
+  rows; no nested loop at any scale.
+
+Both verified value-exact against DuckDB's native ASOF JOIN / interval
+join at the driver gate (`asof_purchases`, `range_view_clicks`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
+              ts_col: str = "ts", payload: list[str] | None = None,
+              tiebreak: str | None = None, prefix: str = "r_") -> DataFrame:
+    """LEFT AS-OF join: every left row gains the payload of the most
+    recent right row with ``right.ts <= left.ts`` for the same key
+    (NULLs when no prior right row exists) — DuckDB
+    ``ASOF LEFT JOIN ... ON l.key = r.key AND l.ts >= r.ts`` semantics,
+    inclusive at equal timestamps.
+
+    ``payload`` — right columns to carry (default: all but the key);
+    emitted as ``{prefix}{col}``. ``tiebreak`` — right column that
+    deterministically resolves multiple right rows sharing one
+    timestamp (largest wins); without it such ties are
+    implementation-defined on ANY engine, Spark or DuckDB."""
+    payload = payload or [c for c in right.columns if c != on]
+    r_ts = ts_col if ts_col in payload else None
+
+    lhs = left
+    for c in payload:
+        lhs = lhs.withColumn(f"{prefix}{c}",
+                             F.lit(None).cast(right.schema[c].dataType))
+    lhs = lhs.withColumn("_side", F.lit(1))
+
+    rhs = right.select(
+        F.col(on), F.col(ts_col).alias("_rts"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in payload],
+    ).withColumn("_side", F.lit(0))
+    for c in left.columns:
+        if c not in (on,):
+            rhs = rhs.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    rhs = rhs.withColumn(ts_col, F.col("_rts")).drop("_rts")
+
+    u = lhs.unionByName(rhs.select(*lhs.columns))
+    order = [F.col(ts_col).asc(), F.col("_side").asc()]
+    if tiebreak:
+        order.append(F.col(f"{prefix}{tiebreak}").asc_nulls_first())
+    w = (
+        Window.partitionBy(on).orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *[c for c in left.columns],
+        "_side",
+        *[F.last(f"{prefix}{c}", ignorenulls=True).over(w)
+          .alias(f"{prefix}{c}") for c in payload],
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+def range_join(left: DataFrame, right: DataFrame, delta_seconds: int,
+               on: str = "user_id", ts_col: str = "ts",
+               prefix: str = "r_") -> DataFrame:
+    """Bounded-range inner join: pairs with
+    ``left.ts < right.ts <= left.ts + delta_seconds`` on the same key.
+
+    Equi-shuffle plan via Δ-width time buckets (see module docstring);
+    the residual range predicate is row-local. Right columns are
+    emitted as ``{prefix}{col}``."""
+    # cast: events tables often carry TIMESTAMP_NTZ; unix_micros needs
+    # TIMESTAMP (session is pinned UTC, so the cast is value-preserving)
+    bucket = lambda c: F.floor(
+        F.unix_micros(F.col(c).cast("timestamp")) / (delta_seconds * 1_000_000)
+    )
+    lhs = left.withColumn(
+        "_b", F.explode(F.array(bucket(ts_col), bucket(ts_col) + 1))
+    )
+    rhs = right.select(
+        F.col(on),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right.columns if c != on],
+    ).withColumn("_b", bucket(f"{prefix}{ts_col}"))
+    r_ts, l_ts = F.col(f"{prefix}{ts_col}"), F.col(ts_col)
+    return (
+        lhs.join(rhs, on=[on, "_b"])
+        .filter(
+            (F.unix_micros(r_ts.cast("timestamp"))
+             > F.unix_micros(l_ts.cast("timestamp")))
+            & (F.unix_micros(r_ts.cast("timestamp"))
+               <= F.unix_micros(l_ts.cast("timestamp"))
+               + delta_seconds * 1_000_000)
+        )
+        .drop("_b")
+    )

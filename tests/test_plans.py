@@ -234,3 +234,17 @@ def test_dedup_exact_survivors_no_body_shuffle(spark):
     assert hash_segs, "expected a hash-keyed exchange"
     for s in hash_segs:
         assert "text" not in s
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    """The bucketed range join must plan as an equi join on
+    (key, bucket) — a raw theta join would be BroadcastNestedLoopJoin,
+    which is quadratic at scale."""
+    from knowledge_graph_spark.operators.temporal import range_join
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    l = ev.filter(F.col("event_type") == "view").select("event_id", "ts", "user_id")
+    r = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    p = plan(range_join(l, r, delta_seconds=3600))
+    assert "NestedLoop" not in p and "Cartesian" not in p
+    assert "Join" in p  # the equi join on (user_id, _b)

@@ -1,0 +1,79 @@
+# -*- coding: utf-8 -*-
+"""As-of join and bounded range join: edge semantics the oracles can't
+single out (equality inclusivity, bucket boundaries, tie resolution)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from knowledge_graph_spark.operators.temporal import asof_join, range_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 7),   # before any right -> NULL
+            (2, _ts("2024-01-01 12:00:00"), 7),   # equals a right ts -> inclusive
+            (3, _ts("2024-01-01 15:00:00"), 7),   # most recent wins, not first
+            (4, _ts("2024-01-01 15:00:00"), 8),   # other key: no right rows at all
+        ],
+        "event_id long, ts timestamp_ntz, user_id long",
+    )
+    right = spark.createDataFrame(
+        [
+            (7, _ts("2024-01-01 12:00:00"), 100),
+            (7, _ts("2024-01-01 14:00:00"), 101),
+        ],
+        "user_id long, ts timestamp_ntz, event_id long",
+    )
+    out = {r["event_id"]: r["r_event_id"]
+           for r in asof_join(left, right, payload=["event_id", "ts"],
+                              tiebreak="event_id").collect()}
+    assert out == {1: None, 2: 100, 3: 101, 4: None}
+
+
+def test_asof_join_tiebreak_deterministic(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 13:00:00"), 7)],
+        "event_id long, ts timestamp_ntz, user_id long",
+    )
+    # two right rows at the SAME timestamp: the largest tiebreak wins
+    right = spark.createDataFrame(
+        [(7, _ts("2024-01-01 12:00:00"), 5), (7, _ts("2024-01-01 12:00:00"), 9)],
+        "user_id long, ts timestamp_ntz, event_id long",
+    )
+    got = asof_join(left, right, payload=["event_id"],
+                    tiebreak="event_id").collect()
+    assert got[0]["r_event_id"] == 9
+
+
+def test_range_join_bucket_boundaries(spark):
+    # delta = 60s; right rows at +0s (excluded: strict >), +59s, +60s
+    # (included: inclusive upper), +61s (excluded), and one in the NEXT
+    # bucket but inside the range (the explode(+1) candidate must catch it)
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:30"), 7)],
+        "event_id long, ts timestamp_ntz, user_id long",
+    )
+    right = spark.createDataFrame(
+        [
+            (7, _ts("2024-01-01 10:00:30"), 200),  # == l.ts -> out
+            (7, _ts("2024-01-01 10:00:59"), 201),  # same bucket -> in
+            (7, _ts("2024-01-01 10:01:29"), 202),  # next bucket, +59s -> in
+            (7, _ts("2024-01-01 10:01:30"), 203),  # exactly +60s -> in
+            (7, _ts("2024-01-01 10:01:31"), 204),  # +61s -> out
+            (8, _ts("2024-01-01 10:00:45"), 205),  # other key -> out
+        ],
+        "user_id long, ts timestamp_ntz, event_id long",
+    )
+    got = sorted(
+        r["r_event_id"]
+        for r in range_join(left, right, delta_seconds=60).collect()
+    )
+    assert got == [201, 202, 203]
+    # no duplicate pairs from the two candidate buckets
+    assert len(got) == len(set(got))
