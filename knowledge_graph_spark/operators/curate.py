@@ -48,6 +48,16 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
     if lang is not None:
         d = d.filter(F.col("lang_pred") == lang)
     d = d.filter(F.col("quality") >= g["min_quality"])
+    # the DAG below is a diamond twice over (repetition reads the gated
+    # frame for 2-grams AND 3-grams; dedup references its input as both
+    # join sides) — without a persist the regex/higher-order gate stage
+    # recomputes up to 6x. MEMORY_AND_DISK: the candidate set spills
+    # instead of OOMing at corpus scale (the standard move for reused
+    # intermediate stages; swap for a checkpoint table in a multi-job
+    # production pipeline).
+    from pyspark import StorageLevel
+
+    d = d.persist(StorageLevel.MEMORY_AND_DISK)
 
     rep = repetition_stats(d, id_col, text_col)
     d = d.join(rep, id_col).filter(
