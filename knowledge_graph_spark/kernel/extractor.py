@@ -109,12 +109,16 @@ def _matcher_entities(doc: Doc) -> list[tuple[int, int, str]]:
     """Rule matcher pass (reference extractor.py:44-60): ORG suffix
     single-token; PRODUCT two-token (智能+X系统… / 新型+X技术…);
     TITLE two-token pairs. Emitted in document order per pattern scan."""
+    from .tokenizer import _ORG_SUF2, _ORG_SUF3
+
     out: list[tuple[int, int, str]] = []
     toks = doc.tokens
     for t in toks:
-        if t.text.endswith(V.ORG_SUFFIXES) and len(t.text) > min(
-            len(s) for s in V.ORG_SUFFIXES if t.text.endswith(s)
-        ):
+        # suffix-set probes replace per-token endswith scans; semantics
+        # identical: stem must be non-empty for the matched suffix
+        L = len(t.text)
+        if (L > 2 and t.text[-2:] in _ORG_SUF2) or \
+                (L > 3 and t.text[-3:] in _ORG_SUF3):
             out.append((t.i, t.i + 1, "ORG"))
     for t in toks[:-1]:
         nxt = toks[t.i + 1]

@@ -115,36 +115,44 @@ _RUN_STOP = set("的了着过得而且并或吗呢吧被把将")
 
 def _cjk_run(text: str, pos: int) -> str:
     """Maximal CJK run starting at pos (capped at 20 chars), stopping
-    at function-word characters."""
-    out = []
-    for ch in text[pos : pos + 20]:
-        if _RE_CJK.match(ch) and ch not in _RUN_STOP:
-            out.append(ch)
+    at function-word characters. Direct codepoint-range compare — this
+    is the tokenizer's hottest loop (profiled: regex per-char match was
+    ~10% of kernel time)."""
+    end = pos
+    limit = min(pos + 20, len(text))
+    while end < limit:
+        ch = text[end]
+        if "一" <= ch <= "鿿" and ch not in _RUN_STOP:
+            end += 1
         else:
             break
-    return "".join(out)
+    return text[pos:end]
+
+
+# suffix sets bucketed by length: a prefix ends with SOME suffix iff
+# its last-2/last-3 chars are in the set — one hash probe replaces ten
+# endswith calls (profiled: 927k endswith calls per 2k docs)
+_ORG_SUF2 = frozenset(s for s in V.ORG_SUFFIXES if len(s) == 2)
+_ORG_SUF3 = frozenset(s for s in V.ORG_SUFFIXES if len(s) == 3)
 
 
 def _org_run(run: str) -> str | None:
     """Smallest prefix of the CJK run that ends with an ORG suffix and
     has >=1 char before the suffix (mirrors the reference matcher regex
     ``[^\\s]+(公司|...)$`` needing a non-empty stem, extractor.py:46)."""
-    best = None
     for k in range(2, min(len(run), 10) + 1):
-        prefix = run[:k]
-        for suf in V.ORG_SUFFIXES:
-            if prefix.endswith(suf) and k > len(suf):
-                return prefix
-    return best
+        if (k > 2 and run[k - 2:k] in _ORG_SUF2) or \
+                (k > 3 and run[k - 3:k] in _ORG_SUF3):
+            return run[:k]
+    return None
 
 
 def _product_run(run: str, suffixes: tuple[str, ...]) -> str | None:
-    """Smallest prefix ending with a product suffix, stem >=1 char."""
-    for k in range(2, min(len(run), 10) + 1):
-        prefix = run[:k]
-        for suf in suffixes:
-            if prefix.endswith(suf) and k > len(suf):
-                return prefix
+    """Smallest prefix ending with a product suffix, stem >=1 char
+    (product suffixes are all 2 chars)."""
+    for k in range(3, min(len(run), 10) + 1):
+        if run[k - 2:k] in suffixes:
+            return run[:k]
     return None
 
 

@@ -32,7 +32,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # measured sweep (100k-page extract stage): 2048 -> 10.0 s,
+        # 8192 -> 7.7 s, 16384 -> 5.4-6.1 s; per-batch pandas/Arrow
+        # framing dominates below ~16k rows. ~50 MB of page html per
+        # batch per worker — fits standard 8 GB executors
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
