@@ -42,7 +42,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
     emitted as ``{prefix}{col}``. ``tiebreak`` — right column that
     deterministically resolves multiple right rows sharing one
     timestamp (largest wins); without it such ties are
-    implementation-defined on ANY engine, Spark or DuckDB."""
+    implementation-defined on ANY engine, Spark or DuckDB.
+
+    Skew note: like every keyed as-of (kdb aj, Flink temporal join),
+    one key's full history flows through one sort partition — the
+    window operator spills, but a pathological hub key serializes.
+    Salting cannot apply here (the running state crosses salt
+    boundaries); shard hub keys upstream by a coarser epoch if one key
+    dominates."""
     payload = payload or [c for c in right.columns if c != on]
     r_ts = ts_col if ts_col in payload else None
 

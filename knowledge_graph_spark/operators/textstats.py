@@ -166,10 +166,10 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
       repeats (1 − distinct/total)
 
     Set-based and shuffle-bounded: explode grams → per-(doc, gram)
-    count → per-doc aggregate; both stats share the partitioning on
-    doc_id, and the gram shuffles carry 64-bit-hashable short strings,
-    never document bodies. At 100 TB this is the same shape as the
-    shingle stages of MinHash dedup (proven there)."""
+    count → per-doc aggregate. The gram shuffles carry short strings
+    keyed by doc id, never document bodies; the final per-doc joins
+    align on doc_id. At 100 TB this is the same shape as the shingle
+    stages of MinHash dedup (proven there)."""
     from ..functions.vectors import word_ngrams
 
     g2 = docs.select(F.col(id_col).alias("doc_id"),

@@ -159,16 +159,21 @@ def run_pipeline(
     # one graph). When ANOTHER graph has ever written extraction into
     # this warehouse, scope stages 2-4 to this graph's accumulated url
     # set: this batch's urls ∪ urls already materialized for the graph.
-    # The check is pure metadata — extraction batch ids encode their
-    # graph ({graph_id}[@suffix]/extracted), and a crashed foreign run
-    # leaves its batch id behind, so the window where foreign urls could
-    # silently join this graph is closed. A single-graph warehouse (the
-    # bulk-construction path) never pays the scope join.
-    foreign = {
+    # The check is pure metadata, from TWO durable signals:
+    # - the nodes table's partition keys (every graph ever materialized
+    #   — survives manifest vacuuming for as long as the graph lives),
+    # - extraction batch ids ({graph_id}[@suffix]/extracted), which
+    #   cover the crash window where a foreign FIRST run committed
+    #   extraction but died before materializing any node partition.
+    # A single-graph warehouse (the bulk path) never pays the scope join.
+    nodes_entry = warehouse.nodes.current_entry() if warehouse.nodes.exists() else None
+    foreign = set((nodes_entry or {}).get("partition_dirs") or {})
+    foreign |= {
         bid.split("/", 1)[0].split("@", 1)[0]
         for bid in warehouse.extracted.applied_batches()
         if bid.endswith("/extracted") and not bid.startswith("stream/")
-    } - {graph_id}
+    }
+    foreign -= {graph_id}
     if foreign:
         scope = pages.select("url").distinct()
         prior = (warehouse.nodes.read_partitions(spark, [graph_id])

@@ -190,6 +190,9 @@ class LakeTable:
     # bounded while letting big partitions write in parallel
     WRITE_SALT = 4
 
+    # replay-dedupe horizon for vacuum-folded batch ids (see vacuum())
+    ARCHIVE_KEEP = 10_000
+
     def _persist(self, df: DataFrame, snap_name: str,
                  partition_by: Optional[list[str]],
                  n_keys: Optional[int] = None):
@@ -833,11 +836,21 @@ class LakeTable:
         # folding the entry never drops live files
         expired = entries[:-keep_last] if keep_last > 0 else entries
         if expired:
-            archive = set(m.get("applied_batch_archive") or [])
-            archive.update(
-                e["batch_id"] for e in expired if e.get("batch_id")
-            )
-            m["applied_batch_archive"] = sorted(archive)
+            archive = list(m.get("applied_batch_archive") or [])
+            seen = set(archive)
+            for e in expired:
+                b = e.get("batch_id")
+                if b and b not in seen:
+                    archive.append(b)
+                    seen.add(b)
+            # the archive is insertion-ordered and CAPPED — otherwise it
+            # just relocates the unbounded growth it exists to prevent.
+            # Contract: replay dedupe covers the most recent
+            # ARCHIVE_KEEP folded batches; that horizon is orders of
+            # magnitude beyond any real replay depth (Structured
+            # Streaming re-delivers only the last uncommitted batch
+            # from its checkpoint; batch drivers resume the current run)
+            m["applied_batch_archive"] = archive[-self.ARCHIVE_KEEP:]
             kept_set = {id(e) for e in keep}
             m["lineage"] = [e for e in m["lineage"]
                             if e.get("skipped") or id(e) in kept_set]
