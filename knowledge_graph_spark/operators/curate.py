@@ -30,6 +30,12 @@ DEFAULT_GATES = {
     "max_dup_3gram_frac": 0.6,
 }
 
+# the previous call's cached candidate frame: a lazily-returned result
+# cannot unpersist its own input, so the cache is released at the NEXT
+# call — bounding live cached copies to one per application instead of
+# one per call (an unmaterialized older result just recomputes)
+_prev_cache: list = []
+
 
 def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", lang: str | None = "en",
@@ -57,7 +63,10 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
     # production pipeline).
     from pyspark import StorageLevel
 
+    while _prev_cache:
+        _prev_cache.pop().unpersist(blocking=False)
     d = d.persist(StorageLevel.MEMORY_AND_DISK)
+    _prev_cache.append(d)
 
     rep = repetition_stats(d, id_col, text_col)
     d = d.join(rep, id_col).filter(

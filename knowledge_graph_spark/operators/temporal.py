@@ -8,7 +8,7 @@ implemented as a composition of DataFrame primitives that keeps the
 plan equi-shuffle shaped:
 
 - :func:`asof_join` — the union-tag trick: union both sides ordered by
-  (key, ts, side), carry the right payload forward with
+  (key, ts, side), carry the right row forward as ONE struct with
   ``last(..., ignorenulls=True)`` over a running window, keep left
   rows. ONE shuffle on the key, a spillable sort, zero Python — the
   canonical distributed as-of (Flink's event-time join and
@@ -39,8 +39,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
     inclusive at equal timestamps.
 
     ``payload`` — right columns to carry (default: all but the key);
-    emitted as ``{prefix}{col}``. ``tiebreak`` — right column that
-    deterministically resolves multiple right rows sharing one
+    emitted as ``{prefix}{col}``. The payload rides as ONE struct, so
+    the whole matched right row is carried atomically: a NULL in one
+    column of the most recent right row stays NULL in the output
+    instead of resurrecting that column from an older row (per-column
+    ``last(ignorenulls)`` would mix rows). ``tiebreak`` — right column
+    that deterministically resolves multiple right rows sharing one
     timestamp (largest wins); without it such ties are
     implementation-defined on ANY engine, Spark or DuckDB.
 
@@ -50,18 +54,19 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
     Salting cannot apply here (the running state crosses salt
     boundaries); shard hub keys upstream by a coarser epoch if one key
     dominates."""
-    payload = payload or [c for c in right.columns if c != on]
-    r_ts = ts_col if ts_col in payload else None
+    from pyspark.sql import types as T
 
-    lhs = left
-    for c in payload:
-        lhs = lhs.withColumn(f"{prefix}{c}",
-                             F.lit(None).cast(right.schema[c].dataType))
-    lhs = lhs.withColumn("_side", F.lit(1))
+    payload = payload or [c for c in right.columns if c != on]
+    pay_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType, True) for c in payload]
+    )
+
+    lhs = (left.withColumn("_pay", F.lit(None).cast(pay_type))
+               .withColumn("_side", F.lit(1)))
 
     rhs = right.select(
         F.col(on), F.col(ts_col).alias("_rts"),
-        *[F.col(c).alias(f"{prefix}{c}") for c in payload],
+        F.struct(*[F.col(c).alias(c) for c in payload]).alias("_pay"),
     ).withColumn("_side", F.lit(0))
     for c in left.columns:
         if c not in (on,):
@@ -71,7 +76,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
     u = lhs.unionByName(rhs.select(*lhs.columns))
     order = [F.col(ts_col).asc(), F.col("_side").asc()]
     if tiebreak:
-        order.append(F.col(f"{prefix}{tiebreak}").asc_nulls_first())
+        order.append(F.col("_pay").getField(tiebreak).asc_nulls_first())
     w = (
         Window.partitionBy(on).orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -79,10 +84,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
     filled = u.select(
         *[c for c in left.columns],
         "_side",
-        *[F.last(f"{prefix}{c}", ignorenulls=True).over(w)
-          .alias(f"{prefix}{c}") for c in payload],
+        F.last("_pay", ignorenulls=True).over(w).alias("_pay"),
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    return filled.filter(F.col("_side") == 1).select(
+        *[c for c in left.columns],
+        *[F.col("_pay").getField(c).alias(f"{prefix}{c}") for c in payload],
+    )
 
 
 def range_join(left: DataFrame, right: DataFrame, delta_seconds: int,

@@ -169,7 +169,9 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     count → per-doc aggregate. The gram shuffles carry short strings
     keyed by doc id, never document bodies; the final per-doc joins
     align on doc_id. At 100 TB this is the same shape as the shingle
-    stages of MinHash dedup (proven there)."""
+    stages of MinHash dedup (proven there). The id column is emitted
+    under the caller's ``id_col`` name so joins back to the input line
+    up."""
     from ..functions.vectors import word_ngrams
 
     g2 = docs.select(F.col(id_col).alias("doc_id"),
@@ -186,7 +188,7 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
         .agg((F.lit(1.0) - F.countDistinct("g") / F.count("*"))
              .alias("dup_3gram_frac"))
     )
-    return top2.join(dup3, "doc_id")
+    return top2.join(dup3, "doc_id").withColumnRenamed("doc_id", id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -201,15 +203,20 @@ _PHONE_RE = r"1[0-9]{10}"  # CN mobile shape; swap per-locale in prod
 
 def with_pii_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds ``n_emails`` / ``n_phones``: occurrences of email-shaped and
-    phone-shaped spans. Pure codegen (regexp_extract_all)."""
+    phone-shaped spans. Pure codegen (regexp_extract_all).
+
+    The patterns go through the Column API, NOT an ``F.expr`` SQL
+    string — a SQL string literal eats the backslash in ``\\.``, which
+    silently turns the dot into match-anything and diverges from
+    :func:`redact_pii` (Python-API regexp_replace keeps it literal)."""
     return (
         docs.withColumn(
             "n_emails",
-            F.size(F.expr(f"regexp_extract_all({text_col}, '{_EMAIL_RE}', 0)")),
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(_EMAIL_RE), F.lit(0))),
         )
         .withColumn(
             "n_phones",
-            F.size(F.expr(f"regexp_extract_all({text_col}, '{_PHONE_RE}', 0)")),
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(_PHONE_RE), F.lit(0))),
         )
     )
 

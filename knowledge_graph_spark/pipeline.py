@@ -182,8 +182,15 @@ def run_pipeline(
             scope = scope.unionByName(prior.select("url")).distinct()
         extracted = extracted.join(scope, on="url", how="left_semi")
 
-    # table totals come from the manifest (counted at commit), not a job
-    counters["pages"] = (warehouse.extracted.current_entry() or {}).get("rows", 0)
+    # Graph totals: on the single-graph bulk path the table IS the graph,
+    # so the count comes free from the manifest (stamped at commit). In a
+    # multi-graph warehouse the shared table over-counts — the graph's
+    # page count is the scoped frame's row count (urls are unique after
+    # the merge), worth one cheap scan on that rare path.
+    if foreign:
+        counters["pages"] = extracted.count()
+    else:
+        counters["pages"] = (warehouse.extracted.current_entry() or {}).get("rows", 0)
     stage_s["extract"] = round(time.time() - t0, 2)
 
     # ---- stage 2: triples (per-graph refresh, partition-scoped) ------

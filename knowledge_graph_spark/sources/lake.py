@@ -821,13 +821,16 @@ class LakeTable:
             for paths in (e.get("partition_dirs") or {}).values():
                 for p in paths:
                     live.add(p.split("/", 1)[0])
+        # removal walks the FILESYSTEM, not the lineage: a donor dir can
+        # outlive its (folded) lineage entry while carried partitions
+        # reference it — once the last reference goes, no entry names it
+        # anymore, so a lineage-driven loop would leak it forever
         removed = []
-        for e in entries:
-            s = e["snapshot"]
-            if s in live:
+        for s in sorted(os.listdir(self.dir)):
+            if not s.startswith("snap-") or s in live:
                 continue
             p = os.path.join(self.dir, s)
-            if os.path.exists(p):
+            if os.path.isdir(p):
                 shutil.rmtree(p)
                 removed.append(s)
         # fold expired entries (everything before the keep window) into

@@ -81,16 +81,28 @@ def sessionize_stream(events_stream: DataFrame, gap_minutes: int = 30,
         ts_us = (rows["ts"].astype("int64") // 1000).to_numpy()
         vals = rows["value"].to_numpy()
 
-        cur = tuple(state.get) if state.exists else None
+        # Interval-merge the batch's events WITH the stored open session
+        # as one atom [start,last]. applyInPandasWithState delivers
+        # late-but-within-watermark rows, so a batch may carry events
+        # OLDER than the open session — a naive "extend last" walk would
+        # regress last_us and split sessions batch order would keep.
+        # The atom merge is exact: an event inside the span always
+        # attaches (consecutive session gaps are <= gap, so both
+        # sub-gaps of any interior insertion are too), and events before
+        # the span chain exactly as a global sort would.
+        items = [(int(t), int(t), 1, float(v)) for t, v in zip(ts_us, vals)]
+        if state.exists:
+            items.append(tuple(state.get))
+        items.sort(key=lambda x: (x[0], x[1]))
         closed = []
-        for t, v in zip(ts_us, vals):
-            if cur is None:
-                cur = (int(t), int(t), 1, float(v))
-            elif t - cur[1] > gap_us:
-                closed.append(cur)
-                cur = (int(t), int(t), 1, float(v))
+        cur = items[0]
+        for it in items[1:]:
+            if it[0] - cur[1] <= gap_us:
+                cur = (cur[0], max(cur[1], it[1]),
+                       cur[2] + it[2], cur[3] + it[3])
             else:
-                cur = (cur[0], int(t), cur[2] + 1, cur[3] + float(v))
+                closed.append(cur)
+                cur = it
         state.update(cur)
         # event-time timeout: fire when the watermark passes last + gap
         state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)

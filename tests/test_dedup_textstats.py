@@ -378,6 +378,44 @@ def test_pii_redaction_scrubs_all_matches(spark):
     assert txt[2] == "no pii here at all"
 
 
+def test_pii_count_and_redact_agree_on_undotted_at(spark):
+    """An @ not followed by a dotted TLD is NOT an email: the counter
+    and the redactor must agree (a SQL-string regex would eat the
+    backslash in \\. and count 'u1@example_org' while redact skips it,
+    breaking the zero-residual invariant)."""
+    from knowledge_graph_spark.operators.textstats import (
+        redact_pii, with_pii_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "write to u1@example_org please"),
+         (2, "real one x@y.io here")],
+        "doc_id long, text string",
+    )
+    counts = {r["doc_id"]: r["n_emails"] for r in with_pii_counts(docs).collect()}
+    assert counts == {1: 0, 2: 1}
+    red = {r["doc_id"]: r["text"] for r in redact_pii(docs).collect()}
+    assert red[1] == "write to u1@example_org please"
+    assert "<EMAIL>" in red[2]
+    residual = with_pii_counts(redact_pii(docs)).selectExpr(
+        "sum(n_emails + n_phones) AS r").first()["r"]
+    assert residual == 0
+
+
+def test_curate_corpus_custom_id_col(spark):
+    """id_col is honored end-to-end (repetition_stats emits the caller's
+    id name, so the cascade's joins line up)."""
+    from knowledge_graph_spark.operators.curate import curate_corpus
+
+    good = "the quick brown fox jumps over the lazy dog and runs far away today"
+    docs = spark.createDataFrame(
+        [(10, good), (11, good)], "page_id long, text string",
+    )
+    got = {r["page_id"] for r in curate_corpus(
+        docs, id_col="page_id", gates={"max_top_2gram_frac": 0.2}).collect()}
+    assert got == {10}
+
+
 def test_curate_corpus_gates_compose(spark):
     from knowledge_graph_spark.operators.curate import curate_corpus
 

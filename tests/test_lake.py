@@ -200,6 +200,28 @@ def test_vacuum_preserves_carried_partition_donors(spark, tbl):
     assert tbl.read(spark).filter("g = 'g2'").count() == 2
 
 
+def test_vacuum_reclaims_donor_after_last_reference_drops(spark, tbl):
+    """A donor snapshot whose lineage entry was folded away must still be
+    deleted once nothing references its directories anymore — removal
+    walks the filesystem, not the (folded) lineage."""
+    import os
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(6)], "k int, g string"
+    )
+    tbl.overwrite(df, partition_by=["g"])           # snap-1 (donor)
+    upd = spark.createDataFrame([(100, "g0")], "k int, g string")
+    tbl.merge_into(upd, on=["g", "k"], partition_by=["g"])  # snap-2 carries g1,g2
+    tbl.vacuum(keep_last=1)                          # folds snap-1's entry; dir lives
+    assert os.path.isdir(os.path.join(tbl.dir, "snap-000001"))
+    # full overwrite: nothing references snap-1's directories anymore
+    tbl.overwrite(df, partition_by=["g"])
+    removed = tbl.vacuum(keep_last=1)
+    assert "snap-000001" in removed
+    assert not os.path.isdir(os.path.join(tbl.dir, "snap-000001"))
+    assert tbl.read(spark).count() == 6
+
+
 def test_merge_on_read_last_and_first_policies(spark, tbl):
     """MOR semantics: 'last' = update (newest seq wins), tombstones kill
     keys; commits never read the current snapshot (op = append)."""

@@ -261,3 +261,57 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
         (7, "11:30", "11:35", 2, 2.0),   # closed by event-time timeout
         (8, "10:05", "10:05", 1, 1.0),   # closed by event-time timeout
     }
+
+
+def test_stateful_sessionize_out_of_order_across_batches(spark, tmp_path):
+    """A late-but-within-watermark event delivered in a LATER micro-batch
+    must merge into the open session exactly as batch order would — the
+    state walk may not regress session_end and split the session."""
+    import datetime as dt
+
+    from knowledge_graph_spark.streaming.stateful import sessionize_stream
+
+    drop_dir = str(tmp_path / "sev")
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+
+    def ev(i, user, hour, minute):
+        return (i, dt.datetime(2024, 1, 1, hour, minute), user, "click", 1.0)
+
+    # b0: open session [10:00, 10:20]; sentinel keeps watermark at 09:30
+    spark.createDataFrame(
+        [ev(1, 7, 10, 0), ev(2, 7, 10, 20), ev(3, 9, 10, 30)], schema,
+    ).coalesce(1).write.parquet(f"{drop_dir}/b0.parquet")
+    # b1: LATE 10:05 (inside the open span, within watermark) + 10:40.
+    # Global sort gives gaps 5/15/20 min -> ONE session 10:00-10:40; a
+    # last-regressing walk would close (10:00,10:05) and split at 10:40.
+    spark.createDataFrame(
+        [ev(4, 7, 10, 5), ev(5, 7, 10, 40)], schema,
+    ).coalesce(1).write.parquet(f"{drop_dir}/b1.parquet")
+    # b2: sentinel pushes the watermark past every open timeout
+    spark.createDataFrame([ev(100, 9, 23, 0)], schema) \
+        .coalesce(1).write.parquet(f"{drop_dir}/b2.parquet")
+
+    emitted: list = []
+
+    def sink(batch_df, _bid):
+        emitted.extend(batch_df.collect())
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(drop_dir + "/*")
+    )
+    q = (
+        sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "sck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["user_id"], r["session_start"].strftime("%H:%M"),
+         r["session_end"].strftime("%H:%M"), r["n_events"], r["total_value"])
+        for r in emitted if r["user_id"] == 7
+    }
+    assert got == {(7, "10:00", "10:40", 4, 4.0)}

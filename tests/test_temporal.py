@@ -51,6 +51,32 @@ def test_asof_join_tiebreak_deterministic(spark):
     assert got[0]["r_event_id"] == 9
 
 
+def test_asof_join_null_payload_column_not_resurrected(spark):
+    """The matched right row is carried ATOMICALLY: when the most recent
+    right row has a NULL in one payload column, the output keeps that
+    NULL instead of filling it from an OLDER right row (per-column
+    last(ignorenulls) would fabricate a row that never existed)."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 15:00:00"), 7)],
+        "event_id long, ts timestamp_ntz, user_id long",
+    )
+    right = spark.createDataFrame(
+        [
+            (7, _ts("2024-01-01 12:00:00"), 100, "old"),
+            (7, _ts("2024-01-01 14:00:00"), None, "new"),
+        ],
+        "user_id long, ts timestamp_ntz, event_id long, tag string",
+    )
+    got = asof_join(left, right, payload=["event_id", "tag", "ts"]).collect()
+    assert len(got) == 1
+    r = got[0]
+    # DuckDB ASOF semantics: the 14:00 row matches — all three payload
+    # columns come from it, including its NULL event_id
+    assert r["r_tag"] == "new"
+    assert r["r_ts"] == _ts("2024-01-01 14:00:00")
+    assert r["r_event_id"] is None
+
+
 def test_range_join_bucket_boundaries(spark):
     # delta = 60s; right rows at +0s (excluded: strict >), +59s, +60s
     # (included: inclusive upper), +61s (excluded), and one in the NEXT

@@ -143,8 +143,10 @@ def test_second_graph_scopes_to_its_own_pages(spark, tmp_path):
     pages_a = generate_spark(spark, 20, partitions=2)
     run_pipeline(spark, pages_a, wh, graph_id="gA", link_entities=False)
     pages_b = generate_spark(spark, 10, partitions=1, start=20)
-    run_pipeline(spark, pages_b, wh, graph_id="gB", user_id="u2",
-                 link_entities=False)
+    counters_b = run_pipeline(spark, pages_b, wh, graph_id="gB", user_id="u2",
+                              link_entities=False)
+    # the pages counter reports THIS graph's pages, not the shared table
+    assert counters_b["pages"] == 10
     urls_a = {r[0] for r in pages_a.select("url").distinct().collect()}
     urls_b = {r[0] for r in pages_b.select("url").distinct().collect()}
     trips = wh.triples.read(spark)
