@@ -859,6 +859,89 @@ FROM surv WHERE rn = 1 ORDER BY doc_id
 """
 
 
+# deterministic contamination plant — SAME construction on both sides
+# (the raw corpus is random-vocab text; real benchmark leakage is
+# simulated by appending known eval passages to a doc_id-keyed subset)
+_EVAL_PASSAGES = [
+    (1, "the quick brown fox jumps over the lazy dog near the old riverbank"),
+    (2, "four score and seven years ago our fathers brought forth a new nation"),
+]
+
+
+def _docs_with_contamination(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    txt = F.when(F.col("doc_id") % 17 == 0,
+                 F.concat(txt, F.lit(" " + _EVAL_PASSAGES[0][1]))).otherwise(txt)
+    txt = F.when(F.col("doc_id") % 23 == 0,
+                 F.concat(txt, F.lit(" " + _EVAL_PASSAGES[1][1]))).otherwise(txt)
+    return docs.withColumn("text", txt)
+
+
+def _q_decontamination(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing 8-grams with the
+    eval set (planted leakage), with distinct-gram and eval-doc counts
+    per contaminated document."""
+    from knowledge_graph_spark.operators.decontam import ngram_decontaminate
+
+    docs = _docs_with_contamination(spark, sf_dir)
+    evals = spark.createDataFrame(_EVAL_PASSAGES, "eval_id long, text string")
+    return ngram_decontaminate(docs, evals, n=8).orderBy("doc_id")
+
+
+_SQL_DECONTAM = rf"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 23 = 0 THEN
+      (CASE WHEN doc_id % 17 = 0 THEN text || ' {_EVAL_PASSAGES[0][1]}' ELSE text END)
+        || ' {_EVAL_PASSAGES[1][1]}'
+    ELSE
+      (CASE WHEN doc_id % 17 = 0 THEN text || ' {_EVAL_PASSAGES[0][1]}' ELSE text END)
+    END AS text
+  FROM documents
+),
+evals(eval_id, text) AS (VALUES
+  (1, '{_EVAL_PASSAGES[0][1]}'), (2, '{_EVAL_PASSAGES[1][1]}')),
+etoks AS (
+  SELECT eval_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{{L}}\p{{N}}]+'),
+                     x -> x != '') AS w
+  FROM evals
+),
+eg AS (
+  SELECT DISTINCT * FROM (
+    SELECT eval_id, unnest(
+      CASE WHEN len(w) >= 8
+      THEN list_transform(range(len(w) - 7),
+           i -> list_aggregate(list_slice(w, i + 1, i + 8), 'string_agg', ' '))
+      ELSE [list_aggregate(w, 'string_agg', ' ')] END) AS g
+    FROM etoks)
+),
+dtoks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{{L}}\p{{N}}]+'),
+                     x -> x != '') AS w
+  FROM d
+),
+dg AS (
+  SELECT DISTINCT * FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(w) >= 8
+      THEN list_transform(range(len(w) - 7),
+           i -> list_aggregate(list_slice(w, i + 1, i + 8), 'string_agg', ' '))
+      ELSE [list_aggregate(w, 'string_agg', ' ')] END) AS g
+    FROM dtoks)
+)
+SELECT doc_id,
+       COUNT(DISTINCT g) AS n_hit_grams,
+       COUNT(DISTINCT eval_id) AS n_eval_docs
+FROM dg JOIN eg USING (g)
+GROUP BY doc_id
+HAVING COUNT(DISTINCT g) >= 1
+ORDER BY doc_id
+"""
+
+
 def _q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline (exact; DuckDB-oracled)."""
     from knowledge_graph_spark.operators.simsearch import brute_force_topk
@@ -1277,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "pii_scrub": _q_pii_scrub,
         "curate_corpus": _q_curate_corpus,
+        "decontamination": _q_decontamination,
         "embedding_topk": _q_embedding_topk,
         "embedding_label_centroids": _q_embedding_label_centroids,
         # hash-sketch operators (rows-only)
@@ -1324,6 +1408,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _SQL_REPETITION,
         "pii_scrub": _SQL_PII,
         "curate_corpus": _SQL_CURATE,
+        "decontamination": _SQL_DECONTAM,
         "embedding_topk": _SQL_EMBEDDING_TOPK,
         "embedding_label_centroids": _SQL_EMB_CENTROIDS,
         # exact-result oracles (DuckDB recomputes the full answer)

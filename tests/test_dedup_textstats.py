@@ -378,6 +378,32 @@ def test_pii_redaction_scrubs_all_matches(spark):
     assert txt[2] == "no pii here at all"
 
 
+def test_ngram_decontaminate_flags_planted_leak(spark):
+    """Benchmark decontamination: a doc containing an eval passage is
+    flagged with DISTINCT-gram counts; clean docs and sub-n overlaps
+    are not."""
+    from knowledge_graph_spark.operators.decontam import ngram_decontaminate
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            # full passage embedded -> 3 of the 3 eval 8-grams
+            (1, "intro words here " + passage + " trailing words"),
+            # repeats one leaked 8-gram twice -> still counts ONCE
+            (2, "alpha beta gamma delta epsilon zeta eta theta x "
+                "alpha beta gamma delta epsilon zeta eta theta"),
+            # shares only 7 consecutive words -> no 8-gram hit
+            (3, "alpha beta gamma delta epsilon zeta eta UNRELATED words"),
+            (4, "completely clean document with its own words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame([(1, passage)], "eval_id long, text string")
+    got = {r["doc_id"]: (r["n_hit_grams"], r["n_eval_docs"])
+           for r in ngram_decontaminate(docs, evals, n=8).collect()}
+    assert got == {1: (3, 1), 2: (1, 1)}
+
+
 def test_pii_count_and_redact_agree_on_undotted_at(spark):
     """An @ not followed by a dotted TLD is NOT an email: the counter
     and the redactor must agree (a SQL-string regex would eat the
