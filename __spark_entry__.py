@@ -942,6 +942,24 @@ ORDER BY doc_id
 """
 
 
+# fixed mixture recipe for the driver gate: named strata at distinct
+# rates + a default for the other sources. The golden twin reproduces
+# the exact keep set via the pure-Python xxhash64 twin.
+_MIXTURE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_MIXTURE_DEFAULT = 0.04
+
+
+def _q_mixture_sample(spark, sf_dir):
+    """Deterministic domain-mixture sampling audit: per source, total
+    docs, docs the mixture keeps (content-keyed xxhash64 Bernoulli),
+    and the realized rate."""
+    from knowledge_graph_spark.operators.sampling import mixture_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_report(docs, _MIXTURE_RATES,
+                          default_rate=_MIXTURE_DEFAULT).orderBy("source")
+
+
 def _q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline (exact; DuckDB-oracled)."""
     from knowledge_graph_spark.operators.simsearch import brute_force_topk
@@ -1361,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "curate_corpus": _q_curate_corpus,
         "decontamination": _q_decontamination,
+        "mixture_sample": _q_mixture_sample,
         "embedding_topk": _q_embedding_topk,
         "embedding_label_centroids": _q_embedding_label_centroids,
         # hash-sketch operators (rows-only)
@@ -1416,6 +1435,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardups": _SQL_EMBEDDING_NEARDUPS,
         # pinned-golden oracles (independent pure-Python twin,
         # tools/make_goldens.py)
+        "mixture_sample": _golden_sql("mixture_sample", "source"),
         "minhash_pairs": _golden_sql("minhash_pairs", "id_a, id_b"),
         "dedup_near_survivors": _golden_sql("dedup_near_survivors", "doc_id"),
         "simhash_neardups": _golden_sql("simhash_neardups", "id_a, id_b"),

@@ -75,7 +75,8 @@ def main():
         "dedup_exact_survivors", "minhash_pairs", "simhash_neardups",
         "token_counts", "language_id", "quality_scores",
         "repetition_stats", "pii_scrub", "curate_corpus",
-        "decontamination", "embedding_topk", "embedding_neardups",
+        "decontamination", "mixture_sample",
+        "embedding_topk", "embedding_neardups",
     ]
     qs = entrymod.queries()
     for name in headliners:

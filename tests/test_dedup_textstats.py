@@ -378,6 +378,60 @@ def test_pii_redaction_scrubs_all_matches(spark):
     assert txt[2] == "no pii here at all"
 
 
+def test_deterministic_sample_is_stable_and_rate_accurate(spark):
+    """Content-keyed sampling: identical keep set on rerun and after
+    repartition; realized rate near the target on a large-ish input."""
+    from knowledge_graph_spark.operators.sampling import deterministic_sample
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in deterministic_sample(df, 0.3).collect()}
+    b = {r["doc_id"]
+         for r in deterministic_sample(df.repartition(13), 0.3).collect()}
+    assert a == b
+    assert abs(len(a) / 5000 - 0.3) < 0.03
+    # a different seed carves a (near-)independent sample
+    c = {r["doc_id"] for r in deterministic_sample(df, 0.3, seed=7).collect()}
+    assert c != a
+
+
+def test_stratified_mixture_rates_and_report(spark):
+    from knowledge_graph_spark.operators.sampling import (
+        mixture_report, stratified_mixture,
+    )
+
+    df = (spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+          .withColumn("source", F.concat(F.lit("s"),
+                                         (F.col("doc_id") % 3).cast("string"))))
+    rates = {"s0": 1.0, "s1": 0.0}
+    kept = stratified_mixture(df, rates, default_rate=0.5)
+    by_src = {r["source"]: r["cnt"]
+              for r in kept.groupBy("source").agg(F.count("*").alias("cnt"))
+              .collect()}
+    assert by_src.get("s0") == 1000          # rate 1.0 keeps everything
+    assert "s1" not in by_src                # rate 0.0 keeps nothing
+    assert 350 < by_src.get("s2", 0) < 650   # default 0.5
+    # the report's n_kept must equal the mixture's actual keep counts
+    rep = {r["source"]: (r["n_total"], r["n_kept"])
+           for r in mixture_report(df, rates, default_rate=0.5).collect()}
+    assert rep["s0"] == (1000, 1000) and rep["s1"] == (1000, 0)
+    assert rep["s2"] == (1000, by_src["s2"])
+
+
+def test_sampling_matches_python_twin(spark):
+    """The xxh64 twin reproduces Spark's exact keep decisions (long
+    path) — the property the golden oracle rests on."""
+    from knowledge_graph_spark.functions.xxh64 import spark_xxhash64
+    from knowledge_graph_spark.operators.sampling import (
+        M, deterministic_sample,
+    )
+
+    df = spark.range(100, 400).withColumnRenamed("id", "doc_id")
+    got = {r["doc_id"] for r in deterministic_sample(df, 0.37).collect()}
+    want = {i for i in range(100, 400)
+            if spark_xxhash64(("long", i)) % M < int(round(0.37 * M))}
+    assert got == want
+
+
 def test_ngram_decontaminate_flags_planted_leak(spark):
     """Benchmark decontamination: a doc containing an eval passage is
     flagged with DISTINCT-gram counts; clean docs and sub-n overlaps

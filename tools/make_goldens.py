@@ -239,6 +239,29 @@ def golden_fingerprints(sf_dir: str, window: int = 64,
     return sorted(out, key=lambda r: r["doc_id"])
 
 
+def golden_mixture_sample(sf_dir: str) -> list[dict]:
+    """Twin of __spark_entry__._q_mixture_sample: content-keyed
+    Bernoulli keep via xxhash64(doc_id:long) pmod 1e6 vs per-source
+    integer thresholds (operators/sampling.py)."""
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+    default_rate = 0.04
+    M = 1_000_000
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "source"])
+    agg: dict[str, list[int]] = {}
+    for did, src in zip(tbl["doc_id"].to_pylist(), tbl["source"].to_pylist()):
+        thr = int(round(rates.get(src, default_rate) * M))
+        keep = spark_xxhash64(("long", did)) % M < thr
+        t = agg.setdefault(src, [0, 0])
+        t[0] += 1
+        t[1] += int(keep)
+    return [
+        {"source": s, "n_total": t, "n_kept": k,
+         "realized_rate": round_half_up(k / t, 6)}
+        for s, (t, k) in sorted(agg.items())
+    ]
+
+
 # ---------------------------------------------------------------------------
 # multimodal goldens (twin drives the same pure decode kernels row-by-row;
 # the Spark side under test is the Arrow batching / schema plumbing)
@@ -492,6 +515,9 @@ def main() -> None:
     write("fingerprints", golden_fingerprints(args.sf_dir), pa.schema([
         ("doc_id", pa.int64()), ("content_hash", pa.string()),
         ("fingerprint", pa.int64())]))
+    write("mixture_sample", golden_mixture_sample(args.sf_dir), pa.schema([
+        ("source", pa.string()), ("n_total", pa.int64()),
+        ("n_kept", pa.int64()), ("realized_rate", pa.float64())]))
 
     print("media goldens...")
     write("media_metadata", golden_media_metadata(), pa.schema([
