@@ -960,6 +960,23 @@ def _q_mixture_sample(spark, sf_dir):
                           default_rate=_MIXTURE_DEFAULT).orderBy("source")
 
 
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def _q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test holdout: per (source, split), row
+    counts — the same document lands in the same split on every run."""
+    from knowledge_graph_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, _SPLIT_WEIGHTS)
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source", "split")
+    )
+
+
 def _q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline (exact; DuckDB-oracled)."""
     from knowledge_graph_spark.operators.simsearch import brute_force_topk
@@ -1380,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": _q_curate_corpus,
         "decontamination": _q_decontamination,
         "mixture_sample": _q_mixture_sample,
+        "hash_split": _q_hash_split,
         "embedding_topk": _q_embedding_topk,
         "embedding_label_centroids": _q_embedding_label_centroids,
         # hash-sketch operators (rows-only)
@@ -1436,6 +1454,7 @@ def oracle_sql() -> dict[str, str]:
         # pinned-golden oracles (independent pure-Python twin,
         # tools/make_goldens.py)
         "mixture_sample": _golden_sql("mixture_sample", "source"),
+        "hash_split": _golden_sql("hash_split", "source, split"),
         "minhash_pairs": _golden_sql("minhash_pairs", "id_a, id_b"),
         "dedup_near_survivors": _golden_sql("dedup_near_survivors", "doc_id"),
         "simhash_neardups": _golden_sql("simhash_neardups", "id_a, id_b"),

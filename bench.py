@@ -75,7 +75,7 @@ def main():
         "dedup_exact_survivors", "minhash_pairs", "simhash_neardups",
         "token_counts", "language_id", "quality_scores",
         "repetition_stats", "pii_scrub", "curate_corpus",
-        "decontamination", "mixture_sample",
+        "decontamination", "mixture_sample", "hash_split",
         "embedding_topk", "embedding_neardups",
     ]
     qs = entrymod.queries()

@@ -71,6 +71,35 @@ def stratified_mixture(df: DataFrame, rates: dict[str, float],
     return df.filter(_keep_expr(key_col, thr, seed))
 
 
+def hash_split(df: DataFrame, weights: dict[str, float],
+               key_col: str = "doc_id", seed: int = SPARK_SEED,
+               split_col: str = "split") -> DataFrame:
+    """Adds ``split_col`` assigning each row to a named split
+    (train/val/test style) with probability proportional to
+    ``weights``, deterministically by content key — the reproducible
+    holdout construction (a re-ingested document lands in the SAME
+    split forever, so eval rows can never leak into training between
+    runs). Row-local: a when-chain over cumulative integer thresholds
+    on ``pmod(xxhash64(key), 1e6)``; weights are normalized, the last
+    split absorbs the rounding tail."""
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum > 0")
+    names = list(weights)
+    h = (F.xxhash64(F.col(key_col)) if seed == SPARK_SEED
+         else F.xxhash64(F.col(key_col), F.lit(seed)))
+    bucket = F.pmod(h, F.lit(M))
+    expr = None
+    acc = 0
+    for name in names[:-1]:
+        acc += int(round(weights[name] / total * M))
+        cond = bucket < F.lit(acc)
+        expr = (F.when(cond, F.lit(name)) if expr is None
+                else expr.when(cond, F.lit(name)))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(split_col, expr)
+
+
 def mixture_report(df: DataFrame, rates: dict[str, float],
                    stratum_col: str = "source", key_col: str = "doc_id",
                    default_rate: float = 0.0,

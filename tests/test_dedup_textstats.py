@@ -417,6 +417,31 @@ def test_stratified_mixture_rates_and_report(spark):
     assert rep["s2"] == (1000, by_src["s2"])
 
 
+def test_hash_split_partitions_and_is_stable(spark):
+    """Every row lands in exactly one split; assignments are stable
+    across reruns; proportions track the weights; twin-equal."""
+    from knowledge_graph_spark.functions.xxh64 import spark_xxhash64
+    from knowledge_graph_spark.operators.sampling import M, hash_split
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = hash_split(df, w)
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(rows) == 4000                       # one split per row
+    again = {r["doc_id"]: r["split"]
+             for r in hash_split(df.repartition(7), w).collect()}
+    assert rows == again
+    counts = {s: list(rows.values()).count(s) for s in w}
+    assert abs(counts["train"] / 4000 - 0.8) < 0.03
+    assert abs(counts["val"] / 4000 - 0.1) < 0.02
+    # twin equality on the boundary logic
+    bounds = [("train", 800_000), ("val", 900_000)]
+    for did in range(0, 200):
+        b = spark_xxhash64(("long", did)) % M
+        want = next((n for n, up in bounds if b < up), "test")
+        assert rows[did] == want
+
+
 def test_sampling_matches_python_twin(spark):
     """The xxh64 twin reproduces Spark's exact keep decisions (long
     path) — the property the golden oracle rests on."""

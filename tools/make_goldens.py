@@ -262,6 +262,29 @@ def golden_mixture_sample(sf_dir: str) -> list[dict]:
     ]
 
 
+def golden_hash_split(sf_dir: str) -> list[dict]:
+    """Twin of __spark_entry__._q_hash_split: cumulative-threshold
+    split assignment over pmod(xxhash64(doc_id:long), 1e6)."""
+    weights = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    M = 1_000_000
+    total = sum(w for _, w in weights)
+    bounds = []
+    acc = 0
+    for name, w in weights[:-1]:
+        acc += int(round(w / total * M))
+        bounds.append((name, acc))
+    last = weights[-1][0]
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "source"])
+    agg: dict[tuple[str, str], int] = {}
+    for did, src in zip(tbl["doc_id"].to_pylist(), tbl["source"].to_pylist()):
+        b = spark_xxhash64(("long", did)) % M
+        split = next((n for n, up in bounds if b < up), last)
+        agg[(src, split)] = agg.get((src, split), 0) + 1
+    return [{"source": s, "split": sp, "n_docs": n}
+            for (s, sp), n in sorted(agg.items())]
+
+
 # ---------------------------------------------------------------------------
 # multimodal goldens (twin drives the same pure decode kernels row-by-row;
 # the Spark side under test is the Arrow batching / schema plumbing)
@@ -518,6 +541,9 @@ def main() -> None:
     write("mixture_sample", golden_mixture_sample(args.sf_dir), pa.schema([
         ("source", pa.string()), ("n_total", pa.int64()),
         ("n_kept", pa.int64()), ("realized_rate", pa.float64())]))
+    write("hash_split", golden_hash_split(args.sf_dir), pa.schema([
+        ("source", pa.string()), ("split", pa.string()),
+        ("n_docs", pa.int64())]))
 
     print("media goldens...")
     write("media_metadata", golden_media_metadata(), pa.schema([
