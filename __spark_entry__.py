@@ -638,6 +638,46 @@ def _q_repetition_stats(spark, sf_dir):
     )
 
 
+def _q_cross_dup(spark, sf_dir):
+    """Cross-document n-gram duplication (CCNet-style corpus-level
+    boilerplate signal): per doc, distinct word-3-grams, how many are
+    shared with >=1 other doc, and the shared fraction."""
+    from knowledge_graph_spark.operators.dedup import cross_doc_gram_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return cross_doc_gram_stats(docs).orderBy("doc_id")
+
+
+# oracle recomputes gram->doc-count sharing on the raw gram strings;
+# the Spark side groups on xxhash64(gram) (the at-scale shape), which
+# is count-identical absent a 64-bit collision (~N^2/2^64)
+_SQL_CROSS_DUP = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                     x -> x != '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(w) >= 3
+    THEN list_transform(range(len(w) - 2),
+         i -> list_aggregate(list_slice(w, i + 1, i + 3), 'string_agg', ' '))
+    ELSE [list_aggregate(w, 'string_agg', ' ')] END) AS g
+  FROM toks
+),
+freq AS (SELECT g, COUNT(*) AS ndocs FROM grams GROUP BY g)
+SELECT doc_id,
+       COUNT(*) AS n_grams,
+       SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS n_shared,
+       ROUND(CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS shared_frac
+FROM grams JOIN freq USING (g)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 _SQL_REPETITION = r"""
 WITH toks AS (
   SELECT doc_id,
@@ -977,6 +1017,51 @@ def _q_hash_split(spark, sf_dir):
     )
 
 
+_PACK_CAPACITY = 128
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """Deterministic greedy sequence packing (T5-style example
+    packing): per doc, its (shard, seq_id, pos) assignment into
+    128-token context windows. Oracled by a DuckDB recursive CTE that
+    replays the same greedy scan."""
+    from knowledge_graph_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, capacity=_PACK_CAPACITY,
+                          n_shards=8).orderBy("doc_id")
+
+
+# the oracle replays the greedy first-fit-sequential scan row by row
+# (recursive CTE joining rn -> rn+1 within each shard)
+_SQL_PACK = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                              x -> x != '')) AS INT) AS n_tokens
+  FROM documents
+),
+ord AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM toks
+),
+packed AS (
+  SELECT shard, rn, doc_id, n_tokens, n_tokens AS acc,
+         CAST(0 AS BIGINT) AS seq_id, 0 AS pos
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN p.acc + o.n_tokens > 128
+              THEN o.n_tokens ELSE p.acc + o.n_tokens END,
+         CASE WHEN p.acc + o.n_tokens > 128
+              THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.acc + o.n_tokens > 128 THEN 0 ELSE p.pos + 1 END
+  FROM ord o JOIN packed p ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT doc_id, shard, seq_id, pos, n_tokens FROM packed ORDER BY doc_id
+"""
+
+
 def _q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline (exact; DuckDB-oracled)."""
     from knowledge_graph_spark.operators.simsearch import brute_force_topk
@@ -1264,6 +1349,17 @@ def _q_kg_graph_links(spark, sf_dir):
     ).orderBy("src", "dst", "rel_type")
 
 
+def _q_kg_degrees(spark, sf_dir):
+    """Hub analysis: per graph-A node, out/in/total degree with the
+    display name (twin-golden oracled)."""
+    from knowledge_graph_spark.operators.queries import node_degrees
+
+    wh = _warehouse(spark, sf_dir)
+    return node_degrees(
+        wh.nodes.read(spark), wh.edges.read(spark), _KG_GRAPH_ID
+    ).orderBy("id")
+
+
 def _q_kg_keyword_search(spark, sf_dir):
     from knowledge_graph_spark.operators.queries import search_entities_by_keyword
 
@@ -1393,11 +1489,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_language_id,
         "quality_scores": _q_quality_scores,
         "repetition_stats": _q_repetition_stats,
+        "cross_dup": _q_cross_dup,
         "pii_scrub": _q_pii_scrub,
         "curate_corpus": _q_curate_corpus,
         "decontamination": _q_decontamination,
         "mixture_sample": _q_mixture_sample,
         "hash_split": _q_hash_split,
+        "pack_sequences": _q_pack_sequences,
         "embedding_topk": _q_embedding_topk,
         "embedding_label_centroids": _q_embedding_label_centroids,
         # hash-sketch operators (rows-only)
@@ -1414,6 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entities": _q_kg_entities,
         "kg_graph_links": _q_kg_graph_links,
         "kg_keyword_search": _q_kg_keyword_search,
+        "kg_degrees": _q_kg_degrees,
         "kg_user_graphs": _q_kg_user_graphs,
         "kg_all_graphs": _q_kg_all_graphs,
         "kg_canonical_entities": _q_kg_canonical_entities,
@@ -1443,9 +1542,11 @@ def oracle_sql() -> dict[str, str]:
         "language_id": _SQL_LANGUAGE_ID,
         "quality_scores": _SQL_QUALITY,
         "repetition_stats": _SQL_REPETITION,
+        "cross_dup": _SQL_CROSS_DUP,
         "pii_scrub": _SQL_PII,
         "curate_corpus": _SQL_CURATE,
         "decontamination": _SQL_DECONTAM,
+        "pack_sequences": _SQL_PACK,
         "embedding_topk": _SQL_EMBEDDING_TOPK,
         "embedding_label_centroids": _SQL_EMB_CENTROIDS,
         # exact-result oracles (DuckDB recomputes the full answer)
@@ -1466,6 +1567,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entities": _golden_sql("kg_entities", "url, id"),
         "kg_graph_links": _golden_sql("kg_graph_links", "src, dst, rel_type"),
         "kg_keyword_search": _golden_sql("kg_keyword_search", "id"),
+        "kg_degrees": _golden_sql("kg_degrees", "id"),
         "kg_user_graphs": _golden_sql("kg_user_graphs", "graph_id"),
         "kg_all_graphs": _golden_sql("kg_all_graphs", "graph_id"),
         "kg_canonical_entities": _golden_sql("kg_canonical_entities",

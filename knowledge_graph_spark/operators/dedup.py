@@ -452,3 +452,54 @@ def embedding_near_duplicates(embeddings: DataFrame, id_col: str = "vec_id",
                 cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document n-gram duplication (CCNet-style corpus-level signal)
+# ---------------------------------------------------------------------------
+
+
+def cross_doc_gram_stats(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Per-document cross-corpus duplication signal: for each document,
+    how many of its distinct word-``n``-grams appear in at least one
+    OTHER document, and the resulting shared fraction.
+
+    This is the corpus-level complement of :func:`repetition_stats`
+    (within-doc repetition): CCNet and RefinedWeb grade documents by
+    how much of their content is boilerplate shared across the crawl
+    before any pairwise dedup runs. Output columns:
+
+    - ``n_grams``    — distinct word-n-grams in the document
+    - ``n_shared``   — of those, grams present in >= 2 documents
+    - ``shared_frac``— ``n_shared / n_grams`` rounded to 6 dp
+
+    Scale shape: grams are folded to 64-bit ``xxhash64`` keys right
+    after the explode, so both shuffles (gram-frequency aggregate, and
+    the join back to per-doc grams) move ``(long, long)`` pairs — gram
+    TEXT never reaches an exchange, document bodies never leave the
+    scan. The two stages share the same key, so AQE reuses the
+    exchange for the join's aggregated side. Hash collisions merge two
+    grams' doc-counts with probability ~N^2/2^64 — the standard
+    fingerprint trade every hashed dedup stage in this module makes.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("g"),
+    ).select("doc_id", F.xxhash64("g").alias("gh"))
+    # (doc, gram) is distinct per doc after array_distinct, so a plain
+    # count is the number of documents containing the gram
+    freq = grams.groupBy("gh").agg(F.count("*").alias("ndocs"))
+    return (
+        grams.join(freq, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("ndocs") > 1).cast("long")).alias("n_shared"),
+        )
+        .withColumn(
+            "shared_frac",
+            F.round(F.col("n_shared") / F.col("n_grams"), 6),
+        )
+        .withColumnRenamed("doc_id", id_col)
+    )

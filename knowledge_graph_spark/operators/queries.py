@@ -192,3 +192,34 @@ def clear_graphs_by_user(nodes: DataFrame, edges: DataFrame, user_id: str) -> tu
     """Q9 (kg_writer.py:227-230)."""
     kept = nodes.filter(F.col("user_id") != user_id)
     return kept, _detach(kept, edges)
+
+
+def node_degrees(nodes: DataFrame, edges: DataFrame, graph_id: str) -> DataFrame:
+    """Hub analysis over one graph: per node, out-/in-/total degree
+    with the node's display name.
+
+    Not a reference query (the reference's Cypher surface stops at
+    scans); this is the first graph-analytics question every KG
+    consumer asks ("what are the hub entities?") and the basis for
+    degree-capped sampling of skewed graphs. Scale shape: both degree
+    counts and the name join are keyed by node id, so the three stages
+    reuse one hash partitioning (AQE folds the exchanges); only
+    (id, count) pairs and the slim (id, name) projection move —
+    never edge payloads."""
+    e = edges.filter(F.col("graph_id") == graph_id)
+    out_d = e.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("out_deg"))
+    in_d = e.groupBy(F.col("dst").alias("id")).agg(
+        F.count("*").alias("in_deg"))
+    deg = (
+        out_d.join(in_d, "id", "full_outer")
+        .fillna(0, ["out_deg", "in_deg"])
+    )
+    n = (
+        nodes.filter(F.col("graph_id") == graph_id)
+        .dropDuplicates(["id"]).select("id", "name")
+    )
+    return deg.join(n, "id").select(
+        "id", "name", "out_deg", "in_deg",
+        (F.col("out_deg") + F.col("in_deg")).alias("degree"),
+    )

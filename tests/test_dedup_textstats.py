@@ -544,3 +544,32 @@ def test_curate_corpus_gates_compose(spark):
     # audit columns survive the cascade
     cols = set(curate_corpus(docs, gates=gates).columns)
     assert {"lang_pred", "quality", "top_2gram_frac", "dup_3gram_frac"} <= cols
+
+
+def test_cross_doc_gram_stats(spark):
+    # doc 1 and 2 share the gram "a b c"; doc 3 shares nothing
+    rows = [
+        (1, "a b c d"),          # grams: "a b c", "b c d"
+        (2, "x a b c"),          # grams: "x a b", "a b c"
+        (3, "p q r s"),          # grams: "p q r", "q r s"
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in D.cross_doc_gram_stats(docs).collect()}
+    assert out[1]["n_grams"] == 2 and out[1]["n_shared"] == 1
+    assert out[2]["n_grams"] == 2 and out[2]["n_shared"] == 1
+    assert out[1]["shared_frac"] == 0.5
+    assert out[3]["n_grams"] == 2 and out[3]["n_shared"] == 0
+
+    # short doc (<3 tokens) contributes its whole text as one shingle
+    docs2 = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "zz")], ["doc_id", "text"])
+    out2 = {r["doc_id"]: r for r in D.cross_doc_gram_stats(docs2).collect()}
+    assert out2[1]["n_shared"] == 1 and out2[2]["n_shared"] == 1
+    assert out2[3]["n_shared"] == 0
+
+    # scale shape: gram TEXT never reaches an exchange — every shuffle
+    # below the final agg moves (hash, id) longs only
+    plan = D.cross_doc_gram_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "g#" not in line, line

@@ -191,3 +191,24 @@ def test_entity_linking_canonicalizes_abbreviations(spark, tmp_path):
         .filter(~F.col("name").startswith(F.substring(F.col("canonical_id"), 1, 2)))
     )
     assert bad.count() == 0
+
+
+def test_node_degrees(spark):
+    """node_degrees: per-node out/in/total over one graph, names
+    joined, other graphs excluded."""
+    from knowledge_graph_spark.operators.queries import node_degrees
+
+    nodes = spark.createDataFrame(
+        [("g1", "a", "A"), ("g1", "b", "B"), ("g1", "c", "C"),
+         ("g2", "z", "Z")],
+        ["graph_id", "id", "name"])
+    edges = spark.createDataFrame(
+        [("g1", "a", "b"), ("g1", "a", "c"), ("g1", "b", "a"),
+         ("g2", "z", "z")],
+        ["graph_id", "src", "dst"])
+    out = {r["id"]: r for r in node_degrees(nodes, edges, "g1").collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert (out["a"]["out_deg"], out["a"]["in_deg"], out["a"]["degree"]) == (2, 1, 3)
+    assert (out["b"]["out_deg"], out["b"]["in_deg"]) == (1, 1)
+    assert (out["c"]["out_deg"], out["c"]["in_deg"]) == (0, 1)
+    assert out["a"]["name"] == "A"

@@ -34,7 +34,7 @@ import math
 import os
 import sys
 import unicodedata
-from collections import defaultdict
+from collections import Counter, defaultdict
 from decimal import ROUND_HALF_UP, Decimal
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -622,6 +622,23 @@ def main() -> None:
         ("src_name", pa.string()), ("src_type", pa.string()),
         ("dst_name", pa.string()), ("dst_type", pa.string()),
         ("label", pa.string())]))
+
+    # kg_degrees: hub analysis over graph A (twin of queries.node_degrees)
+    outd = Counter(e["src"] for e in edges_a)
+    ind = Counter(e["dst"] for e in edges_a)
+    degs = []
+    for nid in set(outd) | set(ind):
+        n_ = by_id.get(nid)
+        if n_ is None:
+            continue  # edges are endpoint-validated; defensive only
+        o, i = outd.get(nid, 0), ind.get(nid, 0)
+        degs.append({"id": nid, "name": n_["name"], "out_deg": o,
+                     "in_deg": i, "degree": o + i})
+    degs.sort(key=lambda d: d["id"])
+    write("kg_degrees", degs, pa.schema([
+        ("id", pa.string()), ("name", pa.string()),
+        ("out_deg", pa.int64()), ("in_deg", pa.int64()),
+        ("degree", pa.int64())]))
 
     # keyword search filters user_001 -> graph A's nodes only
     kw = sorted(
