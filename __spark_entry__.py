@@ -1360,6 +1360,20 @@ def _q_kg_degrees(spark, sf_dir):
     ).orderBy("id")
 
 
+def _q_kg_pagerank(spark, sf_dir):
+    """PageRank over graph A (10 rounds, d=0.85, dangling mass
+    redistributed) — twin-golden oracled to 6 dp."""
+    from knowledge_graph_spark.operators.graph_analytics import pagerank
+
+    wh = _warehouse(spark, sf_dir)
+    edges = wh.edges.read(spark).filter(F.col("graph_id") == _KG_GRAPH_ID)
+    return (
+        pagerank(edges)
+        .select("id", F.round("rank", 6).alias("rank"))
+        .orderBy("id")
+    )
+
+
 def _q_kg_keyword_search(spark, sf_dir):
     from knowledge_graph_spark.operators.queries import search_entities_by_keyword
 
@@ -1513,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_links": _q_kg_graph_links,
         "kg_keyword_search": _q_kg_keyword_search,
         "kg_degrees": _q_kg_degrees,
+        "kg_pagerank": _q_kg_pagerank,
         "kg_user_graphs": _q_kg_user_graphs,
         "kg_all_graphs": _q_kg_all_graphs,
         "kg_canonical_entities": _q_kg_canonical_entities,
@@ -1568,6 +1583,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_graph_links": _golden_sql("kg_graph_links", "src, dst, rel_type"),
         "kg_keyword_search": _golden_sql("kg_keyword_search", "id"),
         "kg_degrees": _golden_sql("kg_degrees", "id"),
+        "kg_pagerank": _golden_sql("kg_pagerank", "id"),
         "kg_user_graphs": _golden_sql("kg_user_graphs", "graph_id"),
         "kg_all_graphs": _golden_sql("kg_all_graphs", "graph_id"),
         "kg_canonical_entities": _golden_sql("kg_canonical_entities",

@@ -1,0 +1,79 @@
+# -*- coding: utf-8 -*-
+"""Graph analytics over the materialized KG: PageRank.
+
+Not a reference query (its Cypher surface stops at scans/deletes) —
+but "which entities matter" is the canonical question over an
+extracted knowledge graph, and degree alone over-counts boilerplate
+hubs. This is the classic Pregel-style join formulation (Page et al.
+1999; the MapReduce shape from Malewicz et al.'s Pregel paper),
+expressed as DataFrame joins so Catalyst/AQE pick the physical plan.
+
+Scale shape per iteration:
+- one shuffle keyed by ``dst`` (contribution aggregate) and one join
+  keyed by node id — the link table ``(src, dst, deg)`` is persisted
+  once and its partitioning reused every round;
+- dangling-node mass (nodes with no out-edges) is redistributed via a
+  ONE-ROW broadcast aggregate built inside the plan — no per-iteration
+  driver action;
+- ranks are ``localCheckpoint``-ed each round (same lineage-truncation
+  pattern as :mod:`components`), so the plan never grows with the
+  iteration count;
+- shuffles carry ``(id, double)`` pairs only — never node payloads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             iterations: int = 10, damping: float = 0.85,
+             n_nodes: int | None = None) -> DataFrame:
+    """PageRank over the distinct edge set of ``edges``.
+
+    Returns ``(id, rank)`` for every node appearing as an endpoint;
+    ranks sum to 1. Pass ``n_nodes`` (e.g. from catalog stats) to skip
+    the one sizing count. Fixed ``iterations`` keeps the operator
+    deterministic and oracle-reproducible; 10 rounds is within ~1e-3
+    of convergence on graphs with damping 0.85."""
+    pairs = edges.select(F.col(src).alias("src"),
+                         F.col(dst).alias("dst")).distinct()
+    nodes = (
+        pairs.select(F.col("src").alias("id"))
+        .unionByName(pairs.select(F.col("dst").alias("id")))
+        .distinct().persist()
+    )
+    if n_nodes is None:
+        n_nodes = nodes.count()
+    deg = pairs.groupBy("src").agg(F.count("*").alias("deg"))
+    links = pairs.join(deg, "src").persist()
+
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            links.join(ranks, links["src"] == ranks["id"])
+            .select(F.col("dst").alias("id"),
+                    (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("id").agg(F.sum("c").alias("c"))
+        )
+        # dangling mass: rank held by nodes with no out-edges, fed back
+        # uniformly; a 1-row aggregate broadcast inside the plan
+        dang = (
+            ranks.join(deg, ranks["id"] == deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "id",
+                (F.lit(base) + F.lit(damping)
+                 * (F.coalesce(F.col("c"), F.lit(0.0))
+                    + F.col("dm") / F.lit(float(n_nodes)))).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    nodes.unpersist()
+    links.unpersist()
+    return ranks

@@ -91,3 +91,45 @@ def test_canonical_mapping_shortest_representative(spark):
     m = {r["name"]: r["canonical_name"] for r in canonical_mapping(same).collect()}
     assert set(m.values()) == {"华星科技"}
     assert len(m) == 3
+
+
+def test_pagerank_star_and_dangling(spark):
+    """Star graph: center receives all mass; ranks sum to 1 even with
+    dangling nodes (the center has no out-edges)."""
+    from knowledge_graph_spark.operators.graph_analytics import pagerank
+
+    edges = spark.createDataFrame(
+        [(f"leaf{i}", "center") for i in range(5)], ["src", "dst"])
+    out = {r["id"]: r["rank"] for r in pagerank(edges, iterations=8).collect()}
+    assert max(out, key=out.get) == "center"
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+    leaves = [v for k, v in out.items() if k != "center"]
+    assert max(leaves) - min(leaves) < 1e-12  # symmetry
+
+
+def test_pagerank_matches_reference_loop(spark):
+    """Spark result equals a straight Python power iteration on a small
+    random-ish graph (same rounds/damping/dangling rule)."""
+    from collections import Counter, defaultdict
+
+    from knowledge_graph_spark.operators.graph_analytics import pagerank
+
+    pairs = [(a, b) for a in range(8) for b in range(8)
+             if a != b and (a * 7 + b * 3) % 5 == 0]
+    edges = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in pairs], ["src", "dst"])
+    got = {r["id"]: r["rank"] for r in pagerank(edges, iterations=10).collect()}
+
+    nodes = sorted({str(a) for a, _ in pairs} | {str(b) for _, b in pairs})
+    n = len(nodes)
+    deg = Counter(str(a) for a, _ in pairs)
+    ranks = {x: 1.0 / n for x in nodes}
+    for _ in range(10):
+        contrib = defaultdict(float)
+        for a, b in pairs:
+            contrib[str(b)] += ranks[str(a)] / deg[str(a)]
+        dm = sum(r for x, r in ranks.items() if x not in deg)
+        ranks = {x: 0.15 / n + 0.85 * (contrib.get(x, 0.0) + dm / n)
+                 for x in nodes}
+    assert set(got) == set(ranks)
+    assert all(abs(got[x] - ranks[x]) < 1e-9 for x in nodes)

@@ -640,6 +640,27 @@ def main() -> None:
         ("out_deg", pa.int64()), ("in_deg", pa.int64()),
         ("degree", pa.int64())]))
 
+    # kg_pagerank: twin of graph_analytics.pagerank (10 rounds, d=0.85,
+    # dangling mass redistributed uniformly) over graph A's distinct
+    # edge pairs; rounded to 6 dp on both sides
+    pr_pairs = sorted({(e["src"], e["dst"]) for e in edges_a})
+    pr_nodes = sorted({s for s, _ in pr_pairs} | {d for _, d in pr_pairs})
+    pr_n = len(pr_nodes)
+    pr_deg = Counter(s for s, _ in pr_pairs)
+    pr_ranks = {nd: 1.0 / pr_n for nd in pr_nodes}
+    for _ in range(10):
+        contrib = defaultdict(float)
+        for s, d_ in pr_pairs:
+            contrib[d_] += pr_ranks[s] / pr_deg[s]
+        dm = sum(r for nd, r in pr_ranks.items() if nd not in pr_deg)
+        pr_base = (1.0 - 0.85) / pr_n
+        pr_ranks = {nd: pr_base + 0.85 * (contrib.get(nd, 0.0) + dm / pr_n)
+                    for nd in pr_nodes}
+    write("kg_pagerank",
+          [{"id": nd, "rank": round_half_up(pr_ranks[nd], 6)}
+           for nd in pr_nodes],
+          pa.schema([("id", pa.string()), ("rank", pa.float64())]))
+
     # keyword search filters user_001 -> graph A's nodes only
     kw = sorted(
         ({"graph_id": n_["graph_id"], "id": n_["id"], "name": n_["name"],
