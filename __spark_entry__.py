@@ -638,6 +638,28 @@ def _q_repetition_stats(spark, sf_dir):
     )
 
 
+def _q_corpus_profile(spark, sf_dir):
+    """Per-source length profile: count, mean, exact interpolated
+    p50/p95, min, max of n_chars."""
+    from knowledge_graph_spark.operators.textstats import corpus_profile
+
+    return corpus_profile(_t(spark, sf_dir, "documents")).orderBy("source")
+
+
+_SQL_PROFILE = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 4) AS avg_len,
+       ROUND(quantile_cont(n_chars, 0.5), 4) AS p50_len,
+       ROUND(quantile_cont(n_chars, 0.95), 4) AS p95_len,
+       MIN(n_chars) AS min_len,
+       MAX(n_chars) AS max_len
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 def _q_cross_dup(spark, sf_dir):
     """Cross-document n-gram duplication (CCNet-style corpus-level
     boilerplate signal): per doc, distinct word-3-grams, how many are
@@ -1504,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "repetition_stats": _q_repetition_stats,
         "cross_dup": _q_cross_dup,
+        "corpus_profile": _q_corpus_profile,
         "pii_scrub": _q_pii_scrub,
         "curate_corpus": _q_curate_corpus,
         "decontamination": _q_decontamination,
@@ -1558,6 +1581,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": _SQL_QUALITY,
         "repetition_stats": _SQL_REPETITION,
         "cross_dup": _SQL_CROSS_DUP,
+        "corpus_profile": _SQL_PROFILE,
         "pii_scrub": _SQL_PII,
         "curate_corpus": _SQL_CURATE,
         "decontamination": _SQL_DECONTAM,

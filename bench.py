@@ -74,7 +74,8 @@ def main():
         "events_daily", "order_priority_semi",
         "dedup_exact_survivors", "minhash_pairs", "simhash_neardups",
         "token_counts", "language_id", "quality_scores",
-        "repetition_stats", "cross_dup", "pii_scrub", "curate_corpus",
+        "repetition_stats", "cross_dup", "corpus_profile",
+        "pii_scrub", "curate_corpus",
         "decontamination", "mixture_sample", "hash_split",
         "pack_sequences",
         "embedding_topk", "embedding_neardups",

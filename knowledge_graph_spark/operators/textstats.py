@@ -231,3 +231,30 @@ def redact_pii(docs: DataFrame, text_col: str = "text",
         _PHONE_RE, phone_token,
     )
     return docs.withColumn(text_col, redacted)
+
+
+# ---------------------------------------------------------------------------
+# corpus profiling
+# ---------------------------------------------------------------------------
+
+
+def corpus_profile(docs: DataFrame, group_col: str = "source",
+                   value_col: str = "n_chars") -> DataFrame:
+    """Per-group length profile: count, mean, exact interpolated
+    median/p95, min, max — the first dashboard every corpus curation
+    run reads (is a source truncated? spammy? empty?).
+
+    Exact percentiles are a single sort-based aggregate per group
+    (``percentile``, JVM-side); at 100 TB swap in
+    ``approx_percentile`` with the same call shape if the exact sort
+    per group is too hot — the operator's contract stays identical.
+    One shuffle, keyed by the group column."""
+    v = F.col(value_col)
+    return docs.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(v), 4).alias("avg_len"),
+        F.round(F.percentile(v, F.lit(0.5)), 4).alias("p50_len"),
+        F.round(F.percentile(v, F.lit(0.95)), 4).alias("p95_len"),
+        F.min(v).alias("min_len"),
+        F.max(v).alias("max_len"),
+    )

@@ -573,3 +573,13 @@ def test_cross_doc_gram_stats(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "g#" not in line, line
+
+
+def test_corpus_profile_exact_percentiles(spark):
+    rows = [("s1", 10), ("s1", 20), ("s1", 30), ("s1", 40), ("s2", 5)]
+    docs = spark.createDataFrame(rows, ["source", "n_chars"])
+    out = {r["source"]: r for r in T.corpus_profile(docs).collect()}
+    assert out["s1"]["n_docs"] == 4
+    assert out["s1"]["p50_len"] == 25.0      # interpolated median
+    assert out["s1"]["p95_len"] == 38.5      # 0.95*(n-1) interpolation
+    assert (out["s2"]["min_len"], out["s2"]["max_len"]) == (5, 5)
