@@ -666,7 +666,11 @@ def _q_cross_dup(spark, sf_dir):
     shared with >=1 other doc, and the shared fraction."""
     from knowledge_graph_spark.operators.dedup import cross_doc_gram_stats
 
-    docs = _t(spark, sf_dir, "documents")
+    # single-file corpus -> single scan partition; spread the
+    # CPU-bound gram explode (same note as _docs_with_dups)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return cross_doc_gram_stats(docs).orderBy("doc_id")
 
 

@@ -52,5 +52,6 @@ def audit(df: DataFrame, execute: bool = False) -> dict:
         "shuffles": p.count("Exchange"),
         "codegen": "*(" in simple or "\n* " in p or "+- * " in p,
         "row_python": "BatchEvalPython" in p,
-        "arrow_python": ("ArrowEvalPython" in p) or ("MapInPandas" in p),
+        "arrow_python": ("ArrowEvalPython" in p) or ("MapInPandas" in p)
+        or ("FlatMapGroupsInPandas" in p),
     }
