@@ -474,6 +474,35 @@ SELECT doc_id, lang, source FROM r WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def _q_dedup_best_survivors(spark, sf_dir):
+    """Exact dedup keeping the BEST copy per content hash
+    (SlimPajama-style): highest priority, ties to min id. Priority is
+    a deterministic pseudo-random metadata stand-in so the choice is
+    genuinely exercised (content-derived priorities tie on exact
+    dupes by definition)."""
+    from knowledge_graph_spark.operators.dedup import dedup_exact_best
+
+    docs = _docs_with_dups(spark, sf_dir).withColumn(
+        "prio", (F.col("doc_id") * F.lit(2654435761)) % 1000
+    )
+    return (
+        dedup_exact_best(docs, "prio")
+        .select("doc_id", "source", "prio")
+        .orderBy("doc_id")
+    )
+
+
+_SQL_DEDUP_BEST = f"""
+WITH d AS ({_DOCS_DUP_SQL}),
+p AS (SELECT *, (doc_id * 2654435761) % 1000 AS prio FROM d),
+r AS (SELECT doc_id, source, prio,
+             ROW_NUMBER() OVER (PARTITION BY text
+                                ORDER BY prio DESC, doc_id) AS rn
+      FROM p)
+SELECT doc_id, source, prio FROM r WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard on adjacent-doc pairs (the verification
     stage of MinHash dedup, on a deterministic pair set so DuckDB can
@@ -1524,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data operators (DuckDB-oracled)
         "dedup_exact_groups": _q_dedup_exact_groups,
         "dedup_exact_survivors": _q_dedup_exact_survivors,
+        "dedup_best_survivors": _q_dedup_best_survivors,
         "ngram_jaccard": _q_ngram_jaccard,
         "token_counts": _q_token_counts,
         "language_id": _q_language_id,
@@ -1579,6 +1609,7 @@ def oracle_sql() -> dict[str, str]:
         "range_view_clicks": _SQL_RANGE,
         "dedup_exact_groups": _SQL_DEDUP_EXACT,
         "dedup_exact_survivors": _SQL_DEDUP_SURVIVORS,
+        "dedup_best_survivors": _SQL_DEDUP_BEST,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
         "token_counts": _SQL_TOKEN_COUNTS,
         "language_id": _SQL_LANGUAGE_ID,

@@ -72,7 +72,8 @@ def main():
     headliners = [
         "pricing_summary", "nation_revenue", "top_parts_per_brand",
         "events_daily", "order_priority_semi",
-        "dedup_exact_survivors", "minhash_pairs", "simhash_neardups",
+        "dedup_exact_survivors", "dedup_best_survivors",
+        "minhash_pairs", "simhash_neardups",
         "token_counts", "language_id", "quality_scores",
         "repetition_stats", "cross_dup", "corpus_profile",
         "pii_scrub", "curate_corpus",

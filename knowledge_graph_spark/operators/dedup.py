@@ -127,6 +127,33 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
     return docs.join(keys, on=id_col, how="left_semi")
 
 
+def dedup_exact_best(docs: DataFrame, priority_col: str,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Survivor set after exact dedup keeping the BEST row per content
+    hash: highest ``priority_col`` (quality score, length, crawl
+    recency...), ties broken by min id — the SlimPajama/RefinedWeb
+    policy of keeping the best copy rather than an arbitrary one.
+
+    Same scale shape as :func:`dedup_exact`: the choice runs as a
+    ``max_by`` over ``(hash, id, priority)`` triples — one hash-keyed
+    aggregation that never sees document bodies — and bodies move once
+    through the id-keyed semi join."""
+    keys = (
+        docs.select(
+            F.col(id_col).alias("_did"),
+            F.col(priority_col).alias("_p"),
+            F.sha2(F.col(text_col), 256).alias("_h"),
+        )
+        .groupBy("_h")
+        .agg(F.expr(
+            "max_by(_did, named_struct('p', _p, 'i', -_did))"
+        ).alias(id_col))
+        .select(id_col)
+    )
+    return docs.join(keys, on=id_col, how="left_semi")
+
+
 # ---------------------------------------------------------------------------
 # shingling (shared by minhash / jaccard)
 # ---------------------------------------------------------------------------

@@ -45,6 +45,9 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     )
     if n_nodes is None:
         n_nodes = nodes.count()
+    if n_nodes == 0:
+        nodes.unpersist()
+        return nodes.select("id", F.lit(0.0).alias("rank"))
     deg = pairs.groupBy("src").agg(F.count("*").alias("deg"))
     links = pairs.join(deg, "src").persist()
 

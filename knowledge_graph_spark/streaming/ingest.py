@@ -158,3 +158,28 @@ def windowed_event_counts(
             "event_type", "n_events", "total_value",
         )
     )
+
+
+def streaming_dedup(
+    pages_stream: DataFrame, watermark: str = "1 hour",
+    ts_col: str = "warc_ts", content_col: str = "text",
+) -> DataFrame:
+    """Streaming exact-content dedup: drop a page whose content hash
+    was already seen within the watermark horizon (re-crawls, mirror
+    hosts, duplicate submissions in the drop directory).
+
+    Built on ``dropDuplicatesWithinWatermark`` so the dedup state store
+    is BOUNDED — a key is forgotten once the watermark passes it, which
+    is the only viable contract for an unbounded crawl stream (an
+    unwatermarked dropDuplicates grows state forever). Cross-horizon
+    duplicates are the batch operators' job (the MERGE keys make
+    re-applying them idempotent anyway). The state key is the 256-bit
+    content hash, not the body, so per-key state is ~100 bytes."""
+    hashed = pages_stream.withColumn(
+        "_content_hash", F.sha2(F.col(content_col), 256)
+    )
+    return (
+        hashed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_content_hash"])
+        .drop("_content_hash")
+    )

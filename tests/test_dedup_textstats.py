@@ -583,3 +583,23 @@ def test_corpus_profile_exact_percentiles(spark):
     assert out["s1"]["p50_len"] == 25.0      # interpolated median
     assert out["s1"]["p95_len"] == 38.5      # 0.95*(n-1) interpolation
     assert (out["s2"]["min_len"], out["s2"]["max_len"]) == (5, 5)
+
+
+def test_dedup_exact_best_keeps_priority_winner(spark):
+    rows = [
+        (1, "same text", 5), (2, "same text", 9), (3, "same text", 9),
+        (4, "unique", 1),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "prio"])
+    kept = sorted(r["doc_id"] for r in
+                  D.dedup_exact_best(docs, "prio").collect())
+    # max prio 9, tie between 2 and 3 -> min id 2
+    assert kept == [2, 4]
+
+    # bodies never ride the hash-keyed exchange (same contract as
+    # dedup_exact)
+    plan = (D.dedup_exact_best(docs, "prio")
+            ._jdf.queryExecution().executedPlan().toString())
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning(_h" in line:
+            assert "text#" not in line, line

@@ -315,3 +315,51 @@ def test_stateful_sessionize_out_of_order_across_batches(spark, tmp_path):
         for r in emitted if r["user_id"] == 7
     }
     assert got == {(7, "10:00", "10:40", 4, 4.0)}
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """A duplicate content hash arriving in a later micro-batch within
+    the watermark horizon is dropped; distinct content passes. State is
+    keyed by content hash (bounded), not by body."""
+    import datetime as dt
+
+    from knowledge_graph_spark.streaming.ingest import streaming_dedup
+
+    drop_dir = str(tmp_path / "pages")
+    schema = "url string, warc_ts timestamp, text string"
+
+    def pg(url, minute, text):
+        return (url, dt.datetime(2024, 1, 1, 10, minute), text)
+
+    emitted: list = []
+
+    def run_once():
+        def sink(batch_df, _bid):
+            emitted.extend(batch_df.collect())
+
+        stream = spark.readStream.schema(schema).parquet(drop_dir + "/*")
+        q = (
+            streaming_dedup(stream, watermark="1 hour")
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+
+    spark.createDataFrame(
+        [pg("u/a", 0, "alpha body"), pg("u/b", 1, "beta body")], schema
+    ).coalesce(1).write.parquet(f"{drop_dir}/b0.parquet")
+    run_once()
+    assert sorted(r["url"] for r in emitted) == ["u/a", "u/b"]
+
+    # batch 2: mirror re-sends alpha under a new url (same content,
+    # inside the horizon) + one genuinely new page
+    spark.createDataFrame(
+        [pg("u/a2", 5, "alpha body"), pg("u/c", 6, "gamma body")], schema
+    ).coalesce(1).write.parquet(f"{drop_dir}/b1.parquet")
+    run_once()
+    urls = sorted(r["url"] for r in emitted)
+    assert "u/c" in urls and "u/a2" not in urls
+    # output schema untouched (hash column is internal state only)
+    assert set(emitted[0].asDict()) == {"url", "warc_ts", "text"}
