@@ -721,13 +721,15 @@ grams AS (
     ELSE [list_aggregate(w, 'string_agg', ' ')] END) AS g
   FROM toks
 ),
-freq AS (SELECT g, COUNT(*) AS ndocs FROM grams GROUP BY g)
+-- zero-token docs shingle to NULL/'' (both engines exclude them)
+g2 AS (SELECT doc_id, g FROM grams WHERE g IS NOT NULL AND g != ''),
+freq AS (SELECT g, COUNT(*) AS ndocs FROM g2 GROUP BY g)
 SELECT doc_id,
        COUNT(*) AS n_grams,
        SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS n_shared,
        ROUND(CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*), 6) AS shared_frac
-FROM grams JOIN freq USING (g)
+FROM g2 JOIN freq USING (g)
 GROUP BY doc_id
 ORDER BY doc_id
 """

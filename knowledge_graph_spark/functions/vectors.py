@@ -73,3 +73,16 @@ def word_ngrams(col: str, n: int = 3) -> Column:
         END
         """
     )
+
+
+def ws_tokens(col: str) -> Column:
+    """Whitespace-token array of a string column (empty splits
+    dropped) — the single definition of "token" shared by token
+    counting, quality scoring, and sequence packing so they can never
+    drift apart."""
+    return F.expr(f"filter(split({col}, '\\\\s+'), x -> x != '')")
+
+
+def n_ws_tokens(col: str) -> Column:
+    """Whitespace token count; 0 (not NULL) for NULL input."""
+    return F.coalesce(F.size(ws_tokens(col)), F.lit(0))

@@ -146,8 +146,12 @@ def dedup_exact_best(docs: DataFrame, priority_col: str,
             F.sha2(F.col(text_col), 256).alias("_h"),
         )
         .groupBy("_h")
+        # min over (-priority, id): highest priority, ties to min id.
+        # Only the (numeric, by contract: it's a score) priority is
+        # negated — the id can be any orderable type, same as
+        # dedup_exact's min()
         .agg(F.expr(
-            "max_by(_did, named_struct('p', _p, 'i', -_did))"
+            "min_by(_did, named_struct('np', -_p, 'i', _did))"
         ).alias(id_col))
         .select(id_col)
     )
@@ -510,10 +514,17 @@ def cross_doc_gram_stats(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     grams' doc-counts with probability ~N^2/2^64 — the standard
     fingerprint trade every hashed dedup stage in this module makes.
     """
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("g"),
-    ).select("doc_id", F.xxhash64("g").alias("gh"))
+    grams = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("g"),
+        )
+        # zero-token docs shingle to "" — they have no content to share
+        # and are excluded (a boilerplate verdict on emptiness would be
+        # bogus, and the SQL oracle's NULL shingle drops them too)
+        .filter(F.col("g") != "")
+        .select("doc_id", F.xxhash64("g").alias("gh"))
+    )
     # (doc, gram) is distinct per doc after array_distinct, so a plain
     # count is the number of documents containing the gram
     freq = grams.groupBy("gh").agg(F.count("*").alias("ndocs"))

@@ -50,6 +50,10 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         return nodes.select("id", F.lit(0.0).alias("rank"))
     deg = pairs.groupBy("src").agg(F.count("*").alias("deg"))
     links = pairs.join(deg, "src").persist()
+    # the dangling set (no out-edges) is loop-invariant: materialize it
+    # once instead of re-deriving deg's subplan every round
+    dangling = nodes.join(deg, nodes["id"] == deg["src"],
+                          "left_anti").persist()
 
     base = (1.0 - damping) / n_nodes
     ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("rank"))
@@ -63,7 +67,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         # dangling mass: rank held by nodes with no out-edges, fed back
         # uniformly; a 1-row aggregate broadcast inside the plan
         dang = (
-            ranks.join(deg, ranks["id"] == deg["src"], "left_anti")
+            ranks.join(dangling, "id", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         )
         ranks = (
@@ -79,4 +83,5 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         )
     nodes.unpersist()
     links.unpersist()
+    dangling.unpersist()
     return ranks

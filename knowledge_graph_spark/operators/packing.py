@@ -36,6 +36,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.vectors import n_ws_tokens
+
 _OUT_SCHEMA = ("doc_id long, shard int, seq_id long, pos int, "
                "n_tokens int")
 
@@ -52,10 +54,12 @@ def pack_sequences(docs: DataFrame, capacity: int, n_shards: int = 8,
     (supply ``tokens_col`` to pack on a real tokenizer's counts).
     """
     if tokens_col is None:
-        toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"),
-                               lambda x: x != ""))
+        # shared token definition (functions/vectors.ws_tokens); NULL
+        # text packs as a zero-length doc instead of poisoning the
+        # Arrow batch with NaN
+        toks = n_ws_tokens(text_col)
     else:
-        toks = F.col(tokens_col)
+        toks = F.coalesce(F.col(tokens_col), F.lit(0))
     slim = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.pmod(F.col(id_col).cast("long"), F.lit(n_shards))

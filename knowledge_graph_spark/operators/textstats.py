@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.vectors import ws_tokens
+
 # ---------------------------------------------------------------------------
 # token counting
 # ---------------------------------------------------------------------------
@@ -25,7 +27,7 @@ _TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[\\u4e00-\\u9fff]"
 def with_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds ``n_tokens`` (whitespace tokens) and ``n_bpe_tokens``
     (regexp token count: letter runs + digit runs + CJK chars)."""
-    ws = F.size(F.expr(f"filter(split({text_col}, '\\\\s+'), x -> x != '')"))
+    ws = F.size(ws_tokens(text_col))
     bpe = F.size(F.expr(f"regexp_extract_all({text_col}, '{_TOKEN_PATTERN}', 0)"))
     return docs.withColumn("n_tokens", ws).withColumn("n_bpe_tokens", bpe)
 
@@ -94,7 +96,7 @@ def with_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     digits = F.length(text_col) - F.length(
         F.regexp_replace(text_col, r"[0-9]", "")
     )
-    words = F.expr(f"filter(split({text_col}, '\\\\s+'), x -> x != '')")
+    words = ws_tokens(text_col)
     mean_wl = F.when(
         F.size(words) > 0,
         F.aggregate(words, F.lit(0).cast("double"),

@@ -175,6 +175,10 @@ def streaming_dedup(
     duplicates are the batch operators' job (the MERGE keys make
     re-applying them idempotent anyway). The state key is the 256-bit
     content hash, not the body, so per-key state is ~100 bytes."""
+    if "_content_hash" in pages_stream.columns:
+        raise ValueError(
+            "input already has a _content_hash column; streaming_dedup "
+            "would silently overwrite and drop it")
     hashed = pages_stream.withColumn(
         "_content_hash", F.sha2(F.col(content_col), 256)
     )

@@ -603,3 +603,22 @@ def test_dedup_exact_best_keeps_priority_winner(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning(_h" in line:
             assert "text#" not in line, line
+
+
+def test_cross_doc_gram_stats_excludes_empty_docs(spark):
+    # punctuation-only / empty docs have no word tokens: they must be
+    # excluded, not reported as 100%-shared boilerplate
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "!!! ???"), (3, ""), (4, "a b c e")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in D.cross_doc_gram_stats(docs).collect()}
+    assert set(out) == {1, 4}
+    assert out[1]["n_shared"] == 1  # "a b c" shared with doc 4
+
+
+def test_dedup_exact_best_works_with_string_ids(spark):
+    rows = [("x1", "same", 5), ("x2", "same", 9), ("y9", "uniq", 1)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "prio"])
+    kept = sorted(r["doc_id"] for r in
+                  D.dedup_exact_best(docs, "prio").collect())
+    assert kept == ["x2", "y9"]

@@ -75,3 +75,13 @@ def test_packing_projects_before_shuffle(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text#" not in line, line
+
+
+def test_null_text_packs_as_zero_tokens(spark):
+    rows = [(0, "a b c"), (1, None), (2, "d e")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           pack_sequences(docs, capacity=4, n_shards=1).collect()}
+    assert out[1]["n_tokens"] == 0
+    # zero-length doc rides along in whichever sequence is open
+    assert out[1]["seq_id"] == out[0]["seq_id"]

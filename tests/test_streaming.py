@@ -363,3 +363,14 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert "u/c" in urls and "u/a2" not in urls
     # output schema untouched (hash column is internal state only)
     assert set(emitted[0].asDict()) == {"url", "warc_ts", "text"}
+
+
+def test_streaming_dedup_rejects_hash_column_collision(spark):
+    import pytest as _pytest
+
+    from knowledge_graph_spark.streaming.ingest import streaming_dedup
+
+    df = spark.createDataFrame(
+        [("u", "t", "h")], "url string, text string, _content_hash string")
+    with _pytest.raises(ValueError):
+        streaming_dedup(df)
