@@ -1074,6 +1074,43 @@ def _q_hash_split(spark, sf_dir):
     )
 
 
+_BM25_TERMS = ["spark", "table", "row"]
+
+
+def _q_bm25_search(spark, sf_dir):
+    """Okapi BM25 ranked retrieval over the documents table for a
+    fixed 3-term query; only matching postings reach an exchange."""
+    from knowledge_graph_spark.operators.search import bm25_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_search(docs, _BM25_TERMS).orderBy("doc_id")
+
+
+_SQL_BM25 = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                     x -> x != '') AS w
+  FROM documents
+),
+dl AS (SELECT doc_id, len(w) AS dl FROM toks),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+terms AS (SELECT doc_id, unnest(w) AS term FROM toks),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms
+       WHERE term IN ('spark', 'table', 'row') GROUP BY 1, 2),
+dfs AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1)
+SELECT t.doc_id,
+       ROUND(SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * (1.2 + 1.0)
+                 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / avgdl))),
+             6) AS score
+FROM tf t JOIN dfs USING (term) JOIN dl d ON t.doc_id = d.doc_id
+CROSS JOIN stats
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
 _PACK_CAPACITY = 128
 
 
@@ -1569,6 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "hash_split": _q_hash_split,
         "pack_sequences": _q_pack_sequences,
+        "bm25_search": _q_bm25_search,
         "embedding_topk": _q_embedding_topk,
         "embedding_label_centroids": _q_embedding_label_centroids,
         # hash-sketch operators (rows-only)
@@ -1623,6 +1661,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": _SQL_CURATE,
         "decontamination": _SQL_DECONTAM,
         "pack_sequences": _SQL_PACK,
+        "bm25_search": _SQL_BM25,
         "embedding_topk": _SQL_EMBEDDING_TOPK,
         "embedding_label_centroids": _SQL_EMB_CENTROIDS,
         # exact-result oracles (DuckDB recomputes the full answer)

@@ -78,7 +78,7 @@ def main():
         "repetition_stats", "cross_dup", "corpus_profile",
         "pii_scrub", "curate_corpus",
         "decontamination", "mixture_sample", "hash_split",
-        "pack_sequences",
+        "pack_sequences", "bm25_search",
         "embedding_topk", "embedding_neardups",
     ]
     qs = entrymod.queries()

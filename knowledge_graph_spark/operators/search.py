@@ -1,0 +1,67 @@
+# -*- coding: utf-8 -*-
+"""Ranked full-text retrieval over the document corpus: BM25.
+
+The reference's search surface is a substring scan over node names
+(kg_writer.py:243-251 — covered by ``queries.search_entities_by_
+keyword``). A corpus engine also needs ranked DOCUMENT retrieval —
+finding the pages most about a topic (for curation audits, eval-set
+mining, context retrieval). BM25 (Robertson-Sparck Jones; the
+Okapi formula as published in TREC-3) is the standard lexical
+baseline.
+
+Scale shape:
+- the query-term filter lands directly on the exploded token stream,
+  so only postings of the query's terms ever reach an exchange — the
+  shuffled volume is O(docs containing a query term), not O(corpus
+  tokens);
+- document-frequency and corpus stats (N, avgdl) are tiny aggregates
+  broadcast back into the plan (per-term df has |query| rows; N/avgdl
+  is one row) — no driver-side collect;
+- everything is JVM codegen (split/explode/agg); no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.vectors import word_tokens
+
+
+def bm25_search(docs: DataFrame, terms: list[str], k1: float = 1.2,
+                b: float = 0.75, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Score every document containing at least one of ``terms``.
+
+    Returns ``(doc_id, score)`` with the Okapi BM25 score (idf variant
+    ``ln((N - df + 0.5)/(df + 0.5) + 1)``, always positive).
+    Tokenization = :func:`word_tokens` (lowercased, split on
+    non-letter/digit runs) — the same definition the dedup shingles
+    use."""
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    word_tokens(text_col).alias("_toks"))
+        .select("doc_id", F.size("_toks").alias("dl"),
+                F.explode("_toks").alias("term"))
+    )
+    tf = (
+        base.filter(F.col("term").isin(list(terms)))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfs = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"))
+    stats = docs.select(
+        F.size(word_tokens(text_col)).alias("_dl")
+    ).agg(F.count("*").alias("n_docs"), F.avg("_dl").alias("avgdl"))
+
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    tf_norm = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * tf_norm), 6).alias("score"))
+    )

@@ -622,3 +622,28 @@ def test_dedup_exact_best_works_with_string_ids(spark):
     kept = sorted(r["doc_id"] for r in
                   D.dedup_exact_best(docs, "prio").collect())
     assert kept == ["x2", "y9"]
+
+
+def test_bm25_search_ranks_and_scores(spark):
+    """Hand-computed BM25 on a 3-doc corpus: rarer terms score higher,
+    repeated terms saturate, non-matching docs are absent."""
+    import math
+
+    from knowledge_graph_spark.operators.search import bm25_search
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog"), (2, "cat cat cat bird"), (3, "fish fish")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r["score"] for r in
+           bm25_search(docs, ["cat", "dog"], k1=1.2, b=0.75).collect()}
+    assert set(out) == {1, 2}
+
+    n, avgdl = 3, (2 + 4 + 2) / 3
+    def idf(df): return math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    def tfn(tf, dl): return tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    exp1 = idf(2) * tfn(1, 2) + idf(1) * tfn(1, 2)
+    exp2 = idf(2) * tfn(3, 4)
+    assert abs(out[1] - round(exp1, 6)) < 1e-6
+    assert abs(out[2] - round(exp2, 6)) < 1e-6
+    # doc 1 wins: it has the rare term "dog"
+    assert out[1] > out[2]
