@@ -1468,6 +1468,16 @@ def _q_kg_pagerank(spark, sf_dir):
     )
 
 
+def _q_kg_triangles(spark, sf_dir):
+    """Per-node triangle participation over graph A (degree-ordered
+    wedge join; twin-golden oracled)."""
+    from knowledge_graph_spark.operators.graph_analytics import triangle_counts
+
+    wh = _warehouse(spark, sf_dir)
+    edges = wh.edges.read(spark).filter(F.col("graph_id") == _KG_GRAPH_ID)
+    return triangle_counts(edges).orderBy("id")
+
+
 def _q_kg_keyword_search(spark, sf_dir):
     from knowledge_graph_spark.operators.queries import search_entities_by_keyword
 
@@ -1625,6 +1635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_keyword_search": _q_kg_keyword_search,
         "kg_degrees": _q_kg_degrees,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_triangles": _q_kg_triangles,
         "kg_user_graphs": _q_kg_user_graphs,
         "kg_all_graphs": _q_kg_all_graphs,
         "kg_canonical_entities": _q_kg_canonical_entities,
@@ -1684,6 +1695,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_keyword_search": _golden_sql("kg_keyword_search", "id"),
         "kg_degrees": _golden_sql("kg_degrees", "id"),
         "kg_pagerank": _golden_sql("kg_pagerank", "id"),
+        "kg_triangles": _golden_sql("kg_triangles", "id"),
         "kg_user_graphs": _golden_sql("kg_user_graphs", "graph_id"),
         "kg_all_graphs": _golden_sql("kg_all_graphs", "graph_id"),
         "kg_canonical_entities": _golden_sql("kg_canonical_entities",

@@ -133,3 +133,16 @@ def test_pagerank_matches_reference_loop(spark):
                  for x in nodes}
     assert set(got) == set(ranks)
     assert all(abs(got[x] - ranks[x]) < 1e-9 for x in nodes)
+
+
+def test_triangle_counts_k4_plus_tail(spark):
+    """K4 has 4 triangles, every member in 3; a pendant node is in 0
+    (absent from output). Duplicate/reversed edges must not double
+    count."""
+    from knowledge_graph_spark.operators.graph_analytics import triangle_counts
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    edges = k4 + [("b", "a"), ("d", "e")]  # reversed dup + pendant
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r["id"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert out == {"a": 3, "b": 3, "c": 3, "d": 3}

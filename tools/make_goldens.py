@@ -661,6 +661,27 @@ def main() -> None:
            for nd in pr_nodes],
           pa.schema([("id", pa.string()), ("rank", pa.float64())]))
 
+    # kg_triangles: twin of graph_analytics.triangle_counts (brute
+    # force over adjacency sets; per-node participation counts)
+    adj: dict = defaultdict(set)
+    for e in edges_a:
+        if e["src"] != e["dst"]:
+            adj[e["src"]].add(e["dst"])
+            adj[e["dst"]].add(e["src"])
+    tri_count: dict = defaultdict(int)
+    for u in adj:
+        nbrs = sorted(x for x in adj[u] if x > u)
+        for i, v in enumerate(nbrs):
+            for w in nbrs[i + 1:]:
+                if w in adj[v]:
+                    tri_count[u] += 1
+                    tri_count[v] += 1
+                    tri_count[w] += 1
+    write("kg_triangles",
+          [{"id": k, "triangles": tri_count[k]}
+           for k in sorted(tri_count)],
+          pa.schema([("id", pa.string()), ("triangles", pa.int64())]))
+
     # keyword search filters user_001 -> graph A's nodes only
     kw = sorted(
         ({"graph_id": n_["graph_id"], "id": n_["id"], "name": n_["name"],
