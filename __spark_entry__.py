@@ -1111,6 +1111,113 @@ ORDER BY t.doc_id
 """
 
 
+def _q_tfidf_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (smooth idf, deterministic
+    tie-break); full SQL oracle."""
+    from knowledge_graph_spark.operators.search import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        tfidf_top_terms(docs, k=3)
+        .select("doc_id", F.col("rank").cast("long").alias("rank"),
+                "term", "tfidf")
+        .orderBy("doc_id", "rank")
+    )
+
+
+_SQL_TFIDF = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                     x -> x != '') AS w
+  FROM documents
+),
+tfc AS (SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+        GROUP BY 1, 2),
+dfs AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tfc GROUP BY 1),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tfc),
+scored AS (
+  SELECT doc_id, term,
+         ROUND(tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 6) AS tfidf
+  FROM tfc JOIN dfs USING (term) CROSS JOIN nd
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, tfidf FROM ranked
+WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
+def _q_bpe_pairs(spark, sf_dir):
+    """First BPE merge-step statistics: top-50 adjacent character pairs
+    within words, weighted by word frequency; full SQL oracle."""
+    from knowledge_graph_spark.operators.textstats import bpe_pair_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, top_n=50)
+
+
+_SQL_BPE = r"""
+WITH words AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+           x -> x != '')) AS w
+  FROM documents
+),
+wc AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+idx AS (SELECT w, c, unnest(generate_series(1, length(w) - 1)) AS i
+        FROM wc WHERE length(w) >= 2)
+SELECT substring(w, i, 1) AS lhs, substring(w, i + 1, 1) AS rhs,
+       SUM(c)::BIGINT AS pair_count
+FROM idx
+GROUP BY 1, 2
+ORDER BY pair_count DESC, lhs, rhs
+LIMIT 50
+"""
+
+
+def _q_partsupp_bfs(spark, sf_dir):
+    """Multi-hop BFS over the bipartite part↔supplier co-purchase
+    graph (distinct lineitem pairs, node ids prefixed p/s). Source =
+    lexicographically-smallest node id, derived IN-PLAN (the operator's
+    default). The oracle recomputes the whole BFS independently with a
+    DuckDB recursive CTE — a full recomputation, not a pinned twin."""
+    from knowledge_graph_spark.operators.graph_analytics import shortest_paths
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    return (
+        shortest_paths(edges, max_hops=8)
+        .select("id", F.col("dist").cast("long").alias("dist"))
+        .orderBy("id")
+    )
+
+
+_SQL_PARTSUPP_BFS = r"""
+WITH RECURSIVE
+e AS (SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst
+      FROM lineitem),
+sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+walk(id, dist) AS (
+  SELECT (SELECT min(src) FROM sym), 0
+  UNION
+  SELECT s.dst, w.dist + 1
+  FROM walk w JOIN sym s ON s.src = w.id
+  WHERE w.dist < 8
+)
+SELECT id, MIN(dist)::BIGINT AS dist FROM walk GROUP BY id ORDER BY id
+"""
+
+
 _PACK_CAPACITY = 128
 
 
@@ -1478,6 +1585,17 @@ def _q_kg_triangles(spark, sf_dir):
     return triangle_counts(edges).orderBy("id")
 
 
+def _q_kg_kcore(spark, sf_dir):
+    """2-core of graph A (nodes surviving iterative degree-<2 peeling
+    with their in-core degree) — the cycle skeleton of the extracted
+    graph; twin-golden oracled."""
+    from knowledge_graph_spark.operators.graph_analytics import k_core
+
+    wh = _warehouse(spark, sf_dir)
+    edges = wh.edges.read(spark).filter(F.col("graph_id") == _KG_GRAPH_ID)
+    return k_core(edges, 2).orderBy("id")
+
+
 def _q_kg_keyword_search(spark, sf_dir):
     from knowledge_graph_spark.operators.queries import search_entities_by_keyword
 
@@ -1617,6 +1735,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": _q_hash_split,
         "pack_sequences": _q_pack_sequences,
         "bm25_search": _q_bm25_search,
+        "tfidf_terms": _q_tfidf_terms,
+        "bpe_pairs": _q_bpe_pairs,
+        "partsupp_bfs": _q_partsupp_bfs,
         "embedding_topk": _q_embedding_topk,
         "embedding_label_centroids": _q_embedding_label_centroids,
         # hash-sketch operators (rows-only)
@@ -1636,6 +1757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degrees": _q_kg_degrees,
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
+        "kg_kcore": _q_kg_kcore,
         "kg_user_graphs": _q_kg_user_graphs,
         "kg_all_graphs": _q_kg_all_graphs,
         "kg_canonical_entities": _q_kg_canonical_entities,
@@ -1673,6 +1795,10 @@ def oracle_sql() -> dict[str, str]:
         "decontamination": _SQL_DECONTAM,
         "pack_sequences": _SQL_PACK,
         "bm25_search": _SQL_BM25,
+        "tfidf_terms": _SQL_TFIDF,
+        "bpe_pairs": _SQL_BPE,
+        # full BFS recomputation via a recursive CTE — not a pinned twin
+        "partsupp_bfs": _SQL_PARTSUPP_BFS,
         "embedding_topk": _SQL_EMBEDDING_TOPK,
         "embedding_label_centroids": _SQL_EMB_CENTROIDS,
         # exact-result oracles (DuckDB recomputes the full answer)
@@ -1696,6 +1822,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_degrees": _golden_sql("kg_degrees", "id"),
         "kg_pagerank": _golden_sql("kg_pagerank", "id"),
         "kg_triangles": _golden_sql("kg_triangles", "id"),
+        "kg_kcore": _golden_sql("kg_kcore", "id"),
         "kg_user_graphs": _golden_sql("kg_user_graphs", "graph_id"),
         "kg_all_graphs": _golden_sql("kg_all_graphs", "graph_id"),
         "kg_canonical_entities": _golden_sql("kg_canonical_entities",

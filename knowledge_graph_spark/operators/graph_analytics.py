@@ -1,5 +1,6 @@
 # -*- coding: utf-8 -*-
-"""Graph analytics over the materialized KG: PageRank.
+"""Graph analytics over the materialized KG: PageRank, triangles,
+BFS distances, k-core.
 
 Not a reference query (its Cypher surface stops at scans/deletes) —
 but "which entities matter" is the canonical question over an
@@ -138,3 +139,101 @@ def triangle_counts(edges: DataFrame, src: str = "src",
         tri.select(F.explode(F.array("t_u", "t_v", "t_w")).alias("id"))
         .groupBy("id").agg(F.count("*").alias("triangles"))
     )
+
+
+def shortest_paths(edges: DataFrame, sources: DataFrame | None = None,
+                   src: str = "src", dst: str = "dst",
+                   max_hops: int = 10) -> DataFrame:
+    """BFS hop distances from ``sources`` over the UNDIRECTED distinct
+    edge set (self-loops dropped). Returns ``(id, dist)`` for every
+    node reachable within ``max_hops``; sources themselves at dist 0.
+
+    ``sources`` is a one-column ``id`` DataFrame (landmark entities);
+    when None the lexicographically-smallest endpoint id is the single
+    source, derived by an in-plan aggregate — no driver collect.
+
+    Scale shape per hop: ONE shuffle join of the frontier against the
+    symmetrized edge list (both keyed by node id) plus an anti-join
+    against the visited set; the frontier and visited set carry
+    ``(id, int)`` pairs only, never node payloads. Each hop's frontier
+    is ``localCheckpoint``-ed so the plan stays flat, and the loop
+    exits early when a frontier is empty (checkpointed, so the check
+    reads materialized partitions, not a recompute). Hub skew in the
+    frontier join is AQE's skew-join case; at web scale the landmark
+    fan-out is bounded by max_hops·|frontier| not |V|²."""
+    sym = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .unionByName(
+            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+            .filter(F.col("src") != F.col("dst")))
+        .distinct()
+        .persist()
+    )
+    if sources is None:
+        sources = sym.agg(F.min("src").alias("id"))
+    frontier = (
+        sources.select("id").distinct()
+        .select("id", F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    dist = frontier
+    for hop in range(1, max_hops + 1):
+        frontier = (
+            frontier.join(sym, frontier["id"] == sym["src"])
+            .select(F.col("dst").alias("id"), F.lit(hop).alias("dist"))
+            .distinct()
+            .join(dist, "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        dist = dist.unionByName(frontier)
+    sym.unpersist()
+    return dist
+
+
+def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
+           max_rounds: int = 100) -> DataFrame:
+    """The k-core of the undirected distinct edge set: iteratively peel
+    nodes of degree < k until fixpoint (Seidman 1983; the standard
+    corpus-graph denoising primitive — boilerplate-only entities fall
+    out of the core). Returns ``(id, core_degree)`` — each surviving
+    node with its degree inside the core subgraph.
+
+    Scale shape per round: one degree aggregate keyed by node id plus
+    two semi-joins of the edge list against the survivor set; all
+    exchanges carry ``(id, long)`` or ``(a, b)`` id pairs. The surviving
+    edge set is ``localCheckpoint``-ed each round, and peeling stops as
+    soon as a round removes nothing. Rounds are O(peeling depth), which
+    is tiny on power-law graphs (hubs survive, tails fall out in the
+    first rounds)."""
+    cur = (
+        edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                     F.greatest(F.col(src), F.col(dst)).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        cur.select(F.explode(F.array("a", "b")).alias("id"))
+        .groupBy("id").agg(F.count("*").alias("core_degree"))
+    )
+    for _ in range(max_rounds):
+        keep = deg.filter(F.col("core_degree") >= k).persist()
+        drops = deg.filter(F.col("core_degree") < k)
+        if drops.isEmpty():
+            keep.unpersist()
+            break
+        nxt = (
+            cur.join(keep.select(F.col("id").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("id").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        keep.unpersist()
+        cur = nxt
+        deg = (
+            cur.select(F.explode(F.array("a", "b")).alias("id"))
+            .groupBy("id").agg(F.count("*").alias("core_degree"))
+        )
+    return deg.filter(F.col("core_degree") >= k)

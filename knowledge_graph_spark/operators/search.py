@@ -65,3 +65,59 @@ def bm25_search(docs: DataFrame, terms: list[str], k1: float = 1.2,
         .groupBy("doc_id")
         .agg(F.round(F.sum(idf * tf_norm), 6).alias("score"))
     )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    min_doc_len: int = 1) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms — the classic keyword /
+    topic-signature extraction over a corpus (Salton & Buckley 1988;
+    smooth idf ``ln((1 + N) / (1 + df)) + 1`` as popularized by
+    scikit-learn, always positive so rare-everywhere corpora still
+    rank). Returns ``(doc_id, rank, term, tfidf)``, rank 1..k, ties
+    broken by term ascending so the result is deterministic.
+
+    Scale shape:
+    - term frequencies are one explode + groupBy ``(doc_id, term)``
+      with map-side combine;
+    - document frequency is a second aggregate keyed by ``term``
+      (vocabulary-sized) joined back BROADCAST — no corpus-sized
+      shuffle for the idf side;
+    - the per-doc top-k window partitions by ``doc_id``: a partition is
+      one document's distinct terms (bounded by document length), so no
+      reducer ever sees more than one document — the safe window case;
+      Spark's WindowGroupLimit additionally prunes map-side.
+    - everything is JVM codegen; no Python.
+    """
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    word_tokens(text_col).alias("_toks"))
+        .filter(F.size("_toks") >= min_doc_len)
+        .select("doc_id", F.explode("_toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfs = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term",
+            F.round(
+                F.col("tf")
+                * (F.log((F.lit(1.0) + F.col("n_docs"))
+                         / (F.lit(1.0) + F.col("df"))) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tfidf")
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.vectors import ws_tokens
+from ..functions.vectors import word_tokens, ws_tokens
 
 # ---------------------------------------------------------------------------
 # token counting
@@ -259,4 +259,55 @@ def corpus_profile(docs: DataFrame, group_col: str = "source",
         F.round(F.percentile(v, F.lit(0.95)), 4).alias("p95_len"),
         F.min(v).alias("min_len"),
         F.max(v).alias("max_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# subword-vocabulary induction statistics
+# ---------------------------------------------------------------------------
+
+
+def bpe_pair_counts(docs: DataFrame, text_col: str = "text",
+                    top_n: int = 50) -> DataFrame:
+    """The first BPE merge-step statistic (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units"):
+    corpus frequency of each adjacent character pair WITHIN words,
+    weighted by word frequency. Returns the ``top_n`` pairs as
+    ``(lhs, rhs, pair_count)``, ties broken by (lhs, rhs) ascending.
+
+    This is the inner loop of training a subword tokenizer on the
+    corpus — the operator a 100 TB pipeline runs (repeatedly) to build
+    its vocabulary. Scale shape:
+
+    - the corpus-sized pass is ONE explode + word-count aggregate with
+      map-side combine, shuffling ``(word, count)`` pairs — bounded by
+      the VOCABULARY, not corpus tokens;
+    - pair extraction then runs over distinct words only (a
+      ``transform(sequence(...))`` codegen lambda — no Python), so the
+      second aggregate is O(vocabulary · avg word length);
+    - the global top-n is a ``TakeOrderedAndProject`` (per-partition
+      heads, driver merges top_n rows) — no single-reducer sort.
+    """
+    words = (
+        docs.select(F.explode(word_tokens(text_col)).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("wc"))
+    )
+    pairs = (
+        words.filter(F.length("word") >= 2)
+        .select(
+            "wc",
+            F.explode(F.expr(
+                "transform(sequence(1, length(word) - 1), "
+                "i -> struct(substring(word, i, 1) as lhs, "
+                "substring(word, i + 1, 1) as rhs))"
+            )).alias("p"),
+        )
+        .select(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"),
+                "wc")
+    )
+    return (
+        pairs.groupBy("lhs", "rhs")
+        .agg(F.sum("wc").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "lhs", "rhs")
+        .limit(top_n)
     )

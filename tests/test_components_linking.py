@@ -146,3 +146,54 @@ def test_triangle_counts_k4_plus_tail(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     out = {r["id"]: r["triangles"] for r in triangle_counts(df).collect()}
     assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_shortest_paths_bfs_levels_and_unreachable(spark):
+    """Multi-source BFS: min dist per node, undirected traversal,
+    unreachable nodes absent, max_hops respected."""
+    from knowledge_graph_spark.operators.graph_analytics import shortest_paths
+
+    # path a-b-c-d-e plus isolated island x-y; edge directions mixed
+    edges = spark.createDataFrame(
+        [("a", "b"), ("c", "b"), ("c", "d"), ("e", "d"), ("x", "y")],
+        ["src", "dst"])
+    srcs = spark.createDataFrame([("a",)], ["id"])
+    out = {r["id"]: r["dist"] for r in
+           shortest_paths(edges, srcs).collect()}
+    assert out == {"a": 0, "b": 1, "c": 2, "d": 3, "e": 4}
+    capped = {r["id"]: r["dist"] for r in
+              shortest_paths(edges, srcs, max_hops=2).collect()}
+    assert capped == {"a": 0, "b": 1, "c": 2}
+    # two sources: dist is the min over sources
+    srcs2 = spark.createDataFrame([("a",), ("e",)], ["id"])
+    out2 = {r["id"]: r["dist"] for r in
+            shortest_paths(edges, srcs2).collect()}
+    assert out2 == {"a": 0, "e": 0, "b": 1, "d": 1, "c": 2}
+
+
+def test_shortest_paths_default_source_is_min_id(spark):
+    from knowledge_graph_spark.operators.graph_analytics import shortest_paths
+
+    edges = spark.createDataFrame([("b", "c"), ("a", "b")], ["src", "dst"])
+    out = {r["id"]: r["dist"] for r in shortest_paths(edges).collect()}
+    assert out == {"a": 0, "b": 1, "c": 2}
+
+
+def test_k_core_cascading_peel(spark):
+    """K4 + a chain hanging off it: the chain peels away round by
+    round (cascade), K4 survives as the 3-core; a pure path has an
+    empty 2-core; reversed duplicate edges don't inflate degrees."""
+    from knowledge_graph_spark.operators.graph_analytics import k_core
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    edges = spark.createDataFrame(
+        k4 + [("b", "a"), ("d", "e"), ("e", "f"), ("f", "g")],
+        ["src", "dst"])
+    core3 = {r["id"]: r["core_degree"] for r in k_core(edges, 3).collect()}
+    assert core3 == {"a": 3, "b": 3, "c": 3, "d": 3}
+    # 2-core keeps K4 only as well (the tail is a path)
+    core2 = sorted(r["id"] for r in k_core(edges, 2).collect())
+    assert core2 == ["a", "b", "c", "d"]
+    path = spark.createDataFrame(
+        [("p1", "p2"), ("p2", "p3"), ("p3", "p4")], ["src", "dst"])
+    assert k_core(path, 2).count() == 0

@@ -647,3 +647,44 @@ def test_bm25_search_ranks_and_scores(spark):
     assert abs(out[2] - round(exp2, 6)) < 1e-6
     # doc 1 wins: it has the rare term "dog"
     assert out[1] > out[2]
+
+
+def test_tfidf_top_terms_scores_and_ties(spark):
+    import math
+
+    from knowledge_graph_spark.operators.search import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "cat bird"), (3, "fish fish dog")],
+        ["doc_id", "text"])
+    out = tfidf_top_terms(docs, k=2).collect()
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["tfidf"]) for r in out}
+
+    def idf(df_): return math.log((1 + 3) / (1 + df_)) + 1.0
+
+    # doc 1: cat tf=2 df=2, dog tf=1 df=2 -> cat wins
+    assert got[(1, 1)] == ("cat", round(2 * idf(2), 6))
+    assert got[(1, 2)] == ("dog", round(1 * idf(2), 6))
+    # doc 2: both tf=1; bird df=1 beats cat df=2
+    assert got[(2, 1)][0] == "bird"
+    assert got[(2, 2)][0] == "cat"
+    # doc 3: fish tf=2 df=1 first
+    assert got[(3, 1)] == ("fish", round(2 * idf(1), 6))
+    assert len(out) == 6
+    # equal scores tie-break by term ascending
+    tie = spark.createDataFrame([(1, "bb aa")], ["doc_id", "text"])
+    rows = tfidf_top_terms(tie, k=2).orderBy("rank").collect()
+    assert [r["term"] for r in rows] == ["aa", "bb"]
+
+
+def test_bpe_pair_counts_weighted_by_word_frequency(spark):
+    from knowledge_graph_spark.operators.textstats import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab abc"), (2, "Abc x")], ["doc_id", "text"])
+    # words: ab x2, abc x2 (lowercased), x (too short)
+    out = [(r["lhs"], r["rhs"], r["pair_count"])
+           for r in bpe_pair_counts(docs).collect()]
+    assert out == [("a", "b", 4), ("b", "c", 2)]
+    # top_n truncates after the deterministic (count desc, lhs, rhs) order
+    assert bpe_pair_counts(docs, top_n=1).collect()[0]["lhs"] == "a"

@@ -248,3 +248,28 @@ def test_range_join_is_equi_not_nested_loop(spark):
     p = plan(range_join(l, r, delta_seconds=3600))
     assert "NestedLoop" not in p and "Cartesian" not in p
     assert "Join" in p  # the equi join on (user_id, _b)
+
+
+def test_tfidf_plan_broadcasts_idf_and_prunes_topk(spark):
+    """TF-IDF: the vocabulary-sized idf side joins BROADCAST (no
+    corpus-sized shuffle for it) and the per-doc top-k window gets the
+    map-side rank-limit prune."""
+    from knowledge_graph_spark.operators.search import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(tfidf_top_terms(docs, k=3))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    assert "WindowGroupLimit" in p
+
+
+def test_bpe_pairs_plan_is_take_ordered(spark):
+    """BPE pair stats: the global top-n is TakeOrderedAndProject
+    (per-partition heads, driver merges n rows) — never a full sort;
+    and the whole operator is JVM codegen."""
+    from knowledge_graph_spark.operators.textstats import bpe_pair_counts
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(bpe_pair_counts(docs))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "TakeOrderedAndProject" in p

@@ -682,6 +682,22 @@ def main() -> None:
            for k in sorted(tri_count)],
           pa.schema([("id", pa.string()), ("triangles", pa.int64())]))
 
+    # kg_kcore: twin of graph_analytics.k_core (k=2) — iterative peel
+    # of degree-<2 nodes over graph A's undirected distinct edges
+    core_adj = {u: set(v) for u, v in adj.items()}
+    peeled = True
+    while peeled:
+        peeled = False
+        for u in list(core_adj):
+            if len(core_adj[u]) < 2:
+                for v in core_adj.pop(u):
+                    core_adj[v].discard(u)
+                peeled = True
+    write("kg_kcore",
+          [{"id": k, "core_degree": len(core_adj[k])}
+           for k in sorted(core_adj)],
+          pa.schema([("id", pa.string()), ("core_degree", pa.int64())]))
+
     # keyword search filters user_001 -> graph A's nodes only
     kw = sorted(
         ({"graph_id": n_["graph_id"], "id": n_["id"], "name": n_["name"],
