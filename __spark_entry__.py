@@ -1182,6 +1182,38 @@ LIMIT 50
 """
 
 
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR data-selection weights with target = English documents
+    (word-unigram LM log ratio, add-1 smoothing); full SQL oracle."""
+    from knowledge_graph_spark.operators.sampling import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dsir_weights(docs, F.col("lang") == "en")
+        .orderBy("doc_id")
+    )
+
+
+_SQL_DSIR = r"""
+WITH toks AS (
+  SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS is_t, unnest(
+           list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                       x -> x != '')) AS term
+  FROM documents
+),
+vocab AS (SELECT term, COUNT(*) AS c_raw, SUM(is_t) AS c_t
+          FROM toks GROUP BY 1),
+tot AS (SELECT SUM(c_raw) AS n_raw, SUM(c_t) AS n_t, COUNT(*) AS v
+        FROM vocab)
+SELECT doc_id, COUNT(*)::BIGINT AS n_terms,
+       ROUND(AVG(ln((c_t + 1.0) / (n_t + 1.0 * v))
+                 - ln((c_raw + 1.0) / (n_raw + 1.0 * v))), 6) AS dsir_weight
+FROM toks JOIN vocab USING (term) CROSS JOIN tot
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def _q_partsupp_bfs(spark, sf_dir):
     """Multi-hop BFS over the bipartite part↔supplier co-purchase
     graph (distinct lineitem pairs, node ids prefixed p/s). Source =
@@ -1737,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q_bm25_search,
         "tfidf_terms": _q_tfidf_terms,
         "bpe_pairs": _q_bpe_pairs,
+        "dsir_weights": _q_dsir_weights,
         "partsupp_bfs": _q_partsupp_bfs,
         "embedding_topk": _q_embedding_topk,
         "embedding_label_centroids": _q_embedding_label_centroids,
@@ -1797,6 +1830,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _SQL_BM25,
         "tfidf_terms": _SQL_TFIDF,
         "bpe_pairs": _SQL_BPE,
+        "dsir_weights": _SQL_DSIR,
         # full BFS recomputation via a recursive CTE — not a pinned twin
         "partsupp_bfs": _SQL_PARTSUPP_BFS,
         "embedding_topk": _SQL_EMBEDDING_TOPK,

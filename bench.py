@@ -79,7 +79,7 @@ def main():
         "pii_scrub", "curate_corpus",
         "decontamination", "mixture_sample", "hash_split",
         "pack_sequences", "bm25_search",
-        "tfidf_terms", "bpe_pairs", "partsupp_bfs",
+        "tfidf_terms", "bpe_pairs", "dsir_weights", "partsupp_bfs",
         "embedding_topk", "embedding_neardups",
     ]
     qs = entrymod.queries()

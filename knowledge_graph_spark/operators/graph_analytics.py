@@ -173,7 +173,7 @@ def shortest_paths(edges: DataFrame, sources: DataFrame | None = None,
     if sources is None:
         sources = sym.agg(F.min("src").alias("id"))
     frontier = (
-        sources.select("id").distinct()
+        sources.select("id").filter(F.col("id").isNotNull()).distinct()
         .select("id", F.lit(0).alias("dist"))
         .localCheckpoint(eager=True)
     )

@@ -123,3 +123,57 @@ def mixture_report(df: DataFrame, rates: dict[str, float],
             .alias("realized_rate"),
         )
     )
+
+
+def dsir_weights(docs: DataFrame, target: Column, id_col: str = "doc_id",
+                 text_col: str = "text", alpha: float = 1.0) -> DataFrame:
+    """Data-selection importance weights (DSIR — Xie et al., NeurIPS
+    2023, "Data Selection for Language Models via Importance
+    Resampling"), reduced to word-unigram language models: per
+    document, the mean log importance ratio
+    ``ln(p_target(w) / p_raw(w))`` over its tokens, with add-``alpha``
+    smoothing over the shared vocabulary. ``target`` is a boolean
+    Column over ``docs`` rows defining the in-domain subset (e.g.
+    ``F.col("lang") == "en"``). Feeding the weights into
+    :func:`deterministic_sample`-style thresholding reproduces the
+    paper's resampling step.
+
+    Returns ``(doc_id, n_terms, dsir_weight)`` for documents with at
+    least one token, weight rounded to 6 dp.
+
+    Scale shape:
+    - vocabulary statistics are ONE aggregate keyed by term over the
+      token stream (map-side combined) emitting
+      ``(term, c_raw, c_target)`` — vocabulary-sized output;
+    - corpus totals and vocabulary size fold into a one-row broadcast
+      aggregate built from the vocabulary frame, never the corpus;
+    - scoring joins the token stream to the vocabulary keyed by term:
+      hot stopword keys are exactly AQE's skew-join case, and when the
+      vocabulary fits the broadcast threshold Catalyst broadcasts it —
+      both without driver involvement;
+    - the per-doc reduce is one groupBy ``doc_id``. No Python anywhere.
+    """
+    from ..functions.vectors import word_tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target.cast("long").alias("is_t"),
+        F.explode(word_tokens(text_col)).alias("term"),
+    )
+    vocab = toks.groupBy("term").agg(
+        F.count("*").alias("c_raw"), F.sum("is_t").alias("c_t"))
+    totals = vocab.agg(
+        F.sum("c_raw").alias("n_raw"), F.sum("c_t").alias("n_t"),
+        F.count("*").alias("v"))
+    a = F.lit(float(alpha))
+    log_ratio = (
+        F.log((F.col("c_t") + a) / (F.col("n_t") + a * F.col("v")))
+        - F.log((F.col("c_raw") + a) / (F.col("n_raw") + a * F.col("v")))
+    )
+    return (
+        toks.join(vocab, "term")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_terms"),
+             F.round(F.avg(log_ratio), 6).alias("dsir_weight"))
+    )

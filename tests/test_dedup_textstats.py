@@ -688,3 +688,26 @@ def test_bpe_pair_counts_weighted_by_word_frequency(spark):
     assert out == [("a", "b", 4), ("b", "c", 2)]
     # top_n truncates after the deterministic (count desc, lhs, rhs) order
     assert bpe_pair_counts(docs, top_n=1).collect()[0]["lhs"] == "a"
+
+
+def test_dsir_weights_unigram_log_ratio(spark):
+    import math
+
+    from pyspark.sql import functions as SF
+
+    from knowledge_graph_spark.operators.sampling import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(1, "en", "cat cat"), (2, "de", "hund"), (3, "de", "cat hund")],
+        ["doc_id", "lang", "text"])
+    out = {r["doc_id"]: (r["n_terms"], r["dsir_weight"]) for r in
+           dsir_weights(docs, SF.col("lang") == "en").collect()}
+    # vocab: cat (raw 3, target 2), hund (raw 2, target 0);
+    # totals: n_raw 5, n_t 2, V 2, alpha 1
+    r_cat = math.log((2 + 1) / (2 + 2)) - math.log((3 + 1) / (5 + 2))
+    r_hund = math.log((0 + 1) / (2 + 2)) - math.log((2 + 1) / (5 + 2))
+    assert out[1] == (2, round(r_cat, 6))
+    assert out[2] == (1, round(r_hund, 6))
+    assert out[3] == (2, round((r_cat + r_hund) / 2, 6))
+    # in-domain vocabulary scores above out-of-domain
+    assert out[1][1] > out[3][1] > out[2][1]
