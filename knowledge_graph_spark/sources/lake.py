@@ -115,8 +115,16 @@ class LakeTable:
 
     # ---- read --------------------------------------------------------
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        entry = self.current_entry()
+    def read(self, spark: SparkSession,
+             as_of: Optional[str] = None) -> DataFrame:
+        """Scan the current snapshot, or — with ``as_of`` — a named
+        historical one (Iceberg ``VERSION AS OF`` time travel). Pure
+        metadata: the lineage entry IS the file listing, so reading an
+        old version opens exactly its files; ``vacuum(keep_last=N)``
+        bounds how far back reads can reach (older entries' files are
+        reclaimed and their lineage folded away)."""
+        entry = (self.current_entry() if as_of is None
+                 else self._entry_for(as_of))
         if entry is None:
             raise FileNotFoundError(f"LakeTable {self.dir} has no snapshot")
         dirs = entry.get("partition_dirs")
@@ -126,6 +134,19 @@ class LakeTable:
             paths = [os.path.join(self.dir, p) for ps in dirs.values() for p in ps]
             df = spark.read.parquet(*paths)
         return self._resolve_mor(df, entry)
+
+    def _entry_for(self, snapshot: str) -> dict:
+        """Latest non-skipped lineage entry for ``snapshot``; raises if
+        vacuum already folded it away (its files are gone too)."""
+        target = next(
+            (e for e in reversed(self.history())
+             if e["snapshot"] == snapshot and not e.get("skipped")), None
+        )
+        if target is None:
+            raise ValueError(
+                f"{self.dir}: no readable lineage entry for {snapshot!r} "
+                f"(never committed, or reclaimed by vacuum)")
+        return target
 
     def read_partitions(self, spark: SparkSession, keys: list[str]) -> Optional[DataFrame]:
         """Scan only the named partitions (planning-time pruning: the

@@ -415,3 +415,46 @@ def test_vacuum_folds_lineage(spark, tbl):
             on=["k"], seq=s, partition_by=["g"], batch_id=f"b{s}")
         assert r.get("skipped")
     assert sorted(r[0] for r in tbl.read(spark).collect()) == list(range(8))
+
+
+def test_time_travel_read(spark, tbl):
+    """read(as_of=snapshot) reads a historical version byte-for-byte;
+    unknown / vacuumed snapshots raise; MOR snapshots resolve the same
+    way a current read would."""
+    tbl.overwrite(spark.createDataFrame([(1, "a")], "k int, v string"))
+    s1 = tbl.current_snapshot()
+    tbl.merge_into(
+        spark.createDataFrame([(1, "A"), (2, "b")], "k int, v string"),
+        on=["k"])
+    s2 = tbl.current_snapshot()
+    tbl.merge_into(
+        spark.createDataFrame([(3, "c")], "k int, v string"), on=["k"])
+
+    assert rows(tbl.read(spark, as_of=s1)) == [(1, "a")]
+    assert rows(tbl.read(spark, as_of=s2)) == [(1, "A"), (2, "b")]
+    assert rows(tbl.read(spark)) == [(1, "A"), (2, "b"), (3, "c")]
+    # time travel agrees with rollback (metadata-only on both paths)
+    tbl.rollback(s2)
+    assert rows(tbl.read(spark)) == rows(tbl.read(spark, as_of=s2))
+    with pytest.raises(ValueError):
+        tbl.read(spark, as_of="snap-does-not-exist")
+
+
+def test_time_travel_read_mor(spark, tmp_path):
+    """A historical merge-on-read snapshot resolves winners/tombstones
+    at read time, exactly as it did when current."""
+    t = LakeTable(str(tmp_path), "mor_t")
+    t.merge_on_read(
+        spark.createDataFrame([(1, "g", "a"), (2, "g", "b")],
+                              "k int, g string, v string"),
+        on=["k"], seq=0, partition_by=["g"])
+    t.merge_on_read(
+        spark.createDataFrame([(2, "g", "B"), (3, "g", "c")],
+                              "k int, g string, v string"),
+        on=["k"], seq=1, partition_by=["g"])
+    s_mor = t.current_snapshot()
+    t.merge_on_read(
+        spark.createDataFrame([(4, "g", "d")], "k int, g string, v string"),
+        on=["k"], seq=2, partition_by=["g"])
+    assert rows(t.read(spark, as_of=s_mor)) == [
+        (1, "g", "a"), (2, "g", "B"), (3, "g", "c")]
