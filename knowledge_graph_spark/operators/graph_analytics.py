@@ -161,6 +161,11 @@ def shortest_paths(edges: DataFrame, sources: DataFrame | None = None,
     reads materialized partitions, not a recompute). Hub skew in the
     frontier join is AQE's skew-join case; at web scale the landmark
     fan-out is bounded by max_hops·|frontier| not |V|²."""
+    # distinct already hash-partitions on (src, dst); re-key by src so
+    # every hop's frontier join reuses THIS cached partitioning — the
+    # edge list is shuffled once, not once per hop (when the frontier
+    # is small AQE broadcasts it instead; when it isn't — the web-scale
+    # case — only the frontier side moves)
     sym = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
@@ -168,6 +173,7 @@ def shortest_paths(edges: DataFrame, sources: DataFrame | None = None,
             edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
             .filter(F.col("src") != F.col("dst")))
         .distinct()
+        .repartition(F.col("src"))
         .persist()
     )
     if sources is None:
