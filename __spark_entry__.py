@@ -1628,6 +1628,18 @@ def _q_kg_kcore(spark, sf_dir):
     return k_core(edges, 2).orderBy("id")
 
 
+def _q_kg_training_triples(spark, sf_dir):
+    """KG → training export: (h_id, r_id, t_id, k, neg_t_id) with
+    deterministic dense ids and 2 hashed negative tails per positive —
+    twin-golden oracled (bucket id construction + xxh64 twin)."""
+    from knowledge_graph_spark.operators.kg_export import training_triples
+
+    wh = _warehouse(spark, sf_dir)
+    edges = wh.edges.read(spark).filter(F.col("graph_id") == _KG_GRAPH_ID)
+    return training_triples(edges, negatives=2).orderBy(
+        "h_id", "r_id", "t_id", "k")
+
+
 def _q_kg_keyword_search(spark, sf_dir):
     from knowledge_graph_spark.operators.queries import search_entities_by_keyword
 
@@ -1791,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
         "kg_kcore": _q_kg_kcore,
+        "kg_training_triples": _q_kg_training_triples,
         "kg_user_graphs": _q_kg_user_graphs,
         "kg_all_graphs": _q_kg_all_graphs,
         "kg_canonical_entities": _q_kg_canonical_entities,
@@ -1857,6 +1870,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _golden_sql("kg_pagerank", "id"),
         "kg_triangles": _golden_sql("kg_triangles", "id"),
         "kg_kcore": _golden_sql("kg_kcore", "id"),
+        "kg_training_triples": _golden_sql("kg_training_triples",
+                                           "h_id, r_id, t_id, k"),
         "kg_user_graphs": _golden_sql("kg_user_graphs", "graph_id"),
         "kg_all_graphs": _golden_sql("kg_all_graphs", "graph_id"),
         "kg_canonical_entities": _golden_sql("kg_canonical_entities",

@@ -197,3 +197,46 @@ def test_k_core_cascading_peel(spark):
     path = spark.createDataFrame(
         [("p1", "p2"), ("p2", "p3"), ("p3", "p4")], ["src", "dst"])
     assert k_core(path, 2).count() == 0
+
+
+def test_dense_ids_deterministic_permutation(spark):
+    """dense_ids: a permutation of [0, N), equal to the pure-Python
+    bucket construction, stable under input repartitioning."""
+    from knowledge_graph_spark.functions.xxh64 import spark_xxhash64
+    from knowledge_graph_spark.operators.kg_export import dense_ids
+
+    vals = [f"ent{i}" for i in range(50)]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    got = {r["v"]: r["id"] for r in dense_ids(df, buckets=8).collect()}
+    assert sorted(got.values()) == list(range(50))
+
+    # pure-Python twin of the construction
+    order = sorted(vals, key=lambda v: (spark_xxhash64(v) % 8, v))
+    exp = {v: i for i, v in enumerate(order)}
+    assert got == exp
+    # stable under different physical layout
+    got2 = {r["v"]: r["id"]
+            for r in dense_ids(df.repartition(7), buckets=8).collect()}
+    assert got2 == exp
+
+
+def test_training_triples_negatives(spark):
+    """training_triples: one row per (triple, k); negatives in range,
+    never the true tail, deterministic."""
+    from knowledge_graph_spark.operators.kg_export import training_triples
+
+    edges = spark.createDataFrame(
+        [("a", "b", "r1"), ("a", "c", "r2"), ("b", "c", "r1"),
+         ("a", "b", "r1")],  # duplicate edge collapses
+        ["src", "dst", "rel_type"])
+    rows = training_triples(edges, negatives=3).collect()
+    assert len(rows) == 3 * 3
+    n_ents = 3
+    for r in rows:
+        assert 0 <= r["h_id"] < n_ents and 0 <= r["t_id"] < n_ents
+        assert 0 <= r["neg_t_id"] < n_ents
+        assert r["neg_t_id"] != r["t_id"]
+        assert 0 <= r["k"] < 3
+    # deterministic across runs
+    rows2 = training_triples(edges, negatives=3).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))

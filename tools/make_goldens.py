@@ -698,6 +698,31 @@ def main() -> None:
            for k in sorted(core_adj)],
           pa.schema([("id", pa.string()), ("core_degree", pa.int64())]))
 
+    # kg_training_triples: twin of kg_export.training_triples over
+    # graph A (dense ids via the bucket construction, negatives = 2,
+    # buckets = 1024; hashed tail corruption, +1 bump on collision)
+    trip = sorted({(e["src"], e["dst"], e["rel_type"]) for e in edges_a})
+    tt_buckets = 1024
+    ent_vals = sorted({h for h, _, _ in trip} | {t for _, t, _ in trip},
+                      key=lambda v: (xxh_str(v) % tt_buckets, v))
+    ent_id = {v: i for i, v in enumerate(ent_vals)}
+    rel_vals = sorted({r for _, _, r in trip},
+                      key=lambda v: (xxh_str(v) % tt_buckets, v))
+    rel_id = {v: i for i, v in enumerate(rel_vals)}
+    n_e = len(ent_vals)
+    tt_rows = []
+    for h, t, r in trip:
+        for k in range(2):
+            neg = xxh_str(h, t, r, k) % n_e
+            if neg == ent_id[t]:
+                neg = (neg + 1) % n_e
+            tt_rows.append({"h_id": ent_id[h], "r_id": rel_id[r],
+                            "t_id": ent_id[t], "k": k, "neg_t_id": neg})
+    tt_rows.sort(key=lambda d: (d["h_id"], d["r_id"], d["t_id"], d["k"]))
+    write("kg_training_triples", tt_rows, pa.schema([
+        ("h_id", pa.int64()), ("r_id", pa.int64()), ("t_id", pa.int64()),
+        ("k", pa.int64()), ("neg_t_id", pa.int64())]))
+
     # keyword search filters user_001 -> graph A's nodes only
     kw = sorted(
         ({"graph_id": n_["graph_id"], "id": n_["id"], "name": n_["name"],
