@@ -221,25 +221,25 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
         .distinct()
         .localCheckpoint(eager=True)
     )
-    deg = (
-        cur.select(F.explode(F.array("a", "b")).alias("id"))
-        .groupBy("id").agg(F.count("*").alias("core_degree"))
-    )
+
+    def _deg(pairs: DataFrame) -> DataFrame:
+        # checkpointed so the fixpoint check, the survivor filter, and
+        # the final return all read ONE materialization per round
+        return (
+            pairs.select(F.explode(F.array("a", "b")).alias("id"))
+            .groupBy("id").agg(F.count("*").alias("core_degree"))
+            .localCheckpoint(eager=True)
+        )
+
+    deg = _deg(cur)
     for _ in range(max_rounds):
-        keep = deg.filter(F.col("core_degree") >= k).persist()
-        drops = deg.filter(F.col("core_degree") < k)
-        if drops.isEmpty():
-            keep.unpersist()
+        if deg.filter(F.col("core_degree") < k).isEmpty():
             break
-        nxt = (
+        keep = deg.filter(F.col("core_degree") >= k)
+        cur = (
             cur.join(keep.select(F.col("id").alias("a")), "a", "left_semi")
             .join(keep.select(F.col("id").alias("b")), "b", "left_semi")
             .localCheckpoint(eager=True)
         )
-        keep.unpersist()
-        cur = nxt
-        deg = (
-            cur.select(F.explode(F.array("a", "b")).alias("id"))
-            .groupBy("id").agg(F.count("*").alias("core_degree"))
-        )
+        deg = _deg(cur)
     return deg.filter(F.col("core_degree") >= k)
