@@ -1628,6 +1628,21 @@ def _q_kg_kcore(spark, sf_dir):
     return k_core(edges, 2).orderBy("id")
 
 
+def _q_kg_hits(spark, sf_dir):
+    """Hubs/authorities over graph A (Kleinberg HITS, 10 L2-normalized
+    rounds) — twin-golden oracled to 6 dp."""
+    from knowledge_graph_spark.operators.graph_analytics import hits
+
+    wh = _warehouse(spark, sf_dir)
+    edges = wh.edges.read(spark).filter(F.col("graph_id") == _KG_GRAPH_ID)
+    return (
+        hits(edges)
+        .select("id", F.round("hub", 6).alias("hub"),
+                F.round("authority", 6).alias("authority"))
+        .orderBy("id")
+    )
+
+
 def _q_kg_training_triples(spark, sf_dir):
     """KG → training export: (h_id, r_id, t_id, k, neg_t_id) with
     deterministic dense ids and 2 hashed negative tails per positive —
@@ -1803,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
         "kg_kcore": _q_kg_kcore,
+        "kg_hits": _q_kg_hits,
         "kg_training_triples": _q_kg_training_triples,
         "kg_user_graphs": _q_kg_user_graphs,
         "kg_all_graphs": _q_kg_all_graphs,
@@ -1870,6 +1886,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _golden_sql("kg_pagerank", "id"),
         "kg_triangles": _golden_sql("kg_triangles", "id"),
         "kg_kcore": _golden_sql("kg_kcore", "id"),
+        "kg_hits": _golden_sql("kg_hits", "id"),
         "kg_training_triples": _golden_sql("kg_training_triples",
                                            "h_id, r_id, t_id, k"),
         "kg_user_graphs": _golden_sql("kg_user_graphs", "graph_id"),

@@ -243,3 +243,56 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
         )
         deg = _deg(cur)
     return deg.filter(F.col("core_degree") >= k)
+
+
+def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
+         iterations: int = 10) -> DataFrame:
+    """Hubs and authorities (Kleinberg 1999, HITS) over the distinct
+    directed edge set: returns ``(id, hub, authority)`` for every
+    endpoint, L2-normalized each half-step (the classic power
+    iteration), fixed ``iterations`` for determinism.
+
+    Same scale shape as :func:`pagerank`: per half-step ONE shuffle
+    keyed by the receiving endpoint plus a one-row in-plan broadcast
+    (the L2 norm); scores are ``localCheckpoint``-ed per round so the
+    plan stays flat; every exchange carries ``(id, double)`` pairs."""
+    pairs = edges.select(F.col(src).alias("src"),
+                         F.col(dst).alias("dst")).distinct().persist()
+    nodes = (
+        pairs.select(F.col("src").alias("id"))
+        .unionByName(pairs.select(F.col("dst").alias("id")))
+        .distinct().persist()
+    )
+
+    def _half_step(scores: DataFrame, from_col: str,
+                   to_col: str) -> DataFrame:
+        # receive = Σ of sender scores over edges, L2-normalized in-plan
+        recv = (
+            pairs.join(scores, pairs[from_col] == scores["id"])
+            .select(F.col(to_col).alias("id"), F.col("s"))
+            .groupBy("id").agg(F.sum("s").alias("s"))
+        )
+        full = nodes.join(recv, "id", "left").select(
+            "id", F.coalesce(F.col("s"), F.lit(0.0)).alias("s"))
+        nrm = full.agg(
+            F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("_n"))
+        return (
+            full.crossJoin(F.broadcast(nrm))
+            .select("id", F.when(F.col("_n") > 0,
+                                 F.col("s") / F.col("_n"))
+                    .otherwise(F.lit(0.0)).alias("s"))
+            .localCheckpoint(eager=True)
+        )
+
+    hub = nodes.select("id", F.lit(1.0).alias("s"))
+    auth = None
+    for _ in range(iterations):
+        auth = _half_step(hub, "src", "dst")
+        hub = _half_step(auth, "dst", "src")
+    out = (
+        hub.select("id", F.col("s").alias("hub"))
+        .join(auth.select("id", F.col("s").alias("authority")), "id")
+    )
+    pairs.unpersist()
+    nodes.unpersist()
+    return out

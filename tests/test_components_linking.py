@@ -240,3 +240,88 @@ def test_training_triples_negatives(spark):
     # deterministic across runs
     rows2 = training_triples(edges, negatives=3).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_bfs_and_kcore_match_python_twins_on_random_graphs(spark):
+    """Seeded pseudo-random graphs (incl. a hub): Spark BFS distances
+    and k-core membership equal straight Python implementations."""
+    from collections import deque
+
+    from knowledge_graph_spark.operators.graph_analytics import (
+        k_core, shortest_paths,
+    )
+
+    for seed in (3, 11):
+        pairs = sorted({
+            (f"n{(i * seed) % 60}", f"n{(i * i * 7 + seed) % 60}")
+            for i in range(150)
+        } | {("n0", f"n{j}") for j in range(1, 20)})  # hub node
+        pairs = [(a, b) for a, b in pairs if a != b]
+        df = spark.createDataFrame(pairs, ["src", "dst"])
+
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+
+        # BFS from the min node id (the operator's default source)
+        src0 = min(adj)
+        exp, q = {src0: 0}, deque([src0])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in exp and exp[u] < 10:
+                    exp[v] = exp[u] + 1
+                    q.append(v)
+        got = {r["id"]: r["dist"] for r in shortest_paths(df).collect()}
+        assert got == exp
+
+        # 3-core by iterative peel
+        A = {u: set(v) for u, v in adj.items()}
+        changed = True
+        while changed:
+            changed = False
+            for u in list(A):
+                if len(A[u]) < 3:
+                    for v in A.pop(u):
+                        A[v].discard(u)
+                    changed = True
+        got3 = {r["id"]: r["core_degree"] for r in k_core(df, 3).collect()}
+        assert got3 == {u: len(vs) for u, vs in A.items()}
+
+
+def test_hits_star_and_python_twin(spark):
+    """Star: the center is the only hub, leaves split authority
+    equally; general graph matches a straight Python power iteration
+    (same rounds, same L2 half-step normalization)."""
+    import math
+
+    from knowledge_graph_spark.operators.graph_analytics import hits
+
+    star = spark.createDataFrame(
+        [("a", x) for x in "bcd"], ["src", "dst"])
+    out = {r["id"]: (r["hub"], r["authority"]) for r in hits(star).collect()}
+    assert abs(out["a"][0] - 1.0) < 1e-9 and abs(out["a"][1]) < 1e-12
+    for leaf in "bcd":
+        assert abs(out[leaf][1] - 1 / math.sqrt(3)) < 1e-9
+        assert abs(out[leaf][0]) < 1e-12
+
+    pairs = sorted({(f"n{(i * 5) % 9}", f"n{(i * i + 2) % 9}")
+                    for i in range(25)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+    nodes = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    hub = {n: 1.0 for n in nodes}
+    auth = {}
+    for _ in range(10):
+        auth = {n: sum(hub[a] for a, b in pairs if b == n) for n in nodes}
+        nrm = math.sqrt(sum(v * v for v in auth.values()))
+        auth = {n: (v / nrm if nrm else 0.0) for n, v in auth.items()}
+        hub = {n: sum(auth[b] for a, b in pairs if a == n) for n in nodes}
+        nrm = math.sqrt(sum(v * v for v in hub.values()))
+        hub = {n: (v / nrm if nrm else 0.0) for n, v in hub.items()}
+    got = {r["id"]: (r["hub"], r["authority"]) for r in hits(df).collect()}
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert abs(got[n][0] - hub[n]) < 1e-9
+        assert abs(got[n][1] - auth[n]) < 1e-9

@@ -698,6 +698,29 @@ def main() -> None:
            for k in sorted(core_adj)],
           pa.schema([("id", pa.string()), ("core_degree", pa.int64())]))
 
+    # kg_hits: twin of graph_analytics.hits (10 rounds, L2-normalized
+    # half-steps) over graph A's distinct directed pairs
+    h_pairs = sorted({(e["src"], e["dst"]) for e in edges_a})
+    h_nodes = sorted({a for a, _ in h_pairs} | {b for _, b in h_pairs})
+    h_hub = {n: 1.0 for n in h_nodes}
+    h_auth = {n: 0.0 for n in h_nodes}
+    for _ in range(10):
+        h_auth = {n: 0.0 for n in h_nodes}
+        for a, b in h_pairs:
+            h_auth[b] += h_hub[a]
+        nrm = math.sqrt(sum(v * v for v in h_auth.values()))
+        h_auth = {n: (v / nrm if nrm else 0.0) for n, v in h_auth.items()}
+        h_hub = {n: 0.0 for n in h_nodes}
+        for a, b in h_pairs:
+            h_hub[a] += h_auth[b]
+        nrm = math.sqrt(sum(v * v for v in h_hub.values()))
+        h_hub = {n: (v / nrm if nrm else 0.0) for n, v in h_hub.items()}
+    write("kg_hits",
+          [{"id": n, "hub": round_half_up(h_hub[n], 6),
+            "authority": round_half_up(h_auth[n], 6)} for n in h_nodes],
+          pa.schema([("id", pa.string()), ("hub", pa.float64()),
+                     ("authority", pa.float64())]))
+
     # kg_training_triples: twin of kg_export.training_triples over
     # graph A (dense ids via the bucket construction, negatives = 2,
     # buckets = 1024; hashed tail corruption, +1 bump on collision)
