@@ -1250,6 +1250,84 @@ SELECT id, MIN(dist)::BIGINT AS dist FROM walk GROUP BY id ORDER BY id
 """
 
 
+def _q_order_part_components(spark, sf_dir):
+    """Connected components over the sparse order↔part co-purchase
+    graph (lineitem rows with l_quantity = 1; node ids 2·orderkey /
+    2·partkey+1 keep the two key families disjoint). driver_threshold=0
+    forces the DISTRIBUTED alternating-star path, so the oracle
+    value-verifies the at-scale code path, not the small-graph
+    union-find shortcut. The oracle recomputes the labeling
+    independently with a DuckDB recursive CTE (min reachable id per
+    node) — a full recomputation, not a pinned twin."""
+    from knowledge_graph_spark.operators.components import connected_components
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.filter(F.col("l_quantity") == 1).select(
+        (F.col("l_orderkey") * 2).alias("u"),
+        (F.col("l_partkey") * 2 + 1).alias("v"),
+    )
+    return connected_components(edges, driver_threshold=0).orderBy("node")
+
+
+_SQL_ORDER_PART_COMPONENTS = r"""
+WITH RECURSIVE
+e AS (SELECT DISTINCT l_orderkey*2 AS u, l_partkey*2+1 AS v
+      FROM lineitem WHERE l_quantity = 1),
+sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+reach(node, lab) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT s.v, r.lab FROM reach r JOIN sym s ON s.u = r.node
+)
+SELECT node, MIN(lab)::BIGINT AS component FROM reach GROUP BY node
+ORDER BY node
+"""
+
+
+def _q_order_part_aa(spark, sf_dir):
+    """Adamic-Adar link prediction over the order↔part co-purchase
+    graph (l_quantity <= 10): every UNLINKED pair sharing a neighbor,
+    scored Σ 1/ln(deg) over common neighbors with degree in [2, 64].
+    Full SQL oracle on the raw lineitem table. Scores here sum at most
+    two doubles (commutative in IEEE), so the 6-dp rounding is exact."""
+    from knowledge_graph_spark.operators.graph_analytics import adamic_adar
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.filter(F.col("l_quantity") <= 10).select(
+        (F.col("l_orderkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    )
+    return (
+        adamic_adar(edges)
+        .select("id_a", "id_b", "common_neighbors",
+                F.round("score", 6).alias("score"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+_SQL_ORDER_PART_AA = r"""
+WITH und AS (
+  SELECT DISTINCT least(l_orderkey*2, l_partkey*2+1) AS a,
+                  greatest(l_orderkey*2, l_partkey*2+1) AS b
+  FROM lineitem WHERE l_quantity <= 10
+),
+sym AS (SELECT a AS id, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT id, count(*) AS d FROM sym GROUP BY id),
+ctr AS (SELECT s.id AS z, s.nbr, 1.0 / ln(d.d) AS w
+        FROM sym s JOIN deg d ON d.id = s.id
+        WHERE d.d BETWEEN 2 AND 64),
+pairs AS (
+  SELECT x.nbr AS id_a, y.nbr AS id_b,
+         count(*)::BIGINT AS common_neighbors, ROUND(SUM(x.w), 6) AS score
+  FROM ctr x JOIN ctr y ON x.z = y.z AND x.nbr < y.nbr
+  GROUP BY 1, 2
+)
+SELECT p.* FROM pairs p
+ANTI JOIN und u ON u.a = p.id_a AND u.b = p.id_b
+ORDER BY id_a, id_b
+"""
+
+
 _PACK_CAPACITY = 128
 
 
@@ -1798,6 +1876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": _q_bpe_pairs,
         "dsir_weights": _q_dsir_weights,
         "partsupp_bfs": _q_partsupp_bfs,
+        "order_part_components": _q_order_part_components,
+        "order_part_aa": _q_order_part_aa,
         "embedding_topk": _q_embedding_topk,
         "embedding_label_centroids": _q_embedding_label_centroids,
         # hash-sketch operators (rows-only)
@@ -1862,6 +1942,8 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": _SQL_DSIR,
         # full BFS recomputation via a recursive CTE — not a pinned twin
         "partsupp_bfs": _SQL_PARTSUPP_BFS,
+        "order_part_components": _SQL_ORDER_PART_COMPONENTS,
+        "order_part_aa": _SQL_ORDER_PART_AA,
         "embedding_topk": _SQL_EMBEDDING_TOPK,
         "embedding_label_centroids": _SQL_EMB_CENTROIDS,
         # exact-result oracles (DuckDB recomputes the full answer)

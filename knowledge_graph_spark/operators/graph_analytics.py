@@ -245,6 +245,65 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
     return deg.filter(F.col("core_degree") >= k)
 
 
+def adamic_adar(edges: DataFrame, src: str = "src", dst: str = "dst",
+                max_degree: int = 64) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar, Social Networks
+    2003) over the undirected distinct edge set: for every UNLINKED
+    node pair sharing at least one neighbor, ``score = Σ_z 1/ln(deg z)``
+    over common neighbors ``z`` with ``2 <= deg(z) <= max_degree``.
+    Returns ``(id_a, id_b, common_neighbors, score)`` with
+    ``id_a < id_b``.
+
+    The degree cap is part of the semantics, not an approximation
+    escape hatch: a center shared by everyone carries ~no signal
+    (``1/ln d → 0``), and capping it bounds the per-center pair fan-out
+    at ``max_degree²/2`` — the skew guard that keeps the wedge
+    generation safe when a boilerplate hub entity touches millions of
+    nodes. Pair generation is in-aggregate (sorted neighbor array →
+    strict upper triangle via JVM lambdas — the proven
+    ``dedup._bucket_pairs`` construction), so there is no bucket
+    self-join: three shuffles total (degree aggregate, center
+    aggregate, pair aggregate) plus the existing-edge anti-join, and
+    every exchange carries ids and one double, never payloads."""
+    und = (
+        edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                     F.greatest(F.col(src), F.col(dst)).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.select(F.col("a").alias("id"), F.col("b").alias("nbr")).unionByName(
+        und.select(F.col("b").alias("id"), F.col("a").alias("nbr")))
+    deg = sym.groupBy("id").agg(F.count("*").alias("d"))
+    ctr = (
+        sym.join(deg, "id")
+        .filter((F.col("d") >= 2) & (F.col("d") <= max_degree))
+        .select("id", "nbr", (F.lit(1.0) / F.log(F.col("d"))).alias("w"))
+    )
+    grouped = ctr.groupBy("id", "w").agg(
+        F.sort_array(F.collect_list("nbr")).alias("_nbrs"))
+    tri = F.flatten(
+        F.transform(
+            "_nbrs",
+            lambda x, i: F.transform(
+                F.slice("_nbrs", i + F.lit(2), F.size("_nbrs")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    scored = (
+        grouped.select(F.explode(tri).alias("p"), "w")
+        .select("p.id_a", "p.id_b", "w")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common_neighbors"),
+             F.sum("w").alias("score"))
+    )
+    return scored.join(
+        und,
+        (scored["id_a"] == und["a"]) & (scored["id_b"] == und["b"]),
+        "left_anti",
+    )
+
+
 def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
          iterations: int = 10) -> DataFrame:
     """Hubs and authorities (Kleinberg 1999, HITS) over the distinct

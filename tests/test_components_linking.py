@@ -325,3 +325,36 @@ def test_hits_star_and_python_twin(spark):
     for n in nodes:
         assert abs(got[n][0] - hub[n]) < 1e-9
         assert abs(got[n][1] - auth[n]) < 1e-9
+
+
+def test_adamic_adar_square_with_pendant(spark):
+    """Cycle a-b-c-d-a plus pendant d-e: (b,d) scores 2/ln2 through
+    {a,c}; (a,c) scores 1/ln2 + 1/ln3 (b is degree 2, d degree 3);
+    (a,e)/(c,e) score 1/ln3 through d; linked pairs never appear; the
+    degree cap drops high-degree centers from the sum."""
+    import math
+
+    from knowledge_graph_spark.operators.graph_analytics import adamic_adar
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("d", "e"),
+         ("b", "a")],  # reversed duplicate must not double-count
+        ["src", "dst"])
+    got = {(r["id_a"], r["id_b"]): (r["common_neighbors"], r["score"])
+           for r in adamic_adar(edges).collect()}
+    ln2, ln3 = math.log(2), math.log(3)
+    want = {
+        ("a", "c"): (2, 1 / ln2 + 1 / ln3),
+        ("b", "d"): (2, 2 / ln2),
+        ("a", "e"): (1, 1 / ln3),
+        ("c", "e"): (1, 1 / ln3),
+    }
+    assert set(got) == set(want)
+    for k, (cn, sc) in want.items():
+        assert got[k][0] == cn
+        assert abs(got[k][1] - sc) < 1e-12
+    # cap at 2: center d (degree 3) stops contributing entirely
+    capped = {(r["id_a"], r["id_b"]): r["score"]
+              for r in adamic_adar(edges, max_degree=2).collect()}
+    assert set(capped) == {("a", "c"), ("b", "d")}
+    assert abs(capped[("a", "c")] - 1 / ln2) < 1e-12

@@ -273,3 +273,21 @@ def test_bpe_pairs_plan_is_take_ordered(spark):
     p = plan(bpe_pair_counts(docs))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_adamic_adar_pair_gen_in_aggregate(spark):
+    """AA wedge pairs come from the in-aggregate upper triangle
+    (sorted neighbor array -> JVM lambdas), never a bucket self-join
+    or nested loop; the whole plan stays JVM-side."""
+    import re
+
+    from knowledge_graph_spark.operators.graph_analytics import adamic_adar
+
+    edges = spark.createDataFrame(
+        [(i, i % 17) for i in range(100)], ["src", "dst"])
+    p = plan(adamic_adar(edges))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    # joins: degree attach + existing-edge anti join only
+    assert len(re.findall(r"\(\d+\) (?:SortMerge|BroadcastHash)Join", p)) <= 2
