@@ -1182,6 +1182,17 @@ LIMIT 50
 """
 
 
+def _q_bpe_merges(spark, sf_dir):
+    """Full BPE tokenizer training (20 merge rounds) over the documents
+    corpus — the iterative loop whose single step is ``bpe_pairs``.
+    Oracled against an independent pure-Python twin of the whole
+    training loop (tools/make_goldens.golden_bpe_merges)."""
+    from knowledge_graph_spark.operators.textstats import bpe_train
+
+    return bpe_train(_t(spark, sf_dir, "documents"),
+                     n_merges=20).orderBy("step")
+
+
 def _q_dsir_weights(spark, sf_dir):
     """DSIR data-selection weights with target = English documents
     (word-unigram LM log ratio, add-1 smoothing); full SQL oracle."""
@@ -1874,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q_bm25_search,
         "tfidf_terms": _q_tfidf_terms,
         "bpe_pairs": _q_bpe_pairs,
+        "bpe_merges": _q_bpe_merges,
         "dsir_weights": _q_dsir_weights,
         "partsupp_bfs": _q_partsupp_bfs,
         "order_part_components": _q_order_part_components,
@@ -1951,6 +1963,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardups": _SQL_EMBEDDING_NEARDUPS,
         # pinned-golden oracles (independent pure-Python twin,
         # tools/make_goldens.py)
+        "bpe_merges": _golden_sql("bpe_merges", "step"),
         "mixture_sample": _golden_sql("mixture_sample", "source"),
         "hash_split": _golden_sql("hash_split", "source, split"),
         "minhash_pairs": _golden_sql("minhash_pairs", "id_a, id_b"),

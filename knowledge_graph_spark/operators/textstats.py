@@ -311,3 +311,88 @@ def bpe_pair_counts(docs: DataFrame, text_col: str = "text",
         .orderBy(F.col("pair_count").desc(), "lhs", "rhs")
         .limit(top_n)
     )
+
+def bpe_train(docs: DataFrame, n_merges: int = 20,
+              text_col: str = "text") -> DataFrame:
+    """Train a BPE merge list on the corpus (the full training loop of
+    Sennrich et al. 2016, of which :func:`bpe_pair_counts` is one
+    step): start from character symbols, repeatedly merge the globally
+    most-frequent adjacent symbol pair (ties broken by (lhs, rhs)
+    ascending), ``n_merges`` times. Returns the ordered merge table
+    ``(step, lhs, rhs, merged, pair_count)`` — the trained tokenizer.
+
+    Scale shape — the reason this runs at 100 TB:
+
+    - the CORPUS-sized pass happens ONCE: the word-count aggregate
+      (map-side combined, shuffling ``(word, count)`` pairs bounded by
+      the vocabulary, not corpus tokens);
+    - every merge round then touches the DISTINCT-WORD vocabulary
+      only: one ``(lhs, rhs, Σwc)`` aggregate whose top-1 is a
+      ``TakeOrderedAndProject``, a ONE-ROW collect (the winning pair
+      becomes a literal in the next round's plan — O(n_merges) driver
+      actions of one row each, the same pattern as the components
+      convergence check), and a JVM ``aggregate()`` lambda applying
+      the merge left-to-right non-overlapping to each word's symbol
+      array — no Python in any hot path;
+    - words fully merged to one symbol leave the working set (they can
+      never contribute a pair again), so the per-round input shrinks;
+    - the working vocabulary is ``localCheckpoint``-ed per round, so
+      the plan never grows with the merge count.
+
+    Left-to-right non-overlap is exact under the fold because the
+    merged symbol ``lhs||rhs`` can never compare equal to ``lhs``
+    (``rhs`` is non-empty), so a symbol just produced by this round's
+    merge cannot be re-consumed as the left side of the same merge
+    within the fold (``aaaa`` + (a,a) → ``[aa, aa]``, not ``[aaa, a]``).
+    """
+    vocab = (
+        docs.select(F.explode(word_tokens(text_col)).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("wc"))
+        .filter(F.length("word") >= 2)
+        .select(
+            "wc",
+            F.expr("transform(sequence(1, length(word)), "
+                   "i -> substring(word, i, 1))").alias("syms"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def _lit(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    merges = []
+    for step in range(1, n_merges + 1):
+        top = (
+            vocab.select(
+                "wc",
+                F.explode(F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(element_at(syms, i) as lhs, "
+                    "element_at(syms, i + 1) as rhs))")).alias("p"),
+            )
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("wc").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], top[0]["pair_count"]
+        merged = lhs + rhs
+        merges.append((step, lhs, rhs, merged, cnt))
+        apply = F.expr(
+            "aggregate(syms, cast(array() as array<string>), (acc, s) -> "
+            f"case when size(acc) > 0 and element_at(acc, -1) = {_lit(lhs)} "
+            f"and s = {_lit(rhs)} "
+            f"then concat(slice(acc, 1, size(acc) - 1), array({_lit(merged)})) "
+            "else concat(acc, array(s)) end)"
+        )
+        vocab = (
+            vocab.select("wc", apply.alias("syms"))
+            .filter(F.size("syms") >= 2)
+            .localCheckpoint(eager=True)
+        )
+    return docs.sparkSession.createDataFrame(
+        merges, "step int, lhs string, rhs string, merged string, pair_count bigint"
+    )

@@ -711,3 +711,21 @@ def test_dsir_weights_unigram_log_ratio(spark):
     assert out[3] == (2, round((r_cat + r_hund) / 2, 6))
     # in-domain vocabulary scores above out-of-domain
     assert out[1][1] > out[3][1] > out[2][1]
+
+
+def test_bpe_train_sennrich_example(spark):
+    """The classic BPE walkthrough: 'low'×3 + 'lower' + 'lowest'.
+    Greedy merges: (l,o)→lo@5 (tie with (o,w) broken lexicographically),
+    (lo,w)→low@5, (low,e)→lowe@2, then (lowe,r)@1 by tie-break; fully
+    merged words leave the working set."""
+    from knowledge_graph_spark.operators.textstats import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest")], ["doc_id", "text"])
+    got = [tuple(r) for r in bpe_train(docs, n_merges=4).collect()]
+    assert got == [
+        (1, "l", "o", "lo", 5),
+        (2, "lo", "w", "low", 5),
+        (3, "low", "e", "lowe", 2),
+        (4, "lowe", "r", "lower", 1),
+    ]

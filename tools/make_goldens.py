@@ -285,6 +285,47 @@ def golden_hash_split(sf_dir: str) -> list[dict]:
             for (s, sp), n in sorted(agg.items())]
 
 
+def golden_bpe_merges(sf_dir: str, n_merges: int = 20) -> list[dict]:
+    """Twin of textstats.bpe_train over the raw documents table:
+    char symbols, greedy most-frequent adjacent pair (ties: smallest
+    (lhs, rhs) — Python tuple order = Spark's UTF-8 binary order on
+    BMP text), left-to-right non-overlapping merge application."""
+    from collections import Counter
+
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["text"])
+    wc: Counter = Counter()
+    for t in tbl["text"].to_pylist():
+        wc.update(word_tokens(t))
+    syms = {w: list(w) for w in wc if len(w) >= 2}
+    rows = []
+    for step in range(1, n_merges + 1):
+        pc: Counter = Counter()
+        for w, ss in syms.items():
+            c = wc[w]
+            for i in range(len(ss) - 1):
+                pc[(ss[i], ss[i + 1])] += c
+        if not pc:
+            break
+        maxc = max(pc.values())
+        lhs, rhs = min(p for p, c in pc.items() if c == maxc)
+        merged = lhs + rhs
+        rows.append({"step": step, "lhs": lhs, "rhs": rhs,
+                     "merged": merged, "pair_count": maxc})
+        nxt = {}
+        for w, ss in syms.items():
+            out: list[str] = []
+            for s in ss:
+                if out and out[-1] == lhs and s == rhs:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            if len(out) >= 2:
+                nxt[w] = out
+        syms = nxt
+    return rows
+
+
 # ---------------------------------------------------------------------------
 # multimodal goldens (twin drives the same pure decode kernels row-by-row;
 # the Spark side under test is the Arrow batching / schema plumbing)
@@ -544,6 +585,9 @@ def main() -> None:
     write("hash_split", golden_hash_split(args.sf_dir), pa.schema([
         ("source", pa.string()), ("split", pa.string()),
         ("n_docs", pa.int64())]))
+    write("bpe_merges", golden_bpe_merges(args.sf_dir), pa.schema([
+        ("step", pa.int32()), ("lhs", pa.string()), ("rhs", pa.string()),
+        ("merged", pa.string()), ("pair_count", pa.int64())]))
 
     print("media goldens...")
     write("media_metadata", golden_media_metadata(), pa.schema([
