@@ -1339,6 +1339,21 @@ ORDER BY id_a, id_b
 """
 
 
+def _q_lpa_communities(spark, sf_dir):
+    """Deterministic synchronous label propagation (5 rounds, ties to
+    the smallest label) over the same sparse order↔part graph as
+    order_part_components — twin-golden oracled (the twin replays the
+    whole propagation in pure Python)."""
+    from knowledge_graph_spark.operators.graph_analytics import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.filter(F.col("l_quantity") == 1).select(
+        (F.col("l_orderkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    )
+    return label_propagation(edges).orderBy("id")
+
+
 _PACK_CAPACITY = 128
 
 
@@ -1890,6 +1905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partsupp_bfs": _q_partsupp_bfs,
         "order_part_components": _q_order_part_components,
         "order_part_aa": _q_order_part_aa,
+        "lpa_communities": _q_lpa_communities,
         "embedding_topk": _q_embedding_topk,
         "embedding_label_centroids": _q_embedding_label_centroids,
         # hash-sketch operators (rows-only)
@@ -1964,6 +1980,7 @@ def oracle_sql() -> dict[str, str]:
         # pinned-golden oracles (independent pure-Python twin,
         # tools/make_goldens.py)
         "bpe_merges": _golden_sql("bpe_merges", "step"),
+        "lpa_communities": _golden_sql("lpa_communities", "id"),
         "mixture_sample": _golden_sql("mixture_sample", "source"),
         "hash_split": _golden_sql("hash_split", "source, split"),
         "minhash_pairs": _golden_sql("minhash_pairs", "id_a, id_b"),

@@ -304,6 +304,60 @@ def adamic_adar(edges: DataFrame, src: str = "src", dst: str = "dst",
     )
 
 
+def label_propagation(edges: DataFrame, src: str = "src",
+                      dst: str = "dst", iterations: int = 5) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the undirected distinct edge set: every node
+    starts as its own label; each round it adopts the most frequent
+    label among its neighbors, ties broken by SMALLEST label — the
+    deterministic variant (plain LPA breaks ties randomly; a fixed
+    rule plus a fixed round count makes the operator reproducible and
+    oracle-checkable on any cluster size). Returns ``(id, label)``
+    after exactly ``iterations`` rounds.
+
+    Scale shape per round: the symmetrized edge list is shuffled ONCE
+    up front (persisted, keyed by node id — the BFS pattern) and every
+    round's label join reuses that partitioning; then two aggregates —
+    ``(node, label) → count`` and the per-node argmax via
+    ``min(struct(-count, label))``, both with map-side partial
+    aggregation. Every exchange carries ``(id, label, long)`` — never
+    payloads. Labels are ``localCheckpoint``-ed per round so the plan
+    stays flat."""
+    und = (
+        edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                     F.greatest(F.col(src), F.col(dst)).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = (
+        und.select(F.col("a").alias("id"), F.col("b").alias("nbr"))
+        .unionByName(und.select(F.col("b").alias("id"),
+                                F.col("a").alias("nbr")))
+        .repartition(F.col("nbr"))
+        .persist()
+    )
+    labels = (
+        sym.select("id").distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        nbr_labels = (
+            sym.join(labels.select(F.col("id").alias("nbr"), "label"), "nbr")
+            .select("id", "label")
+        )
+        labels = (
+            nbr_labels.groupBy("id", "label").agg(F.count("*").alias("c"))
+            .groupBy("id")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                F.col("label").alias("l"))).alias("m"))
+            .select("id", F.col("m.l").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    sym.unpersist()
+    return labels
+
+
 def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
          iterations: int = 10) -> DataFrame:
     """Hubs and authorities (Kleinberg 1999, HITS) over the distinct

@@ -358,3 +358,20 @@ def test_adamic_adar_square_with_pendant(spark):
               for r in adamic_adar(edges, max_degree=2).collect()}
     assert set(capped) == {("a", "c"), ("b", "d")}
     assert abs(capped[("a", "c")] - 1 / ln2) < 1e-12
+
+
+def test_label_propagation_two_triangles_bridge(spark):
+    """Two triangles joined by a bridge edge c-d, traced by hand for 5
+    synchronous rounds with the min-label tie-break: the left triangle
+    settles on label 'a'; the right side settles on 'c' (the bridge
+    endpoint's id propagates as a label even as c itself joins 'a' —
+    the standard sync-LPA behavior, pinned here for determinism)."""
+    from knowledge_graph_spark.operators.graph_analytics import label_propagation
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),
+         ("d", "e"), ("e", "f"), ("f", "d"), ("c", "d")],
+        ["src", "dst"])
+    got = {r["id"]: r["label"] for r in label_propagation(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "d": "c", "e": "c", "f": "c"}

@@ -285,6 +285,33 @@ def golden_hash_split(sf_dir: str) -> list[dict]:
             for (s, sp), n in sorted(agg.items())]
 
 
+def golden_lpa_communities(sf_dir: str, iterations: int = 5) -> list[dict]:
+    """Twin of graph_analytics.label_propagation over the sparse
+    order↔part graph (lineitem rows with l_quantity = 1; node ids
+    2·orderkey / 2·partkey+1): synchronous rounds, most-frequent
+    neighbor label, ties to the smallest label."""
+    from collections import Counter, defaultdict
+
+    tbl = pq.read_table(os.path.join(sf_dir, "lineitem.parquet"),
+                        columns=["l_orderkey", "l_partkey", "l_quantity"])
+    adj: dict[int, set] = defaultdict(set)
+    for o, p, q in zip(tbl["l_orderkey"].to_pylist(),
+                       tbl["l_partkey"].to_pylist(),
+                       tbl["l_quantity"].to_pylist()):
+        if q == 1:
+            u, v = o * 2, p * 2 + 1
+            adj[u].add(v)
+            adj[v].add(u)
+    labels = {n: n for n in adj}
+    for _ in range(iterations):
+        labels = {
+            v: min(Counter(labels[u] for u in adj[v]).items(),
+                   key=lambda kv: (-kv[1], kv[0]))[0]
+            for v in adj
+        }
+    return [{"id": v, "label": labels[v]} for v in sorted(adj)]
+
+
 def golden_bpe_merges(sf_dir: str, n_merges: int = 20) -> list[dict]:
     """Twin of textstats.bpe_train over the raw documents table:
     char symbols, greedy most-frequent adjacent pair (ties: smallest
@@ -588,6 +615,8 @@ def main() -> None:
     write("bpe_merges", golden_bpe_merges(args.sf_dir), pa.schema([
         ("step", pa.int32()), ("lhs", pa.string()), ("rhs", pa.string()),
         ("merged", pa.string()), ("pair_count", pa.int64())]))
+    write("lpa_communities", golden_lpa_communities(args.sf_dir), pa.schema([
+        ("id", pa.int64()), ("label", pa.int64())]))
 
     print("media goldens...")
     write("media_metadata", golden_media_metadata(), pa.schema([
