@@ -161,6 +161,77 @@ class LakeTable:
             return None
         return self._resolve_mor(spark.read.parquet(*paths), entry)
 
+    def read_changes(self, spark: SparkSession, from_snapshot: str,
+                     to_snapshot: Optional[str] = None) -> DataFrame:
+        """Incremental scan (Iceberg incremental-append / CDC read):
+        the rows ADDED by append commits AFTER ``from_snapshot``, up to
+        ``to_snapshot`` (default: current), plus a ``_change_type``
+        column — ``insert`` for plain appends, ``upsert``/``delete``
+        for merge-on-read batches (tombstones surface as deletes).
+
+        Planning is a pure metadata diff: an append entry's added
+        files are its manifest listing minus its predecessor's, so the
+        changelog costs zero data reads and the scan opens ONLY the
+        files the window added — O(changes), never O(table). Raises
+        when the window crosses an overwrite / compact / rollback /
+        delete commit (those rewrite files: an incremental consumer
+        must re-baseline from that snapshot — Iceberg's
+        incremental-scan contract) or when ``from_snapshot`` was
+        already folded away by vacuum."""
+        if not self.exists():
+            raise FileNotFoundError(f"LakeTable {self.dir} has no snapshot")
+        m = self._manifest()
+        lineage = [e for e in m["lineage"] if not e.get("skipped")]
+
+        def _idx(snap: str) -> int:
+            for i in range(len(lineage) - 1, -1, -1):
+                if lineage[i]["snapshot"] == snap:
+                    return i
+            raise ValueError(
+                f"{self.dir}: no readable lineage entry for {snap!r} "
+                "(never committed, or reclaimed by vacuum)")
+
+        i0 = _idx(from_snapshot)
+        i1 = _idx(to_snapshot or m["current"])
+        if i1 < i0:
+            raise ValueError(
+                f"{self.dir}: to_snapshot {to_snapshot!r} precedes "
+                f"from_snapshot {from_snapshot!r}")
+        F = _f()
+        added: list[str] = []
+        for j in range(i0 + 1, i1 + 1):
+            prev, e = lineage[j - 1], lineage[j]
+            if e["op"] != "append":
+                raise ValueError(
+                    f"{self.dir}: incremental read crosses a "
+                    f"{e['op']!r} commit ({e['snapshot']}) — files were "
+                    "rewritten; re-baseline the consumer from it")
+            dirs = e.get("partition_dirs")
+            prev_dirs = prev.get("partition_dirs")
+            if dirs is None or prev_dirs is None:
+                raise ValueError(
+                    f"{self.dir}: unpartitioned appends rewrite the "
+                    "snapshot; incremental read needs a partitioned table")
+            prev_set = {p for ps in prev_dirs.values() for p in ps}
+            added += [p for ps in dirs.values() for p in ps
+                      if p not in prev_set]
+        if not added:
+            return (
+                self.read(spark, as_of=lineage[i1]["snapshot"]).limit(0)
+                .withColumn("_change_type", F.lit("insert"))
+            )
+        df = spark.read.parquet(*[os.path.join(self.dir, p) for p in added])
+        if _SEQ in df.columns:
+            return (
+                df.withColumn(
+                    "_change_type",
+                    F.when(F.col(_TOMB), F.lit("delete"))
+                    .otherwise(F.lit("upsert")),
+                )
+                .drop(_SEQ, _TOMB)
+            )
+        return df.withColumn("_change_type", F.lit("insert"))
+
     @staticmethod
     def _resolve_mor(df: DataFrame, entry: dict) -> DataFrame:
         """Merge-on-read resolution: keep each key's rows from its

@@ -458,3 +458,60 @@ def test_time_travel_read_mor(spark, tmp_path):
         on=["k"], seq=2, partition_by=["g"])
     assert rows(t.read(spark, as_of=s_mor)) == [
         (1, "g", "a"), (2, "g", "B"), (3, "g", "c")]
+
+
+def test_read_changes_incremental_appends(spark, tbl):
+    """Incremental scan returns exactly the rows each append window
+    added (pure manifest diff), labeled _change_type='insert'; an
+    empty window yields an empty frame with the table schema."""
+    s1 = tbl.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        partition_by=["k"])["snapshot"]
+    s2 = tbl.append(spark.createDataFrame([(3, "c")], "k int, v string"),
+                    partition_by=["k"])["snapshot"]
+    s3 = tbl.append(spark.createDataFrame([(4, "d")], "k int, v string"),
+                    partition_by=["k"])["snapshot"]
+    assert rows(tbl.read_changes(spark, s1)) == [
+        (3, "c", "insert"), (4, "d", "insert")]
+    assert rows(tbl.read_changes(spark, s1, s2)) == [(3, "c", "insert")]
+    assert rows(tbl.read_changes(spark, s2, s3)) == [(4, "d", "insert")]
+    empty = tbl.read_changes(spark, s3, s3)
+    assert empty.count() == 0
+    assert empty.columns == ["k", "v", "_change_type"]
+
+
+def test_read_changes_mor_cdc(spark, tmp_path):
+    """On a merge-on-read table the incremental scan is a CDC feed:
+    updated keys surface as 'upsert', tombstoned keys as 'delete',
+    and the raw _seq/_tomb bookkeeping never leaks to the consumer."""
+    t = LakeTable(str(tmp_path), "mor")
+    s1 = t.merge_on_read(
+        spark.createDataFrame([(1, "a", 10), (2, "b", 10)],
+                              "k int, v string, pk int"),
+        on=["k"], seq=1, partition_by=["pk"])["snapshot"]
+    s2 = t.merge_on_read(
+        spark.createDataFrame([(2, "B", 10)], "k int, v string, pk int"),
+        on=["k"], seq=2, partition_by=["pk"],
+        tombstone_keys=spark.createDataFrame([(1, 10)], "k int, pk int"),
+    )["snapshot"]
+    got = rows(t.read_changes(spark, s1, s2))
+    assert (2, "B", 10, "upsert") in got
+    deletes = [r for r in got if r[-1] == "delete"]
+    assert len(deletes) == 1 and deletes[0][0] == 1
+    # the resolved table agrees with the changelog
+    assert rows(t.read(spark)) == [(2, "B", 10)]
+
+
+def test_read_changes_rejects_rewrites_and_vacuumed_base(spark, tbl):
+    """A window crossing a compact (or any rewrite) must raise — the
+    consumer has to re-baseline; so must a from_snapshot that vacuum
+    already folded away."""
+    s1 = tbl.append(spark.createDataFrame([(1, "a")], "k int, v string"),
+                    partition_by=["k"])["snapshot"]
+    tbl.append(spark.createDataFrame([(2, "b")], "k int, v string"),
+               partition_by=["k"])
+    tbl.compact(spark)
+    with pytest.raises(ValueError, match="compact"):
+        tbl.read_changes(spark, s1)
+    with pytest.raises(ValueError, match="no readable lineage"):
+        tbl.read_changes(spark, "snap-999999")
