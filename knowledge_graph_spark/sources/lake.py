@@ -122,18 +122,53 @@ class LakeTable:
         metadata: the lineage entry IS the file listing, so reading an
         old version opens exactly its files; ``vacuum(keep_last=N)``
         bounds how far back reads can reach (older entries' files are
-        reclaimed and their lineage folded away)."""
+        reclaimed and their lineage folded away).
+
+        When the entry pins a table schema (every commit since schema
+        tracking), the scan applies it explicitly — files written
+        before a column was added project NULL for it (Iceberg
+        schema-on-read add-column evolution), and the reader never
+        footer-samples to infer a schema."""
         entry = (self.current_entry() if as_of is None
                  else self._entry_for(as_of))
         if entry is None:
             raise FileNotFoundError(f"LakeTable {self.dir} has no snapshot")
         dirs = entry.get("partition_dirs")
+        reader = self._reader(spark, entry)
         if dirs is None:
-            df = spark.read.parquet(os.path.join(self.dir, entry["snapshot"]))
+            df = reader.parquet(os.path.join(self.dir, entry["snapshot"]))
         else:
             paths = [os.path.join(self.dir, p) for ps in dirs.values() for p in ps]
-            df = spark.read.parquet(*paths)
+            df = reader.parquet(*paths)
         return self._resolve_mor(df, entry)
+
+    @staticmethod
+    def _reader(spark: SparkSession, entry: Optional[dict]):
+        """DataFrameReader with the entry's pinned schema applied (when
+        recorded) — schema-on-read: missing columns in old files read
+        as NULL, and no footer sampling happens at plan time."""
+        schema_json = (entry or {}).get("schema")
+        if not schema_json:
+            return spark.read
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(StructType.fromJson(json.loads(schema_json)))
+
+    @staticmethod
+    def _merge_schema(old_json: Optional[str], df: DataFrame) -> str:
+        """Union of the recorded table schema and the batch's schema:
+        existing columns keep their position and type, new columns
+        append at the end (add-column evolution; type changes are not
+        evolution and keep the table's type)."""
+        from pyspark.sql.types import StructType
+
+        if not old_json:
+            return df.schema.json()
+        old = StructType.fromJson(json.loads(old_json))
+        fields = list(old.fields)
+        have = {f.name for f in fields}
+        fields += [f for f in df.schema.fields if f.name not in have]
+        return StructType(fields).json()
 
     def _entry_for(self, snapshot: str) -> dict:
         """Latest non-skipped lineage entry for ``snapshot``; raises if
@@ -159,7 +194,8 @@ class LakeTable:
         paths = [os.path.join(self.dir, p) for k in keys for p in dirs.get(k, [])]
         if not paths:
             return None
-        return self._resolve_mor(spark.read.parquet(*paths), entry)
+        return self._resolve_mor(self._reader(spark, entry).parquet(*paths),
+                                 entry)
 
     def read_changes(self, spark: SparkSession, from_snapshot: str,
                      to_snapshot: Optional[str] = None) -> DataFrame:
@@ -220,7 +256,8 @@ class LakeTable:
                 self.read(spark, as_of=lineage[i1]["snapshot"]).limit(0)
                 .withColumn("_change_type", F.lit("insert"))
             )
-        df = spark.read.parquet(*[os.path.join(self.dir, p) for p in added])
+        df = self._reader(spark, lineage[i1]).parquet(
+            *[os.path.join(self.dir, p) for p in added])
         if _SEQ in df.columns:
             return (
                 df.withColumn(
@@ -337,7 +374,8 @@ class LakeTable:
                       partition_dirs=None, partition_rows=None,
                       carried: int = 0,
                       partition_by: Optional[list[str]] = None,
-                      mor: Optional[dict] = None) -> dict:
+                      mor: Optional[dict] = None,
+                      schema: Optional[str] = None) -> dict:
         manifest = self._manifest() if self.exists() else {
             "table": self.dir, "snap_id": 0, "current": None, "lineage": [],
         }
@@ -362,6 +400,8 @@ class LakeTable:
             # crash window where the batch_id is applied but readers
             # resolve nothing (raw _seq/_tomb rows surface)
             entry["mor"] = mor
+        if schema is not None:
+            entry["schema"] = schema
         # monotonic even when a commit re-points at an older snapshot
         # (metadata-only delete after a rollback): the next write must
         # not collide with directories still on disk
@@ -381,7 +421,7 @@ class LakeTable:
         dirs, counts, rows = self._persist(df, snap_name, partition_by, n_keys)
         return self._commit_entry(op, batch_id, counters, snap_name, rows,
                                   dirs, counts, partition_by=partition_by,
-                                  mor=mor)
+                                  mor=mor, schema=df.schema.json())
 
     # ---- partition-key helpers ----------------------------------------
 
@@ -465,10 +505,12 @@ class LakeTable:
                 sum(counts.values()), dirs, counts,
                 carried=len(dirs) - len(new_dirs), partition_by=partition_by,
                 mor=mor,
+                schema=self._merge_schema((entry or {}).get("schema"), df),
             )
         else:
             if self.exists():
-                df = self.read(df.sparkSession).unionByName(df)
+                df = self.read(df.sparkSession).unionByName(
+                    df, allowMissingColumns=True)
             out = self._write_snapshot(df, "append", batch_id, counters,
                                        partition_by, mor=mor)
         return out
@@ -556,10 +598,10 @@ class LakeTable:
         if when_matched == "update":
             keys = (delete_keys if delete_keys is not None else updates).select(*on)
             kept = current.join(keys, on=on, how="left_anti")
-            return kept.unionByName(updates)
+            return kept.unionByName(updates, allowMissingColumns=True)
         if when_matched == "ignore":
             fresh = updates.join(current.select(*on), on=on, how="left_anti")
-            return current.unionByName(fresh)
+            return current.unionByName(fresh, allowMissingColumns=True)
         raise ValueError(f"unknown when_matched: {when_matched}")
 
     def _merge_partitioned(
@@ -604,6 +646,7 @@ class LakeTable:
             f"merge:{when_matched}", batch_id, counters, snap_name,
             sum(rows_by.values()), dirs, rows_by, carried=carried,
             partition_by=partition_by,
+            schema=self._merge_schema(entry.get("schema"), result),
         )
 
     def overwrite_partitions(
@@ -650,6 +693,7 @@ class LakeTable:
             "overwrite_partitions", batch_id, counters, snap_name,
             sum(rows_by.values()), dirs, rows_by, carried=carried,
             partition_by=partition_by,
+            schema=self._merge_schema(entry.get("schema"), df),
         )
 
     def merge_on_read(
@@ -776,7 +820,7 @@ class LakeTable:
         entry = {
             k: target[k]
             for k in ("snapshot", "rows", "partition_dirs", "partition_rows",
-                      "partition_spec", "mor")
+                      "partition_spec", "mor", "schema")
             if k in target
         }
         entry.update({
@@ -874,6 +918,7 @@ class LakeTable:
                     entry["snapshot"], entry["rows"],
                     dict(old_dirs), dict(entry.get("partition_rows") or {}),
                     carried=len(old_dirs), partition_by=spec,
+                    schema=entry.get("schema"),
                 )
             cur = self.read_partitions(spark, sorted(touched))
             # SQL DELETE removes rows where the predicate is TRUE; rows

@@ -515,3 +515,41 @@ def test_read_changes_rejects_rewrites_and_vacuumed_base(spark, tbl):
         tbl.read_changes(spark, s1)
     with pytest.raises(ValueError, match="no readable lineage"):
         tbl.read_changes(spark, "snap-999999")
+
+
+def test_schema_evolution_add_column(spark, tbl):
+    """Iceberg add-column evolution: a later append may carry a new
+    column — files written before it project NULL (schema-on-read via
+    the manifest-pinned schema, no file rewrite); a batch missing an
+    existing column lands as NULL for its rows."""
+    tbl.append(spark.createDataFrame([(1, "a")], "k int, v string"),
+               partition_by=["k"])
+    tbl.append(spark.createDataFrame([(2, "b", 9.5)],
+                                     "k int, v string, score double"),
+               partition_by=["k"])
+    got = rows(tbl.read(spark))
+    assert got == [(1, "a", None), (2, "b", 9.5)]
+    # writer-side column drop: the table keeps the column, rows are NULL
+    tbl.append(spark.createDataFrame([(3, 1.5)], "k int, score double"),
+               partition_by=["k"])
+    got = rows(tbl.read(spark))
+    assert got == [(1, "a", None), (2, "b", 9.5), (3, None, 1.5)]
+    # time travel sees the OLD schema (evolution is per-snapshot)
+    first = tbl.history()[0]["snapshot"]
+    assert tbl.read(spark, as_of=first).columns == ["k", "v"]
+
+
+def test_schema_evolution_survives_merge_and_unpartitioned(spark, tbl):
+    """Evolution composes with merge_into (partitioned carry + rewrite)
+    and with unpartitioned appends (union with missing columns)."""
+    tbl.append(spark.createDataFrame([(1, "a"), (2, "b")],
+                                     "k int, v string"),
+               partition_by=["k"])
+    tbl.merge_into(
+        spark.createDataFrame([(2, "B", "x")], "k int, v string, tag string"),
+        on=["k"], partition_by=["k"])
+    assert rows(tbl.read(spark)) == [(1, "a", None), (2, "B", "x")]
+    u = LakeTable(tbl.dir.rsplit("/", 1)[0], "u")
+    u.append(spark.createDataFrame([(1, "a")], "k int, v string"))
+    u.append(spark.createDataFrame([(2, 7)], "k int, n int"))
+    assert rows(u.read(spark)) == [(1, "a", None), (2, None, 7)]
