@@ -1339,6 +1339,17 @@ ORDER BY id_a, id_b
 """
 
 
+def _q_host_profile(spark, sf_dir):
+    """Crawl census over 3,000 synthetic web pages: per-host page
+    counts, held-out counts, char totals and corpus share — the skew
+    map for the url-host partitioning (hub host ~20%). Twin-golden
+    oracled via the shared pure page generator."""
+    from knowledge_graph_spark.operators.textstats import host_profile
+    from knowledge_graph_spark.sources.pages import generate_spark
+
+    return host_profile(generate_spark(spark, 3000)).orderBy("host")
+
+
 def _q_lpa_communities(spark, sf_dir):
     """Deterministic synchronous label propagation (5 rounds, ties to
     the smallest label) over the same sparse order↔part graph as
@@ -1906,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_part_components": _q_order_part_components,
         "order_part_aa": _q_order_part_aa,
         "lpa_communities": _q_lpa_communities,
+        "host_profile": _q_host_profile,
         "embedding_topk": _q_embedding_topk,
         "embedding_label_centroids": _q_embedding_label_centroids,
         # hash-sketch operators (rows-only)
@@ -1981,6 +1993,7 @@ def oracle_sql() -> dict[str, str]:
         # tools/make_goldens.py)
         "bpe_merges": _golden_sql("bpe_merges", "step"),
         "lpa_communities": _golden_sql("lpa_communities", "id"),
+        "host_profile": _golden_sql("host_profile", "host"),
         "mixture_sample": _golden_sql("mixture_sample", "source"),
         "hash_split": _golden_sql("hash_split", "source, split"),
         "minhash_pairs": _golden_sql("minhash_pairs", "id_a, id_b"),

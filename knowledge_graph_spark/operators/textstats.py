@@ -396,3 +396,41 @@ def bpe_train(docs: DataFrame, n_merges: int = 20,
     return docs.sparkSession.createDataFrame(
         merges, "step int, lhs string, rhs string, merged string, pair_count bigint"
     )
+
+def host_profile(pages: DataFrame, url_col: str = "url",
+                 text_col: str = "text") -> DataFrame:
+    """Crawl census: per url host, page count, held-out count (rows
+    whose ``text`` is NULL and must be recovered from html), total and
+    average text chars, and corpus share — the first report run on a
+    new crawl snapshot, and the skew map that justifies the url-host
+    partitioning (the synthetic corpus deliberately gives one hub host
+    ~20% of pages).
+
+    Scale shape: the corpus is scanned ONCE — a host-keyed aggregate
+    whose map-side combine collapses the hub host inside each task
+    before the exchange, so host skew never concentrates raw rows on
+    one reducer. The corpus share then comes from a global window over
+    the AGGREGATED frame (one row per host — a cross-join against a
+    re-aggregated total would scan the corpus twice instead).
+    Everything is codegen (parse_url, length, conditional counts);
+    no UDFs."""
+    from pyspark.sql import Window
+
+    host = F.expr(f"parse_url({url_col}, 'HOST')")
+    per = (
+        pages.select(host.alias("host"),
+                     F.length(F.col(text_col)).alias("n_chars"))
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.when(F.col("n_chars").isNull(), 1).otherwise(0))
+            .alias("n_heldout"),
+            F.sum("n_chars").alias("n_chars"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
+    total = F.sum("n_pages").over(Window.partitionBy())
+    return per.select(
+        "host", "n_pages", "n_heldout", "n_chars", "avg_chars",
+        F.round(F.col("n_pages") / total, 6).alias("share"),
+    )

@@ -291,3 +291,23 @@ def test_adamic_adar_pair_gen_in_aggregate(spark):
     assert "BatchEvalPython" not in p
     # joins: degree attach + existing-edge anti join only
     assert len(re.findall(r"\(\d+\) (?:SortMerge|BroadcastHash)Join", p)) <= 2
+
+
+def test_host_profile_single_corpus_pass(spark):
+    """The crawl census must scan the corpus ONCE: the share comes from
+    a window over the aggregated per-host frame, never from a second
+    re-aggregated total joined back (which would rescan the input)."""
+    import re
+
+    from knowledge_graph_spark.operators.textstats import host_profile
+
+    pages = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".cn/a")).alias("url"), "text")
+    p = plan(host_profile(pages))
+    # formatted explain shows each node in the tree AND a detail
+    # section — count distinct scan node ids, not raw mentions
+    ids = set(re.findall(r"\((\d+)\) Scan parquet", p))
+    ids |= set(re.findall(r"Scan parquet[^(\n]*\((\d+)\)", p))
+    assert len(ids) == 1
+    assert "EvalPython" not in p

@@ -312,6 +312,31 @@ def golden_lpa_communities(sf_dir: str, iterations: int = 5) -> list[dict]:
     return [{"id": v, "label": labels[v]} for v in sorted(adj)]
 
 
+def golden_host_profile(n_pages: int = 3000) -> list[dict]:
+    """Twin of textstats.host_profile over the first ``n_pages``
+    synthetic pages (page_row is the shared pure generator)."""
+    agg: dict[str, dict] = {}
+    for i in range(n_pages):
+        r = page_row(i)
+        host = r["url"].split("//", 1)[1].split("/", 1)[0]
+        a = agg.setdefault(host, {"n_pages": 0, "n_heldout": 0,
+                                  "chars": 0, "n_text": 0})
+        a["n_pages"] += 1
+        if r["text"] is None:
+            a["n_heldout"] += 1
+        else:
+            a["chars"] += len(r["text"])
+            a["n_text"] += 1
+    return [
+        {"host": h, "n_pages": a["n_pages"], "n_heldout": a["n_heldout"],
+         "n_chars": a["chars"] if a["n_text"] else None,
+         "avg_chars": (round_half_up(a["chars"] / a["n_text"], 2)
+                       if a["n_text"] else None),
+         "share": round_half_up(a["n_pages"] / n_pages, 6)}
+        for h, a in sorted(agg.items())
+    ]
+
+
 def golden_bpe_merges(sf_dir: str, n_merges: int = 20) -> list[dict]:
     """Twin of textstats.bpe_train over the raw documents table:
     char symbols, greedy most-frequent adjacent pair (ties: smallest
@@ -617,6 +642,10 @@ def main() -> None:
         ("merged", pa.string()), ("pair_count", pa.int64())]))
     write("lpa_communities", golden_lpa_communities(args.sf_dir), pa.schema([
         ("id", pa.int64()), ("label", pa.int64())]))
+    write("host_profile", golden_host_profile(), pa.schema([
+        ("host", pa.string()), ("n_pages", pa.int64()),
+        ("n_heldout", pa.int64()), ("n_chars", pa.int64()),
+        ("avg_chars", pa.float64()), ("share", pa.float64())]))
 
     print("media goldens...")
     write("media_metadata", golden_media_metadata(), pa.schema([
