@@ -154,21 +154,56 @@ class LakeTable:
 
         return spark.read.schema(StructType.fromJson(json.loads(schema_json)))
 
-    @staticmethod
-    def _merge_schema(old_json: Optional[str], df: DataFrame) -> str:
+    def _merge_schema(self, old_json: Optional[str], df: DataFrame) -> str:
         """Union of the recorded table schema and the batch's schema:
-        existing columns keep their position and type, new columns
-        append at the end (add-column evolution; type changes are not
-        evolution and keep the table's type)."""
+        existing columns keep their position, new columns append at the
+        end (add-column evolution). A batch whose column TYPE
+        contradicts the table's raises at write time — committing it
+        would land files the pinned schema can't read (a committed-but-
+        unreadable table is strictly worse than a failed write)."""
         from pyspark.sql.types import StructType
 
         if not old_json:
             return df.schema.json()
         old = StructType.fromJson(json.loads(old_json))
+        by_name = {f.name: f for f in old.fields}
+        for f in df.schema.fields:
+            prev = by_name.get(f.name)
+            if prev is not None and prev.dataType != f.dataType:
+                raise ValueError(
+                    f"{self.dir}: column {f.name!r} arrives as "
+                    f"{f.dataType.simpleString()} but the table schema "
+                    f"pins {prev.dataType.simpleString()} — type changes "
+                    "are not add-column evolution")
         fields = list(old.fields)
-        have = {f.name for f in fields}
-        fields += [f for f in df.schema.fields if f.name not in have]
+        fields += [f for f in df.schema.fields if f.name not in by_name]
         return StructType(fields).json()
+
+    def _check_evolution(self, entry: Optional[dict], df: DataFrame,
+                         evolve: bool) -> None:
+        """Reject ACCIDENTAL new columns: adding one is schema evolution
+        and must be opted into (``evolve_schema=True``) — a typo'd
+        column name in a producer batch must error, not silently fork a
+        junk column while NULLing the real one (table formats like
+        Iceberg gate evolution behind explicit DDL for the same
+        reason). Writer-side MISSING columns stay allowed: they land as
+        NULL (nullable add-column is safe in that direction)."""
+        if evolve or entry is None:
+            return
+        if entry.get("schema"):
+            have = {f["name"]
+                    for f in json.loads(entry["schema"])["fields"]}
+        else:
+            have = set(self._table_columns(entry))
+            if not have:
+                return
+        extra = [c for c in df.columns
+                 if c not in have and c not in (_SEQ, _TOMB)]
+        if extra:
+            raise ValueError(
+                f"{self.dir}: batch adds column(s) {extra} not in the "
+                "table schema — pass evolve_schema=True to add them, or "
+                "fix the producer")
 
     def _entry_for(self, snapshot: str) -> dict:
         """Latest non-skipped lineage entry for ``snapshot``; raises if
@@ -467,7 +502,7 @@ class LakeTable:
     def append(
         self, df: DataFrame, batch_id: Optional[str] = None,
         counters: Optional[dict] = None, partition_by: Optional[list[str]] = None,
-        mor: Optional[dict] = None,
+        mor: Optional[dict] = None, evolve_schema: bool = False,
     ) -> dict:
         """Fast append. On a partitioned table this is a pure file add:
         the new rows are written as fresh directories and the manifest
@@ -481,6 +516,7 @@ class LakeTable:
         if batch_id and batch_id in self.applied_batches():
             return {"skipped": True, "batch_id": batch_id}
         entry = self.current_entry()
+        self._check_evolution(entry, df, evolve_schema)
         old_dirs = (entry or {}).get("partition_dirs")
         if entry is not None and entry.get("mor") and _SEQ not in df.columns:
             raise ValueError(
@@ -505,7 +541,10 @@ class LakeTable:
                 sum(counts.values()), dirs, counts,
                 carried=len(dirs) - len(new_dirs), partition_by=partition_by,
                 mor=mor,
-                schema=self._merge_schema((entry or {}).get("schema"), df),
+                # legacy entries (no pinned schema) stay unpinned: pinning
+                # the batch's schema would drop old files' other columns
+                schema=(self._merge_schema((entry or {}).get("schema"), df)
+                        if entry is None or entry.get("schema") else None),
             )
         else:
             if self.exists():
@@ -526,6 +565,7 @@ class LakeTable:
         partition_by: Optional[list[str]] = None,
         delete_keys: Optional[DataFrame] = None,
         touched_keys: Optional[list[str]] = None,
+        evolve_schema: bool = False,
     ) -> dict:
         """Iceberg-style MERGE:
 
@@ -574,6 +614,7 @@ class LakeTable:
                 n_keys=len(touched_keys) if touched_keys else None,
             )
         entry = self.current_entry()
+        self._check_evolution(entry, updates, evolve_schema)
         if entry.get("mor"):
             raise ValueError(
                 f"{self.dir}: copy-on-write merge on a merge-on-read "
@@ -646,7 +687,8 @@ class LakeTable:
             f"merge:{when_matched}", batch_id, counters, snap_name,
             sum(rows_by.values()), dirs, rows_by, carried=carried,
             partition_by=partition_by,
-            schema=self._merge_schema(entry.get("schema"), result),
+            schema=(self._merge_schema(entry["schema"], result)
+                    if entry.get("schema") else None),
         )
 
     def overwrite_partitions(
@@ -656,6 +698,7 @@ class LakeTable:
         touched_keys: Optional[list[str]] = None,
         batch_id: Optional[str] = None,
         counters: Optional[dict] = None,
+        evolve_schema: bool = False,
     ) -> dict:
         """Dynamic partition overwrite (Iceberg INSERT OVERWRITE ...
         PARTITION): every partition named in ``touched_keys`` (or
@@ -668,6 +711,7 @@ class LakeTable:
         if batch_id and batch_id in self.applied_batches():
             return {"skipped": True, "batch_id": batch_id}
         entry = self.current_entry()
+        self._check_evolution(entry, df, evolve_schema)
         if entry is None or entry.get("partition_dirs") is None:
             return self._write_snapshot(
                 df, "overwrite_partitions", batch_id, counters, partition_by,
@@ -693,7 +737,8 @@ class LakeTable:
             "overwrite_partitions", batch_id, counters, snap_name,
             sum(rows_by.values()), dirs, rows_by, carried=carried,
             partition_by=partition_by,
-            schema=self._merge_schema(entry.get("schema"), df),
+            schema=(self._merge_schema(entry["schema"], df)
+                    if entry.get("schema") else None),
         )
 
     def merge_on_read(
@@ -706,6 +751,7 @@ class LakeTable:
         tombstone_keys: Optional[DataFrame] = None,
         partition_by: Optional[list[str]] = None,
         counters: Optional[dict] = None,
+        evolve_schema: bool = False,
     ) -> dict:
         """Iceberg-v2-style MERGE-ON-READ: the commit APPENDS the batch
         (pure file add, current snapshot never read — O(batch) I/O no
@@ -773,7 +819,8 @@ class LakeTable:
         # entry (replay skipped), never an applied-but-unresolvable state
         out = self.append(upd, batch_id=batch_id, counters=counters,
                           partition_by=partition_by,
-                          mor={"key": on, "policy": policy})
+                          mor={"key": on, "policy": policy},
+                          evolve_schema=evolve_schema)
         if not out.get("skipped"):
             out["mor"] = {"key": on, "policy": policy}
         return out

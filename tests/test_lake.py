@@ -526,7 +526,7 @@ def test_schema_evolution_add_column(spark, tbl):
                partition_by=["k"])
     tbl.append(spark.createDataFrame([(2, "b", 9.5)],
                                      "k int, v string, score double"),
-               partition_by=["k"])
+               partition_by=["k"], evolve_schema=True)
     got = rows(tbl.read(spark))
     assert got == [(1, "a", None), (2, "b", 9.5)]
     # writer-side column drop: the table keeps the column, rows are NULL
@@ -547,9 +547,33 @@ def test_schema_evolution_survives_merge_and_unpartitioned(spark, tbl):
                partition_by=["k"])
     tbl.merge_into(
         spark.createDataFrame([(2, "B", "x")], "k int, v string, tag string"),
-        on=["k"], partition_by=["k"])
+        on=["k"], partition_by=["k"], evolve_schema=True)
     assert rows(tbl.read(spark)) == [(1, "a", None), (2, "B", "x")]
     u = LakeTable(tbl.dir.rsplit("/", 1)[0], "u")
     u.append(spark.createDataFrame([(1, "a")], "k int, v string"))
-    u.append(spark.createDataFrame([(2, 7)], "k int, n int"))
+    u.append(spark.createDataFrame([(2, 7)], "k int, n int"),
+             evolve_schema=True)
     assert rows(u.read(spark)) == [(1, "a", None), (2, None, 7)]
+
+
+def test_schema_evolution_is_opt_in_and_type_safe(spark, tbl):
+    """A batch adding a column WITHOUT evolve_schema=True must error
+    (a typo'd producer column must not silently fork a junk column and
+    NULL the real one); a batch whose column type contradicts the
+    pinned schema must error at write time (committing it would leave
+    the table unreadable)."""
+    tbl.append(spark.createDataFrame([(1, "a")], "k int, v string"),
+               partition_by=["k"])
+    with pytest.raises(ValueError, match="evolve_schema"):
+        tbl.append(spark.createDataFrame([(2, "b", "oops")],
+                                         "k int, v string, vlaue string"),
+                   partition_by=["k"])
+    with pytest.raises(ValueError, match="evolve_schema"):
+        tbl.merge_into(spark.createDataFrame([(1, "A", 1)],
+                                             "k int, v string, extra int"),
+                       on=["k"], partition_by=["k"])
+    with pytest.raises(ValueError, match="type"):
+        tbl.append(spark.createDataFrame([(3, 7)], "k int, v int"),
+                   partition_by=["k"])
+    # the failed writes committed nothing
+    assert rows(tbl.read(spark)) == [(1, "a")]
