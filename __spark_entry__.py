@@ -1339,6 +1339,38 @@ ORDER BY id_a, id_b
 """
 
 
+def _q_budget_select(spark, sf_dir):
+    """Token-budget curation: keep the (score DESC, id) prefix of the
+    corpus whose running token total fits a 12k-token budget (score =
+    token count, i.e. longest-first — exercises the two-phase prefix
+    sum with a mid-bucket boundary cut). The oracle recomputes the
+    selection as the one-reducer global cumulative window the operator
+    is proven row-identical to."""
+    from knowledge_graph_spark.functions.vectors import n_ws_tokens
+    from knowledge_graph_spark.operators.sampling import budget_select
+
+    docs = _t(spark, sf_dir, "documents")
+    return budget_select(
+        docs, 12_000, score=n_ws_tokens("text").cast("double")
+    ).orderBy("doc_id")
+
+
+_SQL_BUDGET_SELECT = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x != ''))::BIGINT AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, CAST(n_tokens AS DOUBLE) AS score, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id) AS cum
+  FROM t WHERE n_tokens > 0
+)
+SELECT doc_id, score, n_tokens FROM c WHERE cum <= 12000 ORDER BY doc_id
+"""
+
+
 def _q_host_profile(spark, sf_dir):
     """Crawl census over 3,000 synthetic web pages: per-host page
     counts, held-out counts, char totals and corpus share — the skew
@@ -1918,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_part_aa": _q_order_part_aa,
         "lpa_communities": _q_lpa_communities,
         "host_profile": _q_host_profile,
+        "budget_select": _q_budget_select,
         "embedding_topk": _q_embedding_topk,
         "embedding_label_centroids": _q_embedding_label_centroids,
         # hash-sketch operators (rows-only)
@@ -1994,6 +2027,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _golden_sql("bpe_merges", "step"),
         "lpa_communities": _golden_sql("lpa_communities", "id"),
         "host_profile": _golden_sql("host_profile", "host"),
+        "budget_select": _SQL_BUDGET_SELECT,
         "mixture_sample": _golden_sql("mixture_sample", "source"),
         "hash_split": _golden_sql("hash_split", "source, split"),
         "minhash_pairs": _golden_sql("minhash_pairs", "id_a, id_b"),

@@ -177,3 +177,70 @@ def dsir_weights(docs: DataFrame, target: Column, id_col: str = "doc_id",
         .agg(F.count("*").alias("n_terms"),
              F.round(F.avg(log_ratio), 6).alias("dsir_weight"))
     )
+
+def budget_select(docs: DataFrame, budget: int, score: Column,
+                  id_col: str = "doc_id",
+                  tokens: Column | None = None,
+                  text_col: str = "text") -> DataFrame:
+    """Token-budget data selection: rank documents by
+    ``(score DESC, id ASC)`` and keep the prefix whose RUNNING token
+    total (inclusive) stays within ``budget`` — the curation step that
+    turns "we can afford N tokens" plus a quality/importance score
+    (:func:`dsir_weights`, quality metrics) into a concrete training
+    subset. ``score`` must be non-negative; zero-token documents are
+    never selected. Returns ``(doc_id, score, n_tokens)``.
+
+    Scale shape — a naive global ``ORDER BY`` window funnels the whole
+    corpus through ONE reducer; this is the distributed two-phase
+    prefix sum instead:
+
+    1. rows are bucketed by a MONOTONE transform of the score
+       (``floor(8·log2(score+1))``), so each bucket is a contiguous
+       block of the global ranking (ties share a bucket by
+       construction);
+    2. per-bucket token totals (one tiny aggregate, O(log score-range)
+       rows) prefix-sum on the driver — whole buckets that fit are
+       kept with a plain filter, buckets past the boundary are dropped
+       unread;
+    3. ONLY the single boundary bucket — ~1/K of the corpus — pays an
+       ordered running-sum window, seeded with the tokens the kept
+       buckets already consumed.
+
+    The result is row-identical to the one-reducer global window (the
+    oracle recomputes it that way)."""
+    from pyspark.sql import Window
+
+    if tokens is None:
+        from ..functions.vectors import n_ws_tokens
+
+        tokens = n_ws_tokens(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), score.alias("score"),
+        tokens.cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    keyed = base.withColumn(
+        "_b", F.floor(F.log2(F.col("score") + 1) * 8).cast("int")
+    ).persist()
+    stats = sorted(
+        keyed.groupBy("_b").agg(F.sum("n_tokens").alias("t")).collect(),
+        key=lambda r: -r["_b"],
+    )
+    consumed, full, boundary = 0, [], None
+    for r in stats:
+        if consumed + r["t"] <= budget:
+            full.append(r["_b"])
+            consumed += r["t"]
+        else:
+            boundary = r["_b"]
+            break
+    out = keyed.filter(F.col("_b").isin(full) if full else F.lit(False))
+    if boundary is not None:
+        w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+        bnd = (
+            keyed.filter(F.col("_b") == boundary)
+            .withColumn("_cum", F.sum("n_tokens").over(w))
+            .filter(F.col("_cum") <= F.lit(int(budget - consumed)))
+            .drop("_cum")
+        )
+        out = out.unionByName(bnd)
+    return out.drop("_b")

@@ -729,3 +729,26 @@ def test_bpe_train_sennrich_example(spark):
         (3, "low", "e", "lowe", 2),
         (4, "lowe", "r", "lower", 1),
     ]
+
+
+def test_budget_select_prefix_semantics(spark):
+    """Budget selection keeps exactly the (score desc, id) prefix whose
+    inclusive running token total fits: ties order by id, the boundary
+    document that would overflow is excluded, and a budget below the
+    first document selects nothing."""
+    from knowledge_graph_spark.operators.sampling import budget_select
+
+    docs = spark.createDataFrame(
+        [(1, "w " * 10), (2, "w " * 8), (3, "w " * 8),
+         (4, "w " * 5), (5, "w")],
+        ["doc_id", "text"])
+    score = F.size(F.expr(r"filter(split(text, '\\s+'), x -> x != '')")) \
+        .cast("double")
+    sel = lambda b: sorted(
+        r["doc_id"] for r in budget_select(docs, b, score=score).collect())
+    # cum: 10(1), 18(2), 26(3), 31(4), 32(5)
+    assert sel(27) == [1, 2, 3]
+    assert sel(31) == [1, 2, 3, 4]
+    assert sel(32) == [1, 2, 3, 4, 5]
+    assert sel(9) == []
+    assert sel(10) == [1]
