@@ -1339,6 +1339,33 @@ ORDER BY id_a, id_b
 """
 
 
+def _q_event_funnel(spark, sf_dir):
+    """Ordered view→click→purchase funnel per user: each step's
+    earliest timestamp strictly after the previous step's. Full SQL
+    oracle (the same per-step min-after-previous CTE chain)."""
+    from knowledge_graph_spark.operators.events import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"]).orderBy("user")
+
+
+_SQL_EVENT_FUNNEL = r"""
+WITH s1 AS (SELECT user_id AS "user", MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id AS "user", MIN(e.ts) AS t2
+       FROM events e JOIN s1 ON e.user_id = s1."user"
+       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+s3 AS (SELECT e.user_id AS "user", MIN(e.ts) AS t3
+       FROM events e JOIN s2 ON e.user_id = s2."user"
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+SELECT s1."user", t1, t2, t3,
+       CASE WHEN t3 IS NOT NULL THEN 3
+            WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS steps_completed
+FROM s1 LEFT JOIN s2 USING ("user") LEFT JOIN s3 USING ("user")
+ORDER BY "user"
+"""
+
+
 def _q_budget_select(spark, sf_dir):
     """Token-budget curation: keep the (score DESC, id) prefix of the
     corpus whose running token total fits a 12k-token budget (score =
@@ -1951,6 +1978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_communities": _q_lpa_communities,
         "host_profile": _q_host_profile,
         "budget_select": _q_budget_select,
+        "event_funnel": _q_event_funnel,
         "embedding_topk": _q_embedding_topk,
         "embedding_label_centroids": _q_embedding_label_centroids,
         # hash-sketch operators (rows-only)
@@ -2028,6 +2056,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_communities": _golden_sql("lpa_communities", "id"),
         "host_profile": _golden_sql("host_profile", "host"),
         "budget_select": _SQL_BUDGET_SELECT,
+        "event_funnel": _SQL_EVENT_FUNNEL,
         "mixture_sample": _golden_sql("mixture_sample", "source"),
         "hash_split": _golden_sql("hash_split", "source, split"),
         "minhash_pairs": _golden_sql("minhash_pairs", "id_a, id_b"),

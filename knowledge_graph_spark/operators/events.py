@@ -87,3 +87,46 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
         )
     )
+
+def funnel(events: DataFrame, steps: list[str], user_col: str = "user_id",
+           ts_col: str = "ts", type_col: str = "event_type") -> DataFrame:
+    """Ordered funnel analysis: for each user who performed
+    ``steps[0]``, the earliest timestamp of each successive step that
+    happens STRICTLY AFTER the previous step's timestamp (the classic
+    product-analytics funnel: a click only counts if it follows the
+    view that entered the user into the funnel). Returns
+    ``(user, t1..tk, steps_completed)``; a user stalls at the first
+    step they never perform in order (later columns NULL).
+
+    Scale shape: the event stream is pre-pruned to the funnel's event
+    types ONCE (filter + 3-column project pushed to the scan), then
+    each step is one user-keyed aggregate over only that step's
+    events, joined to the previous frontier (per-user one row —
+    broadcast when small, hash join keyed on the same user column
+    otherwise, so AQE reuses the partitioning). Every exchange carries
+    ``(user, timestamp)`` pairs. No windows, no per-user event
+    collection — hub users with millions of events cost nothing
+    beyond their aggregate partials."""
+    user, ts = F.col(user_col), F.col(ts_col)
+    base = (
+        events.select(user.alias("user"), ts.alias("_ts"),
+                      F.col(type_col).alias("_type"))
+        .filter(F.col("_type").isin(list(steps)))
+    )
+    out = (
+        base.filter(F.col("_type") == steps[0])
+        .groupBy("user").agg(F.min("_ts").alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev = f"t{i - 1}"
+        nxt = (
+            base.filter(F.col("_type") == step)
+            .join(out.select("user", prev), "user")
+            .filter(F.col("_ts") > F.col(prev))
+            .groupBy("user").agg(F.min("_ts").alias(f"t{i}"))
+        )
+        out = out.join(nxt, "user", "left")
+    done = F.lit(0)
+    for i in range(1, len(steps) + 1):
+        done = F.when(F.col(f"t{i}").isNotNull(), F.lit(i)).otherwise(done)
+    return out.withColumn("steps_completed", done)

@@ -78,3 +78,30 @@ def test_salted_join_matches_plain(spark, events):
     salted = salted_join(events, dim, "event_type", n_salts=8).agg(
         F.sum("weight")).first()[0]
     assert salted == plain
+
+
+def test_funnel_strict_order_and_stall(spark):
+    """A user whose click precedes their first view stalls at step 1
+    (strictly-after semantics); a user with events in order completes;
+    the earliest qualifying timestamp wins at every step."""
+    from datetime import datetime
+
+    from knowledge_graph_spark.operators.events import funnel
+
+    T = lambda s: datetime(2026, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: view@1, click@3 (also an earlier click@0 that must
+        # NOT count), purchase@5
+        (1, T(0), "click"), (1, T(1), "view"), (1, T(3), "click"),
+        (1, T(5), "purchase"),
+        # user 2: click before the only view -> stalls at view
+        (2, T(2), "view"), (2, T(1), "click"),
+        # user 3: never views -> absent from the funnel
+        (3, T(1), "click"), (3, T(2), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r["user"]: (r["t1"], r["t2"], r["t3"], r["steps_completed"])
+           for r in funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert set(got) == {1, 2}
+    assert got[1] == (T(1), T(3), T(5), 3)
+    assert got[2] == (T(2), None, None, 1)
