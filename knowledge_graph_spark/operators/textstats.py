@@ -381,10 +381,12 @@ def bpe_train(docs: DataFrame, n_merges: int = 20,
         lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], top[0]["pair_count"]
         merged = lhs + rhs
         merges.append((step, lhs, rhs, merged, cnt))
+        # CASE arms are evaluated in order, so element_at never sees an
+        # empty accumulator (guaranteed short-circuit, ANSI-mode safe)
         apply = F.expr(
             "aggregate(syms, cast(array() as array<string>), (acc, s) -> "
-            f"case when size(acc) > 0 and element_at(acc, -1) = {_lit(lhs)} "
-            f"and s = {_lit(rhs)} "
+            "case when size(acc) = 0 then array(s) "
+            f"when element_at(acc, -1) = {_lit(lhs)} and s = {_lit(rhs)} "
             f"then concat(slice(acc, 1, size(acc) - 1), array({_lit(merged)})) "
             "else concat(acc, array(s)) end)"
         )

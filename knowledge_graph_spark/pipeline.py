@@ -101,6 +101,7 @@ def run_pipeline(
     partitions: int | None = None,
     link_entities: bool = True,
     batch_suffix: str | None = None,
+    dedupe_pages: bool = False,
 ) -> dict:
     """One batch of the KG construction pipeline.
 
@@ -111,8 +112,28 @@ def run_pipeline(
     node rows update, existing edge properties persist (ON CREATE).
     For high-frequency incremental ingestion use streaming/ingest.py,
     which processes only the new pages per micro-batch.
+
+    INPUT CONTRACT: ``pages`` must be url-unique — the extraction merge
+    runs ``dedupe=False`` (its shuffle skipped because crawl snapshots
+    are url-keyed by construction), so duplicate urls in one batch
+    would land duplicate rows in every downstream table. A batch that
+    may carry re-delivered urls (two file drops of the same crawl)
+    passes ``dedupe_pages=True``: one deterministic keep-newest window
+    (max ``warc_ts``, content-hash tiebreak — the same rule the
+    streaming path always applies, where triggers genuinely coalesce
+    drops). Off by default because it is a full shuffle of the RAW
+    page bytes, which a url-unique 100 TB crawl should not pay.
     """
     graph_id = graph_id or default_graph_id()
+    if dedupe_pages:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("url").orderBy(
+            F.desc("warc_ts"), F.xxhash64("html"))
+        pages = (
+            pages.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn")
+        )
     sfx = f"@{batch_suffix}" if batch_suffix else ""
     counters: dict = {"graph_id": graph_id}
     stage_s: dict = {}
@@ -235,13 +256,26 @@ def run_pipeline(
             warehouse.vacuum(keep_last=2)
             return counters
         names = g_nodes.select("name")
-        links = same_as_edges(names)
-        warehouse.same_as.overwrite(links, batch_id=f"{graph_id}{sfx}/same_as")
+        # graph-scoped partition: the same_as table is shared by every
+        # graph in the warehouse, so a plain overwrite() would let this
+        # run clobber another graph's links — and a crash-resume (the
+        # same_as batch already applied, canonical not) would then
+        # canonicalize THIS graph with whatever graph wrote last
+        links = same_as_edges(names).withColumn("graph_id", F.lit(graph_id))
+        warehouse.same_as.overwrite_partitions(
+            links, partition_by=["graph_id"],
+            batch_id=f"{graph_id}{sfx}/same_as", touched_keys=[graph_id],
+        )
         stage_s["linking"] = round(time.time() - t0, 2)
         t0 = time.time()
-        # persist: the mapping DAG (CC + representative joins) feeds the
-        # broadcast build, the merge, and the counter — one compute
-        mapping = canonical_mapping(warehouse.same_as.read(spark)).persist()
+        # read back THIS graph's partition (authoritative on resume);
+        # a linkless graph writes no partition dir — fall back to the
+        # in-hand (empty) frame. persist: the mapping DAG (CC +
+        # representative joins) feeds the broadcast build, the merge,
+        # and the counter — one compute
+        g_links = warehouse.same_as.read_partitions(spark, [graph_id])
+        mapping = canonical_mapping(
+            g_links if g_links is not None else links).persist()
         counters["linked_names"] = mapping.count()
         canon = g_nodes.join(F.broadcast(mapping), on="name", how="left").withColumn(
             "canonical_id", F.coalesce("canonical_name", "name")

@@ -179,6 +179,27 @@ class LakeTable:
         fields += [f for f in df.schema.fields if f.name not in by_name]
         return StructType(fields).json()
 
+    def _check_partition_spec(self, entry: Optional[dict],
+                              partition_by: Optional[list[str]]) -> None:
+        """A write's partition_by must match the table's recorded
+        partition spec: a mismatched spec would mix differently-shaped
+        keys in one partition_dirs index ('g|3' vs 'g'), after which
+        every prefix-matched prune (partition-scoped merges, DELETE
+        reach) indexes the wrong key positions and silently misses
+        partitions it should rewrite. A partitioned table also cannot
+        be appended/merged unpartitioned (that path would de-partition
+        it on the next full rewrite). ``overwrite``/``compact`` are
+        exempt: they replace the whole layout deliberately."""
+        spec = (entry or {}).get("partition_spec")
+        if spec is None:
+            return
+        if partition_by is None or list(partition_by) != list(spec):
+            raise ValueError(
+                f"{self.dir}: partition_by={list(partition_by) if partition_by else None} "
+                f"conflicts with the table's recorded partition spec "
+                f"{list(spec)} — pass the recorded spec (or overwrite() "
+                "to re-layout)")
+
     def _check_evolution(self, entry: Optional[dict], df: DataFrame,
                          evolve: bool) -> None:
         """Reject ACCIDENTAL new columns: adding one is schema evolution
@@ -517,6 +538,7 @@ class LakeTable:
             return {"skipped": True, "batch_id": batch_id}
         entry = self.current_entry()
         self._check_evolution(entry, df, evolve_schema)
+        self._check_partition_spec(entry, partition_by)
         old_dirs = (entry or {}).get("partition_dirs")
         if entry is not None and entry.get("mor") and _SEQ not in df.columns:
             raise ValueError(
@@ -615,6 +637,7 @@ class LakeTable:
             )
         entry = self.current_entry()
         self._check_evolution(entry, updates, evolve_schema)
+        self._check_partition_spec(entry, partition_by)
         if entry.get("mor"):
             raise ValueError(
                 f"{self.dir}: copy-on-write merge on a merge-on-read "
@@ -712,6 +735,7 @@ class LakeTable:
             return {"skipped": True, "batch_id": batch_id}
         entry = self.current_entry()
         self._check_evolution(entry, df, evolve_schema)
+        self._check_partition_spec(entry, partition_by)
         if entry is None or entry.get("partition_dirs") is None:
             return self._write_snapshot(
                 df, "overwrite_partitions", batch_id, counters, partition_by,
@@ -885,18 +909,23 @@ class LakeTable:
         return entry
 
     def _table_columns(self, entry: dict) -> list[str]:
-        """Column names of the stored files (one footer read, no job)."""
+        """Column names of the stored files (one footer read, no job).
+        Falls back to the entry's snapshot directory for unpartitioned
+        tables, so schema checks never silently no-op there."""
         import pyarrow.parquet as pq
 
-        for paths in (entry.get("partition_dirs") or {}).values():
-            for rel in paths:
-                d = os.path.join(self.dir, rel)
-                for root, _dirs, files in os.walk(d):
-                    for f in files:
-                        if f.endswith(".parquet"):
-                            return pq.ParquetFile(
-                                os.path.join(root, f)
-                            ).schema_arrow.names
+        dirs = [os.path.join(self.dir, rel)
+                for paths in (entry.get("partition_dirs") or {}).values()
+                for rel in paths]
+        if not dirs and entry.get("snapshot"):
+            dirs = [os.path.join(self.dir, entry["snapshot"])]
+        for d in dirs:
+            for root, _dirs, files in os.walk(d):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        return pq.ParquetFile(
+                            os.path.join(root, f)
+                        ).schema_arrow.names
         return []
 
     def _prune_delete_keys(self, spark: SparkSession, condition: str,
@@ -975,9 +1004,22 @@ class LakeTable:
                 kept, partition_by=spec, touched_keys=sorted(touched),
                 batch_id=batch_id,
             )
+        if entry is not None and entry.get("mor"):
+            # rewriting RESOLVED rows would silently drop the mor spec
+            # and the _seq/_tomb bookkeeping — the next merge_on_read
+            # would then refuse the table as copy-on-write
+            raise ValueError(
+                f"{self.dir}: delete_where on a merge-on-read table — "
+                "append tombstones via merge_on_read(), or compact() "
+                "first")
         current = self.read(spark)
         kept = current.filter(~F.coalesce(F.expr(condition), F.lit(False)))
-        return self._write_snapshot(kept, f"delete:{condition}", batch_id)
+        # the full-rewrite fallback must keep the table's partition
+        # layout: dropping it would silently de-partition the table
+        # (read_partitions -> None, partition-scoped merges gone)
+        spec = (entry or {}).get("partition_spec")
+        return self._write_snapshot(kept, f"delete:{condition}", batch_id,
+                                    partition_by=spec)
 
     def vacuum(self, keep_last: int = 2) -> list[str]:
         """Drop snapshot directories not reachable from the newest

@@ -63,11 +63,30 @@ def start_kg_ingest(
     or rewritten per trigger (url keys hash across every partition
     bucket, so copy-on-write merges degenerate to O(table) as soon as a
     batch exceeds ~bucket-count urls). Readers resolve each key to its
-    winning write: extracted/triples/nodes last-writer-wins (a re-crawl
+    winning write: extracted/triples last-writer-wins (a re-crawl
     replaces its rows; a re-crawl with ZERO triples tombstones them),
-    edges first-writer-wins (reference ON CREATE SET). Every
+    NODE rows last-writer-wins per (graph_id, id) — an entity absent
+    from a re-crawl persists, exactly the reference's MERGE semantics
+    (kg_writer.py:24 — MERGE updates, never deletes) — and edges
+    first-writer-wins (reference ON CREATE SET). Every
     ``compact_every`` batches the MOR history folds into a fresh base
-    snapshot so read amplification stays bounded.
+    snapshot (and superseded snapshots are vacuumed) so read
+    amplification and disk stay bounded.
+
+    Batch identity is a CONTENT fingerprint (order-insensitive xxhash64
+    over the batch's (url, warc_ts, text, html) rows — a re-crawl with
+    changed content is a NEW batch), not the bare epoch number:
+    Spark's epoch counter restarts at 0 with a fresh
+    ``checkpoint_dir``, and an epoch-keyed id would then collide with
+    the warehouse's already-applied batches — every early micro-batch
+    of NEW data silently skipped as a replay (data loss). With content
+    ids, a replay of the same drop skips under ANY checkpoint (the
+    restart-idempotence contract), while new data always applies. One
+    caveat remains documented: after checkpoint loss the epoch-derived
+    MERGE sequence restarts too, so a url RE-crawled across the loss
+    can lose last-writer resolution to its pre-loss row — continue a
+    lost stream into a compacted warehouse or a fresh graph_id if
+    re-crawl ordering matters.
     """
     from ..operators.extraction import extract, triples_table
     from ..operators.graph_build import materialize_graph
@@ -77,7 +96,10 @@ def start_kg_ingest(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        bid = f"stream/{graph_id}/{batch_id}"
+        sig = batch_df.agg(
+            F.expr("bit_xor(xxhash64(url, warc_ts, text, html))").alias("s")
+        ).first()["s"]
+        bid = f"stream/{graph_id}/{sig & 0xFFFFFFFFFFFFFFFF:016x}"
         # one trigger can deliver the same url twice (two file drops in
         # one batch): keep the newest crawl so downstream merges stay
         # key-unique and node/triple tables never hold duplicate rows
@@ -123,6 +145,11 @@ def start_kg_ingest(
                       warehouse.nodes, warehouse.edges, warehouse.dropped):
                 if t.exists():
                     t.compact(spark, batch_id=f"{bid}/compact/{t.dir}")
+                    # reclaim superseded snapshots right away: a
+                    # long-running stream otherwise keeps one full table
+                    # copy per compact cycle and an O(batches) manifest
+                    # that every commit reparses
+                    t.vacuum(keep_last=2)
 
     return (
         pages_stream.writeStream
@@ -163,6 +190,7 @@ def windowed_event_counts(
 def streaming_dedup(
     pages_stream: DataFrame, watermark: str = "1 hour",
     ts_col: str = "warc_ts", content_col: str = "text",
+    fallback_col: str | None = "html",
 ) -> DataFrame:
     """Streaming exact-content dedup: drop a page whose content hash
     was already seen within the watermark horizon (re-crawls, mirror
@@ -174,14 +202,21 @@ def streaming_dedup(
     unwatermarked dropDuplicates grows state forever). Cross-horizon
     duplicates are the batch operators' job (the MERGE keys make
     re-applying them idempotent anyway). The state key is the 256-bit
-    content hash, not the body, so per-key state is ~100 bytes."""
+    content hash, not the body, so per-key state is ~100 bytes.
+
+    NULL-content rows (the held-out slice ships ``text = NULL`` to be
+    recovered from html) hash their ``fallback_col`` instead —
+    dropDuplicates groups NULL keys together, so hashing the text
+    column alone would keep only the FIRST held-out page per horizon
+    and silently discard every other one as a "duplicate"."""
     if "_content_hash" in pages_stream.columns:
         raise ValueError(
             "input already has a _content_hash column; streaming_dedup "
             "would silently overwrite and drop it")
-    hashed = pages_stream.withColumn(
-        "_content_hash", F.sha2(F.col(content_col), 256)
-    )
+    content = F.col(content_col).cast("binary")
+    if fallback_col and fallback_col in pages_stream.columns:
+        content = F.coalesce(content, F.col(fallback_col).cast("binary"))
+    hashed = pages_stream.withColumn("_content_hash", F.sha2(content, 256))
     return (
         hashed.withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["_content_hash"])

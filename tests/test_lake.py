@@ -615,3 +615,44 @@ def test_read_changes_drives_incremental_consumer(spark, tmp_path):
         prev = s
     full = {r["k"]: r["v"] for r in t.read(spark).collect()}
     assert state == full == {2: "B", 3: "c"}
+
+
+def test_delete_where_fallback_keeps_partition_layout(spark, tbl):
+    """A data-column DELETE that cannot prune must NOT de-partition the
+    table: the rewritten snapshot keeps the recorded partition spec so
+    partition-scoped reads and merges keep working."""
+    tbl.append(spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 1)], "k int, v string, pk int"),
+        partition_by=["pk"])
+    tbl.delete_where(spark, "v = 'a'")
+    entry = tbl.current_entry()
+    assert entry.get("partition_spec") == ["pk"]
+    assert rows(tbl.read_partitions(spark, ["1"])) == [(2, "b", 1)]
+    assert rows(tbl.read(spark)) == [(2, "b", 1)]
+
+
+def test_delete_where_rejects_mor_table(spark, tmp_path):
+    """delete_where on a merge-on-read table must raise — a resolved
+    rewrite would silently drop the mor spec and strand the stream."""
+    t = LakeTable(str(tmp_path), "mor")
+    t.merge_on_read(
+        spark.createDataFrame([(1, "a", 0)], "k int, v string, pk int"),
+        on=["k"], seq=1, partition_by=["pk"])
+    with pytest.raises(ValueError, match="merge-on-read"):
+        t.delete_where(spark, "v = 'a'")
+
+
+def test_partition_spec_mismatch_is_loud(spark, tbl):
+    """Writing with a different partition_by than the table's recorded
+    spec (or none at all) must error — mixed key shapes corrupt the
+    manifest's partition index and partition-scoped merges then miss
+    partitions silently."""
+    tbl.append(spark.createDataFrame(
+        [(1, "a", 0)], "k int, v string, pk int"), partition_by=["pk"])
+    df = spark.createDataFrame([(2, "b", 1)], "k int, v string, pk int")
+    with pytest.raises(ValueError, match="partition spec"):
+        tbl.append(df, partition_by=["pk", "k"])
+    with pytest.raises(ValueError, match="partition spec"):
+        tbl.append(df)
+    with pytest.raises(ValueError, match="partition spec"):
+        tbl.merge_into(df, on=["k"], partition_by=["k"])

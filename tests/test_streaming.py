@@ -374,3 +374,44 @@ def test_streaming_dedup_rejects_hash_column_collision(spark):
         [("u", "t", "h")], "url string, text string, _content_hash string")
     with _pytest.raises(ValueError):
         streaming_dedup(df)
+
+
+def test_streaming_dedup_null_text_pages_survive(spark, tmp_path):
+    """Held-out pages ship text = NULL (content lives in html). NULL
+    keys group together in dropDuplicates, so hashing text alone would
+    keep only the FIRST held-out page per horizon — the hash must fall
+    back to the html bytes, keeping distinct held-out pages and still
+    dropping a true duplicate (same html re-sent)."""
+    import datetime as dt
+
+    from knowledge_graph_spark.streaming.ingest import streaming_dedup
+
+    drop_dir = str(tmp_path / "pages")
+    schema = "url string, warc_ts timestamp, text string, html binary"
+
+    def pg(url, minute, text, html):
+        return (url, dt.datetime(2024, 1, 1, 10, minute), text, html)
+
+    emitted: list = []
+
+    def sink(batch_df, _bid):
+        emitted.extend(batch_df.collect())
+
+    spark.createDataFrame(
+        [pg("u/h1", 0, None, b"<p>one</p>"),
+         pg("u/h2", 1, None, b"<p>two</p>"),
+         pg("u/h1dup", 2, None, b"<p>one</p>"),
+         pg("u/t1", 3, "visible text", b"<p>x</p>")], schema
+    ).coalesce(1).write.parquet(f"{drop_dir}/b0.parquet")
+    stream = spark.readStream.schema(schema).parquet(drop_dir + "/*")
+    q = (
+        streaming_dedup(stream, watermark="1 hour")
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    urls = sorted(r["url"] for r in emitted)
+    assert "u/h1" in urls and "u/h2" in urls and "u/t1" in urls
+    assert "u/h1dup" not in urls
