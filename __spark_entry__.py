@@ -1366,6 +1366,109 @@ ORDER BY "user"
 """
 
 
+def _q_retention(spark, sf_dir):
+    """Daily purchase-cohort retention matrix: users grouped by the
+    day of their first purchase; per (cohort, k) the distinct members
+    purchasing k days later plus the retention rate. Full SQL oracle
+    (epoch-aligned day buckets, so no timezone enters)."""
+    from knowledge_graph_spark.operators.events import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase")
+    return retention_cohorts(ev, period_days=1).orderBy(
+        "cohort_epoch", "periods_later")
+
+
+_SQL_RETENTION = r"""
+WITH a AS (SELECT DISTINCT user_id AS u,
+                  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS p
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT u, MIN(p) AS cohort FROM a GROUP BY u),
+s AS (SELECT cohort, COUNT(*)::BIGINT AS cohort_size FROM c GROUP BY cohort)
+SELECT c.cohort * 86400 AS cohort_epoch, a.p - c.cohort AS periods_later,
+       COUNT(DISTINCT a.u)::BIGINT AS active_users, s.cohort_size,
+       ROUND(COUNT(DISTINCT a.u) / CAST(s.cohort_size AS DOUBLE), 6)
+         AS retention_rate
+FROM a JOIN c USING (u) JOIN s ON s.cohort = c.cohort
+GROUP BY 1, 2, s.cohort_size
+ORDER BY 1, 2
+"""
+
+
+def _q_partsupp_sssp(spark, sf_dir):
+    """Weighted shortest paths (distributed Bellman-Ford, 8 rounds)
+    over the sparse part↔supplier co-purchase graph (l_quantity = 1;
+    parallel edges collapse to their min l_linenumber weight). Source =
+    smallest node id, derived in-plan. Semantics pinned to ≤8-hop
+    paths, which both sides compute exactly: after r rounds the
+    operator's dist is the min over paths of at most r edges, and the
+    oracle's recursive CTE enumerates exactly those. Integer weights
+    keep double sums exact."""
+    from knowledge_graph_spark.operators.graph_analytics import (
+        weighted_shortest_paths)
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.filter(F.col("l_quantity") == 1).select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        F.col("l_linenumber").alias("w"),
+    )
+    return (
+        weighted_shortest_paths(edges, weight="w", max_rounds=8)
+        .orderBy("id")
+    )
+
+
+_SQL_PARTSUPP_SSSP = r"""
+WITH RECURSIVE
+e0 AS (SELECT 'p' || l_partkey AS src, 's' || l_suppkey AS dst,
+              MIN(l_linenumber) AS w
+       FROM lineitem WHERE l_quantity = 1 GROUP BY 1, 2),
+sym AS (SELECT src, dst, MIN(w) AS w FROM (
+          SELECT src, dst, w FROM e0
+          UNION ALL SELECT dst, src, w FROM e0) GROUP BY 1, 2),
+walk(id, dist, hops) AS (
+  SELECT (SELECT MIN(src) FROM sym), CAST(0 AS DOUBLE), 0
+  UNION
+  SELECT s.dst, w.dist + s.w, w.hops + 1
+  FROM walk w JOIN sym s ON s.src = w.id
+  WHERE w.hops < 8
+)
+SELECT id, MIN(dist) AS dist FROM walk GROUP BY id ORDER BY id
+"""
+
+
+def _q_span_dedup(spark, sf_dir):
+    """Span-level corpus dedup: disjoint 8-word blocks, global
+    first-occurrence survives; per doc the block counts and the
+    reassembled clean text. Full SQL oracle re-derives the blocks and
+    the first-occurrence rule from the raw documents table."""
+    from knowledge_graph_spark.operators.dedup import span_dedup
+
+    return span_dedup(_t(spark, sf_dir, "documents"),
+                      block_words=8).orderBy("doc_id")
+
+
+_SQL_SPAN_DEDUP = r"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+n AS (SELECT doc_id, ws,
+             unnest(generate_series(0,
+                 CAST(ceil(len(ws) / 8.0) AS BIGINT) - 1)) AS bidx
+      FROM w),
+b AS (SELECT doc_id, CAST(bidx AS INT) AS bidx,
+             array_to_string(ws[bidx*8+1 : bidx*8+8], ' ') AS blk FROM n),
+f AS (SELECT doc_id, bidx, blk,
+             row_number() OVER (PARTITION BY blk
+                                ORDER BY doc_id, bidx) AS rn
+      FROM b)
+SELECT doc_id, COUNT(*)::BIGINT AS n_blocks,
+       SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       COALESCE(string_agg(CASE WHEN rn = 1 THEN blk END, ' '
+                           ORDER BY bidx), '') AS clean_text
+FROM f GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _q_budget_select(spark, sf_dir):
     """Token-budget curation: keep the (score DESC, id) prefix of the
     corpus whose running token total fits a 12k-token budget (score =
@@ -1979,6 +2082,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_profile": _q_host_profile,
         "budget_select": _q_budget_select,
         "event_funnel": _q_event_funnel,
+        "event_retention": _q_retention,
+        "partsupp_sssp": _q_partsupp_sssp,
+        "span_dedup": _q_span_dedup,
         "embedding_topk": _q_embedding_topk,
         "embedding_label_centroids": _q_embedding_label_centroids,
         # hash-sketch operators (rows-only)
@@ -2057,6 +2163,9 @@ def oracle_sql() -> dict[str, str]:
         "host_profile": _golden_sql("host_profile", "host"),
         "budget_select": _SQL_BUDGET_SELECT,
         "event_funnel": _SQL_EVENT_FUNNEL,
+        "event_retention": _SQL_RETENTION,
+        "partsupp_sssp": _SQL_PARTSUPP_SSSP,
+        "span_dedup": _SQL_SPAN_DEDUP,
         "mixture_sample": _golden_sql("mixture_sample", "source"),
         "hash_split": _golden_sql("hash_split", "source, split"),
         "minhash_pairs": _golden_sql("minhash_pairs", "id_a, id_b"),

@@ -80,6 +80,7 @@ def main():
         "decontamination", "mixture_sample", "hash_split",
         "pack_sequences", "bm25_search",
         "tfidf_terms", "bpe_pairs", "dsir_weights", "partsupp_bfs",
+        "partsupp_sssp", "span_dedup", "event_retention",
         "embedding_topk", "embedding_neardups",
     ]
     qs = entrymod.queries()

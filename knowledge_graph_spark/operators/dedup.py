@@ -158,6 +158,69 @@ def dedup_exact_best(docs: DataFrame, priority_col: str,
     return docs.join(keys, on=id_col, how="left_semi")
 
 
+def span_dedup(docs: DataFrame, block_words: int = 8,
+               id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Span-level dedup WITHIN the corpus: every document is cut into
+    disjoint ``block_words``-word blocks, and only the globally FIRST
+    occurrence of each distinct block survives (first = smallest
+    (doc_id, block index) — deterministic). Returns one row per doc:
+    ``(doc_id, n_blocks, n_dropped, clean_text)`` where clean_text is
+    the surviving blocks rejoined in order ('' when everything was
+    boilerplate seen earlier). This is the removal form of corpus-level
+    duplication cleaning — the C4 three-sentence-span / CCNet
+    line-dedup policy (Raffel et al. 2020 §2.2, Wenzek et al. 2020)
+    re-expressed for whitespace token streams; :func:`cross_doc_gram_stats`
+    is the measurement-only companion.
+
+    Scale shape: the keep/drop DECISION never moves text — blocks hash
+    to 64-bit keys and the first-occurrence winner is one min-aggregate
+    over ``(hash, doc_id, idx)`` triples (map-side partial). Block text
+    then moves exactly twice, which is the floor for a reassembling
+    span dedup: once through the hash-keyed join that flags winners,
+    once through the doc-keyed reassembly aggregate. Skew-safe: a
+    boilerplate block repeated 10^9 times is ONE row after the winner
+    aggregate, and its instances stream through the spillable join and
+    per-doc aggregation without collecting anywhere. Collision caveat
+    as everywhere in this module: distinct blocks colliding in xxhash64
+    (P ≈ n²/2^65) would merge their survivor decision."""
+    k = int(block_words)
+    blocks = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.split(F.col(text_col), " ").alias("_toks"))
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(
+                f"transform(sequence(0, cast(ceil(size(_toks) / {k}.0) "
+                f"as int) - 1), b -> "
+                f"array_join(slice(_toks, b * {k} + 1, {k}), ' '))"
+            )).alias("bidx", "blk"),
+        )
+        .withColumn("_h", F.xxhash64("blk"))
+    )
+    winners = (
+        blocks.select("_h", "doc_id", "bidx")
+        .groupBy("_h")
+        .agg(F.min(F.struct("doc_id", "bidx")).alias("_w"))
+        .select("_h", F.col("_w.doc_id").alias("doc_id"),
+                F.col("_w.bidx").alias("bidx"),
+                F.lit(True).alias("_keep"))
+    )
+    flagged = blocks.join(winners, ["_h", "doc_id", "bidx"], "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum(F.when(F.col("_keep").isNull(), 1).otherwise(0))
+            .alias("n_dropped"),
+            F.array_join(F.expr(
+                "transform(array_sort(collect_list(CASE WHEN _keep "
+                "THEN struct(bidx, blk) END)), x -> x.blk)"
+            ), " ").alias("clean_text"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingling (shared by minhash / jaccard)
 # ---------------------------------------------------------------------------

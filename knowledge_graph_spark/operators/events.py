@@ -130,3 +130,54 @@ def funnel(events: DataFrame, steps: list[str], user_col: str = "user_id",
     for i in range(1, len(steps) + 1):
         done = F.when(F.col(f"t{i}").isNotNull(), F.lit(i)).otherwise(done)
     return out.withColumn("steps_completed", done)
+
+
+def retention_cohorts(events: DataFrame, period_days: int = 7,
+                      user_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """Cohort retention: users are grouped by the epoch-aligned
+    ``period_days`` bucket of their FIRST event (their cohort); for
+    each (cohort, k) the row counts the distinct cohort members active
+    k periods after joining, plus the retention rate. The classic
+    growth-analytics matrix (k = 0 rows equal the cohort size by
+    construction).
+
+    ``cohort_epoch`` is the cohort bucket's start as epoch seconds —
+    a timezone-free long, so a SQL oracle reproduces it exactly.
+
+    Scale shape: project to (user, period) and distinct ONCE (the only
+    pass over the raw stream — a hub user with millions of events
+    collapses to their few active periods map-side before the
+    exchange), one user-keyed min-aggregate for cohorts, one user-keyed
+    join back (AQE reuses the distinct's hash partitioning), one
+    (cohort, k) count-distinct aggregate, and a broadcast join of the
+    per-cohort sizes (one row per cohort — weeks, not users). Every
+    exchange carries (long, long) pairs; event payloads are pruned at
+    the scan."""
+    secs = period_days * 86400
+    period = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+              / F.lit(secs * 1_000_000)).cast("long")
+    activity = (
+        events.select(F.col(user_col).alias("user"),
+                      period.alias("period"))
+        .distinct()
+    )
+    cohorts = activity.groupBy("user").agg(F.min("period").alias("cohort"))
+    sizes = cohorts.groupBy("cohort").agg(
+        F.count("*").alias("cohort_size"))
+    ret = (
+        activity.join(cohorts, "user")
+        .groupBy("cohort", (F.col("period") - F.col("cohort")).alias("k"))
+        .agg(F.countDistinct("user").alias("active_users"))
+    )
+    return (
+        ret.join(F.broadcast(sizes), "cohort")
+        .select(
+            (F.col("cohort") * secs).alias("cohort_epoch"),
+            F.col("k").alias("periods_later"),
+            "active_users",
+            "cohort_size",
+            F.round(F.col("active_users") / F.col("cohort_size"), 6)
+            .alias("retention_rate"),
+        )
+    )

@@ -409,3 +409,77 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     pairs.unpersist()
     nodes.unpersist()
     return out
+
+
+def weighted_shortest_paths(
+    edges: DataFrame, weight: str = "w",
+    sources: DataFrame | None = None, src: str = "src", dst: str = "dst",
+    max_rounds: int = 20, directed: bool = False,
+) -> DataFrame:
+    """Single/multi-source weighted shortest paths (distributed
+    Bellman-Ford): returns ``(id, dist)`` — the minimum total edge
+    weight from any source to every reachable node, sources at 0.0.
+    Parallel edges collapse to their minimum weight; weights are
+    assumed non-negative (a negative cycle would relax until
+    ``max_rounds``, as in any Bellman-Ford). ``sources``
+    is a one-column ``id`` frame; when None the smallest endpoint id
+    is the single source, derived in-plan.
+
+    This is the Pregel SSSP formulation (Malewicz et al. 2010) as
+    DataFrame rounds: each round relaxes every edge out of the current
+    distance frontier — one shuffle keyed by the receiving endpoint
+    (min-aggregate of candidate distances, partial map-side) plus one
+    (id)-keyed min against the standing distances. The edge list is
+    shuffled ONCE (repartitioned by ``src``, persisted) and that
+    partitioning is reused every round; all per-round exchanges carry
+    ``(id, double)`` pairs. Distances are ``localCheckpoint``-ed per
+    round and the loop exits when a round improves nothing (the
+    improvement check reads the checkpointed frames — an anti-join,
+    no recompute). Rounds needed = the shortest-path tree's hop depth,
+    small on small-diameter web/KG graphs; ``max_rounds`` bounds
+    adversarial chains. Integer-valued weights keep the double sums
+    exact, so results value-match an exact SQL oracle."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                     F.col(weight).cast("double").alias("w"))
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"),
+                     F.col("src").alias("dst"), "w"))
+    e = (
+        e.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst").agg(F.min("w").alias("w"))
+        .repartition(F.col("src"))
+        .persist()
+    )
+    if sources is None:
+        sources = e.select(F.least(F.min("src"), F.min("dst")).alias("id"))
+    dist = (
+        sources.select("id").filter(F.col("id").isNotNull()).distinct()
+        .select("id", F.lit(0.0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist  # rows whose dist improved last round
+    for _ in range(max_rounds):
+        cand = (
+            frontier.join(e, frontier["id"] == e["src"])
+            .select(F.col("dst").alias("id"),
+                    (F.col("dist") + F.col("w")).alias("dist"))
+            .groupBy("id").agg(F.min("dist").alias("dist"))
+        )
+        # improved = candidates strictly better than the standing dist
+        improved = (
+            cand.join(dist.withColumnRenamed("dist", "_old"), "id", "left")
+            .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+            .select("id", "dist")
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.join(improved, "id", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    e.unpersist()
+    return dist

@@ -375,3 +375,70 @@ def test_label_propagation_two_triangles_bridge(spark):
     got = {r["id"]: r["label"] for r in label_propagation(edges).collect()}
     assert got == {"a": "a", "b": "a", "c": "a",
                    "d": "c", "e": "c", "f": "c"}
+
+
+def test_weighted_sssp_prefers_light_path(spark):
+    """The 2-hop path a-c-b (weight 2) beats the direct edge a-b
+    (weight 10); parallel edges collapse to their min weight; nodes
+    outside the source's component are absent; multi-source takes the
+    min over sources."""
+    from knowledge_graph_spark.operators.graph_analytics import (
+        weighted_shortest_paths)
+
+    edges = spark.createDataFrame(
+        [("a", "b", 10.0), ("a", "b", 12.0), ("a", "c", 1.0),
+         ("c", "b", 1.0), ("x", "y", 1.0)],
+        "src string, dst string, w double")
+    # default source = min id = "a"
+    got = {r["id"]: r["dist"]
+           for r in weighted_shortest_paths(edges).collect()}
+    assert got == {"a": 0.0, "b": 2.0, "c": 1.0}
+    srcs = spark.createDataFrame([("b",), ("x",)], "id string")
+    got2 = {r["id"]: r["dist"]
+            for r in weighted_shortest_paths(edges, sources=srcs).collect()}
+    assert got2 == {"b": 0.0, "c": 1.0, "a": 2.0, "x": 0.0, "y": 1.0}
+    # directed: c->b unusable backwards from b
+    got3 = {r["id"]: r["dist"] for r in weighted_shortest_paths(
+        edges, sources=spark.createDataFrame([("c",)], "id string"),
+        directed=True).collect()}
+    assert got3 == {"c": 0.0, "b": 1.0}
+
+
+def test_weighted_sssp_matches_python_twin_on_random_graphs(spark):
+    """Seeded random weighted graphs vs a pure-Python Dijkstra twin,
+    including a hop-bounded round budget (dist = min over <= r-edge
+    paths, the operator's documented fixed-rounds semantics)."""
+    import heapq
+    import random
+
+    from knowledge_graph_spark.operators.graph_analytics import (
+        weighted_shortest_paths)
+
+    for seed in (7, 42):
+        rng = random.Random(seed)
+        n = 40
+        edges = [(rng.randrange(n), rng.randrange(n), rng.randint(1, 9))
+                 for _ in range(120)]
+        adj: dict = {}
+        for u, v, w in edges:
+            if u == v:
+                continue
+            for a, b in ((u, v), (v, u)):
+                cur = adj.setdefault(a, {})
+                cur[b] = min(cur.get(b, 1 << 30), w)
+        src = min(min(u for u, _, _ in edges), min(v for _, v, _ in edges))
+        dist = {src: 0.0}
+        pq = [(0.0, src)]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist.get(u, float("inf")):
+                continue
+            for v, w in adj.get(u, {}).items():
+                nd = d + w
+                if nd < dist.get(v, float("inf")):
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        df = spark.createDataFrame(edges, "src long, dst long, w long")
+        got = {r["id"]: r["dist"]
+               for r in weighted_shortest_paths(df, max_rounds=60).collect()}
+        assert got == dist

@@ -752,3 +752,34 @@ def test_budget_select_prefix_semantics(spark):
     assert sel(32) == [1, 2, 3, 4, 5]
     assert sel(9) == []
     assert sel(10) == [1]
+
+
+def test_span_dedup_first_occurrence_and_reassembly(spark):
+    """A block repeated across docs survives only at its smallest
+    (doc_id, block index); clean text is the kept blocks in order; a
+    doc made entirely of already-seen blocks comes back empty (not
+    absent); a short tail block (< block size) is its own block."""
+    blk_a = "a b c d"           # 4-word blocks for a small test
+    blk_b = "e f g h"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{blk_a} {blk_b}"),          # both blocks first here
+            (2, f"{blk_b} {blk_a} tail"),     # both dups + fresh tail
+            (3, blk_a),                       # fully duplicate doc
+        ],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_blocks"], r["n_dropped"], r["clean_text"])
+           for r in D.span_dedup(docs, block_words=4).collect()}
+    assert out[1] == (2, 0, f"{blk_a} {blk_b}")
+    assert out[2] == (3, 2, "tail")
+    assert out[3] == (1, 1, "")
+
+
+def test_span_dedup_within_doc_repetition(spark):
+    """The same block repeated INSIDE one doc keeps only its first
+    instance — corpus-level span dedup subsumes self-repetition."""
+    docs = spark.createDataFrame(
+        [(5, "x y x y z")], "doc_id long, text string")
+    out = D.span_dedup(docs, block_words=2).collect()[0]
+    assert (out["n_blocks"], out["n_dropped"]) == (3, 1)
+    assert out["clean_text"] == "x y z"

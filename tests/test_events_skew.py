@@ -105,3 +105,35 @@ def test_funnel_strict_order_and_stall(spark):
     assert set(got) == {1, 2}
     assert got[1] == (T(1), T(3), T(5), 3)
     assert got[2] == (T(2), None, None, 1)
+
+
+def test_retention_cohorts_matrix(spark):
+    """Two daily cohorts with churn: counts, sizes, and rates per
+    (cohort, k); a user's k=0 row always exists; rejoining after a
+    silent period counts again (it's retention, not contiguity)."""
+    from datetime import datetime
+
+    from knowledge_graph_spark.operators.events import retention_cohorts
+
+    D = lambda d, h=6: datetime(2024, 1, d, h)
+    rows = [
+        # cohort day 1: users 1, 2. user 1 active d1, d3; user 2 d1 only
+        (1, D(1), "purchase"), (1, D(3), "purchase"),
+        (1, D(3, 9), "purchase"),  # same day twice -> one active period
+        (2, D(1), "purchase"),
+        # cohort day 2: user 3, active d2 and d4
+        (3, D(2), "purchase"), (3, D(4), "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    out = {(r["cohort_epoch"], r["periods_later"]):
+           (r["active_users"], r["cohort_size"], r["retention_rate"])
+           for r in retention_cohorts(ev, period_days=1).collect()}
+    day1 = int(datetime(2024, 1, 1).timestamp())
+    day2 = day1 + 86400
+    assert out == {
+        (day1, 0): (2, 2, 0.5 * 4 / 2),  # 2/2 = 1.0
+        (day1, 2): (1, 2, 0.5),
+        (day2, 0): (1, 1, 1.0),
+        (day2, 2): (1, 1, 1.0),
+    }
