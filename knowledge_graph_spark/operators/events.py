@@ -98,10 +98,15 @@ def funnel(events: DataFrame, steps: list[str], user_col: str = "user_id",
     ``(user, t1..tk, steps_completed)``; a user stalls at the first
     step they never perform in order (later columns NULL).
 
-    Scale shape: the event stream is pre-pruned to the funnel's event
-    types ONCE (filter + 3-column project pushed to the scan), then
-    each step is one user-keyed aggregate over only that step's
-    events, joined to the previous frontier (per-user one row —
+    Scale shape: the event stream is pruned to the funnel's event
+    types and 3 columns (filter + project pushed to the scan) and the
+    pruned stream is PERSISTED — each step's aggregate reads the
+    cached pruned events, not the raw table again (k steps would
+    otherwise re-scan the source k+1 times). The cache lives until
+    Spark evicts it (it backs the returned lazy frame, so the operator
+    cannot unpersist it itself). Each step is one user-keyed aggregate
+    over only that step's events, joined to the previous frontier
+    (per-user one row —
     broadcast when small, hash join keyed on the same user column
     otherwise, so AQE reuses the partitioning). Every exchange carries
     ``(user, timestamp)`` pairs. No windows, no per-user event
@@ -112,6 +117,7 @@ def funnel(events: DataFrame, steps: list[str], user_col: str = "user_id",
         events.select(user.alias("user"), ts.alias("_ts"),
                       F.col(type_col).alias("_type"))
         .filter(F.col("_type").isin(list(steps)))
+        .persist()
     )
     out = (
         base.filter(F.col("_type") == steps[0])
@@ -167,8 +173,12 @@ def retention_cohorts(events: DataFrame, period_days: int = 7,
         F.count("*").alias("cohort_size"))
     ret = (
         activity.join(cohorts, "user")
+        # count, not countDistinct: (user, period) is distinct and a
+        # user has one cohort, so rows are already unique per
+        # (cohort, k, user) — a distinct-aggregate here would re-pay
+        # an expand over the largest exchange for nothing
         .groupBy("cohort", (F.col("period") - F.col("cohort")).alias("k"))
-        .agg(F.countDistinct("user").alias("active_users"))
+        .agg(F.count("*").alias("active_users"))
     )
     return (
         ret.join(F.broadcast(sizes), "cohort")

@@ -27,6 +27,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Canonical undirected distinct edge set ``(a, b)`` with a < b:
+    each edge oriented by (least, greatest), self-loops dropped. The
+    shared first step of every undirected operator here — one place to
+    fix canonicalization (e.g. NULL-endpoint policy) for all of them."""
+    return (
+        edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                     F.greatest(F.col(src), F.col(dst)).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iterations: int = 10, damping: float = 0.85,
              n_nodes: int | None = None) -> DataFrame:
@@ -101,12 +114,7 @@ def triangle_counts(edges: DataFrame, src: str = "src",
     blow up on hub nodes — the skew story that makes this shape safe
     on a web-scale graph. Three shuffles: degree aggregate, wedge
     self-join on the low endpoint, closing-edge join."""
-    und = (
-        edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
-                     F.greatest(F.col(src), F.col(dst)).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    und = _undirected(edges, src, dst)
     deg = (
         und.select(F.explode(F.array("a", "b")).alias("id"))
         .groupBy("id").agg(F.count("*").alias("d"))
@@ -214,13 +222,7 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
     soon as a round removes nothing. Rounds are O(peeling depth), which
     is tiny on power-law graphs (hubs survive, tails fall out in the
     first rounds)."""
-    cur = (
-        edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
-                     F.greatest(F.col(src), F.col(dst)).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    cur = _undirected(edges, src, dst).localCheckpoint(eager=True)
 
     def _deg(pairs: DataFrame) -> DataFrame:
         # checkpointed so the fixpoint check, the survivor filter, and
@@ -265,12 +267,7 @@ def adamic_adar(edges: DataFrame, src: str = "src", dst: str = "dst",
     self-join: three shuffles total (degree aggregate, center
     aggregate, pair aggregate) plus the existing-edge anti-join, and
     every exchange carries ids and one double, never payloads."""
-    und = (
-        edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
-                     F.greatest(F.col(src), F.col(dst)).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    und = _undirected(edges, src, dst)
     sym = und.select(F.col("a").alias("id"), F.col("b").alias("nbr")).unionByName(
         und.select(F.col("b").alias("id"), F.col("a").alias("nbr")))
     deg = sym.groupBy("id").agg(F.count("*").alias("d"))
@@ -323,12 +320,7 @@ def label_propagation(edges: DataFrame, src: str = "src",
     aggregation. Every exchange carries ``(id, label, long)`` — never
     payloads. Labels are ``localCheckpoint``-ed per round so the plan
     stays flat."""
-    und = (
-        edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
-                     F.greatest(F.col(src), F.col(dst)).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    und = _undirected(edges, src, dst)
     sym = (
         und.select(F.col("a").alias("id"), F.col("b").alias("nbr"))
         .unionByName(und.select(F.col("b").alias("id"),
@@ -369,6 +361,10 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     keyed by the receiving endpoint plus a one-row in-plan broadcast
     (the L2 norm); scores are ``localCheckpoint``-ed per round so the
     plan stays flat; every exchange carries ``(id, double)`` pairs."""
+    if iterations < 1:
+        # the loop must run at least once — auth is only defined inside
+        # it, so 0 would crash on None rather than return anything
+        raise ValueError(f"iterations={iterations}: need >= 1")
     pairs = edges.select(F.col(src).alias("src"),
                          F.col(dst).alias("dst")).distinct().persist()
     nodes = (

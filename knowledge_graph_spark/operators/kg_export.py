@@ -76,7 +76,15 @@ def training_triples(edges: DataFrame, negatives: int = 2,
     (bumped by one, mod N, when it collides with the true tail) —
     deterministic, uniform over the entity vocabulary, and row-local.
     Ids come from :func:`dense_ids` over endpoints (entities) and
-    relation types."""
+    relation types. ``negatives`` must be >= 1: Spark's
+    ``sequence(0, negatives - 1)`` steps DOWNWARD when the end is
+    below the start, so 0 would silently emit bogus k = 0 and k = -1
+    rows instead of none."""
+    if negatives < 1:
+        raise ValueError(
+            f"negatives={negatives}: need >= 1 corruption per triple "
+            "(to export positives only, project the distinct edge set "
+            "through dense_ids directly)")
     e = edges.select(F.col(src).alias("_h"), F.col(dst).alias("_t"),
                      F.col(rel).alias("_r")).distinct()
     ents = dense_ids(

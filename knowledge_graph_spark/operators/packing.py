@@ -60,6 +60,15 @@ def pack_sequences(docs: DataFrame, capacity: int, n_shards: int = 8,
         toks = n_ws_tokens(text_col)
     else:
         toks = F.coalesce(F.col(tokens_col), F.lit(0))
+    # the long cast must be loud: a string id would cast to NULL,
+    # collapsing every row into one NULL shard with NULL doc_ids —
+    # silently useless output (hash string ids to longs upstream)
+    id_type = docs.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"pack_sequences needs an integral {id_col!r} "
+            f"(got {id_type}); derive one upstream, e.g. "
+            "xxhash64 of the natural key")
     slim = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.pmod(F.col(id_col).cast("long"), F.lit(n_shards))

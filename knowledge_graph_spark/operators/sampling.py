@@ -42,8 +42,10 @@ def deterministic_sample(df: DataFrame, rate: float, key_col: str = "doc_id",
                          seed: int = SPARK_SEED) -> DataFrame:
     """Content-keyed Bernoulli sample: keeps a row iff
     ``pmod(xxhash64(key), 1e6) < rate * 1e6``. Row-local and
-    reproducible; disjoint samples of the same table can be carved by
-    varying ``seed``."""
+    reproducible. Varying ``seed`` gives INDEPENDENT samples — they
+    overlap at ~rate₁·rate₂, they are not disjoint (two hash functions
+    don't partition the key space). To carve disjoint subsets use one
+    hash with non-overlapping threshold bands: :func:`hash_split`."""
     return df.filter(_keep_expr(key_col, F.lit(int(round(rate * M))), seed))
 
 
@@ -187,8 +189,9 @@ def budget_select(docs: DataFrame, budget: int, score: Column,
     total (inclusive) stays within ``budget`` — the curation step that
     turns "we can afford N tokens" plus a quality/importance score
     (:func:`dsir_weights`, quality metrics) into a concrete training
-    subset. ``score`` must be non-negative; zero-token documents are
-    never selected. Returns ``(doc_id, score, n_tokens)``.
+    subset. ``score`` must be non-negative; zero-token documents and
+    NULL-score documents are never selected (an unscored row has no
+    defined rank). Returns ``(doc_id, score, n_tokens)``.
 
     Scale shape — a naive global ``ORDER BY`` window funnels the whole
     corpus through ONE reducer; this is the distributed two-phase
@@ -217,7 +220,7 @@ def budget_select(docs: DataFrame, budget: int, score: Column,
     base = docs.select(
         F.col(id_col).alias("doc_id"), score.alias("score"),
         tokens.cast("long").alias("n_tokens"),
-    ).filter(F.col("n_tokens") > 0)
+    ).filter((F.col("n_tokens") > 0) & F.col("score").isNotNull())
     keyed = base.withColumn(
         "_b", F.floor(F.log2(F.col("score") + 1) * 8).cast("int")
     ).persist()
@@ -243,4 +246,8 @@ def budget_select(docs: DataFrame, budget: int, score: Column,
             .drop("_cum")
         )
         out = out.unionByName(bnd)
+    # the cache served the driver prefix (stats collect); release it
+    # rather than pin a corpus-sized projection for the session — the
+    # consumer's action re-derives the cheap 3-column plan instead
+    keyed.unpersist()
     return out.drop("_b")

@@ -64,7 +64,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
     lhs = (left.withColumn("_pay", F.lit(None).cast(pay_type))
                .withColumn("_side", F.lit(1)))
 
-    rhs = right.select(
+    # NULL join keys must never match: SQL equality (the DuckDB ASOF
+    # oracle) says NULL = NULL is not a match, but the window below
+    # groups NULL partition keys together — so null-key right rows are
+    # dropped here, and null-key LEFT rows land alone in the NULL
+    # partition and correctly emit with a NULL payload
+    rhs = right.filter(F.col(on).isNotNull()).select(
         F.col(on), F.col(ts_col).alias("_rts"),
         F.struct(*[F.col(c).alias(c) for c in payload]).alias("_pay"),
     ).withColumn("_side", F.lit(0))

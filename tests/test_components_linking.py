@@ -442,3 +442,26 @@ def test_weighted_sssp_matches_python_twin_on_random_graphs(spark):
         got = {r["id"]: r["dist"]
                for r in weighted_shortest_paths(df, max_rounds=60).collect()}
         assert got == dist
+
+
+def test_training_triples_rejects_zero_negatives(spark):
+    """negatives=0 must error loudly: sequence(0, -1) steps DOWN in
+    Spark, so it would silently emit bogus k=0 and k=-1 rows."""
+    import pytest
+
+    from knowledge_graph_spark.operators.kg_export import training_triples
+
+    edges = spark.createDataFrame(
+        [("a", "b", "r")], "src string, dst string, rel_type string")
+    with pytest.raises(ValueError, match="negatives"):
+        training_triples(edges, negatives=0)
+
+
+def test_hits_rejects_zero_iterations(spark):
+    import pytest
+
+    from knowledge_graph_spark.operators.graph_analytics import hits
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="iterations"):
+        hits(edges, iterations=0)

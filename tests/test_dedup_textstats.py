@@ -783,3 +783,16 @@ def test_span_dedup_within_doc_repetition(spark):
     out = D.span_dedup(docs, block_words=2).collect()[0]
     assert (out["n_blocks"], out["n_dropped"]) == (3, 1)
     assert out["clean_text"] == "x y z"
+
+
+def test_budget_select_ignores_null_scores(spark):
+    """NULL-score rows have no rank: they must be excluded, not crash
+    the driver-side bucket prefix (NULL bucket reached sorted())."""
+    from knowledge_graph_spark.operators.sampling import budget_select
+
+    docs = spark.createDataFrame(
+        [(1, "a b", 2.0), (2, "c d", None), (3, "e f", 1.0)],
+        "doc_id long, text string, s double")
+    got = sorted(r["doc_id"] for r in
+                 budget_select(docs, 4, score=F.col("s")).collect())
+    assert got == [1, 3]

@@ -85,3 +85,12 @@ def test_null_text_packs_as_zero_tokens(spark):
     assert out[1]["n_tokens"] == 0
     # zero-length doc rides along in whichever sequence is open
     assert out[1]["seq_id"] == out[0]["seq_id"]
+
+
+def test_pack_sequences_rejects_non_integral_ids(spark):
+    """A string id would cast('long') to NULL and silently collapse
+    every row into one NULL shard — the operator must refuse instead."""
+    docs = spark.createDataFrame(
+        [("doc_1", "a b c")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="integral"):
+        pack_sequences(docs, capacity=4)

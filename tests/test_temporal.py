@@ -103,3 +103,24 @@ def test_range_join_bucket_boundaries(spark):
     assert got == [201, 202, 203]
     # no duplicate pairs from the two candidate buckets
     assert len(got) == len(set(got))
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """SQL equality semantics (the DuckDB ASOF oracle): a NULL left
+    key matches NO right row — even a null-key right row with an
+    earlier timestamp — and still emits with a NULL payload (left
+    join keeps the row)."""
+    from datetime import datetime
+
+    from knowledge_graph_spark.operators.temporal import asof_join
+
+    T = lambda s: datetime(2026, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(None, T(5), "l0"), (1, T(5), "l1")],
+        "user_id int, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(None, T(1), "r_null"), (1, T(2), "r_one")],
+        "user_id int, ts timestamp, v string")
+    got = {r["tag"]: r["r_v"]
+           for r in asof_join(left, right, on="user_id").collect()}
+    assert got == {"l0": None, "l1": "r_one"}
