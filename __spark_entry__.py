@@ -1604,6 +1604,89 @@ ORDER BY query_id, rank
 """
 
 
+def _q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (DPR-style): per labeled query, the top-5
+    most-similar vectors with a DIFFERENT label. Exact O(N·Q) DuckDB
+    oracle."""
+    from knowledge_graph_spark.operators.simsearch import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return (
+        hard_negatives(emb, queries, k=5)
+        .select("query_id", "rank", "vec_id", "label",
+                F.round("cosine", 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
+_SQL_HARD_NEGATIVES = """
+WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+                  CAST(embedding AS DOUBLE[]) AS qvec
+           FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec) DESC,
+                                     e.vec_id) AS rank
+  FROM embeddings e JOIN q ON e.label <> q.qlabel
+)
+SELECT query_id, rank, vec_id, label, ROUND(cos, 6) AS cosine
+FROM scored WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def _q_partsupp_walks(spark, sf_dir):
+    """Deterministic DeepWalk corpus: 2 walks of 3 steps from each of
+    the 20 lowest part nodes over the sparse co-purchase graph. Next
+    hop = md5-ranked neighbor, so the unrolled SQL oracle recomputes
+    every step exactly (md5 is engine-portable)."""
+    from knowledge_graph_spark.operators.kg_export import random_walks
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.filter(F.col("l_quantity") == 1).select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    starts = li.filter(F.col("l_partkey") < 20).select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("id")).distinct()
+    return (
+        random_walks(edges, length=3, n_walks=2, sources=starts)
+        .orderBy("walk_id", "step")
+    )
+
+
+_SQL_PARTSUPP_WALKS = r"""
+WITH e0 AS (SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst
+            FROM lineitem WHERE l_quantity = 1),
+sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+s0 AS (SELECT DISTINCT ('p' || l_partkey) || '#' || w AS walk_id,
+                       'p' || l_partkey AS node
+       FROM lineitem, (VALUES (0), (1)) t(w) WHERE l_partkey < 20),
+s1 AS (SELECT s0.walk_id, s.dst AS node FROM s0 JOIN sym s ON s.src = s0.node
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY s0.walk_id
+                ORDER BY md5(s0.walk_id || '/1/' || s.dst)) = 1),
+s2 AS (SELECT s1.walk_id, s.dst AS node FROM s1 JOIN sym s ON s.src = s1.node
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY s1.walk_id
+                ORDER BY md5(s1.walk_id || '/2/' || s.dst)) = 1),
+s3 AS (SELECT s2.walk_id, s.dst AS node FROM s2 JOIN sym s ON s.src = s2.node
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY s2.walk_id
+                ORDER BY md5(s2.walk_id || '/3/' || s.dst)) = 1)
+SELECT walk_id, step, node FROM (
+  SELECT walk_id, 0 AS step, node FROM s0
+  UNION ALL SELECT walk_id, 1, node FROM s1
+  UNION ALL SELECT walk_id, 2, node FROM s2
+  UNION ALL SELECT walk_id, 3, node FROM s3
+) ORDER BY walk_id, step
+"""
+
+
 def _q_embedding_label_centroids(spark, sf_dir):
     """Vector aggregate: per-label mean embedding norm + count (array
     math JVM-side; DuckDB mirrors with list_aggregate)."""
@@ -2085,6 +2168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_retention": _q_retention,
         "partsupp_sssp": _q_partsupp_sssp,
         "span_dedup": _q_span_dedup,
+        "hard_negatives": _q_hard_negatives,
+        "partsupp_walks": _q_partsupp_walks,
         "embedding_topk": _q_embedding_topk,
         "embedding_label_centroids": _q_embedding_label_centroids,
         # hash-sketch operators (rows-only)
@@ -2166,6 +2251,8 @@ def oracle_sql() -> dict[str, str]:
         "event_retention": _SQL_RETENTION,
         "partsupp_sssp": _SQL_PARTSUPP_SSSP,
         "span_dedup": _SQL_SPAN_DEDUP,
+        "hard_negatives": _SQL_HARD_NEGATIVES,
+        "partsupp_walks": _SQL_PARTSUPP_WALKS,
         "mixture_sample": _golden_sql("mixture_sample", "source"),
         "hash_split": _golden_sql("hash_split", "source, split"),
         "minhash_pairs": _golden_sql("minhash_pairs", "id_a, id_b"),

@@ -81,6 +81,7 @@ def main():
         "pack_sequences", "bm25_search",
         "tfidf_terms", "bpe_pairs", "dsir_weights", "partsupp_bfs",
         "partsupp_sssp", "span_dedup", "event_retention",
+        "partsupp_walks", "hard_negatives",
         "embedding_topk", "embedding_neardups",
     ]
     qs = entrymod.queries()

@@ -118,3 +118,66 @@ def training_triples(edges: DataFrame, negatives: int = 2,
         .select("h_id", "r_id", "t_id", F.col("k").cast("long").alias("k"),
                 neg.cast("long").alias("neg_t_id"))
     )
+
+
+def random_walks(edges: DataFrame, length: int = 4, n_walks: int = 1,
+                 src: str = "src", dst: str = "dst",
+                 sources: DataFrame | None = None,
+                 directed: bool = False) -> DataFrame:
+    """Deterministic uniform random walks over the distinct edge set —
+    the DeepWalk/node2vec(p=q=1) corpus export (Perozzi et al. 2014):
+    every source node starts ``n_walks`` walks of up to ``length``
+    steps; step t moves to the neighbor minimizing
+    ``md5(walk_id || '/' || t || '/' || neighbor)`` — a deterministic
+    uniform pick (hash ranking), reproducible on any cluster size and
+    recomputable by a plain SQL oracle (md5 is engine-portable, unlike
+    Spark's xxhash64). A walk ends early at a dead end (directed sink).
+    Returns ``(walk_id, step, node)``; walk_id = ``node#w``.
+
+    Scale shape per step: ONE join of the frontier against the
+    symmetrized edge list (repartitioned by src ONCE, persisted, the
+    partitioning reused every step — only the frontier moves) and one
+    walk-keyed min_by aggregate. A hub node's deg(hub) candidate rows
+    collapse map-side in the aggregate's partial min; exchanges carry
+    (walk_id, node) string pairs, never payloads. Frontiers are
+    ``localCheckpoint``-ed so the plan stays flat over ``length``."""
+    if n_walks < 1:
+        # same downward-sequence trap as training_triples(negatives=0)
+        raise ValueError(f"n_walks={n_walks}: need >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not directed:
+        e = e.unionByName(e.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    e = e.filter(F.col("src") != F.col("dst")).distinct() \
+         .repartition(F.col("src")).persist()
+    if sources is None:
+        sources = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id"))).distinct()
+        )
+    starts = sources.select(F.col("id").cast("string").alias("node")) \
+        .filter(F.col("node").isNotNull()).distinct()
+    frontier = (
+        starts.select(
+            "node",
+            F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("_w"),
+        )
+        .select(F.concat_ws("#", "node", "_w").alias("walk_id"), "node")
+        .localCheckpoint(eager=True)
+    )
+    out = frontier.select("walk_id", F.lit(0).alias("step"), "node")
+    for step in range(1, length + 1):
+        rank = F.md5(F.concat_ws(
+            "/", F.col("walk_id"), F.lit(str(step)), e["dst"]))
+        frontier = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .groupBy("walk_id")
+            .agg(F.min_by(e["dst"], rank).alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        out = out.unionByName(
+            frontier.select("walk_id", F.lit(step).alias("step"), "node"))
+    e.unpersist()
+    return out

@@ -224,3 +224,41 @@ def ivf_topk(assignments: DataFrame, centroids: DataFrame,
     # but a hot cell at 10^9 vectors still holds millions of rows — the
     # salted two-phase pass keeps the final ranking off a single reducer
     return _per_query_topk(scored, k)
+
+
+def hard_negatives(vectors: DataFrame, queries: DataFrame, k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label", qid_col: str = "query_id",
+                   qvec_col: str = "query_vec",
+                   qlabel_col: str = "query_label") -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for
+    each labeled query, the top-k most-similar corpus vectors whose
+    label DIFFERS from the query's — the highest-loss negatives a
+    dual-encoder trains against (DPR, Karpukhin et al. 2020 §4.2).
+    Returns ``(query_id, vec_id, label, cosine, rank)``; self-matches
+    fall out with the label filter.
+
+    Same scale shape as :func:`brute_force_topk`: queries broadcast,
+    scoring is JVM ``aggregate(zip_with(...))`` codegen, the mismatch
+    filter drops same-label rows BEFORE any exchange, and the salted
+    two-phase top-k keeps every reducer's input bounded. For 10^9-row
+    corpora compose with the IVF path instead: assign queries to
+    probed cells, filter labels, then this ranking."""
+    v = vectors.select(F.col(id_col).alias("vec_id"),
+                       F.col(label_col).alias("label"),
+                       F.col(vec_col).alias("vec"),
+                       _norm(vec_col).alias("vnorm"))
+    q = queries.select(F.col(qid_col).alias("query_id"),
+                       F.col(qlabel_col).alias("qlabel"),
+                       F.col(qvec_col).alias("qvec"),
+                       _norm(qvec_col).alias("qnorm"))
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "query_id", "vec_id", "label",
+            (_dot("vec", "qvec")
+             / (F.col("vnorm") * F.col("qnorm"))).alias("cosine"),
+        )
+    )
+    return _per_query_topk(scored, k)

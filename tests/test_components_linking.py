@@ -465,3 +465,38 @@ def test_hits_rejects_zero_iterations(spark):
     edges = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError, match="iterations"):
         hits(edges, iterations=0)
+
+
+def test_random_walks_deterministic_and_dead_ends(spark):
+    """Walks are reproducible (same md5 ranking every run and at any
+    partitioning), distinct walk ids from one node diverge, a directed
+    dead end truncates the walk, and every step follows a real edge."""
+    from knowledge_graph_spark.operators.kg_export import random_walks
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("b", "d"), ("c", "a")],
+        "src string, dst string")
+    out1 = random_walks(edges, length=5, n_walks=2).collect()
+    out2 = random_walks(edges.repartition(7), length=5,
+                        n_walks=2).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    bywalk: dict = {}
+    for r in out1:
+        bywalk.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    und = {("a", "b"), ("b", "c"), ("b", "d"), ("c", "a")}
+    legal = und | {(b, a) for a, b in und}
+    for wid, steps in bywalk.items():
+        assert steps[0] == wid.split("#")[0]
+        for t in range(1, max(steps) + 1):
+            assert (steps[t - 1], steps[t]) in legal
+    # directed: c -> (nothing), so a walk from c via the only path
+    # a->b choices... use a pure sink: z has no out-edges
+    sink = spark.createDataFrame([("y", "z")], "src string, dst string")
+    out3 = random_walks(
+        sink, length=4, directed=True,
+        sources=spark.createDataFrame([("z",)], "id string")).collect()
+    assert [(r["walk_id"], r["step"], r["node"]) for r in out3] == [
+        ("z#0", 0, "z")]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_walks"):
+        random_walks(edges, n_walks=0)

@@ -796,3 +796,25 @@ def test_budget_select_ignores_null_scores(spark):
     got = sorted(r["doc_id"] for r in
                  budget_select(docs, 4, score=F.col("s")).collect())
     assert got == [1, 3]
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    """Top-k similar vectors must all carry a label different from the
+    query's; the query vector itself (same label) never appears; ranks
+    follow cosine desc."""
+    rows = [
+        (1, [1.0, 0.0], 0),   # query
+        (2, [1.0, 0.01], 0),  # same label: excluded even though closest
+        (3, [1.0, 0.1], 1),   # best negative
+        (4, [0.0, 1.0], 2),   # orthogonal negative
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    q = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("query_vec"))
+    got = [(r["vec_id"], r["rank"])
+           for r in S.hard_negatives(emb, q, k=2)
+           .orderBy("rank").collect()]
+    assert got == [(3, 1), (4, 2)]
