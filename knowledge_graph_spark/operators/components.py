@@ -98,7 +98,8 @@ def connected_components(
     edges: DataFrame, max_iter: int = 20,
     driver_threshold: int = 2_000_000,
 ) -> DataFrame:
-    """edges(u long, v long) -> labels(node long, component long).
+    """edges(u, v) -> labels(node, component), any orderable id type
+    (both endpoints must share it; the output follows it).
 
     component = min node id reachable. Isolated nodes (absent from
     edges) are the caller's concern — they are their own component.
@@ -111,6 +112,15 @@ def connected_components(
     identical labeling (min-id representative), so the switch is purely
     physical — same contract at every scale.
     """
+    # endpoint types must agree up front: labels mix u- and v-side
+    # values, and even the u != v self-loop filter would die on an
+    # ANSI cast before any clearer error could surface
+    ut = edges.schema["u"].dataType
+    if edges.schema["v"].dataType != ut:
+        raise ValueError(
+            f"edge endpoint types differ ({ut.simpleString()} vs "
+            f"{edges.schema['v'].dataType.simpleString()}) — labels "
+            "mix both sides; cast one side first")
     cur = edges.select("u", "v").filter(F.col("u") != F.col("v")).distinct()
 
     n_edges = cur.count()
@@ -123,9 +133,13 @@ def connected_components(
         # few, large slices: a default-parallelism parallelize would give
         # every downstream stage dozens of micro-tasks
         slices = max(1, len(labels) // 500_000)
+        # schema follows the input id type (string doc ids are as valid
+        # as longs — a hardcoded long schema crashed on them)
+        from pyspark.sql import types as T
         return spark.createDataFrame(
             spark.sparkContext.parallelize(labels, slices),
-            "node long, component long",
+            T.StructType([T.StructField("node", ut, False),
+                          T.StructField("component", ut, False)]),
         )
     prev_sig = None
     for _ in range(max_iter):

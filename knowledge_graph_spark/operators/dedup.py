@@ -93,10 +93,15 @@ def _bucket_pairs(keyed: DataFrame, key_cols: list[str], max_bucket: int,
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Groups of byte-identical documents: (content_hash, n_dups, keep_id,
-    dup_ids). ``keep_id`` = min id (deterministic survivor)."""
+    dup_ids). ``keep_id`` = min id (deterministic survivor).
+
+    NULL-text rows are excluded: sha2(NULL) is NULL and groupBy groups
+    NULL keys, so unguarded they'd all report as one "duplicate" group
+    despite having unknown, unrelated contents."""
     return (
-        docs.select(F.col(id_col).alias("doc_id"),
-                    F.sha2(F.col(text_col), 256).alias("content_hash"))
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"),
+                F.sha2(F.col(text_col), 256).alias("content_hash"))
         .groupBy("content_hash")
         .agg(
             F.count("*").alias("n_dups"),
@@ -116,15 +121,22 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
     window version moved full rows through the exchange). Bodies move
     once, through the id-keyed semi join that restores the surviving
     rows — the table's natural storage key, so on an id-bucketed /
-    storage-partitioned table that join is shuffle-free."""
+    storage-partitioned table that join is shuffle-free.
+
+    NULL-text rows all survive: their contents are unknown, so exact
+    dedup has no basis to merge them (sha2(NULL) = NULL would
+    otherwise group every such row as one duplicate set and silently
+    drop all but the first)."""
     keys = (
-        docs.select(F.col(id_col).alias("_did"),
-                    F.sha2(F.col(text_col), 256).alias("_h"))
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_did"),
+                F.sha2(F.col(text_col), 256).alias("_h"))
         .groupBy("_h")
         .agg(F.min("_did").alias(id_col))
         .select(id_col)
     )
-    return docs.join(keys, on=id_col, how="left_semi")
+    return docs.join(keys, on=id_col, how="left_semi").unionByName(
+        docs.filter(F.col(text_col).isNull()))
 
 
 def dedup_exact_best(docs: DataFrame, priority_col: str,
@@ -138,9 +150,11 @@ def dedup_exact_best(docs: DataFrame, priority_col: str,
     Same scale shape as :func:`dedup_exact`: the choice runs as a
     ``max_by`` over ``(hash, id, priority)`` triples — one hash-keyed
     aggregation that never sees document bodies — and bodies move once
-    through the id-keyed semi join."""
+    through the id-keyed semi join. NULL-text rows all survive, as in
+    :func:`dedup_exact`."""
     keys = (
-        docs.select(
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
             F.col(id_col).alias("_did"),
             F.col(priority_col).alias("_p"),
             F.sha2(F.col(text_col), 256).alias("_h"),
@@ -155,7 +169,8 @@ def dedup_exact_best(docs: DataFrame, priority_col: str,
         ).alias(id_col))
         .select(id_col)
     )
-    return docs.join(keys, on=id_col, how="left_semi")
+    return docs.join(keys, on=id_col, how="left_semi").unionByName(
+        docs.filter(F.col(text_col).isNull()))
 
 
 def span_dedup(docs: DataFrame, block_words: int = 8,
@@ -348,7 +363,7 @@ def dedup_minhash(docs: DataFrame, id_col: str = "doc_id",
 
 # 4 x 16-bit lanes per long: bit b's mask selects original bits
 # b, b+16, b+32, b+48 into lanes 0..3 of the summed accumulator
-_LANE_MASK = 0x0001000100010001
+_LANE_MASK = 0x0000000100010001  # 3 lanes; hash bits 48-63 sum separately
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id",
@@ -357,26 +372,34 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
 
     Classic SimHash: for each of 64 bit positions, the +1/-1 votes of
     every shingle's xxhash64 bit; fingerprint bit = sign. Computed with
-    SIMD-in-a-register lane packing: ``(h >> b) & 0x0001000100010001``
-    accumulates FOUR bit-counters per sum (16-bit lanes), so the
-    aggregate needs 16 lane-sums + 1 count instead of 64 conditional
-    sums — 4x fewer aggregation buffers per group, same result
-    (``ones*2 > n`` ⟺ vote sum > 0). Lane capacity 65535 distinct
-    shingles per doc; beyond that (a document with >65k distinct word
-    bigrams — ~entire-vocabulary² scale) carries would corrupt lanes.
-    Map-side partial aggregation keeps the shuffle tiny."""
+    SIMD-in-a-register lane packing: ``(h >> b) & 0x0000000100010001``
+    accumulates THREE bit-counters per sum (16-bit lanes at bits
+    0/16/32), and the 16 counters for hash bits 48-63 are summed as
+    single bits — 32 lane-sums + 1 count instead of 64 conditional
+    sums, same result (``ones*2 > n`` ⟺ vote sum > 0). The top lane
+    must NOT ride the packed sum: its 2^48 weight overflows the signed
+    64-bit accumulator at 32,768 shingles, which under Spark 4's
+    default ANSI mode kills the job (a round-3 fix; the packed lanes'
+    own carry limit is 65,535 distinct shingles per doc, documented
+    capacity). Map-side partial aggregation keeps the shuffle tiny."""
     sh = shingle_table(docs, id_col, text_col, n).withColumn(
         "h", F.xxhash64("shingle")
     )
     aggs = [
         F.sum(F.expr(f"(h >> {b}) & {_LANE_MASK}")).alias(f"l{b}")
         for b in range(16)
+    ] + [
+        F.sum(F.expr(f"(h >> {48 + b}) & 1")).alias(f"t{b}")
+        for b in range(16)
     ] + [F.count("*").alias("n")]
     lanes = sh.groupBy("doc_id").agg(*aggs)
     fp = F.lit(0).cast("long")
     for bit in range(64):
-        b, k = bit % 16, bit // 16
-        ones = F.expr(f"(l{b} >> {16 * k}) & 65535")
+        if bit < 48:
+            b, k = bit % 16, bit // 16
+            ones = F.expr(f"(l{b} >> {16 * k}) & 65535")
+        else:
+            ones = F.col(f"t{bit - 48}")
         add = 2 ** bit if bit < 63 else -(2 ** 63)
         fp = fp + F.when(ones * 2 > F.col("n"),
                          F.lit(add).cast("long")).otherwise(F.lit(0).cast("long"))
@@ -535,9 +558,14 @@ def embedding_near_duplicates(embeddings: DataFrame, id_col: str = "vec_id",
     )
     pairs = _bucket_pairs(banded, ["band", "bits"], max_bucket, F.col("vid"))
 
+    # zero-norm guard: a zero vector has no direction — its cosine is
+    # 0/0 = NaN, and Spark orders/compares NaN ABOVE every number, so
+    # an unguarded NaN >= threshold is TRUE and would merge unrelated
+    # vectors into one dedup component (silent data loss downstream)
     v = embeddings.select(F.col(id_col).alias("vid"),
                           F.col(vec_col).alias("vec"),
-                          norm(vec_col).alias("norm"))
+                          norm(vec_col).alias("norm")) \
+        .filter(F.col("norm") > 0)
     cos = dot("va.vec", "vb.vec") / (F.col("va.norm") * F.col("vb.norm"))
     return (
         pairs.join(v.alias("va"), pairs.a == F.col("va.vid"))

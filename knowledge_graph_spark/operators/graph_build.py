@@ -281,9 +281,16 @@ def materialize_graph(
     if r1.get("skipped", False):
         n_nodes = n_valid = n_dropped = 0
     else:
+        # an edge needs BOTH a valid type and resolvable endpoints —
+        # the same two tests build_edges_rowlocal applies — or the
+        # counters diverge from the tables on foreign extraction
+        # inputs whose relations reference absent entity ids
         valid = (
             "size(filter(relations, r -> "
-            "regexp_like(replace(r.type, '-', '_'), '^[A-Za-z0-9_]+$')))"
+            "regexp_like(replace(r.type, '-', '_'), '^[A-Za-z0-9_]+$') "
+            "and array_contains(transform(entities, e -> e.id), r.source) "
+            "and array_contains(transform(entities, e -> e.id), r.target)"
+            "))"
         )
         stats = extracted.select(
             F.sum(F.size("entities")).alias("n_nodes"),

@@ -94,7 +94,12 @@ def scored_pairs(names: DataFrame, max_bucket: int = 64) -> DataFrame:
     cosine(a,b) = sum_{g in a∩b} idf(g)^2 / (||a|| * ||b||), with
     idf(g) = ln(1 + N/df(g)) over the distinct-name corpus. Entirely
     set-based: explode -> join on shingle -> aggregate."""
-    distinct = names.select("name").distinct().cache()
+    # localCheckpoint, not cache/persist: both frames back the returned
+    # lazy plan, so the operator can never unpersist them itself — a
+    # CacheManager entry would pin vocabulary-sized data for the whole
+    # session (one leak per graph in a long-running driver), while
+    # checkpoint RDDs are GC-reclaimed once the plan is unreferenced
+    distinct = names.select("name").distinct().localCheckpoint(eager=True)
     n_names = distinct.count()
 
     sh = distinct.select(
@@ -103,9 +108,10 @@ def scored_pairs(names: DataFrame, max_bucket: int = 64) -> DataFrame:
     idf = sh.groupBy("shingle").agg(
         F.log(F.lit(1.0) + F.lit(float(n_names)) / F.count("*")).alias("idf")
     )
-    # weighted feeds three consumers (norms, wa, wb) — persist so the
-    # explode+join runs once, not per branch
-    weighted = sh.join(idf, "shingle").persist()
+    # weighted feeds three consumers (norms, wa, wb) — checkpoint so
+    # the explode+join runs once, not per branch (GC-reclaimed, see
+    # `distinct` above)
+    weighted = sh.join(idf, "shingle").localCheckpoint(eager=True)
     norms = weighted.groupBy("name").agg(
         F.sqrt(F.sum(F.col("idf") * F.col("idf"))).alias("norm")
     )

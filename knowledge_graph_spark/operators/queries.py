@@ -183,14 +183,20 @@ def clear_all_graphs(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, Dat
 
 
 def clear_graph_by_id(nodes: DataFrame, edges: DataFrame, graph_id: str) -> tuple[DataFrame, DataFrame]:
-    """Q8 (kg_writer.py:220-223)."""
-    kept = nodes.filter(F.col("graph_id") != graph_id)
+    """Q8 (kg_writer.py:220-223). NULL-graph_id nodes survive: the
+    reference's MATCH {graph_id: $gid} never binds NULL properties, and
+    a bare ``!=`` filter would silently delete them (NULL != x is
+    NULL → dropped) — the very rows Q7 deliberately preserves."""
+    kept = nodes.filter(
+        (F.col("graph_id") != graph_id) | F.col("graph_id").isNull())
     return kept, _detach(kept, edges)
 
 
 def clear_graphs_by_user(nodes: DataFrame, edges: DataFrame, user_id: str) -> tuple[DataFrame, DataFrame]:
-    """Q9 (kg_writer.py:227-230)."""
-    kept = nodes.filter(F.col("user_id") != user_id)
+    """Q9 (kg_writer.py:227-230). NULL-user_id nodes survive (same
+    three-valued-logic trap as :func:`clear_graph_by_id`)."""
+    kept = nodes.filter(
+        (F.col("user_id") != user_id) | F.col("user_id").isNull())
     return kept, _detach(kept, edges)
 
 
@@ -201,11 +207,13 @@ def node_degrees(nodes: DataFrame, edges: DataFrame, graph_id: str) -> DataFrame
     Not a reference query (the reference's Cypher surface stops at
     scans); this is the first graph-analytics question every KG
     consumer asks ("what are the hub entities?") and the basis for
-    degree-capped sampling of skewed graphs. Scale shape: both degree
-    counts and the name join are keyed by node id, so the three stages
-    reuse one hash partitioning (AQE folds the exchanges); only
-    (id, count) pairs and the slim (id, name) projection move —
-    never edge payloads."""
+    degree-capped sampling of skewed graphs. Every node of the graph
+    reports — an isolated entity appears with degree 0 (an edges-only
+    census would silently omit it and skew any degree distribution
+    built downstream). Scale shape: both degree counts and the name
+    join are keyed by node id, so the three stages reuse one hash
+    partitioning (AQE folds the exchanges); only (id, count) pairs and
+    the slim (id, name) projection move — never edge payloads."""
     e = edges.filter(F.col("graph_id") == graph_id)
     out_d = e.groupBy(F.col("src").alias("id")).agg(
         F.count("*").alias("out_deg"))
@@ -219,7 +227,11 @@ def node_degrees(nodes: DataFrame, edges: DataFrame, graph_id: str) -> DataFrame
         nodes.filter(F.col("graph_id") == graph_id)
         .dropDuplicates(["id"]).select("id", "name")
     )
-    return deg.join(n, "id").select(
-        "id", "name", "out_deg", "in_deg",
-        (F.col("out_deg") + F.col("in_deg")).alias("degree"),
+    return (
+        n.join(deg, "id", "left")
+        .fillna(0, ["out_deg", "in_deg"])
+        .select(
+            "id", "name", "out_deg", "in_deg",
+            (F.col("out_deg") + F.col("in_deg")).alias("degree"),
+        )
     )

@@ -47,7 +47,14 @@ def _per_query_topk(scored: DataFrame, k: int,
     bounds the global stage's input to S*k rows per query. Correct
     because each bucket's top-k is a superset of the bucket's
     contribution to the global top-k. Ties break on vec_id, so the
-    result is deterministic and identical to the one-pass plan."""
+    result is deterministic and identical to the one-pass plan.
+
+    NaN scores are dropped up front: a zero-norm vector (or query)
+    yields cosine 0/0 = NaN, and Spark orders NaN ABOVE every number —
+    unguarded, every query's rank 1 would be a meaningless zero-vector
+    match. A directionless vector has no defined similarity, so it is
+    excluded (row-local filter, before any exchange)."""
+    scored = scored.filter(~F.isnan("cosine"))
     salt = F.pmod(F.xxhash64("vec_id"), F.lit(salt_buckets))
     w_local = Window.partitionBy("query_id", "_salt").orderBy(
         F.desc("cosine"), F.asc("vec_id")
@@ -76,13 +83,18 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     Queries broadcast to every partition of the corpus; per-query top-k
     via the salted two-phase window (:func:`_per_query_topk` — no
     single-reducer funnel). Self-matches (same id) are not excluded —
-    callers filter if needed."""
+    callers filter if needed. Zero-norm vectors and queries are
+    excluded BEFORE scoring: a zero vector has no direction, and under
+    ANSI mode the 0/0 cosine division doesn't even yield NaN — it
+    kills the job with DIVIDE_BY_ZERO."""
     v = vectors.select(F.col(id_col).alias("vec_id"),
                        F.col(vec_col).alias("vec"),
-                       _norm(vec_col).alias("vnorm"))
+                       _norm(vec_col).alias("vnorm")) \
+        .filter(F.col("vnorm") > 0)
     q = queries.select(F.col(qid_col).alias("query_id"),
                        F.col(qvec_col).alias("qvec"),
-                       _norm(qvec_col).alias("qnorm"))
+                       _norm(qvec_col).alias("qnorm")) \
+        .filter(F.col("qnorm") > 0)
     scored = v.crossJoin(F.broadcast(q)).select(
         "query_id", "vec_id",
         (_dot("vec", "qvec") / (F.col("vnorm") * F.col("qnorm"))).alias("cosine"),
@@ -215,9 +227,13 @@ def ivf_topk(assignments: DataFrame, centroids: DataFrame,
         .filter(F.col("_r") <= n_probe)
         .select("query_id", "qvec", "cell_id")
     )
-    cos = _dot("vec", "qvec") / (_norm("vec") * _norm("qvec"))
+    # zero-norm guard before the division (ANSI DIVIDE_BY_ZERO, not
+    # NaN, on 0/0) — same contract as brute_force_topk
+    cos = _dot("vec", "qvec") / (F.col("_vn") * F.col("_qn"))
     scored = (
         assignments.join(F.broadcast(probes), "cell_id")
+        .withColumn("_vn", _norm("vec")).withColumn("_qn", _norm("qvec"))
+        .filter((F.col("_vn") > 0) & (F.col("_qn") > 0))
         .select("query_id", "vec_id", cos.alias("cosine"))
     )
     # candidate set is already bounded to ~n_probe/n_cells of the corpus,
@@ -247,11 +263,13 @@ def hard_negatives(vectors: DataFrame, queries: DataFrame, k: int = 10,
     v = vectors.select(F.col(id_col).alias("vec_id"),
                        F.col(label_col).alias("label"),
                        F.col(vec_col).alias("vec"),
-                       _norm(vec_col).alias("vnorm"))
+                       _norm(vec_col).alias("vnorm")) \
+        .filter(F.col("vnorm") > 0)
     q = queries.select(F.col(qid_col).alias("query_id"),
                        F.col(qlabel_col).alias("qlabel"),
                        F.col(qvec_col).alias("qvec"),
-                       _norm(qvec_col).alias("qnorm"))
+                       _norm(qvec_col).alias("qnorm")) \
+        .filter(F.col("qnorm") > 0)
     scored = (
         v.crossJoin(F.broadcast(q))
         .filter(F.col("label") != F.col("qlabel"))

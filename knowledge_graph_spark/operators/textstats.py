@@ -86,6 +86,11 @@ def with_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
       length (mean <2 or >12 over >=5 whitespace tokens — the Gopher
       word-length filter, applied only when the text is actually
       space-delimited so CJK prose isn't blanket-penalized)
+
+    NULL text scores NULL (not 1.0): every penalty condition evaluates
+    NULL on NULL input and would fall through to its otherwise(0)
+    arm — an unreadable document must not sail through ``quality >= x``
+    curation gates as perfect. NULL quality then fails any such filter.
     """
     length = F.greatest(F.length(text_col), F.lit(1))
     # ASCII punct spelled as explicit ranges so the DuckDB oracle
@@ -119,7 +124,9 @@ def with_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ).otherwise(0.0)
     )
     return out.withColumn(
-        "quality", F.greatest(F.lit(0.0), F.lit(1.0) - penalty)
+        "quality",
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("double"))
+        .otherwise(F.greatest(F.lit(0.0), F.lit(1.0) - penalty)),
     )
 
 

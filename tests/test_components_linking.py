@@ -500,3 +500,21 @@ def test_random_walks_deterministic_and_dead_ends(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="n_walks"):
         random_walks(edges, n_walks=0)
+
+
+def test_connected_components_string_ids(spark):
+    """The driver union-find path must honor the input id type —
+    a hardcoded long schema crashed on string doc ids."""
+    from knowledge_graph_spark.operators.components import (
+        connected_components)
+
+    edges = spark.createDataFrame(
+        [("url/a", "url/b"), ("url/b", "url/c"), ("x", "y")],
+        "u string, v string")
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {"url/a": "url/a", "url/b": "url/a",
+                   "url/c": "url/a", "x": "x", "y": "x"}
+    with __import__("pytest").raises(ValueError, match="endpoint types"):
+        connected_components(spark.createDataFrame(
+            [("a", 1)], "u string, v long")).collect()

@@ -818,3 +818,68 @@ def test_hard_negatives_excludes_same_label(spark):
            for r in S.hard_negatives(emb, q, k=2)
            .orderBy("rank").collect()]
     assert got == [(3, 1), (4, 2)]
+
+
+def test_exact_dedup_null_texts_all_survive(spark):
+    """NULL texts hash to NULL and would group as one bogus duplicate
+    set: they must all survive dedup (and never form a group)."""
+    docs = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None)],
+        "doc_id long, text string")
+    assert sorted(r["doc_id"] for r in D.dedup_exact(docs).collect()) \
+        == [1, 3, 4]
+    groups = D.exact_duplicates(docs).collect()
+    assert len(groups) == 1 and groups[0]["dup_ids"] == [1, 2]
+    best = D.dedup_exact_best(docs.withColumn("p", F.lit(1.0)), "p")
+    assert sorted(r["doc_id"] for r in best.collect()) == [1, 3, 4]
+
+
+def test_quality_score_null_text_scores_null(spark):
+    """A NULL text must not score a perfect 1.0 (every penalty arm
+    evaluates NULL -> 0); NULL quality then fails >= gates."""
+    docs = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    row = T.with_quality_score(docs).collect()[0]
+    assert row["quality"] is None
+
+
+def test_simhash_survives_wide_documents(spark):
+    """A document with >32,768 distinct shingles used to overflow the
+    packed top lane under ANSI mode (ArithmeticException); the split
+    top-lane sums must survive and still match a narrow doc's identity
+    property."""
+    wide = " ".join(f"w{i}" for i in range(34_000))
+    docs = spark.createDataFrame(
+        [(1, wide), (2, wide)], "doc_id long, text string")
+    fps = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    assert fps[1] == fps[2]
+
+
+def test_topk_drops_nan_scores_from_zero_vectors(spark):
+    """A zero-norm vector has cosine NaN against every query, and Spark
+    orders NaN first under desc — it must be excluded, not rank 1."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 1), (3, [0.0, 0.0], 2)],
+        "vec_id long, embedding array<float>, label int")
+    q = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("query_vec"))
+    top = S.brute_force_topk(emb, q.drop("query_label"), k=3).collect()
+    assert [r["vec_id"] for r in sorted(top, key=lambda r: r["rank"])] \
+        == [1, 2]
+    hard = S.hard_negatives(emb, q, k=3).collect()
+    assert [r["vec_id"] for r in sorted(hard, key=lambda r: r["rank"])] \
+        == [2]
+
+
+def test_embedding_neardups_ignores_zero_vectors(spark):
+    """Zero vectors share LSH buckets (all-ones sign bits) but their
+    cosine is NaN >= threshold under Spark's NaN ordering — the exact
+    verification must drop them instead of merging unrelated vectors."""
+    rows = [(1, [0.0, 0.0, 0.0, 0.0]), (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, [1.0, 0.0, 0.0, 0.0]), (4, [1.0, 0.001, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = D.embedding_near_duplicates(
+        emb, threshold=0.99, bands=4, rows_per_band=2).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(3, 4)}

@@ -212,3 +212,32 @@ def test_node_degrees(spark):
     assert (out["b"]["out_deg"], out["b"]["in_deg"]) == (1, 1)
     assert (out["c"]["out_deg"], out["c"]["in_deg"]) == (0, 1)
     assert out["a"]["name"] == "A"
+
+
+def test_clear_graph_preserves_null_scoped_nodes(spark):
+    """Cypher MATCH {graph_id: $gid} never binds NULL properties: nodes
+    with graph_id / user_id NULL must survive a one-graph or one-user
+    delete (a bare != filter drops them via three-valued logic)."""
+    nodes = spark.createDataFrame(
+        [("n1", "A", "g1", "u1"), ("n2", "B", None, None),
+         ("n3", "C", "g2", "u2")],
+        "id string, name string, graph_id string, user_id string")
+    edges = spark.createDataFrame(
+        [], "src string, dst string, graph_id string")
+    kept_n, _ = Q.clear_graph_by_id(nodes, edges, "g1")
+    assert {r["id"] for r in kept_n.collect()} == {"n2", "n3"}
+    kept_u, _ = Q.clear_graphs_by_user(nodes, edges, "u1")
+    assert {r["id"] for r in kept_u.collect()} == {"n2", "n3"}
+
+
+def test_node_degrees_reports_isolated_nodes(spark):
+    """Every node of the graph appears; isolated entities report
+    degree 0 instead of vanishing from the census."""
+    nodes = spark.createDataFrame(
+        [("a", "A", "g"), ("b", "B", "g"), ("lonely", "L", "g")],
+        "id string, name string, graph_id string")
+    edges = spark.createDataFrame(
+        [("a", "b", "g")], "src string, dst string, graph_id string")
+    got = {r["id"]: (r["out_deg"], r["in_deg"], r["degree"])
+           for r in Q.node_degrees(nodes, edges, "g").collect()}
+    assert got == {"a": (1, 0, 1), "b": (0, 1, 1), "lonely": (0, 0, 0)}

@@ -726,13 +726,12 @@ def main() -> None:
         ("label", pa.string())]))
 
     # kg_degrees: hub analysis over graph A (twin of queries.node_degrees)
+    # — over ALL graph-A nodes, so isolated entities report degree 0
+    # (an edges-only census would silently omit them)
     outd = Counter(e["src"] for e in edges_a)
     ind = Counter(e["dst"] for e in edges_a)
     degs = []
-    for nid in set(outd) | set(ind):
-        n_ = by_id.get(nid)
-        if n_ is None:
-            continue  # edges are endpoint-validated; defensive only
+    for nid, n_ in by_id.items():
         o, i = outd.get(nid, 0), ind.get(nid, 0)
         degs.append({"id": nid, "name": n_["name"], "out_deg": o,
                      "in_deg": i, "degree": o + i})
