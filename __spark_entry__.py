@@ -1193,6 +1193,80 @@ def _q_bpe_merges(spark, sf_dir):
                      n_merges=20).orderBy("step")
 
 
+def _q_bpe_encoded(spark, sf_dir):
+    """Tokenize the corpus with the freshly trained 20-merge BPE list
+    (train + apply: the full tokenizer round trip). Per doc, word and
+    subword-token counts — oracled against a pure-Python twin that
+    replays both halves (tools/make_goldens.golden_bpe_encoded)."""
+    from knowledge_graph_spark.operators.textstats import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [(r["lhs"], r["rhs"])
+              for r in bpe_train(docs, n_merges=20).orderBy("step").collect()]
+    return bpe_encode(docs, merges).orderBy("doc_id")
+
+
+def _q_lm_perplexity(spark, sf_dir):
+    """CCNet-style bigram-LM cross-entropy per document, model trained
+    on the English slice (add-0.1 smoothing, <unk> mapping, BOS). Full
+    SQL oracle recomputing the model and every score."""
+    from knowledge_graph_spark.operators.textstats import lm_perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        lm_perplexity(docs, F.col("lang") == "en")
+        .select("doc_id", "n_scored", F.round("xent", 6).alias("xent"))
+        .orderBy("doc_id")
+    )
+
+
+_SQL_LM_PPL = r"""
+WITH d AS (
+  SELECT doc_id, lang = 'en' AS is_t,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                     x -> x != '') AS ws
+  FROM documents
+),
+tr AS (SELECT list_concat(['<s>'], ws) AS a
+       FROM d WHERE is_t AND len(ws) >= 1),
+bi AS (
+  SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c_bi FROM (
+    SELECT unnest(list_transform(range(1, len(a)),
+                                 i -> {'w1': a[i], 'w2': a[i + 1]})) AS p
+    FROM tr)
+  GROUP BY 1, 2
+),
+pre AS (SELECT w1, SUM(c_bi) AS c_pre FROM bi GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w2) + 1 AS vsize FROM bi),
+st AS (
+  SELECT s.doc_id, s.i AS pos, COALESCE(vo.w, '<unk>') AS cur
+  FROM (SELECT doc_id, unnest(ws) AS raw,
+               unnest(range(1, len(ws) + 1)) AS i
+        FROM d WHERE len(ws) >= 1) s
+  LEFT JOIN (SELECT DISTINCT w2 AS w FROM bi) vo ON vo.w = s.raw
+),
+bg AS (SELECT doc_id,
+              LAG(cur, 1, '<s>') OVER (PARTITION BY doc_id
+                                       ORDER BY pos) AS prev,
+              cur
+       FROM st),
+sc AS (
+  SELECT bg.doc_id,
+         -ln((COALESCE(bi.c_bi, 0) + 0.1)
+             / (COALESCE(pre.c_pre, 0) + 0.1 * v.vsize)) AS nll
+  FROM bg CROSS JOIN v
+  LEFT JOIN bi ON bi.w1 = bg.prev AND bi.w2 = bg.cur
+  LEFT JOIN pre ON pre.w1 = bg.prev
+),
+agg AS (SELECT doc_id, COUNT(*) AS n_scored, AVG(nll) AS xent
+        FROM sc GROUP BY doc_id)
+SELECT doc.doc_id AS doc_id, COALESCE(agg.n_scored, 0) AS n_scored,
+       ROUND(agg.xent, 6) AS xent
+FROM documents doc LEFT JOIN agg ON agg.doc_id = doc.doc_id
+ORDER BY doc.doc_id
+"""
+
+
 def _q_dsir_weights(spark, sf_dir):
     """DSIR data-selection weights with target = English documents
     (word-unigram LM log ratio, add-1 smoothing); full SQL oracle."""
@@ -1392,6 +1466,60 @@ SELECT c.cohort * 86400 AS cohort_epoch, a.p - c.cohort AS periods_later,
 FROM a JOIN c USING (u) JOIN s ON s.cohort = c.cohort
 GROUP BY 1, 2, s.cohort_size
 ORDER BY 1, 2
+"""
+
+
+def _q_event_anomalies(spark, sf_dir):
+    """Daily volume anomaly report per event type: each (type, day)
+    count z-scored against the type's across-days mean/stddev, flagged
+    at |z| >= 2. Full SQL oracle."""
+    from knowledge_graph_spark.operators.events import daily_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    return daily_anomalies(ev).orderBy("event_type", "day")
+
+
+_SQL_EVENT_ANOMALIES = r"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, day, n_events,
+         AVG(n_events) OVER (PARTITION BY event_type) AS m,
+         stddev_pop(n_events) OVER (PARTITION BY event_type) AS sd
+  FROM daily
+)
+SELECT event_type, day, n_events,
+       ROUND(m, 6) AS mean_events, ROUND(sd, 6) AS stddev_events,
+       ROUND(CASE WHEN sd = 0 THEN 0.0 ELSE (n_events - m) / sd END, 6)
+         AS zscore,
+       CASE WHEN sd = 0 THEN FALSE
+            ELSE abs((n_events - m) / sd) >= 2.0 END AS is_anomaly
+FROM st ORDER BY event_type, day
+"""
+
+
+def _q_stratified_k(spark, sf_dir):
+    """Exactly 7 documents per source, picked by md5(doc_id || '/')
+    order — the fixed-size eval-set carve. The oracle recomputes the
+    same ranking with QUALIFY."""
+    from knowledge_graph_spark.operators.sampling import stratified_exact_k
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        stratified_exact_k(docs, k=7)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )
+
+
+_SQL_STRATIFIED_K = r"""
+SELECT source, doc_id FROM documents
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY source
+  ORDER BY md5(CAST(doc_id AS VARCHAR) || '/'), doc_id) <= 7
+ORDER BY source, doc_id
 """
 
 
@@ -1687,6 +1815,57 @@ SELECT walk_id, step, node FROM (
 """
 
 
+def _q_partsupp_skipgrams(spark, sf_dir):
+    """Skip-gram training pairs (window 2) from the same deterministic
+    walk corpus as `partsupp_walks` — the DeepWalk word2vec input. The
+    SQL oracle recomputes the walks step by step, then self-joins the
+    step table within the window."""
+    from knowledge_graph_spark.operators.kg_export import (
+        random_walks, skipgram_pairs,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.filter(F.col("l_quantity") == 1).select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    starts = li.filter(F.col("l_partkey") < 20).select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("id")).distinct()
+    walks = random_walks(edges, length=3, n_walks=2, sources=starts)
+    return skipgram_pairs(walks, window=2).orderBy("center", "context")
+
+
+_SQL_PARTSUPP_SKIPGRAMS = r"""
+WITH e0 AS (SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst
+            FROM lineitem WHERE l_quantity = 1),
+sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+s0 AS (SELECT DISTINCT ('p' || l_partkey) || '#' || w AS walk_id,
+                       'p' || l_partkey AS node
+       FROM lineitem, (VALUES (0), (1)) t(w) WHERE l_partkey < 20),
+s1 AS (SELECT s0.walk_id, s.dst AS node FROM s0 JOIN sym s ON s.src = s0.node
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY s0.walk_id
+                ORDER BY md5(s0.walk_id || '/1/' || s.dst)) = 1),
+s2 AS (SELECT s1.walk_id, s.dst AS node FROM s1 JOIN sym s ON s.src = s1.node
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY s1.walk_id
+                ORDER BY md5(s1.walk_id || '/2/' || s.dst)) = 1),
+s3 AS (SELECT s2.walk_id, s.dst AS node FROM s2 JOIN sym s ON s.src = s2.node
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY s2.walk_id
+                ORDER BY md5(s2.walk_id || '/3/' || s.dst)) = 1),
+steps AS (
+  SELECT walk_id, 0 AS step, node FROM s0
+  UNION ALL SELECT walk_id, 1, node FROM s1
+  UNION ALL SELECT walk_id, 2, node FROM s2
+  UNION ALL SELECT walk_id, 3, node FROM s3
+)
+SELECT a.node AS center, b.node AS context, COUNT(*) AS n_pairs
+FROM steps a JOIN steps b
+  ON a.walk_id = b.walk_id AND a.step <> b.step
+ AND abs(a.step - b.step) <= 2
+GROUP BY a.node, b.node
+ORDER BY center, context
+"""
+
+
 def _q_embedding_label_centroids(spark, sf_dir):
     """Vector aggregate: per-label mean embedding norm + count (array
     math JVM-side; DuckDB mirrors with list_aggregate)."""
@@ -1977,6 +2156,24 @@ def _q_kg_triangles(spark, sf_dir):
     return triangle_counts(edges).orderBy("id")
 
 
+def _q_kg_clustering(spark, sf_dir):
+    """Local clustering coefficient over graph A — per node, degree,
+    triangle count and 2t/(d(d-1)); separates boilerplate hubs (coeff
+    ~0) from tight entity cliques (coeff ~1). Twin-golden oracled."""
+    from knowledge_graph_spark.operators.graph_analytics import (
+        clustering_coefficient,
+    )
+
+    wh = _warehouse(spark, sf_dir)
+    edges = wh.edges.read(spark).filter(F.col("graph_id") == _KG_GRAPH_ID)
+    return (
+        clustering_coefficient(edges)
+        .select("id", "degree", "triangles",
+                F.round("coeff", 6).alias("coeff"))
+        .orderBy("id")
+    )
+
+
 def _q_kg_kcore(spark, sf_dir):
     """2-core of graph A (nodes surviving iterative degree-<2 peeling
     with their in-core degree) — the cycle skeleton of the extracted
@@ -2157,7 +2354,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": _q_tfidf_terms,
         "bpe_pairs": _q_bpe_pairs,
         "bpe_merges": _q_bpe_merges,
+        "bpe_encoded": _q_bpe_encoded,
         "dsir_weights": _q_dsir_weights,
+        "lm_perplexity": _q_lm_perplexity,
         "partsupp_bfs": _q_partsupp_bfs,
         "order_part_components": _q_order_part_components,
         "order_part_aa": _q_order_part_aa,
@@ -2166,10 +2365,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_select": _q_budget_select,
         "event_funnel": _q_event_funnel,
         "event_retention": _q_retention,
+        "event_anomalies": _q_event_anomalies,
+        "stratified_k": _q_stratified_k,
         "partsupp_sssp": _q_partsupp_sssp,
         "span_dedup": _q_span_dedup,
         "hard_negatives": _q_hard_negatives,
         "partsupp_walks": _q_partsupp_walks,
+        "partsupp_skipgrams": _q_partsupp_skipgrams,
         "embedding_topk": _q_embedding_topk,
         "embedding_label_centroids": _q_embedding_label_centroids,
         # hash-sketch operators (rows-only)
@@ -2189,6 +2391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degrees": _q_kg_degrees,
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
+        "kg_clustering": _q_kg_clustering,
         "kg_kcore": _q_kg_kcore,
         "kg_hits": _q_kg_hits,
         "kg_training_triples": _q_kg_training_triples,
@@ -2232,6 +2435,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_terms": _SQL_TFIDF,
         "bpe_pairs": _SQL_BPE,
         "dsir_weights": _SQL_DSIR,
+        "lm_perplexity": _SQL_LM_PPL,
         # full BFS recomputation via a recursive CTE — not a pinned twin
         "partsupp_bfs": _SQL_PARTSUPP_BFS,
         "order_part_components": _SQL_ORDER_PART_COMPONENTS,
@@ -2244,15 +2448,19 @@ def oracle_sql() -> dict[str, str]:
         # pinned-golden oracles (independent pure-Python twin,
         # tools/make_goldens.py)
         "bpe_merges": _golden_sql("bpe_merges", "step"),
+        "bpe_encoded": _golden_sql("bpe_encoded", "doc_id"),
         "lpa_communities": _golden_sql("lpa_communities", "id"),
         "host_profile": _golden_sql("host_profile", "host"),
         "budget_select": _SQL_BUDGET_SELECT,
         "event_funnel": _SQL_EVENT_FUNNEL,
         "event_retention": _SQL_RETENTION,
+        "event_anomalies": _SQL_EVENT_ANOMALIES,
+        "stratified_k": _SQL_STRATIFIED_K,
         "partsupp_sssp": _SQL_PARTSUPP_SSSP,
         "span_dedup": _SQL_SPAN_DEDUP,
         "hard_negatives": _SQL_HARD_NEGATIVES,
         "partsupp_walks": _SQL_PARTSUPP_WALKS,
+        "partsupp_skipgrams": _SQL_PARTSUPP_SKIPGRAMS,
         "mixture_sample": _golden_sql("mixture_sample", "source"),
         "hash_split": _golden_sql("hash_split", "source, split"),
         "minhash_pairs": _golden_sql("minhash_pairs", "id_a, id_b"),
@@ -2269,6 +2477,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_degrees": _golden_sql("kg_degrees", "id"),
         "kg_pagerank": _golden_sql("kg_pagerank", "id"),
         "kg_triangles": _golden_sql("kg_triangles", "id"),
+        "kg_clustering": _golden_sql("kg_clustering", "id"),
         "kg_kcore": _golden_sql("kg_kcore", "id"),
         "kg_hits": _golden_sql("kg_hits", "id"),
         "kg_training_triples": _golden_sql("kg_training_triples",

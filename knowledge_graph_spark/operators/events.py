@@ -191,3 +191,43 @@ def retention_cohorts(events: DataFrame, period_days: int = 7,
             .alias("retention_rate"),
         )
     )
+
+
+def daily_anomalies(events: DataFrame, threshold: float = 2.0,
+                    type_col: str = "event_type",
+                    ts_col: str = "ts") -> DataFrame:
+    """Volume anomaly detection: per (event type, UTC day), the daily
+    event count's z-score against that type's own across-days mean and
+    population standard deviation, flagged when ``|z| >= threshold`` —
+    the crawl-monitoring report that catches a collapsed source or a
+    runaway host the moment a day's volume leaves the type's normal
+    band. Returns ``(event_type, day, n_events, mean_events,
+    stddev_events, zscore, is_anomaly)``; a type with constant daily
+    volume (stddev 0) scores z = 0.0 (nothing to flag, and no ANSI
+    divide-by-zero).
+
+    Scale shape: ONE pass over the raw stream — a (type, day)-keyed
+    count aggregate with map-side combine (a hub day collapses inside
+    each task before the exchange); mean/stddev then come from a
+    window over the AGGREGATED frame, whose partitions are one row per
+    day per type — metadata-scale, never raw events. ``day`` is
+    ``to_date(ts)`` in UTC, so a SQL oracle reproduces the bucketing
+    exactly."""
+    daily = (
+        events.select(F.col(type_col).alias("event_type"),
+                      F.to_date(F.col(ts_col)).alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = Window.partitionBy("event_type")
+    mean = F.avg("n_events").over(w)
+    sd = F.stddev_pop("n_events").over(w)
+    z = F.when(sd == 0, F.lit(0.0)).otherwise(
+        (F.col("n_events") - mean) / sd)
+    return daily.select(
+        "event_type", "day", "n_events",
+        F.round(mean, 6).alias("mean_events"),
+        F.round(sd, 6).alias("stddev_events"),
+        F.round(z, 6).alias("zscore"),
+        (F.abs(z) >= F.lit(threshold)).alias("is_anomaly"),
+    )

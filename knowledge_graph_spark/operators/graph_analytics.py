@@ -149,6 +149,48 @@ def triangle_counts(edges: DataFrame, src: str = "src",
     )
 
 
+def clustering_coefficient(edges: DataFrame, src: str = "src",
+                           dst: str = "dst") -> DataFrame:
+    """Local clustering coefficient (Watts & Strogatz 1998) over the
+    undirected distinct edge set: for every node with degree >= 1,
+    ``coeff = 2 * triangles / (degree * (degree - 1))`` — the fraction
+    of a node's neighbor pairs that are themselves linked. Returns
+    ``(id, degree, triangles, coeff)``; degree-1 nodes score 0.0
+    (no neighbor pair exists).
+
+    Separates "hub" from "clique member" in the extracted KG: a
+    boilerplate entity touching everything has a near-zero coefficient,
+    while a tight org-person-product cluster scores near 1 — the signal
+    degree and PageRank both miss.
+
+    Scale shape: triangle counts come from :func:`triangle_counts`
+    (degree-ordered wedge join — per-node out-degree bounded by
+    O(sqrt E), safe on hub nodes); the degree census is one explode +
+    count aggregate with map-side combine; the final join is keyed by
+    node id over ``(id, long)`` rows only. The edge set is scanned
+    twice (once per census) — both scans are the cheap part of the
+    plan, and sharing one persisted frame across the two would pin the
+    full edge list in memory for no shuffle savings."""
+    und = _undirected(edges, src, dst)
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("id"))
+        .groupBy("id").agg(F.count("*").alias("degree"))
+    )
+    tri = triangle_counts(edges, src, dst)
+    pairs = F.col("degree") * (F.col("degree") - F.lit(1))
+    return (
+        deg.join(tri, "id", "left")
+        .select(
+            "id", "degree",
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+            F.when(F.col("degree") >= 2,
+                   F.lit(2.0) * F.coalesce(F.col("triangles"), F.lit(0))
+                   / pairs)
+            .otherwise(F.lit(0.0)).alias("coeff"),
+        )
+    )
+
+
 def shortest_paths(edges: DataFrame, sources: DataFrame | None = None,
                    src: str = "src", dst: str = "dst",
                    max_hops: int = 10) -> DataFrame:

@@ -120,6 +120,62 @@ def training_triples(edges: DataFrame, negatives: int = 2,
     )
 
 
+def skipgram_pairs(walks: DataFrame, window: int = 2,
+                   walk_col: str = "walk_id", step_col: str = "step",
+                   node_col: str = "node") -> DataFrame:
+    """Skip-gram training pairs from a walk corpus (the second half of
+    DeepWalk, Perozzi et al. 2014): for every position in every walk,
+    emit ``(center, context)`` for each other position within
+    ``window`` steps, both directions, then aggregate to
+    ``(center, context, n_pairs)`` — the co-occurrence table a
+    word2vec-style trainer consumes.
+
+    Scale shape: ONE walk-keyed aggregate reassembles each walk into
+    its (sorted) node array — safe to collect because walk length is
+    bounded by construction (``random_walks(length=L)`` caps it at
+    L + 1 rows), the same bounded-state argument as the sessionizer;
+    pair generation is an in-plan JVM ``transform`` over that array
+    (no Python, no self-join — a walk-keyed self-join would shuffle
+    the corpus twice and rejoin rows the aggregate already co-located);
+    the final count aggregate map-side-combines hub pairs. Exchanges
+    carry ``(walk_id, step, node)`` then ``(node, node, long)`` —
+    never payloads."""
+    seq = (
+        walks.groupBy(F.col(walk_col).alias("walk_id"))
+        .agg(F.array_sort(F.collect_list(F.struct(
+            F.col(step_col).alias("s"),
+            F.col(node_col).alias("n")))).alias("_w"))
+        .select(F.transform("_w", lambda x: x["n"]).alias("_nodes"))
+    )
+    # pair generation by index arithmetic over the walk array: for each
+    # position i, every j in [i-window, i+window] except i itself
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("_nodes") - F.lit(1)),
+            lambda i: F.transform(
+                F.filter(
+                    F.sequence(
+                        F.greatest(i - F.lit(window), F.lit(0)),
+                        F.least(i + F.lit(window),
+                                F.size("_nodes") - F.lit(1)),
+                    ),
+                    lambda j: j != i,
+                ),
+                lambda j: F.struct(
+                    F.element_at("_nodes", i + F.lit(1)).alias("center"),
+                    F.element_at("_nodes", j + F.lit(1)).alias("context"),
+                ),
+            ),
+        )
+    )
+    return (
+        seq.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.center").alias("center"),
+                 F.col("p.context").alias("context"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
 def random_walks(edges: DataFrame, length: int = 4, n_walks: int = 1,
                  src: str = "src", dst: str = "dst",
                  sources: DataFrame | None = None,

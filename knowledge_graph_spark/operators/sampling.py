@@ -22,7 +22,7 @@ LSH/fingerprint operators build on; pure-Python twin in
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # threshold denominator: rates are resolved to integer thresholds so
 # both engines (and the pure-Python twin) compare exact integers, never
@@ -251,3 +251,34 @@ def budget_select(docs: DataFrame, budget: int, score: Column,
     # consumer's action re-derives the cheap 3-column plan instead
     keyed.unpersist()
     return out.drop("_b")
+
+
+def stratified_exact_k(df: DataFrame, k: int, stratum_col: str = "source",
+                       key_col: str = "doc_id",
+                       salt: str = "") -> DataFrame:
+    """EXACTLY ``k`` rows per stratum (fewer when the stratum is
+    smaller), chosen as the k smallest ``md5(key || '/' || salt)``
+    values — the fixed-size companion to :func:`stratified_mixture`
+    (rate-based sampling drifts with stratum size; an eval-set build
+    or per-domain cap wants an exact count). Deterministic on any
+    cluster size, stable under corpus growth for the rows that stay
+    (a new row changes the picks only where its hash lands in the top
+    k), and recomputable by a plain SQL oracle (md5 is
+    engine-portable, unlike xxhash64). Ties on the full digest need
+    identical keys; ``key_col`` is assumed unique per stratum.
+
+    Scale shape: one stratum-keyed ``row_number`` window whose
+    ``<= k`` filter Spark rewrites to a WindowGroupLimit — every map
+    task pre-prunes to its local top k per stratum BEFORE the
+    exchange, so a billion-row stratum ships ~k·tasks rows, not the
+    stratum. The hash ranking key is computed in codegen."""
+    if k < 1:
+        raise ValueError(f"k={k}: need >= 1")
+    rank_key = F.md5(F.concat_ws("/", F.col(key_col).cast("string"),
+                                 F.lit(salt)))
+    w = Window.partitionBy(stratum_col).orderBy(rank_key, key_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -319,6 +319,186 @@ def bpe_pair_counts(docs: DataFrame, text_col: str = "text",
         .limit(top_n)
     )
 
+_LM_BOS = "<s>"
+_LM_UNK = "<unk>"
+
+
+def lm_perplexity(docs: DataFrame, target, id_col: str = "doc_id",
+                  text_col: str = "text", alpha: float = 0.1) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2019,
+    which filters Common Crawl by KenLM perplexity against a clean
+    target corpus): train an add-α-smoothed word-BIGRAM model on the
+    rows where ``target`` is true, then score EVERY document's
+    cross-entropy under it. Low perplexity ≈ target-like prose; high ≈
+    boilerplate/gibberish — the complement of
+    :func:`...sampling.dsir_weights`' importance ratio (that ranks for
+    resampling; this is the absolute fluency gate).
+
+    Model: tokens are :func:`word_tokens`; scoring tokens outside the
+    training vocabulary map to ``<unk>`` (V = train vocabulary + unk);
+    each document is scored as the mean over its tokens of
+    ``-ln P(w_i | w_{i-1})`` with a BOS start symbol, where
+    ``P(w|p) = (c(p,w) + α) / (c(p) + α·V)`` and ``c(p)`` is the
+    bigram-prefix count (so probabilities sum to 1 over V). Returns
+    ``(id_col, n_scored, xent, ppl)``; wordless documents carry NULL
+    scores (no defined perplexity), not a fake value.
+
+    Scale shape: the train pass is one bigram-count aggregate (map-side
+    combined, exchanges carry (word, word, long) — vocabulary²-bounded
+    in theory, observed-bigram-bounded in fact); prefix counts and the
+    vocabulary derive from that one aggregate, never a second corpus
+    pass. Scoring explodes to (id, pos, token) rows, maps OOV with a
+    vocabulary join (AQE broadcasts it when small), forms bigrams with
+    a per-document ``lag`` window (partitions bounded by document
+    length), then joins the model keyed on the bigram — stopword-pair
+    hot keys are exactly AQE's skew-join case. No Python anywhere."""
+    toks = docs.select(F.col(id_col), target.alias("_is_t"),
+                       word_tokens(text_col).alias("_ws"))
+    train = (
+        toks.filter(F.col("_is_t") & (F.size("_ws") >= 1))
+        .select(F.concat(F.array(F.lit(_LM_BOS)), F.col("_ws")).alias("_a"))
+    )
+    bi = (
+        train.select(F.explode(F.expr(
+            "transform(sequence(1, size(_a) - 1), "
+            "i -> struct(element_at(_a, i) as w1, "
+            "element_at(_a, i + 1) as w2))")).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count("*").alias("c_bi"))
+        # reused three times (prefix counts, vocab, scoring join);
+        # localCheckpoint not persist — GC-reclaimed, no CacheManager
+        # entry left behind by a long-running driver (linking.py pattern)
+        .localCheckpoint(eager=True)
+    )
+    pre = bi.groupBy("w1").agg(F.sum("c_bi").alias("c_pre"))
+    vocab = bi.select(F.col("w2").alias("w")).distinct()
+    vsize = vocab.agg((F.count("*") + F.lit(1)).alias("_v"))
+
+    scored_toks = (
+        toks.filter(F.size("_ws") >= 1)
+        .select(F.col(id_col), F.posexplode("_ws").alias("_pos", "_raw"))
+        .join(vocab, F.col("_raw") == F.col("w"), "left")
+        .select(F.col(id_col), "_pos",
+                F.coalesce(F.col("w"), F.lit(_LM_UNK)).alias("_cur"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    bigr = scored_toks.select(
+        F.col(id_col),
+        F.lag("_cur", 1, _LM_BOS).over(w).alias("_prev"),
+        F.col("_cur"),
+    )
+    nll = -F.log(
+        (F.coalesce(F.col("c_bi"), F.lit(0)) + F.lit(alpha))
+        / (F.coalesce(F.col("c_pre"), F.lit(0)) + F.lit(alpha) * F.col("_v"))
+    )
+    # name-based equi-joins: bigr shares lineage with bi (via the vocab
+    # OOV join), so DataFrame-attribute join conditions would hit
+    # Spark's ambiguous-self-join resolution and silently mismatch
+    model = bi.select(F.col("w1").alias("_prev"),
+                      F.col("w2").alias("_cur"), "c_bi")
+    prefix = pre.select(F.col("w1").alias("_prev"), "c_pre")
+    agg = (
+        bigr.join(model, ["_prev", "_cur"], "left")
+        .join(prefix, ["_prev"], "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(F.col(id_col), nll.alias("_nll"))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_scored"), F.avg("_nll").alias("xent"))
+    )
+    ids = docs.select(id_col).distinct()
+    return ids.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_scored"), F.lit(0)).alias("n_scored"),
+        F.col("xent"),
+        F.exp(F.col("xent")).alias("ppl"),
+    )
+
+
+def _sql_str_lit(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _merge_fold_expr(lhs: str, rhs: str, col: str = "syms"):
+    """One BPE merge applied left-to-right non-overlapping to a symbol
+    array, as a JVM ``aggregate()`` fold. CASE arms are evaluated in
+    order, so ``element_at`` never sees an empty accumulator
+    (guaranteed short-circuit, ANSI-mode safe). Exact under the fold
+    because ``lhs||rhs`` can never compare equal to ``lhs`` (``rhs``
+    is non-empty), so a symbol just produced cannot be re-consumed as
+    the left side of the same merge (``aaaa`` + (a,a) → ``[aa, aa]``)."""
+    merged = lhs + rhs
+    return F.expr(
+        f"aggregate({col}, cast(array() as array<string>), (acc, s) -> "
+        "case when size(acc) = 0 then array(s) "
+        f"when element_at(acc, -1) = {_sql_str_lit(lhs)} "
+        f"and s = {_sql_str_lit(rhs)} "
+        f"then concat(slice(acc, 1, size(acc) - 1), "
+        f"array({_sql_str_lit(merged)})) "
+        "else concat(acc, array(s)) end)"
+    )
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
+               id_col: str = "doc_id", text_col: str = "text",
+               checkpoint_every: int = 8) -> DataFrame:
+    """Tokenize the corpus with a TRAINED BPE merge list (the apply
+    half of Sennrich et al. 2016; :func:`bpe_train` produces the
+    merges): per document, the word count and the subword-token count
+    after applying every merge in order, left-to-right non-overlapping
+    per word. Returns ``(id_col, n_words, n_tokens)``; documents with
+    no words (empty or NULL text) report 0/0 — the per-doc cost
+    column a token-budget pipeline (:func:`...sampling.budget_select`)
+    consumes.
+
+    Scale shape — the corpus is never re-tokenized per merge:
+
+    - ONE corpus pass builds ``(doc, word, count)`` (map-side combined;
+      the exchange carries ids and counts, bounded by per-doc distinct
+      words, never text bodies);
+    - the merge loop runs over the DISTINCT-WORD vocabulary only, each
+      merge a codegen ``aggregate()`` fold over the symbol array (no
+      Python), ``localCheckpoint``-ed every ``checkpoint_every`` merges
+      so plan depth stays bounded regardless of merge-list length;
+    - per-word token counts then join back to the (doc, word) frame —
+      vocabulary-sized build side, AQE broadcasts it when small;
+    - the id spine (one more column-pruned scan of ``docs``) restores
+      wordless documents via a left join.
+    """
+    wpd = (
+        docs.select(F.col(id_col), F.explode(word_tokens(text_col))
+                    .alias("word"))
+        .groupBy(id_col, "word").agg(F.count("*").alias("wc"))
+    )
+    vocab = (
+        wpd.select("word").distinct()
+        .select(
+            "word",
+            F.expr("transform(sequence(1, length(word)), "
+                   "i -> substring(word, i, 1))").alias("syms"),
+        )
+    )
+    for i, (lhs, rhs) in enumerate(merges):
+        vocab = vocab.select(
+            "word", _merge_fold_expr(lhs, rhs).alias("syms"))
+        if (i + 1) % checkpoint_every == 0 and i + 1 < len(merges):
+            vocab = vocab.localCheckpoint(eager=True)
+    per_word = vocab.select("word", F.size("syms").alias("_n_sub"))
+    agg = (
+        wpd.join(per_word, "word")
+        .groupBy(id_col)
+        .agg(F.sum("wc").alias("n_words"),
+             F.sum(F.col("wc") * F.col("_n_sub")).alias("n_tokens"))
+    )
+    ids = docs.select(id_col).distinct()
+    return ids.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+    )
+
+
 def bpe_train(docs: DataFrame, n_merges: int = 20,
               text_col: str = "text") -> DataFrame:
     """Train a BPE merge list on the corpus (the full training loop of
@@ -364,9 +544,6 @@ def bpe_train(docs: DataFrame, n_merges: int = 20,
         .localCheckpoint(eager=True)
     )
 
-    def _lit(s: str) -> str:
-        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
-
     merges = []
     for step in range(1, n_merges + 1):
         top = (
@@ -388,17 +565,8 @@ def bpe_train(docs: DataFrame, n_merges: int = 20,
         lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], top[0]["pair_count"]
         merged = lhs + rhs
         merges.append((step, lhs, rhs, merged, cnt))
-        # CASE arms are evaluated in order, so element_at never sees an
-        # empty accumulator (guaranteed short-circuit, ANSI-mode safe)
-        apply = F.expr(
-            "aggregate(syms, cast(array() as array<string>), (acc, s) -> "
-            "case when size(acc) = 0 then array(s) "
-            f"when element_at(acc, -1) = {_lit(lhs)} and s = {_lit(rhs)} "
-            f"then concat(slice(acc, 1, size(acc) - 1), array({_lit(merged)})) "
-            "else concat(acc, array(s)) end)"
-        )
         vocab = (
-            vocab.select("wc", apply.alias("syms"))
+            vocab.select("wc", _merge_fold_expr(lhs, rhs).alias("syms"))
             .filter(F.size("syms") >= 2)
             .localCheckpoint(eager=True)
         )

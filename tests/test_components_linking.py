@@ -148,6 +148,41 @@ def test_triangle_counts_k4_plus_tail(spark):
     assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
 
 
+def test_clustering_coefficient_k4_pendant(spark):
+    """K4 members score 1.0; the node bridging K4 to a pendant scores
+    2*3/(4*3) = 0.5; degree-1 nodes score 0.0 and still appear."""
+    from knowledge_graph_spark.operators.graph_analytics import (
+        clustering_coefficient,
+    )
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    df = spark.createDataFrame(k4 + [("d", "e"), ("b", "a")], ["src", "dst"])
+    rows = {r["id"]: r for r in clustering_coefficient(df).collect()}
+    assert rows["a"]["coeff"] == 1.0 and rows["a"]["degree"] == 3
+    assert rows["d"]["coeff"] == 0.5 and rows["d"]["degree"] == 4
+    assert rows["e"]["coeff"] == 0.0 and rows["e"]["triangles"] == 0
+    assert set(rows) == set("abcde")
+
+
+def test_skipgram_pairs_window_and_counts(spark):
+    """Window-2 pairs over two walks: both directions emitted, the
+    repeated (a, b) bigram aggregates to count 2, out-of-window pairs
+    (a, d) absent."""
+    from knowledge_graph_spark.operators.kg_export import skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [("w1", 0, "a"), ("w1", 1, "b"), ("w1", 2, "c"), ("w1", 3, "d"),
+         ("w2", 0, "a"), ("w2", 1, "b")],
+        ["walk_id", "step", "node"])
+    out = {(r["center"], r["context"]): r["n_pairs"]
+           for r in skipgram_pairs(walks, window=2).collect()}
+    assert out[("a", "b")] == 2 and out[("b", "a")] == 2
+    assert out[("a", "c")] == 1 and out[("d", "b")] == 1
+    assert ("a", "d") not in out and ("d", "a") not in out
+    # every pair mirrored: symmetric corpus
+    assert all(out[(y, x)] == c for (x, y), c in out.items())
+
+
 def test_shortest_paths_bfs_levels_and_unreachable(spark):
     """Multi-source BFS: min dist per node, undirected traversal,
     unreachable nodes absent, max_hops respected."""

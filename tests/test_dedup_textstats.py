@@ -731,6 +731,64 @@ def test_bpe_train_sennrich_example(spark):
     ]
 
 
+def test_lm_perplexity_hand_model(spark):
+    """Bigram LM trained on one doc 'a b a b'; hand-computed smoothed
+    scores. V = |{a, b}| + 1 = 3; train bigrams from <s> a b a b:
+    c(<s>,a)=1, c(a,b)=2, c(b,a)=1; prefixes c(<s>)=1, c(a)=2, c(b)=2.
+    Scoring 'a b' = -[ln((1+.1)/(1+.3)) + ln((2+.1)/(2+.3))] / 2; an
+    OOV word maps to <unk> with a zero-count bigram; empty doc NULL."""
+    import math
+
+    from knowledge_graph_spark.operators.textstats import lm_perplexity
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b", "t"), (2, "a b", "s"), (3, "a z", "s"),
+         (4, "", "s")],
+        ["doc_id", "text", "kind"])
+    rows = {r["doc_id"]: r for r in
+            lm_perplexity(docs, F.col("kind") == "t").collect()}
+    exp2 = -(math.log(1.1 / 1.3) + math.log(2.1 / 2.3)) / 2
+    assert abs(rows[2]["xent"] - exp2) < 1e-12
+    assert abs(rows[2]["ppl"] - math.exp(exp2)) < 1e-12
+    # doc 3: P(a|<s>) = 1.1/1.3; z → <unk>: P(<unk>|a) = (0+.1)/(2+.3)
+    exp3 = -(math.log(1.1 / 1.3) + math.log(0.1 / 2.3)) / 2
+    assert abs(rows[3]["xent"] - exp3) < 1e-12
+    assert rows[4]["xent"] is None and rows[4]["n_scored"] == 0
+    assert rows[2]["n_scored"] == 2
+    # training doc: (<s>,a)=1.1/1.3, (a,b)=2.1/2.3, (b,a)=(1+.1)/(1+.3)
+    # — prefix b occurs ONCE — then (a,b) again; the mean collapses to
+    # exactly doc 2's (a repeating {0.167, 0.091} pattern)
+    exp1 = -(2 * math.log(1.1 / 1.3) + 2 * math.log(2.1 / 2.3)) / 4
+    assert abs(rows[1]["xent"] - exp1) < 1e-12
+    assert rows[1]["n_scored"] == 4
+    assert rows[1]["xent"] < rows[3]["xent"]
+
+
+def test_bpe_encode_counts_after_merges(spark):
+    """Encoding with the Sennrich merge list: 'low'→1 token, 'lower'→2
+    (lowe+r after 4 merges... lower fully merges at step 4), 'lowest'→
+    lowe+s+t = 3; single-char and unseen-char words count char-wise;
+    NULL/empty docs report 0/0 instead of disappearing."""
+    from knowledge_graph_spark.operators.textstats import (
+        bpe_encode, bpe_train,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "low low low lower lowest")], ["doc_id", "text"])
+    merges = [(r["lhs"], r["rhs"])
+              for r in bpe_train(train, n_merges=4).collect()]
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "a xyz"), (3, ""), (4, None)],
+        "doc_id int, text string")
+    rows = {r["doc_id"]: (r["n_words"], r["n_tokens"])
+            for r in bpe_encode(docs, merges, checkpoint_every=2).collect()}
+    # low=1 (fully merged), lower=1 (lowe+r merged at step 4),
+    # lowest = lowe+s+t = 3
+    assert rows[1] == (3, 1 + 1 + 3)
+    assert rows[2] == (2, 1 + 3)   # 'a' 1 char; 'xyz' never merged
+    assert rows[3] == (0, 0) and rows[4] == (0, 0)
+
+
 def test_budget_select_prefix_semantics(spark):
     """Budget selection keeps exactly the (score desc, id) prefix whose
     inclusive running token total fits: ties order by id, the boundary

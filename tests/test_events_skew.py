@@ -137,3 +137,56 @@ def test_retention_cohorts_matrix(spark):
         (day2, 0): (1, 1, 1.0),
         (day2, 2): (1, 1, 1.0),
     }
+
+
+def test_daily_anomalies_zscore_and_flags(spark):
+    """Type A: days [10, 10, 40] — mean 20, pop-std 14.142, the spike
+    day z≈1.414 (below the default threshold 2). Type B constant →
+    stddev 0 → z = 0.0, never flagged. Threshold 1.0 flags A's spike
+    and A's two low days (|z|≈0.707 stays below 1.0)."""
+    from knowledge_graph_spark.operators.events import daily_anomalies
+
+    rows = []
+    for day, n in (("2024-01-01", 10), ("2024-01-02", 10),
+                   ("2024-01-03", 40)):
+        rows += [("A", f"{day} 12:00:00")] * n
+    rows += [("B", "2024-01-01 01:00:00"), ("B", "2024-01-02 01:00:00")]
+    ev = spark.createDataFrame(rows, ["event_type", "ts_s"]).select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+
+    out = {(r["event_type"], str(r["day"])): r
+           for r in daily_anomalies(ev).collect()}
+    spike = out[("A", "2024-01-03")]
+    assert spike["n_events"] == 40 and spike["mean_events"] == 20.0
+    assert abs(spike["zscore"] - 1.414214) < 1e-6
+    assert not spike["is_anomaly"]
+    b = out[("B", "2024-01-01")]
+    assert b["stddev_events"] == 0.0 and b["zscore"] == 0.0
+    assert not b["is_anomaly"]
+
+    flagged = {(r["event_type"], str(r["day"]))
+               for r in daily_anomalies(ev, threshold=1.0).collect()
+               if r["is_anomaly"]}
+    assert flagged == {("A", "2024-01-03")}
+
+
+def test_stratified_exact_k_counts_and_determinism(spark):
+    """Exactly k rows per stratum; smaller strata keep everything; the
+    pick set is identical across parallelism levels and salts change
+    it."""
+    from knowledge_graph_spark.operators.sampling import stratified_exact_k
+
+    rows = [(f"s{i % 3}", i) for i in range(30)] + [("tiny", 99)]
+    df = spark.createDataFrame(rows, ["source", "doc_id"])
+    out = stratified_exact_k(df, k=4).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert {s: len(v) for s, v in by_src.items()} == {
+        "s0": 4, "s1": 4, "s2": 4, "tiny": 1}
+    again = {(r["source"], r["doc_id"])
+             for r in stratified_exact_k(df.repartition(7), k=4).collect()}
+    assert again == {(r["source"], r["doc_id"]) for r in out}
+    salted = {(r["source"], r["doc_id"])
+              for r in stratified_exact_k(df, k=4, salt="x").collect()}
+    assert salted != again  # different hash order (overwhelmingly)

@@ -366,3 +366,44 @@ def test_weighted_sssp_edge_list_shuffled_once(spark):
     finally:
         e.unpersist()
     assert out.count() >= 0  # materializes without error
+
+
+def test_stratified_exact_k_prunes_map_side(spark):
+    from knowledge_graph_spark.operators.sampling import stratified_exact_k
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(stratified_exact_k(docs, k=5))
+    # the rank<=k filter must rewrite to a group limit so map tasks
+    # pre-prune before the stratum exchange
+    assert "WindowGroupLimit" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_lm_perplexity_no_python_and_single_train_pass(spark):
+    from knowledge_graph_spark.operators.textstats import lm_perplexity
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(lm_perplexity(docs, F.col("lang") == "en"))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # prefix counts / vocab / scoring all read the checkpointed bigram
+    # table, not three re-derivations of the corpus: exactly one scan
+    # subtree parses text into bigrams (the checkpoint shows as an
+    # ExistingRDD / Scan of the materialized frame)
+    assert p.count("Scan ExistingRDD") >= 2
+
+
+def test_anomaly_window_runs_over_aggregated_frame(spark):
+    from knowledge_graph_spark.operators.events import daily_anomalies
+
+    import re
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    p = plan(daily_anomalies(ev))
+    # the z-score statistics come from a window over the aggregated
+    # (type, day) frame — no second pass over raw events: exactly one
+    # scan node (formatted explain mentions each node in tree + detail,
+    # so count distinct node ids, host_profile pattern)
+    ids = set(re.findall(r"\((\d+)\) Scan parquet", p))
+    ids |= set(re.findall(r"Scan parquet[^(\n]*\((\d+)\)", p))
+    assert len(ids) == 1
+    assert "BatchEvalPython" not in p

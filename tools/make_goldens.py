@@ -378,6 +378,40 @@ def golden_bpe_merges(sf_dir: str, n_merges: int = 20) -> list[dict]:
     return rows
 
 
+def golden_bpe_encoded(sf_dir: str, n_merges: int = 20) -> list[dict]:
+    """Twin of textstats.bpe_encode: replay the trained merge list
+    (golden_bpe_merges) over every document's word stream, counting
+    subword symbols after all merges; per-word encodes are cached —
+    the same vocabulary-bounded argument as the Spark plan."""
+    merges = [(r["lhs"], r["rhs"])
+              for r in golden_bpe_merges(sf_dir, n_merges)]
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    cache: dict = {}
+
+    def ntok(w: str) -> int:
+        if w not in cache:
+            ss = list(w)
+            for lhs, rhs in merges:
+                out: list[str] = []
+                for s in ss:
+                    if out and out[-1] == lhs and s == rhs:
+                        out[-1] = lhs + rhs
+                    else:
+                        out.append(s)
+                ss = out
+            cache[w] = len(ss)
+        return cache[w]
+
+    rows = []
+    for did, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        ws = word_tokens(t) if t else []
+        rows.append({"doc_id": did, "n_words": len(ws),
+                     "n_tokens": sum(ntok(w) for w in ws)})
+    rows.sort(key=lambda d: d["doc_id"])
+    return rows
+
+
 # ---------------------------------------------------------------------------
 # multimodal goldens (twin drives the same pure decode kernels row-by-row;
 # the Spark side under test is the Arrow batching / schema plumbing)
@@ -640,6 +674,9 @@ def main() -> None:
     write("bpe_merges", golden_bpe_merges(args.sf_dir), pa.schema([
         ("step", pa.int32()), ("lhs", pa.string()), ("rhs", pa.string()),
         ("merged", pa.string()), ("pair_count", pa.int64())]))
+    write("bpe_encoded", golden_bpe_encoded(args.sf_dir), pa.schema([
+        ("doc_id", pa.int64()), ("n_words", pa.int64()),
+        ("n_tokens", pa.int64())]))
     write("lpa_communities", golden_lpa_communities(args.sf_dir), pa.schema([
         ("id", pa.int64()), ("label", pa.int64())]))
     write("host_profile", golden_host_profile(), pa.schema([
@@ -782,6 +819,20 @@ def main() -> None:
           [{"id": k, "triangles": tri_count[k]}
            for k in sorted(tri_count)],
           pa.schema([("id", pa.string()), ("triangles", pa.int64())]))
+
+    # kg_clustering: twin of graph_analytics.clustering_coefficient —
+    # degree census over the same adjacency sets plus the brute-force
+    # triangle counts above; coeff = 2t / (d(d-1)), degree-1 nodes 0.0
+    write("kg_clustering",
+          [{"id": k, "degree": len(adj[k]),
+            "triangles": tri_count.get(k, 0),
+            "coeff": round_half_up(
+                2.0 * tri_count.get(k, 0)
+                / (len(adj[k]) * (len(adj[k]) - 1)), 6)
+            if len(adj[k]) >= 2 else 0.0}
+           for k in sorted(adj)],
+          pa.schema([("id", pa.string()), ("degree", pa.int64()),
+                     ("triangles", pa.int64()), ("coeff", pa.float64())]))
 
     # kg_kcore: twin of graph_analytics.k_core (k=2) — iterative peel
     # of degree-<2 nodes over graph A's undirected distinct edges
