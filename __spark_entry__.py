@@ -1206,6 +1206,88 @@ def _q_bpe_encoded(spark, sf_dir):
     return bpe_encode(docs, merges).orderBy("doc_id")
 
 
+def _q_nb_predictions(spark, sf_dir):
+    """Classifier-based routing: multinomial Naive Bayes trained to
+    predict a document's source on the ~50% md5 split, scored on the
+    whole corpus (md5 keeps the split SQL-recomputable). Full SQL
+    oracle replays priors, smoothing, and the argmax."""
+    from knowledge_graph_spark.operators.classify import nb_train_score
+
+    docs = _t(spark, sf_dir, "documents")
+    is_train = F.md5(F.col("doc_id").cast("string")) < "8"
+    preds = nb_train_score(
+        docs.filter(is_train).select(F.col("source").alias("label"),
+                                     "text"),
+        docs,
+    )
+    return (
+        preds.join(docs.select("doc_id", F.col("source").alias("actual")),
+                   "doc_id")
+        .select("doc_id", "predicted",
+                F.round("log_score", 6).alias("log_score"), "actual",
+                (F.col("predicted") == F.col("actual")).alias("correct"))
+        .orderBy("doc_id")
+    )
+
+
+_SQL_NB = r"""
+WITH d0 AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                     x -> x != '') AS ws,
+         md5(CAST(doc_id AS VARCHAR)) < '8' AS is_train
+  FROM documents
+),
+trc AS (SELECT source AS label, w AS word, COUNT(*) AS c
+        FROM (SELECT source, unnest(ws) AS w FROM d0 WHERE is_train)
+        GROUP BY 1, 2),
+ltot AS (SELECT label, SUM(c) AS tok FROM trc GROUP BY 1),
+voc AS (SELECT DISTINCT word FROM trc),
+v AS (SELECT COUNT(*) + 1 AS vs FROM voc),
+pri AS (SELECT source AS label, COUNT(*) AS nd FROM d0
+        WHERE is_train GROUP BY 1),
+ptot AS (SELECT SUM(nd) AS t FROM pri),
+consts AS (
+  SELECT p.label, ln(p.nd / CAST(ptot.t AS DOUBLE)) AS log_prior,
+         -ln(l.tok + v.vs) AS log_unseen,
+         CAST(l.tok + v.vs AS DOUBLE) AS denom
+  FROM pri p CROSS JOIN ptot JOIN ltot l ON l.label = p.label CROSS JOIN v
+),
+st AS (SELECT doc_id, w AS word, COUNT(*) AS n
+       FROM (SELECT doc_id, unnest(ws) AS w FROM d0) GROUP BY 1, 2),
+known AS (
+  SELECT st.doc_id, c2.label,
+         SUM(st.n * ln((COALESCE(trc.c, 0) + 1) / c2.denom)) AS mk
+  FROM st JOIN voc ON voc.word = st.word
+  CROSS JOIN consts c2
+  LEFT JOIN trc ON trc.word = st.word AND trc.label = c2.label
+  GROUP BY 1, 2
+),
+uns AS (SELECT st.doc_id, SUM(st.n) AS nu
+        FROM st LEFT JOIN voc ON voc.word = st.word
+        WHERE voc.word IS NULL GROUP BY 1),
+sc AS (
+  SELECT d.doc_id, c2.label,
+         c2.log_prior + COALESCE(k.mk, 0)
+           + COALESCE(u.nu, 0) * c2.log_unseen AS s
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN consts c2
+  LEFT JOIN known k ON k.doc_id = d.doc_id AND k.label = c2.label
+  LEFT JOIN uns u ON u.doc_id = d.doc_id
+),
+best AS (
+  SELECT doc_id, label AS predicted, s
+  FROM sc
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                             ORDER BY s DESC, label) = 1
+)
+SELECT b.doc_id, b.predicted, ROUND(b.s, 6) AS log_score,
+       doc.source AS actual, b.predicted = doc.source AS correct
+FROM best b JOIN documents doc ON doc.doc_id = b.doc_id
+ORDER BY b.doc_id
+"""
+
+
 def _q_lm_perplexity(spark, sf_dir):
     """CCNet-style bigram-LM cross-entropy per document, model trained
     on the English slice (add-0.1 smoothing, <unk> mapping, BOS). Full
@@ -2146,6 +2228,89 @@ def _q_kg_pagerank(spark, sf_dir):
     )
 
 
+def _q_kg_ppr(spark, sf_dir):
+    """Personalized PageRank around graph A's 5 smallest node ids
+    (10 rounds, d=0.85, teleport + dangling mass to the seeds) —
+    seed-relative entity importance; twin-golden oracled to 6 dp."""
+    from knowledge_graph_spark.operators.graph_analytics import (
+        personalized_pagerank,
+    )
+
+    wh = _warehouse(spark, sf_dir)
+    edges = wh.edges.read(spark).filter(F.col("graph_id") == _KG_GRAPH_ID)
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = nodes.orderBy("id").limit(5)
+    return (
+        personalized_pagerank(edges, seeds, n_sources=5)
+        .select("id", F.round("rank", 6).alias("rank"))
+        .orderBy("id")
+    )
+
+
+def _q_lpa_modularity(spark, sf_dir):
+    """Community quality: Newman modularity decomposition of the LPA
+    communities over the order↔part graph. The engine recomputes the
+    communities; the oracle reads the PINNED twin communities and
+    recomputes every contribution in SQL from raw lineitem — so both
+    the propagation and the modularity algebra are checked."""
+    from knowledge_graph_spark.operators.graph_analytics import (
+        label_propagation, modularity,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.filter(F.col("l_quantity") == 1).select(
+        (F.col("l_orderkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    )
+    comm = label_propagation(edges)
+    return (
+        modularity(edges, comm)
+        # + 0.0 normalizes IEEE -0.0 (ROUND of a tiny negative) to +0.0
+        # so both engines hash identically
+        .select("label", "n_nodes", "internal_edges", "degree_sum",
+                (F.round("contribution", 6) + F.lit(0.0))
+                .alias("contribution"))
+        .orderBy("label")
+    )
+
+
+_SQL_LPA_MODULARITY_TMPL = r"""
+WITH e0 AS (
+  SELECT DISTINCT least(l_orderkey * 2, l_partkey * 2 + 1) AS a,
+                  greatest(l_orderkey * 2, l_partkey * 2 + 1) AS b
+  FROM lineitem WHERE l_quantity = 1
+),
+lab AS (SELECT id, label FROM read_parquet('{golden}/lpa_communities.parquet')),
+mm AS (SELECT COUNT(*) AS m FROM e0),
+deg AS (SELECT nid, COUNT(*) AS d FROM (
+          SELECT a AS nid FROM e0 UNION ALL SELECT b FROM e0)
+        GROUP BY 1),
+internal AS (
+  SELECT la.label, COUNT(*) AS internal_edges
+  FROM e0 JOIN lab la ON la.id = e0.a
+          JOIN lab lb ON lb.id = e0.b AND lb.label = la.label
+  GROUP BY 1
+),
+dsum AS (
+  SELECT lab.label, COUNT(*) AS n_nodes, SUM(deg.d) AS degree_sum
+  FROM lab JOIN deg ON deg.nid = lab.id
+  GROUP BY 1
+)
+SELECT ds.label, ds.n_nodes,
+       COALESCE(i.internal_edges, 0) AS internal_edges,
+       CAST(ds.degree_sum AS BIGINT) AS degree_sum,
+       ROUND(COALESCE(i.internal_edges, 0) / CAST(mm.m AS DOUBLE)
+             - (ds.degree_sum / (2.0 * mm.m)) ^ 2, 6) + 0.0
+         AS contribution
+FROM dsum ds LEFT JOIN internal i ON i.label = ds.label CROSS JOIN mm
+ORDER BY ds.label
+"""
+
+
 def _q_kg_triangles(spark, sf_dir):
     """Per-node triangle participation over graph A (degree-ordered
     wedge join; twin-golden oracled)."""
@@ -2357,6 +2522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encoded": _q_bpe_encoded,
         "dsir_weights": _q_dsir_weights,
         "lm_perplexity": _q_lm_perplexity,
+        "nb_predictions": _q_nb_predictions,
         "partsupp_bfs": _q_partsupp_bfs,
         "order_part_components": _q_order_part_components,
         "order_part_aa": _q_order_part_aa,
@@ -2390,6 +2556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_keyword_search": _q_kg_keyword_search,
         "kg_degrees": _q_kg_degrees,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_ppr": _q_kg_ppr,
+        "lpa_modularity": _q_lpa_modularity,
         "kg_triangles": _q_kg_triangles,
         "kg_clustering": _q_kg_clustering,
         "kg_kcore": _q_kg_kcore,
@@ -2436,6 +2604,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pairs": _SQL_BPE,
         "dsir_weights": _SQL_DSIR,
         "lm_perplexity": _SQL_LM_PPL,
+        "nb_predictions": _SQL_NB,
         # full BFS recomputation via a recursive CTE — not a pinned twin
         "partsupp_bfs": _SQL_PARTSUPP_BFS,
         "order_part_components": _SQL_ORDER_PART_COMPONENTS,
@@ -2476,6 +2645,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_keyword_search": _golden_sql("kg_keyword_search", "id"),
         "kg_degrees": _golden_sql("kg_degrees", "id"),
         "kg_pagerank": _golden_sql("kg_pagerank", "id"),
+        "kg_ppr": _golden_sql("kg_ppr", "id"),
+        "lpa_modularity": _SQL_LPA_MODULARITY_TMPL.format(
+            golden=_GOLDEN_DIR),
         "kg_triangles": _golden_sql("kg_triangles", "id"),
         "kg_clustering": _golden_sql("kg_clustering", "id"),
         "kg_kcore": _golden_sql("kg_kcore", "id"),

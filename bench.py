@@ -83,6 +83,8 @@ def main():
         "partsupp_sssp", "span_dedup", "event_retention",
         "partsupp_walks", "hard_negatives",
         "embedding_topk", "embedding_neardups",
+        "lm_perplexity", "nb_predictions", "bpe_encoded",
+        "event_anomalies", "stratified_k",
     ]
     qs = entrymod.queries()
     for name in headliners:

@@ -101,6 +101,136 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     return ranks
 
 
+def personalized_pagerank(edges: DataFrame, sources: DataFrame,
+                          src: str = "src", dst: str = "dst",
+                          iterations: int = 10, damping: float = 0.85,
+                          n_sources: int | None = None) -> DataFrame:
+    """Personalized PageRank (the topic-sensitive variant of Haveliwala
+    2002): random walks teleport back to the ``sources`` set instead of
+    uniformly, so ranks measure proximity-weighted importance RELATIVE
+    to those seeds — "what matters around these entities", the KG
+    recommendation/expansion primitive global PageRank can't answer.
+    Returns ``(id, rank)`` for every endpoint; ranks sum to 1.
+
+    Semantics: teleport vector t(v) = 1/|S| on the seed set, 0
+    elsewhere; ``rank' = (1-d)·t + d·(contribs + dangling_mass·t)``
+    (dangling mass returns to the seeds — the standard PPR convention,
+    keeping the walk inside the seed neighborhood); ranks start at t.
+    Fixed ``iterations`` for determinism, like :func:`pagerank`.
+
+    Same scale shape as :func:`pagerank`: one (id, double) exchange +
+    one-row dangling broadcast per round, teleport flags carried on the
+    once-built node frame, per-round ``localCheckpoint``. Pass
+    ``n_sources`` (catalog stats) to skip the one sizing count."""
+    pairs = edges.select(F.col(src).alias("src"),
+                         F.col(dst).alias("dst")).distinct()
+    nodes = (
+        pairs.select(F.col("src").alias("id"))
+        .unionByName(pairs.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    srcs = sources.select(F.col(sources.columns[0]).alias("id")).distinct()
+    if n_sources is None:
+        n_sources = srcs.count()
+    if n_sources == 0:
+        raise ValueError("personalized_pagerank needs >= 1 source node")
+    tele = (
+        nodes.join(srcs.withColumn("_s", F.lit(1)), "id", "left")
+        .select("id", (F.coalesce(F.col("_s"), F.lit(0))
+                       / F.lit(float(n_sources))).alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    deg = pairs.groupBy("src").agg(F.count("*").alias("deg"))
+    links = pairs.join(deg, "src").persist()
+    dangling = tele.join(deg, tele["id"] == deg["src"],
+                         "left_anti").select("id").persist()
+
+    ranks = tele.select("id", F.col("t").alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            links.join(ranks, links["src"] == ranks["id"])
+            .select(F.col("dst").alias("id"),
+                    (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("id").agg(F.sum("c").alias("c"))
+        )
+        dang = (
+            ranks.join(dangling, "id", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            tele.join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "id",
+                ((1.0 - damping) * F.col("t") + damping
+                 * (F.coalesce(F.col("c"), F.lit(0.0))
+                    + F.col("dm") * F.col("t"))).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    links.unpersist()
+    dangling.unpersist()
+    return ranks
+
+
+def modularity(edges: DataFrame, communities: DataFrame,
+               src: str = "src", dst: str = "dst",
+               id_col: str = "id", label_col: str = "label") -> DataFrame:
+    """Newman modularity decomposition of a community assignment over
+    the undirected distinct edge set: per community,
+    ``contribution = e_c/m − (d_c/2m)²`` (internal-edge fraction minus
+    the random-graph expectation); total modularity Q is the sum over
+    rows. Returns ``(label, n_nodes, internal_edges, degree_sum,
+    contribution)`` — the quality report for
+    :func:`label_propagation`'s output (did propagation find real
+    structure, or shatter?).
+
+    ``communities`` must cover every endpoint (community detectors over
+    the same edge set do); nodes without edges are ignored (they carry
+    no modularity mass). Scale shape: the edge set is aggregated once
+    for degrees and joined twice against the (id, label) assignment —
+    both joins keyed by node id (AQE skew handles hub nodes); per-
+    community rollups exchange (label, long) pairs; ``m`` rides as a
+    one-row in-plan broadcast, no driver sizing action."""
+    und = _undirected(edges, src, dst)
+    la = communities.select(F.col(id_col).alias("a"),
+                            F.col(label_col).alias("_la"))
+    lb = communities.select(F.col(id_col).alias("b"),
+                            F.col(label_col).alias("_lb"))
+    internal = (
+        und.join(la, "a").join(lb, "b")
+        .filter(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias("label"))
+        .agg(F.count("*").alias("internal_edges"))
+    )
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("nid"))
+        .groupBy("nid").agg(F.count("*").alias("d"))
+    )
+    dsum = (
+        communities.select(F.col(id_col).alias("nid"),
+                           F.col(label_col).alias("label"))
+        .join(deg, "nid")
+        .groupBy("label")
+        .agg(F.count("*").alias("n_nodes"),
+             F.sum("d").alias("degree_sum"))
+    )
+    mrow = und.agg(F.count("*").alias("_m"))
+    return (
+        dsum.join(internal, "label", "left")
+        .crossJoin(F.broadcast(mrow))
+        .select(
+            "label", "n_nodes",
+            F.coalesce(F.col("internal_edges"), F.lit(0))
+            .alias("internal_edges"),
+            "degree_sum",
+            (F.coalesce(F.col("internal_edges"), F.lit(0)) / F.col("_m")
+             - (F.col("degree_sum") / (2.0 * F.col("_m"))) ** 2)
+            .alias("contribution"),
+        )
+    )
+
+
 def triangle_counts(edges: DataFrame, src: str = "src",
                     dst: str = "dst") -> DataFrame:
     """Per-node triangle counts over the undirected distinct edge set

@@ -148,6 +148,77 @@ def test_triangle_counts_k4_plus_tail(spark):
     assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
 
 
+def test_personalized_pagerank_stays_near_seeds(spark):
+    """Mass is conserved (sum 1), concentrates on the seed, and a
+    component unreachable from the seeds gets EXACTLY zero (teleport
+    and dangling mass both return to the seed set — unlike global
+    pagerank, which spreads 1/N everywhere)."""
+    from knowledge_graph_spark.operators.graph_analytics import (
+        personalized_pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("x", "y"), ("y", "x")], ["src", "dst"])
+    seeds = spark.createDataFrame([("a",)], ["id"])
+    r = {row["id"]: row["rank"]
+         for row in personalized_pagerank(edges, seeds).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    assert r["a"] > r["b"] > 0
+    assert r["x"] == 0.0 and r["y"] == 0.0
+
+
+def test_modularity_two_triangles_bridge(spark):
+    """Two triangles joined by one bridge, split into their natural
+    communities: m = 7, each community e_c = 3, d_c = 7, contribution
+    = 3/7 − (7/14)² = 0.1786; Q = 0.3571. Also robust to reversed
+    duplicate edges."""
+    from knowledge_graph_spark.operators.graph_analytics import modularity
+
+    tri1 = [("a", "b"), ("a", "c"), ("b", "c")]
+    tri2 = [("d", "e"), ("d", "f"), ("e", "f")]
+    edges = spark.createDataFrame(
+        tri1 + tri2 + [("c", "d"), ("b", "a")], ["src", "dst"])
+    comm = spark.createDataFrame(
+        [(n, "c1") for n in "abc"] + [(n, "c2") for n in "def"],
+        ["id", "label"])
+    rows = {r["label"]: r for r in modularity(edges, comm).collect()}
+    for lbl in ("c1", "c2"):
+        assert rows[lbl]["n_nodes"] == 3
+        assert rows[lbl]["internal_edges"] == 3
+        assert rows[lbl]["degree_sum"] == 7
+        assert abs(rows[lbl]["contribution"] - (3 / 7 - 0.25)) < 1e-12
+    assert abs(sum(r["contribution"] for r in rows.values())
+               - 2 * (3 / 7 - 0.25)) < 1e-12
+
+
+def test_nb_classifier_hand_model(spark):
+    """Add-one multinomial NB on a two-label toy model: priors 1/2,
+    V = 4; P(a|X) = 3/7, P(b|X) = 2/7, P(c|X) = 1/7 (mirror for Y).
+    'a b' → X, 'c' → Y, unseen-only and empty docs fall back to the
+    priors with the smallest-label tie-break."""
+    import math
+
+    from knowledge_graph_spark.operators.classify import nb_train_score
+
+    train = spark.createDataFrame(
+        [("X", "a a b"), ("Y", "b b c")], ["label", "text"])
+    score = spark.createDataFrame(
+        [(1, "a b"), (2, "c"), (3, "z"), (4, "")],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r for r in nb_train_score(train, score).collect()}
+    exp1 = math.log(0.5) + math.log(3 / 7) + math.log(2 / 7)
+    assert out[1]["predicted"] == "X"
+    assert abs(out[1]["log_score"] - exp1) < 1e-12
+    assert out[2]["predicted"] == "Y"
+    assert abs(out[2]["log_score"]
+               - (math.log(0.5) + math.log(2 / 7))) < 1e-12
+    assert out[3]["predicted"] == "X"  # tie -> smallest label
+    assert abs(out[3]["log_score"]
+               - (math.log(0.5) - math.log(7))) < 1e-12
+    assert out[4]["predicted"] == "X"
+    assert abs(out[4]["log_score"] - math.log(0.5)) < 1e-12
+
+
 def test_clustering_coefficient_k4_pendant(spark):
     """K4 members score 1.0; the node bridging K4 to a pendant scores
     2*3/(4*3) = 0.5; degree-1 nodes score 0.0 and still appear."""

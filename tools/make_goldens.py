@@ -799,6 +799,25 @@ def main() -> None:
            for nd in pr_nodes],
           pa.schema([("id", pa.string()), ("rank", pa.float64())]))
 
+    # kg_ppr: twin of graph_analytics.personalized_pagerank (10 rounds,
+    # d=0.85, teleport + dangling mass to the 5 smallest node ids)
+    pp_src = sorted(pr_nodes)[:5]
+    pp_t = {nd: (1.0 / len(pp_src) if nd in pp_src else 0.0)
+            for nd in pr_nodes}
+    pp_ranks = dict(pp_t)
+    for _ in range(10):
+        contrib = defaultdict(float)
+        for s_, d_ in pr_pairs:
+            contrib[d_] += pp_ranks[s_] / pr_deg[s_]
+        dm = sum(r for nd, r in pp_ranks.items() if nd not in pr_deg)
+        pp_ranks = {nd: 0.15 * pp_t[nd]
+                    + 0.85 * (contrib.get(nd, 0.0) + dm * pp_t[nd])
+                    for nd in pr_nodes}
+    write("kg_ppr",
+          [{"id": nd, "rank": round_half_up(pp_ranks[nd], 6)}
+           for nd in pr_nodes],
+          pa.schema([("id", pa.string()), ("rank", pa.float64())]))
+
     # kg_triangles: twin of graph_analytics.triangle_counts (brute
     # force over adjacency sets; per-node participation counts)
     adj: dict = defaultdict(set)
