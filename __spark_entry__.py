@@ -1111,6 +1111,79 @@ ORDER BY t.doc_id
 """
 
 
+def _q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval: RRF fusion (k=60) of the BM25 lexical ranking
+    (top 50 for the fixed 3-term query) with the dense cosine ranking
+    (top 50 around embedding 0; vec_id ≡ doc_id). Full SQL oracle
+    recomputes both rankings and the fusion."""
+    from pyspark.sql import Window
+
+    from knowledge_graph_spark.operators.search import bm25_search, rrf_fuse
+    from knowledge_graph_spark.operators.simsearch import brute_force_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = (
+        bm25_search(docs, _BM25_TERMS)
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.col("score").desc(), "doc_id")))
+        .filter(F.col("rank") <= 50)
+    )
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    dense = brute_force_topk(emb, q0, k=50).select(
+        F.col("vec_id").alias("doc_id"), "rank")
+    fused = rrf_fuse([lex.select("doc_id", "rank"), dense])
+    return (
+        fused.select("doc_id", F.round("rrf_score", 6).alias("rrf_score"),
+                     "n_lists")
+        .orderBy("doc_id")
+    )
+
+
+_SQL_HYBRID = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                     x -> x != '') AS w
+  FROM documents
+),
+dl AS (SELECT doc_id, len(w) AS dl FROM toks),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+terms AS (SELECT doc_id, unnest(w) AS term FROM toks),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms
+       WHERE term IN ('spark', 'table', 'row') GROUP BY 1, 2),
+dfs AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+bm AS (
+  SELECT t.doc_id,
+         SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * (1.2 + 1.0)
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / avgdl))) AS score
+  FROM tf t JOIN dfs USING (term) JOIN dl d ON t.doc_id = d.doc_id
+  CROSS JOIN stats
+  GROUP BY t.doc_id
+),
+lex AS (SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+        FROM bm QUALIFY r <= 50),
+q0 AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec
+       FROM embeddings WHERE vec_id = 0),
+dense AS (
+  SELECT e.vec_id AS doc_id,
+         ROW_NUMBER() OVER (
+           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           q0.qvec) DESC, e.vec_id) AS r
+  FROM embeddings e CROSS JOIN q0
+  QUALIFY r <= 50
+),
+u AS (SELECT doc_id, r FROM lex UNION ALL SELECT doc_id, r FROM dense)
+SELECT doc_id, ROUND(SUM(1.0 / (60 + r)), 6) AS rrf_score,
+       COUNT(*) AS n_lists
+FROM u GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _q_tfidf_terms(spark, sf_dir):
     """Per-document top-3 TF-IDF terms (smooth idf, deterministic
     tie-break); full SQL oracle."""
@@ -1346,6 +1419,51 @@ SELECT doc.doc_id AS doc_id, COALESCE(agg.n_scored, 0) AS n_scored,
        ROUND(agg.xent, 6) AS xent
 FROM documents doc LEFT JOIN agg ON agg.doc_id = doc.doc_id
 ORDER BY doc.doc_id
+"""
+
+
+def _q_pmi_collocations(spark, sf_dir):
+    """Top-50 PMI collocations (min pair count 5) over the documents
+    corpus — the word2vec-style phrase-mining pass. Full SQL oracle;
+    the top-n cut orders by unrounded PMI with the same tie-break."""
+    from knowledge_graph_spark.operators.textstats import pmi_collocations
+
+    return (
+        pmi_collocations(_t(spark, sf_dir, "documents"))
+        .select("lhs", "rhs", "pair_count",
+                F.round("pmi", 6).alias("pmi"))
+        .orderBy("lhs", "rhs")
+    )
+
+
+_SQL_PMI = r"""
+WITH ws AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                     x -> x != '') AS a
+  FROM documents
+),
+uni AS (SELECT w, COUNT(*) AS c
+        FROM (SELECT unnest(a) AS w FROM ws) GROUP BY 1),
+nt AS (SELECT SUM(c) AS n FROM uni),
+ba AS (SELECT p.lhs AS lhs, p.rhs AS rhs, COUNT(*) AS pair_count FROM (
+         SELECT unnest(list_transform(range(1, len(a)),
+                       i -> {'lhs': a[i], 'rhs': a[i + 1]})) AS p
+         FROM ws WHERE len(a) >= 2)
+       GROUP BY 1, 2),
+nb AS (SELECT SUM(pair_count) AS b FROM ba),
+j AS (
+  SELECT ba.lhs, ba.rhs, ba.pair_count,
+         ln((ba.pair_count / CAST(nb.b AS DOUBLE))
+            / ((u1.c / CAST(nt.n AS DOUBLE))
+               * (u2.c / CAST(nt.n AS DOUBLE)))) AS pmi
+  FROM ba CROSS JOIN nb CROSS JOIN nt
+  JOIN uni u1 ON u1.w = ba.lhs
+  JOIN uni u2 ON u2.w = ba.rhs
+  WHERE ba.pair_count >= 5
+),
+topn AS (SELECT * FROM j ORDER BY pmi DESC, lhs, rhs LIMIT 50)
+SELECT lhs, rhs, pair_count, ROUND(pmi, 6) AS pmi
+FROM topn ORDER BY lhs, rhs
 """
 
 
@@ -2516,6 +2634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": _q_hash_split,
         "pack_sequences": _q_pack_sequences,
         "bm25_search": _q_bm25_search,
+        "hybrid_search": _q_hybrid_search,
         "tfidf_terms": _q_tfidf_terms,
         "bpe_pairs": _q_bpe_pairs,
         "bpe_merges": _q_bpe_merges,
@@ -2523,6 +2642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "lm_perplexity": _q_lm_perplexity,
         "nb_predictions": _q_nb_predictions,
+        "pmi_collocations": _q_pmi_collocations,
         "partsupp_bfs": _q_partsupp_bfs,
         "order_part_components": _q_order_part_components,
         "order_part_aa": _q_order_part_aa,
@@ -2600,11 +2720,13 @@ def oracle_sql() -> dict[str, str]:
         "decontamination": _SQL_DECONTAM,
         "pack_sequences": _SQL_PACK,
         "bm25_search": _SQL_BM25,
+        "hybrid_search": _SQL_HYBRID,
         "tfidf_terms": _SQL_TFIDF,
         "bpe_pairs": _SQL_BPE,
         "dsir_weights": _SQL_DSIR,
         "lm_perplexity": _SQL_LM_PPL,
         "nb_predictions": _SQL_NB,
+        "pmi_collocations": _SQL_PMI,
         # full BFS recomputation via a recursive CTE — not a pinned twin
         "partsupp_bfs": _SQL_PARTSUPP_BFS,
         "order_part_components": _SQL_ORDER_PART_COMPONENTS,

@@ -30,13 +30,6 @@ DEFAULT_GATES = {
     "max_dup_3gram_frac": 0.6,
 }
 
-# the previous call's cached candidate frame: a lazily-returned result
-# cannot unpersist its own input, so the cache is released at the NEXT
-# call — bounding live cached copies to one per application instead of
-# one per call (an unmaterialized older result just recomputes)
-_prev_cache: list = []
-
-
 def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", lang: str | None = "en",
                   gates: dict | None = None) -> DataFrame:
@@ -56,17 +49,16 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
     d = d.filter(F.col("quality") >= g["min_quality"])
     # the DAG below is a diamond twice over (repetition reads the gated
     # frame for 2-grams AND 3-grams; dedup references its input as both
-    # join sides) — without a persist the regex/higher-order gate stage
-    # recomputes up to 6x. MEMORY_AND_DISK: the candidate set spills
-    # instead of OOMing at corpus scale (the standard move for reused
-    # intermediate stages; swap for a checkpoint table in a multi-job
-    # production pipeline).
-    from pyspark import StorageLevel
-
-    while _prev_cache:
-        _prev_cache.pop().unpersist(blocking=False)
-    d = d.persist(StorageLevel.MEMORY_AND_DISK)
-    _prev_cache.append(d)
+    # join sides) — without materialization the regex/higher-order gate
+    # stage recomputes up to 6x. An EAGER localCheckpoint, not a lazy
+    # persist: Spark submits a job's independent stages concurrently,
+    # so a lazy cache lets the 2-gram and 3-gram scans race and BOTH
+    # recompute the gated frame before either populates it (observed as
+    # bimodal 7 s / 53 s runs); eager materialization closes the race,
+    # truncates lineage, and is GC-reclaimed — no per-call cache
+    # bookkeeping. Storage is MEMORY_AND_DISK (spills, never OOMs);
+    # swap for a checkpoint table in a multi-job production pipeline.
+    d = d.localCheckpoint(eager=True)
 
     rep = repetition_stats(d, id_col, text_col)
     d = d.join(rep, id_col).filter(

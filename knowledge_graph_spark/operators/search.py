@@ -121,3 +121,35 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
         .filter(F.col("rank") <= k)
         .select("doc_id", "rank", "term", "tfidf")
     )
+
+
+def rrf_fuse(rankings: list[DataFrame], k: int = 60,
+             id_col: str = "doc_id",
+             rank_col: str = "rank") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of any
+    number of ranked lists over the same id space:
+    ``rrf_score(d) = Σ_lists 1 / (k + rank_d)`` — the standard way to
+    combine lexical (BM25) and dense (embedding) retrieval without
+    score calibration, since only RANKS enter. Returns
+    ``(id_col, rrf_score, n_lists)`` where ``n_lists`` counts how many
+    input lists retrieved the document (a consensus signal worth
+    keeping: score alone cannot distinguish one great rank from two
+    mediocre ones).
+
+    Scale shape: a union of the (already small) ranked lists and ONE
+    id-keyed aggregate — rankings are top-k objects by construction,
+    so every input is bounded by k·|queries|, not the corpus. Building
+    the input rankings at corpus scale is the retrieval operators' job
+    (:func:`bm25_search`, ``simsearch.brute_force_topk``)."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs >= 1 ranking")
+    tagged = None
+    for r in rankings:
+        t = r.select(F.col(id_col),
+                     F.col(rank_col).cast("long").alias("_r"))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    return (
+        tagged.groupBy(id_col)
+        .agg(F.sum(1.0 / (F.lit(k) + F.col("_r"))).alias("rrf_score"),
+             F.count("*").alias("n_lists"))
+    )

@@ -574,6 +574,62 @@ def bpe_train(docs: DataFrame, n_merges: int = 20,
         merges, "step int, lhs string, rhs string, merged string, pair_count bigint"
     )
 
+def pmi_collocations(docs: DataFrame, text_col: str = "text",
+                     min_count: int = 5, top_n: int = 50) -> DataFrame:
+    """Collocation mining by pointwise mutual information (Church &
+    Hanks 1990; the phrase-detection score behind word2vec's phrase
+    pass): for every adjacent word pair with corpus count >=
+    ``min_count``, ``pmi = ln( p(w1,w2) / (p(w1)·p(w2)) )`` with
+    ``p(w1,w2) = c12/B`` over B total bigrams and ``p(w) = c/N`` over N
+    total tokens. Returns the ``top_n`` pairs as
+    ``(lhs, rhs, pair_count, pmi)``, ties by (lhs, rhs) — the phrase
+    vocabulary a tokenizer or entity-discovery pass consumes.
+
+    Scale shape: ONE corpus pass feeds both aggregates (the token
+    explode is shared scan-side); bigram and unigram counts are
+    map-side-combined aggregates bounded by observed vocabulary; N and
+    B fold in as one-row in-plan broadcasts; the unigram joins on the
+    bigram table are vocabulary-sized (AQE broadcasts when small); the
+    global top-n is a ``TakeOrderedAndProject``. No driver actions, no
+    Python."""
+    words = docs.select(word_tokens(text_col).alias("_ws"))
+    uni = (
+        words.select(F.explode("_ws").alias("w"))
+        .groupBy("w").agg(F.count("*").alias("c"))
+        # feeds N, both prob joins — GC-reclaimed checkpoint
+        .localCheckpoint(eager=True)
+    )
+    n_tok = uni.agg(F.sum("c").alias("_n"))
+    bi_all = (
+        words.filter(F.size("_ws") >= 2)
+        .select(F.explode(F.expr(
+            "transform(sequence(1, size(_ws) - 1), "
+            "i -> struct(element_at(_ws, i) as lhs, "
+            "element_at(_ws, i + 1) as rhs))")).alias("p"))
+        .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .agg(F.count("*").alias("pair_count"))
+        .localCheckpoint(eager=True)
+    )
+    # B is the TOTAL bigram mass (before the frequency floor) — the
+    # floor prunes candidates, it must not reweight probabilities
+    n_bi = bi_all.agg(F.sum("pair_count").alias("_b"))
+    bi = bi_all.filter(F.col("pair_count") >= min_count)
+    c1 = uni.select(F.col("w").alias("lhs"), F.col("c").alias("_c1"))
+    c2 = uni.select(F.col("w").alias("rhs"), F.col("c").alias("_c2"))
+    pmi = F.log(
+        (F.col("pair_count") / F.col("_b"))
+        / ((F.col("_c1") / F.col("_n")) * (F.col("_c2") / F.col("_n")))
+    )
+    return (
+        bi.join(c1, "lhs").join(c2, "rhs")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_bi))
+        .select("lhs", "rhs", "pair_count", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "lhs", "rhs")
+        .limit(top_n)
+    )
+
+
 def host_profile(pages: DataFrame, url_col: str = "url",
                  text_col: str = "text") -> DataFrame:
     """Crawl census: per url host, page count, held-out count (rows

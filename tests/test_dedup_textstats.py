@@ -731,6 +731,30 @@ def test_bpe_train_sennrich_example(spark):
     ]
 
 
+def test_pmi_collocations_hand_values(spark):
+    """'x y' repeated 5x: N = 10 tokens, B = 9 bigrams, c(x,y) = 5,
+    c(y,x) = 4. pmi(x,y) = ln((5/9)/(0.5·0.5)) = ln(20/9); the floor
+    at 5 drops (y,x); B stays the TOTAL bigram mass after the floor."""
+    import math
+
+    from knowledge_graph_spark.operators.textstats import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(1, "x y x y x y x y x y")], ["doc_id", "text"])
+    rows = pmi_collocations(docs, min_count=4).collect()
+    got = {(r["lhs"], r["rhs"]): (r["pair_count"], r["pmi"]) for r in rows}
+    assert set(got) == {("x", "y"), ("y", "x")}
+    assert got[("x", "y")][0] == 5
+    assert abs(got[("x", "y")][1] - math.log(20 / 9)) < 1e-12
+    assert abs(got[("y", "x")][1] - math.log(16 / 9)) < 1e-12
+    # ordering: higher PMI first
+    assert (rows[0]["lhs"], rows[0]["rhs"]) == ("x", "y")
+    only = pmi_collocations(docs, min_count=5).collect()
+    # (y,x) gone, but B is still 9 — pmi unchanged
+    assert len(only) == 1
+    assert abs(only[0]["pmi"] - math.log(20 / 9)) < 1e-12
+
+
 def test_lm_perplexity_hand_model(spark):
     """Bigram LM trained on one doc 'a b a b'; hand-computed smoothed
     scores. V = |{a, b}| + 1 = 3; train bigrams from <s> a b a b:
@@ -941,3 +965,21 @@ def test_embedding_neardups_ignores_zero_vectors(spark):
         emb, threshold=0.99, bands=4, rows_per_band=2).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert got == {(3, 4)}
+
+
+def test_rrf_fuse_hand_scores(spark):
+    """Doc 1 ranks 1 and 2 across two lists → 1/61 + 1/62 with
+    n_lists 2; docs in one list only get their single term; k shifts
+    every denominator."""
+    from knowledge_graph_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(1, 2), (3, 1)], ["doc_id", "rank"])
+    got = {r["doc_id"]: r for r in rrf_fuse([a, b]).collect()}
+    assert abs(got[1]["rrf_score"] - (1 / 61 + 1 / 62)) < 1e-15
+    assert got[1]["n_lists"] == 2
+    assert abs(got[2]["rrf_score"] - 1 / 62) < 1e-15
+    assert abs(got[3]["rrf_score"] - 1 / 61) < 1e-15
+    got5 = {r["doc_id"]: r["rrf_score"]
+            for r in rrf_fuse([a, b], k=5).collect()}
+    assert abs(got5[1] - (1 / 6 + 1 / 7)) < 1e-15
