@@ -1,0 +1,126 @@
+# -*- coding: utf-8 -*-
+"""Distributed document classification: multinomial Naive Bayes.
+
+The classifier-based filtering stage of a web-scale corpus pipeline
+(GPT-3 trained a quality classifier against WebText; CCNet/fastText is
+the standard open implementation): train a bag-of-words model on a
+labeled slice, score every document, keep / route by predicted class.
+Multinomial NB (McCallum & Nigam 1998) is the strongest model whose
+training AND inference are both pure DataFrame aggregates — no SGD
+state, no Python in any hot path, and an exact SQL oracle can replay
+every probability.
+
+Scale shape:
+
+- training is ONE corpus pass: a (label, word) count aggregate with
+  map-side combine (exchange volume bounded by vocabulary × labels,
+  never corpus tokens); priors / label token totals / vocabulary size
+  all derive from that one aggregate;
+- the model is densified to a (word × label) log-likelihood grid —
+  labels are few (routing classes), so the grid is O(vocabulary) and
+  broadcastable; unseen-word mass is a per-label constant folded in as
+  a one-row-per-label broadcast;
+- inference explodes score docs to (doc, word, count), joins the
+  broadcast grid, and arg-maxes per document with ``min(struct)``
+  (deterministic tie-break: smallest label) — one shuffle keyed by
+  doc id carrying (id, label, double) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.vectors import word_tokens
+
+
+def nb_train_score(train: DataFrame, score: DataFrame,
+                   label_col: str = "label", id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Train add-one-smoothed multinomial NB on ``train`` and classify
+    every row of ``score``. Returns ``(id_col, predicted, log_score)``:
+    the argmax label and its unnormalized log posterior
+    ``ln P(label) + Σ_w c(w) · ln P(w|label)``, where
+    ``P(w|label) = (c(w,label) + 1) / (tokens(label) + V)`` and V is
+    the training vocabulary size + 1 (unseen words share one smoothed
+    bucket). Ties break to the smallest label. Documents with no
+    tokens are classified by priors alone."""
+    tr = (
+        train.select(F.col(label_col).alias("label"),
+                     F.explode(word_tokens(text_col)).alias("word"))
+        .groupBy("label", "word").agg(F.count("*").alias("c"))
+        # reused four times (totals, vocab, grid, unseen mass);
+        # GC-reclaimed checkpoint, not persist (linking.py pattern)
+        .localCheckpoint(eager=True)
+    )
+    label_tot = tr.groupBy("label").agg(F.sum("c").alias("tok"))
+    vocab = tr.select("word").distinct()
+    vsize = vocab.agg((F.count("*") + F.lit(1)).alias("_v"))
+    priors = (
+        train.groupBy(F.col(label_col).alias("label"))
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("_tot", F.sum("n_docs").over(Window.partitionBy()))
+    )
+    # per-label constants: log prior and the unseen-word log mass
+    consts = (
+        priors.join(label_tot, "label")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "label",
+            F.log(F.col("n_docs") / F.col("_tot")).alias("log_prior"),
+            (-F.log(F.col("tok") + F.col("_v"))).alias("log_unseen"),
+            (F.col("tok") + F.col("_v")).alias("_denom"),
+        )
+    )
+    # dense (word x label) grid: every vocabulary word gets a row per
+    # label (missing counts smooth to +1), so inference needs no
+    # per-label missing-word bookkeeping
+    grid = (
+        vocab.crossJoin(consts.select("label", "_denom"))
+        .join(tr, ["label", "word"], "left")
+        .select("word", "label",
+                F.log((F.coalesce(F.col("c"), F.lit(0)) + F.lit(1))
+                      / F.col("_denom")).alias("log_p"))
+    )
+
+    toks = (
+        score.select(F.col(id_col), F.explode(word_tokens(text_col))
+                     .alias("word"))
+        .groupBy(id_col, "word").agg(F.count("*").alias("n"))
+    )
+    # per (doc, label): known-word mass via the grid join; unseen mass
+    # = (tokens not in vocab) * log_unseen, counted once per doc.
+    # No broadcast HINT on the grid: it's vocabulary × labels — small
+    # for routing models (AQE broadcasts it), but a forced broadcast
+    # would OOM the driver on an open-vocabulary 100 TB corpus; the
+    # word-keyed shuffle join is the correct fallback there (stopword
+    # rows are AQE's skew case).
+    known = (
+        toks.join(grid, "word")
+        .groupBy(id_col, "label")
+        .agg(F.sum(F.col("n") * F.col("log_p")).alias("m_known"))
+    )
+    unseen_n = (
+        toks.join(vocab, "word", "left_anti")
+        .groupBy(id_col).agg(F.sum("n").alias("n_unseen"))
+    )
+    ids = score.select(id_col).distinct()
+    scored = (
+        ids.crossJoin(F.broadcast(consts.select(
+            "label", "log_prior", "log_unseen")))
+        .join(known, [id_col, "label"], "left")
+        .join(unseen_n, [id_col], "left")
+        .select(
+            F.col(id_col), "label",
+            (F.col("log_prior")
+             + F.coalesce(F.col("m_known"), F.lit(0.0))
+             + F.coalesce(F.col("n_unseen"), F.lit(0))
+             * F.col("log_unseen")).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.min(F.struct((-F.col("s")).alias("ns"),
+                            F.col("label").alias("l"))).alias("m"))
+        .select(F.col(id_col), F.col("m.l").alias("predicted"),
+                (-F.col("m.ns")).alias("log_score"))
+    )
