@@ -1723,6 +1723,79 @@ ORDER BY source, doc_id
 """
 
 
+def _q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over each user's event
+    sequence: per (cur, next) event-type pair, count + conditional
+    probability. Full SQL oracle."""
+    from knowledge_graph_spark.operators.events import transition_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_matrix(ev).orderBy("cur_type", "next_type")
+
+
+_SQL_EVENT_TRANSITIONS = r"""
+WITH seq AS (
+  SELECT event_type AS cur_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_type) AS next_type
+  FROM events
+),
+agg AS (SELECT cur_type, next_type, COUNT(*) AS n_transitions
+        FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+SELECT cur_type, next_type, n_transitions,
+       ROUND(n_transitions / CAST(SUM(n_transitions) OVER (
+             PARTITION BY cur_type) AS DOUBLE), 6) AS prob
+FROM agg ORDER BY cur_type, next_type
+"""
+
+
+def _q_emb_neighborhood(spark, sf_dir):
+    """GraphSAGE-style 1-hop mean aggregation over the vec_id path
+    graph (i — i+1): every vector becomes the mean of its neighbors'.
+    Reduced to (id, dim, l2 norm, first component) for the value
+    compare; full SQL oracle rebuilds every smoothed vector."""
+    from knowledge_graph_spark.operators.graph_analytics import (
+        neighborhood_mean,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = (
+        emb.select(F.col("vec_id").alias("src"),
+                   (F.col("vec_id") + 1).alias("dst"))
+        .join(emb.select(F.col("vec_id").alias("dst")), "dst", "left_semi")
+    )
+    feats = emb.select(F.col("vec_id").alias("id"),
+                       F.col("embedding").alias("vec"))
+    out = neighborhood_mean(edges, feats, hops=1)
+    norm = F.expr(
+        "sqrt(aggregate(vec, cast(0.0 as double), (a, x) -> a + x * x))")
+    return out.select(
+        "id", F.size("vec").alias("dim"),
+        F.round(norm, 6).alias("norm"),
+        F.round(F.element_at("vec", 1), 6).alias("v0"),
+    ).orderBy("id")
+
+
+_SQL_EMB_NEIGHBORHOOD = r"""
+WITH f AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+           FROM embeddings),
+e0 AS (SELECT a.id AS a, b.id AS b FROM f a JOIN f b ON b.id = a.id + 1),
+sym AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+x AS (SELECT id, unnest(vec) AS v,
+             unnest(range(1, len(vec) + 1)) AS pos
+      FROM f),
+nb AS (SELECT s.a AS id, x.pos, AVG(x.v) AS m
+       FROM sym s JOIN x ON x.id = s.b
+       GROUP BY 1, 2),
+newv AS (SELECT id, list(m ORDER BY pos) AS vec FROM nb GROUP BY id)
+SELECT id, len(vec) AS dim,
+       ROUND(sqrt(list_aggregate(list_transform(vec, y -> y * y),
+                                 'sum')), 6) AS norm,
+       ROUND(vec[1], 6) AS v0
+FROM newv ORDER BY id
+"""
+
+
 def _q_partsupp_sssp(spark, sf_dir):
     """Weighted shortest paths (distributed Bellman-Ford, 8 rounds)
     over the sparse part↔supplier co-purchase graph (l_quantity = 1;
@@ -2652,6 +2725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": _q_event_funnel,
         "event_retention": _q_retention,
         "event_anomalies": _q_event_anomalies,
+        "event_transitions": _q_event_transitions,
+        "emb_neighborhood": _q_emb_neighborhood,
         "stratified_k": _q_stratified_k,
         "partsupp_sssp": _q_partsupp_sssp,
         "span_dedup": _q_span_dedup,
@@ -2746,6 +2821,8 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": _SQL_EVENT_FUNNEL,
         "event_retention": _SQL_RETENTION,
         "event_anomalies": _SQL_EVENT_ANOMALIES,
+        "event_transitions": _SQL_EVENT_TRANSITIONS,
+        "emb_neighborhood": _SQL_EMB_NEIGHBORHOOD,
         "stratified_k": _SQL_STRATIFIED_K,
         "partsupp_sssp": _SQL_PARTSUPP_SSSP,
         "span_dedup": _SQL_SPAN_DEDUP,

@@ -231,3 +231,36 @@ def daily_anomalies(events: DataFrame, threshold: float = 2.0,
         F.round(z, 6).alias("zscore"),
         (F.abs(z) >= F.lit(threshold)).alias("is_anomaly"),
     )
+
+
+def transition_matrix(events: DataFrame, user_col: str = "user_id",
+                      type_col: str = "event_type",
+                      ts_col: str = "ts") -> DataFrame:
+    """First-order Markov transition statistics over each user's
+    event sequence: for every observed (current, next) event-type
+    pair, the count and the conditional probability
+    ``p = c(cur, next) / Σ_next c(cur, ·)`` — the behavioral model
+    behind funnel drop-off analysis and next-event prediction
+    baselines. Returns ``(cur_type, next_type, n_transitions, prob)``.
+    Ties in event time order by event id-free deterministic
+    (ts, type) so reruns agree.
+
+    Scale shape: ONE user-keyed window pass (lead over (ts, type) —
+    partitions bounded by a user's event count; the power-user skew
+    case is the same one sessionize carries), then a (cur, next)
+    aggregate with map-side combine and a row-count window over the
+    AGGREGATED frame (one row per observed pair — metadata-scale) for
+    the denominator. Event payloads are pruned at the scan."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col),
+                                             F.col(type_col))
+    seq = events.select(
+        F.col(type_col).alias("cur_type"),
+        F.lead(type_col, 1).over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    agg = seq.groupBy("cur_type", "next_type").agg(
+        F.count("*").alias("n_transitions"))
+    denom = F.sum("n_transitions").over(Window.partitionBy("cur_type"))
+    return agg.select(
+        "cur_type", "next_type", "n_transitions",
+        F.round(F.col("n_transitions") / denom, 6).alias("prob"),
+    )

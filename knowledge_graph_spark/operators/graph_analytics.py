@@ -651,3 +651,52 @@ def weighted_shortest_paths(
         frontier = improved
     e.unpersist()
     return dist
+
+
+def neighborhood_mean(edges: DataFrame, features: DataFrame,
+                      src: str = "src", dst: str = "dst",
+                      id_col: str = "id", vec_col: str = "vec",
+                      hops: int = 1) -> DataFrame:
+    """GNN-style feature propagation (the aggregation step of
+    GraphSAGE-mean, Hamilton et al. 2017, without the learned weights):
+    each hop replaces every node's vector with the MEAN of its
+    neighbors' vectors over the undirected distinct edge set. Returns
+    ``(id, vec)`` for every node that has features; isolated nodes keep
+    their own vector (a mean over zero neighbors is undefined — the
+    identity is the standard fallback). The pre-training feature
+    build for KG entity embeddings: smooth noisy per-entity features
+    over the graph before any model sees them.
+
+    Scale shape per hop: vectors are EXPLODED to (node, dim_pos, value)
+    rows, so the neighbor aggregate is a plain (id, pos)-keyed avg with
+    map-side combine — a hub node's million neighbor contributions
+    collapse inside each task, never as a million-element collected
+    array; the rebuild groups dim-bounded rows per node. Exchanges
+    carry (id, int, double); the feature table is re-joined per hop by
+    node id (AQE skew case for hubs). Dimension must be uniform;
+    ragged inputs surface as NULL dims in the rebuilt array."""
+    und = _undirected(edges, src, dst)
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    cur = features.select(F.col(id_col).alias("id"),
+                          F.col(vec_col).alias("vec"))
+    for _ in range(hops):
+        contrib = (
+            sym.join(cur.select(F.col("id").alias("b"), "vec"), "b")
+            .select(F.col("a").alias("id"),
+                    F.posexplode("vec").alias("pos", "v"))
+            .groupBy("id", "pos").agg(F.avg("v").alias("m"))
+        )
+        agg = (
+            contrib.groupBy("id")
+            .agg(F.array_sort(F.collect_list(
+                F.struct("pos", "m"))).alias("_pm"))
+            .select("id", F.expr(
+                "transform(_pm, x -> x.m)").alias("_nvec"))
+        )
+        cur = (
+            cur.join(agg, "id", "left")
+            .select("id", F.coalesce(F.col("_nvec"), F.col("vec"))
+                    .alias("vec"))
+        )
+    return cur

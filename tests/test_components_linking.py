@@ -624,3 +624,28 @@ def test_connected_components_string_ids(spark):
     with __import__("pytest").raises(ValueError, match="endpoint types"):
         connected_components(spark.createDataFrame(
             [("a", 1)], "u string, v long")).collect()
+
+
+def test_neighborhood_mean_path_graph(spark):
+    """Path a-b-c with 2-dim features: after one hop b = mean(a, c),
+    ends copy their single neighbor; an isolated node keeps its own
+    vector; two hops propagate further."""
+    from knowledge_graph_spark.operators.graph_analytics import (
+        neighborhood_mean,
+    )
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    feats = spark.createDataFrame(
+        [("a", [0.0, 0.0]), ("b", [1.0, 2.0]), ("c", [3.0, 4.0]),
+         ("z", [9.0, 9.0])],
+        ["id", "vec"])
+    one = {r["id"]: r["vec"]
+           for r in neighborhood_mean(edges, feats).collect()}
+    assert one["b"] == [1.5, 2.0]       # mean of a and c
+    assert one["a"] == [1.0, 2.0]       # b's old vector
+    assert one["c"] == [1.0, 2.0]
+    assert one["z"] == [9.0, 9.0]       # isolated: identity fallback
+    two = {r["id"]: r["vec"]
+           for r in neighborhood_mean(edges, feats, hops=2).collect()}
+    assert two["a"] == [1.5, 2.0]       # b's hop-1 vector
+    assert two["b"] == [1.0, 2.0]       # mean of a', c' = both [1, 2]

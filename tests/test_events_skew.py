@@ -190,3 +190,22 @@ def test_stratified_exact_k_counts_and_determinism(spark):
     salted = {(r["source"], r["doc_id"])
               for r in stratified_exact_k(df, k=4, salt="x").collect()}
     assert salted != again  # different hash order (overwhelmingly)
+
+
+def test_transition_matrix_probabilities(spark):
+    """User u1: a→b→a→c gives transitions (a,b),(b,a),(a,c); user u2:
+    a→b adds one more (a,b). P(b|a) = 2/3, P(c|a) = 1/3; b's only
+    observed successor is a, so P(a|b) = 1.0."""
+    from knowledge_graph_spark.operators.events import transition_matrix
+
+    rows = [("u1", "a", 1), ("u1", "b", 2), ("u1", "a", 3), ("u1", "c", 4),
+            ("u2", "a", 1), ("u2", "b", 2)]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "t"]).select(
+        "user_id", "event_type",
+        F.timestamp_seconds(F.col("t")).alias("ts"))
+    out = {(r["cur_type"], r["next_type"]): (r["n_transitions"], r["prob"])
+           for r in transition_matrix(ev).collect()}
+    assert out[("a", "b")] == (2, 0.666667)
+    assert out[("a", "c")] == (1, 0.333333)
+    assert out[("b", "a")] == (1, 1.0)
+    assert ("c", "a") not in out  # sequences never cross users
