@@ -140,6 +140,11 @@ def skipgram_pairs(walks: DataFrame, window: int = 2,
     the final count aggregate map-side-combines hub pairs. Exchanges
     carry ``(walk_id, step, node)`` then ``(node, node, long)`` —
     never payloads."""
+    if window < 1:
+        # sequence() steps DOWNWARD when bounds invert (the
+        # training_triples(negatives=0) trap) — a non-positive window
+        # would silently emit wrong pairs instead of none
+        raise ValueError(f"window={window}: need >= 1")
     seq = (
         walks.groupBy(F.col(walk_col).alias("walk_id"))
         .agg(F.array_sort(F.collect_list(F.struct(

@@ -649,3 +649,22 @@ def test_neighborhood_mean_path_graph(spark):
            for r in neighborhood_mean(edges, feats, hops=2).collect()}
     assert two["a"] == [1.5, 2.0]       # b's hop-1 vector
     assert two["b"] == [1.0, 2.0]       # mean of a', c' = both [1, 2]
+
+
+def test_skipgram_and_rrf_reject_bad_params(spark):
+    """Non-positive skip-gram windows and negative RRF k raise instead
+    of tripping the downward-sequence / divide-by-zero traps."""
+    import pytest as _pt
+
+    from knowledge_graph_spark.operators.kg_export import skipgram_pairs
+    from knowledge_graph_spark.operators.search import rrf_fuse
+
+    walks = spark.createDataFrame([("w", 0, "a")],
+                                  ["walk_id", "step", "node"])
+    with _pt.raises(ValueError):
+        skipgram_pairs(walks, window=0)
+    ranks = spark.createDataFrame([(1, 1)], ["doc_id", "rank"])
+    with _pt.raises(ValueError):
+        rrf_fuse([ranks], k=-1)
+    with _pt.raises(ValueError):
+        rrf_fuse([])
