@@ -1164,8 +1164,11 @@ bm AS (
   CROSS JOIN stats
   GROUP BY t.doc_id
 ),
+-- rank the 6-dp ROUNDED score: bm25_search() emits round(score, 6)
+-- (search.py), so the engine's rank ties on the rounded grid — ranking
+-- the raw score here could swap near-equal docs vs the engine
 lex AS (SELECT doc_id,
-               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+               ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id) AS r
         FROM bm QUALIFY r <= 50),
 q0 AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec
        FROM embeddings WHERE vec_id = 0),
@@ -2436,7 +2439,7 @@ def _q_kg_ppr(spark, sf_dir):
     )
     seeds = nodes.orderBy("id").limit(5)
     return (
-        personalized_pagerank(edges, seeds, n_sources=5)
+        personalized_pagerank(edges, seeds)
         .select("id", F.round("rank", 6).alias("rank"))
         .orderBy("id")
     )

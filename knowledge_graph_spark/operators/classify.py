@@ -60,9 +60,14 @@ def nb_train_score(train: DataFrame, score: DataFrame,
         .agg(F.count("*").alias("n_docs"))
         .withColumn("_tot", F.sum("n_docs").over(Window.partitionBy()))
     )
-    # per-label constants: log prior and the unseen-word log mass
+    # per-label constants: log prior and the unseen-word log mass.
+    # LEFT join + coalesce: a label whose training docs contain zero
+    # tokens has no (label, word) row, but must still compete at
+    # P(w|label) = 1/(0 + V) — an inner join would silently make it
+    # unpredictable and break the priors' sum-to-1
     consts = (
-        priors.join(label_tot, "label")
+        priors.join(label_tot, "label", "left")
+        .withColumn("tok", F.coalesce(F.col("tok"), F.lit(0)))
         .crossJoin(F.broadcast(vsize))
         .select(
             "label",

@@ -103,8 +103,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
 
 def personalized_pagerank(edges: DataFrame, sources: DataFrame,
                           src: str = "src", dst: str = "dst",
-                          iterations: int = 10, damping: float = 0.85,
-                          n_sources: int | None = None) -> DataFrame:
+                          iterations: int = 10,
+                          damping: float = 0.85) -> DataFrame:
     """Personalized PageRank (the topic-sensitive variant of Haveliwala
     2002): random walks teleport back to the ``sources`` set instead of
     uniformly, so ranks measure proximity-weighted importance RELATIVE
@@ -120,8 +120,14 @@ def personalized_pagerank(edges: DataFrame, sources: DataFrame,
 
     Same scale shape as :func:`pagerank`: one (id, double) exchange +
     one-row dangling broadcast per round, teleport flags carried on the
-    once-built node frame, per-round ``localCheckpoint``. Pass
-    ``n_sources`` (catalog stats) to skip the one sizing count."""
+    once-built node frame, per-round ``localCheckpoint``.
+
+    The teleport vector is normalized over the seeds that actually ARE
+    graph endpoints: seed ids absent from the edge set (mistyped or
+    isolated entities) carry no walk mass anywhere, so dividing by the
+    raw seed count would silently leak their share of the teleport mass
+    and break the ranks-sum-to-1 invariant. Raises if NO seed is an
+    endpoint (the all-zero teleport would return all-zero ranks)."""
     pairs = edges.select(F.col(src).alias("src"),
                          F.col(dst).alias("dst")).distinct()
     nodes = (
@@ -130,16 +136,19 @@ def personalized_pagerank(edges: DataFrame, sources: DataFrame,
         .distinct()
     )
     srcs = sources.select(F.col(sources.columns[0]).alias("id")).distinct()
-    if n_sources is None:
-        n_sources = srcs.count()
-    if n_sources == 0:
-        raise ValueError("personalized_pagerank needs >= 1 source node")
-    tele = (
+    flags = (
         nodes.join(srcs.withColumn("_s", F.lit(1)), "id", "left")
-        .select("id", (F.coalesce(F.col("_s"), F.lit(0))
-                       / F.lit(float(n_sources))).alias("t"))
+        .select("id", F.coalesce(F.col("_s"), F.lit(0)).alias("_s"))
         .localCheckpoint(eager=True)
     )
+    # tiny agg over the already-materialized flags — not a second scan
+    n_matched = flags.agg(F.sum("_s")).first()[0] or 0
+    if n_matched == 0:
+        raise ValueError(
+            "personalized_pagerank needs >= 1 source that is an edge "
+            "endpoint (none of the given seeds appear in the graph)")
+    tele = flags.select(
+        "id", (F.col("_s") / F.lit(float(n_matched))).alias("t"))
     deg = pairs.groupBy("src").agg(F.count("*").alias("deg"))
     links = pairs.join(deg, "src").persist()
     dangling = tele.join(deg, tele["id"] == deg["src"],
@@ -674,12 +683,20 @@ def neighborhood_mean(edges: DataFrame, features: DataFrame,
     array; the rebuild groups dim-bounded rows per node. Exchanges
     carry (id, int, double); the feature table is re-joined per hop by
     node id (AQE skew case for hubs). Dimension must be uniform;
-    ragged inputs surface as NULL dims in the rebuilt array."""
+    ragged inputs surface as NULL dims in the rebuilt array.
+
+    Each hop's result is ``localCheckpoint``-ed (the same per-round
+    rule as :func:`pagerank` / :func:`k_core`): ``cur`` feeds BOTH the
+    contrib join and the identity-fallback coalesce, so an unchecked
+    plan would double per hop — 2^hops copies of the explode/aggregate
+    subtree by hop k."""
     und = _undirected(edges, src, dst)
     sym = und.unionByName(
         und.select(F.col("b").alias("a"), F.col("a").alias("b")))
     cur = features.select(F.col(id_col).alias("id"),
                           F.col(vec_col).alias("vec"))
+    if hops > 0:
+        cur = cur.localCheckpoint(eager=True)
     for _ in range(hops):
         contrib = (
             sym.join(cur.select(F.col("id").alias("b"), "vec"), "b")
@@ -698,5 +715,6 @@ def neighborhood_mean(edges: DataFrame, features: DataFrame,
             cur.join(agg, "id", "left")
             .select("id", F.coalesce(F.col("_nvec"), F.col("vec"))
                     .alias("vec"))
+            .localCheckpoint(eager=True)
         )
     return cur

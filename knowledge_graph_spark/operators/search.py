@@ -143,10 +143,12 @@ def rrf_fuse(rankings: list[DataFrame], k: int = 60,
     (:func:`bm25_search`, ``simsearch.brute_force_topk``)."""
     if not rankings:
         raise ValueError("rrf_fuse needs >= 1 ranking")
-    if k < 0:
-        # k + rank hits zero at rank = -k — an ANSI divide-by-zero
-        # mid-aggregate instead of a clear error here
-        raise ValueError(f"k={k}: need >= 0")
+    if k < 1:
+        # k + rank hits zero at rank = -k; k=0 divides by zero on any
+        # 0-based ranking (a common caller shape) — require k >= 1 so
+        # the failure is a clear error here, not an ANSI divide-by-zero
+        # mid-aggregate
+        raise ValueError(f"k={k}: need >= 1")
     tagged = None
     for r in rankings:
         t = r.select(F.col(id_col),

@@ -585,9 +585,13 @@ def pmi_collocations(docs: DataFrame, text_col: str = "text",
     ``(lhs, rhs, pair_count, pmi)``, ties by (lhs, rhs) — the phrase
     vocabulary a tokenizer or entity-discovery pass consumes.
 
-    Scale shape: ONE corpus pass feeds both aggregates (the token
-    explode is shared scan-side); bigram and unigram counts are
-    map-side-combined aggregates bounded by observed vocabulary; N and
+    Scale shape: TWO corpus scans — one per counting aggregate
+    (unigrams, bigrams), each map-side combined so the exchanges are
+    bounded by observed vocabulary. Deliberately NOT one shared pass: a
+    checkpoint/persist of the tokenized corpus would materialize
+    corpus-sized token arrays to executor disk, which at 100 TB costs
+    far more than re-running the regexp tokenizer on a second columnar
+    scan of the one projected column. N and
     B fold in as one-row in-plan broadcasts; the unigram joins on the
     bigram table are vocabulary-sized (AQE broadcasts when small); the
     global top-n is a ``TakeOrderedAndProject``. No driver actions, no

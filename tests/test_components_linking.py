@@ -167,6 +167,34 @@ def test_personalized_pagerank_stays_near_seeds(spark):
     assert r["x"] == 0.0 and r["y"] == 0.0
 
 
+def test_personalized_pagerank_missing_seeds(spark):
+    """Seeds that are not edge endpoints carry no teleport mass: the
+    vector renormalizes over the MATCHED seeds (ranks still sum to 1),
+    and an all-missing seed set raises instead of returning all-zero
+    ranks."""
+    import pytest as _pt
+
+    from knowledge_graph_spark.operators.graph_analytics import (
+        personalized_pagerank,
+    )
+
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    # one real seed + two ids absent from the graph
+    seeds = spark.createDataFrame([("a",), ("ghost1",), ("ghost2",)],
+                                  ["id"])
+    r = {row["id"]: row["rank"]
+         for row in personalized_pagerank(edges, seeds).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    assert r["a"] > r["b"] > 0
+    # identical to running with just the matched seed
+    only_a = {row["id"]: row["rank"] for row in personalized_pagerank(
+        edges, spark.createDataFrame([("a",)], ["id"])).collect()}
+    assert all(abs(r[k] - only_a[k]) < 1e-12 for k in r)
+    with _pt.raises(ValueError):
+        personalized_pagerank(
+            edges, spark.createDataFrame([("ghost",)], ["id"]))
+
+
 def test_modularity_two_triangles_bridge(spark):
     """Two triangles joined by one bridge, split into their natural
     communities: m = 7, each community e_c = 3, d_c = 7, contribution
@@ -217,6 +245,29 @@ def test_nb_classifier_hand_model(spark):
                - (math.log(0.5) - math.log(7))) < 1e-12
     assert out[4]["predicted"] == "X"
     assert abs(out[4]["log_score"] - math.log(0.5)) < 1e-12
+
+
+def test_nb_zero_token_label_still_competes(spark):
+    """A label whose training docs contain no tokens keeps its prior
+    and smooths to P(w|label) = 1/V — it must stay predictable, not
+    silently vanish from the model (the inner-join trap)."""
+    import math
+
+    from knowledge_graph_spark.operators.classify import nb_train_score
+
+    train = spark.createDataFrame(
+        [("X", "a"), ("Y", "")], ["label", "text"])
+    score = spark.createDataFrame(
+        [(1, ""), (2, "b b b")], "doc_id int, text string")
+    out = {r["doc_id"]: r for r in nb_train_score(train, score).collect()}
+    # empty doc: pure prior comparison, P(X) = P(Y) = 1/2 -> tie to X
+    assert out[1]["predicted"] == "X"
+    assert abs(out[1]["log_score"] - math.log(0.5)) < 1e-12
+    # V = 2 (vocab {a} + 1 unseen bucket); unseen 'b' three times:
+    # X: ln(1/2) + 3·ln(1/(1+2)); Y: ln(1/2) + 3·ln(1/(0+2)) -> Y wins
+    assert out[2]["predicted"] == "Y"
+    assert abs(out[2]["log_score"]
+               - (math.log(0.5) + 3 * math.log(1 / 2))) < 1e-12
 
 
 def test_clustering_coefficient_k4_pendant(spark):
@@ -666,5 +717,8 @@ def test_skipgram_and_rrf_reject_bad_params(spark):
     ranks = spark.createDataFrame([(1, 1)], ["doc_id", "rank"])
     with _pt.raises(ValueError):
         rrf_fuse([ranks], k=-1)
+    with _pt.raises(ValueError):
+        # k=0 divides by zero on any 0-based ranking
+        rrf_fuse([ranks], k=0)
     with _pt.raises(ValueError):
         rrf_fuse([])
