@@ -1976,6 +1976,44 @@ SELECT doc_id, shard, seq_id, pos, n_tokens FROM packed ORDER BY doc_id
 """
 
 
+def _q_doc_chunks(spark, sf_dir):
+    """Sliding-window document chunking (64-token windows, 16-token
+    overlap): every document becomes 1+ fixed-size training/RAG
+    examples. Zero-shuffle codegen (explode+slice); full SQL oracle."""
+    from knowledge_graph_spark.operators.packing import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap_tokens=16) \
+        .orderBy("doc_id", "chunk_id")
+
+
+_SQL_DOC_CHUNKS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS t
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, t, len(t) AS n,
+         CASE WHEN len(t) <= 64 THEN 1
+              ELSE 1 + CAST(ceil((len(t) - 64) / 48.0) AS INT)
+         END AS n_chunks
+  FROM toks
+),
+expanded AS (
+  SELECT doc_id, t, n,
+         unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+  FROM sized
+)
+SELECT doc_id, chunk_id,
+       array_to_string(list_slice(t, chunk_id * 48 + 1,
+                                  chunk_id * 48 + 64), ' ') AS chunk_text,
+       LEAST(64, n - chunk_id * 48) AS n_tokens
+FROM expanded
+ORDER BY doc_id, chunk_id
+"""
+
+
 def _q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline (exact; DuckDB-oracled)."""
     from knowledge_graph_spark.operators.simsearch import brute_force_topk
@@ -2709,6 +2747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "hash_split": _q_hash_split,
         "pack_sequences": _q_pack_sequences,
+        "doc_chunks": _q_doc_chunks,
         "bm25_search": _q_bm25_search,
         "hybrid_search": _q_hybrid_search,
         "tfidf_terms": _q_tfidf_terms,
@@ -2797,6 +2836,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": _SQL_CURATE,
         "decontamination": _SQL_DECONTAM,
         "pack_sequences": _SQL_PACK,
+        "doc_chunks": _SQL_DOC_CHUNKS,
         "bm25_search": _SQL_BM25,
         "hybrid_search": _SQL_HYBRID,
         "tfidf_terms": _SQL_TFIDF,

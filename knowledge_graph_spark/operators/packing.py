@@ -106,6 +106,68 @@ def pack_sequences(docs: DataFrame, capacity: int, n_shards: int = 8,
     return slim.groupBy("shard").applyInPandas(_pack, _OUT_SCHEMA)
 
 
+def chunk_documents(docs: DataFrame, chunk_tokens: int,
+                    overlap_tokens: int = 0, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split each document into overlapping fixed-size context windows
+    — the training-prep inverse of :func:`pack_sequences` (long
+    documents become multiple ``chunk_tokens``-token examples; the
+    ``overlap_tokens`` carry-over preserves cross-boundary context,
+    the standard sliding-window recipe for long-document pre-training
+    and RAG indexing).
+
+    Chunk ``i`` covers whitespace tokens ``[i*stride, i*stride +
+    chunk_tokens)`` with ``stride = chunk_tokens - overlap_tokens``;
+    a document of ``n`` tokens yields ``1 + ceil((n - chunk_tokens) /
+    stride)`` chunks (one chunk when ``n <= chunk_tokens``, including
+    empty/NULL text — every input row survives, so lineage joins on
+    ``doc_id`` never lose documents). The last chunk may be short;
+    nothing is padded here.
+
+    Returns ``(doc_id, chunk_id, chunk_text, n_tokens)``.
+
+    Scale shape: zero shuffles — tokenize, ``explode(sequence(...))``
+    and ``slice`` are all row-local whole-stage codegen; output
+    partitioning inherits the scan. Token definition is the shared
+    ``functions/vectors.ws_tokens`` so chunk counts agree with
+    ``with_token_counts`` and ``pack_sequences`` by construction.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive (got {chunk_tokens})")
+    if not (0 <= overlap_tokens < chunk_tokens):
+        raise ValueError(
+            f"overlap_tokens must satisfy 0 <= overlap < chunk_tokens "
+            f"(got overlap={overlap_tokens}, chunk={chunk_tokens}) — "
+            "stride would be zero or negative and chunking would never "
+            "advance")
+    stride = chunk_tokens - overlap_tokens
+    from ..functions.vectors import ws_tokens
+
+    slim = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(ws_tokens(text_col), F.array()).alias("_toks"),
+    ).withColumn("_n", F.size("_toks"))
+    n_chunks = F.when(F.col("_n") <= chunk_tokens, F.lit(1)).otherwise(
+        (F.lit(1) + F.ceil((F.col("_n") - chunk_tokens) / F.lit(stride)))
+        .cast("int"))
+    start = (F.col("chunk_id") * stride).cast("int")
+    return (
+        slim.select(
+            "doc_id", "_toks", "_n",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.concat_ws(
+                " ", F.slice("_toks", start + 1, chunk_tokens)
+            ).alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), F.col("_n") - start)
+             .cast("int").alias("n_tokens"),
+        )
+    )
+
+
 def packing_report(packed: DataFrame, capacity: int) -> DataFrame:
     """Aggregate audit of a packing: per shard, sequences produced,
     docs packed, and the mean fill ratio (tokens per sequence over

@@ -4,6 +4,7 @@ repartitioning, oversized docs, and the fill-ratio report."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from knowledge_graph_spark.operators.packing import (pack_sequences,
                                                      packing_report)
@@ -85,6 +86,66 @@ def test_null_text_packs_as_zero_tokens(spark):
     assert out[1]["n_tokens"] == 0
     # zero-length doc rides along in whichever sequence is open
     assert out[1]["seq_id"] == out[0]["seq_id"]
+
+
+def test_chunking_windows_and_overlap(spark):
+    from knowledge_graph_spark.operators.packing import chunk_documents
+
+    # 10 tokens, chunk=4, overlap=2 -> stride 2 -> starts 0,2,4,6 -> 4 chunks
+    rows = [(0, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")]
+    out = sorted(
+        chunk_documents(_docs(spark, rows), chunk_tokens=4,
+                        overlap_tokens=2).collect(),
+        key=lambda r: r["chunk_id"])
+    assert [r["chunk_text"] for r in out] == [
+        "t0 t1 t2 t3", "t2 t3 t4 t5", "t4 t5 t6 t7", "t6 t7 t8 t9"]
+    assert [r["n_tokens"] for r in out] == [4, 4, 4, 4]
+
+
+def test_chunking_short_tail_and_short_doc(spark):
+    from knowledge_graph_spark.operators.packing import chunk_documents
+
+    # doc 0: 5 tokens, chunk=4, no overlap -> chunks [4] + tail [1]
+    # doc 1: 2 tokens -> single short chunk; doc 2: NULL -> one empty chunk
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "x y"), (2, None)],
+        "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=4).collect()
+    by = {(r["doc_id"], r["chunk_id"]): r for r in out}
+    assert len(out) == 4
+    assert by[(0, 1)]["chunk_text"] == "e" and by[(0, 1)]["n_tokens"] == 1
+    assert by[(1, 0)]["n_tokens"] == 2
+    assert by[(2, 0)]["chunk_text"] == "" and by[(2, 0)]["n_tokens"] == 0
+
+
+def test_chunking_counts_agree_with_token_counts(spark):
+    """Every token index is covered and coverage accounting matches the
+    shared token definition: sum of per-chunk fresh tokens (n_tokens
+    minus the overlap re-reads) equals the document token count."""
+    from knowledge_graph_spark.operators.packing import chunk_documents
+    from knowledge_graph_spark.operators.textstats import with_token_counts
+
+    rows = [(i, " ".join(f"w{j}" for j in range(3 * i + 1)))
+            for i in range(12)]
+    docs = _docs(spark, rows)
+    chunks = chunk_documents(docs, chunk_tokens=8, overlap_tokens=3)
+    got = {r["doc_id"]: r["covered"] for r in chunks.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("chunk_id") == 0, F.col("n_tokens"))
+              .otherwise(F.greatest(F.col("n_tokens") - 3, F.lit(0))))
+        .alias("covered")).collect()}
+    want = {r["doc_id"]: r["n_tokens"]
+            for r in with_token_counts(docs).collect()}
+    assert got == want
+
+
+def test_chunking_rejects_degenerate_params(spark):
+    from knowledge_graph_spark.operators.packing import chunk_documents
+
+    docs = _docs(spark, [(0, "a b")])
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(docs, chunk_tokens=4, overlap_tokens=4)
+    with pytest.raises(ValueError, match="positive"):
+        chunk_documents(docs, chunk_tokens=0)
 
 
 def test_pack_sequences_rejects_non_integral_ids(spark):

@@ -407,3 +407,15 @@ def test_anomaly_window_runs_over_aggregated_frame(spark):
     ids |= set(re.findall(r"Scan parquet[^(\n]*\((\d+)\)", p))
     assert len(ids) == 1
     assert "BatchEvalPython" not in p
+
+
+def test_doc_chunking_is_zero_shuffle_codegen(spark):
+    from knowledge_graph_spark.operators.packing import chunk_documents
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(chunk_documents(docs, chunk_tokens=64, overlap_tokens=16))
+    # tokenize + explode(sequence) + slice are all row-local: chunking
+    # a 100 TB corpus must not move a byte between executors
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "\n* " in p or "+- * " in p
