@@ -87,7 +87,7 @@ def main():
         "repetition_stats", "cross_dup", "corpus_profile",
         "pii_scrub", "curate_corpus",
         "decontamination", "mixture_sample", "hash_split",
-        "pack_sequences", "bm25_search",
+        "pack_sequences", "doc_chunks", "bm25_search",
         "tfidf_terms", "bpe_pairs", "dsir_weights", "partsupp_bfs",
         "partsupp_sssp", "span_dedup", "event_retention",
         "partsupp_walks", "hard_negatives",
