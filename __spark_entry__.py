@@ -2014,6 +2014,133 @@ ORDER BY doc_id, chunk_id
 """
 
 
+def _q_pq_codes(spark, sf_dir):
+    """Product-quantization encode (m=4 subspaces x 16 codes, init =
+    16 smallest ids, n_iter=0 so the oracle replays the EXACT
+    computation): per vector, its 4 PQ codes. Codebook quality (Lloyd
+    rounds) is pytest-gated; this query value-checks the quantizer
+    machinery itself."""
+    from knowledge_graph_spark.operators.simsearch import (
+        pq_encode, train_pq_codebook)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = train_pq_codebook(emb, m=4, n_codes=16, n_iter=0, dim=64)
+    return (
+        pq_encode(emb, codebook=cb)
+        .select(
+            "vec_id",
+            *[F.col("codes")[j].alias(f"c{j}") for j in range(4)],
+        )
+        .orderBy("vec_id")
+    )
+
+
+_SQL_PQ_CODES = r"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+cb AS (
+  SELECT s.sub, CAST(r.rn - 1 AS INT) AS code_id, r.e AS ce
+  FROM (SELECT e, row_number() OVER (ORDER BY vec_id) AS rn
+        FROM v ORDER BY vec_id LIMIT 16) r, subs s
+),
+d AS (
+  SELECT v.vec_id, cb.sub, cb.code_id,
+         list_sum(list_transform(generate_series(1, 16),
+           i -> (v.e[cb.sub*16 + i] - cb.ce[cb.sub*16 + i])
+              * (v.e[cb.sub*16 + i] - cb.ce[cb.sub*16 + i]))) AS d2
+  FROM v CROSS JOIN cb
+),
+best AS (
+  SELECT vec_id, sub, code_id,
+         row_number() OVER (PARTITION BY vec_id, sub
+                            ORDER BY d2, code_id) AS rk
+  FROM d
+)
+SELECT vec_id,
+       MAX(CASE WHEN sub = 0 THEN code_id END) AS c0,
+       MAX(CASE WHEN sub = 1 THEN code_id END) AS c1,
+       MAX(CASE WHEN sub = 2 THEN code_id END) AS c2,
+       MAX(CASE WHEN sub = 3 THEN code_id END) AS c3
+FROM best WHERE rk = 1
+GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+
+def _q_pq_topk(spark, sf_dir):
+    """PQ asymmetric-distance top-k (FAISS ADC): approximate L2
+    neighbors from codes + per-query lookup tables alone. The oracle
+    replays codes AND distance tables exactly in SQL — this checks the
+    ADC machinery, not retrieval quality (that is pytest-gated recall
+    vs the exact baseline)."""
+    from knowledge_graph_spark.operators.simsearch import (
+        pq_adc_topk, pq_encode, train_pq_codebook)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = train_pq_codebook(emb, m=4, n_codes=16, n_iter=0,
+                             dim=64).collect()
+    codes = pq_encode(emb, codebook_rows=rows)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return (
+        pq_adc_topk(codes, queries, codebook_rows=rows, k=5)
+        .select("query_id", "rank", "vec_id",
+                F.round("adc_d2", 6).alias("adc_d2"))
+        .orderBy("query_id", "rank")
+    )
+
+
+_SQL_PQ_TOPK = r"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+cb AS (
+  SELECT s.sub, CAST(r.rn - 1 AS INT) AS code_id, r.e AS ce
+  FROM (SELECT e, row_number() OVER (ORDER BY vec_id) AS rn
+        FROM v ORDER BY vec_id LIMIT 16) r, subs s
+),
+d AS (
+  SELECT v.vec_id, cb.sub, cb.code_id,
+         list_sum(list_transform(generate_series(1, 16),
+           i -> (v.e[cb.sub*16 + i] - cb.ce[cb.sub*16 + i])
+              * (v.e[cb.sub*16 + i] - cb.ce[cb.sub*16 + i]))) AS d2
+  FROM v CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, sub, code_id FROM (
+    SELECT vec_id, sub, code_id,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2, code_id) AS rk
+    FROM d) WHERE rk = 1
+),
+qd AS (
+  SELECT q.vec_id AS query_id, cb.sub, cb.code_id,
+         list_sum(list_transform(generate_series(1, 16),
+           i -> (q.e[cb.sub*16 + i] - cb.ce[cb.sub*16 + i])
+              * (q.e[cb.sub*16 + i] - cb.ce[cb.sub*16 + i]))) AS d2
+  FROM (SELECT * FROM v WHERE vec_id < 8) q CROSS JOIN cb
+),
+-- left-to-right sum in subspace order, matching the engine's
+-- aggregate(sequence(1, m), ...) float association exactly
+adc AS (
+  SELECT qd.query_id, c.vec_id,
+         list_sum(list(qd.d2 ORDER BY qd.sub)) AS adc_d2
+  FROM codes c JOIN qd ON qd.sub = c.sub AND qd.code_id = c.code_id
+  GROUP BY qd.query_id, c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, adc_d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_d2, vec_id) AS rank
+  FROM adc
+)
+SELECT query_id, rank, vec_id, ROUND(adc_d2, 6) AS adc_d2
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 def _q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline (exact; DuckDB-oracled)."""
     from knowledge_graph_spark.operators.simsearch import brute_force_topk
@@ -2784,6 +2911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "embedding_neardups": _q_embedding_neardups,
         "ivf_topk": _q_ivf_topk,
+        "pq_codes": _q_pq_codes,
+        "pq_topk": _q_pq_topk,
         "media_metadata": _q_media_metadata,
         "media_features_topk": _q_media_features,
         # KG construction pipeline (rows-only)
@@ -2853,6 +2982,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_label_centroids": _SQL_EMB_CENTROIDS,
         # exact-result oracles (DuckDB recomputes the full answer)
         "ivf_topk": _SQL_IVF_TOPK,
+        "pq_codes": _SQL_PQ_CODES,
+        "pq_topk": _SQL_PQ_TOPK,
         "embedding_neardups": _SQL_EMBEDDING_NEARDUPS,
         # pinned-golden oracles (independent pure-Python twin,
         # tools/make_goldens.py)

@@ -35,8 +35,10 @@ TOPK_SALT_BUCKETS = 64
 
 
 def _per_query_topk(scored: DataFrame, k: int,
-                    salt_buckets: int = TOPK_SALT_BUCKETS) -> DataFrame:
-    """(query_id, vec_id, cosine) -> top-k per query with a dense
+                    salt_buckets: int = TOPK_SALT_BUCKETS,
+                    score_col: str = "cosine",
+                    ascending: bool = False) -> DataFrame:
+    """(query_id, vec_id, <score>) -> top-k per query with a dense
     ``rank``, in TWO phases: a salted local top-k (row_number within
     (query_id, salt-of-vec_id) — N rows spread over ``salt_buckets``
     reducers per query) followed by the global per-query window over at
@@ -49,15 +51,19 @@ def _per_query_topk(scored: DataFrame, k: int,
     contribution to the global top-k. Ties break on vec_id, so the
     result is deterministic and identical to the one-pass plan.
 
+    ``ascending=False`` ranks best-first by similarity (cosine);
+    ``ascending=True`` by distance (PQ ADC).
+
     NaN scores are dropped up front: a zero-norm vector (or query)
     yields cosine 0/0 = NaN, and Spark orders NaN ABOVE every number —
     unguarded, every query's rank 1 would be a meaningless zero-vector
     match. A directionless vector has no defined similarity, so it is
     excluded (row-local filter, before any exchange)."""
-    scored = scored.filter(~F.isnan("cosine"))
+    scored = scored.filter(~F.isnan(score_col))
+    order = F.asc(score_col) if ascending else F.desc(score_col)
     salt = F.pmod(F.xxhash64("vec_id"), F.lit(salt_buckets))
     w_local = Window.partitionBy("query_id", "_salt").orderBy(
-        F.desc("cosine"), F.asc("vec_id")
+        order, F.asc("vec_id")
     )
     local = (
         scored.withColumn("_salt", salt)
@@ -66,7 +72,7 @@ def _per_query_topk(scored: DataFrame, k: int,
         .drop("_salt", "_r")
     )
     w_global = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("vec_id")
+        order, F.asc("vec_id")
     )
     return (
         local.withColumn("rank", F.row_number().over(w_global))
@@ -240,6 +246,226 @@ def ivf_topk(assignments: DataFrame, centroids: DataFrame,
     # but a hot cell at 10^9 vectors still holds millions of rows — the
     # salted two-phase pass keeps the final ranking off a single reducer
     return _per_query_topk(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# PQ: product quantization (the memory half of the FAISS IVF-PQ recipe)
+# ---------------------------------------------------------------------------
+#
+# IVF above bounds how much of the corpus a query SCANS; PQ bounds how
+# much memory each scanned vector COSTS: a d-dim float vector becomes m
+# one-byte codes (d=768, m=8 -> 384x smaller), and query-time distances
+# come from an m x n_codes lookup table computed once per query
+# (asymmetric distance computation, ADC — Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011). At 10^9
+# vectors the codes table fits a modest cluster's RAM where raw
+# vectors cannot.
+
+
+def _sub_slices(vec: str, m: int, sub_dim: int):
+    """Array of the m contiguous sub-vectors of an array column."""
+    return F.array(*[F.slice(vec, j * sub_dim + 1, sub_dim)
+                     for j in range(m)])
+
+
+def _collect_codebook(codebook, codebook_rows):
+    """-> (m, sub_dim, {sub_id: literal array<array<double>> ordered by
+    code_id}). The codebook is m*n_codes*sub_dim doubles — a few KB
+    (768-dim, m=8, 256 codes: 768k doubles = 6 MB, still driver-safe) —
+    so embedding it as a literal keeps encode/ADC entirely row-local:
+    zero shuffles, zero per-row joins. Pass ``codebook_rows`` (a
+    ``.collect()`` you already paid for) to skip the collect."""
+    rows = (codebook_rows if codebook_rows is not None
+            else codebook.collect())
+    by_sub: dict[int, list] = {}
+    for r in rows:
+        by_sub.setdefault(r["sub_id"], []).append(
+            (r["code_id"], [float(x) for x in r["codeword"]]))
+    if not by_sub:
+        raise ValueError("empty PQ codebook")
+    m = max(by_sub) + 1
+    sub_dim = len(next(iter(by_sub.values()))[0][1])
+    lits = {}
+    for j in range(m):
+        words = sorted(by_sub[j])
+        if [c for c, _ in words] != list(range(len(words))):
+            raise ValueError(
+                f"PQ codebook sub {j}: code ids not dense 0..K-1")
+        lits[j] = F.array(*[
+            F.array(*[F.lit(x) for x in cw]) for _, cw in words
+        ])
+    return m, sub_dim, lits
+
+
+def _l2_sq_cols(a, b):
+    """Squared L2 of two array Columns (column form of vectors.l2_sq,
+    which takes SQL fragments)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0), lambda acc, y: acc + y,
+    )
+
+
+def train_pq_codebook(vectors: DataFrame, m: int = 4, n_codes: int = 16,
+                      n_iter: int = 0, vec_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      sample_cap: int = 262_144,
+                      dim: int | None = None) -> DataFrame:
+    """Per-subspace PQ codebooks -> (sub_id, code_id, codeword).
+
+    The vector is split into ``m`` contiguous ``dim/m``-wide
+    subspaces; each gets its own ``n_codes``-word codebook.
+
+    Init is the ``n_codes`` vectors with the SMALLEST ids — fully
+    deterministic and replayable in ANSI SQL, which is what lets the
+    driver oracle recompute the entire PQ pipeline exactly (IVF's
+    xxhash init is fine there because its oracle uses full-probe
+    exactness; no such trick exists for PQ). Codebook QUALITY comes
+    from ``n_iter`` Lloyd rounds over a deterministic hash-sample
+    (same ~``sample_cap`` recipe as :func:`train_ivf_centroids`):
+    assignment joins the exploded (vec_id, sub_id, subvec) rows to the
+    broadcast codebook, re-averaging is one groupBy of sub_dim
+    column-sums — no posexplode of vector elements ever shuffles.
+    Empty cells keep their previous codeword.
+
+    Pass ``dim`` when known to skip the one-row probe job.
+    """
+    v = vectors.select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).cast("array<double>").alias("vec"))
+    if dim is None:
+        first = v.select(F.size("vec").alias("d")).first()
+        dim = first["d"] if first else 0
+    if dim <= 0 or dim % m:
+        raise ValueError(f"dim={dim} not divisible into m={m} subspaces")
+    sub_dim = dim // m
+    v = v.filter(F.size("vec") == dim)
+    init = (
+        v.orderBy("vec_id").limit(n_codes)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("int").alias("code_id"),
+            "vec",
+        )
+        .select("code_id",
+                F.posexplode(_sub_slices("vec", m, sub_dim))
+                .alias("sub_id", "codeword"))
+        .select("sub_id", "code_id", "codeword")
+    )
+    cb = init
+    if n_iter > 0:
+        n = v.count()
+        if n > sample_cap:
+            k = -(-n // sample_cap)  # ceil
+            v = v.filter(F.pmod(F.xxhash64("vec_id"), F.lit(k)) == 0)
+        vs = v.select(
+            "vec_id",
+            F.posexplode(_sub_slices("vec", m, sub_dim))
+            .alias("sub_id", "subvec"),
+        )
+        sums = [F.sum(F.col("subvec")[i]).alias(f"s{i}")
+                for i in range(sub_dim)]
+        for _ in range(n_iter):
+            scored = vs.join(F.broadcast(cb), "sub_id").select(
+                "vec_id", "sub_id", "subvec",
+                F.struct(
+                    _l2_sq_cols(F.col("subvec"), F.col("codeword"))
+                    .alias("d2"),
+                    F.col("code_id"),
+                ).alias("sc"),
+            )
+            best = (
+                scored.groupBy("vec_id", "sub_id")
+                .agg(F.min("sc").alias("best"),
+                     F.first("subvec").alias("subvec"))
+                .select("sub_id", F.col("best.code_id").alias("code_id"),
+                        "subvec")
+            )
+            new_cb = (
+                best.groupBy("sub_id", "code_id")
+                .agg(F.count("*").alias("_n"), *sums)
+                .select(
+                    "sub_id", "code_id",
+                    F.array(*[F.col(f"s{i}") / F.col("_n")
+                              for i in range(sub_dim)]).alias("codeword"),
+                )
+            )
+            cb = (
+                cb.select("sub_id", "code_id",
+                          F.col("codeword").alias("old"))
+                .join(new_cb, ["sub_id", "code_id"], "left")
+                .select("sub_id", "code_id",
+                        F.coalesce("codeword", "old").alias("codeword"))
+            )
+    return cb
+
+
+def pq_encode(vectors: DataFrame, codebook: DataFrame | None = None,
+              codebook_rows=None, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Quantize every vector to its PQ codes -> (vec_id, codes).
+
+    ``codes[j]`` is the argmin-L2 codeword of subspace ``j`` (ties to
+    the lowest code id). The codebook rides along as a LITERAL (see
+    :func:`_collect_codebook`), so encoding is pure row-local codegen
+    — transform/array_min over the literal, ZERO shuffles — the shape
+    that turns a 100 TB float corpus into a codes table in one
+    map-only pass. Vectors whose length differs from the codebook's
+    dim are dropped (no defined quantization)."""
+    m, sub_dim, lits = _collect_codebook(codebook, codebook_rows)
+    v = vectors.select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).cast("array<double>").alias("vec")) \
+        .filter(F.size("vec") == m * sub_dim)
+
+    def _code(j):
+        sub = F.slice("vec", j * sub_dim + 1, sub_dim)
+        d2s = F.transform(lits[j], lambda cw: _l2_sq_cols(cw, sub))
+        return (F.array_position(d2s, F.array_min(d2s)) - 1) \
+            .cast("int").alias(f"_c{j}")
+
+    return v.select("vec_id", F.array(*[_code(j) for j in range(m)])
+                    .alias("codes"))
+
+
+def pq_adc_topk(codes: DataFrame, queries: DataFrame,
+                codebook: DataFrame | None = None, codebook_rows=None,
+                k: int = 10, qid_col: str = "query_id",
+                qvec_col: str = "query_vec") -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes ->
+    (query_id, vec_id, adc_d2, rank) — smallest approximate squared-L2
+    first.
+
+    Per query, an m x n_codes distance table is computed ONCE against
+    the literal codebook (on the tiny queries frame); each corpus row
+    then costs m array lookups — never a d-dim arithmetic op. Queries
+    broadcast to the codes table (the same scale contract as
+    :func:`brute_force_topk`: the big side never moves), and the
+    salted two-phase pass keeps the final ranking off a single
+    reducer. Compose with IVF for the full FAISS IVF-PQ layout: probe
+    cells first, ADC-rank inside them."""
+    m, sub_dim, lits = _collect_codebook(codebook, codebook_rows)
+    q = queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.col(qvec_col).cast("array<double>").alias("qvec"),
+    ).filter(F.size("qvec") == m * sub_dim)
+    def _dt(j):
+        # NB: the lambda must stay unary — pyspark treats a 2-arg
+        # higher-order-function lambda as (element, index)
+        sub = F.slice("qvec", j * sub_dim + 1, sub_dim)
+        return F.transform(lits[j], lambda cw: _l2_sq_cols(cw, sub))
+
+    dtab = F.array(*[_dt(j) for j in range(m)])
+    qd = q.select("query_id", dtab.alias("_dtab"))
+    # deterministic left-to-right sum over subspaces (j = 1..m), so the
+    # SQL oracle can replay the exact float association
+    adc = F.expr(
+        f"aggregate(sequence(1, {m}), cast(0.0 as double), "
+        "(acc, j) -> acc + _dtab[j-1][codes[j-1]])"
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(qd))
+        .select("query_id", "vec_id", adc.alias("adc_d2"))
+    )
+    return _per_query_topk(scored, k, score_col="adc_d2", ascending=True)
 
 
 def hard_negatives(vectors: DataFrame, queries: DataFrame, k: int = 10,

@@ -1,0 +1,159 @@
+# -*- coding: utf-8 -*-
+"""Product quantization: encode correctness, Lloyd training progress,
+ADC distance semantics, and the zero-shuffle encode plan."""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_spark.operators.simsearch import (
+    pq_adc_topk, pq_encode, train_pq_codebook)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from knowledge_graph_spark.session import get_spark
+
+    yield get_spark(app="pq-tests", master="local[4]",
+                    shuffle_partitions=4)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _np_quant_error(emb_rows, cb_rows, m=4, sub_dim=16):
+    """Reconstruction (quantization) error computed independently in
+    numpy: sum over vectors and subspaces of L2^2 to the NEAREST
+    codeword — the quantity Lloyd's algorithm minimizes."""
+    cw = {}
+    for r in cb_rows:
+        cw.setdefault(r["sub_id"], {})[r["code_id"]] = np.array(
+            r["codeword"])
+    total = 0.0
+    for r in emb_rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        for j in range(m):
+            sub = v[j * sub_dim:(j + 1) * sub_dim]
+            d2s = [float(((sub - cw[j][c]) ** 2).sum())
+                   for c in sorted(cw[j])]
+            total += min(d2s)
+    return total
+
+
+def test_pq_encode_codes_dense_and_in_range(spark, emb):
+    rows = train_pq_codebook(emb, m=4, n_codes=16, n_iter=0,
+                             dim=64).collect()
+    assert len(rows) == 4 * 16
+    codes = pq_encode(emb, codebook_rows=rows).collect()
+    assert len(codes) == emb.count()
+    for r in codes:
+        assert len(r["codes"]) == 4
+        assert all(0 <= c < 16 for c in r["codes"])
+
+
+def test_pq_init_vectors_encode_to_themselves(spark, emb):
+    """With n_iter=0 the codebook IS the 16 smallest-id vectors, so
+    each of those must quantize to its own rank (distance 0 per
+    subspace) — pins both the init rule and the argmin tie-break."""
+    rows = train_pq_codebook(emb, m=4, n_codes=16, n_iter=0,
+                             dim=64).collect()
+    codes = {r["vec_id"]: list(r["codes"]) for r in
+             pq_encode(emb, codebook_rows=rows).collect()}
+    init_ids = sorted(codes)[:16]
+    for rank, vid in enumerate(init_ids):
+        assert codes[vid] == [rank] * 4, (vid, codes[vid])
+
+
+def test_pq_lloyd_reduces_quantization_error(spark, emb):
+    emb_rows = emb.collect()
+    err = []
+    for it in (0, 3):
+        rows = train_pq_codebook(emb, m=4, n_codes=16, n_iter=it,
+                                 dim=64).collect()
+        err.append(_np_quant_error(emb_rows, rows))
+    # Lloyd is monotone non-increasing; on real data the drop is large
+    assert err[1] < err[0] * 0.9, err
+
+
+def test_pq_adc_matches_numpy_reconstruction_distance(spark, emb):
+    """ADC(query, vec) must equal the numpy-computed sum over
+    subspaces of L2^2(query_sub, codeword[vec's code]) — the operator
+    contract, checked independently of the SQL oracle."""
+    rows = train_pq_codebook(emb, m=4, n_codes=16, n_iter=2,
+                             dim=64).collect()
+    codes_df = pq_encode(emb, codebook_rows=rows)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    got = pq_adc_topk(codes_df, q, codebook_rows=rows, k=4).collect()
+
+    cw = {}
+    for r in rows:
+        cw.setdefault(r["sub_id"], {})[r["code_id"]] = np.array(
+            r["codeword"])
+    codes = {r["vec_id"]: r["codes"] for r in codes_df.collect()}
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    for r in got:
+        qv = vecs[r["query_id"]]
+        want = sum(
+            float(((qv[j * 16:(j + 1) * 16]
+                    - cw[j][codes[r["vec_id"]][j]]) ** 2).sum())
+            for j in range(4))
+        assert abs(r["adc_d2"] - want) < 1e-9
+
+
+def test_pq_adc_recall_vs_exact(spark, emb):
+    """Retrieval quality gate: trained-codebook ADC top-5 overlaps the
+    exact SAME-METRIC (squared-L2) top-5, computed independently in
+    numpy. Deterministic corpus, so this is a stable bound, not a
+    flaky statistical one."""
+    rows = train_pq_codebook(emb, m=16, n_codes=16, n_iter=3,
+                             dim=64).collect()
+    codes = pq_encode(emb, codebook_rows=rows)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    approx = pq_adc_topk(codes, q, codebook_rows=rows, k=5).collect()
+    a = {}
+    for r in approx:
+        a.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    ids = sorted(vecs)
+    mat = np.stack([vecs[i] for i in ids])
+    hits = total = 0
+    for qid in sorted(a):
+        d2 = ((mat - vecs[qid]) ** 2).sum(axis=1)
+        exact = {ids[i] for i in np.argsort(d2, kind="stable")[:5]}
+        hits += len(a[qid] & exact)
+        total += 5
+    # The synthetic corpus is near-random 64-dim noise — PQ's known
+    # worst case (pairwise distances concentrate, Jégou §V notes the
+    # same on random data), so the gate is recall ≥ 0.4 at m=16
+    # (measured 0.5 here; random guessing scores 5/500 = 0.01; real
+    # embedding manifolds do far better). The EXACT ADC contract is
+    # pinned by test_pq_adc_matches_numpy_reconstruction_distance.
+    assert hits >= 0.4 * total, (hits, total)
+
+
+def test_pq_encode_plan_is_zero_shuffle(spark, emb):
+    rows = train_pq_codebook(emb, m=4, n_codes=16, n_iter=0,
+                             dim=64).collect()
+    p = (pq_encode(emb, codebook_rows=rows)
+         ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_pq_rejects_indivisible_dim(spark, emb):
+    with pytest.raises(ValueError, match="subspaces"):
+        train_pq_codebook(emb, m=5, n_codes=16, dim=64)
