@@ -2141,6 +2141,98 @@ ORDER BY query_id, rank
 """
 
 
+def _q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch: estimated distinct customers per
+    order priority from the 256 smallest md5-52bit hashes per group.
+    ~1,300 distinct keys per group at sf0.01, so the sketch FILLS and
+    the (k-1)/kth estimator runs (not the small-range exact path).
+    The oracle replays the whole sketch + estimate in SQL — the hash
+    is deterministic and 52-bit-exact in doubles by construction."""
+    from knowledge_graph_spark.operators.sketches import kmv_distinct
+
+    orders = _t(spark, sf_dir, "orders")
+    items = orders.select(
+        "o_orderpriority", F.col("o_custkey").cast("string").alias("cust"))
+    return (
+        kmv_distinct(items, "cust", ["o_orderpriority"], k=256)
+        .orderBy("o_orderpriority")
+    )
+
+
+_SQL_KMV_DISTINCT = r"""
+WITH h AS (
+  SELECT DISTINCT o_orderpriority,
+         CAST(concat('0x', substring(md5(CAST(o_custkey AS VARCHAR)), 1, 13))
+              AS BIGINT) AS h
+  FROM orders
+),
+r AS (
+  SELECT o_orderpriority, h,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rk
+  FROM h
+)
+SELECT o_orderpriority, COUNT(*) AS n_kept, MAX(h) AS kth_min,
+       ROUND(CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+             ELSE CAST(255 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+                  / CAST(MAX(h) AS DOUBLE)
+             END, 4) AS est_distinct
+FROM r WHERE rk <= 256
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def _q_cms_freq(spark, sf_dir):
+    """Count-Min sketch frequency estimates (4 x 256 counter grid)
+    for every token of the first two documents, next to the exact
+    counts (CMS is one-sided: est >= exact, over by collision mass).
+    Oracle replays sketch build + probe exactly in SQL."""
+    from knowledge_graph_spark.operators.sketches import (
+        cms_token_frequencies)
+
+    docs = _t(spark, sf_dir, "documents")
+    probe = docs.filter(F.col("doc_id") < 2)
+    return (
+        cms_token_frequencies(docs, probe, depth=4, width=256)
+        .orderBy("token")
+    )
+
+
+_SQL_CMS_FREQ = r"""
+WITH stream AS (
+  SELECT t FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+                 FROM documents) WHERE t <> ''
+),
+cells AS (
+  SELECT i.i AS row,
+         CAST(concat('0x', substring(md5(concat(i.i, ':', t)), 1, 13))
+              AS BIGINT) % 256 AS col
+  FROM stream, (SELECT unnest(generate_series(0, 3)) AS i) i
+),
+sketch AS (SELECT row, col, COUNT(*) AS cnt FROM cells GROUP BY row, col),
+probes AS (
+  SELECT DISTINCT t FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+    FROM documents WHERE doc_id < 2) WHERE t <> ''
+),
+pc AS (
+  SELECT p.t, i.i AS row,
+         CAST(concat('0x', substring(md5(concat(i.i, ':', p.t)), 1, 13))
+              AS BIGINT) % 256 AS col
+  FROM probes p, (SELECT unnest(generate_series(0, 3)) AS i) i
+),
+est AS (
+  SELECT pc.t AS token, MIN(COALESCE(s.cnt, 0)) AS est_count
+  FROM pc LEFT JOIN sketch s ON s.row = pc.row AND s.col = pc.col
+  GROUP BY pc.t
+),
+exact AS (SELECT t AS token, COUNT(*) AS exact_count FROM stream GROUP BY t)
+SELECT est.token, est.est_count, COALESCE(exact.exact_count, 0) AS exact_count
+FROM est LEFT JOIN exact USING (token)
+ORDER BY token
+"""
+
+
 def _q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline (exact; DuckDB-oracled)."""
     from knowledge_graph_spark.operators.simsearch import brute_force_topk
@@ -2913,6 +3005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "pq_codes": _q_pq_codes,
         "pq_topk": _q_pq_topk,
+        "kmv_distinct": _q_kmv_distinct,
+        "cms_freq": _q_cms_freq,
         "media_metadata": _q_media_metadata,
         "media_features_topk": _q_media_features,
         # KG construction pipeline (rows-only)
@@ -2984,6 +3078,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _SQL_IVF_TOPK,
         "pq_codes": _SQL_PQ_CODES,
         "pq_topk": _SQL_PQ_TOPK,
+        "kmv_distinct": _SQL_KMV_DISTINCT,
+        "cms_freq": _SQL_CMS_FREQ,
         "embedding_neardups": _SQL_EMBEDDING_NEARDUPS,
         # pinned-golden oracles (independent pure-Python twin,
         # tools/make_goldens.py)

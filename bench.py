@@ -94,6 +94,7 @@ def main():
         "embedding_topk", "embedding_neardups",
         "lm_perplexity", "nb_predictions", "bpe_encoded",
         "event_anomalies", "stratified_k",
+        "pq_topk", "kmv_distinct", "cms_freq",
     ]
     qs = entrymod.queries()
     for name in headliners:
