@@ -2182,6 +2182,33 @@ ORDER BY o_orderpriority
 """
 
 
+def _q_kmv_merged(spark, sf_dir):
+    """KMV mergeability, oracle-discriminated: Spark sketches the odd
+    and even order keys SEPARATELY, merges the two sketches, and
+    estimates — while the oracle computes the sketch directly over the
+    whole table. They agree only if merge(k-min(A), k-min(B)) really
+    equals k-min(A ∪ B): a broken merge hash-mismatches. This is the
+    distributed contract (sketch per shard/day, combine without
+    re-reading raw data) verified as a value, not asserted."""
+    from knowledge_graph_spark.operators.sketches import (
+        kmv_estimate, kmv_merge, kmv_sketch)
+
+    orders = _t(spark, sf_dir, "orders")
+    items = orders.select(
+        "o_orderpriority", F.col("o_custkey").cast("string").alias("cust"),
+        (F.col("o_orderkey") % 2).alias("_half"))
+    halves = [
+        kmv_sketch(items.filter(F.col("_half") == i), "cust",
+                   ["o_orderpriority"], k=256)
+        for i in (0, 1)
+    ]
+    merged = kmv_merge(halves, ["o_orderpriority"], k=256)
+    return (
+        kmv_estimate(merged, ["o_orderpriority"], k=256)
+        .orderBy("o_orderpriority")
+    )
+
+
 def _q_cms_freq(spark, sf_dir):
     """Count-Min sketch frequency estimates (4 x 256 counter grid)
     for every token of the first two documents, next to the exact
@@ -3006,6 +3033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": _q_pq_codes,
         "pq_topk": _q_pq_topk,
         "kmv_distinct": _q_kmv_distinct,
+        "kmv_merged": _q_kmv_merged,
         "cms_freq": _q_cms_freq,
         "media_metadata": _q_media_metadata,
         "media_features_topk": _q_media_features,
@@ -3079,6 +3107,9 @@ def oracle_sql() -> dict[str, str]:
         "pq_codes": _SQL_PQ_CODES,
         "pq_topk": _SQL_PQ_TOPK,
         "kmv_distinct": _SQL_KMV_DISTINCT,
+        # same direct-computation SQL: the Spark side goes through
+        # sketch-halves + merge, so agreement proves the merge
+        "kmv_merged": _SQL_KMV_DISTINCT,
         "cms_freq": _SQL_CMS_FREQ,
         "embedding_neardups": _SQL_EMBEDDING_NEARDUPS,
         # pinned-golden oracles (independent pure-Python twin,

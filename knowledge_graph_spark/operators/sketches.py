@@ -67,28 +67,13 @@ def _word_stream(docs: DataFrame, text_col: str, extra_cols: list) -> DataFrame:
     return docs.select(*extra_cols, tok).filter(F.col("token") != "")
 
 
-def kmv_distinct(items: DataFrame, item_col: str,
-                 group_cols: list | None = None, k: int = 256,
-                 salt_buckets: int = KMV_SALT_BUCKETS) -> DataFrame:
-    """KMV distinct-count estimate per group ->
-    (group_cols..., n_kept, kth_min, est_distinct).
-
-    ``n_kept`` is the sketch fill (min(k, observed distinct hashes)),
-    ``kth_min`` the largest kept hash. When the sketch is not full the
-    estimate IS the exact distinct count (small-range correction);
-    otherwise est = (k-1) * 2^52 / kth_min.
-
-    Plan shape: distinct (group, hash) first — a pre-aggregated
-    exchange of longs, never item payloads — then the salted two-phase
-    smallest-k: row_number within (group, salt-of-hash) caps each of
-    the ``salt_buckets`` reducers at k rows, and the global per-group
-    pass ranks at most salt_buckets*k survivors. No reducer ever holds
-    a group's full distinct set."""
-    group_cols = list(group_cols or [])
-    hashes = (
-        items.select(*group_cols, h52(item_col).alias("_h"))
-        .distinct()
-    )
+def _smallest_k(hashes: DataFrame, group_cols: list, k: int,
+                salt_buckets: int) -> DataFrame:
+    """Per-group k smallest distinct ``_h`` values, two-phase:
+    row_number within (group, salt-of-hash) caps each of the
+    ``salt_buckets`` reducers at k rows, then the global per-group
+    pass ranks at most salt_buckets*k survivors. No reducer ever
+    holds a group's full distinct-hash stream."""
     salt = F.pmod(F.col("_h"), F.lit(salt_buckets))
     w_local = Window.partitionBy(*group_cols, "_salt").orderBy("_h")
     kept = (
@@ -97,19 +82,74 @@ def kmv_distinct(items: DataFrame, item_col: str,
         .filter(F.col("_r") <= k).drop("_salt", "_r")
     )
     w_global = Window.partitionBy(*group_cols).orderBy("_h")
-    kept = (
+    return (
         kept.withColumn("_r", F.row_number().over(w_global))
         .filter(F.col("_r") <= k).drop("_r")
     )
+
+
+def kmv_sketch(items: DataFrame, item_col: str,
+               group_cols: list | None = None, k: int = 256,
+               salt_buckets: int = KMV_SALT_BUCKETS) -> DataFrame:
+    """The KMV sketch itself -> (group_cols..., _h): the k smallest
+    distinct item hashes per group (at most k rows per group, however
+    large the group). The first exchange carries distinct (group,
+    hash) longs — never item payloads."""
+    group_cols = list(group_cols or [])
+    hashes = (
+        items.select(*group_cols, h52(item_col).alias("_h"))
+        .distinct()
+    )
+    return _smallest_k(hashes, group_cols, k, salt_buckets)
+
+
+def kmv_merge(sketches: list, group_cols: list | None = None,
+              k: int = 256,
+              salt_buckets: int = KMV_SALT_BUCKETS) -> DataFrame:
+    """Merge KMV sketches of disjoint-or-not item streams into the
+    sketch of their UNION: k smallest of the distinct union of kept
+    hashes. Exact, not approximate — k-min of a union is a function
+    of the per-part k-mins — which is what lets a 1000-executor
+    cluster sketch per shard/day and combine without re-reading raw
+    data."""
+    group_cols = list(group_cols or [])
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return _smallest_k(merged.distinct(), group_cols, k, salt_buckets)
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list | None = None,
+                 k: int = 256) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch ->
+    (group_cols..., n_kept, kth_min, est_distinct).
+
+    ``n_kept`` is the sketch fill (min(k, observed distinct hashes)),
+    ``kth_min`` the largest kept hash. When the sketch is not full the
+    estimate IS the exact distinct count (small-range correction);
+    otherwise est = (k-1) * 2^52 / kth_min."""
+    group_cols = list(group_cols or [])
     n = F.count("*")
     kth = F.max("_h")
     est = F.when(n < k, n.cast("double")).otherwise(
         F.lit(float(k - 1)) * F.lit(HASH_SPACE) / kth.cast("double"))
     return (
-        kept.groupBy(*group_cols)
+        sketch.groupBy(*group_cols)
         .agg(n.alias("n_kept"), kth.alias("kth_min"),
              F.round(est, 4).alias("est_distinct"))
     )
+
+
+def kmv_distinct(items: DataFrame, item_col: str,
+                 group_cols: list | None = None, k: int = 256,
+                 salt_buckets: int = KMV_SALT_BUCKETS) -> DataFrame:
+    """KMV distinct-count estimate per group, end to end ->
+    (group_cols..., n_kept, kth_min, est_distinct). See
+    :func:`kmv_sketch` / :func:`kmv_estimate`."""
+    group_cols = list(group_cols or [])
+    return kmv_estimate(
+        kmv_sketch(items, item_col, group_cols, k, salt_buckets),
+        group_cols, k)
 
 
 def kmv_distinct_tokens(docs: DataFrame, text_col: str = "text",
@@ -146,6 +186,17 @@ def build_count_min(items: DataFrame, item_col: str, depth: int = 4,
                  F.col("cell.col").alias("col"))
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def cms_merge(sketches: list) -> DataFrame:
+    """Merge Count-Min sketches built with the SAME depth/width into
+    the sketch of the concatenated streams: cell-wise counter sums.
+    Exact by linearity of counting — the distributed contract that
+    lets each shard/day keep its own depth x width grid."""
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
 
 
 def cms_estimate(sketch: DataFrame, probes: DataFrame, item_col: str,

@@ -15,8 +15,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from knowledge_graph_spark.operators.sketches import (
-    HASH_SPACE, build_count_min, cms_estimate, cms_token_frequencies,
-    h52, kmv_distinct, kmv_distinct_tokens)
+    HASH_SPACE, build_count_min, cms_estimate, cms_merge,
+    cms_token_frequencies, h52, kmv_distinct, kmv_distinct_tokens,
+    kmv_estimate, kmv_merge, kmv_sketch)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
@@ -85,6 +86,33 @@ def test_kmv_salting_invariant(spark):
     b = sorted(map(tuple, kmv_distinct(
         items, "v", ["g"], k=128, salt_buckets=1).collect()))
     assert a == b
+
+
+def test_kmv_merge_equals_union_sketch(spark):
+    # sketch per part + merge == sketch of the union (overlapping
+    # parts on purpose — merge must dedup, not just concatenate)
+    a = spark.range(0, 1500).select(
+        F.concat(F.lit("u"), F.col("id")).alias("v"))
+    b = spark.range(1000, 3000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("v"))
+    merged = kmv_estimate(kmv_merge(
+        [kmv_sketch(a, "v", k=128), kmv_sketch(b, "v", k=128)],
+        k=128), k=128)
+    direct = kmv_distinct(a.unionByName(b), "v", k=128)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, direct.collect()))
+
+
+def test_cms_merge_equals_union_sketch(spark):
+    a = spark.createDataFrame(
+        [(t,) for t in ["x"] * 5 + ["y"] * 2], ["token"])
+    b = spark.createDataFrame(
+        [(t,) for t in ["x"] * 3 + ["z"] * 4], ["token"])
+    merged = cms_merge([build_count_min(a, "token", 4, 32),
+                        build_count_min(b, "token", 4, 32)])
+    direct = build_count_min(a.unionByName(b), "token", 4, 32)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, direct.collect()))
 
 
 def _py_cms(stream, depth, width):
