@@ -2260,6 +2260,182 @@ ORDER BY token
 """
 
 
+def _q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-count (p=6, 64 registers): estimated
+    distinct customers per order priority. ~1,300 true distincts per
+    group puts the estimate on the harmonic-mean path (raw > 2.5m), so
+    the alpha*m^2/Z estimator is what's verified, not linear counting.
+    The oracle replays registers + estimate exactly: rank uses the
+    integer bin()-string bit-length (no float log2) and the harmonic
+    denominator accumulates as an exact int64, so the only float ops
+    are one division and one multiply — order-independent."""
+    from knowledge_graph_spark.operators.sketches import hll_distinct
+
+    orders = _t(spark, sf_dir, "orders")
+    items = orders.select(
+        "o_orderpriority", F.col("o_custkey").cast("string").alias("cust"))
+    return (
+        hll_distinct(items, "cust", ["o_orderpriority"], p=6)
+        .orderBy("o_orderpriority")
+    )
+
+
+_SQL_HLL_DISTINCT = r"""
+WITH h AS (
+  SELECT o_orderpriority,
+         CAST(concat('0x', substring(md5(CAST(o_custkey AS VARCHAR)), 1, 13))
+              AS BIGINT) AS h
+  FROM orders
+),
+regs AS (
+  SELECT o_orderpriority, h % 64 AS register,
+         MAX(47 - length(regexp_replace(bin(h >> 6), '^0+', ''))) AS rank
+  FROM h GROUP BY o_orderpriority, h % 64
+),
+agg AS (
+  SELECT o_orderpriority, COUNT(*) AS n_registers,
+         SUM(1::BIGINT << (47 - rank))
+           + (64 - COUNT(*)) * (1::BIGINT << 47) AS sum_int
+  FROM regs GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n_registers,
+       ROUND(CASE WHEN (0.709 * 64 * 64)
+                       / (CAST(sum_int AS DOUBLE)
+                          / CAST(1::BIGINT << 47 AS DOUBLE)) <= 160.0
+                   AND n_registers < 64
+             THEN 64.0 * ln(64.0 / CAST(64 - n_registers AS DOUBLE))
+             ELSE (0.709 * 64 * 64)
+                  / (CAST(sum_int AS DOUBLE)
+                     / CAST(1::BIGINT << 47 AS DOUBLE))
+             END, 4) AS est_distinct
+FROM agg ORDER BY o_orderpriority
+"""
+
+
+def _q_hll_merged(spark, sf_dir):
+    """HLL mergeability, oracle-discriminated: Spark sketches the odd
+    and even ORDER keys separately (a customer with orders in both
+    halves lands in both sketches — the overlap must collapse under
+    register-wise max), merges, and estimates; the oracle computes the
+    sketch directly over the whole table. Agreement proves
+    merge(HLL(A), HLL(B)) = HLL(A ∪ B) as a value — the shard-and-
+    combine contract a 1000-executor rollup relies on."""
+    from knowledge_graph_spark.operators.sketches import (
+        hll_estimate, hll_merge, hll_sketch)
+
+    orders = _t(spark, sf_dir, "orders")
+    items = orders.select(
+        "o_orderpriority", F.col("o_custkey").cast("string").alias("cust"),
+        (F.col("o_orderkey") % 2).alias("_half"))
+    halves = [
+        hll_sketch(items.filter(F.col("_half") == i), "cust",
+                   ["o_orderpriority"], p=6)
+        for i in (0, 1)
+    ]
+    merged = hll_merge(halves, ["o_orderpriority"])
+    return (
+        hll_estimate(merged, ["o_orderpriority"], p=6)
+        .orderBy("o_orderpriority")
+    )
+
+
+def _q_bloom_members(spark, sf_dir):
+    """Bloom-filter membership (4096 bits, k=4) built over the
+    customers appearing in the quarter-sample of orders
+    (o_orderkey % 4 = 0), probed with EVERY customer ->
+    (c_custkey, bloom_member, actual_member). ~5% of customers have no
+    order in the sample, so both probe outcomes occur, and at ~67% bit
+    occupancy a fifth of the true non-members come back as false
+    positives — the bloom_member column disagrees with actual_member
+    on exactly the FP set, which the oracle replays bit-for-bit
+    (integer hashing + 32-bit lanes, no floats anywhere)."""
+    from knowledge_graph_spark.operators.sketches import (
+        build_bloom, probe_bloom)
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sample = orders.filter(F.col("o_orderkey") % 4 == 0)
+    keys = sample.select(F.col("o_custkey").cast("string").alias("key"))
+    bloom = build_bloom(keys, "key", m_bits=4096, k=4)
+    probes = cust.select(F.col("c_custkey").cast("string").alias("key"))
+    probed = probe_bloom(bloom, probes, "key", m_bits=4096, k=4)
+    actual = sample.select(
+        F.col("o_custkey").cast("string").alias("key")).distinct()
+    return (
+        probed.join(actual.withColumn("_in", F.lit(1)), "key", "left")
+        .select(
+            F.col("key").cast("long").alias("c_custkey"),
+            F.col("bloom_member").cast("int").alias("bloom_member"),
+            F.coalesce("_in", F.lit(0)).alias("actual_member"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+_SQL_BLOOM_MEMBERS = r"""
+WITH sample AS (SELECT * FROM orders WHERE o_orderkey % 4 = 0),
+keys AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key FROM sample),
+cells AS (
+  SELECT (CAST(concat('0x', substring(md5(concat(i.i, ':', key)), 1, 13))
+               AS BIGINT) % 4096) AS pos
+  FROM keys, (SELECT unnest(generate_series(0, 3)) AS i) i
+),
+filt AS (
+  SELECT pos // 32 AS word,
+         bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+  FROM cells GROUP BY pos // 32
+),
+probes AS (SELECT CAST(c_custkey AS VARCHAR) AS key FROM customer),
+pc AS (
+  SELECT key,
+         (CAST(concat('0x', substring(md5(concat(i.i, ':', key)), 1, 13))
+               AS BIGINT) % 4096) AS pos
+  FROM probes, (SELECT unnest(generate_series(0, 3)) AS i) i
+),
+member AS (
+  SELECT key,
+         bool_and((COALESCE(bits, 0) & (1::BIGINT << CAST(pos % 32 AS INT)))
+                  = (1::BIGINT << CAST(pos % 32 AS INT))) AS bloom_member
+  FROM pc LEFT JOIN filt ON filt.word = pc.pos // 32
+  GROUP BY key
+)
+SELECT CAST(m.key AS BIGINT) AS c_custkey,
+       CAST(m.bloom_member AS INT) AS bloom_member,
+       CASE WHEN k.key IS NULL THEN 0 ELSE 1 END AS actual_member
+FROM member m LEFT JOIN keys k ON k.key = m.key
+ORDER BY c_custkey
+"""
+
+
+def _q_fuzzy_part_names(spark, sf_dir):
+    """Blocked fuzzy matching over the part-name vocabulary: distinct
+    p_names blocked by head noun (last token), pairs within a block at
+    Levenshtein distance <= 4. 2,000 parts dedupe to a 64-name
+    vocabulary first; candidate pairs form in-aggregate inside the
+    block (no self-join); the DP only ever runs on candidate pairs.
+    Spark and DuckDB ship the same classic unweighted Levenshtein, so
+    the oracle recomputes blocking + distances end to end."""
+    from knowledge_graph_spark.operators.linking import fuzzy_name_matches
+
+    part = _t(spark, sf_dir, "part")
+    return (
+        fuzzy_name_matches(part, "p_name", max_dist=4)
+        .orderBy("name_a", "name_b")
+    )
+
+
+_SQL_FUZZY_PART_NAMES = r"""
+WITH names AS (SELECT DISTINCT p_name AS name FROM part
+               WHERE p_name IS NOT NULL),
+b AS (SELECT name, string_split(name, ' ')[-1] AS blk FROM names)
+SELECT a.name AS name_a, b2.name AS name_b,
+       levenshtein(a.name, b2.name) AS edit_dist
+FROM b a JOIN b b2 ON a.blk = b2.blk AND a.name < b2.name
+WHERE levenshtein(a.name, b2.name) <= 4
+ORDER BY name_a, name_b
+"""
+
+
 def _q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline (exact; DuckDB-oracled)."""
     from knowledge_graph_spark.operators.simsearch import brute_force_topk
@@ -3035,6 +3211,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": _q_kmv_distinct,
         "kmv_merged": _q_kmv_merged,
         "cms_freq": _q_cms_freq,
+        "hll_distinct": _q_hll_distinct,
+        "hll_merged": _q_hll_merged,
+        "bloom_members": _q_bloom_members,
+        "fuzzy_part_names": _q_fuzzy_part_names,
         "media_metadata": _q_media_metadata,
         "media_features_topk": _q_media_features,
         # KG construction pipeline (rows-only)
@@ -3111,6 +3291,12 @@ def oracle_sql() -> dict[str, str]:
         # sketch-halves + merge, so agreement proves the merge
         "kmv_merged": _SQL_KMV_DISTINCT,
         "cms_freq": _SQL_CMS_FREQ,
+        "hll_distinct": _SQL_HLL_DISTINCT,
+        # same direct-computation SQL: the Spark side goes through
+        # sketch-halves + register-max merge, so agreement proves it
+        "hll_merged": _SQL_HLL_DISTINCT,
+        "bloom_members": _SQL_BLOOM_MEMBERS,
+        "fuzzy_part_names": _SQL_FUZZY_PART_NAMES,
         "embedding_neardups": _SQL_EMBEDDING_NEARDUPS,
         # pinned-golden oracles (independent pure-Python twin,
         # tools/make_goldens.py)

@@ -165,3 +165,55 @@ def same_as_edges(
     return scored_pairs(names, max_bucket).filter(
         (F.col("score") >= threshold) | prefix_rule
     )
+
+
+def fuzzy_name_matches(
+    names_df: DataFrame,
+    name_col: str = "name",
+    block_expr: "F.Column | None" = None,
+    max_dist: int = 4,
+    max_block: int = 512,
+) -> DataFrame:
+    """Blocked fuzzy string matching -> (name_a, name_b, edit_dist):
+    pairs of DISTINCT names in the same block whose Levenshtein
+    distance is <= ``max_dist``, name_a < name_b.
+
+    The classic record-linkage shape (Fellegi-Sunter blocking + edit
+    distance): an all-pairs Levenshtein is O(V^2) and dead at corpus
+    scale, so candidates only form inside a cheap blocking key —
+    default: the name's last whitespace token, the head noun in
+    English-style compound names ("small bolt" / "blue bolt" block
+    together; an entity-resolution caller passes a phonetic key or an
+    LSH band instead). Scale shape:
+
+    - names dedupe FIRST (mentions repeat massively; everything after
+      is O(|vocabulary|)),
+    - pairs generate INSIDE the block aggregation via
+      :func:`dedup._bucket_pairs` (no block self-join, no distinct
+      pass), with the ``max_block`` skew guard dropping megablocks
+      before their name lists materialize,
+    - ``levenshtein()`` is JVM codegen on the pair rows only — the
+      O(len^2) DP runs on |candidate pairs|, never |V|^2.
+
+    Complements :func:`scored_pairs`: edit distance catches
+    transposition/typo variants that n-gram cosine underweights, and
+    is exactly replayable in SQL (DuckDB ships the same classic
+    unweighted Levenshtein), so the driver oracle recomputes pairs
+    end to end."""
+    from .dedup import _bucket_pairs
+
+    names = (
+        names_df.select(F.col(name_col).alias("name"))
+        .filter(F.col("name").isNotNull())
+        .distinct()
+    )
+    block = block_expr if block_expr is not None else F.element_at(
+        F.split("name", " "), -1)
+    keyed = names.select(block.alias("_b"), "name")
+    pairs = _bucket_pairs(keyed, ["_b"], max_block, F.col("name"))
+    return (
+        pairs.withColumn("edit_dist", F.levenshtein("a", "b"))
+        .filter(F.col("edit_dist") <= max_dist)
+        .select(F.col("a").alias("name_a"), F.col("b").alias("name_b"),
+                "edit_dist")
+    )

@@ -1,5 +1,6 @@
 # -*- coding: utf-8 -*-
-"""Probabilistic sketches: KMV distinct-count and Count-Min frequency.
+"""Probabilistic sketches: KMV + HyperLogLog distinct-count, Count-Min
+frequency, and Bloom-filter membership.
 
 At 100 TB, "how many distinct tokens/urls/users per group" and "how
 often does this term occur" are questions you cannot afford to answer
@@ -18,6 +19,19 @@ bounded-size summaries:
   row); a frequency estimate is the MIN over the item's d counters —
   always >= truth, over by at most the collision mass. The sketch is
   depth*width longs, no matter the vocabulary.
+- **HyperLogLog** — Flajolet et al., "HyperLogLog: the analysis of a
+  near-optimal cardinality estimation algorithm" (AofA 2007): m = 2^p
+  registers, each holding the MAX number of leading zero bits (+1)
+  seen in the non-register bits of any item hash routed to it;
+  cardinality = alpha_m * m^2 / sum(2^-register). Fixed m longs per
+  group — smaller than KMV at the same error — and mergeable by
+  register-wise max.
+- **Bloom filter** — Bloom (CACM 1970): an m-bit array, k bit
+  positions per item; membership = all k bits set. No false
+  negatives; false-positive rate ~ (1 - e^(-kn/m))^k. The filter is
+  m/64 longs total — the shape that lets a 100 TB decontamination
+  pass broadcast the entire eval-set membership structure to every
+  executor instead of shuffling the corpus against it.
 
 Scale design: both sketches build as plain aggregations with map-side
 combine — the full item stream never moves, only pre-aggregated
@@ -223,6 +237,183 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, item_col: str,
         probe_cells.join(F.broadcast(sketch), ["row", "col"], "left")
         .groupBy(item_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+# hash width in bits (13 hex chars of md5 — see h52)
+HASH_BITS = 52
+
+
+def _hll_alpha(m: int) -> float:
+    """The standard HLL bias-correction constant (Flajolet et al. §4)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_sketch(items: DataFrame, item_col: str,
+               group_cols: list | None = None, p: int = 6) -> DataFrame:
+    """HyperLogLog sketch -> (group_cols..., register, rank): at most
+    m = 2^p rows per group, however large the group.
+
+    The low p hash bits pick the register; the remaining w = h >> p
+    bits contribute rank = (leading zeros of w in 52-p bits) + 1, and
+    the register keeps the MAX rank. Rank is computed as
+    ``(52 - p + 1) - bit_length(w)`` with bit_length =
+    ``length(ltrim(bin(w), '0'))`` — an integer-string formulation
+    that Spark and DuckDB evaluate identically (no float log2), which
+    is what keeps the sketch exactly SQL-replayable. Builds as ONE
+    aggregation with map-side combine: the exchange carries at most m
+    (group, register, rank) partials per map task, never the items."""
+    group_cols = list(group_cols or [])
+    m = 1 << p
+    h = h52(item_col)
+    w = F.shiftright(h, p)
+    # bit_length(w) = length(bin(w)) stripped of leading zeros; Spark's
+    # bin() never pads, but the strip keeps the formula portable (the
+    # oracle's bin() is only unpadded by observation, not contract)
+    bitlen = F.length(F.regexp_replace(F.bin(w), "^0+", ""))
+    rank = (F.lit(HASH_BITS - p + 1) - bitlen).cast("int")
+    return (
+        items.select(*group_cols,
+                     F.pmod(h, F.lit(m)).alias("register"),
+                     rank.alias("rank"))
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rank").alias("rank"))
+    )
+
+
+def hll_merge(sketches: list, group_cols: list | None = None) -> DataFrame:
+    """Merge HLL sketches built with the SAME p into the sketch of the
+    union of their item streams: register-wise max. Exact by
+    idempotence of max — the distributed contract that lets each
+    shard/day keep m longs and combine without re-reading raw data."""
+    group_cols = list(group_cols or [])
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy(*group_cols, "register").agg(
+        F.max("rank").alias("rank"))
+
+
+def hll_estimate(sketch: DataFrame, group_cols: list | None = None,
+                 p: int = 6) -> DataFrame:
+    """Cardinality estimate from an HLL sketch ->
+    (group_cols..., n_registers, est_distinct).
+
+    The harmonic denominator sum(2^-rank) is accumulated as the
+    INTEGER sum of 2^(maxrank - rank) (maxrank = 52-p+1) plus
+    2^maxrank per never-touched register, then divided once by
+    2^maxrank: every partial is an exact int64 (total <= m * 2^maxrank
+    = 2^53), so the sum is order-independent and the SQL oracle
+    replays it bit-for-bit — a float sum over registers would differ
+    in the last ulp between engines depending on reduction order.
+    Small-range correction (linear counting over empty registers)
+    applies below 2.5m, per the paper."""
+    group_cols = list(group_cols or [])
+    m = 1 << p
+    maxrank = HASH_BITS - p + 1
+    alpha = _hll_alpha(m)
+    n_obs = F.count("*")
+    sum_obs = F.sum(F.expr(f"shiftleft(1L, {maxrank} - rank)"))
+    v = (F.lit(m) - n_obs).cast("long")  # empty registers, rank 0
+    sum_int = sum_obs + v * F.lit(1 << maxrank)
+    z = sum_int.cast("double") / F.lit(float(1 << maxrank))
+    raw = F.lit(alpha * m * m) / z
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+                 ).otherwise(raw)
+    return (
+        sketch.groupBy(*group_cols)
+        .agg(n_obs.alias("n_registers"), F.round(est, 4).alias("est_distinct"))
+    )
+
+
+def hll_distinct(items: DataFrame, item_col: str,
+                 group_cols: list | None = None, p: int = 6) -> DataFrame:
+    """HLL distinct-count estimate per group, end to end ->
+    (group_cols..., n_registers, est_distinct)."""
+    group_cols = list(group_cols or [])
+    return hll_estimate(hll_sketch(items, item_col, group_cols, p),
+                        group_cols, p)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+# bits per bitmap word. 32, not 64: DuckDB range-checks BIGINT shifts,
+# so ``1::BIGINT << 63`` (the sign bit) errors there — 32-bit lanes in
+# a 64-bit word keep build and probe exactly replayable in the oracle.
+BLOOM_WORD_BITS = 32
+
+
+def _bloom_cells(col, m_bits: int, k: int):
+    """The k (word, mask) cells of one item: position i =
+    h52('<i>:' || item) mod m_bits; word = pos / 32, mask = 1 << (pos
+    mod 32) — k hash functions from one primitive, the same salting
+    trick as Count-Min."""
+    cells = []
+    for i in range(k):
+        pos = F.pmod(h52(F.concat(F.lit(f"{i}:"), col)), F.lit(m_bits))
+        bit = F.pmod(pos, F.lit(BLOOM_WORD_BITS)).cast("int")
+        cells.append(F.struct(
+            F.shiftright(pos, 5).alias("word"),
+            # call_function: pyspark's shiftleft() helper only takes a
+            # literal shift amount, but the SQL builtin takes a column
+            F.call_function("shiftleft", F.lit(1).cast("long"), bit)
+            .alias("mask"),
+        ))
+    return F.array(*cells)
+
+
+def build_bloom(items: DataFrame, item_col: str, m_bits: int = 4096,
+                k: int = 4) -> DataFrame:
+    """Bloom filter of an item stream -> (word, bits), at most
+    m_bits/32 rows total (group-free: one filter per call).
+
+    Built as ONE aggregation: each item explodes to its k (word, mask)
+    cells, then groupBy(word) ORs the masks with map-side combine —
+    the exchange carries at most m_bits/32 partials per map task,
+    never the item stream. The whole filter is a few KB, which is the
+    point: probe side broadcasts it."""
+    cell = F.explode(_bloom_cells(F.col(item_col), m_bits, k)).alias("c")
+    return (
+        items.select(cell)
+        .select(F.col("c.word").alias("word"), F.col("c.mask").alias("mask"))
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def probe_bloom(bloom: DataFrame, probes: DataFrame, item_col: str,
+                m_bits: int = 4096, k: int = 4) -> DataFrame:
+    """Test each probe item against a Bloom filter ->
+    (item_col, bloom_member).
+
+    Probes explode to their k cells and LEFT-join the BROADCAST filter
+    (<= m_bits/32 rows); membership = every cell's bits cover its
+    mask. An absent word means those bits were never set — coalesce to
+    0 so the item correctly tests non-member. No false negatives by
+    construction; false positives at the documented (1-e^(-kn/m))^k
+    rate, which the caller picks m_bits/k for."""
+    cell = F.explode(_bloom_cells(F.col(item_col), m_bits, k)).alias("c")
+    cells = probes.select(item_col, cell).select(
+        item_col, F.col("c.word").alias("word"), F.col("c.mask").alias("mask"))
+    hit = (F.coalesce(F.col("bits"), F.lit(0))
+           .bitwiseAND(F.col("mask")) == F.col("mask"))
+    return (
+        cells.join(F.broadcast(bloom), "word", "left")
+        .groupBy(item_col)
+        .agg(F.bool_and(hit).alias("bloom_member"))
     )
 
 

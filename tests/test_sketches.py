@@ -169,3 +169,174 @@ def test_sketch_plans_stay_jvm_side(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+from knowledge_graph_spark.operators.sketches import (  # noqa: E402
+    HASH_BITS, build_bloom, hll_distinct, hll_estimate, hll_merge,
+    hll_sketch, probe_bloom)
+
+
+def _py_hll_registers(items, p):
+    m = 1 << p
+    regs = {}
+    for it in items:
+        h = _py_h52(it)
+        reg = h % m
+        w = h >> p
+        rank = (HASH_BITS - p + 1) - w.bit_length()
+        regs[reg] = max(regs.get(reg, 0), rank)
+    return regs
+
+
+def test_hll_registers_match_python_twin(spark):
+    items = [f"item-{i}" for i in range(500)]
+    expect = _py_hll_registers(items, p=6)
+    got = {r["register"]: r["rank"] for r in hll_sketch(
+        spark.createDataFrame([(v,) for v in items], ["v"]), "v", p=6
+    ).collect()}
+    assert got == expect
+
+
+def test_hll_estimator_accuracy(spark):
+    # 5000 distinct at p=8 (m=256): std error 1.04/sqrt(256) ~ 6.5%;
+    # assert a loose 3-sigma bound and that the harmonic path ran
+    items = spark.range(5000).select(
+        F.concat(F.lit("item-"), F.col("id")).alias("v"))
+    row = hll_distinct(items, "v", p=8).collect()[0]
+    assert row["n_registers"] == 256
+    assert abs(row["est_distinct"] - 5000) / 5000 < 0.20
+
+
+def test_hll_small_range_linear_counting(spark):
+    # 30 distinct at p=8: raw estimate falls under 2.5m with empty
+    # registers -> linear counting, which is near-exact down here
+    items = spark.range(30).select(
+        F.concat(F.lit("s"), F.col("id")).alias("v"))
+    row = hll_distinct(items, "v", p=8).collect()[0]
+    assert row["n_registers"] <= 30
+    assert abs(row["est_distinct"] - 30) <= 3
+
+
+def test_hll_merge_equals_union_sketch(spark):
+    # overlapping halves on purpose: register-max must absorb overlap
+    a = spark.range(0, 1500).select(
+        F.concat(F.lit("u"), F.col("id")).alias("v"))
+    b = spark.range(1000, 3000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("v"))
+    merged = hll_estimate(hll_merge(
+        [hll_sketch(a, "v", p=7), hll_sketch(b, "v", p=7)]), p=7)
+    direct = hll_distinct(a.unionByName(b), "v", p=7)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, direct.collect()))
+
+
+def test_hll_duplicates_do_not_move_estimate(spark):
+    # cardinality sketch: feeding each item 20x must not change it
+    base = spark.range(800).select(
+        F.concat(F.lit("d"), F.col("id")).alias("v"))
+    dup = base.crossJoin(spark.range(20)).select("v")
+    assert sorted(map(tuple, hll_distinct(base, "v", p=6).collect())) == \
+        sorted(map(tuple, hll_distinct(dup, "v", p=6).collect()))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def _py_bloom_positions(item, m_bits, k):
+    return [_py_h52(f"{i}:{item}") % m_bits for i in range(k)]
+
+
+def test_bloom_matches_python_twin(spark):
+    items = [f"key-{i}" for i in range(200)]
+    m_bits, k = 1024, 3
+    words = {}
+    for it in items:
+        for pos in _py_bloom_positions(it, m_bits, k):
+            words[pos >> 5] = words.get(pos >> 5, 0) | (1 << (pos % 32))
+    got = {r["word"]: r["bits"] for r in build_bloom(
+        spark.createDataFrame([(v,) for v in items], ["key"]),
+        "key", m_bits, k).collect()}
+    assert got == words
+
+
+def test_bloom_no_false_negatives(spark):
+    # the Bloom contract: every inserted item MUST test positive,
+    # whatever the load factor
+    items = spark.range(3000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"))
+    bloom = build_bloom(items, "key", m_bits=2048, k=4)  # overloaded
+    res = probe_bloom(bloom, items, "key", m_bits=2048, k=4)
+    assert res.filter(~F.col("bloom_member")).count() == 0
+
+
+def test_bloom_false_positive_rate_in_range(spark):
+    # n=1000 into m=8192, k=4: theoretical FP ~ (1-e^(-kn/m))^4 ~ 2.4%;
+    # measure on 2000 absent probes and assert a generous band
+    present = spark.range(1000).select(
+        F.concat(F.lit("in-"), F.col("id")).alias("key"))
+    absent = spark.range(2000).select(
+        F.concat(F.lit("out-"), F.col("id")).alias("key"))
+    bloom = build_bloom(present, "key", m_bits=8192, k=4)
+    fp = probe_bloom(bloom, absent, "key", m_bits=8192, k=4) \
+        .filter("bloom_member").count()
+    assert 0 < fp < 200  # ~48 expected; 0 would mean a broken probe
+
+
+def test_bloom_probe_is_broadcast(spark):
+    items = spark.range(500).select(F.col("id").cast("string").alias("key"))
+    plan = probe_bloom(build_bloom(items, "key"), items, "key") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# fuzzy matching
+# ---------------------------------------------------------------------------
+
+
+def _py_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_name_matches_python_twin(spark):
+    from knowledge_graph_spark.operators.linking import fuzzy_name_matches
+
+    names = ["small bolt", "blue bolt", "smal bolt", "red gear",
+             "red gear", "bed gear", "lone widget", None]
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    got = {(r["name_a"], r["name_b"]): r["edit_dist"]
+           for r in fuzzy_name_matches(df, "name", max_dist=4).collect()}
+    # twin: distinct names, block on last token, pairwise lev <= 4
+    vocab = sorted({n for n in names if n})
+    expect = {}
+    for i, a in enumerate(vocab):
+        for b in vocab[i + 1:]:
+            if a.split(" ")[-1] == b.split(" ")[-1] and _py_lev(a, b) <= 4:
+                expect[(a, b)] = _py_lev(a, b)
+    assert got == expect
+    assert ("bed gear", "red gear") in got          # dist 1 kept
+    assert ("blue bolt", "small bolt") not in got   # dist 5 cut
+    assert all(a < b for a, b in got)               # canonical order
+
+
+def test_fuzzy_block_guard_drops_megablocks(spark):
+    from knowledge_graph_spark.operators.linking import fuzzy_name_matches
+
+    df = spark.range(50).select(
+        F.concat(F.lit("v"), F.col("id"), F.lit(" hub")).alias("name"))
+    assert fuzzy_name_matches(df, "name", max_dist=50,
+                              max_block=10).count() == 0
