@@ -95,6 +95,7 @@ def main():
         "lm_perplexity", "nb_predictions", "bpe_encoded",
         "event_anomalies", "stratified_k",
         "pq_topk", "kmv_distinct", "cms_freq",
+        "hll_distinct", "bloom_members", "fuzzy_part_names",
     ]
     qs = entrymod.queries()
     for name in headliners:

@@ -282,10 +282,13 @@ def hll_sketch(items: DataFrame, item_col: str,
     # oracle's bin() is only unpadded by observation, not contract)
     bitlen = F.length(F.regexp_replace(F.bin(w), "^0+", ""))
     rank = (F.lit(HASH_BITS - p + 1) - bitlen).cast("int")
+    # NULL items carry no identity: md5(NULL) is NULL and would smuggle
+    # a NULL-rank register into the estimate aggregate
     return (
-        items.select(*group_cols,
-                     F.pmod(h, F.lit(m)).alias("register"),
-                     rank.alias("rank"))
+        items.filter(F.col(item_col).isNotNull())
+        .select(*group_cols,
+                F.pmod(h, F.lit(m)).alias("register"),
+                rank.alias("rank"))
         .groupBy(*group_cols, "register")
         .agg(F.max("rank").alias("rank"))
     )
@@ -387,7 +390,7 @@ def build_bloom(items: DataFrame, item_col: str, m_bits: int = 4096,
     point: probe side broadcasts it."""
     cell = F.explode(_bloom_cells(F.col(item_col), m_bits, k)).alias("c")
     return (
-        items.select(cell)
+        items.filter(F.col(item_col).isNotNull()).select(cell)
         .select(F.col("c.word").alias("word"), F.col("c.mask").alias("mask"))
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
@@ -406,7 +409,8 @@ def probe_bloom(bloom: DataFrame, probes: DataFrame, item_col: str,
     construction; false positives at the documented (1-e^(-kn/m))^k
     rate, which the caller picks m_bits/k for."""
     cell = F.explode(_bloom_cells(F.col(item_col), m_bits, k)).alias("c")
-    cells = probes.select(item_col, cell).select(
+    cells = probes.filter(F.col(item_col).isNotNull()).select(
+        item_col, cell).select(
         item_col, F.col("c.word").alias("word"), F.col("c.mask").alias("mask"))
     hit = (F.coalesce(F.col("bits"), F.lit(0))
            .bitwiseAND(F.col("mask")) == F.col("mask"))
