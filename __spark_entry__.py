@@ -2468,6 +2468,59 @@ ORDER BY query_id, rank
 """
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup over the embedding table augmented with exact copies
+    (every 100th vector re-appears under id+1,000,000, as in
+    embedding_neardups): k-means into 16 cells with deterministic
+    min-id init at n_iter=0 — which makes clustering, assignment,
+    within-cluster pairing, and the keep/drop verdict ALL exactly
+    replayable in SQL. Every copy lands in its original's cell
+    (identical vector, identical argmin) and is dropped; natural
+    within-cell pairs past cosine 0.95 are dropped too."""
+    from knowledge_graph_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    aug = emb.select("vec_id", "embedding").unionByName(
+        emb.filter(F.col("vec_id") % 100 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"))
+    return (
+        semantic_dedup(aug, n_clusters=16, n_iter=0, threshold=0.95)
+        .orderBy("vec_id")
+    )
+
+
+_SQL_SEMANTIC_DEDUP = """
+WITH allv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell_id, v AS centroid
+  FROM allv ORDER BY vec_id LIMIT 16
+),
+assigned AS (
+  SELECT vec_id, v, cell_id FROM (
+    SELECT a.vec_id, a.v, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                              ORDER BY list_distance(a.v, c.centroid),
+                                       c.cell_id) AS rk
+    FROM allv a CROSS JOIN cent c) WHERE rk = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+)
+SELECT a.vec_id, a.cell_id,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+FROM assigned a LEFT JOIN dropped d USING (vec_id)
+ORDER BY a.vec_id
+"""
+
+
 def _q_hard_negatives(spark, sf_dir):
     """Hard-negative mining (DPR-style): per labeled query, the top-5
     most-similar vectors with a DIFFERENT label. Exact O(N·Q) DuckDB
@@ -3215,6 +3268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_merged": _q_hll_merged,
         "bloom_members": _q_bloom_members,
         "fuzzy_part_names": _q_fuzzy_part_names,
+        "semantic_dedup": _q_semantic_dedup,
         "media_metadata": _q_media_metadata,
         "media_features_topk": _q_media_features,
         # KG construction pipeline (rows-only)
@@ -3297,6 +3351,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_merged": _SQL_HLL_DISTINCT,
         "bloom_members": _SQL_BLOOM_MEMBERS,
         "fuzzy_part_names": _SQL_FUZZY_PART_NAMES,
+        "semantic_dedup": _SQL_SEMANTIC_DEDUP,
         "embedding_neardups": _SQL_EMBEDDING_NEARDUPS,
         # pinned-golden oracles (independent pure-Python twin,
         # tools/make_goldens.py)

@@ -96,6 +96,7 @@ def main():
         "event_anomalies", "stratified_k",
         "pq_topk", "kmv_distinct", "cms_freq",
         "hll_distinct", "bloom_members", "fuzzy_part_names",
+        "semantic_dedup",
     ]
     qs = entrymod.queries()
     for name in headliners:

@@ -632,3 +632,72 @@ def cross_doc_gram_stats(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
         )
         .withColumnRenamed("doc_id", id_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic (embedding-cluster) dedup
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(embeddings: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", n_clusters: int = 16,
+                   n_iter: int = 0, threshold: float = 0.95,
+                   max_cluster: int = 4096) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", arXiv:2303.09540) ->
+    (vec_id, cell_id, keep): cluster the embedding space with k-means,
+    then deduplicate WITHIN clusters only — a vector is dropped
+    (keep=0) iff some lower-id member of ITS cluster is more similar
+    than ``threshold``. Near-duplicate pairs split across two clusters
+    are missed by construction; that recall loss is the price of never
+    comparing across clusters, exactly as published.
+
+    Scale shape — the quadratic work is cluster-bounded:
+
+    - k-means init is the ``n_clusters`` smallest-id vectors
+      (deterministic, so at ``n_iter=0`` the whole operator — assign,
+      pair, verdict — replays exactly in the SQL oracle; quality comes
+      from Lloyd rounds at ``n_iter>0``, same contract as
+      :func:`simsearch.train_pq_codebook`),
+    - assignment is argmin-L2 against BROADCAST centroids (map-only
+      over the corpus; ties break toward the smaller cell_id in both
+      engines via min-of-struct / ORDER BY d2, cell_id),
+    - the pair join is an equi-join on cell_id with ``id_a < id_b`` —
+      O(sum of cluster^2), never O(N^2) — and clusters larger than
+      ``max_cluster`` are excluded from pairing up front by a count
+      window sharing the join's exchange (their members all keep;
+      same skew-guard stance as LSH ``max_bucket``: a megacluster
+      means the clustering failed, not that 10^9 comparisons should
+      run),
+    - the verdict needs only the DROPPED id set (distinct larger ids
+      of qualifying pairs), which left-anti-joins back — vectors move
+      through the cell exchange once; the pair join carries them only
+      inside clusters.
+    """
+    from .simsearch import kmeans_min_id
+
+    v = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"))
+    assigned = kmeans_min_id(v, n_clusters, n_iter)
+
+    w = Window.partitionBy("cell_id")
+    sized = assigned.withColumn("_n", F.count("*").over(w))
+    pairable = sized.filter((F.col("_n") >= 2) & (F.col("_n") <= max_cluster))
+    a = pairable.select(F.col("cell_id"), F.col("vec_id").alias("id_a"),
+                        F.col("vec").alias("va"))
+    b = pairable.select(F.col("cell_id"), F.col("vec_id").alias("id_b"),
+                        F.col("vec").alias("vb"))
+    from ..functions.vectors import cosine as _cos
+    dropped = (
+        a.join(b, "cell_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(_cos("va", "vb") >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        sized.join(dropped.withColumn("_drop", F.lit(1)), "vec_id", "left")
+        .select("vec_id", "cell_id",
+                F.when(F.col("_drop").isNull(), 1).otherwise(0).alias("keep"))
+    )

@@ -506,3 +506,47 @@ def hard_negatives(vectors: DataFrame, queries: DataFrame, k: int = 10,
         )
     )
     return _per_query_topk(scored, k)
+
+
+def kmeans_min_id(v: DataFrame, n_clusters: int, n_iter: int = 0
+                  ) -> DataFrame:
+    """k-means assignment with DETERMINISTIC min-id init ->
+    (vec_id, vec, cell_id).
+
+    Init centroids are the ``n_clusters`` smallest-id vectors (cell_id
+    = id rank), so at ``n_iter=0`` the full assignment is exactly
+    replayable in ANSI SQL — the same determinism contract as
+    :func:`train_pq_codebook`, and the oracle path of
+    :func:`dedup.semantic_dedup`. ``n_iter`` Lloyd rounds (assign →
+    per-cell mean via dim column-sums, empty cells keep their
+    centroid) buy quality when exact replay isn't needed; input ``v``
+    must be (vec_id, vec: array<double>)."""
+    first = v.select(F.size("vec").alias("d")).first()
+    dim = first["d"] if first else 0
+    cent = (
+        v.orderBy("vec_id").limit(n_clusters)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .alias("cell_id"),
+            F.col("vec").alias("centroid"),
+        )
+    )
+    sums = [F.sum(F.col("vec")[j]).alias(f"s{j}") for j in range(dim)]
+    for _ in range(n_iter):
+        assigned = _assign_cells(v, cent)
+        new_cent = (
+            assigned.groupBy("cell_id")
+            .agg(F.count("*").alias("_n"), *sums)
+            .select(
+                "cell_id",
+                F.array(*[F.col(f"s{j}") / F.col("_n") for j in range(dim)]
+                        ).alias("centroid"),
+            )
+        )
+        cent = (
+            cent.select("cell_id", F.col("centroid").alias("old"))
+            .join(new_cent, "cell_id", "left")
+            .select("cell_id",
+                    F.coalesce("centroid", "old").alias("centroid"))
+        )
+    return _assign_cells(v, cent)

@@ -983,3 +983,58 @@ def test_rrf_fuse_hand_scores(spark):
     got5 = {r["doc_id"]: r["rrf_score"]
             for r in rrf_fuse([a, b], k=5).collect()}
     assert abs(got5[1] - (1 / 6 + 1 / 7)) < 1e-15
+
+
+# ---------------------------------------------------------------------------
+# semantic (embedding-cluster) dedup — SemDeDup
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_frame(spark):
+    # 12 well-separated base vectors + exact copies of three of them
+    import math
+
+    rows = []
+    for i in range(12):
+        ang = i * math.pi / 6.0
+        rows.append((i, [math.cos(ang), math.sin(ang), float(i % 3)]))
+    for src, cid in [(0, 100), (5, 101), (11, 102)]:
+        rows.append((cid, rows[src][1]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_semantic_dedup_drops_exact_copies(spark):
+    df = _semdedup_frame(spark)
+    for n_iter in (0, 2):  # the replayable init AND the Lloyd path
+        got = {r["vec_id"]: r for r in D.semantic_dedup(
+            df, n_clusters=4, n_iter=n_iter, threshold=0.999).collect()}
+        assert len(got) == 15
+        # an exact copy always joins its original's cell -> dropped
+        for src, cid in [(0, 100), (5, 101), (11, 102)]:
+            assert got[cid]["keep"] == 0
+            assert got[cid]["cell_id"] == got[src]["cell_id"]
+            assert got[src]["keep"] == 1  # lower id survives
+        assert sum(r["keep"] for r in got.values()) == 12
+
+
+def test_semantic_dedup_no_pairs_above_threshold_keeps_all(spark):
+    df = spark.createDataFrame(
+        [(i, [1.0 if j == i else 0.0 for j in range(6)]) for i in range(6)],
+        ["vec_id", "embedding"])  # orthogonal: cosine 0 everywhere
+    got = D.semantic_dedup(df, n_clusters=2, threshold=0.5).collect()
+    assert len(got) == 6 and all(r["keep"] == 1 for r in got)
+
+
+def test_semantic_dedup_megacluster_guard(spark):
+    # all vectors near-identical -> one cluster; with max_cluster below
+    # its size the cluster is excluded from pairing and everything keeps
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0, i * 1e-9]) for i in range(20)],
+        ["vec_id", "embedding"])
+    got = D.semantic_dedup(df, n_clusters=2, threshold=0.9,
+                           max_cluster=5).collect()
+    assert len(got) == 20 and all(r["keep"] == 1 for r in got)
+    # and with the guard open, the near-identical ones collapse to one
+    got2 = D.semantic_dedup(df, n_clusters=2, threshold=0.9).collect()
+    assert sum(r["keep"] for r in got2) < 20
+    assert min(r["vec_id"] for r in got2 if r["keep"]) == 0
