@@ -726,7 +726,11 @@ g2 AS (SELECT doc_id, g FROM grams WHERE g IS NOT NULL AND g != ''),
 freq AS (SELECT g, COUNT(*) AS ndocs FROM g2 GROUP BY g)
 SELECT doc_id,
        COUNT(*) AS n_grams,
-       SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS n_shared,
+       -- CAST: DuckDB promotes SUM(INTEGER) to HUGEINT, a type Spark
+       -- has no counterpart for; some fetch paths (Arrow) canonicalize
+       -- HUGEINT differently from BIGINT, so the value hash diverges
+       -- even when every value is equal. BIGINT on both sides.
+       CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
        ROUND(CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*), 6) AS shared_frac
 FROM g2 JOIN freq USING (g)
@@ -841,11 +845,13 @@ c AS (
   FROM d
 )
 SELECT source,
-       SUM(CASE WHEN n_emails > 0 OR n_phones > 0 THEN 1 ELSE 0 END) AS n_docs_with_pii,
-       SUM(n_emails) AS total_emails,
-       SUM(n_phones) AS total_phones,
-       SUM(len(regexp_extract_all(redacted, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'))
-         + len(regexp_extract_all(redacted, '1[0-9]{{10}}'))) AS residual_after_redaction
+       -- CAST: SUM(INTEGER/BIGINT) is HUGEINT in DuckDB — hash-unsafe
+       -- vs Spark's BIGINT on Arrow-style fetch paths (see cross_dup)
+       CAST(SUM(CASE WHEN n_emails > 0 OR n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+       CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+       CAST(SUM(n_phones) AS BIGINT) AS total_phones,
+       CAST(SUM(len(regexp_extract_all(redacted, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'))
+         + len(regexp_extract_all(redacted, '1[0-9]{{10}}'))) AS BIGINT) AS residual_after_redaction
 FROM c GROUP BY source ORDER BY source
 """
 

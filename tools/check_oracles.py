@@ -84,6 +84,18 @@ def main():
             print(f"FAIL  {name}: duckdb error {e}")
             continue
         problems = []
+        # type hygiene: fetchall() hides HUGEINT/DECIMAL (they arrive as
+        # plain Python ints), but the driver's Arrow-path hasher sees
+        # decimal128 and diverges — r03 cross_dup/pii_scrub root cause.
+        # Flag any output type without an exact Spark counterpart.
+        safe = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
+                "VARCHAR", "BOOLEAN", "DATE"}
+        odd = {c: t for c, t, *_ in
+               con.sql("DESCRIBE " + oracles[name]).fetchall()
+               if t not in safe and not t.startswith("TIMESTAMP")
+               and not (t.endswith("[]") and t[:-2] in safe)}
+        if odd:
+            problems.append(f"hash-unsafe oracle types {odd}")
         if len(srows) != len(orows):
             problems.append(f"rowcount {len(srows)} vs {len(orows)}")
         if sorted(scols) != sorted(ocols):
