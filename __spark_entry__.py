@@ -1995,8 +1995,13 @@ def _q_doc_chunks(spark, sf_dir):
 
 _SQL_DOC_CHUNKS = r"""
 WITH toks AS (
+  -- COALESCE: a NULL text tokenizes to NULL, len(NULL) is NULL, and
+  -- generate_series(0, NULL-1) emits NO row — silently dropping the
+  -- document, while the engine's chunk_documents coalesces to [] and
+  -- guarantees one empty chunk per input row. Match that here.
   SELECT doc_id,
-         list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS t
+         COALESCE(list_filter(regexp_split_to_array(text, '\s+'),
+                              x -> x != ''), []) AS t
   FROM documents
 ),
 sized AS (

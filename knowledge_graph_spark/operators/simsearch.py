@@ -284,7 +284,18 @@ def _collect_codebook(codebook, codebook_rows):
     if not by_sub:
         raise ValueError("empty PQ codebook")
     m = max(by_sub) + 1
+    missing = sorted(set(range(m)) - set(by_sub))
+    if missing:
+        raise ValueError(
+            f"PQ codebook: sub_ids not dense 0..{m - 1}, missing {missing}")
     sub_dim = len(next(iter(by_sub.values()))[0][1])
+    ragged = {j: sorted({len(cw) for _, cw in words})
+              for j, words in by_sub.items()
+              if any(len(cw) != sub_dim for _, cw in words)}
+    if ragged:
+        raise ValueError(
+            f"PQ codebook: codeword lengths differ from sub_dim={sub_dim} "
+            f"in subspaces {ragged} — encode would slice wrong dimensions")
     lits = {}
     for j in range(m):
         words = sorted(by_sub[j])
@@ -523,6 +534,22 @@ def kmeans_min_id(v: DataFrame, n_clusters: int, n_iter: int = 0
     must be (vec_id, vec: array<double>)."""
     first = v.select(F.size("vec").alias("d")).first()
     dim = first["d"] if first else 0
+    # ragged-input guard (same contract as train_pq_codebook): l2_sq's
+    # zip_with TRUNCATES to the shorter array and Lloyd's vec[j] sums
+    # turn short vectors into NULL centroid components — either way a
+    # silent misassignment. assert_true rides the existing scan (it
+    # returns NULL when the predicate holds, so the filter keeps every
+    # valid row) — validation costs zero extra jobs, unlike a separate
+    # count() pass over the vector column
+    v = v.filter(
+        F.assert_true(
+            F.size("vec") == dim,
+            F.concat(F.lit("kmeans_min_id: vector length "),
+                     F.size("vec").cast("string"),
+                     F.lit(f" != expected dim {dim} (from first row); "
+                           "fix or filter ragged embeddings")),
+        ).isNull()
+    )
     cent = (
         v.orderBy("vec_id").limit(n_clusters)
         .select(

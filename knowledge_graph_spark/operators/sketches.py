@@ -111,7 +111,12 @@ def kmv_sketch(items: DataFrame, item_col: str,
     hash) longs — never item payloads."""
     group_cols = list(group_cols or [])
     hashes = (
-        items.select(*group_cols, h52(item_col).alias("_h"))
+        # NULL guard (same as hll_sketch/build_bloom): a NULL item
+        # hashes to NULL, survives .distinct(), and Spark's ascending
+        # sort puts NULL FIRST — it would take rank 1 in _smallest_k,
+        # displace a real k-th hash, and skew est_distinct
+        items.filter(F.col(item_col).isNotNull())
+        .select(*group_cols, h52(item_col).alias("_h"))
         .distinct()
     )
     return _smallest_k(hashes, group_cols, k, salt_buckets)
@@ -195,7 +200,11 @@ def build_count_min(items: DataFrame, item_col: str, depth: int = 4,
         ) for i in range(depth)
     ])).alias("cell")
     return (
-        items.select(cells)
+        # NULL guard: h52(NULL) is NULL, pmod(NULL) is NULL — a NULL
+        # item would mint a (row, NULL) cell that probe lookups then
+        # match by accident
+        items.filter(F.col(item_col).isNotNull())
+        .select(cells)
         .groupBy(F.col("cell.row").alias("row"),
                  F.col("cell.col").alias("col"))
         .agg(F.count("*").alias("cnt"))
