@@ -1129,11 +1129,23 @@ def _q_hybrid_search(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
+    # salted two-phase top-k for the lexical side, symmetric with the
+    # dense side's _per_query_topk: per-salt top 50 first (each salt
+    # partition prunes to 50 rows map-side), then a global top 50 over
+    # the ≤ 32·50-row survivor set (constant-keyed single partition) —
+    # the global ordered window never sees more than salt_buckets·k rows
     lex = (
         bm25_search(docs, _BM25_TERMS)
+        .withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(32)))
+        .withColumn("_lr", F.row_number().over(
+            Window.partitionBy("_salt")
+            .orderBy(F.col("score").desc(), "doc_id")))
+        .filter(F.col("_lr") <= 50)
         .withColumn("rank", F.row_number().over(
-            Window.orderBy(F.col("score").desc(), "doc_id")))
+            Window.partitionBy(F.lit(0))
+            .orderBy(F.col("score").desc(), "doc_id")))
         .filter(F.col("rank") <= 50)
+        .drop("_salt", "_lr")
     )
     q0 = emb.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"),

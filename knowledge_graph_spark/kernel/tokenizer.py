@@ -254,6 +254,16 @@ def tokenize(text: str) -> Doc:
         flush_unknown()
         tokens.append(Token(len(tokens), text_, idx_, pos_, ner_))
 
+    def prev_is_nominal() -> bool:
+        """True when the immediately preceding context is a nominal —
+        the left conjunct/complement a real 和/同 reading needs. A
+        pending unknown-CJK buffer counts (it will flush as NOUN)."""
+        if pending_unknown:
+            return True
+        if not tokens:
+            return False
+        return tokens[-1].pos in ("NOUN", "PROPN", "NUM")
+
     while pos < n:
         ch = text[pos]
 
@@ -378,8 +388,20 @@ def tokenize(text: str) -> Doc:
         # (keeps 建立 from being swallowed by 建立...中心), a noun
         # lexicon match loses only to a strictly longer org run, and a
         # run with an interior function word (e.g. 成立 inside
-        # 北京成立研究中心) is rejected so normal tokenization proceeds
-        if not (lex and lex[1] not in ("NOUN", "GPE")):
+        # 北京成立研究中心) is rejected so normal tokenization proceeds.
+        # Exception (round-4 held-out fix): 和/同 opening a real org
+        # name (和信科技公司, 同德集团) — the conjunction/preposition
+        # reading needs a nominal LEFT conjunct, so in non-nominal
+        # context (sentence start, after punct/verb/particle) an
+        # org-suffix run starting at the function char wins instead;
+        # 华星科技和蓝海集团 still splits (nominal on the left).
+        name_initial_fn = (
+            lex is not None and len(lex[0]) == 1
+            and lex[1] in ("ADP", "CCONJ")
+            and lex[0] in V.NAME_INITIAL_FUNCTION_CHARS
+            and not prev_is_nominal()
+        )
+        if not (lex and lex[1] not in ("NOUN", "GPE")) or name_initial_fn:
             run = _cjk_run(text, pos)
             if run:
                 org = _org_run(run)

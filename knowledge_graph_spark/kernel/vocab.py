@@ -79,6 +79,16 @@ ALL_VERBS = set(VERB_RELATION_MAP) | set(STOP_VERBS) | EXTRA_VERBS
 # tag them ADP which is relation-equivalent (stop verbs never emit).
 ADPOSITIONS = {"与", "和", "在", "于", "向", "对", "为", "同", "跟", "基于", "根据", "按照"}
 
+# One-char function words that also commonly open real org names
+# (同德集团, 和信科技公司 — auspicious morphemes 同/和). In non-nominal
+# left context (sentence start, after punctuation/verb/particle) the
+# tokenizer lets an org-suffix run starting AT the function char win;
+# between two nominals (华星科技和蓝海集团, 沈刚与秦岚) the
+# conjunction/preposition reading keeps priority. Deliberately NOT all
+# one-char ADPs: 在/为/对 open grammatical PPs far more often than
+# names (在深圳大学… must stay PP + org, so 在 never gets the override).
+NAME_INITIAL_FUNCTION_CHARS = frozenset({"和", "同"})
+
 # Adverbs / auxiliaries that sit between subject and verb.
 ADVERBS = {"将", "也", "则", "正式", "共同", "正", "已", "已经", "预计",
            "日前", "近日", "此次", "此外", "随后", "同时", "仍", "不断"}

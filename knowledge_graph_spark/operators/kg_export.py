@@ -51,7 +51,9 @@ def dense_ids(values: DataFrame, col: str = "v",
             "_off",
             F.coalesce(
                 F.sum("_n").over(
-                    Window.orderBy("_b")
+                    # bounded: ≤ `buckets` rows; constant partition key
+                    # keeps real unpartitioned-window warnings visible
+                    Window.partitionBy(F.lit(0)).orderBy("_b")
                     .rowsBetween(Window.unboundedPreceding, -1)),
                 F.lit(0),
             ),

@@ -183,7 +183,10 @@ def dsir_weights(docs: DataFrame, target: Column, id_col: str = "doc_id",
 def budget_select(docs: DataFrame, budget: int, score: Column,
                   id_col: str = "doc_id",
                   tokens: Column | None = None,
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  boundary_row_cap: int = 4_000_000,
+                  refine_buckets: int = 64,
+                  max_rounds: int = 12) -> DataFrame:
     """Token-budget data selection: rank documents by
     ``(score DESC, id ASC)`` and keep the prefix whose RUNNING token
     total (inclusive) stays within ``budget`` — the curation step that
@@ -194,24 +197,37 @@ def budget_select(docs: DataFrame, budget: int, score: Column,
     defined rank). Returns ``(doc_id, score, n_tokens)``.
 
     Scale shape — a naive global ``ORDER BY`` window funnels the whole
-    corpus through ONE reducer; this is the distributed two-phase
-    prefix sum instead:
+    corpus through ONE reducer; this is a RECURSIVE distributed prefix
+    sum instead:
 
     1. rows are bucketed by a MONOTONE transform of the score
-       (``floor(8·log2(score+1))``), so each bucket is a contiguous
-       block of the global ranking (ties share a bucket by
-       construction);
-    2. per-bucket token totals (one tiny aggregate, O(log score-range)
-       rows) prefix-sum on the driver — whole buckets that fit are
-       kept with a plain filter, buckets past the boundary are dropped
-       unread;
-    3. ONLY the single boundary bucket — ~1/K of the corpus — pays an
-       ordered running-sum window, seeded with the tokens the kept
-       buckets already consumed.
+       (``floor(8·log2(score+1))`` at the top level), so each bucket
+       is a contiguous block of the global ranking (ties share a
+       bucket by construction);
+    2. per-bucket (token total, row count, score min/max) — one tiny
+       aggregate, O(buckets) rows — prefix-sums on the driver: whole
+       buckets that fit are kept with a plain filter, buckets past the
+       boundary are dropped unread;
+    3. the single BOUNDARY bucket, if it holds more than
+       ``boundary_row_cap`` rows, is re-bucketed by a FINER monotone
+       transform (linear slicing of its own [min, max] score range
+       into ``refine_buckets`` slices) and step 2 repeats — each round
+       shrinks the candidate set geometrically. When the boundary
+       bucket is one single tied score, refinement switches to the
+       tiebreak key (``doc_id`` ascending: linear range slices for
+       numeric ids, lexicographic prefixes for strings — both monotone
+       in the tie ordering).
+    4. ONLY a boundary set guaranteed ≤ ``boundary_row_cap`` rows
+       (or the ``max_rounds`` escape hatch, for adversarially ulp-
+       packed scores AND shared-prefix ids together) pays the ordered
+       running-sum window, seeded with the tokens the kept buckets
+       already consumed. The window carries a constant partition key
+       so a genuinely unbounded unpartitioned window stays visible in
+       logs.
 
     The result is row-identical to the one-reducer global window (the
     oracle recomputes it that way)."""
-    from pyspark.sql import Window
+    from pyspark.sql.types import IntegralType
 
     if tokens is None:
         from ..functions.vectors import n_ws_tokens
@@ -221,36 +237,91 @@ def budget_select(docs: DataFrame, budget: int, score: Column,
         F.col(id_col).alias("doc_id"), score.alias("score"),
         tokens.cast("long").alias("n_tokens"),
     ).filter((F.col("n_tokens") > 0) & F.col("score").isNotNull())
-    keyed = base.withColumn(
-        "_b", F.floor(F.log2(F.col("score") + 1) * 8).cast("int")
-    ).persist()
-    stats = sorted(
-        keyed.groupBy("_b").agg(F.sum("n_tokens").alias("t")).collect(),
-        key=lambda r: -r["_b"],
-    )
-    consumed, full, boundary = 0, [], None
-    for r in stats:
-        if consumed + r["t"] <= budget:
-            full.append(r["_b"])
-            consumed += r["t"]
-        else:
-            boundary = r["_b"]
+
+    id_is_numeric = isinstance(base.schema["doc_id"].dataType, IntegralType)
+    remaining = int(budget)
+    kept: list[DataFrame] = []
+    cur = base
+    bucket = F.floor(F.log2(F.col("score") + 1) * 8).cast("long")
+    on_score, prefix_len = True, 0
+    window_input: DataFrame | None = None
+
+    for _ in range(max_rounds):
+        keyed = cur.withColumn("_b", bucket)
+        stats = keyed.groupBy("_b").agg(
+            F.sum("n_tokens").alias("t"), F.count("*").alias("c"),
+            F.min("score").alias("smin"), F.max("score").alias("smax"),
+            F.min("doc_id").alias("imin"), F.max("doc_id").alias("imax"),
+        ).collect()
+        # walk buckets in global-rank order: score phase descending,
+        # id (tiebreak) phase ascending
+        stats.sort(key=lambda r: r["_b"], reverse=on_score)
+        full, boundary = [], None
+        for r in stats:
+            if r["t"] <= remaining:
+                full.append(r["_b"])
+                remaining -= int(r["t"])
+            else:
+                boundary = r
+                break
+        if full:
+            kept.append(keyed.filter(F.col("_b").isin(full)).drop("_b"))
+        if boundary is None:
             break
-    out = keyed.filter(F.col("_b").isin(full) if full else F.lit(False))
-    if boundary is not None:
-        w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-        bnd = (
-            keyed.filter(F.col("_b") == boundary)
-            .withColumn("_cum", F.sum("n_tokens").over(w))
-            .filter(F.col("_cum") <= F.lit(int(budget - consumed)))
+        bnd = keyed.filter(F.col("_b") == boundary["_b"]).drop("_b")
+        if boundary["c"] <= boundary_row_cap:
+            window_input = bnd
+            break
+        # choose the next, finer bucketing of the boundary bucket.
+        # Linear slicing of [smin, smax] always makes progress when
+        # smin != smax (smin lands in slice 0, smax in the last); the
+        # tiebreak-key phase is only for a fully tied score, where the
+        # residual ordering is doc_id alone (so id bucketing is
+        # monotone in the global rank).
+        if on_score and boundary["smin"] != boundary["smax"]:
+            lo, hi = float(boundary["smin"]), float(boundary["smax"])
+            bucket = F.least(
+                F.floor((F.col("score") - F.lit(lo))
+                        / F.lit(hi - lo) * refine_buckets),
+                F.lit(refine_buckets - 1),
+            ).cast("long")
+        elif id_is_numeric:
+            on_score = False
+            ilo, ihi = int(boundary["imin"]), int(boundary["imax"])
+            if ilo == ihi:  # a single row repeated — window it
+                window_input = bnd
+                break
+            bucket = F.least(
+                F.floor((F.col("doc_id") - F.lit(ilo))
+                        / F.lit(float(ihi - ilo)) * refine_buckets),
+                F.lit(refine_buckets - 1),
+            ).cast("long")
+        else:
+            on_score = False
+            prefix_len += 4
+            bucket = F.substring(F.col("doc_id").cast("string"),
+                                 1, prefix_len)
+        cur = bnd
+    else:
+        # max_rounds exhausted: window whatever remains (documented
+        # escape hatch — requires ulp-packed tied scores AND ids that
+        # defeat range/prefix slicing simultaneously)
+        window_input = cur
+
+    if window_input is not None:
+        w = (Window.partitionBy(F.lit(0))
+             .orderBy(F.col("score").desc(), F.col("doc_id")))
+        kept.append(
+            window_input.withColumn("_cum", F.sum("n_tokens").over(w))
+            .filter(F.col("_cum") <= F.lit(remaining))
             .drop("_cum")
         )
-        out = out.unionByName(bnd)
-    # the cache served the driver prefix (stats collect); release it
-    # rather than pin a corpus-sized projection for the session — the
-    # consumer's action re-derives the cheap 3-column plan instead
-    keyed.unpersist()
-    return out.drop("_b")
+    if not kept:
+        return base.filter(F.lit(False))
+    out = kept[0]
+    for part in kept[1:]:
+        out = out.unionByName(part)
+    return out
 
 
 def stratified_exact_k(df: DataFrame, k: int, stratum_col: str = "source",

@@ -143,7 +143,11 @@ def train_ivf_centroids(vectors: DataFrame, n_cells: int = 16,
         v.withColumn("_h", F.xxhash64("vec_id"))
         .orderBy("_h").limit(n_cells)
         .select(
-            (F.row_number().over(Window.orderBy("_h")) - 1).alias("cell_id"),
+            # constant partition key: input is limit(n_cells)-bounded;
+            # keying it keeps real unpartitioned-window warnings visible
+            (F.row_number().over(
+                Window.partitionBy(F.lit(0)).orderBy("_h")) - 1
+             ).alias("cell_id"),
             F.col("vec").alias("centroid"),
         )
     )
@@ -353,7 +357,8 @@ def train_pq_codebook(vectors: DataFrame, m: int = 4, n_codes: int = 16,
     init = (
         v.orderBy("vec_id").limit(n_codes)
         .select(
-            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            (F.row_number().over(
+                Window.partitionBy(F.lit(0)).orderBy("vec_id")) - 1)
             .cast("int").alias("code_id"),
             "vec",
         )
@@ -553,7 +558,8 @@ def kmeans_min_id(v: DataFrame, n_clusters: int, n_iter: int = 0
     cent = (
         v.orderBy("vec_id").limit(n_clusters)
         .select(
-            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            (F.row_number().over(
+                Window.partitionBy(F.lit(0)).orderBy("vec_id")) - 1)
             .alias("cell_id"),
             F.col("vec").alias("centroid"),
         )

@@ -867,6 +867,41 @@ def test_span_dedup_within_doc_repetition(spark):
     assert out["clean_text"] == "x y z"
 
 
+def test_budget_select_recursive_boundary_refinement(spark):
+    """With a 1-row boundary cap, every round must recurse: linear
+    score slicing first, then the doc_id tiebreak phase for the heavy
+    tied-score block. The result must stay row-identical to the naive
+    global running-sum window at EVERY budget (string ids exercise the
+    prefix-refinement path; longs the numeric range path)."""
+    from pyspark.sql import Window
+    from knowledge_graph_spark.operators.sampling import budget_select
+
+    # 40 rows: 3 distinct high scores, then 30 rows ALL tied at 5.0
+    # (forces the id phase), then a low tail; token counts vary
+    rows = []
+    for i in range(5):
+        rows.append((i, "w " * (i + 3), 9.0 + i * 0.125))
+    for i in range(5, 35):
+        rows.append((i, "w " * ((i % 4) + 1), 5.0))
+    for i in range(35, 40):
+        rows.append((i, "w " * 2, 1.0))
+    for ids in ("long", "string"):
+        docs = spark.createDataFrame(
+            [(str(i) if ids == "string" else i, t, s) for i, t, s in rows],
+            f"doc_id {ids}, text string, s double")
+        w = Window.orderBy(F.col("s").desc(), F.col("doc_id"))
+        toks = F.size(F.expr(r"filter(split(text, '\\s+'), x -> x != '')"))
+        ref_base = (docs.select("doc_id", toks.alias("n"), "s")
+                    .withColumn("_cum", F.sum("n").over(w)))
+        for budget in (0, 7, 23, 24, 60, 61, 100, 10_000):
+            want = sorted(r["doc_id"] for r in
+                          ref_base.filter(F.col("_cum") <= budget).collect())
+            got = sorted(r["doc_id"] for r in budget_select(
+                docs, budget, score=F.col("s"),
+                boundary_row_cap=1).collect())
+            assert got == want, (ids, budget, got, want)
+
+
 def test_budget_select_ignores_null_scores(spark):
     """NULL-score rows have no rank: they must be excluded, not crash
     the driver-side bucket prefix (NULL bucket reached sorted())."""

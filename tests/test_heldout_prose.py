@@ -111,10 +111,7 @@ HELDOUT: list[tuple[str, list[tuple[str, str, str]]]] = [
     ("国研智库中心发表新型评估方法，并获得行业奖项。",
      [("国研智库中心", "publish", "新型评估方法")]),
     # coordinated persons: the reference's prep rule emits BOTH the
-    # dobj triple and the 与-pobj triple for the same verb. (Org names
-    # whose FIRST char is a one-char preposition — 同德/和信 — are a
-    # declared segmentation limitation of the model-free tokenizer:
-    # 同/和 must keep working as real prepositions.)
+    # dobj triple and the 与-pobj triple for the same verb.
     ("沈刚与秦岚加入仁德慈善中心。",
      [("沈刚", "join", "仁德慈善中心"),
       ("沈刚", "join", "秦岚")]),
@@ -130,6 +127,66 @@ HELDOUT: list[tuple[str, list[tuple[str, str, str]]]] = [
     ("榆林煤业集团包括三家子公司。", []),
     # mapped verb, non-entity object: nothing may fire
     ("天虹百货集团提升会员服务。", []),
+    # -- round-4 extension: org names OPENING with a one-char function
+    # word (同德/和信 — the round-3 declared limitation, now fixed: in
+    # non-nominal left context an org-suffix run starting at 和/同 wins;
+    # with a nominal on the left, 和/同 keep their conj/prep reading) --
+    ("和信科技公司收购同德集团。",
+     [("和信科技公司", "acquire", "同德集团")]),
+    ("同德集团宣布投资蓝海新能源集团。",
+     [("同德集团", "invest", "蓝海新能源集团")]),
+    # 和-org as a 与-pobj (non-nominal left context: after the ADP)
+    ("星河证券企业与和信科技公司达成合作。",
+     [("星河证券企业", "reach", "和信科技公司")]),
+    # serial appoint + serve_as with a 同-org subject
+    ("同德集团任命宋健担任首席科学家。",
+     [("同德集团", "appoint", "宋健"),
+      ("宋健", "serve_as", "首席科学家")]),
+    # CONTROL: 和 between two persons must stay a conjunction
+    ("陆川和魏明加入同德集团。",
+     [("陆川", "join", "同德集团"),
+      ("陆川", "join", "魏明")]),
+    # CONTROL: 和 between two org names must stay a conjunction
+    ("华星科技企业和蓝海集团达成合作。",
+     [("华星科技企业", "reach", "蓝海集团")]),
+    # CONTROL: 同 after a nominal subject must stay a preposition
+    ("毕节农商银行同黔源电力集团合作。",
+     [("毕节农商银行", "cooperate", "黔源电力集团")]),
+    # stop verb with a 和-org subject: nothing may fire
+    ("和信科技公司是行业领先企业。", []),
+    ("同德集团投资8亿元人民币。",
+     [("同德集团", "invest", "8亿元人民币")]),
+    # leading date clause + locative PP with a 和-org subject
+    ("2023年9月，和信科技公司在重庆成立智能制造中心。",
+     [("和信科技公司", "found", "智能制造中心"),
+      ("和信科技公司", "found", "重庆")]),
+    ("和信科技公司开发智能质检平台。",
+     [("和信科技公司", "develop", "智能质检平台")]),
+    # unmapped verb fallthrough with a 同-org subject
+    ("同德集团推出新型储能产品。",
+     [("同德集团", "推出", "新型储能产品")]),
+    # cross-clause subject recovery into a 和-org acquisition
+    ("和信科技公司发布季度报告，并宣布收购晨曦电子公司。",
+     [("和信科技公司", "acquire", "晨曦电子公司")]),
+    # both endpoints function-char-initial (object directly post-verb)
+    ("同德集团战胜和信科技公司。",
+     [("同德集团", "defeat", "和信科技公司")]),
+    ("和信科技公司在武汉投资数据实验室。",
+     [("和信科技公司", "invest", "数据实验室"),
+      ("和信科技公司", "invest", "武汉")]),
+    # stop verb 包括 with a 同-org subject: nothing may fire
+    ("同德集团包括两家医院。", []),
+    # 的-linked attributive with a 和-org head (left context is 的)
+    ("上海的和信科技公司收购江城汽车集团。",
+     [("和信科技公司", "acquire", "江城汽车集团")]),
+    # quoted gazetteer name opening with 同
+    ("知名企业“同德控股”与江城汽车集团达成合作。",
+     [("同德控股", "reach", "江城汽车集团")]),
+    # honorific-cued person joining a 和-org
+    ("贺凯博士加入和信科技公司。",
+     [("贺凯", "join", "和信科技公司")]),
+    ("同德集团获得3000万元人民币。",
+     [("同德集团", "win", "3000万元人民币")]),
 ]
 
 

@@ -107,9 +107,13 @@ def main():
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}")
-            # show first diff rows for debugging
-            sset = {tuple(norm_cell(v) for v in r) for r in srows}
-            oset = {tuple(norm_cell(v) for v in r) for r in orows}
+            # show first diff rows for debugging (both sides projected
+            # to sorted-column order, same as the hash, so a column-
+            # order difference can't masquerade as a value diff)
+            sord = sorted(range(len(scols)), key=lambda i: scols[i])
+            oord = sorted(range(len(ocols)), key=lambda i: ocols[i])
+            sset = {tuple(norm_cell(r[i]) for i in sord) for r in srows}
+            oset = {tuple(norm_cell(r[i]) for i in oord) for r in orows}
             for x in list(sset - oset)[:3]:
                 print(f"      spark-only: {x}")
             for x in list(oset - sset)[:3]:
