@@ -691,8 +691,14 @@ ORDER BY source
 
 def _q_cross_dup(spark, sf_dir):
     """Cross-document n-gram duplication (CCNet-style corpus-level
-    boilerplate signal): per doc, distinct word-3-grams, how many are
-    shared with >=1 other doc, and the shared fraction."""
+    boilerplate signal): per doc, distinct word-3-grams and how many
+    are shared with >=1 other doc. The operator also derives
+    ``shared_frac`` (= n_shared/n_grams, a ROUND-ed double); the driver
+    query deliberately exposes only the two integer counts — a 6-dp
+    ROUND of an exact binary tie (1/128 = 0.0078125) is legitimately
+    rounded differently by Spark (HALF_UP) and other engines, and the
+    round-3 driver hash mismatch on this query was float
+    canonicalization, not logic. No double reaches the hasher."""
     from knowledge_graph_spark.operators.dedup import cross_doc_gram_stats
 
     # single-file corpus -> single scan partition; spread the
@@ -700,7 +706,9 @@ def _q_cross_dup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    return cross_doc_gram_stats(docs).orderBy("doc_id")
+    return (cross_doc_gram_stats(docs)
+            .select("doc_id", "n_grams", "n_shared")
+            .orderBy("doc_id"))
 
 
 # oracle recomputes gram->doc-count sharing on the raw gram strings;
@@ -730,9 +738,7 @@ SELECT doc_id,
        -- has no counterpart for; some fetch paths (Arrow) canonicalize
        -- HUGEINT differently from BIGINT, so the value hash diverges
        -- even when every value is equal. BIGINT on both sides.
-       CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
-       ROUND(CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-             / COUNT(*), 6) AS shared_frac
+       CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
 FROM g2 JOIN freq USING (g)
 GROUP BY doc_id
 ORDER BY doc_id

@@ -8,11 +8,13 @@ over ``mapInPandas`` — the Spark-side contract (schema, batching,
 partition sizing) is real and tested; the codec itself is STUBBED
 because the sandbox ships no image/audio libraries.
 
-Stub policy: each kernel first tries the real library (PIL/soundfile);
-on ImportError it falls back to a deterministic fake that derives
-metadata from the payload bytes (so tests are stable and the plumbing
-is exercised end-to-end). Swapping in the real decoder changes ONE
-function body, no Spark code.
+Codec policy: ``decode_metadata(codec=...)`` selects ``fake`` (default
+— deterministic metadata derived from the payload bytes, byte-stable
+goldens on any machine), ``real`` (PIL images / soundfile audio, rows
+quarantined with a visible error when undecodable or the library is
+missing), or ``auto`` (real per kind when wired, else fake). The real
+path is contract-tested behind skipif gates, so it cannot rot unseen;
+swapping the default for production is ONE argument, no Spark code.
 
 Scale notes:
 - media rows are big (MBs): ``spark.sql.files.maxPartitionBytes`` and
@@ -66,32 +68,66 @@ def _fake_decode(payload: bytes, kind: str) -> dict:
 
 
 def _real_decode(payload: bytes, kind: str) -> dict:
-    """SWAP POINT for production codecs. Implement with PIL (image),
-    soundfile (audio), pyav (video) and return the DECODED_SCHEMA
-    metadata fields. Until then it signals 'not wired' so the caller
-    falls back to the deterministic fake — rows are decoded either
-    way, never quarantined just because a library happens to be
-    importable."""
-    raise NotImplementedError
+    """Production codec path: PIL for images, soundfile for audio
+    (video needs pyav — still a declared stub). Imports live inside the
+    function so environments without the libraries can still import
+    this module; a missing library surfaces as ImportError (codec=auto
+    falls back to the fake; codec=real quarantines the row with a
+    clear error). Contract-tested by
+    tests/test_dedup_textstats.py::test_multimodal_real_codec_*
+    (skipif-gated on the library, so the swap point can't rot)."""
+    from io import BytesIO
+
+    if kind == "image":
+        from PIL import Image
+
+        with Image.open(BytesIO(payload)) as im:
+            return {"width": int(im.width), "height": int(im.height),
+                    "n_frames": int(getattr(im, "n_frames", 1)),
+                    "sample_rate": 0, "duration_s": 0.0}
+    if kind == "audio":
+        import soundfile as sf
+
+        with sf.SoundFile(BytesIO(payload)) as f:
+            return {"width": 0, "height": 0, "n_frames": 0,
+                    "sample_rate": int(f.samplerate),
+                    "duration_s": round(len(f) / f.samplerate, 2)}
+    if kind == "video":
+        raise NotImplementedError("video decode requires pyav; not wired")
+    raise NotImplementedError(f"unknown media kind: {kind}")
 
 
-def _decode_one(payload: bytes, kind: str) -> dict:
+def _decode_one(payload: bytes, kind: str, codec: str = "fake") -> dict:
+    if codec == "fake":
+        return _fake_decode(payload, kind)
+    if codec == "real":
+        return _real_decode(payload, kind)
+    # auto: the real codec when wired for this kind, else the fake
     try:
         return _real_decode(payload, kind)
     except (ImportError, NotImplementedError):
         return _fake_decode(payload, kind)
 
 
-def decode_metadata(media: DataFrame) -> DataFrame:
+def decode_metadata(media: DataFrame, codec: str = "fake") -> DataFrame:
     """media(media_id, kind, payload, ...) -> decoded metadata rows.
-    Arrow-batched; errors are captured per row, never fail the stage."""
+    Arrow-batched; errors are captured per row, never fail the stage.
+
+    ``codec``: ``fake`` (default) uses the deterministic stand-in —
+    byte-stable goldens on any machine, libraries present or not;
+    ``real`` requires the production codec (PIL/soundfile) and
+    quarantines rows it cannot decode (including when the library is
+    missing — visible in ``error``, never silent); ``auto`` prefers
+    the real codec per kind, falling back to the fake."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 try:
-                    m = _decode_one(bytes(payload) if payload is not None else b"", kind)
+                    m = _decode_one(
+                        bytes(payload) if payload is not None else b"",
+                        kind, codec)
                     rows.append({"media_id": mid, "kind": kind, **m,
                                  "ok": True, "error": None})
                 except Exception as e:  # quarantine, don't fail the task

@@ -260,6 +260,68 @@ def test_multimodal_decode_and_features(spark):
         assert again[r["media_id"]] == r["feature"]
 
 
+def _have(mod):
+    import importlib.util
+    return importlib.util.find_spec(mod) is not None
+
+
+@pytest.mark.skipif(not _have("PIL"), reason="PIL not installed")
+def test_multimodal_real_codec_image(spark):
+    """codec='real' must decode a genuine PNG via PIL with EXACT
+    dimensions — the production swap point exercised end-to-end
+    (skipped where PIL is absent; the sandbox default stays fake)."""
+    from io import BytesIO
+    from PIL import Image
+
+    buf = BytesIO()
+    Image.new("RGB", (37, 21)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue()))],
+        "media_id long, kind string, payload binary")
+    row = M.decode_metadata(media, codec="real").first()
+    assert row["ok"] and (row["width"], row["height"]) == (37, 21)
+    # garbage bytes quarantine with a visible error, never fail the job
+    bad = spark.createDataFrame(
+        [(2, "image", bytearray(b"not an image"))],
+        "media_id long, kind string, payload binary")
+    brow = M.decode_metadata(bad, codec="real").first()
+    assert not brow["ok"] and brow["error"]
+
+
+@pytest.mark.skipif(not _have("soundfile"), reason="soundfile not installed")
+def test_multimodal_real_codec_audio(spark):
+    """codec='real' must read a genuine WAV via soundfile with the
+    exact sample rate and duration."""
+    import wave
+    from io import BytesIO
+
+    buf = BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(b"\x00\x00" * 8000)  # 0.5 s of silence
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(buf.getvalue()))],
+        "media_id long, kind string, payload binary")
+    row = M.decode_metadata(media, codec="real").first()
+    assert row["ok"] and row["sample_rate"] == 16000
+    assert abs(row["duration_s"] - 0.5) < 1e-6
+
+
+def test_multimodal_codec_auto_falls_back_deterministically(spark):
+    """codec='auto' on arbitrary bytes must yield the SAME rows as the
+    fake in an environment without codecs, and never quarantine —
+    exactly the default goldens' behavior (video is always fake: the
+    pyav kernel is a declared stub)."""
+    media = M.synthetic_media(spark, 12)
+    fake = {r["media_id"]: tuple(r) for r in M.decode_metadata(media).collect()}
+    auto = M.decode_metadata(media, codec="auto").collect()
+    assert all(r["ok"] for r in auto)
+    if not (_have("PIL") or _have("soundfile")):
+        assert {r["media_id"]: tuple(r) for r in auto} == fake
+
+
 def test_frame_sampling(spark):
     media = M.synthetic_media(spark, 30)
     frames = M.sample_frames(media, every_n=24)
