@@ -1148,7 +1148,9 @@ def _q_hybrid_search(spark, sf_dir):
             .orderBy(F.col("score").desc(), "doc_id")))
         .filter(F.col("_lr") <= 50)
         .withColumn("rank", F.row_number().over(
-            Window.partitionBy(F.lit(0))
+            # doc_id*0: constant-valued, non-foldable (lit(0) would be
+            # optimized away, emptying the partition spec again)
+            Window.partitionBy(F.col("doc_id") * 0)
             .orderBy(F.col("score").desc(), "doc_id")))
         .filter(F.col("rank") <= 50)
         .drop("_salt", "_lr")

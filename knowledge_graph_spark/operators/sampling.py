@@ -309,7 +309,10 @@ def budget_select(docs: DataFrame, budget: int, score: Column,
         window_input = cur
 
     if window_input is not None:
-        w = (Window.partitionBy(F.lit(0))
+        # constant-VALUED but non-foldable partition key (Catalyst
+        # removes foldable partition expressions, which would re-empty
+        # the partition spec and re-raise the WindowExec warning)
+        w = (Window.partitionBy(F.col("n_tokens") * 0)
              .orderBy(F.col("score").desc(), F.col("doc_id")))
         kept.append(
             window_input.withColumn("_cum", F.sum("n_tokens").over(w))
