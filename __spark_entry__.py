@@ -1931,6 +1931,135 @@ SELECT doc_id, score, n_tokens FROM c WHERE cum <= 12000 ORDER BY doc_id
 """
 
 
+# messy-url builder shared (by construction) between the Spark query
+# and the DuckDB oracle: four spelling variants per customer key —
+# tracking params + fragment + upper-case + default port, bare default
+# port, mixed-case host + gclid, and an unparseable string. Both
+# engines build the exact same strings, so the canonicalizer is the
+# only thing under test.
+_URL_VARIANT_SQL = """
+  CASE CAST({k} % 4 AS INT)
+    WHEN 0 THEN concat('HTTPS://WWW.Shop-', CAST({k} % 20 AS VARCHAR),
+      '.Example.COM:443/item/', CAST({k} AS VARCHAR),
+      '?utm_source=mail&id=', CAST({k} AS VARCHAR), '&b=2&a=1#frag')
+    WHEN 1 THEN concat('http://shop-', CAST({k} % 20 AS VARCHAR),
+      '.example.com:80/item/', CAST({k} AS VARCHAR))
+    WHEN 2 THEN concat('https://Shop-', CAST({k} % 20 AS VARCHAR),
+      '.EXAMPLE.com/item/', CAST({k} AS VARCHAR), '/?z=9&gclid=abc&a=1')
+    ELSE concat('not a url ', CAST({k} AS VARCHAR))
+  END
+"""
+
+
+def _messy_urls(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"))
+    return c.withColumn(
+        "url",
+        F.expr(_URL_VARIANT_SQL.format(k="id")
+               .replace("AS VARCHAR", "AS STRING")),
+    )
+
+
+def _q_url_canonical(spark, sf_dir):
+    """URL canonicalization (the key-normalization step every
+    web-crawl table needs before urls become merge/dedup keys):
+    lower-cased scheme+host, www. stripped, default ports removed,
+    fragment dropped, tracking params removed, remaining query params
+    sorted, empty path -> '/', unparseable strings passed through.
+    Full SQL oracle recomputes every rule in DuckDB."""
+    from knowledge_graph_spark.operators.urls import canonicalize_urls
+
+    return (canonicalize_urls(_messy_urls(spark, sf_dir))
+            .select("id", "url", "canonical_url").orderBy("id"))
+
+
+_SQL_URL_PARSE = r"""
+p AS (
+  SELECT id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)', 1)) AS scheme,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)', 2)) AS hostport,
+    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)', 3) AS path,
+    regexp_extract(url, '^[^?#]*\?([^#]*)', 1) AS query
+  FROM u),
+q2 AS (
+  SELECT *,
+    regexp_extract(hostport, '^([^:]*)', 1) AS hostraw,
+    regexp_extract(hostport, ':(\d+)$', 1) AS port,
+    COALESCE(list_aggregate(list_sort(list_filter(string_split(query, '&'),
+      x -> x != '' AND NOT regexp_matches(lower(x),
+        '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src|spm)(=.*)?$'))),
+      'string_agg', '&'), '') AS keptq
+  FROM p),
+canon AS (
+  SELECT id, url,
+    CASE WHEN scheme = '' THEN url ELSE
+      concat(scheme, '://', regexp_replace(hostraw, '^www\.', ''),
+        CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+             OR (scheme = 'https' AND port = '443')
+             THEN '' ELSE concat(':', port) END,
+        CASE WHEN path = '' THEN '/' ELSE path END,
+        CASE WHEN keptq = '' THEN '' ELSE concat('?', keptq) END)
+    END AS canonical_url
+  FROM q2)
+"""
+
+_SQL_URL_CANONICAL = (
+    "WITH u AS (SELECT c_custkey AS id, "
+    + _URL_VARIANT_SQL.format(k="c_custkey")
+    + " AS url FROM customer),\n"
+    + _SQL_URL_PARSE
+    + "\nSELECT id, url, canonical_url FROM canon ORDER BY id"
+)
+
+
+def _q_url_dup_groups(spark, sf_dir):
+    """Spelling-variant groups: two deliberately different spellings
+    per customer key (messy variant-0 vs its already-canonical twin)
+    must collapse to ONE canonical url with n_spellings = 2 and the
+    lexicographically smallest raw spelling as the deterministic
+    survivor. Exercises the groupBy shape of url-keyed recrawl merge."""
+    from knowledge_graph_spark.operators.urls import url_duplicate_groups
+
+    k = F.col("c_custkey").cast("string")
+    host = F.concat(F.lit("shop-"),
+                    (F.col("c_custkey") % 20).cast("string"),
+                    F.lit(".example.com"))
+    messy = F.concat(F.lit("HTTPS://WWW."), F.upper(host),
+                     F.lit(":443/item/"), k,
+                     F.lit("?utm_source=mail&b=2&a=1#f"))
+    clean = F.concat(F.lit("https://"), host, F.lit("/item/"), k,
+                     F.lit("?a=1&b=2"))
+    urls = (_t(spark, sf_dir, "customer")
+            .select(F.explode(F.array(messy, clean)).alias("url")))
+    return url_duplicate_groups(urls).orderBy("canonical_url")
+
+
+_SQL_URL_DUP_GROUPS = r"""
+WITH base AS (
+  SELECT c_custkey AS k,
+         concat('shop-', CAST(c_custkey % 20 AS VARCHAR), '.example.com')
+           AS host
+  FROM customer),
+u AS (
+  SELECT 0 AS id, concat('HTTPS://WWW.', upper(host), ':443/item/',
+           CAST(k AS VARCHAR), '?utm_source=mail&b=2&a=1#f') AS url
+  FROM base
+  UNION ALL
+  SELECT 0 AS id, concat('https://', host, '/item/', CAST(k AS VARCHAR),
+           '?a=1&b=2') AS url
+  FROM base),
+""" + _SQL_URL_PARSE + r"""
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_spellings,
+       MIN(url) AS first_url
+FROM canon
+GROUP BY canonical_url
+HAVING COUNT(*) >= 2
+ORDER BY canonical_url
+"""
+
+
 def _q_host_profile(spark, sf_dir):
     """Crawl census over 3,000 synthetic web pages: per-host page
     counts, held-out counts, char totals and corpus share — the skew
@@ -3269,6 +3398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_part_aa": _q_order_part_aa,
         "lpa_communities": _q_lpa_communities,
         "host_profile": _q_host_profile,
+        "url_canonical": _q_url_canonical,
+        "url_dup_groups": _q_url_dup_groups,
         "budget_select": _q_budget_select,
         "event_funnel": _q_event_funnel,
         "event_retention": _q_retention,
@@ -3390,6 +3521,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encoded": _golden_sql("bpe_encoded", "doc_id"),
         "lpa_communities": _golden_sql("lpa_communities", "id"),
         "host_profile": _golden_sql("host_profile", "host"),
+        "url_canonical": _SQL_URL_CANONICAL,
+        "url_dup_groups": _SQL_URL_DUP_GROUPS,
         "budget_select": _SQL_BUDGET_SELECT,
         "event_funnel": _SQL_EVENT_FUNNEL,
         "event_retention": _SQL_RETENTION,

@@ -1,0 +1,114 @@
+# -*- coding: utf-8 -*-
+"""URL canonicalization for web-crawl corpora.
+
+A Common-Crawl-style pipeline keys EVERYTHING on the url (recrawl
+merge, exact dedup, host partitioning, lineage), so two spellings of
+the same resource (``HTTP://WWW.Example.com:80/a?utm_source=x&b=2&a=1``
+vs ``http://example.com/a?a=1&b=2``) silently double every downstream
+table. Canonicalization is the standard fix (cf. SURT keys in web
+archiving, courlan in the trafilatura stack): normalize the url to a
+stable spelling BEFORE it becomes a key.
+
+Rules applied (each declared, none lossy beyond its intent):
+
+- scheme and host lowercased; ``www.`` prefix stripped (optional);
+- default ports removed (``:80`` for http, ``:443`` for https),
+  non-default ports kept;
+- empty path normalized to ``/`` (RFC 3986 §6.2.3), other paths kept
+  verbatim (trailing slashes are semantic);
+- fragment removed (never sent to the server);
+- tracking parameters removed (``utm_*``, fbclid, gclid, msclkid,
+  mc_eid, igshid, ref, ref_src, spm — the courlan/AdGuard common set),
+  remaining query parameters SORTED bytewise so parameter order stops
+  mattering; an emptied query drops its ``?``;
+- strings that do not parse as ``scheme://authority...`` are returned
+  unchanged (a relative or garbage "url" has no canonical form — the
+  caller decides whether to quarantine);
+- percent-encoding is deliberately NOT re-normalized (%41 vs A): that
+  requires a decode-reencode round-trip per RFC 3986 §6.2.2 that
+  Spark cannot express in codegen, and over-decoding corrupts urls
+  whose encoding is load-bearing — declared out of scope.
+
+Everything is whole-stage-codegen column expressions (regexp_extract /
+array ops) — row-local, zero shuffle at ANY corpus scale, and exactly
+replayable in ANSI-ish SQL (the driver oracle recomputes it in DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# tracking parameter names, matched case-insensitively against the
+# part before '='; utm_* is a prefix family
+TRACKING_PARAM_RE = (
+    r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src|spm)(=.*)?$"
+)
+
+_SPLIT_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)"
+
+
+def canonical_url(url, strip_www: bool = True) -> Column:
+    """Column expression: the canonical spelling of ``url`` (see
+    module docstring for the rule set). Pure codegen."""
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(u, _SPLIT_RE, 1))
+    hostport = F.lower(F.regexp_extract(u, _SPLIT_RE, 2))
+    path = F.regexp_extract(u, _SPLIT_RE, 3)
+    query = F.regexp_extract(u, r"^[^?#]*\?([^#]*)", 1)
+
+    host = F.regexp_extract(hostport, r"^([^:]*)", 1)
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    port_part = F.when(
+        (port == "")
+        | ((scheme == F.lit("http")) & (port == "80"))
+        | ((scheme == F.lit("https")) & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+
+    path_part = F.when(path == "", F.lit("/")).otherwise(path)
+
+    kept = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda x: (x != "")
+        & ~F.lower(x).rlike(TRACKING_PARAM_RE),
+    ))
+    query_part = F.when(
+        F.size(kept) > 0,
+        F.concat(F.lit("?"), F.array_join(kept, "&")),
+    ).otherwise(F.lit(""))
+
+    canon = F.concat(scheme, F.lit("://"), host, port_part,
+                     path_part, query_part)
+    # unparseable (no scheme://authority): no canonical form — pass
+    # through unchanged so the caller can quarantine explicitly
+    return F.when(scheme == "", u).otherwise(canon)
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url",
+                      out_col: str = "canonical_url",
+                      strip_www: bool = True) -> DataFrame:
+    """Attach the canonical url column. Row-local; no shuffle."""
+    return df.withColumn(out_col, canonical_url(url_col, strip_www))
+
+
+def url_duplicate_groups(df: DataFrame, url_col: str = "url",
+                         strip_www: bool = True) -> DataFrame:
+    """Spelling-variant groups: for every canonical url with >= 2
+    distinct raw spellings, ``(canonical_url, n_spellings,
+    first_url)`` where ``first_url`` is the lexicographically smallest
+    raw spelling (the deterministic survivor a recrawl-merge keeps).
+
+    Scale shape: one map-side-combined aggregate keyed on the
+    canonical url — the only exchange carries (canonical, spelling)
+    pairs already reduced per map task; bodies never move."""
+    c = canonicalize_urls(
+        df.select(F.col(url_col).alias("url")).distinct(),
+        "url", strip_www=strip_www)
+    return (
+        c.groupBy("canonical_url")
+        .agg(F.count("*").alias("n_spellings"),
+             F.min("url").alias("first_url"))
+        .filter(F.col("n_spellings") >= 2)
+    )

@@ -964,6 +964,89 @@ def test_budget_select_recursive_boundary_refinement(spark):
             assert got == want, (ids, budget, got, want)
 
 
+def test_url_canonicalization_rules(spark):
+    """Each canonicalization rule on a hand-built url set: case,
+    www-strip, default/non-default ports, fragment, tracking-param
+    removal, param sorting, empty path, passthrough of unparseable
+    strings — plus idempotence (canon(canon(x)) == canon(x)) and the
+    strip_www=False variant."""
+    from knowledge_graph_spark.operators.urls import (
+        canonical_url, canonicalize_urls, url_duplicate_groups,
+    )
+
+    cases = [
+        ("HTTPS://WWW.Ex.COM:443/a?utm_source=m&b=2&a=1#f",
+         "https://ex.com/a?a=1&b=2"),
+        ("http://ex.com:80/a", "http://ex.com/a"),
+        ("http://ex.com:8080/a", "http://ex.com:8080/a"),
+        ("https://ex.com", "https://ex.com/"),
+        ("https://ex.com?ref=x&gclid=1&utm_campaign=z", "https://ex.com/"),
+        ("ftp://Files.Ex.com/pub/x.gz", "ftp://files.ex.com/pub/x.gz"),
+        ("no scheme here", "no scheme here"),
+        ("https://ex.com/a/?q=%41%2F", "https://ex.com/a/?q=%41%2F"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "id int, url string")
+    got = {r["id"]: r["canonical_url"]
+           for r in canonicalize_urls(df).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+    # idempotence: canonical urls are fixed points
+    df2 = spark.createDataFrame(
+        [(i, c) for i, c in got.items()], "id int, url string")
+    again = {r["id"]: r["canonical_url"]
+             for r in canonicalize_urls(df2).collect()}
+    assert again == got
+    # strip_www=False keeps the www host distinct
+    kept = df.select(
+        canonical_url("url", strip_www=False).alias("c")).first()["c"]
+    assert kept == "https://www.ex.com/a?a=1&b=2"
+    # duplicate grouping: two spellings, one canonical, min survivor
+    urls = spark.createDataFrame(
+        [("HTTP://WWW.Ex.com:80/p?utm_source=a&x=1",),
+         ("http://ex.com/p?x=1",), ("http://ex.com/other",)],
+        "url string")
+    g = url_duplicate_groups(urls).collect()
+    assert len(g) == 1
+    assert g[0]["canonical_url"] == "http://ex.com/p?x=1"
+    assert g[0]["n_spellings"] == 2
+    assert g[0]["first_url"] == "HTTP://WWW.Ex.com:80/p?utm_source=a&x=1"
+
+
+def test_budget_select_property_vs_python_reference(spark):
+    """Property sweep (deterministic seed grid, Spark-fixture friendly):
+    random-ish score/token tables with heavy tie mass, every budget
+    regime, 1-row boundary cap — must equal the pure-Python prefix
+    reference exactly (an independent recomputation, not a Spark
+    window)."""
+    import random
+
+    from knowledge_graph_spark.operators.sampling import budget_select
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        n = rng.randint(5, 40)
+        score_pool = [0.0, 1.0, 2.5, 2.5, 2.5, 7.0, 7.0, 31.25]
+        rows = [(i, rng.choice(score_pool), rng.randint(1, 9))
+                for i in range(n)]
+        total = sum(t for _, _, t in rows)
+        docs = spark.createDataFrame(
+            [(i, "w " * t, s) for i, s, t in rows],
+            "doc_id long, text string, s double")
+        for budget in {0, 1, total // 3, total - 1, total, total + 5}:
+            ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+            want, cum = [], 0
+            for i, s, t in ordered:
+                if cum + t > budget:
+                    break
+                cum += t
+                want.append(i)
+            got = sorted(r["doc_id"] for r in budget_select(
+                docs, budget, score=F.col("s"),
+                boundary_row_cap=1).collect())
+            assert got == sorted(want), (seed, budget, got, sorted(want))
+
+
 def test_budget_select_ignores_null_scores(spark):
     """NULL-score rows have no rank: they must be excluded, not crash
     the driver-side bucket prefix (NULL bucket reached sorted())."""

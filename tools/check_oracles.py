@@ -4,6 +4,13 @@
 row count, schema (column names), and order-insensitive value hash.
 
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
+
+NOTE: the golden-twin oracles (bpe_merges/bpe_encoded/lpa_*/minhash_
+pairs/simhash_neardups/dedup_near_survivors/fingerprints/...) replay
+precomputed sf0.01 results — running this tool against a DIFFERENT
+sf_dir reports them as mismatches by construction (verified: at
+sf0.001 exactly the golden-twin set "fails", every live-SQL oracle
+still passes). The driver gate runs at sf0.01.
 """
 
 from __future__ import annotations
