@@ -102,6 +102,7 @@ def run_pipeline(
     link_entities: bool = True,
     batch_suffix: str | None = None,
     dedupe_pages: bool = False,
+    canonicalize: bool = False,
 ) -> dict:
     """One batch of the KG construction pipeline.
 
@@ -123,8 +124,22 @@ def run_pipeline(
     streaming path always applies, where triggers genuinely coalesce
     drops). Off by default because it is a full shuffle of the RAW
     page bytes, which a url-unique 100 TB crawl should not pay.
+
+    ``canonicalize=True`` rewrites ``url`` to its canonical spelling
+    (``operators.urls.canonical_url``: case, www., default ports,
+    tracking params, param order, fragments) BEFORE it becomes the
+    merge/bucket key, so a re-crawl that respells a url UPDATES the
+    page instead of duplicating it. Row-local (zero shuffle). Off by
+    default: it changes the key domain, so it must be on for a graph's
+    whole life, never toggled mid-graph; combine with
+    ``dedupe_pages=True`` when distinct raw spellings of one url can
+    co-occur in a single batch.
     """
     graph_id = graph_id or default_graph_id()
+    if canonicalize:
+        from .operators.urls import canonical_url
+
+        pages = pages.withColumn("url", canonical_url("url"))
     if dedupe_pages:
         from pyspark.sql import Window
 

@@ -50,6 +50,37 @@ def test_recrawl_updates_nodes_preserves_edge_props(spark, tmp_path):
             assert edges_after[k] == verb
 
 
+def test_recrawl_with_respelled_urls_updates_not_duplicates(spark, tmp_path):
+    """canonicalize=True makes the canonical url the merge key: a
+    re-crawl whose urls gained tracking params + case noise UPDATES
+    each page (extracted-table row count unchanged, urls canonical)
+    instead of doubling the corpus; without it the respelled batch
+    would land as new rows."""
+    wh = KGWarehouse(str(tmp_path))
+    pages_v1 = generate_spark(spark, 20, seed=7, partitions=2)
+    run_pipeline(spark, pages_v1, wh, graph_id="g1",
+                 link_entities=False, canonicalize=True)
+    n1 = wh.extracted.read(spark).count()
+    assert n1 == 20
+
+    # re-crawl: same resources, messier spellings (scheme/host case,
+    # www. prefix, tracking params, fragment — NOT the path: paths are
+    # case-sensitive and deliberately not normalized)
+    pages_v2 = pages_v1.withColumn(
+        "url",
+        F.concat(F.regexp_replace("url", "^http://", "HTTP://WWW."),
+                 F.lit("?utm_source=feed#top")))
+    run_pipeline(spark, pages_v2, wh, graph_id="g1", link_entities=False,
+                 batch_suffix="respelled", canonicalize=True)
+    ext = wh.extracted.read(spark)
+    assert ext.count() == 20  # updated, not duplicated
+    # every stored url is canonical: no uppercase scheme, no utm, no #
+    bad = ext.filter(
+        F.col("url").rlike("[A-Z]") | F.col("url").contains("utm_")
+        | F.col("url").contains("#")).count()
+    assert bad == 0
+
+
 def test_crash_after_extraction_resumes_without_reparse(spark, tmp_path, monkeypatch):
     wh = KGWarehouse(str(tmp_path))
     pages = generate_spark(spark, 30, partitions=2)
