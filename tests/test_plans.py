@@ -80,6 +80,29 @@ def test_textstats_have_no_python(spark):
     assert "\n* " in p or "+- * " in p
 
 
+def test_url_canonicalization_plan_shape(spark):
+    """canonical_url must be pure row-local codegen — zero Exchange,
+    zero Python; url_duplicate_groups adds exactly the distinct + one
+    aggregation exchanges and nothing else."""
+    from knowledge_graph_spark.operators.urls import (
+        canonicalize_urls, url_duplicate_groups,
+    )
+
+    pages = spark.createDataFrame(
+        [(f"http://h{i}.ex.com/a?b={i}",) for i in range(50)],
+        "url string")
+    p = plan(canonicalize_urls(pages))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    import re
+
+    pg = plan(url_duplicate_groups(pages))
+    # distinct + final agg only (formatted mode lists each node once
+    # in the numbered detail section)
+    assert len(re.findall(r"\(\d+\) Exchange", pg)) <= 2
+    assert "BatchEvalPython" not in pg and "ArrowEvalPython" not in pg
+
+
 def test_dedup_sketches_have_no_python(spark):
     from knowledge_graph_spark.operators.dedup import (
         minhash_signatures, simhash,
