@@ -2013,6 +2013,40 @@ _SQL_URL_CANONICAL = (
 )
 
 
+def _q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling (Efraimidis-Spirakis with the
+    md5-52bit hash uniform): 10 documents per source, inclusion
+    probability proportional to n_chars. Full SQL oracle replays the
+    exponential-clock key (-ln(u)/w) and the per-stratum top-k."""
+    from knowledge_graph_spark.operators.sampling import weighted_sample_k
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        weighted_sample_k(docs, k=10, weight=F.col("n_chars"),
+                          stratum_col="source")
+        .select("source", "doc_id", F.col("weight").cast("long")
+                .alias("n_chars"))
+        .orderBy("source", "doc_id")
+    )
+
+
+_SQL_WEIGHTED_SAMPLE = r"""
+WITH w AS (
+  SELECT source, doc_id, n_chars,
+         -ln((CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR),
+              '/')), 1, 13)) AS BIGINT) + 0.5) / 4503599627370496.0)
+           / CAST(n_chars AS DOUBLE) AS es
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT source, doc_id, n_chars
+FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY es, doc_id) AS rn FROM w)
+WHERE rn <= 10
+ORDER BY source, doc_id
+"""
+
+
 def _q_url_dup_groups(spark, sf_dir):
     """Spelling-variant groups: two deliberately different spellings
     per customer key (messy variant-0 vs its already-canonical twin)
@@ -3400,6 +3434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_profile": _q_host_profile,
         "url_canonical": _q_url_canonical,
         "url_dup_groups": _q_url_dup_groups,
+        "weighted_sample": _q_weighted_sample,
         "budget_select": _q_budget_select,
         "event_funnel": _q_event_funnel,
         "event_retention": _q_retention,
@@ -3523,6 +3558,7 @@ def oracle_sql() -> dict[str, str]:
         "host_profile": _golden_sql("host_profile", "host"),
         "url_canonical": _SQL_URL_CANONICAL,
         "url_dup_groups": _SQL_URL_DUP_GROUPS,
+        "weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "budget_select": _SQL_BUDGET_SELECT,
         "event_funnel": _SQL_EVENT_FUNNEL,
         "event_retention": _SQL_RETENTION,

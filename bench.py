@@ -97,7 +97,7 @@ def main():
         "pq_topk", "kmv_distinct", "cms_freq",
         "hll_distinct", "bloom_members", "fuzzy_part_names",
         "semantic_dedup",
-        "url_canonical", "url_dup_groups",
+        "url_canonical", "url_dup_groups", "weighted_sample",
     ]
     qs = entrymod.queries()
     for name in headliners:

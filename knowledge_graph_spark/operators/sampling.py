@@ -356,3 +356,60 @@ def stratified_exact_k(df: DataFrame, k: int, stratum_col: str = "source",
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+# the md5-52-bit hash space (see sketches.h52 — same construction, so
+# the SQL oracle replays the uniform draw exactly)
+_H52_SPACE = float(1 << 52)
+
+
+def weighted_sample_k(df: DataFrame, k: int, weight: Column,
+                      key_col: str = "doc_id",
+                      stratum_col: str | None = None,
+                      salt: str = "") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: ``k`` rows
+    (per stratum, when ``stratum_col`` is given) where a row's
+    inclusion probability is proportional to its ``weight`` — the
+    standard way to build a quality- or length-weighted training
+    subsample that is reproducible across reruns, cluster sizes, and
+    incremental re-ingests.
+
+    Algorithm: Efraimidis–Spirakis (2006) exponential clocks with a
+    HASH-derived uniform instead of an RNG — ``u = (h52(key ∥ salt) +
+    0.5) / 2^52`` (u ∈ (0,1), exact in a double: h + 0.5 is exact below
+    2^53 and the divisor is a power of two), then keep the k SMALLEST
+    ``-ln(u) / w``. Equivalent to keeping the k largest ``u^(1/w)`` —
+    the classic weighted-reservoir key — and fully recomputable by the
+    SQL oracle (md5 + ln are engine-portable; the draw itself is
+    bit-identical, and key spacing at any realistic N is orders of
+    magnitude above cross-engine 1-ulp ``ln`` differences).
+
+    Rows with NULL or non-positive weight are excluded (no defined
+    inclusion probability). ``key_col`` is assumed unique (per
+    stratum); change ``salt`` to draw an independent sample.
+
+    Scale shape: the ranking key is pure codegen; the single
+    ``row_number`` window is stratum-keyed (constant-keyed when
+    unstratified) and its ``<= k`` filter becomes a WindowGroupLimit —
+    map tasks pre-prune to their local top k before the exchange, so
+    a billion-row stratum ships ~k·tasks rows."""
+    if k < 1:
+        raise ValueError(f"k={k}: need >= 1")
+    from .sketches import h52
+
+    u = (h52(F.concat_ws("/", F.col(key_col).cast("string"),
+                         F.lit(salt))) + F.lit(0.5)) / F.lit(_H52_SPACE)
+    base = (
+        df.withColumn("_w", weight.cast("double"))
+        .filter(F.col("_w").isNotNull() & (F.col("_w") > 0))
+        .withColumn("_es", -F.log(u) / F.col("_w"))
+    )
+    part = (F.col(stratum_col) if stratum_col
+            else F.col("_w") * 0)  # constant-valued, non-foldable
+    w = Window.partitionBy(part).orderBy(F.col("_es"), F.col(key_col))
+    return (
+        base.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_es", "_rn")
+        .withColumnRenamed("_w", "weight")
+    )

@@ -964,6 +964,49 @@ def test_budget_select_recursive_boundary_refinement(spark):
             assert got == want, (ids, budget, got, want)
 
 
+def test_weighted_sample_matches_python_reference_and_biases(spark):
+    """weighted_sample_k must equal an independent pure-Python
+    Efraimidis-Spirakis recomputation (md5-hash uniform), exclude
+    non-positive/NULL weights, return exactly k per stratum, and
+    actually BIAS toward heavy rows: a row with 50x the weight of the
+    field must be selected ~always across salts."""
+    import hashlib
+    import math
+
+    from knowledge_graph_spark.operators.sampling import weighted_sample_k
+
+    def es_key(key, w, salt=""):
+        h = int(hashlib.md5(f"{key}/{salt}".encode()).hexdigest()[:13], 16)
+        u = (h + 0.5) / float(1 << 52)
+        return -math.log(u) / w
+
+    rows = [(i, "s%d" % (i % 2), float(1 + i % 7)) for i in range(40)]
+    rows += [(100, "s0", None), (101, "s1", 0.0), (102, "s0", -3.0)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+    got = weighted_sample_k(df, k=5, weight=F.col("w"), key_col="doc_id",
+                            stratum_col="source")
+    sel = sorted((r["source"], r["doc_id"]) for r in got.collect())
+    # python reference: per stratum, 5 smallest -ln(u)/w
+    want = []
+    for s in ("s0", "s1"):
+        cand = [(es_key(i, w), i) for i, src, w in rows
+                if src == s and w is not None and w > 0]
+        want += [(s, i) for _, i in sorted(cand)[:5]]
+    assert sel == sorted(want)
+    assert not any(d >= 100 for _, d in sel)  # bad weights excluded
+    # bias: doc 999 with weight 500 vs 40 docs of weight 10 — its
+    # inclusion probability is 500/(500+400) > 0.55 per draw; across 8
+    # independent salts it must be picked at least 3 times (p(<3) ~ 1e-3)
+    heavy = [(i, 10.0) for i in range(40)] + [(999, 500.0)]
+    hdf = spark.createDataFrame(heavy, "doc_id long, w double")
+    hits = 0
+    for salt in map(str, range(8)):
+        top = weighted_sample_k(hdf, k=1, weight=F.col("w"),
+                                key_col="doc_id", salt=salt).first()
+        hits += top["doc_id"] == 999
+    assert hits >= 3, hits
+
+
 def test_url_canonicalization_rules(spark):
     """Each canonicalization rule on a hand-built url set: case,
     www-strip, default/non-default ports, fragment, tracking-param
