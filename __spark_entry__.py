@@ -2047,6 +2047,61 @@ ORDER BY source, doc_id
 """
 
 
+def _q_dd_quantiles(spark, sf_dir):
+    """DDSketch relative-error quantiles (Masson et al., VLDB 2019):
+    per-source p50/p90/p99 of n_chars from a mergeable log-bucket
+    sketch, alpha=0.01. The query exposes (source, q, bucket) —
+    integer bucket indexes, not the float estimate — and the SQL
+    oracle replays bucketing + cumulative rank + min-bucket exactly
+    (log-gamma is a shared precomputed literal, so the only per-engine
+    float op is ln(x) itself)."""
+    from knowledge_graph_spark.operators.sketches import (
+        build_dd_sketch, dd_quantile)
+
+    docs = _t(spark, sf_dir, "documents")
+    sk = build_dd_sketch(docs, "n_chars", group_cols=["source"], alpha=0.01)
+    return (
+        dd_quantile(sk, [0.5, 0.9, 0.99], group_cols=["source"], alpha=0.01)
+        .select("source", "q", "bucket")
+        .orderBy("source", "q")
+    )
+
+
+def _dd_sql(alpha: float = 0.01) -> str:
+    import math
+
+    gamma = (1 + alpha) / (1 - alpha)
+    lg = repr(math.log(gamma))
+    return f"""
+WITH v AS (
+  SELECT source, CAST(n_chars AS DOUBLE) AS x FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0),
+b AS (
+  SELECT source, CAST(ceil(ln(x) / {lg}) AS BIGINT) AS bucket,
+         COUNT(*) AS n
+  FROM v GROUP BY 1, 2),
+c AS (
+  SELECT source, bucket,
+         SUM(n) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+         SUM(n) OVER (PARTITION BY source) AS total
+  FROM b),
+-- CAST to DOUBLE: DuckDB types the literal list DECIMAL(3,2), which
+-- is hash-unsafe AND makes ceil(q*total) exact-decimal arithmetic
+-- where Spark does IEEE double (0.9*1500 = 1350.0000000000002 -> 1351
+-- in double, 1350.00 in decimal) — the rank convention must share
+-- the same floating arithmetic to replay exactly
+qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+SELECT source, q, MIN(bucket) AS bucket
+FROM c CROSS JOIN qs
+WHERE cum >= greatest(1, CAST(ceil(q * total) AS BIGINT))
+GROUP BY source, q
+ORDER BY source, q
+"""
+
+
+_SQL_DD_QUANTILES = _dd_sql(0.01)
+
+
 def _q_url_dup_groups(spark, sf_dir):
     """Spelling-variant groups: two deliberately different spellings
     per customer key (messy variant-0 vs its already-canonical twin)
@@ -3435,6 +3490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": _q_url_canonical,
         "url_dup_groups": _q_url_dup_groups,
         "weighted_sample": _q_weighted_sample,
+        "dd_quantiles": _q_dd_quantiles,
         "budget_select": _q_budget_select,
         "event_funnel": _q_event_funnel,
         "event_retention": _q_retention,
@@ -3559,6 +3615,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical": _SQL_URL_CANONICAL,
         "url_dup_groups": _SQL_URL_DUP_GROUPS,
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,
+        "dd_quantiles": _SQL_DD_QUANTILES,
         "budget_select": _SQL_BUDGET_SELECT,
         "event_funnel": _SQL_EVENT_FUNNEL,
         "event_retention": _SQL_RETENTION,

@@ -448,3 +448,101 @@ def cms_token_frequencies(docs: DataFrame, probe_docs: DataFrame,
     exact = stream.groupBy("token").agg(F.count("*").alias("exact_count"))
     return est.join(exact, "token", "left").select(
         "token", "est_count", F.coalesce("exact_count", F.lit(0)).alias("exact_count"))
+
+
+# ---------------------------------------------------------------------------
+# DDSketch: relative-error quantiles
+# ---------------------------------------------------------------------------
+
+# DDSketch — Masson, Rim & Lee, "DDSketch: a fast and fully-mergeable
+# quantile sketch with relative-error guarantees" (VLDB 2019): bucket
+# positive values by ceil(log_gamma(x)) with gamma = (1+a)/(1-a); the
+# bucket midpoint 2*gamma^b/(gamma+1) is within relative error a of
+# every value in the bucket. The sketch is (bucket, count) pairs —
+# O(log(range)/a) rows regardless of input size — and merges by
+# bucket-wise count sum. Unlike rank-error sketches (GK/KLL), the
+# error is relative to the VALUE, which is what length/latency
+# distributions want at the tail.
+
+
+def _dd_bucket(value_col, gamma: float):
+    import math
+
+    x = (F.col(value_col) if isinstance(value_col, str)
+         else value_col).cast("double")
+    return F.ceil(F.log(x) / F.lit(math.log(gamma))).cast("long")
+
+
+def build_dd_sketch(values: DataFrame, value_col: str,
+                    group_cols: list | None = None,
+                    alpha: float = 0.01) -> DataFrame:
+    """DDSketch of a positive-value column -> (group..., bucket, n).
+
+    NULL and non-positive values are excluded (log buckets are defined
+    on x > 0; callers with zeros track them as a separate count —
+    declared, same as the reference DDSketch's zero bin).
+
+    Scale shape: ONE map-side-combined aggregation; the exchange
+    carries at most buckets-per-group partials per map task (a few
+    hundred rows at alpha=0.01 over any realistic range), never the
+    values."""
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha={alpha}: need 0 < alpha < 1")
+    g = list(group_cols or [])
+    gamma = (1 + alpha) / (1 - alpha)
+    x = F.col(value_col).cast("double")
+    return (
+        values.filter(x.isNotNull() & (x > 0))
+        .select(*g, _dd_bucket(value_col, gamma).alias("bucket"))
+        .groupBy(*g, "bucket").agg(F.count("*").alias("n"))
+    )
+
+
+def dd_merge(sketches: list, group_cols: list | None = None) -> DataFrame:
+    """Merge DDSketches built with the SAME alpha: bucket-wise count
+    sum — the mergeability that lets per-shard/per-day sketches roll
+    up without touching raw data."""
+    g = list(group_cols or [])
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*g, "bucket").agg(F.sum("n").alias("n"))
+
+
+def dd_quantile(sketch: DataFrame, qs: list,
+                group_cols: list | None = None,
+                alpha: float = 0.01) -> DataFrame:
+    """Quantile estimates from a DDSketch -> (group..., q, bucket,
+    estimate), one row per group per q in ``qs``.
+
+    Rank convention (replayed exactly by the SQL oracle): the target
+    rank is ``greatest(1, ceil(q * total))`` over the sketched (i.e.
+    positive) values; the answer is the smallest bucket whose
+    cumulative count reaches it; the estimate is the bucket midpoint
+    ``2*gamma^bucket/(gamma+1)``, within relative error alpha of the
+    true q-quantile VALUE (Masson et al., Theorem 1).
+
+    Scale shape: the cumulative window runs over the SKETCH (hundreds
+    of rows per group), not the data; the group total rides the SAME
+    window exchange as an unbounded-frame sum (no totals join, no
+    second scan of the input); the per-q selection is one aggregation
+    over sketch x |qs| rows."""
+    g = list(group_cols or [])
+    gamma = (1 + alpha) / (1 - alpha)
+    part = [F.col(c) for c in g] or [F.col("bucket") * 0]
+    w = Window.partitionBy(*part)
+    cum = (
+        sketch
+        .withColumn("_cum", F.sum("n").over(w.orderBy("bucket")))
+        .withColumn("_total", F.sum("n").over(w))
+    )
+    qdf = sketch.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double")
+    hit = (
+        cum.crossJoin(F.broadcast(qdf))
+        .filter(F.col("_cum") >=
+                F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("_total"))))
+        .groupBy(*g, "q").agg(F.min("bucket").alias("bucket"))
+    )
+    est = 2.0 * F.pow(F.lit(gamma), F.col("bucket")) / (gamma + 1)
+    return hit.select(*g, "q", "bucket", est.alias("estimate"))

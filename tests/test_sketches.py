@@ -340,3 +340,60 @@ def test_fuzzy_block_guard_drops_megablocks(spark):
         F.concat(F.lit("v"), F.col("id"), F.lit(" hub")).alias("name"))
     assert fuzzy_name_matches(df, "name", max_dist=50,
                               max_block=10).count() == 0
+
+
+def test_dd_sketch_quantile_relative_error_guarantee(spark):
+    """DDSketch Theorem 1: the bucket-midpoint estimate is within
+    relative error alpha of the true q-quantile VALUE (rank convention
+    ceil(q*total)). Checked against exact quantiles of a skewed
+    integer distribution at alpha=0.01 and the coarser 0.05."""
+    import math
+
+    from knowledge_graph_spark.operators.sketches import (
+        build_dd_sketch, dd_quantile,
+    )
+
+    vals = [1 + (i * i) % 9973 for i in range(4000)]  # skewed ints
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    svals = sorted(vals)
+    for alpha in (0.01, 0.05):
+        sk = build_dd_sketch(df, "x", alpha=alpha)
+        out = dd_quantile(sk, [0.5, 0.9, 0.99], alpha=alpha).collect()
+        assert len(out) == 3
+        for r in out:
+            rank = max(1, math.ceil(r["q"] * len(svals)))
+            truth = svals[rank - 1]
+            assert abs(r["estimate"] - truth) <= alpha * truth * 1.0001, \
+                (alpha, r["q"], r["estimate"], truth)
+
+
+def test_dd_sketch_merge_equals_direct(spark):
+    """Merging per-shard sketches must give bucket-for-bucket the same
+    sketch (and therefore the same quantiles) as sketching the union —
+    the mergeability contract that makes per-day rollups exact."""
+    from knowledge_graph_spark.operators.sketches import (
+        build_dd_sketch, dd_merge,
+    )
+
+    a = spark.createDataFrame([(i % 500 + 1,) for i in range(2000)], "x long")
+    b = spark.createDataFrame([(i % 77 + 3,) for i in range(900)], "x long")
+    merged = dd_merge([build_dd_sketch(a, "x"), build_dd_sketch(b, "x")])
+    direct = build_dd_sketch(a.unionByName(b), "x")
+    got = {(r["bucket"], r["n"]) for r in merged.collect()}
+    want = {(r["bucket"], r["n"]) for r in direct.collect()}
+    assert got == want
+
+
+def test_dd_sketch_rejects_bad_alpha_and_nonpositive(spark):
+    from knowledge_graph_spark.operators.sketches import (
+        build_dd_sketch, dd_quantile,
+    )
+
+    df = spark.createDataFrame([(5,), (0,), (-3,), (None,)], "x int")
+    with pytest.raises(ValueError):
+        build_dd_sketch(df, "x", alpha=1.5)
+    sk = build_dd_sketch(df, "x")
+    # only the positive row sketches; its p50 bucket contains 5
+    rows = dd_quantile(sk, [0.5]).collect()
+    assert len(rows) == 1
+    assert abs(rows[0]["estimate"] - 5) <= 0.01 * 5 * 1.0001
