@@ -2047,6 +2047,93 @@ ORDER BY source, doc_id
 """
 
 
+# shared messy-affix constants (explicit escapes only — no literal
+# invisible characters in source): curly quotes, em dash, CRLF, ZWSP,
+# tab, CR-run, newline-run. Both engines receive byte-identical
+# affixes: Spark as a Python literal, DuckDB as a chr()-rendered SQL
+# expression, so the normalizer is the only thing under test.
+_MESSY_PRE = "  \u201Cq\u201D \u2014x\u2019s\r\n "
+_MESSY_SUF = "\u200B \t end\r\r\n\n\n\ntail  "
+
+
+def _sql_chr(s: str) -> str:
+    """Render a Python string as a DuckDB expression of chr() calls —
+    exact code points, no escape/invisible-character ambiguity in the
+    SQL text."""
+    return " || ".join("chr(%d)" % ord(ch) for ch in s)
+
+
+def _q_text_normalized(spark, sf_dir):
+    """Text normalization (the content-key stabilizer every hash-keyed
+    stage depends on): documents deterministically messied with the
+    crawl noise the normalizer exists for (CRLF, NBSP, zero-width,
+    curly quotes, em-dash, space runs), then normalized
+    (functions.textnorm.normalize_text). Exposes lengths + md5 of the
+    normalized text; the SQL oracle replays every rule in RE2 with the
+    global flag."""
+    from knowledge_graph_spark.functions.textnorm import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    messy = F.concat(F.lit(_MESSY_PRE), F.col("text"), F.lit(_MESSY_SUF))
+    norm = normalize_text(messy)
+    return docs.select(
+        "doc_id",
+        F.length(messy).alias("n_before"),
+        F.length(norm).alias("n_after"),
+        F.md5(norm).alias("norm_md5"),
+    ).orderBy("doc_id")
+
+
+def _sql_text_normalized() -> str:
+    # RE2 char classes with hex escapes, mirroring functions/textnorm
+    # rule for rule (DuckDB regexp_replace needs the explicit 'g' flag
+    # — it is first-match-only by default). DuckDB single-quoted
+    # literals do not interpret backslashes, so the regex engine
+    # receives them verbatim.
+    bs = chr(92)
+    sq = chr(39) * 4            # SQL literal holding one single quote
+    dq = chr(39) + chr(34) + chr(39)  # SQL literal: one double quote
+
+    def cc(*points):
+        # hex char class: cc(0x2018, ...) or cc((lo, hi), ...)
+        parts = []
+        for p in points:
+            if isinstance(p, tuple):
+                parts.append(bs + 'x{%04X}-' % p[0] + bs + 'x{%04X}' % p[1])
+            else:
+                parts.append(bs + 'x{%04X}' % p)
+        return '[' + ''.join(parts) + ']'
+
+    rules = [
+        (bs + 'r' + bs + 'n?', 'chr(10)'),
+        (cc((0x00, 0x08), (0x0B, 0x1F), (0x7F, 0x9F)), "''"),
+        (cc(0x200B, 0x200C, 0x200D, 0xFEFF), "''"),
+        (cc(0x2018, 0x2019, 0x201A, 0x201B), sq),
+        (cc(0x201C, 0x201D, 0x201E, 0x201F), dq),
+        (cc(0x2012, 0x2013, 0x2014, 0x2015, 0x2212), "'-'"),
+        (cc(0x00A0, 0x1680, (0x2000, 0x200A), 0x202F, 0x205F, 0x3000),
+         "' '"),
+        ('[ ' + bs + 't]+', "' '"),
+        (' ?' + bs + 'n ?', 'chr(10)'),
+        (bs + 'n{3,}', 'chr(10) || chr(10)'),
+    ]
+    expr = 'messy'
+    for pat, rep in rules:
+        expr = "regexp_replace(%s, '%s', %s, 'g')" % (expr, pat, rep)
+    return (
+        "WITH m AS (SELECT doc_id, "
+        + _sql_chr(_MESSY_PRE) + " || text || " + _sql_chr(_MESSY_SUF)
+        + " AS messy FROM documents),"
+        + "n AS (SELECT doc_id, messy, trim(" + expr
+        + ", ' ') AS norm FROM m) "
+        + "SELECT doc_id, length(messy) AS n_before, "
+        + "length(norm) AS n_after, md5(norm) AS norm_md5 "
+        + "FROM n ORDER BY doc_id"
+    )
+
+
+_SQL_TEXT_NORMALIZED = _sql_text_normalized()
+
 def _q_dd_quantiles(spark, sf_dir):
     """DDSketch relative-error quantiles (Masson et al., VLDB 2019):
     per-source p50/p90/p99 of n_chars from a mergeable log-bucket
@@ -3491,6 +3578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dup_groups": _q_url_dup_groups,
         "weighted_sample": _q_weighted_sample,
         "dd_quantiles": _q_dd_quantiles,
+        "text_normalized": _q_text_normalized,
         "budget_select": _q_budget_select,
         "event_funnel": _q_event_funnel,
         "event_retention": _q_retention,
@@ -3616,6 +3704,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dup_groups": _SQL_URL_DUP_GROUPS,
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "dd_quantiles": _SQL_DD_QUANTILES,
+        "text_normalized": _SQL_TEXT_NORMALIZED,
         "budget_select": _SQL_BUDGET_SELECT,
         "event_funnel": _SQL_EVENT_FUNNEL,
         "event_retention": _SQL_RETENTION,

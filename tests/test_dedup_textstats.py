@@ -964,6 +964,41 @@ def test_budget_select_recursive_boundary_refinement(spark):
             assert got == want, (ids, budget, got, want)
 
 
+def test_normalize_text_rules(spark):
+    """Each normalization rule on hand-built strings: control strip,
+    CRLF, zero-width removal, quote/dash folding, unicode-space
+    mapping, whitespace collapse — plus idempotence and NULL
+    passthrough. Exact expected outputs, written by hand."""
+    from knowledge_graph_spark.functions.textnorm import normalize_text
+
+    cases = [
+        ("a\r\nb\rc", "a\nb\nc"),
+        ("x\x00y\x07z\x1b!", "xyz!"),
+        ("a​b‌‍c﻿", "abc"),
+        ("‘q’ “w”", "'q' \"w\""),
+        ("a–b—c−d", "a-b-c-d"),
+        ("a b　c d", "a b c d"),
+        ("a  \t  b", "a b"),
+        ("line1   \nline2", "line1\nline2"),
+        ("p1\n\n\n\n\np2", "p1\n\np2"),
+        ("  padded  ", "padded"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], "id int, t string")
+    got = {r["id"]: r["n"]
+           for r in df.select("id", normalize_text("t").alias("n")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, repr(cases[i][0]), repr(got[i]), repr(want))
+    # idempotence: normalized text is a fixed point
+    df2 = spark.createDataFrame(
+        [(i, v) for i, v in got.items() if v is not None], "id int, t string")
+    again = {r["id"]: r["n"]
+             for r in df2.select("id", normalize_text("t").alias("n")).collect()}
+    for i, v in again.items():
+        assert v == got[i]
+
+
 def test_weighted_sample_matches_python_reference_and_biases(spark):
     """weighted_sample_k must equal an independent pure-Python
     Efraimidis-Spirakis recomputation (md5-hash uniform), exclude
