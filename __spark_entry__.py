@@ -2134,6 +2134,20 @@ def _sql_text_normalized() -> str:
 
 _SQL_TEXT_NORMALIZED = _sql_text_normalized()
 
+def _q_textrank_keywords(spark, sf_dir):
+    """Corpus keyword extraction by TextRank (Mihalcea & Tarau 2004):
+    top-20 words of the documents table by weighted PageRank over the
+    word co-occurrence graph (window 2, 10 iterations, d=0.85). The
+    oracle is the pure-Python twin's golden
+    (tools/make_goldens.golden_textrank) — the fixed-iteration float
+    loop replayed end-to-end, ranks computed on 6-dp-rounded scores so
+    float-summation order cannot flip near-ties across engines."""
+    from knowledge_graph_spark.operators.textstats import textrank_keywords
+
+    return (textrank_keywords(_t(spark, sf_dir, "documents"))
+            .orderBy("rank"))
+
+
 def _q_dd_quantiles(spark, sf_dir):
     """DDSketch relative-error quantiles (Masson et al., VLDB 2019):
     per-source p50/p90/p99 of n_chars from a mergeable log-bucket
@@ -3579,6 +3593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "dd_quantiles": _q_dd_quantiles,
         "text_normalized": _q_text_normalized,
+        "textrank_keywords": _q_textrank_keywords,
         "budget_select": _q_budget_select,
         "event_funnel": _q_event_funnel,
         "event_retention": _q_retention,
@@ -3705,6 +3720,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "dd_quantiles": _SQL_DD_QUANTILES,
         "text_normalized": _SQL_TEXT_NORMALIZED,
+        "textrank_keywords": _golden_sql("textrank_keywords", "rank"),
         "budget_select": _SQL_BUDGET_SELECT,
         "event_funnel": _SQL_EVENT_FUNNEL,
         "event_retention": _SQL_RETENTION,

@@ -98,7 +98,7 @@ def main():
         "hll_distinct", "bloom_members", "fuzzy_part_names",
         "semantic_dedup",
         "url_canonical", "url_dup_groups", "weighted_sample",
-        "dd_quantiles", "text_normalized",
+        "dd_quantiles", "text_normalized", "textrank_keywords",
     ]
     qs = entrymod.queries()
     for name in headliners:

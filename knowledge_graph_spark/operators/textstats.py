@@ -690,3 +690,100 @@ def host_profile(pages: DataFrame, url_col: str = "url",
         "host", "n_pages", "n_heldout", "n_chars", "avg_chars",
         F.round(F.col("n_pages") / total, 6).alias("share"),
     )
+
+
+def textrank_keywords(docs: DataFrame, text_col: str = "text",
+                      window: int = 2, top_n: int = 20,
+                      iterations: int = 10, damping: float = 0.85,
+                      min_len: int = 3) -> DataFrame:
+    """Corpus keyword extraction by TextRank (Mihalcea & Tarau, EMNLP
+    2004): build the word co-occurrence graph (an undirected edge per
+    word pair within ``window`` token positions, weight = corpus
+    co-occurrence count; words shorter than ``min_len`` dropped), run
+    ``iterations`` rounds of weighted PageRank
+
+        WS(v) = (1 - d) + d * sum_u  w_uv / S(u) * WS(u),
+
+    with ``S(u)`` = u's total edge weight and scores initialized to 1,
+    and return the ``top_n`` words as ``(rank, word, score)`` — ties
+    by word ascending, scores rounded to 6 dp (the oracle's golden
+    twin recomputes the identical fixed-iteration float loop).
+
+    Scale shape:
+
+    - pair generation is IN-PLAN index arithmetic over each document's
+      token array (the :func:`~..operators.kg_export.skipgram_pairs`
+      pattern — no positional self-join, which would shuffle the
+      token stream twice); the only corpus-sized exchange is the
+      map-side-combined pair count, bounded by the observed pair
+      vocabulary;
+    - every PageRank round touches the WORD GRAPH only (vocabulary-
+      sized, like the BPE working set): one join + one aggregate per
+      round over (word, word, weight) rows, localCheckpoint-ed so the
+      plan never grows with the iteration count;
+    - the final top-n is a ``TakeOrderedAndProject``.
+    """
+    if window < 1:
+        raise ValueError(f"window={window}: need >= 1")
+    toks = docs.select(
+        F.expr(
+            f"filter(split(lower({text_col}), '[^\\\\p{{L}}\\\\p{{N}}]+'), "
+            f"x -> x != '' and length(x) >= {min_len})"
+        ).alias("_ws")
+    )
+    # sequence(1, 0) steps DOWNWARD (the training_triples trap): guard
+    # short docs before generating index pairs
+    pair_expr = F.expr(f"""
+        CASE WHEN size(_ws) < 2 THEN array()
+        ELSE flatten(transform(sequence(1, size(_ws) - 1), i ->
+          transform(
+            filter(sequence(i + 1, least(i + {window}, size(_ws))),
+                   j -> element_at(_ws, j) != element_at(_ws, i)),
+            j -> struct(
+              least(element_at(_ws, i), element_at(_ws, j)) AS w1,
+              greatest(element_at(_ws, i), element_at(_ws, j)) AS w2))))
+        END
+    """)
+    und = (
+        toks.select(F.explode(pair_expr).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2").agg(F.count("*").alias("wt"))
+    )
+    adj = (
+        und.select(F.col("w1").alias("u"), F.col("w2").alias("v"), "wt")
+        .unionByName(
+            und.select(F.col("w2").alias("u"), F.col("w1").alias("v"), "wt"))
+    )
+    strength = adj.groupBy("u").agg(F.sum("wt").alias("s"))
+    links = (
+        adj.join(strength, "u")
+        .select("u", "v", (F.col("wt") / F.col("s")).alias("frac"))
+        .localCheckpoint(eager=True)
+    )
+    scores = links.select(F.col("u").alias("id")).distinct() \
+        .select("id", F.lit(1.0).alias("score"))
+    for _ in range(iterations):
+        scores = (
+            links.join(scores, links["u"] == scores["id"])
+            .select("v", (F.col("frac") * F.col("score")).alias("c"))
+            .groupBy("v").agg(F.sum("c").alias("c"))
+            .select(F.col("v").alias("id"),
+                    (F.lit(1.0 - damping) + damping * F.col("c"))
+                    .alias("score"))
+            .localCheckpoint(eager=True)
+        )
+    from pyspark.sql import Window
+
+    # rank over the ROUNDED score: the oracle's pure-Python twin sums
+    # floats in a different order (sub-ulp differences), and a rank
+    # computed on raw doubles could flip near-ties across engines;
+    # at 6 dp the noise washes out and word-asc breaks real ties
+    rounded = scores.select(F.col("id").alias("word"),
+                            F.round("score", 6).alias("score"))
+    w = Window.partitionBy(F.col("score") * 0).orderBy(
+        F.col("score").desc(), F.col("word"))
+    return (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("rank", "word", "score")
+    )

@@ -964,6 +964,34 @@ def test_budget_select_recursive_boundary_refinement(spark):
             assert got == want, (ids, budget, got, want)
 
 
+def test_textrank_keywords_ranking_and_filters(spark):
+    """The graph hub ('spark', co-occurring with everything) must rank
+    first; words shorter than min_len never appear; isolated words
+    (no within-window partner) are excluded; output is deterministic
+    across runs; window=1 restricts edges to adjacent pairs."""
+    from knowledge_graph_spark.operators.textstats import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "spark runs fast and spark scales well"),
+         (2, "fast spark jobs scale on the cluster"),
+         (3, "the cluster runs spark jobs"),
+         (4, "lonely"),  # 1 token -> no pairs -> excluded
+         ], "doc_id long, text string")
+    rows = textrank_keywords(docs, top_n=50).collect()
+    words = [r["word"] for r in rows]
+    assert words[0] == "spark"
+    assert "on" not in words  # len < min_len (3) dropped
+    assert "lonely" not in words                      # isolated
+    assert rows == textrank_keywords(docs, top_n=50).collect()
+    # window=1: only adjacent co-occurrence; 'spark'..'scales' edge via
+    # position pairs still exists, but 'runs'-'and' (distance 2) doesn't
+    narrow = {r["word"] for r in
+              textrank_keywords(docs, top_n=50, window=1).collect()}
+    assert "spark" in narrow
+    with pytest.raises(ValueError):
+        textrank_keywords(docs, window=0)
+
+
 def test_normalize_text_rules(spark):
     """Each normalization rule on hand-built strings: control strip,
     CRLF, zero-width removal, quote/dash folding, unicode-space

@@ -312,6 +312,51 @@ def golden_lpa_communities(sf_dir: str, iterations: int = 5) -> list[dict]:
     return [{"id": v, "label": labels[v]} for v in sorted(adj)]
 
 
+def golden_textrank(sf_dir: str, window: int = 2, top_n: int = 20,
+                    iterations: int = 10, damping: float = 0.85,
+                    min_len: int = 3) -> list[dict]:
+    """Twin of textstats.textrank_keywords over the documents table:
+    word co-occurrence graph (undirected canonical pairs within
+    ``window`` positions, words >= min_len chars), ``iterations``
+    rounds of weighted PageRank from score 1.0, top_n by
+    (ROUNDED-6dp score desc, word) — the rounding-first rank is what
+    makes the float loop engine-portable."""
+    from collections import Counter, defaultdict
+
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["text"])
+    wt: Counter = Counter()
+    for text in tbl["text"].to_pylist():
+        if text is None:
+            continue
+        ws = [w for w in word_tokens(text) if len(w) >= min_len]
+        for i, a in enumerate(ws):
+            for j in range(i + 1, min(i + window, len(ws) - 1) + 1):
+                b = ws[j]
+                if a != b:
+                    wt[(min(a, b), max(a, b))] += 1
+    frac: dict = defaultdict(list)   # v -> [(u, w_uv/S_u)]
+    strength: Counter = Counter()
+    for (a, b), w in wt.items():
+        strength[a] += w
+        strength[b] += w
+    for (a, b), w in wt.items():
+        frac[b].append((a, w / strength[a]))
+        frac[a].append((b, w / strength[b]))
+    score = {n: 1.0 for n in strength}
+    for _ in range(iterations):
+        score = {
+            v: (1.0 - damping)
+            + damping * sum(f * score[u] for u, f in frac[v])
+            for v in strength
+        }
+    rows = sorted(
+        ((round_half_up(sc, 6), wd) for wd, sc in score.items()),
+        key=lambda t: (-t[0], t[1]))[:top_n]
+    return [{"rank": i + 1, "word": wd, "score": sc}
+            for i, (sc, wd) in enumerate(rows)]
+
+
 def golden_host_profile(n_pages: int = 3000) -> list[dict]:
     """Twin of textstats.host_profile over the first ``n_pages``
     synthetic pages (page_row is the shared pure generator)."""
@@ -671,6 +716,9 @@ def main() -> None:
     write("hash_split", golden_hash_split(args.sf_dir), pa.schema([
         ("source", pa.string()), ("split", pa.string()),
         ("n_docs", pa.int64())]))
+    write("textrank_keywords", golden_textrank(args.sf_dir), pa.schema([
+        ("rank", pa.int32()), ("word", pa.string()),
+        ("score", pa.float64())]))
     write("bpe_merges", golden_bpe_merges(args.sf_dir), pa.schema([
         ("step", pa.int32()), ("lhs", pa.string()), ("rhs", pa.string()),
         ("merged", pa.string()), ("pair_count", pa.int64())]))
