@@ -3132,6 +3132,19 @@ def _q_embedding_neardups(spark, sf_dir):
     )
 
 
+def _q_media_frames(spark, sf_dir):
+    """Multimodal frame sampling: one row per sampled frame index
+    (every 24th) of every decodable synthetic video — the enumeration
+    every video-training data loader needs, JVM-side sequence+explode
+    (only the stubbed decode is Python). Golden-twin oracled."""
+    from knowledge_graph_spark.operators.multimodal import (
+        sample_frames, synthetic_media,
+    )
+
+    return (sample_frames(synthetic_media(spark, 90), every_n=24)
+            .orderBy("media_id", "frame_idx"))
+
+
 def _q_media_metadata(spark, sf_dir):
     """Multimodal plumbing: deterministic synthetic media -> Arrow-
     batched metadata decode, summarized per kind. The codec is a
@@ -3626,6 +3639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_part_names": _q_fuzzy_part_names,
         "semantic_dedup": _q_semantic_dedup,
         "media_metadata": _q_media_metadata,
+        "media_frames": _q_media_frames,
         "media_features_topk": _q_media_features,
         # KG construction pipeline (rows-only)
         "kg_triples": _q_kg_triples,
@@ -3740,6 +3754,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardups": _golden_sql("simhash_neardups", "id_a, id_b"),
         "fingerprints": _golden_sql("fingerprints", "doc_id"),
         "media_metadata": _golden_sql("media_metadata", "kind"),
+        "media_frames": _golden_sql("media_frames", "media_id, frame_idx"),
         "media_features_topk": _golden_sql("media_features_topk",
                                            "query_id, rank"),
         "kg_triples": _golden_sql("kg_triples", "url, subj, pred, obj"),

@@ -491,6 +491,24 @@ def golden_media_metadata() -> list[dict]:
     return [{"kind": k, **v} for k, v in sorted(agg.items())]
 
 
+def golden_media_frames(every_n: int = 24, n: int = 90) -> list[dict]:
+    """Twin of multimodal.sample_frames over the shared synthetic
+    media table: for each video row, frame indexes 0, every_n, ...
+    up to n_frames - 1 (a zero-frame video still yields frame 0 —
+    greatest(n_frames - 1, 0) mirrors the operator's sequence)."""
+    from knowledge_graph_spark.operators.multimodal import _decode_one
+
+    out = []
+    for m in _synthetic_media(n):
+        if m["kind"] != "video":
+            continue
+        meta = _decode_one(m["payload"], m["kind"])
+        top = max(meta["n_frames"] - 1, 0)
+        out.append((m["media_id"], list(range(0, top + 1, every_n))))
+    return [{"media_id": mid, "frame_idx": fi}
+            for mid, frames in sorted(out) for fi in frames]
+
+
 def golden_media_features_topk(k: int = 3) -> list[dict]:
     import numpy as np
 
@@ -733,6 +751,8 @@ def main() -> None:
         ("avg_chars", pa.float64()), ("share", pa.float64())]))
 
     print("media goldens...")
+    write("media_frames", golden_media_frames(), pa.schema([
+        ("media_id", pa.int64()), ("frame_idx", pa.int64())]))
     write("media_metadata", golden_media_metadata(), pa.schema([
         ("kind", pa.string()), ("n_items", pa.int64()), ("n_ok", pa.int64()),
         ("max_width", pa.int32()), ("max_sample_rate", pa.int32())]))
