@@ -2155,7 +2155,10 @@ def _q_dd_quantiles(spark, sf_dir):
     integer bucket indexes, not the float estimate — and the SQL
     oracle replays bucketing + cumulative rank + min-bucket exactly
     (log-gamma is a shared precomputed literal, so the only per-engine
-    float op is ln(x) itself)."""
+    float op is ln(x) itself; measured: the closest ln(x)/ln(gamma)
+    to a bucket boundary across all 313 distinct sf0.01 n_chars values
+    is 8.4e-4 away — ~1e12 times any cross-build ln ulp difference, so
+    the bucketing cannot flip between engines)."""
     from knowledge_graph_spark.operators.sketches import (
         build_dd_sketch, dd_quantile)
 
