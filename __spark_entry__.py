@@ -2013,6 +2013,59 @@ _SQL_URL_CANONICAL = (
 )
 
 
+def _q_doc_links(spark, sf_dir):
+    """Outbound-link extraction (the web link-graph edge list): every
+    document's text carries two deterministically injected references
+    (one messy — uppercase scheme, www., default port, tracking param,
+    trailing comma; one clean in parentheses with a trailing period);
+    extract_links must find both, strip trailing punctuation, and
+    canonicalize. The DuckDB oracle replays the IDENTICAL regex and
+    the full canonicalization rule set."""
+    from knowledge_graph_spark.operators.urls import extract_links
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id").cast("string")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see HTTP://WWW.Cite-"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".Example.ORG:80/ref/"), k,
+            F.lit("?utm_source=x&b=2, (https://mirror-"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".example.net/ref/"), k, F.lit(")."),
+        ).alias("text"),
+    )
+    return extract_links(injected).orderBy("doc_id", "url")
+
+
+_SQL_DOC_LINKS = r"""
+WITH d AS (
+  SELECT doc_id,
+         concat(text, ' see HTTP://WWW.Cite-', CAST(doc_id % 7 AS VARCHAR),
+                '.Example.ORG:80/ref/', CAST(doc_id AS VARCHAR),
+                '?utm_source=x&b=2, (https://mirror-',
+                CAST(doc_id % 3 AS VARCHAR), '.example.net/ref/',
+                CAST(doc_id AS VARCHAR), ').') AS text
+  FROM documents),
+r AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text,
+           '(?i)https?://[^\s<>"'')\]}]+')) AS raw
+  FROM d),
+u AS (
+  SELECT doc_id AS id, regexp_replace(raw, '[.,;:!?]+$', '') AS url
+  FROM r),
+""" + _SQL_URL_PARSE + r"""
+SELECT DISTINCT id AS doc_id, canonical_url AS url,
+       regexp_extract(canonical_url,
+                      '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1) AS host
+FROM canon
+ORDER BY doc_id, url
+"""
+
+
 def _q_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling (Efraimidis-Spirakis with the
     md5-52bit hash uniform): 10 documents per source, inclusion
@@ -3607,6 +3660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": _q_url_canonical,
         "url_dup_groups": _q_url_dup_groups,
         "weighted_sample": _q_weighted_sample,
+        "doc_links": _q_doc_links,
         "dd_quantiles": _q_dd_quantiles,
         "text_normalized": _q_text_normalized,
         "textrank_keywords": _q_textrank_keywords,
@@ -3735,6 +3789,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical": _SQL_URL_CANONICAL,
         "url_dup_groups": _SQL_URL_DUP_GROUPS,
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,
+        "doc_links": _SQL_DOC_LINKS,
         "dd_quantiles": _SQL_DD_QUANTILES,
         "text_normalized": _SQL_TEXT_NORMALIZED,
         "textrank_keywords": _golden_sql("textrank_keywords", "rank"),

@@ -98,7 +98,7 @@ def main():
         "hll_distinct", "bloom_members", "fuzzy_part_names",
         "semantic_dedup",
         "url_canonical", "url_dup_groups", "weighted_sample",
-        "dd_quantiles", "text_normalized", "textrank_keywords",
+        "dd_quantiles", "text_normalized", "textrank_keywords", "doc_links",
     ]
     qs = entrymod.queries()
     for name in headliners:

@@ -112,3 +112,55 @@ def url_duplicate_groups(df: DataFrame, url_col: str = "url",
              F.min("url").alias("first_url"))
         .filter(F.col("n_spellings") >= 2)
     )
+
+
+# conservative URL pattern: scheme://host[/path][?query] up to the
+# first whitespace or closing bracket/quote, case-insensitive scheme
+# (HTTP:// appears in real prose) — RE2-compatible (no lookbehind),
+# so the SQL oracle runs the IDENTICAL pattern
+URL_IN_TEXT_RE = r"(?i)https?://[^\s<>\"')\]}]+"
+
+
+def extract_links(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  canonicalize: bool = True) -> DataFrame:
+    """Outbound links found in document text -> one row per
+    (doc_id, url, host) occurrence-distinct pair — the edge list of
+    the web link graph (PageRank-able with
+    :mod:`.graph_analytics`), and the input to per-host citation
+    counts. Trailing sentence punctuation is stripped (a url at the
+    end of a sentence drags its period along in any regex without
+    lookbehind — RE2 has none, so the strip is a separate row-local
+    step shared with the oracle). ``canonicalize`` applies
+    :func:`canonical_url` so the link graph keys match the crawl's
+    canonical url space. Pure codegen + one distinct."""
+    # F.regexp_extract_all with a Column pattern: the pattern contains
+    # a single-quote (in the stop-char class), which would terminate an
+    # F.expr SQL string literal
+    raw = F.explode(
+        F.regexp_extract_all(F.col(text_col), F.lit(URL_IN_TEXT_RE), 0)
+    ).alias("u")
+    trimmed = F.regexp_replace(F.col("u"), r"[.,;:!?]+$", "")
+    url = canonical_url(trimmed) if canonicalize else trimmed
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), raw)
+        .select("doc_id", url.alias("url"))
+        .distinct()
+        .withColumn(
+            "host",
+            F.regexp_extract("url", r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)",
+                             1),
+        )
+    )
+
+
+def host_citation_counts(links: DataFrame) -> DataFrame:
+    """(host, n_links, n_citing_docs) from an :func:`extract_links`
+    edge list — the inbound-authority census (which hosts the corpus
+    cites, and from how many distinct documents). One map-side-combined
+    aggregate; count_distinct(doc_id) is per-host bounded."""
+    return (
+        links.groupBy("host")
+        .agg(F.count("*").alias("n_links"),
+             F.countDistinct("doc_id").alias("n_citing_docs"))
+    )

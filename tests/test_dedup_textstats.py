@@ -964,6 +964,37 @@ def test_budget_select_recursive_boundary_refinement(spark):
             assert got == want, (ids, budget, got, want)
 
 
+def test_extract_links_and_host_counts(spark):
+    """Links found case-insensitively, trailing sentence punctuation
+    stripped, canonicalized (scheme/host case, www., default port,
+    tracking params), occurrence-deduped per doc; linkless docs emit
+    nothing; host census counts links and distinct citing docs."""
+    from knowledge_graph_spark.operators.urls import (
+        extract_links, host_citation_counts,
+    )
+
+    docs = spark.createDataFrame([
+        (1, "see HTTP://WWW.Ref.org:80/a?utm_source=x&b=1, and "
+            "(https://b.com/x)."),
+        (2, "plain text, no links"),
+        (3, "dup https://b.com/x! twice https://b.com/x and "
+            "https://c.net/y; end"),
+        (4, None),
+    ], "doc_id long, text string")
+    links = extract_links(docs)
+    got = sorted(tuple(r) for r in links.collect())
+    assert got == [
+        (1, "http://ref.org/a?b=1", "ref.org"),
+        (1, "https://b.com/x", "b.com"),
+        (3, "https://b.com/x", "b.com"),
+        (3, "https://c.net/y", "c.net"),
+    ]
+    hosts = sorted(tuple(r) for r in host_citation_counts(links).collect())
+    assert hosts == [("b.com", 2, 2), ("c.net", 1, 1), ("ref.org", 1, 1)]
+    raw = extract_links(docs, canonicalize=False).collect()
+    assert any(r["url"].startswith("HTTP://WWW.") for r in raw)
+
+
 def test_textrank_keywords_ranking_and_filters(spark):
     """The graph hub ('spark', co-occurring with everything) must rank
     first; words shorter than min_len never appear; isolated words
