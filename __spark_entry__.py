@@ -2588,6 +2588,57 @@ ORDER BY o_orderpriority
 """
 
 
+def _q_kmv_overlap(spark, sf_dir):
+    """KMV set-operation estimates (Beyer et al., SIGMOD 2007):
+    overlap between the customer sets of urgent/high-priority orders
+    and high/medium-priority orders, answered from the two bounded
+    sketches alone. The query exposes the three INTEGER columns
+    (n_kept, n_both, kth_min) — the float estimates are derivable and
+    small-denominator rounded ratios are exactly the cross-engine
+    rounding trap driver queries avoid. Full SQL oracle replays both
+    sketch builds, the combined K-selection, and the both-membership
+    count."""
+    from knowledge_graph_spark.operators.sketches import (
+        kmv_overlap, kmv_sketch)
+
+    orders = _t(spark, sf_dir, "orders")
+    key = F.col("o_custkey").cast("string")
+    a = kmv_sketch(
+        orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(key.alias("ck")), "ck")
+    b = kmv_sketch(
+        orders.filter(F.col("o_orderpriority").isin("2-HIGH", "3-MEDIUM"))
+        .select(key.alias("ck")), "ck")
+    return kmv_overlap(a, b).select("n_kept", "n_both", "kth_min")
+
+
+_SQL_KMV_OVERLAP = r"""
+WITH ha AS (
+  SELECT DISTINCT CAST(concat('0x',
+           substring(md5(CAST(o_custkey AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+ra AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk
+                      FROM ha) WHERE rk <= 256),
+hb AS (
+  SELECT DISTINCT CAST(concat('0x',
+           substring(md5(CAST(o_custkey AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+  FROM orders WHERE o_orderpriority IN ('2-HIGH', '3-MEDIUM')),
+rb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk
+                      FROM hb) WHERE rk <= 256),
+u AS (
+  SELECT COALESCE(ra.h, rb.h) AS h,
+         CASE WHEN ra.h IS NULL THEN 0 ELSE 1 END AS a,
+         CASE WHEN rb.h IS NULL THEN 0 ELSE 1 END AS b
+  FROM ra FULL OUTER JOIN rb ON ra.h = rb.h),
+ks AS (SELECT * FROM (SELECT u.*, row_number() OVER (ORDER BY h) AS rk
+                      FROM u) WHERE rk <= 256)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(a * b) AS BIGINT) AS n_both,
+       MAX(h) AS kth_min
+FROM ks
+"""
+
+
 def _q_kmv_merged(spark, sf_dir):
     """KMV mergeability, oracle-discriminated: Spark sketches the odd
     and even order keys SEPARATELY, merges the two sketches, and
@@ -3688,6 +3739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": _q_pq_codes,
         "pq_topk": _q_pq_topk,
         "kmv_distinct": _q_kmv_distinct,
+        "kmv_overlap": _q_kmv_overlap,
         "kmv_merged": _q_kmv_merged,
         "cms_freq": _q_cms_freq,
         "hll_distinct": _q_hll_distinct,
@@ -3768,6 +3820,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_codes": _SQL_PQ_CODES,
         "pq_topk": _SQL_PQ_TOPK,
         "kmv_distinct": _SQL_KMV_DISTINCT,
+        "kmv_overlap": _SQL_KMV_OVERLAP,
         # same direct-computation SQL: the Spark side goes through
         # sketch-halves + merge, so agreement proves the merge
         "kmv_merged": _SQL_KMV_DISTINCT,

@@ -94,7 +94,7 @@ def main():
         "embedding_topk", "embedding_neardups",
         "lm_perplexity", "nb_predictions", "bpe_encoded",
         "event_anomalies", "stratified_k",
-        "pq_topk", "kmv_distinct", "cms_freq",
+        "pq_topk", "kmv_distinct", "kmv_overlap", "cms_freq",
         "hll_distinct", "bloom_members", "fuzzy_part_names",
         "semantic_dedup",
         "url_canonical", "url_dup_groups", "weighted_sample",

@@ -171,6 +171,55 @@ def kmv_distinct(items: DataFrame, item_col: str,
         group_cols, k)
 
 
+def kmv_overlap(sketch_a: DataFrame, sketch_b: DataFrame,
+                k: int = 256) -> DataFrame:
+    """Set-operation estimates from two KMV sketches (Beyer et al.,
+    "On synopses for distinct-value estimation", SIGMOD 2007): ONE row
+    ``(n_kept, n_both, kth_min, est_union, jaccard,
+    est_intersection)`` — corpus-overlap answered from two bounded
+    summaries, never joining the raw streams.
+
+    The combined sketch is the K smallest hashes of the UNION of the
+    two kept-hash sets (K = min(k, available)); within it, the
+    fraction present in BOTH sketches estimates the Jaccard
+    similarity, union cardinality comes from the K-th minimum exactly
+    as :func:`kmv_estimate` (small-range correction included), and
+    intersection = jaccard * union. Error ~ 1/sqrt(k) on each factor.
+
+    Scale shape: both inputs are ≤ k rows by construction — the whole
+    computation is a broadcast-size full-outer join plus one bounded
+    (constant-keyed) window. Consumers needing hash-exact outputs
+    should use the three integer columns (n_kept/n_both/kth_min); the
+    float estimates are derivable from them (documented — small-
+    denominator rounded ratios are exactly the cross-engine rounding
+    trap the driver queries avoid)."""
+    a = sketch_a.select("_h").distinct().withColumn("_a", F.lit(1))
+    b = sketch_b.select("_h").distinct().withColumn("_b", F.lit(1))
+    both = (
+        a.join(b, "_h", "full_outer")
+        .select("_h", F.coalesce("_a", F.lit(0)).alias("_a"),
+                F.coalesce("_b", F.lit(0)).alias("_b"))
+    )
+    w = Window.partitionBy(F.col("_h") * 0).orderBy("_h")
+    kset = (
+        both.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+    )
+    n = F.count("*")
+    kth = F.max("_h")
+    est_union = F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(HASH_SPACE) / kth.cast("double"))
+    n_both = F.sum((F.col("_a") * F.col("_b")).cast("long"))
+    return kset.agg(
+        n.alias("n_kept"),
+        n_both.alias("n_both"),
+        kth.alias("kth_min"),
+        F.round(est_union, 4).alias("est_union"),
+        F.round(n_both / n, 6).alias("jaccard"),
+        F.round(n_both / n * est_union, 4).alias("est_intersection"),
+    )
+
+
 def kmv_distinct_tokens(docs: DataFrame, text_col: str = "text",
                         group_cols: list | None = None,
                         k: int = 256) -> DataFrame:

@@ -397,3 +397,34 @@ def test_dd_sketch_rejects_bad_alpha_and_nonpositive(spark):
     rows = dd_quantile(sk, [0.5]).collect()
     assert len(rows) == 1
     assert abs(rows[0]["estimate"] - 5) <= 0.01 * 5 * 1.0001
+
+
+def test_kmv_overlap_estimates_accuracy_and_exact_small_range(spark):
+    """Two streams with known overlap: in the small range (< k) the
+    combined sketch IS the exact union, so n_kept/n_both/estimates are
+    exact; at large range the Jaccard/intersection estimates land
+    within the ~1/sqrt(k) error band."""
+    from knowledge_graph_spark.operators.sketches import (
+        kmv_overlap, kmv_sketch,
+    )
+
+    # exact regime: |A|=120, |B|=100, |A∩B|=60 (< k=256 everywhere)
+    a_items = [str(i) for i in range(120)]
+    b_items = [str(i) for i in range(60, 160)]
+    a = kmv_sketch(spark.createDataFrame([(x,) for x in a_items], "v string"), "v")
+    b = kmv_sketch(spark.createDataFrame([(x,) for x in b_items], "v string"), "v")
+    r = kmv_overlap(a, b).first()
+    assert r["n_kept"] == 160 and r["n_both"] == 60
+    assert r["est_union"] == 160.0
+    assert abs(r["est_intersection"] - 60.0) < 1e-9
+    # estimation regime: |A|=|B|=4000, overlap 2000 -> union 6000,
+    # jaccard 1/3; k=256 gives ~6% per-factor error
+    a2_items = [f"a{i}" for i in range(2000)] + [f"s{i}" for i in range(2000)]
+    b2_items = [f"b{i}" for i in range(2000)] + [f"s{i}" for i in range(2000)]
+    a2 = kmv_sketch(spark.createDataFrame([(x,) for x in a2_items], "v string"), "v")
+    b2 = kmv_sketch(spark.createDataFrame([(x,) for x in b2_items], "v string"), "v")
+    r2 = kmv_overlap(a2, b2).first()
+    assert r2["n_kept"] == 256
+    assert abs(r2["est_union"] - 6000) / 6000 < 0.2
+    assert abs(r2["jaccard"] - 1 / 3) < 0.12
+    assert abs(r2["est_intersection"] - 2000) / 2000 < 0.35
