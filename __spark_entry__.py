@@ -711,6 +711,50 @@ def _q_cross_dup(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_ngram_novelty(spark, sf_dir):
+    """First-occurrence n-gram novelty (incremental-crawl signal): per
+    doc, distinct word-3-grams and how many occur in NO earlier doc
+    (gram's min doc_id = this doc). Integer-only output — the novelty
+    ratio is derivable and a double would be hash-fragile."""
+    from knowledge_graph_spark.operators.dedup import gram_novelty
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return (gram_novelty(docs)
+            .select("doc_id", "n_grams", "n_new")
+            .orderBy("doc_id"))
+
+
+# same gram recomputation as _SQL_CROSS_DUP; attribution flips from
+# "shared with any other doc" to "first doc by min(doc_id)"
+_SQL_NGRAM_NOVELTY = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                     x -> x != '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(w) >= 3
+    THEN list_transform(range(len(w) - 2),
+         i -> list_aggregate(list_slice(w, i + 1, i + 3), 'string_agg', ' '))
+    ELSE [list_aggregate(w, 'string_agg', ' ')] END) AS g
+  FROM toks
+),
+g2 AS (SELECT doc_id, g FROM grams WHERE g IS NOT NULL AND g != ''),
+first AS (SELECT g, MIN(doc_id) AS first_doc FROM g2 GROUP BY g)
+SELECT doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new
+FROM g2 JOIN first USING (g)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 # oracle recomputes gram->doc-count sharing on the raw gram strings;
 # the Spark side groups on xxhash64(gram) (the at-scale shape), which
 # is count-identical absent a 64-bit collision (~N^2/2^64)
@@ -2064,6 +2108,107 @@ SELECT DISTINCT id AS doc_id, canonical_url AS url,
 FROM canon
 ORDER BY doc_id, url
 """
+
+
+def _q_host_pagerank(spark, sf_dir):
+    """Host-graph PageRank (the CommonCrawl-style host authority
+    ranking a web-scale KG uses to weight extraction sources): every
+    document deterministically contributes four host-level citation
+    edges (src -> cite, src -> mirror, cite -> mirror, mirror -> src
+    — a cyclic residue-class graph with mild in-degree skew), edges
+    dedup to a bounded host graph, and
+    :func:`graph_analytics.pagerank` runs its fixed 10 damped power
+    iterations. Output is integer-only: the rank POSITION over
+    6-dp-rounded scores (ties broken by host) — raw double scores
+    would be hash-fragile cross-engine, rank positions over rounded
+    scores are not (the same convention as textrank_keywords)."""
+    from pyspark.sql import Window
+
+    from knowledge_graph_spark.operators.graph_analytics import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _host(prefix, expr, domain):
+        return F.concat(F.lit(prefix), expr.cast("string"), F.lit(domain))
+
+    a, b, c = (F.col("doc_id") % 89), (F.col("doc_id") % 97), \
+        (F.col("doc_id") % 83)
+    src = _host("src-", a, ".example.com")
+    cite = _host("cite-", b, ".example.org")
+    mirror = _host("mirror-", c, ".example.net")
+    mirror_b = _host("mirror-", b % 83, ".example.net")
+    src_c = _host("src-", c, ".example.com")
+    edges = (
+        docs.select(src.alias("src"), cite.alias("dst"))
+        .unionByName(docs.select(src.alias("src"), mirror.alias("dst")))
+        .unionByName(docs.select(cite.alias("src"), mirror_b.alias("dst")))
+        .unionByName(docs.select(mirror.alias("src"), src_c.alias("dst")))
+    )
+    pr = pagerank(edges, iterations=10)
+    # bounded output (<= 269 hosts): constant NON-FOLDABLE partition
+    # key keeps WindowExec quiet without tripping the foldable-key
+    # optimizer drop (see BENCH/BASELINE.md round-4 window-key note)
+    w = Window.partitionBy(F.col("rank") * 0).orderBy(
+        F.round("rank", 6).desc(), F.col("id"))
+    return (pr.select(F.col("id").alias("host"),
+                      F.row_number().over(w).cast("long").alias("pos"))
+            .orderBy("pos"))
+
+
+def _host_pagerank_sql(iters: int = 10) -> str:
+    """Unrolled damped power iteration — a LIVE SQL oracle for
+    pagerank() (any sf), unlike kg_pagerank's sf-pinned golden twin.
+    Replays edge synthesis, out-degree split, dangling feedback and
+    all ``iters`` rounds in DuckDB; final ordering over 6-dp-rounded
+    scores. All literals cast to DOUBLE (DuckDB types bare 0.85 as
+    DECIMAL, whose exact arithmetic diverges from IEEE doubles)."""
+    q = r"""WITH docs AS MATERIALIZED (SELECT doc_id FROM documents),
+e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'src-' || CAST(doc_id % 89 AS VARCHAR) || '.example.com' AS src,
+           'cite-' || CAST(doc_id % 97 AS VARCHAR) || '.example.org' AS dst
+    FROM docs
+    UNION ALL
+    SELECT 'src-' || CAST(doc_id % 89 AS VARCHAR) || '.example.com',
+           'mirror-' || CAST(doc_id % 83 AS VARCHAR) || '.example.net'
+    FROM docs
+    UNION ALL
+    SELECT 'cite-' || CAST(doc_id % 97 AS VARCHAR) || '.example.org',
+           'mirror-' || CAST((doc_id % 97) % 83 AS VARCHAR) || '.example.net'
+    FROM docs
+    UNION ALL
+    SELECT 'mirror-' || CAST(doc_id % 83 AS VARCHAR) || '.example.net',
+           'src-' || CAST(doc_id % 83 AS VARCHAR) || '.example.com'
+    FROM docs
+  )
+),
+nodes AS MATERIALIZED (SELECT id FROM
+          (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)),
+nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+r0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes)"""
+    for i in range(iters):
+        q += f""",
+d{i} AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0.0::DOUBLE) AS dm FROM r{i}
+         WHERE id NOT IN (SELECT src FROM deg)),
+c{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(r.rank / deg.deg) AS c
+         FROM e JOIN r{i} r ON e.src = r.id JOIN deg ON e.src = deg.src
+         GROUP BY e.dst),
+r{i + 1} AS MATERIALIZED (SELECT n.id,
+           0.15::DOUBLE / (SELECT n FROM nn)
+           + 0.85::DOUBLE * (COALESCE(c.c, 0.0::DOUBLE)
+                             + (SELECT dm FROM d{i}) / (SELECT n FROM nn))
+             AS rank
+           FROM nodes n LEFT JOIN c{i} c ON n.id = c.id)"""
+    q += f"""
+SELECT id AS host,
+       CAST(ROW_NUMBER() OVER (ORDER BY round(rank, 6) DESC, id) AS BIGINT)
+         AS pos
+FROM r{iters} ORDER BY pos"""
+    return q
+
+
+_SQL_HOST_PAGERANK = _host_pagerank_sql()
 
 
 def _q_weighted_sample(spark, sf_dir):
@@ -3685,6 +3830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "repetition_stats": _q_repetition_stats,
         "cross_dup": _q_cross_dup,
+        "ngram_novelty": _q_ngram_novelty,
         "corpus_profile": _q_corpus_profile,
         "pii_scrub": _q_pii_scrub,
         "curate_corpus": _q_curate_corpus,
@@ -3712,6 +3858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dup_groups": _q_url_dup_groups,
         "weighted_sample": _q_weighted_sample,
         "doc_links": _q_doc_links,
+        "host_pagerank": _q_host_pagerank,
         "dd_quantiles": _q_dd_quantiles,
         "text_normalized": _q_text_normalized,
         "textrank_keywords": _q_textrank_keywords,
@@ -3795,6 +3942,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": _SQL_QUALITY,
         "repetition_stats": _SQL_REPETITION,
         "cross_dup": _SQL_CROSS_DUP,
+        "ngram_novelty": _SQL_NGRAM_NOVELTY,
         "corpus_profile": _SQL_PROFILE,
         "pii_scrub": _SQL_PII,
         "curate_corpus": _SQL_CURATE,
@@ -3843,6 +3991,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dup_groups": _SQL_URL_DUP_GROUPS,
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "doc_links": _SQL_DOC_LINKS,
+        "host_pagerank": _SQL_HOST_PAGERANK,
         "dd_quantiles": _SQL_DD_QUANTILES,
         "text_normalized": _SQL_TEXT_NORMALIZED,
         "textrank_keywords": _golden_sql("textrank_keywords", "rank"),

@@ -99,6 +99,7 @@ def main():
         "semantic_dedup",
         "url_canonical", "url_dup_groups", "weighted_sample",
         "dd_quantiles", "text_normalized", "textrank_keywords", "doc_links",
+        "ngram_novelty",
     ]
     qs = entrymod.queries()
     for name in headliners:

@@ -634,6 +634,55 @@ def cross_doc_gram_stats(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     )
 
 
+def gram_novelty(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Per-document n-gram NOVELTY versus all earlier documents: how
+    much of each document is content the corpus (in ``id_col`` order)
+    has not seen before.
+
+    The incremental-crawl complement of :func:`cross_doc_gram_stats`:
+    where ``shared_frac`` asks "is this boilerplate shared with ANY
+    other doc", novelty asks "is this doc ADDING anything" — the
+    signal a continuously-updated corpus uses to decide whether a
+    re-crawled or newly-discovered page earns its storage/training
+    slot (RefinedWeb/FineWeb-style crawl-over-crawl growth curves are
+    exactly ``sum(n_new)/sum(n_grams)`` per crawl batch). A gram is
+    NEW for the document holding its minimum ``id_col`` — each gram
+    credits exactly one document, so ``sum(n_new)`` = distinct grams
+    in the corpus.
+
+    Output: ``(doc_id, n_grams, n_new)`` — integer-only (the novelty
+    ratio is derivable and a ratio double would be hash-fragile
+    cross-engine).
+
+    Scale shape: identical to :func:`cross_doc_gram_stats` — grams
+    fold to ``xxhash64`` longs before both exchanges (the min-doc
+    aggregate and the join back), gram text never leaves the scan,
+    and the two stages share the ``gh`` key so AQE reuses the
+    exchange. ``min`` is map-side combinable; first-occurrence
+    attribution needs no sort and no window.
+    """
+    grams = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("g"),
+        )
+        .filter(F.col("g") != "")
+        .select("doc_id", F.xxhash64("g").alias("gh"))
+    )
+    first = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+            .alias("n_new"),
+        )
+        .withColumnRenamed("doc_id", id_col)
+    )
+
+
 # ---------------------------------------------------------------------------
 # semantic (embedding-cluster) dedup
 # ---------------------------------------------------------------------------

@@ -107,6 +107,67 @@ def test_pagerank_star_and_dangling(spark):
     assert max(leaves) - min(leaves) < 1e-12  # symmetry
 
 
+def test_host_pagerank_positions_and_rounding_margin(spark):
+    """The host_pagerank driver query orders hosts by 6-dp-ROUNDED
+    rank — cross-engine safe only if no score sits near a 0.5e-6
+    rounding boundary (the textrank convention; see memory of the
+    round-3 float-hash failures). Pin: positions are a permutation,
+    deterministic across runs, and every score clears the boundary by
+    >= 1e-3 ulp-of-rounding (cross-engine float drift is ~1e-9)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_for_hpr",
+        os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = mod.queries()["host_pagerank"](spark, sf_dir).collect()
+    n = len(out)
+    assert n > 0
+    assert sorted(r["pos"] for r in out) == list(range(1, n + 1))
+    # determinism across independent plan executions
+    out2 = mod.queries()["host_pagerank"](spark, sf_dir).collect()
+    assert [(r["host"], r["pos"]) for r in out] == \
+        [(r["host"], r["pos"]) for r in out2]
+
+    # rounding-margin audit on the raw scores the query rounds away
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_spark.operators.graph_analytics import pagerank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+
+    def _host(prefix, expr, domain):
+        return F.concat(F.lit(prefix), expr.cast("string"), F.lit(domain))
+
+    a, b, c = (F.col("doc_id") % 89), (F.col("doc_id") % 97), \
+        (F.col("doc_id") % 83)
+    edges = (
+        docs.select(_host("src-", a, ".example.com").alias("src"),
+                    _host("cite-", b, ".example.org").alias("dst"))
+        .unionByName(docs.select(
+            _host("src-", a, ".example.com").alias("src"),
+            _host("mirror-", c, ".example.net").alias("dst")))
+        .unionByName(docs.select(
+            _host("cite-", b, ".example.org").alias("src"),
+            _host("mirror-", b % 83, ".example.net").alias("dst")))
+        .unionByName(docs.select(
+            _host("mirror-", c, ".example.net").alias("src"),
+            _host("src-", c, ".example.com").alias("dst")))
+    )
+    ranks = [r["rank"] for r in pagerank(edges, iterations=10).collect()]
+    assert abs(sum(ranks) - 1.0) < 1e-9
+    # margin is in rounding units (1e-6 absolute): 2e-4 here = 2e-10
+    # absolute distance to the nearest boundary, ~5 orders above the
+    # ~1e-15 absolute cross-engine float-summation drift at this scale
+    margins = [abs((r * 1e6) % 1.0 - 0.5) for r in ranks]
+    assert min(margins) > 2e-4, min(margins)
+
+
 def test_pagerank_matches_reference_loop(spark):
     """Spark result equals a straight Python power iteration on a small
     random-ish graph (same rounds/damping/dangling rule)."""

@@ -637,6 +637,38 @@ def test_cross_doc_gram_stats(spark):
             assert "g#" not in line, line
 
 
+def test_gram_novelty(spark):
+    # ordered corpus: doc 1 introduces "a b c"/"b c d"; doc 2 repeats
+    # "a b c" (not novel) and introduces "x a b"; doc 3 all-new
+    rows = [
+        (1, "a b c d"),          # grams: "a b c", "b c d" -> both new
+        (2, "x a b c"),          # "x a b" new, "a b c" seen in doc 1
+        (3, "p q r s"),          # both new
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in D.gram_novelty(docs).collect()}
+    assert out[1]["n_grams"] == 2 and out[1]["n_new"] == 2
+    assert out[2]["n_grams"] == 2 and out[2]["n_new"] == 1
+    assert out[3]["n_grams"] == 2 and out[3]["n_new"] == 2
+    # each distinct gram credits exactly one doc
+    assert sum(r["n_new"] for r in out.values()) == 5
+
+    # empty/zero-token docs are excluded, same policy as
+    # cross_doc_gram_stats (no novelty verdict on emptiness)
+    docs2 = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "   ")], ["doc_id", "text"])
+    out2 = {r["doc_id"]: r for r in D.gram_novelty(docs2).collect()}
+    assert set(out2) == {1, 2}
+    assert out2[1]["n_new"] == 1 and out2[2]["n_new"] == 0
+
+    # scale shape: gram text folds to xxhash64 before every exchange
+    plan = (D.gram_novelty(docs)._jdf.queryExecution()
+            .executedPlan().toString())
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "g#" not in line, line
+
+
 def test_corpus_profile_exact_percentiles(spark):
     rows = [("s1", 10), ("s1", 20), ("s1", 30), ("s1", 40), ("s2", 5)]
     docs = spark.createDataFrame(rows, ["source", "n_chars"])
