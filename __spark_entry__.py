@@ -711,6 +711,95 @@ def _q_cross_dup(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_containment(spark, sf_dir):
+    """Asymmetric containment verification (Broder): every 5th doc
+    gets a deterministic EXCERPT twin (first half of its tokens) and
+    the pair (excerpt, original) must come back with inter == sz_a
+    (full containment) even though Jaccard ~ 0.5; every 3rd doc is
+    also paired with its neighbor as a low-overlap control. Integer
+    ingredients only (inter, sz_a, sz_b) — both containment
+    directions and Jaccard are row-local divisions downstream."""
+    from knowledge_graph_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.withColumn(
+        "w",
+        F.expr("filter(split(lower(text), '[^\\\\p{L}\\\\p{N}]+'), "
+               "x -> x != '')"),
+    ).filter(F.size("w") > 0)
+    base = toks.select("doc_id", "text")
+    exc = (
+        toks.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 10000000).alias("doc_id"),
+            F.expr("array_join(slice(w, 1, greatest(int(size(w)/2), 1)), "
+                   "' ')").alias("text"),
+        )
+    )
+    corpus = base.unionByName(exc)
+    p1 = (toks.filter(F.col("doc_id") % 5 == 0)
+          .select((F.col("doc_id") + 10000000).alias("id_a"),
+                  F.col("doc_id").alias("id_b")))
+    p2 = (toks.filter(F.col("doc_id") % 3 == 0)
+          .select(F.col("doc_id").alias("id_a"),
+                  (F.col("doc_id") + 1).alias("id_b")))
+    pairs = p1.unionByName(p2)
+    return containment_pairs(corpus, pairs).orderBy("id_a", "id_b")
+
+
+# excerpt construction is token-slice identity: tokens are [L N]+ runs
+# joined by ' ', so re-tokenizing the excerpt text returns the slice —
+# the oracle grams the sliced token list directly
+_SQL_CONTAINMENT = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                     x -> x != '') AS w
+  FROM documents
+),
+tok AS (SELECT doc_id, w FROM base WHERE len(w) > 0),
+corpus AS (
+  SELECT doc_id, w FROM tok
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id,
+         list_slice(w, 1, greatest(len(w) // 2, 1)) AS w
+  FROM tok WHERE doc_id % 5 = 0
+),
+grams AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(w) >= 3
+    THEN list_transform(range(len(w) - 2),
+         i -> list_aggregate(list_slice(w, i + 1, i + 3), 'string_agg', ' '))
+    ELSE [list_aggregate(w, 'string_agg', ' ')] END) AS g
+  FROM corpus
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+pairs AS (
+  SELECT doc_id + 10000000 AS id_a, doc_id AS id_b
+  FROM tok WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id AS id_a, doc_id + 1 AS id_b
+  FROM tok WHERE doc_id % 3 = 0
+),
+i AS (
+  SELECT p.id_a, p.id_b, COUNT(*) AS inter
+  FROM pairs p
+  JOIN grams ga ON ga.doc_id = p.id_a
+  JOIN grams gb ON gb.doc_id = p.id_b AND gb.g = ga.g
+  GROUP BY p.id_a, p.id_b
+)
+SELECT p.id_a, p.id_b,
+       CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
+       CAST(za.sz AS BIGINT) AS sz_a,
+       CAST(zb.sz AS BIGINT) AS sz_b
+FROM pairs p
+LEFT JOIN i ON i.id_a = p.id_a AND i.id_b = p.id_b
+JOIN sizes za ON za.doc_id = p.id_a
+JOIN sizes zb ON zb.doc_id = p.id_b
+ORDER BY p.id_a, p.id_b
+"""
+
+
 def _q_ngram_novelty(spark, sf_dir):
     """First-occurrence n-gram novelty (incremental-crawl signal): per
     doc, distinct word-3-grams and how many occur in NO earlier doc
@@ -3831,6 +3920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "cross_dup": _q_cross_dup,
         "ngram_novelty": _q_ngram_novelty,
+        "containment": _q_containment,
         "corpus_profile": _q_corpus_profile,
         "pii_scrub": _q_pii_scrub,
         "curate_corpus": _q_curate_corpus,
@@ -3943,6 +4033,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _SQL_REPETITION,
         "cross_dup": _SQL_CROSS_DUP,
         "ngram_novelty": _SQL_NGRAM_NOVELTY,
+        "containment": _SQL_CONTAINMENT,
         "corpus_profile": _SQL_PROFILE,
         "pii_scrub": _SQL_PII,
         "curate_corpus": _SQL_CURATE,

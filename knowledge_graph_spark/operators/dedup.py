@@ -334,6 +334,47 @@ def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame,
     )
 
 
+def containment_pairs(docs: DataFrame, pairs: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 3) -> DataFrame:
+    """Exact ASYMMETRIC containment ingredients over word-n-gram sets
+    for given ``(id_a, id_b)`` pairs: ``C(A,B) = |A∩B| / |A|``
+    (Broder 1997's resemblance/containment split). Containment is the
+    signal symmetric Jaccard structurally misses: an excerpt, quote
+    page or aggregator rewrap of a long document has C(A,B) ~ 1 while
+    J(A,B) ~ |A|/|B| can sit far below any near-dup threshold.
+
+    Returns integer-only ``(id_a, id_b, inter, sz_a, sz_b)`` — both
+    containment directions and Jaccard are row-local divisions the
+    caller applies (and ratio doubles are hash-fragile cross-engine).
+
+    Scale shape: same as :func:`ngram_jaccard_pairs` — candidate
+    ``pairs`` come from an LSH blocking stage, never O(N²); the
+    intersection is a shingle-keyed join on the candidate set only,
+    sizes come from a pre-aggregated per-doc table."""
+    sh = shingle_table(docs, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+
+    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(za, "id_a").join(zb, "id_b")
+        .select("id_a", "id_b",
+                F.coalesce("inter", F.lit(0)).cast("long").alias("inter"),
+                F.col("sz_a").cast("long").alias("sz_a"),
+                F.col("sz_b").cast("long").alias("sz_b"))
+    )
+
+
 def dedup_minhash(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3,
                   threshold: float = 0.7) -> DataFrame:

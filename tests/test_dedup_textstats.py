@@ -84,6 +84,24 @@ def test_jaccard_identical_is_one(spark):
     assert out[(1, 3)] == pytest.approx(0.0)
 
 
+def test_containment_excerpt_vs_disjoint(spark):
+    # doc 2 is a strict prefix-excerpt of doc 1: containment C(2,1)=1
+    # even though Jaccard is well below near-dup thresholds; doc 3
+    # shares nothing.
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e"), (3, "x y z w v")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(2, 1), (3, 1)], "id_a long, id_b long")
+    out = {(r["id_a"], r["id_b"]): r
+           for r in D.containment_pairs(docs, pairs, n=3).collect()}
+    full = out[(2, 1)]
+    assert full["inter"] == full["sz_a"] == 3      # 5 words -> 3 trigrams
+    assert full["sz_b"] == 8                       # 10 words -> 8 trigrams
+    assert full["inter"] < full["sz_b"]            # Jaccard 3/8 < threshold
+    assert out[(3, 1)]["inter"] == 0
+
+
 def test_dedup_minhash_survivors(spark, docs):
     sample = docs.orderBy("doc_id").limit(50)
     clones = sample.limit(3).select(
