@@ -800,6 +800,148 @@ ORDER BY p.id_a, p.id_b
 """
 
 
+def _q_boilerplate_strip(spark, sf_dir):
+    """CCNet/RefinedWeb-style line-level page cleaning: each doc is
+    wrapped into a deterministic multi-line page (global nav header on
+    every page, cookie banner on every 2nd, one of 4 mirror footers,
+    a short unique 'Ref N' junk line on every 3rd, plus the doc's two
+    real content lines). strip_boilerplate must drop the header /
+    banner / footer by CORPUS FREQUENCY (>15% of docs share the
+    line), drop 'Ref N' by the short-no-punctuation rule, and keep
+    the content. Integer counters + reassembled clean_text."""
+    from knowledge_graph_spark.operators.cleaning import strip_boilerplate
+    from knowledge_graph_spark.functions.vectors import ws_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.coalesce(ws_tokens("text"), F.array())
+    pages = (
+        docs.select("doc_id", w.alias("_w"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.lit("Home | About | Contact"),
+                F.concat(F.expr("array_join(slice(_w, 1, "
+                                "int(ceil(size(_w) / 2))), ' ')"),
+                         F.lit(".")),
+                F.when(F.col("doc_id") % 2 == 0,
+                       F.lit("We use cookies to improve your "
+                             "experience.")),
+                F.concat(F.expr(
+                    "array_join(slice(_w, int(ceil(size(_w) / 2)) + 1, "
+                    "greatest(size(_w) - int(ceil(size(_w) / 2)), 0)), "
+                    "' ')"), F.lit(".")),
+                F.concat(F.lit("(c) 2026 mirror-"),
+                         (F.col("doc_id") % 4).cast("string"),
+                         F.lit(".example.org")),
+                F.when(F.col("doc_id") % 3 == 0,
+                       F.concat(F.lit("Ref "),
+                                F.col("doc_id").cast("string"))),
+            ).alias("text"),
+        )
+    )
+    return strip_boilerplate(
+        pages, min_line_chars=20, max_doc_frac=0.15, min_docs=2
+    ).orderBy("doc_id")
+
+
+_SQL_BOILERPLATE = r"""
+WITH w0 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),
+                     x -> x != '') AS w
+  FROM documents
+),
+inj AS (
+  SELECT doc_id,
+    concat_ws(chr(10),
+      'Home | About | Contact',
+      array_to_string(w[1 : (len(w) + 1) // 2], ' ') || '.',
+      CASE WHEN doc_id % 2 = 0
+           THEN 'We use cookies to improve your experience.' END,
+      array_to_string(w[(len(w) + 1) // 2 + 1 : len(w)], ' ') || '.',
+      '(c) 2026 mirror-' || CAST(doc_id % 4 AS VARCHAR) || '.example.org',
+      CASE WHEN doc_id % 3 = 0
+           THEN 'Ref ' || CAST(doc_id AS VARCHAR) END
+    ) AS text
+  FROM w0
+),
+l AS (
+  SELECT doc_id, i, ls[i] AS line, lower(trim(ls[i])) AS nline
+  FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM inj))
+),
+freq AS (
+  SELECT nline
+  FROM (SELECT nline, COUNT(DISTINCT doc_id) AS nd FROM l GROUP BY nline)
+  WHERE nd > GREATEST(2, CAST(CAST(0.15 AS DOUBLE)
+                              * (SELECT COUNT(*) FROM documents) AS BIGINT))
+),
+f AS (
+  SELECT doc_id, i, line,
+         (nline IN (SELECT nline FROM freq)) AS drop_freq,
+         (nline NOT IN (SELECT nline FROM freq)
+          AND length(trim(line)) < 20
+          AND NOT regexp_matches(trim(line), '[.!?。！？]$')) AS drop_short
+  FROM l
+)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_lines,
+       SUM(CASE WHEN NOT drop_freq AND NOT drop_short THEN 1
+                ELSE 0 END)::BIGINT AS n_kept,
+       SUM(CASE WHEN drop_freq THEN 1 ELSE 0 END)::BIGINT AS n_dropped_freq,
+       SUM(CASE WHEN drop_short THEN 1 ELSE 0 END)::BIGINT
+         AS n_dropped_short,
+       COALESCE(string_agg(
+         CASE WHEN NOT drop_freq AND NOT drop_short THEN line END,
+         chr(10) ORDER BY i), '') AS clean_text
+FROM f GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _q_span_corruption(spark, sf_dir):
+    """T5 span-corruption denoising pairs over the documents table:
+    deterministic spans (positions [20k+3, 20k+6) per doc), sentinel
+    input/target assembly exactly in T5's format. Integer counts +
+    sentinel strings only — nothing hash-fragile."""
+    from knowledge_graph_spark.operators.packing import span_corruption
+
+    return span_corruption(
+        _t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_SQL_SPAN_CORRUPTION = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),
+                     x -> x != '') AS w
+  FROM documents
+),
+n AS (
+  SELECT doc_id, w, len(w) AS n,
+         CASE WHEN len(w) > 3 THEN (len(w) - 4) // 20 + 1
+              ELSE 0 END AS ns
+  FROM t
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(ns AS BIGINT) AS n_spans,
+       array_to_string(list_filter(list_transform(range(n), i ->
+         CASE WHEN i % 20 = 3
+              THEN '<extra_id_' || CAST(i // 20 AS VARCHAR) || '>'
+              WHEN i % 20 >= 3 AND i % 20 < 6 THEN NULL
+              ELSE w[i + 1] END), x -> x IS NOT NULL), ' ')
+         AS input_text,
+       CASE WHEN ns > 0 THEN
+         array_to_string(list_transform(range(ns), k ->
+           '<extra_id_' || CAST(k AS VARCHAR) || '> ' ||
+           array_to_string(w[k * 20 + 4 : k * 20 + 6], ' ')), ' ')
+         || ' <extra_id_' || CAST(ns AS VARCHAR) || '>'
+       ELSE '<extra_id_0>' END AS target_text
+FROM n ORDER BY doc_id
+"""
+
+
 def _q_ngram_novelty(spark, sf_dir):
     """First-occurrence n-gram novelty (incremental-crawl signal): per
     doc, distinct word-3-grams and how many occur in NO earlier doc
@@ -3921,6 +4063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_dup": _q_cross_dup,
         "ngram_novelty": _q_ngram_novelty,
         "containment": _q_containment,
+        "boilerplate_strip": _q_boilerplate_strip,
+        "span_corruption": _q_span_corruption,
         "corpus_profile": _q_corpus_profile,
         "pii_scrub": _q_pii_scrub,
         "curate_corpus": _q_curate_corpus,
@@ -4034,6 +4178,8 @@ def oracle_sql() -> dict[str, str]:
         "cross_dup": _SQL_CROSS_DUP,
         "ngram_novelty": _SQL_NGRAM_NOVELTY,
         "containment": _SQL_CONTAINMENT,
+        "boilerplate_strip": _SQL_BOILERPLATE,
+        "span_corruption": _SQL_SPAN_CORRUPTION,
         "corpus_profile": _SQL_PROFILE,
         "pii_scrub": _SQL_PII,
         "curate_corpus": _SQL_CURATE,

@@ -1,0 +1,121 @@
+# -*- coding: utf-8 -*-
+"""Line-level page cleaning: corpus-frequency boilerplate removal.
+
+Web pages carry chrome — navigation headers, cookie banners, footers,
+share buttons — that repeats across a site (or the whole crawl) and
+poisons LLM training data with millions of copies of "Home | About |
+Contact". The standard fix (CCNet, Wenzek et al. 2020 §3.1; RefinedWeb,
+Penedo et al. 2023 §3.2 line-wise filters) is line/paragraph-unit:
+hash every line, count how many DISTINCT documents each line appears
+in, and drop lines that are (a) shared by more than a threshold
+fraction of the corpus — boilerplate by frequency — or (b) too short
+to be prose and not punctuation-terminated — navigation junk.
+
+This is deliberately a different unit than :func:`..dedup.span_dedup`
+(fixed 8-word blocks, global first-occurrence survives: the FIRST copy
+is kept) — here a frequent line is boilerplate and EVERY copy is
+dropped, including the first, because page chrome has no canonical
+owner.
+
+Scale shape: one explode to ``(line_hash, doc_id)`` pairs (the line
+BODY rides only until the hash is computed; the frequency exchange
+moves ``(long, long)``), one distinct + groupBy to get per-line doc
+frequencies, one hash-keyed join back, and one groupBy(doc_id) to
+reassemble. The frequent-line set is the join's build side and is
+bounded by the corpus's distinct-line count; the reassembly
+``collect_list`` is bounded by a single page's line count. The total
+document count rides in-plan as a broadcast 1-row aggregate — no
+driver-side ``count()`` action.
+
+Not in the reference (it has no corpus-cleaning stage); semantics from
+the public CCNet/RefinedWeb recipes cited above.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def strip_boilerplate(pages: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      min_line_chars: int = 20,
+                      max_doc_frac: float = 0.3,
+                      min_docs: int = 2) -> DataFrame:
+    """Drop boilerplate lines from newline-separated page text.
+
+    A line is dropped as **frequent** when its normalized form
+    (trimmed, lowercased) appears in more than
+    ``greatest(min_docs, max_doc_frac * total_docs)`` distinct
+    documents; a surviving line is dropped as **short** when it has
+    fewer than ``min_line_chars`` characters AND does not end in
+    terminal punctuation (``. ! ? 。 ！ ？``) — prose sentences pass,
+    "Share" buttons don't. Frequency wins when both apply (the
+    dropped-short counter only sees non-frequent lines), so the two
+    counters partition the dropped set.
+
+    Returns ``(doc_id, n_lines, n_kept, n_dropped_freq,
+    n_dropped_short, clean_text)`` — ``clean_text`` is the kept lines
+    re-joined with ``\\n`` in original order. Every input row
+    survives (a fully-boilerplate page comes back with
+    ``n_kept = 0`` and empty text), so lineage joins never lose
+    documents.
+    """
+    if not 0.0 < max_doc_frac <= 1.0:
+        raise ValueError(
+            f"max_doc_frac must be in (0, 1] (got {max_doc_frac})")
+    lines = (
+        pages.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+            ).alias("idx", "line"),
+        )
+        .withColumn("lkey", F.xxhash64(F.lower(F.trim("line"))))
+    )
+
+    # per-line document frequency: distinct (lkey, doc_id) first so a
+    # line repeated WITHIN one page counts that page once
+    line_df = (
+        lines.select("lkey", "doc_id").distinct()
+        .groupBy("lkey").agg(F.count("*").alias("n_docs_with"))
+    )
+    total = pages.select(
+        F.count("*").cast("long").alias("_total_docs"))
+    cutoff = (
+        line_df.join(F.broadcast(total))
+        .filter(
+            F.col("n_docs_with")
+            > F.greatest(F.lit(min_docs),
+                         (F.lit(float(max_doc_frac))
+                          * F.col("_total_docs")).cast("long")))
+        .select("lkey", F.lit(True).alias("is_freq"))
+    )
+
+    terminal = r".*[.!?。！？]\s*$"
+    flagged = (
+        lines.join(cutoff, "lkey", "left")
+        .withColumn("drop_freq", F.coalesce("is_freq", F.lit(False)))
+        .withColumn(
+            "drop_short",
+            (~F.col("drop_freq"))
+            & (F.length(F.trim("line")) < min_line_chars)
+            & (~F.trim("line").rlike(terminal)),
+        )
+        .withColumn("keep", ~F.col("drop_freq") & ~F.col("drop_short"))
+    )
+    # array_sort on struct(idx, ...) orders by idx: original line order
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum(F.col("drop_freq").cast("long")).alias("n_dropped_freq"),
+            F.sum(F.col("drop_short").cast("long")).alias("n_dropped_short"),
+            F.concat_ws(
+                "\n",
+                F.expr("transform(filter(array_sort(collect_list("
+                       "struct(idx, keep, line))), s -> s.keep), "
+                       "s -> s.line)"),
+            ).alias("clean_text"),
+        )
+    )

@@ -168,6 +168,87 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int,
     )
 
 
+def span_corruption(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", period: int = 20,
+                    span_len: int = 3) -> DataFrame:
+    """T5-style span-corruption pair construction (Raffel et al., JMLR
+    2020 §3.1.4): replace token spans with sentinel tokens to build
+    (input, target) denoising examples. T5 samples spans randomly
+    (15% corruption, mean span 3); reproducible data pipelines need
+    the DETERMINISTIC equivalent, so span ``k`` here covers token
+    positions ``[k*period + off, k*period + off + span_len)`` for a
+    fixed offset — exactly ``span_len/period`` corruption (3/20 =
+    15%) at the canonical span length, and the same document always
+    yields the same example.
+
+    Input text: each span collapses to ``<extra_id_k>`` (k sequential
+    from 0). Target text: ``<extra_id_0> span0 <extra_id_1> span1 ...
+    <extra_id_K>`` with the final sentinel as the end marker, exactly
+    T5's target format. Empty/NULL text yields zero spans, empty
+    input, and the bare final sentinel ``<extra_id_0>``.
+
+    Returns ``(doc_id, n_tokens, n_spans, input_text, target_text)``.
+
+    Scale shape: zero shuffles — tokenization, the indexed
+    ``transform``/``filter`` over positions, and the sentinel
+    assembly are all row-local whole-stage codegen expressions;
+    output partitioning inherits the scan.
+    """
+    if span_len >= period:
+        raise ValueError(
+            f"span_len must be < period (got span={span_len}, "
+            f"period={period}) — spans would overlap")
+    off = 3 if period > span_len + 3 else 0
+    from ..functions.vectors import ws_tokens
+
+    slim = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(ws_tokens(text_col), F.array()).alias("_toks"),
+    ).withColumn("_n", F.size("_toks"))
+    # span k covers token positions [k*period+off, k*period+off+span_len)
+    # (0-based); n_spans = how many start positions fall inside the doc
+    n_spans = F.when(
+        F.col("_n") > off,
+        ((F.col("_n") - 1 - off) / period).cast("int") + 1,
+    ).otherwise(F.lit(0))
+    in_span = (f"(i % {period}) >= {off} AND (i % {period}) < "
+               f"{off + span_len}")
+    input_text = F.concat_ws(
+        " ",
+        F.expr(
+            "filter(transform(_toks, (x, i) -> "
+            f"CASE WHEN (i % {period}) = {off} THEN "
+            f"concat('<extra_id_', CAST(i DIV {period} AS STRING), '>') "
+            f"WHEN {in_span} THEN CAST(NULL AS STRING) "
+            "ELSE x END), x -> x IS NOT NULL)"
+        ),
+    )
+    spans = F.when(
+        F.col("_nspans") > 0,
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(sequence(0, _nspans - 1), k -> "
+                "concat('<extra_id_', CAST(k AS STRING), '> ', "
+                f"concat_ws(' ', slice(_toks, k * {period} + {off} + 1, "
+                f"{span_len}))))"
+            ),
+            F.concat(F.lit("<extra_id_"), F.col("_nspans").cast("string"),
+                     F.lit(">")),
+        ),
+    ).otherwise(F.lit("<extra_id_0>"))
+    return (
+        slim.withColumn("_nspans", n_spans)
+        .select(
+            "doc_id",
+            F.col("_n").cast("long").alias("n_tokens"),
+            F.col("_nspans").cast("long").alias("n_spans"),
+            input_text.alias("input_text"),
+            spans.alias("target_text"),
+        )
+    )
+
+
 def packing_report(packed: DataFrame, capacity: int) -> DataFrame:
     """Aggregate audit of a packing: per shard, sequences produced,
     docs packed, and the mean fill ratio (tokens per sequence over

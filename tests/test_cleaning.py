@@ -1,0 +1,72 @@
+# -*- coding: utf-8 -*-
+"""Line-level boilerplate stripping: corpus-frequency rule, short-line
+rule, rule precedence, and order-preserving reassembly."""
+from __future__ import annotations
+
+import pytest
+
+from knowledge_graph_spark.operators.cleaning import strip_boilerplate
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from knowledge_graph_spark.session import get_spark
+
+    s = get_spark(app="clean-tests", master="local[4]",
+                  shuffle_partitions=4)
+    yield s
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_frequency_and_short_rules(spark):
+    pages = _pages(spark, [
+        (1, "Home | About\nThis is a long enough prose line one.\nShare"),
+        (2, "Home | About\nA different long enough prose line two."),
+        (3, "Home | About\nShort.\nThird long enough content line here."),
+        (4, None),
+    ])
+    out = {r["doc_id"]: r
+           for r in strip_boilerplate(pages, min_docs=1,
+                                      max_doc_frac=0.5).collect()}
+    # 'Home | About' is in 3/4 docs > max(1, 2) -> frequency-dropped
+    assert out[1]["n_dropped_freq"] == 1
+    assert out[1]["n_dropped_short"] == 1          # 'Share'
+    assert out[1]["clean_text"] == "This is a long enough prose line one."
+    # 'Short.' keeps: terminal punctuation exempts short lines
+    assert out[3]["n_dropped_short"] == 0
+    assert out[3]["clean_text"].startswith("Short.\n")
+    # NULL text -> one empty line, short-dropped, doc survives
+    assert (out[4]["n_kept"], out[4]["clean_text"]) == (0, "")
+
+
+def test_every_copy_of_frequent_line_dropped(spark):
+    # unlike span_dedup there is no first-occurrence survivor
+    pages = _pages(spark, [(i, "Cookie banner line that is long enough.\n"
+                               f"Unique content line number {i} padded out.")
+                           for i in range(1, 5)])
+    out = strip_boilerplate(pages, min_docs=1, max_doc_frac=0.5).collect()
+    assert all(r["n_dropped_freq"] == 1 for r in out)
+    assert all(r["clean_text"].startswith("Unique content") for r in out)
+
+
+def test_within_doc_repeat_counts_once(spark):
+    # a line repeated inside ONE doc is not corpus-frequent
+    pages = _pages(spark, [
+        (1, "Repeated navigation line padded long.\n"
+            "Repeated navigation line padded long."),
+        (2, "Totally unrelated content line padded long."),
+    ])
+    out = {r["doc_id"]: r
+           for r in strip_boilerplate(pages, min_docs=1,
+                                      max_doc_frac=0.6).collect()}
+    assert out[1]["n_dropped_freq"] == 0
+    assert out[1]["n_kept"] == 2
+
+
+def test_rejects_bad_frac(spark):
+    pages = _pages(spark, [(1, "x")])
+    with pytest.raises(ValueError, match="max_doc_frac"):
+        strip_boilerplate(pages, max_doc_frac=0.0)

@@ -155,3 +155,35 @@ def test_pack_sequences_rejects_non_integral_ids(spark):
         [("doc_1", "a b c")], "doc_id string, text string")
     with pytest.raises(ValueError, match="integral"):
         pack_sequences(docs, capacity=4)
+
+
+def test_span_corruption_t5_format(spark):
+    from knowledge_graph_spark.operators.packing import span_corruption
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(25))),  # spans at 3-5, 23-24
+         (2, "a b c"),                               # too short for a span
+         (3, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_corruption(docs).collect()}
+
+    r1 = out[1]
+    assert (r1["n_tokens"], r1["n_spans"]) == (25, 2)
+    assert r1["input_text"].split() == (
+        ["w0", "w1", "w2", "<extra_id_0>"] +
+        [f"w{i}" for i in range(6, 23)] + ["<extra_id_1>"])
+    assert r1["target_text"] == (
+        "<extra_id_0> w3 w4 w5 <extra_id_1> w23 w24 <extra_id_2>")
+    # corruption rate: 5 of 25 tokens masked = 20% (second span clipped)
+    assert out[2]["n_spans"] == 0
+    assert out[2]["input_text"] == "a b c"
+    assert out[2]["target_text"] == "<extra_id_0>"
+    assert out[3]["target_text"] == "<extra_id_0>"
+
+
+def test_span_corruption_rejects_overlapping_params(spark):
+    from knowledge_graph_spark.operators.packing import span_corruption
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="span_len"):
+        span_corruption(docs, period=3, span_len=3)
