@@ -1423,9 +1423,9 @@ def _q_hybrid_search(spark, sf_dir):
             .orderBy(F.col("score").desc(), "doc_id")))
         .filter(F.col("_lr") <= 50)
         .withColumn("rank", F.row_number().over(
-            # doc_id*0: constant-valued, non-foldable (lit(0) would be
-            # optimized away, emptying the partition spec again)
-            Window.partitionBy(F.col("doc_id") * 0)
+            # pmod(id, 1): constant-valued, non-foldable (lit(0) or
+            # id*0 get optimized away, emptying the partition spec)
+            Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(1)))
             .orderBy(F.col("score").desc(), "doc_id")))
         .filter(F.col("rank") <= 50)
         .drop("_salt", "_lr")
@@ -2379,7 +2379,8 @@ def _q_host_pagerank(spark, sf_dir):
     # bounded output (<= 269 hosts): constant NON-FOLDABLE partition
     # key keeps WindowExec quiet without tripping the foldable-key
     # optimizer drop (see BENCH/BASELINE.md round-4 window-key note)
-    w = Window.partitionBy(F.col("rank") * 0).orderBy(
+    w = Window.partitionBy(
+        F.pmod(F.col("rank").cast("bigint"), F.lit(1))).orderBy(
         F.round("rank", 6).desc(), F.col("id"))
     return (pr.select(F.col("id").alias("host"),
                       F.row_number().over(w).cast("long").alias("pos"))

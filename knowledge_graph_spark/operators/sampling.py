@@ -309,10 +309,13 @@ def budget_select(docs: DataFrame, budget: int, score: Column,
         window_input = cur
 
     if window_input is not None:
-        # constant-VALUED but non-foldable partition key (Catalyst
-        # removes foldable partition expressions, which would re-empty
-        # the partition spec and re-raise the WindowExec warning)
-        w = (Window.partitionBy(F.col("n_tokens") * 0)
+        # constant-VALUED but non-foldable partition key: n_tokens is
+        # filtered positive, so pmod(n_tokens, 1) is always 0 — but no
+        # optimizer rule simplifies pmod, so the partition spec
+        # survives planning (x * 0 does NOT survive: the simplifier
+        # inlines the alias and folds the spec back to empty, which
+        # re-raises the WindowExec warning this key exists to avoid)
+        w = (Window.partitionBy(F.pmod(F.col("n_tokens"), F.lit(1)))
              .orderBy(F.col("score").desc(), F.col("doc_id")))
         kept.append(
             window_input.withColumn("_cum", F.sum("n_tokens").over(w))

