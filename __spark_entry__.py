@@ -942,6 +942,133 @@ FROM n ORDER BY doc_id
 """
 
 
+def _q_robots_filter(spark, sf_dir):
+    """RFC 9309 robots verdicts over a synthesized frontier: 7 hosts,
+    5 path families per host (private doc, private pub- exception,
+    open, empty path, tmp), rules exercising longest-prefix-wins
+    (Allow /private/pub- inside Disallow /private/), allow-on-tie,
+    host-scoped Disallow /tmp on even hosts only, and the no-match
+    default. Booleans + strings only — hash-safe."""
+    from knowledge_graph_spark.operators.crawl import robots_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id").cast("string")
+    path = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("/private/doc-"), k))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("/private/pub-"), k))
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("/open/doc-"), k))
+        .when(F.col("doc_id") % 5 == 3, F.lit(""))
+        .otherwise(F.concat(F.lit("/tmp/doc-"), k))
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://site-"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example.org"), path).alias("url"),
+    )
+    hosts = (spark.range(7)
+             .select(F.concat(F.lit("site-"), F.col("id").cast("string"),
+                              F.lit(".example.org")).alias("host"),
+                     F.col("id")))
+    rules = (
+        hosts.select("host", F.lit("/private/").alias("path_prefix"),
+                     F.lit(False).alias("allow"))
+        .unionByName(hosts.select(
+            "host", F.lit("/private/pub-").alias("path_prefix"),
+            F.lit(True).alias("allow")))
+        .unionByName(hosts.filter(F.col("id") % 2 == 0).select(
+            "host", F.lit("/tmp/").alias("path_prefix"),
+            F.lit(False).alias("allow")))
+    )
+    return robots_filter(urls, rules).orderBy("doc_id")
+
+
+_SQL_ROBOTS = r"""
+WITH u AS (
+  SELECT doc_id,
+         'https://site-' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' ||
+         CASE CAST(doc_id % 5 AS INT)
+           WHEN 0 THEN '/private/doc-' || CAST(doc_id AS VARCHAR)
+           WHEN 1 THEN '/private/pub-' || CAST(doc_id AS VARCHAR)
+           WHEN 2 THEN '/open/doc-' || CAST(doc_id AS VARCHAR)
+           WHEN 3 THEN ''
+           ELSE '/tmp/doc-' || CAST(doc_id AS VARCHAR) END AS url
+  FROM documents
+),
+hp AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#]*)', 1)) AS host,
+         CASE WHEN regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) = ''
+           THEN '/' ELSE regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) END AS path
+  FROM u
+),
+h AS (SELECT 'site-' || CAST(i AS VARCHAR) || '.example.org' AS host, i
+      FROM range(7) t(i)),
+rules AS (
+  SELECT host, '/private/' AS path_prefix, FALSE AS allow FROM h
+  UNION ALL
+  SELECT host, '/private/pub-', TRUE FROM h
+  UNION ALL
+  SELECT host, '/tmp/', FALSE FROM h WHERE i % 2 = 0
+),
+cand AS (
+  SELECT hp.doc_id, hp.url, hp.host, hp.path, r.path_prefix, r.allow,
+         row_number() OVER (
+           PARTITION BY hp.doc_id
+           ORDER BY (r.path_prefix IS NOT NULL
+                     AND starts_with(hp.path, r.path_prefix)) DESC,
+                    length(r.path_prefix) DESC, r.allow DESC,
+                    r.path_prefix DESC) AS rn,
+         (r.path_prefix IS NOT NULL
+          AND starts_with(hp.path, r.path_prefix)) AS m
+  FROM hp LEFT JOIN rules r ON r.host = hp.host
+)
+SELECT doc_id, url, host, path,
+       CASE WHEN m THEN allow ELSE TRUE END AS allowed,
+       CASE WHEN m THEN path_prefix END AS rule_prefix
+FROM cand WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def _q_crawl_frontier(spark, sf_dir):
+    """Politeness-wave schedule over the same 7-host frontier:
+    priority = document length (longest first), wave = 1-based rank
+    within the host — wave w touches each host at most once. Integer
+    wave; the per-host window partitions on the politeness key, so
+    the plan scales with hosts, not corpus."""
+    from knowledge_graph_spark.operators.crawl import crawl_frontier
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://site-"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example.org/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    return (crawl_frontier(urls, F.col("n_chars"), key_col="url")
+            .orderBy("doc_id"))
+
+
+_SQL_FRONTIER = r"""
+WITH u AS (
+  SELECT doc_id,
+         'https://site-' || CAST(doc_id % 7 AS VARCHAR) ||
+         '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT doc_id, url, n_chars,
+       'site-' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS host,
+       CAST(row_number() OVER (
+         PARTITION BY doc_id % 7
+         ORDER BY n_chars DESC, url) AS BIGINT) AS wave
+FROM u ORDER BY doc_id
+"""
+
+
 def _q_ngram_novelty(spark, sf_dir):
     """First-occurrence n-gram novelty (incremental-crawl signal): per
     doc, distinct word-3-grams and how many occur in NO earlier doc
@@ -4066,6 +4193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": _q_containment,
         "boilerplate_strip": _q_boilerplate_strip,
         "span_corruption": _q_span_corruption,
+        "robots_filter": _q_robots_filter,
+        "crawl_frontier": _q_crawl_frontier,
         "corpus_profile": _q_corpus_profile,
         "pii_scrub": _q_pii_scrub,
         "curate_corpus": _q_curate_corpus,
@@ -4181,6 +4310,8 @@ def oracle_sql() -> dict[str, str]:
         "containment": _SQL_CONTAINMENT,
         "boilerplate_strip": _SQL_BOILERPLATE,
         "span_corruption": _SQL_SPAN_CORRUPTION,
+        "robots_filter": _SQL_ROBOTS,
+        "crawl_frontier": _SQL_FRONTIER,
         "corpus_profile": _SQL_PROFILE,
         "pii_scrub": _SQL_PII,
         "curate_corpus": _SQL_CURATE,

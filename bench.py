@@ -99,7 +99,8 @@ def main():
         "semantic_dedup",
         "url_canonical", "url_dup_groups", "weighted_sample",
         "dd_quantiles", "text_normalized", "textrank_keywords", "doc_links",
-        "ngram_novelty",
+        "ngram_novelty", "containment", "boilerplate_strip",
+        "span_corruption", "robots_filter", "crawl_frontier",
     ]
     qs = entrymod.queries()
     for name in headliners:

@@ -1,0 +1,71 @@
+# -*- coding: utf-8 -*-
+"""Crawl scheduling operators: RFC 9309 longest-prefix robots
+verdicts and per-host politeness waves."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_spark.operators.crawl import (crawl_frontier,
+                                                   robots_filter)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from knowledge_graph_spark.session import get_spark
+
+    s = get_spark(app="crawl-tests", master="local[4]",
+                  shuffle_partitions=4)
+    yield s
+
+
+def test_robots_longest_prefix_and_allow_tie(spark):
+    urls = spark.createDataFrame(
+        [(1, "https://a.org/private/x"),
+         (2, "https://a.org/private/pub-1"),   # longer Allow overrides
+         (3, "https://a.org/open/y"),          # no match -> allowed
+         (4, "https://b.net/private/z"),       # other host unaffected
+         (5, "https://a.org/dir"),             # exact-length tie
+         (6, "not a url")],                    # unparseable -> allowed
+        "doc_id long, url string")
+    rules = spark.createDataFrame(
+        [("a.org", "/private/", False), ("a.org", "/private/pub-", True),
+         ("a.org", "/dir", False), ("a.org", "/dir", True)],
+        "host string, path_prefix string, allow boolean")
+    out = {r["doc_id"]: r for r in robots_filter(urls, rules).collect()}
+    assert not out[1]["allowed"] and out[1]["rule_prefix"] == "/private/"
+    assert out[2]["allowed"] and out[2]["rule_prefix"] == "/private/pub-"
+    assert out[3]["allowed"] and out[3]["rule_prefix"] is None
+    assert out[4]["allowed"]
+    assert out[5]["allowed"]            # RFC 9309: tie goes to Allow
+    assert out[6]["allowed"] and out[6]["path"] == "/"
+    assert len(out) == 6                # every frontier row survives
+
+
+def test_robots_empty_prefix_is_weakest_catchall(spark):
+    urls = spark.createDataFrame(
+        [(1, "https://c.io/a"), (2, "https://c.io/keep/b")],
+        "doc_id long, url string")
+    rules = spark.createDataFrame(
+        [("c.io", "", False), ("c.io", "/keep/", True)],
+        "host string, path_prefix string, allow boolean")
+    out = {r["doc_id"]: r for r in robots_filter(urls, rules).collect()}
+    assert not out[1]["allowed"]        # '' disallow-all catches /a
+    assert out[2]["allowed"]            # any longer rule overrides it
+
+
+def test_frontier_waves_touch_host_once(spark):
+    fr = spark.createDataFrame(
+        [("https://a.org/1", 5), ("https://a.org/2", 9),
+         ("https://a.org/3", 9), ("https://b.net/1", 1)],
+        "url string, score long")
+    out = crawl_frontier(fr, F.col("score")).collect()
+    waves = {}
+    for r in out:
+        assert (r["host"], r["wave"]) not in waves
+        waves[(r["host"], r["wave"])] = r["url"]
+    # priority desc, url asc within the host
+    assert waves[("a.org", 1)] == "https://a.org/2"
+    assert waves[("a.org", 2)] == "https://a.org/3"
+    assert waves[("a.org", 3)] == "https://a.org/1"
+    assert waves[("b.net", 1)] == "https://b.net/1"
