@@ -1069,6 +1069,96 @@ FROM u ORDER BY doc_id
 """
 
 
+def _q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail terciles per language (perplexity under
+    the English-trained bigram LM), rolled up to (lang, bucket)
+    census rows. Cut points are exact interpolated percentiles over
+    6-dp-rounded cross-entropies — deterministic cross-engine (see
+    perplexity_buckets docstring for the ulp argument)."""
+    from knowledge_graph_spark.operators.textstats import perplexity_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        perplexity_buckets(docs, F.col("lang") == "en")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("xent_r").alias("min_xent"),
+            F.max("xent_r").alias("max_xent"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+# replays the full lm_perplexity model (same CTEs as _SQL_LM_PPL),
+# then the tercile cuts via quantile_cont over the 6-dp-rounded
+# scores; list literals CAST to DOUBLE (DuckDB types bare 1.0/3 as
+# DECIMAL, whose exact arithmetic diverges from IEEE doubles)
+_SQL_CCNET_BUCKETS = r"""
+WITH d AS (
+  SELECT doc_id, lang = 'en' AS is_t,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                     x -> x != '') AS ws
+  FROM documents
+),
+tr AS (SELECT list_concat(['<s>'], ws) AS a
+       FROM d WHERE is_t AND len(ws) >= 1),
+bi AS (
+  SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c_bi FROM (
+    SELECT unnest(list_transform(range(1, len(a)),
+                                 i -> {'w1': a[i], 'w2': a[i + 1]})) AS p
+    FROM tr)
+  GROUP BY 1, 2
+),
+pre AS (SELECT w1, SUM(c_bi) AS c_pre FROM bi GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w2) + 1 AS vsize FROM bi),
+st AS (
+  SELECT s.doc_id, s.i AS pos, COALESCE(vo.w, '<unk>') AS cur
+  FROM (SELECT doc_id, unnest(ws) AS raw,
+               unnest(range(1, len(ws) + 1)) AS i
+        FROM d WHERE len(ws) >= 1) s
+  LEFT JOIN (SELECT DISTINCT w2 AS w FROM bi) vo ON vo.w = s.raw
+),
+bg AS (SELECT doc_id,
+              LAG(cur, 1, '<s>') OVER (PARTITION BY doc_id
+                                       ORDER BY pos) AS prev,
+              cur
+       FROM st),
+sc AS (
+  SELECT bg.doc_id,
+         -ln((COALESCE(bi.c_bi, 0) + 0.1)
+             / (COALESCE(pre.c_pre, 0) + 0.1 * v.vsize)) AS nll
+  FROM bg CROSS JOIN v
+  LEFT JOIN bi ON bi.w1 = bg.prev AND bi.w2 = bg.cur
+  LEFT JOIN pre ON pre.w1 = bg.prev
+),
+agg AS (SELECT doc_id, COUNT(*) AS n_scored, AVG(nll) AS xent
+        FROM sc GROUP BY doc_id),
+sx AS (
+  SELECT doc.lang AS lang, doc.doc_id AS doc_id,
+         ROUND(agg.xent, 6) AS xr
+  FROM documents doc JOIN agg ON agg.doc_id = doc.doc_id
+  WHERE agg.n_scored >= 1
+),
+cuts AS (
+  SELECT lang,
+         quantile_cont(xr, [CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3]) AS c
+  FROM sx GROUP BY lang
+),
+b AS (
+  SELECT sx.lang,
+         CASE WHEN xr <= c[1] THEN 'head'
+              WHEN xr <= c[2] THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         xr
+  FROM sx JOIN cuts ON cuts.lang = sx.lang
+)
+SELECT lang, bucket, COUNT(*)::BIGINT AS n_docs,
+       MIN(xr) AS min_xent, MAX(xr) AS max_xent
+FROM b GROUP BY lang, bucket ORDER BY lang, bucket
+"""
+
+
 def _q_ngram_novelty(spark, sf_dir):
     """First-occurrence n-gram novelty (incremental-crawl signal): per
     doc, distinct word-3-grams and how many occur in NO earlier doc
@@ -4195,6 +4285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corruption": _q_span_corruption,
         "robots_filter": _q_robots_filter,
         "crawl_frontier": _q_crawl_frontier,
+        "ccnet_buckets": _q_ccnet_buckets,
         "corpus_profile": _q_corpus_profile,
         "pii_scrub": _q_pii_scrub,
         "curate_corpus": _q_curate_corpus,
@@ -4312,6 +4403,7 @@ def oracle_sql() -> dict[str, str]:
         "span_corruption": _SQL_SPAN_CORRUPTION,
         "robots_filter": _SQL_ROBOTS,
         "crawl_frontier": _SQL_FRONTIER,
+        "ccnet_buckets": _SQL_CCNET_BUCKETS,
         "corpus_profile": _SQL_PROFILE,
         "pii_scrub": _SQL_PII,
         "curate_corpus": _SQL_CURATE,

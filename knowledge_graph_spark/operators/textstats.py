@@ -416,6 +416,52 @@ def lm_perplexity(docs: DataFrame, target, id_col: str = "doc_id",
     )
 
 
+def perplexity_buckets(docs: DataFrame, target, lang_col: str = "lang",
+                       id_col: str = "doc_id", text_col: str = "text",
+                       alpha: float = 0.1, round_dp: int = 6) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): per
+    language, bucket every scored document into perplexity TERCILES —
+    "head" (most target-like third) / "middle" / "tail" — the standard
+    corpus partition downstream mixtures sample from (head-heavy for
+    quality, tail kept for diversity).
+
+    Buckets are assigned against the exact interpolated 1/3 and 2/3
+    cross-entropy cut points of the document's language, computed over
+    ``round_dp``-ROUNDED scores: raw-double ordering could flip
+    sub-ulp near-ties across engines, and an interpolated cut between
+    two distinct ADJACENT rounded values can never sit within one ulp
+    of a data point, so bucket membership is deterministic and
+    replayable in SQL. Documents with no scorable tokens carry no
+    bucket (NULL perplexity is not "low perplexity").
+
+    Returns ``(lang, id_col, xent_r, bucket)``.
+
+    Scale shape: scoring is :func:`lm_perplexity` (one train aggregate
+    + one scoring pass); the cut points are one (lang, two-doubles)
+    row per language — broadcast back, assignment row-local. The
+    exact ``percentile`` keeps the oracle bit-replayable; a production
+    run at 100 TB would swap in ``approx_percentile`` (same two-pass
+    broadcast shape, documented trade)."""
+    scored = lm_perplexity(docs, target, id_col, text_col, alpha)
+    sx = (
+        scored.filter(F.col("n_scored") >= 1)
+        .select(id_col, F.round("xent", round_dp).alias("xent_r"))
+        .join(docs.select(id_col, F.col(lang_col).alias("lang")), id_col)
+    )
+    cuts = sx.groupBy("lang").agg(
+        F.percentile("xent_r", F.lit([1 / 3, 2 / 3])).alias("_c"))
+    return (
+        sx.join(F.broadcast(cuts), "lang")
+        .withColumn(
+            "bucket",
+            F.when(F.col("xent_r") <= F.col("_c")[0], "head")
+            .when(F.col("xent_r") <= F.col("_c")[1], "middle")
+            .otherwise("tail"),
+        )
+        .select("lang", id_col, "xent_r", "bucket")
+    )
+
+
 def _sql_str_lit(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 

@@ -1405,3 +1405,25 @@ def test_semantic_dedup_megacluster_guard(spark):
     got2 = D.semantic_dedup(df, n_clusters=2, threshold=0.9).collect()
     assert sum(r["keep"] for r in got2) < 20
     assert min(r["vec_id"] for r in got2 if r["keep"]) == 0
+
+
+def test_perplexity_buckets_terciles(spark):
+    from knowledge_graph_spark.operators.textstats import perplexity_buckets
+
+    # 9 docs, one language: terciles must be 3/3/3 with head holding
+    # the most-target-like (lowest cross-entropy) third; an empty doc
+    # gets no bucket
+    rows = [(i, "en", "the quick brown fox " * (i + 1)) for i in range(9)]
+    rows.append((99, "en", ""))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = perplexity_buckets(docs, F.col("lang") == "en").collect()
+    assert len(out) == 9                       # empty doc unbucketed
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert {k: len(v) for k, v in by_bucket.items()} == {
+        "head": 3, "middle": 3, "tail": 3}
+    assert (max(r["xent_r"] for r in by_bucket["head"])
+            <= min(r["xent_r"] for r in by_bucket["middle"])
+            <= max(r["xent_r"] for r in by_bucket["middle"])
+            <= min(r["xent_r"] for r in by_bucket["tail"]))
