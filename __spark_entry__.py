@@ -1069,6 +1069,64 @@ FROM u ORDER BY doc_id
 """
 
 
+def _q_dup_spans(spark, sf_dir):
+    """Lee-et-al exact-substring duplication coverage with a planted
+    repeated passage: every 3rd doc gets the same 10-token slogan
+    appended, so its 3 fully-inside overlapping 8-token windows are
+    corpus-duplicated and must merge to exactly 10 covered tokens
+    (boundary windows mixing original tail + slogan head stay
+    unique). Integer-only output."""
+    from knowledge_graph_spark.operators.dedup import dup_span_coverage
+
+    slog = "zero one two three four five six seven eight nine"
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit(" " + slog)))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return dup_span_coverage(injected, w=8).orderBy("doc_id")
+
+
+_SQL_DUP_SPANS = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(COALESCE(
+           CASE WHEN doc_id % 3 = 0 THEN text ||
+             ' zero one two three four five six seven eight nine'
+           ELSE text END, ''), '\s+'), x -> x != '') AS w
+  FROM documents
+),
+n AS (SELECT doc_id, w, len(w) AS n FROM t),
+wins AS (
+  SELECT doc_id, s AS start,
+         CAST(concat('0x', substring(
+           md5(array_to_string(w[s + 1 : s + 8], ' ')), 1, 13))
+           AS BIGINT) AS hh
+  FROM (SELECT doc_id, w, unnest(range(0, n - 7)) AS s FROM n)
+),
+occ AS (SELECT hh FROM wins GROUP BY hh HAVING COUNT(*) > 1),
+d AS (SELECT doc_id, start FROM wins WHERE hh IN (SELECT hh FROM occ)),
+m AS (SELECT doc_id, start,
+             lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev
+      FROM d),
+cov AS (
+  SELECT doc_id, COUNT(*) AS ndw,
+         SUM(CASE WHEN prev IS NULL THEN 8
+                  ELSE LEAST(8, start - prev) END) AS cv
+  FROM m GROUP BY doc_id
+)
+SELECT n.doc_id,
+       CAST(n.n AS BIGINT) AS n_tokens,
+       CAST(GREATEST(n.n - 7, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(cov.ndw, 0) AS BIGINT) AS n_dup_windows,
+       CAST(COALESCE(cov.cv, 0) AS BIGINT) AS covered_tokens
+FROM n LEFT JOIN cov ON cov.doc_id = n.doc_id
+ORDER BY n.doc_id
+"""
+
+
 def _q_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail terciles per language (perplexity under
     the English-trained bigram LM), rolled up to (lang, bucket)
@@ -4286,6 +4344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": _q_robots_filter,
         "crawl_frontier": _q_crawl_frontier,
         "ccnet_buckets": _q_ccnet_buckets,
+        "dup_spans": _q_dup_spans,
         "corpus_profile": _q_corpus_profile,
         "pii_scrub": _q_pii_scrub,
         "curate_corpus": _q_curate_corpus,
@@ -4404,6 +4463,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_filter": _SQL_ROBOTS,
         "crawl_frontier": _SQL_FRONTIER,
         "ccnet_buckets": _SQL_CCNET_BUCKETS,
+        "dup_spans": _SQL_DUP_SPANS,
         "corpus_profile": _SQL_PROFILE,
         "pii_scrub": _SQL_PII,
         "curate_corpus": _SQL_CURATE,

@@ -251,6 +251,91 @@ def shingle_table(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def dup_span_coverage(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", w: int = 8) -> DataFrame:
+    """Exact-substring duplication coverage (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    ExactSubstr criterion): how much of each document sits inside a
+    ``w``-token span that occurs MORE THAN ONCE anywhere in the
+    corpus. Lee et al. build a suffix array; the relational
+    equivalent over word tokens is: hash every OVERLAPPING w-token
+    window, count window occurrences corpus-wide, and per document
+    merge the intervals of its duplicated windows into a covered-token
+    count. Overlapping windows are what distinguish this from
+    :func:`span_dedup`'s disjoint blocks — a repeated passage is
+    caught at EVERY alignment, not only when it lands on a block
+    boundary.
+
+    Returns integer-only ``(doc_id, n_tokens, n_windows,
+    n_dup_windows, covered_tokens)`` — every input row survives (a
+    document shorter than ``w`` tokens has zero windows and zero
+    coverage). ``covered_tokens / n_tokens`` is the Lee et al.
+    dup-fraction, left as a row-local division for the caller.
+
+    Scale shape: windows fold to md5-52-bit longs (the sketches'
+    oracle-replayable :func:`...sketches.h52` pattern — at 100 TB
+    swap in a 128-bit fold) before the occurrence-count exchange, so
+    the exchange carries ``(long, long, int)``; the duplicated-window
+    set joins back keyed on the hash; interval merging is a per-doc
+    ``lag`` window (sorted equal-length intervals only ever overlap
+    their predecessor, so coverage = w + Σ min(w, start_i −
+    start_{i−1}) — one pass, partitions bounded by document length).
+    No Python anywhere."""
+    from ..functions.vectors import ws_tokens
+    from .sketches import h52
+
+    slim = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(ws_tokens(text_col), F.array()).alias("_toks"),
+    ).withColumn("_n", F.size("_toks"))
+
+    wins = (
+        slim.filter(F.col("_n") >= w)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(f"transform(sequence(0, _n - {w}), s -> "
+                       f"array_join(slice(_toks, s + 1, {w}), ' '))")
+            ).alias("start", "_gram"),
+        )
+        .withColumn("_h", h52(F.col("_gram")))
+        .drop("_gram")
+    )
+    occ = wins.groupBy("_h").agg(F.count("*").alias("_c"))
+    dupw = (
+        wins.join(occ.filter(F.col("_c") > 1).select("_h"), "_h")
+        .select("doc_id", "start")
+    )
+    ww = Window.partitionBy("doc_id").orderBy("start")
+    per_doc = (
+        dupw.withColumn("_prev", F.lag("start").over(ww))
+        .withColumn(
+            "_add",
+            F.when(F.col("_prev").isNull(), F.lit(w)).otherwise(
+                F.least(F.lit(w), F.col("start") - F.col("_prev"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_windows"),
+             F.sum("_add").alias("covered_tokens"))
+    )
+    return (
+        slim.select(
+            "doc_id",
+            F.col("_n").cast("long").alias("n_tokens"),
+            F.greatest(F.col("_n") - w + 1, F.lit(0))
+             .cast("long").alias("n_windows"),
+        )
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens", "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0))
+             .cast("long").alias("n_dup_windows"),
+            F.coalesce("covered_tokens", F.lit(0))
+             .cast("long").alias("covered_tokens"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -1427,3 +1427,24 @@ def test_perplexity_buckets_terciles(spark):
             <= min(r["xent_r"] for r in by_bucket["middle"])
             <= max(r["xent_r"] for r in by_bucket["middle"])
             <= min(r["xent_r"] for r in by_bucket["tail"]))
+
+
+def test_dup_span_coverage_interval_merge(spark):
+    # the shared 10-token slogan: 3 overlapping dup windows per doc
+    # must merge to exactly 10 covered tokens; a sub-w doc has zero
+    # windows; every input row survives
+    slog = "zero one two three four five six seven eight nine"
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j " + slog),
+         (2, slog + " k l m n o p q r s t"),
+         (3, "unique words only here nothing repeated at all today pal"),
+         (4, "short doc"),
+         (5, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.dup_span_coverage(docs, w=8).collect()}
+    assert (out[1]["n_windows"], out[1]["n_dup_windows"],
+            out[1]["covered_tokens"]) == (13, 3, 10)
+    assert (out[2]["n_dup_windows"], out[2]["covered_tokens"]) == (3, 10)
+    assert out[3]["covered_tokens"] == 0
+    assert (out[4]["n_windows"], out[5]["n_tokens"]) == (0, 0)
+    assert len(out) == 5
