@@ -1127,6 +1127,56 @@ ORDER BY n.doc_id
 """
 
 
+def _q_winnow_census(spark, sf_dir):
+    """MOSS winnowing fingerprints over the raw documents table
+    (3-gram hashes, 4-gram windows): per doc the gram count, selected
+    fingerprint count (~2/(k+1) density), and how many fingerprints
+    are shared with other docs — the small-vocabulary corpus overlaps
+    naturally, so sharing is non-trivial. Integer-only."""
+    from knowledge_graph_spark.operators.textstats import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_SQL_WINNOW = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),
+                     x -> x != '') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id, s AS pos, len(w) - 2 AS n_grams,
+         CAST(concat('0x', substring(
+           md5(array_to_string(w[s + 1 : s + 3], ' ')), 1, 13))
+           AS BIGINT) AS h
+  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS s FROM t)
+),
+wm AS (
+  SELECT doc_id, pos, n_grams,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM g
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= n_grams - 4),
+sh AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) > 1),
+per AS (
+  SELECT doc_id, COUNT(*) AS nf,
+         SUM(CASE WHEN fp IN (SELECT fp FROM sh) THEN 1 ELSE 0 END) AS ns
+  FROM fps GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(GREATEST(len(list_filter(regexp_split_to_array(
+         COALESCE(d.text, ''), '\s+'), x -> x != '')) - 2, 0) AS BIGINT)
+         AS n_grams,
+       CAST(COALESCE(per.nf, 0) AS BIGINT) AS n_fingerprints,
+       CAST(COALESCE(per.ns, 0) AS BIGINT) AS n_shared
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def _q_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail terciles per language (perplexity under
     the English-trained bigram LM), rolled up to (lang, bucket)
@@ -4345,6 +4395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": _q_crawl_frontier,
         "ccnet_buckets": _q_ccnet_buckets,
         "dup_spans": _q_dup_spans,
+        "winnow_census": _q_winnow_census,
         "corpus_profile": _q_corpus_profile,
         "pii_scrub": _q_pii_scrub,
         "curate_corpus": _q_curate_corpus,
@@ -4464,6 +4515,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_frontier": _SQL_FRONTIER,
         "ccnet_buckets": _SQL_CCNET_BUCKETS,
         "dup_spans": _SQL_DUP_SPANS,
+        "winnow_census": _SQL_WINNOW,
         "corpus_profile": _SQL_PROFILE,
         "pii_scrub": _SQL_PII,
         "curate_corpus": _SQL_CURATE,

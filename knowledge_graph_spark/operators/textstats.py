@@ -11,7 +11,7 @@ run at parquet-read speed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.vectors import word_tokens, ws_tokens
 
@@ -156,6 +156,92 @@ def with_fingerprint(docs: DataFrame, text_col: str = "text",
     return (
         docs.withColumn("content_hash", F.sha2(F.col(text_col), 256))
         .withColumn("fingerprint", F.array_min(sub_hashes))
+    )
+
+
+def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        k: int = 4) -> DataFrame:
+    """Winnowing fingerprint census (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every overlapping word
+    ``n``-gram, slide a ``k``-gram window over the hash sequence, and
+    select each window's MINIMUM hash. The winnowing guarantee: any
+    shared substring of at least ``n + k - 1`` words produces at
+    least one shared selected hash, while only ~``2/(k+1)`` of all
+    grams are kept — a density-bounded robust signature that full
+    min-hashing (``with_fingerprint``'s single global minimum) can't
+    give.
+
+    This is the POSITION-FREE variant: the fingerprint is the SET of
+    selected hashes per document (what MOSS similarity consumes), so
+    equal-hash ties inside a window — only possible for identical
+    grams, which yield the identical fingerprint either way — need no
+    tie-break rule, and the result is deterministic on any engine.
+
+    Returns integer-only ``(doc_id, n_grams, n_fingerprints,
+    n_shared)`` — ``n_shared`` counts this doc's fingerprints that
+    also appear in at least one OTHER document's fingerprint set (the
+    MOSS overlap numerator). Every input row survives; a document
+    shorter than ``n + k - 1`` words has zero windows.
+
+    Scale shape: grams fold to md5-52-bit longs (SQL-replayable; swap
+    a 128-bit fold at 100 TB) BEFORE any exchange; the sliding min is
+    a per-document ROWS frame window (partitions bounded by document
+    length); the sharing census exchanges distinct ``(hash, doc)``
+    long pairs only. No Python anywhere."""
+    from ..functions.vectors import ws_tokens
+    from .sketches import h52
+
+    slim = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(ws_tokens(text_col), F.array()).alias("_toks"),
+    ).withColumn("_n", F.size("_toks"))
+
+    grams = (
+        slim.filter(F.col("_n") >= n)
+        .select(
+            "doc_id", "_n",
+            F.posexplode(
+                F.expr(f"transform(sequence(0, _n - {n}), s -> "
+                       f"array_join(slice(_toks, s + 1, {n}), ' '))")
+            ).alias("pos", "_gram"),
+        )
+        .withColumn("_h", h52(F.col("_gram")))
+        .drop("_gram")
+    )
+    # window q covers gram positions [q, q+k-1]; valid q ≤ n_grams - k
+    wf = (Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(0, k - 1))
+    fps = (
+        grams.withColumn("_wm", F.min("_h").over(wf))
+        .filter(F.col("pos") <= F.col("_n") - n + 1 - k)
+        .select("doc_id", F.col("_wm").alias("fp"))
+        .distinct()
+    )
+    shared = (
+        fps.groupBy("fp").agg(F.count("*").alias("_nd"))
+        .filter(F.col("_nd") > 1).select("fp")
+    )
+    per_doc = (
+        fps.join(shared.withColumn("_s", F.lit(1)), "fp", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_fingerprints"),
+             F.sum(F.coalesce("_s", F.lit(0)).cast("long"))
+             .alias("n_shared"))
+    )
+    return (
+        slim.select(
+            "doc_id",
+            F.greatest(F.col("_n") - n + 1, F.lit(0))
+             .cast("long").alias("n_grams"),
+        )
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id", "n_grams",
+            F.coalesce("n_fingerprints", F.lit(0))
+             .cast("long").alias("n_fingerprints"),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+        )
     )
 
 

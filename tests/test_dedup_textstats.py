@@ -1448,3 +1448,27 @@ def test_dup_span_coverage_interval_merge(spark):
     assert out[3]["covered_tokens"] == 0
     assert (out[4]["n_windows"], out[5]["n_tokens"]) == (0, 0)
     assert len(out) == 5
+
+
+def test_winnow_guarantee_and_density(spark):
+    from knowledge_graph_spark.operators.textstats import winnow_fingerprints
+
+    # winnowing guarantee: a shared run of >= n+k-1 = 6 words yields
+    # >= 1 shared fingerprint in BOTH docs; disjoint text shares none
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(1, "one two three " + shared + " four five six"),
+         (2, "seven eight " + shared + " nine ten"),
+         (3, "totally different words with no overlap at all here"),
+         (4, "tiny doc"),
+         (5, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in winnow_fingerprints(docs).collect()}
+    assert out[1]["n_shared"] >= 1 and out[2]["n_shared"] >= 1
+    assert out[3]["n_shared"] == 0
+    # density bound: never more fingerprints than windows
+    for i in (1, 2, 3):
+        assert 1 <= out[i]["n_fingerprints"] <= max(out[i]["n_grams"] - 3, 1)
+    # sub-(n+k-1) docs have zero windows; every row survives
+    assert out[4]["n_fingerprints"] == 0 and out[5]["n_grams"] == 0
+    assert len(out) == 5
