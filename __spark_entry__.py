@@ -1127,6 +1127,44 @@ ORDER BY n.doc_id
 """
 
 
+def _q_phrase_search(spark, sf_dir):
+    """Exact positional phrase search for "table part" over the raw
+    corpus (the phrase occurs naturally in the synthetic word stream):
+    matching docs with match counts and earliest 0-based position.
+    Integer-only output."""
+    from knowledge_graph_spark.operators.search import phrase_search
+
+    return phrase_search(
+        _t(spark, sf_dir, "documents"), "table part").orderBy("doc_id")
+
+
+_SQL_PHRASE = r"""
+WITH w0 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),
+                     x -> x != '') AS w
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, i - 1 AS pos, w[i] AS term
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM w0)
+),
+slots(slot, term) AS (VALUES (0, 'table'), (1, 'part')),
+votes AS (
+  SELECT DISTINCT t.doc_id, t.pos - s.slot AS start, s.slot
+  FROM toks t JOIN slots s ON s.term = t.term
+  WHERE t.pos - s.slot >= 0
+),
+m AS (
+  SELECT doc_id, start FROM votes
+  GROUP BY doc_id, start HAVING COUNT(*) = 2
+)
+SELECT doc_id, COUNT(*)::BIGINT AS n_matches,
+       CAST(MIN(start) AS BIGINT) AS first_pos
+FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _q_winnow_census(spark, sf_dir):
     """MOSS winnowing fingerprints over the raw documents table
     (3-gram hashes, 4-gram windows): per doc the gram count, selected
@@ -4396,6 +4434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": _q_ccnet_buckets,
         "dup_spans": _q_dup_spans,
         "winnow_census": _q_winnow_census,
+        "phrase_search": _q_phrase_search,
         "corpus_profile": _q_corpus_profile,
         "pii_scrub": _q_pii_scrub,
         "curate_corpus": _q_curate_corpus,
@@ -4516,6 +4555,7 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_buckets": _SQL_CCNET_BUCKETS,
         "dup_spans": _SQL_DUP_SPANS,
         "winnow_census": _SQL_WINNOW,
+        "phrase_search": _SQL_PHRASE,
         "corpus_profile": _SQL_PROFILE,
         "pii_scrub": _SQL_PII,
         "curate_corpus": _SQL_CURATE,

@@ -101,7 +101,7 @@ def main():
         "dd_quantiles", "text_normalized", "textrank_keywords", "doc_links",
         "ngram_novelty", "containment", "boilerplate_strip",
         "span_corruption", "robots_filter", "crawl_frontier",
-        "ccnet_buckets", "dup_spans", "winnow_census",
+        "ccnet_buckets", "dup_spans", "winnow_census", "phrase_search",
     ]
     qs = entrymod.queries()
     for name in headliners:

@@ -159,3 +159,61 @@ def rrf_fuse(rankings: list[DataFrame], k: int = 60,
         .agg(F.sum(1.0 / (F.lit(k) + F.col("_r"))).alias("rrf_score"),
              F.count("*").alias("n_lists"))
     )
+
+
+def phrase_search(docs: DataFrame, phrase: str, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Exact phrase matching over a positional index — the classic IR
+    operator BM25's bag-of-words scoring cannot express ("new york"
+    must not match "york new"). Standard formulation (positional
+    postings intersection, e.g. Manning et al., IIR §2.4.2), done as
+    ONE aggregation instead of a k-way self-join: a token at position
+    ``p`` matching the phrase's ``i``-th term votes for phrase start
+    ``p - i``; a start with all ``k`` distinct term-slots present is a
+    match. Repeated phrase terms are handled by joining token rows to
+    the (slot, term) list, so one token can vote for several slots.
+
+    Returns ``(id_col, n_matches, first_pos)`` for matching documents
+    only — ``n_matches`` counts distinct starts, ``first_pos`` the
+    0-based earliest.
+
+    Scale shape: the token stream is filtered to the phrase's terms
+    BEFORE anything is exchanged (for web-scale phrases that is a tiny
+    corpus fraction), slots attach via a broadcast of the k-row term
+    list, and both the slot-dedup and the vote count are one
+    map-side-combined aggregate keyed (doc, start). No joins between
+    corpus-sized inputs, no Python."""
+    from ..functions.vectors import ws_tokens
+
+    terms = [t for t in phrase.split() if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one term")
+    k = len(terms)
+    spark = docs.sparkSession
+    slots = spark.createDataFrame(
+        list(enumerate(terms)), "slot int, term string")
+
+    toks = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.coalesce(ws_tokens(text_col), F.array()))
+            .alias("pos", "term"),
+        )
+        .filter(F.col("term").isin(terms))
+    )
+    votes = (
+        toks.join(F.broadcast(slots), "term")
+        .select("_id", (F.col("pos") - F.col("slot")).alias("start"),
+                "slot")
+        .filter(F.col("start") >= 0)
+        .distinct()
+    )
+    return (
+        votes.groupBy("_id", "start")
+        .agg(F.count("*").alias("_nslots"))
+        .filter(F.col("_nslots") == k)
+        .groupBy("_id")
+        .agg(F.count("*").cast("long").alias("n_matches"),
+             F.min("start").cast("long").alias("first_pos"))
+        .withColumnRenamed("_id", id_col)
+    )

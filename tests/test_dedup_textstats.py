@@ -1472,3 +1472,26 @@ def test_winnow_guarantee_and_density(spark):
     # sub-(n+k-1) docs have zero windows; every row survives
     assert out[4]["n_fingerprints"] == 0 and out[5]["n_grams"] == 0
     assert len(out) == 5
+
+
+def test_phrase_search_order_and_repeats(spark):
+    from knowledge_graph_spark.operators.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [(1, "new york is not york new at all"),
+         (2, "the new new york york times"),
+         (3, "new but no match here"),
+         (4, "a a a"),
+         (5, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_matches"], r["first_pos"])
+           for r in phrase_search(docs, "new york").collect()}
+    assert out == {1: (1, 0), 2: (1, 2)}   # order matters; york-new not
+    # a repeated-term phrase: one token may fill several slots, but a
+    # start still needs BOTH slots -> "a a a" has starts 0 and 1
+    out2 = {r["doc_id"]: (r["n_matches"], r["first_pos"])
+            for r in phrase_search(docs, "a a").collect()}
+    assert out2 == {4: (2, 0)}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="phrase"):
+        phrase_search(docs, "   ")
