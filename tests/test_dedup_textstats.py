@@ -1495,3 +1495,85 @@ def test_phrase_search_order_and_repeats(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="phrase"):
         phrase_search(docs, "   ")
+
+
+def test_dup_span_coverage_matches_bruteforce(spark):
+    """Coverage equals the brute-force interval-union size on a seeded
+    pseudo-random corpus with planted repeats."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(12)]
+    slog = "p q r s t u v w x y"            # planted 10-token passage
+    rows = []
+    for d in range(40):
+        toks = [rng.choice(vocab) for _ in range(rng.randrange(0, 30))]
+        if d % 4 == 0:
+            at = rng.randrange(0, len(toks) + 1)
+            toks[at:at] = slog.split()
+        rows.append((d, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    W = 8
+    out = {r["doc_id"]: r
+           for r in D.dup_span_coverage(docs, w=W).collect()}
+
+    # brute force: global window counts, then per-doc interval union
+    from collections import Counter
+    wins = {}
+    cnt = Counter()
+    for d, text in rows:
+        t = text.split()
+        ws = [tuple(t[i:i + W]) for i in range(len(t) - W + 1)]
+        wins[d] = ws
+        cnt.update(set())  # no-op, keep Counter import obvious
+        for g in ws:
+            cnt[g] += 1
+    for d, text in rows:
+        t = text.split()
+        covered = set()
+        dupw = 0
+        for i, g in enumerate(wins[d]):
+            if cnt[g] > 1:
+                dupw += 1
+                covered.update(range(i, i + W))
+        r = out[d]
+        assert (r["n_tokens"], r["n_windows"]) == (len(t), len(wins[d]))
+        assert r["n_dup_windows"] == dupw, d
+        assert r["covered_tokens"] == len(covered), d
+
+
+def test_winnow_matches_bruteforce_sets(spark):
+    """Selected-fingerprint SETS equal the brute-force sliding-window
+    minima over the same md5-52bit hashes (position-free variant)."""
+    import hashlib
+    import random
+
+    from knowledge_graph_spark.operators.textstats import winnow_fingerprints
+
+    def h52(sx):
+        return int(hashlib.md5(sx.encode()).hexdigest()[:13], 16)
+
+    rng = random.Random(7)
+    vocab = [f"v{i}" for i in range(9)]
+    rows = [(d, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(0, 25))))
+            for d in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    N, K = 3, 4
+    out = {r["doc_id"]: r
+           for r in winnow_fingerprints(docs, n=N, k=K).collect()}
+
+    fps = {}
+    for d, text in rows:
+        t = text.split()
+        hs = [h52(" ".join(t[i:i + N])) for i in range(len(t) - N + 1)]
+        sel = {min(hs[q:q + K]) for q in range(len(hs) - K + 1)}
+        fps[d] = sel
+        assert out[d]["n_fingerprints"] == len(sel), d
+    from collections import Counter
+    share = Counter()
+    for d, s in fps.items():
+        share.update(s)
+    for d, s in fps.items():
+        expected = sum(1 for h in s if share[h] > 1)
+        assert out[d]["n_shared"] == expected, d

@@ -187,3 +187,42 @@ def test_span_corruption_rejects_overlapping_params(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="span_len"):
         span_corruption(docs, period=3, span_len=3)
+
+
+def test_span_corruption_roundtrip_property(spark):
+    """Reconstruction invariant: replacing each <extra_id_k> in the
+    input with target span k recovers the original token stream, for
+    arbitrary token counts (span clipping, zero-span shorts, empties).
+    One Spark pass over many hypothesis-shaped docs — the randomness
+    is in the INPUT SHAPES, the operator stays deterministic."""
+    from knowledge_graph_spark.operators.packing import span_corruption
+
+    rows = [(n, " ".join(f"t{n}_{i}" for i in range(n)))
+            for n in range(0, 70)]          # every length 0..69
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = span_corruption(docs).collect()
+    assert len(out) == 70
+    for r in out:
+        n = r["doc_id"]
+        # parse target into span lists keyed by sentinel index
+        tgt = r["target_text"].split()
+        spans, cur = {}, None
+        for tok in tgt:
+            if tok.startswith("<extra_id_"):
+                cur = int(tok[len("<extra_id_"):-1])
+                spans[cur] = []
+            else:
+                spans[cur].append(tok)
+        assert max(spans) == r["n_spans"]        # final sentinel = EOS
+        assert spans[max(spans)] == []
+        rebuilt = []
+        for tok in r["input_text"].split():
+            if tok.startswith("<extra_id_"):
+                rebuilt.extend(spans[int(tok[len("<extra_id_"):-1])])
+            else:
+                rebuilt.append(tok)
+        assert rebuilt == ([f"t{n}_{i}" for i in range(n)]), n
+        # corruption accounting: masked tokens = sum of span lengths
+        masked = sum(len(v) for k, v in spans.items() if k < r["n_spans"])
+        assert masked + len([t for t in r["input_text"].split()
+                             if not t.startswith("<extra_id_")]) == n
