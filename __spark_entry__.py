@@ -1127,6 +1127,119 @@ ORDER BY n.doc_id
 """
 
 
+def _q_incr_dedup(spark, sf_dir):
+    """Incremental-ingestion dedup: existing = even doc_ids, incoming
+    = odd doc_ids (mostly new) plus planted exact copies (every 10th
+    even doc re-sent verbatim at id+100000) and planted near-dups
+    (every doc_id%10==4 doc with its last word dropped, at
+    id+200000). Verdicts exact/near/new with match counts; the oracle
+    replays the md5 content keys, the seeded md5-52 MinHash bands,
+    and the Jaccard verification."""
+    from knowledge_graph_spark.operators.dedup import dedup_incremental
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    drop_last = F.expr(
+        "array_join(slice(split(text, ' '), 1, "
+        "size(split(text, ' ')) - 1), ' ')")
+    incoming = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .unionByName(docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"))
+        .unionByName(docs.filter(F.col("doc_id") % 10 == 4).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            drop_last.alias("text")))
+    )
+    return dedup_incremental(existing, incoming).orderBy("doc_id")
+
+
+_SQL_INCR_DEDUP = r"""
+WITH ex AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+inc AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000,
+         array_to_string(list_slice(string_split(text, ' '), 1,
+           len(string_split(text, ' ')) - 1), ' ')
+  FROM documents WHERE doc_id % 10 = 4
+),
+exk AS (SELECT doc_id, md5(COALESCE(text, '')) AS ck FROM ex),
+inck AS (SELECT doc_id, md5(COALESCE(text, '')) AS ck FROM inc),
+exact AS (
+  SELECT i.doc_id, COUNT(*) AS ne
+  FROM inck i JOIN exk e ON e.ck = i.ck GROUP BY i.doc_id
+),
+u AS (SELECT doc_id, text FROM ex UNION ALL SELECT doc_id, text FROM inc),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(lw) >= 3
+    THEN list_transform(range(len(lw) - 2),
+         i -> list_aggregate(list_slice(lw, i + 1, i + 3),
+                             'string_agg', ' '))
+    ELSE [list_aggregate(lw, 'string_agg', ' ')] END)) AS g
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text),
+                 '[^\p{L}\p{N}]+'), x -> x != '') AS lw
+        FROM u)
+),
+mh AS (
+  SELECT doc_id, k,
+         MIN(CAST(concat('0x', substring(
+           md5(CAST(k AS VARCHAR) || ':' || g), 1, 13)) AS BIGINT)) AS v
+  FROM sh CROSS JOIN range(8) t(k) GROUP BY doc_id, k
+),
+bk AS (
+  SELECT doc_id, CAST(k // 2 AS INT) AS band,
+         string_agg(CAST(v AS VARCHAR), ',' ORDER BY k) AS bkey
+  FROM mh GROUP BY doc_id, k // 2
+),
+cand AS (
+  SELECT DISTINCT i.doc_id AS id_a, e.doc_id AS id_b
+  FROM bk i JOIN bk e ON e.band = i.band AND e.bkey = i.bkey
+  WHERE i.doc_id IN (SELECT doc_id FROM inc)
+    AND e.doc_id IN (SELECT doc_id FROM ex)
+),
+szs AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS it
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.g = a.g
+  GROUP BY c.id_a, c.id_b
+),
+ver AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  LEFT JOIN inter ON inter.id_a = c.id_a AND inter.id_b = c.id_b
+  JOIN szs za ON za.doc_id = c.id_a
+  JOIN szs zb ON zb.doc_id = c.id_b
+  WHERE CAST(COALESCE(inter.it, 0) AS DOUBLE)
+        / (za.sz + zb.sz - COALESCE(inter.it, 0))
+        >= CAST(0.7 AS DOUBLE)
+),
+nearm AS (
+  SELECT v.id_a AS doc_id, COUNT(*) AS nn
+  FROM ver v
+  JOIN inck i ON i.doc_id = v.id_a
+  JOIN exk e ON e.doc_id = v.id_b
+  WHERE i.ck != e.ck
+  GROUP BY v.id_a
+)
+SELECT i.doc_id,
+       CASE WHEN exact.ne IS NOT NULL THEN 'exact'
+            WHEN nearm.nn IS NOT NULL THEN 'near'
+            ELSE 'new' END AS verdict,
+       CAST(COALESCE(exact.ne, 0) AS BIGINT) AS n_exact_matches,
+       CAST(COALESCE(nearm.nn, 0) AS BIGINT) AS n_near_matches
+FROM inc i
+LEFT JOIN exact ON exact.doc_id = i.doc_id
+LEFT JOIN nearm ON nearm.doc_id = i.doc_id
+ORDER BY i.doc_id
+"""
+
+
 def _q_phrase_search(spark, sf_dir):
     """Exact positional phrase search for "table part" over the raw
     corpus (the phrase occurs naturally in the synthetic word stream):
@@ -4435,6 +4548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "winnow_census": _q_winnow_census,
         "phrase_search": _q_phrase_search,
+        "incr_dedup": _q_incr_dedup,
         "corpus_profile": _q_corpus_profile,
         "pii_scrub": _q_pii_scrub,
         "curate_corpus": _q_curate_corpus,
@@ -4556,6 +4670,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _SQL_DUP_SPANS,
         "winnow_census": _SQL_WINNOW,
         "phrase_search": _SQL_PHRASE,
+        "incr_dedup": _SQL_INCR_DEDUP,
         "corpus_profile": _SQL_PROFILE,
         "pii_scrub": _SQL_PII,
         "curate_corpus": _SQL_CURATE,

@@ -1577,3 +1577,29 @@ def test_winnow_matches_bruteforce_sets(spark):
     for d, s in fps.items():
         expected = sum(1 for h in s if share[h] > 1)
         assert out[d]["n_shared"] == expected, d
+
+
+def test_dedup_incremental_verdicts(spark):
+    base = " ".join(f"w{i}" for i in range(30))
+    existing = spark.createDataFrame(
+        [(1, base), (2, "completely different text " * 5), (3, base)],
+        "doc_id long, text string")
+    incoming = spark.createDataFrame(
+        [(101, base),                                    # exact, twice
+         (102, " ".join(f"w{i}" for i in range(29))),    # near (prefix)
+         (103, "nothing like anything else at all q z"),
+         (104, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in D.dedup_incremental(existing, incoming).collect()}
+    assert out[101]["verdict"] == "exact"
+    assert out[101]["n_exact_matches"] == 2      # both copies counted
+    assert out[101]["n_near_matches"] == 0       # exact wins precedence
+    assert out[102]["verdict"] == "near"
+    assert out[102]["n_near_matches"] == 2
+    assert out[103]["verdict"] == "new"
+    assert out[104]["verdict"] == "new"          # NULL text -> new
+    assert len(out) == 4                         # every incoming row out
+    import pytest as _pt
+    with _pt.raises(ValueError, match="bands"):
+        D.dedup_incremental(existing, incoming, num_hashes=8, bands=3)
