@@ -1127,6 +1127,76 @@ ORDER BY n.doc_id
 """
 
 
+def _q_source_overlap(spark, sf_dir):
+    """Corpus-governance overlap matrix: per unordered source pair,
+    KMV-estimated shingle-set overlap from per-source k=128 sketches
+    (190 pairs over 20 sources at sf0.01) — answered entirely from
+    bounded summaries. Integer ingredients only (n_kept, n_both,
+    kth_min); Jaccard and union estimates are row-local divisions."""
+    from knowledge_graph_spark.functions.vectors import word_ngrams
+    from knowledge_graph_spark.operators.sketches import (
+        kmv_pairwise_overlap, kmv_sketch)
+
+    docs = _t(spark, sf_dir, "documents")
+    items = docs.select(
+        "source", F.explode(word_ngrams("text", 3)).alias("shingle"))
+    sk = kmv_sketch(items, "shingle", group_cols=["source"], k=128)
+    return (kmv_pairwise_overlap(sk, "source", k=128)
+            .orderBy("group_a", "group_b"))
+
+
+_SQL_SOURCE_OVERLAP = r"""
+WITH lw AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                     x -> x != '') AS w
+  FROM documents
+),
+g AS (
+  SELECT source, unnest(
+    CASE WHEN len(w) >= 3
+    THEN list_transform(range(len(w) - 2),
+         i -> list_aggregate(list_slice(w, i + 1, i + 3),
+                             'string_agg', ' '))
+    ELSE [list_aggregate(w, 'string_agg', ' ')] END) AS sh
+  FROM lw
+),
+sk AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS r
+    FROM (SELECT DISTINCT source,
+                 CAST(concat('0x', substring(md5(sh), 1, 13)) AS BIGINT)
+                   AS h
+          FROM g WHERE sh IS NOT NULL))
+  WHERE r <= 128
+),
+pairs AS (
+  SELECT a.source AS ga, b.source AS gb
+  FROM (SELECT DISTINCT source FROM sk) a
+  JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source
+),
+memb AS (
+  SELECT p.ga, p.gb, s.h,
+         MAX(CASE WHEN s.source = p.ga THEN 1 ELSE 0 END) AS ia,
+         MAX(CASE WHEN s.source = p.gb THEN 1 ELSE 0 END) AS ib
+  FROM pairs p JOIN sk s ON s.source IN (p.ga, p.gb)
+  GROUP BY p.ga, p.gb, s.h
+),
+kept AS (
+  SELECT ga, gb, h, ia, ib,
+         row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS r
+  FROM memb
+)
+SELECT ga AS group_a, gb AS group_b,
+       COUNT(*)::BIGINT AS n_kept,
+       SUM(ia * ib)::BIGINT AS n_both,
+       MAX(h) AS kth_min
+FROM kept WHERE r <= 128
+GROUP BY ga, gb ORDER BY ga, gb
+"""
+
+
 def _q_incr_dedup(spark, sf_dir):
     """Incremental-ingestion dedup: existing = even doc_ids, incoming
     = odd doc_ids (mostly new) plus planted exact copies (every 10th
@@ -4549,6 +4619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_census": _q_winnow_census,
         "phrase_search": _q_phrase_search,
         "incr_dedup": _q_incr_dedup,
+        "source_overlap": _q_source_overlap,
         "corpus_profile": _q_corpus_profile,
         "pii_scrub": _q_pii_scrub,
         "curate_corpus": _q_curate_corpus,
@@ -4671,6 +4742,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_census": _SQL_WINNOW,
         "phrase_search": _SQL_PHRASE,
         "incr_dedup": _SQL_INCR_DEDUP,
+        "source_overlap": _SQL_SOURCE_OVERLAP,
         "corpus_profile": _SQL_PROFILE,
         "pii_scrub": _SQL_PII,
         "curate_corpus": _SQL_CURATE,

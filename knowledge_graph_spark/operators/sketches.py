@@ -176,6 +176,60 @@ def kmv_distinct(items: DataFrame, item_col: str,
         group_cols, k)
 
 
+def kmv_pairwise_overlap(sketch: DataFrame, group_col: str,
+                         k: int = 256) -> DataFrame:
+    """All-pairs set-overlap estimates from ONE grouped KMV sketch —
+    the corpus-governance matrix ("which sources/shards/crawls
+    duplicate each other") answered entirely from bounded summaries:
+    ``G`` groups cost ``G·k`` sketch rows however large the corpus,
+    and every pair's estimate derives from the combined k-min of the
+    two kept-hash sets (Beyer et al., SIGMOD 2007 — same math as
+    :func:`kmv_overlap`, generalized from one pair to the matrix).
+
+    Returns integer-only ``(group_a, group_b, n_kept, n_both,
+    kth_min)`` for every unordered pair ``group_a < group_b``:
+    ``n_kept`` rows of the combined sketch (≤ k), ``n_both`` of them
+    present in both sides (Jaccard ≈ n_both/n_kept), ``kth_min`` the
+    combined k-th minimum (union estimate ≈ (k−1)·2^52/kth_min —
+    both ratios left as row-local divisions for the caller, since
+    small-denominator rounded doubles are the cross-engine hash
+    trap).
+
+    Scale shape: the input sketch is already ≤ k rows per group; the
+    pair expansion is sketch ⋈ sketch on the hash for ``n_both`` and
+    a group-pair ranked union for the combined k-min — all bounded by
+    ``G²k`` rows of longs, independent of corpus size."""
+    a = sketch.select(F.col(group_col).alias("ga"), "_h")
+    b = sketch.select(F.col(group_col).alias("gb"), "_h")
+    pairs = (a.select("ga").distinct()
+             .join(b.select("gb").distinct(), F.col("ga") < F.col("gb")))
+    memb = (
+        pairs.join(a, "ga")
+        .select("ga", "gb", "_h", F.lit(1).alias("_ina"),
+                F.lit(0).alias("_inb"))
+        .unionByName(
+            pairs.join(b, "gb")
+            .select("ga", "gb", "_h", F.lit(0).alias("_ina"),
+                    F.lit(1).alias("_inb")))
+        .groupBy("ga", "gb", "_h")
+        .agg(F.max("_ina").alias("_a"), F.max("_inb").alias("_b"))
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("_h")
+    kept = (memb.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= k))
+    return (
+        kept.groupBy("ga", "gb")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum((F.col("_a") * F.col("_b")).cast("long"))
+             .alias("n_both"),
+            F.max("_h").alias("kth_min"),
+        )
+        .select(F.col("ga").alias("group_a"), F.col("gb").alias("group_b"),
+                "n_kept", "n_both", "kth_min")
+    )
+
+
 def kmv_overlap(sketch_a: DataFrame, sketch_b: DataFrame,
                 k: int = 256) -> DataFrame:
     """Set-operation estimates from two KMV sketches (Beyer et al.,

@@ -428,3 +428,26 @@ def test_kmv_overlap_estimates_accuracy_and_exact_small_range(spark):
     assert abs(r2["est_union"] - 6000) / 6000 < 0.2
     assert abs(r2["jaccard"] - 1 / 3) < 0.12
     assert abs(r2["est_intersection"] - 2000) / 2000 < 0.35
+
+
+def test_kmv_pairwise_overlap_matrix(spark):
+    from knowledge_graph_spark.operators.sketches import (
+        kmv_pairwise_overlap, kmv_sketch)
+
+    # three groups: A and B share half their items, C is disjoint
+    rows = ([("A", f"shared-{i}") for i in range(200)]
+            + [("A", f"a-{i}") for i in range(200)]
+            + [("B", f"shared-{i}") for i in range(200)]
+            + [("B", f"b-{i}") for i in range(200)]
+            + [("C", f"c-{i}") for i in range(200)])
+    items = spark.createDataFrame(rows, "grp string, item string")
+    sk = kmv_sketch(items, "item", group_cols=["grp"], k=64)
+    out = {(r["group_a"], r["group_b"]): r
+           for r in kmv_pairwise_overlap(sk, "grp", k=64).collect()}
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = out[("A", "B")]
+    assert ab["n_kept"] == 64
+    # true Jaccard = 200/600 = 1/3; KMV at k=64 has ~1/8 rel error
+    assert 0.15 <= ab["n_both"] / ab["n_kept"] <= 0.55
+    assert out[("A", "C")]["n_both"] == 0      # disjoint estimates 0
+    assert out[("B", "C")]["n_both"] == 0
