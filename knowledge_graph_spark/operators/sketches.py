@@ -199,6 +199,13 @@ def kmv_pairwise_overlap(sketch: DataFrame, group_col: str,
     pair expansion is sketch ⋈ sketch on the hash for ``n_both`` and
     a group-pair ranked union for the combined k-min — all bounded by
     ``G²k`` rows of longs, independent of corpus size."""
+    # the sketch is referenced four times below (both membership
+    # sides and both halves of the pair list); without materializing,
+    # Spark recomputes the full upstream scan+sketch per reference —
+    # measured 4x the wall on the sf0.1 driver query. The sketch is
+    # ≤ G·k rows BY CONSTRUCTION, so pinning it is O(summary), never
+    # O(corpus).
+    sketch = sketch.localCheckpoint(eager=True)
     a = sketch.select(F.col(group_col).alias("ga"), "_h")
     b = sketch.select(F.col(group_col).alias("gb"), "_h")
     pairs = (a.select("ga").distinct()
