@@ -1398,6 +1398,42 @@ ORDER BY d.doc_id
 """
 
 
+def _q_redirects(spark, sf_dir):
+    """Redirect-chain resolution via pointer doubling: synthetic
+    chains doc_id -> doc_id+1 for doc_id % 4 != 3 (lengths 1-3,
+    terminals at doc_id % 4 == 3); every source must resolve to its
+    chain's terminal with the exact hop count in O(log chain)
+    doubling rounds. The oracle walks the same chains with a
+    recursive CTE."""
+    from knowledge_graph_spark.operators.crawl import resolve_redirects
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.filter(F.col("doc_id") % 4 != 3).select(
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") + 1).alias("dst"))
+    return resolve_redirects(edges, max_rounds=8).orderBy("src")
+
+
+_SQL_REDIRECTS = r"""
+WITH RECURSIVE e AS (
+  SELECT doc_id AS src, doc_id + 1 AS dst
+  FROM documents WHERE doc_id % 4 != 3
+),
+r AS (
+  SELECT src, dst AS cur, 1 AS hops FROM e
+  UNION ALL
+  SELECT r.src, e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.cur
+)
+SELECT src, cur AS target, CAST(hops AS BIGINT) AS hops,
+       TRUE AS resolved
+FROM (SELECT src, cur, hops,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY hops DESC) AS rn
+      FROM r)
+WHERE rn = 1 ORDER BY src
+"""
+
+
 def _q_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail terciles per language (perplexity under
     the English-trained bigram LM), rolled up to (lang, bucket)
@@ -4614,6 +4650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corruption": _q_span_corruption,
         "robots_filter": _q_robots_filter,
         "crawl_frontier": _q_crawl_frontier,
+        "redirects": _q_redirects,
         "ccnet_buckets": _q_ccnet_buckets,
         "dup_spans": _q_dup_spans,
         "winnow_census": _q_winnow_census,
@@ -4737,6 +4774,7 @@ def oracle_sql() -> dict[str, str]:
         "span_corruption": _SQL_SPAN_CORRUPTION,
         "robots_filter": _SQL_ROBOTS,
         "crawl_frontier": _SQL_FRONTIER,
+        "redirects": _SQL_REDIRECTS,
         "ccnet_buckets": _SQL_CCNET_BUCKETS,
         "dup_spans": _SQL_DUP_SPANS,
         "winnow_census": _SQL_WINNOW,

@@ -101,6 +101,77 @@ def robots_filter(urls: DataFrame, rules: DataFrame,
     )
 
 
+def resolve_redirects(edges: DataFrame, src_col: str = "src",
+                      dst_col: str = "dst",
+                      max_rounds: int = 20) -> DataFrame:
+    """Redirect-chain resolution by POINTER DOUBLING: every crawl
+    accumulates a ``src → dst`` redirect map (301/308/canonical-link
+    aliases), and downstream keys must use the TERMINAL target of
+    each chain. Following chains one hop per round is O(longest
+    chain) sequential rounds; squaring the partial function instead —
+    each round joins the map with itself, so after r rounds every
+    chain up to 2^r is fully resolved — needs only
+    ``ceil(log2(longest chain))`` rounds (the classic parallel
+    pointer-jumping / path-halving technique, e.g. Wyllie's list
+    ranking; the same trick inside this repo's union-find components).
+
+    Multiple outgoing edges per source (conflicting redirect records)
+    resolve deterministically to the MINIMUM destination (declared;
+    dedupe upstream if the corpus has a better priority). A chain
+    that has not terminated after ``max_rounds`` doublings (a cycle,
+    or a chain longer than 2^max_rounds — at the default that is a
+    million hops) is reported with ``resolved = false`` and the node
+    it last reached, never an infinite loop or a silent drop.
+
+    Returns ``(src, target, hops, resolved)`` — ``hops`` the exact
+    chain length walked, ``target`` the terminal url (or the
+    last-reached node when unresolved).
+
+    Scale shape: each round is ONE self-join keyed on the current
+    target plus a localCheckpoint to cut lineage; exchanged rows are
+    ``(node, node, long)`` triples, and the loop exits as soon as a
+    round leaves no unresolved row, so round count is logarithmic in
+    the longest chain, not the corpus."""
+    f = (
+        edges.groupBy(F.col(src_col).alias("src"))
+        .agg(F.min(F.col(dst_col)).alias("cur"))
+        .withColumn("hops", F.lit(1).cast("long"))
+    )
+    sources = f.select(F.col("src").alias("_s")).localCheckpoint(
+        eager=True)
+
+    def unresolved(frame):
+        return frame.join(sources, frame["cur"] == sources["_s"],
+                          "left_semi")
+
+    f = f.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        if unresolved(f).isEmpty():
+            break
+        g = f.select(F.col("src").alias("_gsrc"),
+                     F.col("cur").alias("_gcur"),
+                     F.col("hops").alias("_ghops"))
+        f = (
+            f.join(g, f["cur"] == g["_gsrc"], "left")
+            .select(
+                "src",
+                F.coalesce("_gcur", "cur").alias("cur"),
+                (F.col("hops")
+                 + F.coalesce("_ghops", F.lit(0))).alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        f.join(sources, f["cur"] == sources["_s"], "left")
+        .select(
+            "src",
+            F.col("cur").alias("target"),
+            "hops",
+            F.col("_s").isNull().alias("resolved"),
+        )
+    )
+
+
 def crawl_frontier(urls: DataFrame, priority, url_col: str = "url",
                    key_col: str | None = None) -> DataFrame:
     """Politeness-wave schedule: ``(…urls cols, host, wave)`` where

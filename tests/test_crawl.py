@@ -69,3 +69,34 @@ def test_frontier_waves_touch_host_once(spark):
     assert waves[("a.org", 2)] == "https://a.org/3"
     assert waves[("a.org", 3)] == "https://a.org/1"
     assert waves[("b.net", 1)] == "https://b.net/1"
+
+
+def test_resolve_redirects_chains_cycles_conflicts(spark):
+    from knowledge_graph_spark.operators.crawl import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # 3-hop chain to terminal 4
+         (10, 11),                    # 1-hop
+         (20, 21), (21, 20),          # 2-cycle: must NOT loop forever
+         (30, 35), (30, 31)],         # conflicting edges: min dst wins
+        "src long, dst long")
+    out = {r["src"]: r
+           for r in resolve_redirects(edges, max_rounds=6).collect()}
+    assert (out[1]["target"], out[1]["hops"], out[1]["resolved"]) == (4, 3, True)
+    assert (out[2]["target"], out[2]["hops"]) == (4, 2)
+    assert out[10]["resolved"] and out[10]["target"] == 11
+    assert not out[20]["resolved"] and not out[21]["resolved"]
+    assert out[30]["target"] == 31      # deterministic min-dst dedupe
+    assert len(out) == 7                # one row per distinct source
+
+
+def test_resolve_redirects_log_rounds(spark):
+    # a 100-hop chain resolves within ceil(log2(100)) = 7 doublings
+    from knowledge_graph_spark.operators.crawl import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "src long, dst long")
+    out = {r["src"]: r
+           for r in resolve_redirects(edges, max_rounds=7).collect()}
+    assert (out[0]["target"], out[0]["hops"], out[0]["resolved"]) == (100, 100, True)
+    assert all(r["resolved"] for r in out.values())
