@@ -1398,6 +1398,104 @@ ORDER BY d.doc_id
 """
 
 
+def _q_lang_consistency(spark, sf_dir):
+    """CCNet paragraph-level language consistency over injected
+    multi-line pages: two content half-lines per doc (word soup —
+    'en' when a stopword lands in the half, else 'other'), a Chinese
+    paragraph on every 3rd doc, a digit-junk line on every 5th.
+    Majority tag + minority line count per doc; the oracle replays
+    the per-line LID rule and the max(struct) majority."""
+    from knowledge_graph_spark.functions.vectors import ws_tokens
+    from knowledge_graph_spark.operators.textstats import (
+        line_language_profile)
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.coalesce(ws_tokens("text"), F.array())
+    pages = (
+        docs.select("doc_id", w.alias("_w"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.expr("array_join(slice(_w, 1, "
+                       "int(ceil(size(_w) / 2))), ' ')"),
+                F.when(F.col("doc_id") % 3 == 0,
+                       F.lit("这是一个中文段落，其中包含丰富的汉字内容。")),
+                F.expr(
+                    "array_join(slice(_w, int(ceil(size(_w) / 2)) + 1, "
+                    "greatest(size(_w) - int(ceil(size(_w) / 2)), 0)), "
+                    "' ')"),
+                F.when(F.col("doc_id") % 5 == 0, F.lit("12345 67890 ???")),
+            ).alias("text"),
+        )
+    )
+    return line_language_profile(pages).orderBy("doc_id")
+
+
+_SQL_LANG_CONSISTENCY = r"""
+WITH w0 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),
+                     x -> x != '') AS w
+  FROM documents
+),
+inj AS (
+  SELECT doc_id,
+    concat_ws(chr(10),
+      array_to_string(w[1 : (len(w) + 1) // 2], ' '),
+      CASE WHEN doc_id % 3 = 0
+           THEN '这是一个中文段落，其中包含丰富的汉字内容。' END,
+      array_to_string(w[(len(w) + 1) // 2 + 1 : len(w)], ' '),
+      CASE WHEN doc_id % 5 = 0 THEN '12345 67890 ???' END
+    ) AS text
+  FROM w0
+),
+l AS (
+  SELECT doc_id, ls[i] AS line
+  FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM inj))
+),
+tag AS (
+  SELECT doc_id,
+    CASE WHEN CAST(length(line) - length(regexp_replace(line,
+           '[\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+         / GREATEST(length(line), 1) > 0.25 THEN 'zh'
+         WHEN CAST(length(line) - length(regexp_replace(line,
+           '[A-Za-z]', '', 'g')) AS DOUBLE)
+         / GREATEST(length(line), 1) > 0.5
+         AND (CASE WHEN ' ' || lower(line) || ' ' LIKE '% the %' THEN 1 ELSE 0 END
+            + CASE WHEN ' ' || lower(line) || ' ' LIKE '% and %' THEN 1 ELSE 0 END
+            + CASE WHEN ' ' || lower(line) || ' ' LIKE '% of %' THEN 1 ELSE 0 END
+            + CASE WHEN ' ' || lower(line) || ' ' LIKE '% to %' THEN 1 ELSE 0 END
+            + CASE WHEN ' ' || lower(line) || ' ' LIKE '% in %' THEN 1 ELSE 0 END
+            + CASE WHEN ' ' || lower(line) || ' ' LIKE '% is %' THEN 1 ELSE 0 END
+            + CASE WHEN ' ' || lower(line) || ' ' LIKE '% that %' THEN 1 ELSE 0 END
+            + CASE WHEN ' ' || lower(line) || ' ' LIKE '% for %' THEN 1 ELSE 0 END
+            + CASE WHEN ' ' || lower(line) || ' ' LIKE '% with %' THEN 1 ELSE 0 END
+            + CASE WHEN ' ' || lower(line) || ' ' LIKE '% was %' THEN 1 ELSE 0 END
+            + CASE WHEN ' ' || lower(line) || ' ' LIKE '% are %' THEN 1 ELSE 0 END
+            + CASE WHEN ' ' || lower(line) || ' ' LIKE '% this %' THEN 1 ELSE 0 END
+           ) >= 1 THEN 'en'
+         ELSE 'other' END AS lang_pred
+  FROM l
+),
+per AS (SELECT doc_id, lang_pred, COUNT(*) AS c
+        FROM tag GROUP BY doc_id, lang_pred),
+maj AS (
+  SELECT doc_id, lang_pred, c,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY c DESC, lang_pred DESC) AS rn,
+         SUM(c) OVER (PARTITION BY doc_id) AS n_lines
+  FROM per
+)
+SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+       lang_pred AS majority_lang,
+       CAST(c AS BIGINT) AS n_majority,
+       CAST(n_lines - c AS BIGINT) AS n_minority
+FROM maj WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 def _q_redirects(spark, sf_dir):
     """Redirect-chain resolution via pointer doubling: synthetic
     chains doc_id -> doc_id+1 for doc_id % 4 != 3 (lengths 1-3,
@@ -4651,6 +4749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": _q_robots_filter,
         "crawl_frontier": _q_crawl_frontier,
         "redirects": _q_redirects,
+        "lang_consistency": _q_lang_consistency,
         "ccnet_buckets": _q_ccnet_buckets,
         "dup_spans": _q_dup_spans,
         "winnow_census": _q_winnow_census,
@@ -4775,6 +4874,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_filter": _SQL_ROBOTS,
         "crawl_frontier": _SQL_FRONTIER,
         "redirects": _SQL_REDIRECTS,
+        "lang_consistency": _SQL_LANG_CONSISTENCY,
         "ccnet_buckets": _SQL_CCNET_BUCKETS,
         "dup_spans": _SQL_DUP_SPANS,
         "winnow_census": _SQL_WINNOW,

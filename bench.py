@@ -102,7 +102,7 @@ def main():
         "ngram_novelty", "containment", "boilerplate_strip",
         "span_corruption", "robots_filter", "crawl_frontier",
         "ccnet_buckets", "dup_spans", "winnow_census", "phrase_search",
-        "incr_dedup", "source_overlap", "redirects",
+        "incr_dedup", "source_overlap", "redirects", "lang_consistency",
     ]
     qs = entrymod.queries()
     for name in headliners:

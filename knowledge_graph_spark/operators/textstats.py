@@ -69,6 +69,47 @@ def with_language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def line_language_profile(pages: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Paragraph-level language consistency (CCNet runs LID per
+    paragraph, not per page, because web pages mix languages —
+    navigation in one, content in another; a page whose lines
+    disagree is a poor training document in EITHER language).
+
+    Splits each page on newlines, applies :func:`with_language_id`'s
+    rule per line, and reports the per-document majority:
+    ``(doc_id, n_lines, majority_lang, n_majority, n_minority)``.
+    Majority ties break toward the lexicographically greatest
+    language tag (``max(struct(count, lang))`` — declared, replayable
+    ordering). ``n_minority / n_lines`` is the code-switching
+    fraction, left as a row-local division for the caller.
+
+    Scale shape: one explode, the row-local LID rule (pure codegen),
+    one (doc, lang) count with map-side combine, one per-doc rollup —
+    exchanges carry ``(id, tag, long)`` rows, never page bodies."""
+    lines = pages.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("idx", "line"),
+    )
+    tagged = with_language_id(lines, text_col="line")
+    per = tagged.groupBy("doc_id", "lang_pred").agg(
+        F.count("*").alias("c"))
+    maj = per.groupBy("doc_id").agg(
+        F.max(F.struct(F.col("c"), F.col("lang_pred"))).alias("_m"),
+        F.sum("c").alias("n_lines"),
+    )
+    return maj.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("_m.lang_pred").alias("majority_lang"),
+        F.col("_m.c").cast("long").alias("n_majority"),
+        (F.col("n_lines") - F.col("_m.c")).cast("long")
+        .alias("n_minority"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # quality scoring
 # ---------------------------------------------------------------------------

@@ -1603,3 +1603,25 @@ def test_dedup_incremental_verdicts(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="bands"):
         D.dedup_incremental(existing, incoming, num_hashes=8, bands=3)
+
+
+def test_line_language_profile_majority_and_ties(spark):
+    from knowledge_graph_spark.operators.textstats import (
+        line_language_profile)
+
+    pages = spark.createDataFrame(
+        [(1, "the data is here and ready\n这是一个很长的中文段落内容\n"
+             "the second english line with stopwords"),
+         (2, "这是中文第一行的内容\n这是中文第二行的内容"),
+         (3, "12345 ???\nthe one english line here"),   # 1-1 tie
+         (4, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in line_language_profile(pages).collect()}
+    assert (out[1]["majority_lang"], out[1]["n_majority"],
+            out[1]["n_minority"]) == ("en", 2, 1)
+    assert out[2]["majority_lang"] == "zh" and out[2]["n_minority"] == 0
+    # tie 'en' vs 'other' breaks to the lexicographically greatest
+    assert out[3]["majority_lang"] == "other"
+    assert out[4]["n_lines"] == 1                # NULL -> one '' line
+    assert out[4]["majority_lang"] == "other"
