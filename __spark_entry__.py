@@ -1496,6 +1496,217 @@ FROM maj WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def _q_c4_filters(spark, sf_dir):
+    """C4 row-local cleaning rules (Raffel et al. 2020 §2.2) over
+    injected multi-line pages: a punctuated first-half prose line
+    (kept), the unpunctuated second half (drop_punct), 'Click here.'
+    on every 4th doc (drop_short), a JavaScript notice on every 6th
+    (drop_js), 'lorem ipsum' on every 7th and a '{' on every 11th
+    (page kills), and the two constant filler sentences withheld on
+    every 13th doc (too_few_lines). The oracle replays the identical
+    per-line CASE cascade."""
+    from knowledge_graph_spark.functions.vectors import ws_tokens
+    from knowledge_graph_spark.operators.cleaning import c4_line_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.coalesce(ws_tokens("text"), F.array())
+    filler = ("Another fine filler sentence sits right here.\n"
+              "Yet another filler sentence completes the page.")
+    pages = (
+        docs.select("doc_id", w.alias("_w"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.concat(
+                    F.expr("array_join(slice(_w, 1, "
+                           "int(ceil(size(_w) / 2))), ' ')"),
+                    F.lit("."),
+                ),
+                F.expr(
+                    "array_join(slice(_w, int(ceil(size(_w) / 2)) + 1, "
+                    "greatest(size(_w) - int(ceil(size(_w) / 2)), 0)), "
+                    "' ')"),
+                F.when(F.col("doc_id") % 4 == 0, F.lit("Click here.")),
+                F.when(F.col("doc_id") % 6 == 0,
+                       F.lit("This page requires JavaScript to display "
+                             "correctly.")),
+                F.when(F.col("doc_id") % 7 == 0,
+                       F.lit("lorem ipsum dolor sit amet consectetur.")),
+                F.when(F.col("doc_id") % 11 == 0,
+                       F.lit("template placeholder { unresolved.")),
+                F.when(F.col("doc_id") % 13 != 0, F.lit(filler)),
+            ).alias("text"),
+        )
+    )
+    return c4_line_filter(pages).orderBy("doc_id")
+
+
+_SQL_C4_FILTERS = r"""
+WITH w0 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),
+                     x -> x != '') AS w
+  FROM documents
+),
+inj AS (
+  SELECT doc_id,
+    concat_ws(chr(10),
+      array_to_string(w[1 : (len(w) + 1) // 2], ' ') || '.',
+      array_to_string(w[(len(w) + 1) // 2 + 1 : len(w)], ' '),
+      CASE WHEN doc_id % 4 = 0 THEN 'Click here.' END,
+      CASE WHEN doc_id % 6 = 0
+           THEN 'This page requires JavaScript to display correctly.' END,
+      CASE WHEN doc_id % 7 = 0
+           THEN 'lorem ipsum dolor sit amet consectetur.' END,
+      CASE WHEN doc_id % 11 = 0
+           THEN 'template placeholder { unresolved.' END,
+      CASE WHEN doc_id % 13 != 0 THEN
+        'Another fine filler sentence sits right here.' || chr(10) ||
+        'Yet another filler sentence completes the page.' END
+    ) AS text
+  FROM w0
+),
+b AS (
+  SELECT doc_id, COALESCE(text, '') AS t,
+         string_split(COALESCE(text, ''), chr(10)) AS ls
+  FROM inj
+),
+v AS (
+  SELECT doc_id, t, ls,
+    list_transform(ls, l ->
+      CASE WHEN NOT regexp_matches(trim(l), '[.!?"。！？”]$') THEN 1
+           WHEN len(list_filter(regexp_split_to_array(trim(l), '\s+'),
+                                x -> x != '')) < 5 THEN 2
+           WHEN contains(lower(l), 'javascript') THEN 3
+           ELSE 0 END) AS vd
+  FROM b
+),
+m AS (
+  SELECT doc_id,
+    CAST(len(ls) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(vd, x -> x = 0)) AS BIGINT) AS n_kept,
+    CAST(len(list_filter(vd, x -> x = 1)) AS BIGINT) AS n_drop_punct,
+    CAST(len(list_filter(vd, x -> x = 2)) AS BIGINT) AS n_drop_short,
+    CAST(len(list_filter(vd, x -> x = 3)) AS BIGINT) AS n_drop_js,
+    CASE WHEN contains(lower(t), 'lorem ipsum') THEN 'lorem_ipsum'
+         WHEN contains(t, '{') THEN 'brace'
+         WHEN len(list_filter(vd, x -> x = 0)) < 3 THEN 'too_few_lines'
+         ELSE 'ok' END AS page_verdict,
+    array_to_string(
+      list_filter(list_transform(generate_series(1, len(ls)),
+                                 i -> CASE WHEN vd[i] = 0
+                                           THEN ls[i] END),
+                  x -> x IS NOT NULL),
+      chr(10)) AS kept_text
+  FROM v
+)
+SELECT doc_id, n_lines, n_kept, n_drop_punct, n_drop_short, n_drop_js,
+       page_verdict,
+       CASE WHEN page_verdict = 'ok' THEN kept_text ELSE '' END
+         AS clean_text
+FROM m ORDER BY doc_id
+"""
+
+
+def _q_gopher_rules(spark, sf_dir):
+    """Gopher quality-rule battery (Rae et al. 2021 A1.1) over pages
+    with deterministic rule-exercising injections: two bullet lines on
+    every 4th doc, a 9-bullet block on every 20th (pushing past the
+    90% bullet cap), an ellipsis line on every 6th, hash-symbol noise
+    on every 9th. Word counts 10-99 in this corpus, so min_words=50
+    splits naturally. All flags are integer-exact (cross-multiplied
+    thresholds) — no float reaches the driver hasher."""
+    from knowledge_graph_spark.operators.textstats import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    bullets9 = "\n".join(f"- bullet row {i}" for i in range(9))
+    pages = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit("- alpha point\n- beta point")),
+            F.when(F.col("doc_id") % 20 == 0, F.lit(bullets9)),
+            F.when(F.col("doc_id") % 6 == 0,
+                   F.lit("to be continued...")),
+            F.when(F.col("doc_id") % 9 == 0,
+                   F.lit("### symbol noise #")),
+        ).alias("text"),
+    )
+    return gopher_rules(pages).orderBy("doc_id")
+
+
+_SQL_GOPHER_RULES = r"""
+WITH inj AS (
+  SELECT doc_id,
+    concat_ws(chr(10),
+      text,
+      CASE WHEN doc_id % 4 = 0
+           THEN '- alpha point' || chr(10) || '- beta point' END,
+      CASE WHEN doc_id % 20 = 0 THEN
+        list_aggregate(list_transform(generate_series(0, 8),
+          i -> '- bullet row ' || i), 'string_agg', chr(10)) END,
+      CASE WHEN doc_id % 6 = 0 THEN 'to be continued...' END,
+      CASE WHEN doc_id % 9 = 0 THEN '### symbol noise #' END
+    ) AS text
+  FROM documents
+),
+base AS (
+  SELECT doc_id, COALESCE(text, '') AS t,
+    list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),
+                x -> x != '') AS w,
+    string_split(COALESCE(text, ''), chr(10)) AS ls
+  FROM inj
+),
+m AS (
+  SELECT doc_id,
+    CAST(len(w) AS BIGINT) AS n_words,
+    CAST(len(ls) AS BIGINT) AS n_lines,
+    CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0)
+         AS BIGINT) AS sum_wl,
+    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+         AS BIGINT) AS n_alpha,
+    CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*•]')))
+         AS BIGINT) AS n_bullet,
+    CAST(len(list_filter(ls,
+         l -> regexp_matches(rtrim(l), '(\.\.\.|…)$')))
+         AS BIGINT) AS n_ellipsis,
+    CAST(length(t) - length(replace(t, '#', ''))
+      + (length(t) - length(replace(t, '...', ''))) // 3
+      + length(t) - length(replace(t, '…', '')) AS BIGINT) AS n_sym,
+    CAST((CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'the')  THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'be')   THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'to')   THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'of')   THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'and')  THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'that') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'have') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'with') THEN 1 ELSE 0 END
+      ) AS BIGINT) AS n_stop
+  FROM base
+),
+f AS (
+  SELECT doc_id, n_words, n_lines, n_alpha AS n_alpha_words,
+    n_stop AS n_stop_hits,
+    (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+    (sum_wl >= 3 * n_words AND sum_wl <= 10 * n_words
+     AND n_words > 0) AS ok_mean_wl,
+    (10 * n_sym <= n_words AND n_words > 0) AS ok_symbols,
+    (10 * n_bullet <= 9 * n_lines) AS ok_bullets,
+    (10 * n_ellipsis <= 3 * n_lines) AS ok_ellipsis,
+    (10 * n_alpha >= 8 * n_words AND n_words > 0) AS ok_alpha,
+    (n_stop >= 2) AS ok_stopwords
+  FROM m
+)
+SELECT *,
+  (ok_word_count AND ok_mean_wl AND ok_symbols AND ok_bullets
+   AND ok_ellipsis AND ok_alpha AND ok_stopwords) AS pass_gopher
+FROM f ORDER BY doc_id
+"""
+
+
 def _q_redirects(spark, sf_dir):
     """Redirect-chain resolution via pointer doubling: synthetic
     chains doc_id -> doc_id+1 for doc_id % 4 != 3 (lengths 1-3,
@@ -4750,6 +4961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": _q_crawl_frontier,
         "redirects": _q_redirects,
         "lang_consistency": _q_lang_consistency,
+        "gopher_rules": _q_gopher_rules,
+        "c4_filters": _q_c4_filters,
         "ccnet_buckets": _q_ccnet_buckets,
         "dup_spans": _q_dup_spans,
         "winnow_census": _q_winnow_census,
@@ -4875,6 +5088,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_frontier": _SQL_FRONTIER,
         "redirects": _SQL_REDIRECTS,
         "lang_consistency": _SQL_LANG_CONSISTENCY,
+        "gopher_rules": _SQL_GOPHER_RULES,
+        "c4_filters": _SQL_C4_FILTERS,
         "ccnet_buckets": _SQL_CCNET_BUCKETS,
         "dup_spans": _SQL_DUP_SPANS,
         "winnow_census": _SQL_WINNOW,

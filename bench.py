@@ -103,6 +103,7 @@ def main():
         "span_corruption", "robots_filter", "crawl_frontier",
         "ccnet_buckets", "dup_spans", "winnow_census", "phrase_search",
         "incr_dedup", "source_overlap", "redirects", "lang_consistency",
+        "gopher_rules", "c4_filters",
     ]
     qs = entrymod.queries()
     for name in headliners:

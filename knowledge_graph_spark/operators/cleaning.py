@@ -119,3 +119,92 @@ def strip_boilerplate(pages: DataFrame, id_col: str = "doc_id",
             ).alias("clean_text"),
         )
     )
+
+
+def c4_line_filter(pages: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   min_words: int = 5,
+                   min_kept_lines: int = 3) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
+    Transfer Learning", §2.2) — ROW-LOCAL line filters, the complement
+    of :func:`strip_boilerplate`'s corpus-frequency rule (which needs a
+    cross-document exchange; these rules need none and run first in a
+    real pipeline, shrinking what the frequency pass must shuffle).
+
+    Line rules, first failing rule charged, in C4's order:
+
+    - ``drop_punct`` — the trimmed line does not end in a terminal
+      punctuation mark (``. ! ? "`` plus CJK ``。！？”``)
+    - ``drop_short`` — fewer than ``min_words`` whitespace words
+    - ``drop_js``    — contains the word "javascript" (case-folded)
+
+    Page rules (``page_verdict``, first match): ``lorem_ipsum`` if the
+    page contains "lorem ipsum" (case-folded), ``brace`` if it contains
+    ``{``, ``too_few_lines`` if fewer than ``min_kept_lines`` lines
+    survive the line rules, else ``ok``. C4 drops non-``ok`` pages
+    outright; the verdict is returned instead so curation can audit
+    kill rates per rule before committing to them.
+
+    Returns ``(doc_id, n_lines, n_kept, n_drop_punct, n_drop_short,
+    n_drop_js, page_verdict, clean_text)`` — every input row survives;
+    ``clean_text`` is the kept lines re-joined in original order (empty
+    when the page verdict kills the page, so a downstream
+    ``filter(page_verdict = 'ok')`` and a blind ``clean_text`` consumer
+    agree on content).
+
+    Scale shape: pure per-row codegen — split, per-line flags via array
+    higher-order functions, no explode, no exchange, no UDF. The scan
+    is embarrassingly parallel and survives any corpus size the
+    underlying parquet scan survives.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(t, "\n")
+    # per-line verdict array: 0 keep, 1 punct, 2 short, 3 js
+    verdicts = F.transform(
+        lines,
+        lambda l: F.when(
+            ~F.trim(l).rlike(r'[.!?"。！？”]$'), F.lit(1)
+        ).when(
+            F.size(F.filter(F.split(F.trim(l), r"\s+"),
+                            lambda w: w != F.lit(""))) < min_words,
+            F.lit(2),
+        ).when(
+            F.lower(l).contains("javascript"), F.lit(3)
+        ).otherwise(F.lit(0)),
+    )
+    counted = pages.select(
+        F.col(id_col).alias("doc_id"),
+        lines.alias("_ls"),
+        verdicts.alias("_v"),
+        F.lower(t).contains("lorem ipsum").alias("_lorem"),
+        t.contains("{").alias("_brace"),
+    )
+    n_kept = F.size(F.filter("_v", lambda v: v == 0)).cast("long")
+    kept_text = F.concat_ws(
+        "\n",
+        F.filter(
+            F.zip_with("_ls", "_v",
+                       lambda l, v: F.when(v == 0, l)),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    verdict = (
+        F.when(F.col("_lorem"), "lorem_ipsum")
+        .when(F.col("_brace"), "brace")
+        .when(n_kept < min_kept_lines, "too_few_lines")
+        .otherwise("ok")
+    )
+    return counted.select(
+        "doc_id",
+        F.size("_ls").cast("long").alias("n_lines"),
+        n_kept.alias("n_kept"),
+        F.size(F.filter("_v", lambda v: v == 1)).cast("long")
+        .alias("n_drop_punct"),
+        F.size(F.filter("_v", lambda v: v == 2)).cast("long")
+        .alias("n_drop_short"),
+        F.size(F.filter("_v", lambda v: v == 3)).cast("long")
+        .alias("n_drop_js"),
+        verdict.alias("page_verdict"),
+        F.when(verdict == "ok", kept_text).otherwise(F.lit(""))
+        .alias("clean_text"),
+    )

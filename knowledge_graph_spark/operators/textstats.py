@@ -171,6 +171,101 @@ def with_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                     "with")
+
+
+def gopher_rules(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 min_words: int = 50, max_words: int = 100_000) -> DataFrame:
+    """Gopher document-level quality rule flags (Rae et al. 2021,
+    "Scaling Language Models", Appendix A1.1 — the rule battery that
+    MassiveWeb/RefinedWeb/Dolma all reuse). Unlike
+    :func:`with_quality_score` (one composite scalar), this emits the
+    per-rule verdicts a curation pipeline filters and AUDITS on —
+    which rule killed a page matters when tuning thresholds.
+
+    Rules (a document must pass ALL to pass):
+
+    - ``ok_word_count``  — whitespace-word count in [min_words, max_words]
+    - ``ok_mean_wl``     — mean word length in [3, 10]
+    - ``ok_symbols``     — (count('#') + count('...') + count('…'))
+      per word <= 0.1
+    - ``ok_bullets``     — <= 90% of lines start with a bullet
+      (``-``, ``*``, ``•``) after trimming
+    - ``ok_ellipsis``    — <= 30% of lines end with ``...`` or ``…``
+    - ``ok_alpha``       — >= 80% of words contain an [A-Za-z] char
+    - ``ok_stopwords``   — >= 2 distinct members of the 8-word Gopher
+      stop set appear as lowercased whitespace tokens
+
+    Every threshold is evaluated by INTEGER cross-multiplication
+    (``10*n_sym <= n_words``, not ``n_sym/n_words <= 0.1``) so the
+    verdicts are exact and engine-independent — no float ratio ever
+    decides a flag or reaches the output schema. Outputs are longs and
+    booleans only: ``(doc_id, n_words, n_lines, n_alpha_words,
+    n_stop_hits, ok_* x7, pass_gopher)``. NULL text behaves as the
+    empty document (0 words, 1 empty line) and fails the word-count
+    and stopword gates rather than passing NULLs through.
+
+    Scale shape: pure row-local codegen over the page body — zero
+    exchanges, zero UDFs; the scan runs at parquet-read speed and the
+    flags are computed before any downstream shuffle sees the row.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.coalesce(ws_tokens(text_col), F.array())
+    n_words = F.size(words).cast("long")
+    sum_wl = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.filter(
+        lines, lambda l: F.trim(l).rlike(r"^[-*•]")
+    )
+    n_bullet = F.size(n_bullet).cast("long")
+    n_ellipsis = F.size(F.filter(
+        lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
+    ).cast("long")
+    n_alpha = F.size(F.filter(
+        words, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    n_hash = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+              ).cast("long")
+    n_dots = ((F.length(t)
+               - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+              ).cast("long")
+    n_uni_ell = (F.length(t)
+                 - F.length(F.replace(t, F.lit("…"), F.lit("")))
+                 ).cast("long")
+    n_sym = n_hash + n_dots + n_uni_ell
+    low_words = F.transform(words, F.lower)
+    n_stop = None
+    for sw in _GOPHER_STOPWORDS:
+        hit = F.array_contains(low_words, sw).cast("long")
+        n_stop = hit if n_stop is None else n_stop + hit
+
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.alias("n_stop_hits"),
+        ((n_words >= min_words) & (n_words <= max_words))
+        .alias("ok_word_count"),
+        ((sum_wl >= 3 * n_words) & (sum_wl <= 10 * n_words)
+         & (n_words > 0)).alias("ok_mean_wl"),
+        ((10 * n_sym <= n_words) & (n_words > 0)).alias("ok_symbols"),
+        (10 * n_bullet <= 9 * n_lines).alias("ok_bullets"),
+        (10 * n_ellipsis <= 3 * n_lines).alias("ok_ellipsis"),
+        ((10 * n_alpha >= 8 * n_words) & (n_words > 0)).alias("ok_alpha"),
+        (n_stop >= 2).alias("ok_stopwords"),
+    )
+    return out.withColumn(
+        "pass_gopher",
+        F.col("ok_word_count") & F.col("ok_mean_wl") & F.col("ok_symbols")
+        & F.col("ok_bullets") & F.col("ok_ellipsis") & F.col("ok_alpha")
+        & F.col("ok_stopwords"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # document fingerprinting
 # ---------------------------------------------------------------------------

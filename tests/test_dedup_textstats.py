@@ -1605,6 +1605,63 @@ def test_dedup_incremental_verdicts(spark):
         D.dedup_incremental(existing, incoming, num_hashes=8, bands=3)
 
 
+def test_c4_line_filter_rules_and_verdicts(spark):
+    from knowledge_graph_spark.operators.cleaning import c4_line_filter
+
+    good = "this is a perfectly fine prose sentence with many words."
+    docs = spark.createDataFrame(
+        [(1, "\n".join([good, "Too short.",
+                        "no terminal punctuation on this line",
+                        "Please enable JavaScript to continue browsing.",
+                        good, good])),
+         (2, good + "\nlorem ipsum dolor sit amet consectetur adipiscing."
+             + "\n" + good + "\n" + good),
+         (3, "\n".join([good, good, "var f = function() { return 1; }.",
+                        good])),
+         (4, good + "\n" + good),       # only 2 kept -> too_few_lines
+         (5, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_line_filter(docs).collect()}
+    r1 = out[1]
+    assert (r1["n_kept"], r1["n_drop_punct"], r1["n_drop_short"],
+            r1["n_drop_js"]) == (3, 1, 1, 1)
+    assert r1["page_verdict"] == "ok"
+    assert r1["clean_text"] == "\n".join([good, good, good])
+    assert out[2]["page_verdict"] == "lorem_ipsum"
+    assert out[2]["clean_text"] == ""
+    assert out[3]["page_verdict"] == "brace"
+    assert out[4]["page_verdict"] == "too_few_lines"
+    # NULL -> one empty line, dropped by the punctuation rule
+    assert out[5]["n_lines"] == 1 and out[5]["n_drop_punct"] == 1
+    assert out[5]["page_verdict"] == "too_few_lines"
+
+
+def test_gopher_rules_flags(spark):
+    from knowledge_graph_spark.operators.textstats import gopher_rules
+
+    good = " ".join(
+        ["the quick brown fox jumps over and that have with lazy dogs"]
+        * 5)  # 60 words, all alpha, mean wl ~3.9, 5 stopword kinds
+    docs = spark.createDataFrame(
+        [(1, good),
+         (2, "short text the and"),                    # < min_words
+         (3, good + " " + "#" * 9),                    # 61 words, 9 '#'
+         (4, "- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j\nprose"),
+         (5, good + "\nwait for it...\nmore..."),      # 2/3 ellipsis lines
+         (6, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+    assert out[1]["pass_gopher"] and out[1]["n_stop_hits"] == 5
+    assert not out[2]["ok_word_count"] and out[2]["ok_stopwords"]
+    # 9 symbols vs 61 words -> 90 > 61 fails; the '#########' word also
+    # breaks the 80% alpha rule only if >20% non-alpha (1/61 passes)
+    assert not out[3]["ok_symbols"] and out[3]["ok_alpha"]
+    assert not out[4]["ok_bullets"]        # 10 of 11 lines bulleted
+    assert not out[5]["ok_ellipsis"]       # 2 of 3 lines end ...
+    assert out[6]["n_words"] == 0 and not out[6]["pass_gopher"]
+    assert out[6]["n_lines"] == 1          # NULL -> one empty line
+
+
 def test_line_language_profile_majority_and_ties(spark):
     from knowledge_graph_spark.operators.textstats import (
         line_language_profile)
