@@ -1496,6 +1496,173 @@ FROM maj WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def _q_jsonld_entities(spark, sf_dir):
+    """schema.org JSON-LD harvest (Web Data Commons model) over pages
+    with injected script blocks: an Organization block on every doc, a
+    Person block on every 3rd, a malformed block on every 10th and a
+    typeless block on every 7th (both must drop under the shared
+    validity rule — parseable object with non-null @type). The oracle
+    replays the lazy regex and DuckDB's json_valid + @type gate."""
+    from knowledge_graph_spark.operators.structured import extract_jsonld
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id").cast("string")
+    org = F.concat(
+        F.lit('<script type="application/ld+json">'
+              '{"@type":"Organization","name":"Org '),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit('","url":"https://w'), (F.col("doc_id") % 4).cast("string"),
+        F.lit(".example.org/p/"), k, F.lit('"}</script>'),
+    )
+    person = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"@type":"Person","name":"Person '),
+            (F.col("doc_id") % 11).cast("string"),
+            F.lit('"}</script>'),
+        ))
+    broken = F.when(F.col("doc_id") % 10 == 0,
+                    F.lit('<script type="application/ld+json">'
+                          '{broken</script>'))
+    typeless = F.when(F.col("doc_id") % 7 == 0,
+                      F.lit('<script type="application/ld+json">'
+                            '{"name":"typeless"}</script>'))
+    pages = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("text"), org, person, broken, typeless)
+        .alias("text"),
+    )
+    return extract_jsonld(pages).orderBy("doc_id", "ld_type")
+
+
+_SQL_JSONLD = r"""
+WITH inj AS (
+  SELECT doc_id,
+    text
+    || ' <script type="application/ld+json">{"@type":"Organization","name":"Org '
+    || (doc_id % 13) || '","url":"https://w' || (doc_id % 4)
+    || '.example.org/p/' || doc_id || '"}</script>'
+    || CASE WHEN doc_id % 3 = 0 THEN
+         ' <script type="application/ld+json">{"@type":"Person","name":"Person '
+         || (doc_id % 11) || '"}</script>' ELSE '' END
+    || CASE WHEN doc_id % 10 = 0 THEN
+         ' <script type="application/ld+json">{broken</script>'
+       ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN
+         ' <script type="application/ld+json">{"name":"typeless"}</script>'
+       ELSE '' END AS text
+  FROM documents
+),
+raw AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(text,
+      '<script type="application/ld\+json">(.*?)</script>', 1)) AS b
+  FROM inj
+),
+p AS (
+  SELECT doc_id,
+    CASE WHEN json_valid(b)
+         THEN json_extract_string(b, '$."@type"') END AS ld_type,
+    CASE WHEN json_valid(b)
+         THEN json_extract_string(b, '$.name') END AS ld_name,
+    CASE WHEN json_valid(b)
+         THEN json_extract_string(b, '$.url') END AS ld_url
+  FROM raw
+)
+SELECT doc_id, ld_type, ld_name, ld_url
+FROM p WHERE ld_type IS NOT NULL
+ORDER BY doc_id, ld_type
+"""
+
+
+def _q_anchor_texts(spark, sf_dir):
+    """Wikilink anchor-dictionary inversion (Spitkovsky & Chang 2012)
+    over injected ``[[target|anchor]]`` links: every doc cites
+    node_(id%17) twice — once with a rotating alias anchor, once
+    pipe-less — and Topic (id%5) once pipe-less. The inverted table
+    yields per-target inlink/doc counts and the top-5 anchor terms
+    (count desc, term asc — deterministic). Oracle replays the regex,
+    the MediaWiki title normalization, and the ordered top-k."""
+    from knowledge_graph_spark.operators.wikilinks import (
+        anchor_summary, extract_wikilinks)
+
+    docs = _t(spark, sf_dir, "documents")
+    m17 = (F.col("doc_id") % 17).cast("string")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" cites [[node_"), m17,
+            F.lit("|alias "), (F.col("doc_id") % 3).cast("string"),
+            F.lit(" term]] and [[Topic "),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("]] then [[node_"), m17, F.lit("]] again"),
+        ).alias("text"),
+    )
+    return (
+        anchor_summary(extract_wikilinks(pages), k=5)
+        .orderBy("target")
+    )
+
+
+_SQL_ANCHOR_TEXTS = r"""
+WITH inj AS (
+  SELECT doc_id,
+    text || ' cites [[node_' || (doc_id % 17) || '|alias '
+         || (doc_id % 3) || ' term]] and [[Topic ' || (doc_id % 5)
+         || ']] then [[node_' || (doc_id % 17) || ']] again' AS text
+  FROM documents
+),
+raw AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '\[\[([^\[\]]+)\]\]', 1)) AS x
+  FROM inj
+),
+lk AS (
+  SELECT doc_id,
+    CASE WHEN position('|' IN x) > 0
+         THEN substr(x, 1, position('|' IN x) - 1) ELSE x END AS traw,
+    trim(CASE WHEN position('|' IN x) > 0
+              THEN substr(x, position('|' IN x) + 1) ELSE x END) AS anchor
+  FROM raw
+),
+links AS (
+  SELECT doc_id,
+    upper(substr(t, 1, 1)) || substr(t, 2) AS target, anchor
+  FROM (SELECT doc_id, anchor,
+          trim(regexp_replace(replace(traw, '_', ' '), '\s+', ' ', 'g'))
+            AS t
+        FROM lk)
+),
+terms AS (
+  SELECT target, lower(w) AS term
+  FROM (SELECT target,
+          unnest(list_filter(regexp_split_to_array(anchor, '\s+'),
+                             x -> x != '')) AS w
+        FROM links)
+),
+tc AS (SELECT target, term, COUNT(*) AS c
+       FROM terms GROUP BY target, term),
+top AS (
+  SELECT target,
+    CAST(COUNT(*) AS BIGINT) AS n_anchor_terms,
+    (list(term ORDER BY c DESC, term ASC))[1:5] AS top_anchor_terms
+  FROM tc GROUP BY target
+),
+stats AS (
+  SELECT target, CAST(COUNT(*) AS BIGINT) AS n_inlinks,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM links GROUP BY target
+)
+SELECT s.target, s.n_inlinks, s.n_docs,
+       COALESCE(t.n_anchor_terms, 0) AS n_anchor_terms,
+       COALESCE(t.top_anchor_terms, []) AS top_anchor_terms
+FROM stats s LEFT JOIN top t USING (target)
+ORDER BY s.target
+"""
+
+
 def _q_c4_filters(spark, sf_dir):
     """C4 row-local cleaning rules (Raffel et al. 2020 §2.2) over
     injected multi-line pages: a punctuated first-half prose line
@@ -4963,6 +5130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_consistency": _q_lang_consistency,
         "gopher_rules": _q_gopher_rules,
         "c4_filters": _q_c4_filters,
+        "anchor_texts": _q_anchor_texts,
+        "jsonld_entities": _q_jsonld_entities,
         "ccnet_buckets": _q_ccnet_buckets,
         "dup_spans": _q_dup_spans,
         "winnow_census": _q_winnow_census,
@@ -5090,6 +5259,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_consistency": _SQL_LANG_CONSISTENCY,
         "gopher_rules": _SQL_GOPHER_RULES,
         "c4_filters": _SQL_C4_FILTERS,
+        "anchor_texts": _SQL_ANCHOR_TEXTS,
+        "jsonld_entities": _SQL_JSONLD,
         "ccnet_buckets": _SQL_CCNET_BUCKETS,
         "dup_spans": _SQL_DUP_SPANS,
         "winnow_census": _SQL_WINNOW,

@@ -103,7 +103,7 @@ def main():
         "span_corruption", "robots_filter", "crawl_frontier",
         "ccnet_buckets", "dup_spans", "winnow_census", "phrase_search",
         "incr_dedup", "source_overlap", "redirects", "lang_consistency",
-        "gopher_rules", "c4_filters",
+        "gopher_rules", "c4_filters", "anchor_texts", "jsonld_entities",
     ]
     qs = entrymod.queries()
     for name in headliners:

@@ -1,0 +1,122 @@
+# -*- coding: utf-8 -*-
+"""Wikilink extraction and anchor-text aggregation.
+
+Wikipedia-style ``[[Target|anchor text]]`` links are the single
+richest public source of (entity, alias) supervision — every serious
+KG-construction pipeline (DBpedia, Wikidata bootstrapping, entity
+linkers like TagMe/REL) starts by inverting them: for each link
+TARGET, collect every anchor string authors used to refer to it. The
+inverted anchor table gives (a) the alias dictionary for entity
+linking, (b) inlink counts for entity salience, and (c) the mention
+vocabulary for weak-labelling NER training data.
+
+Not in the reference (its corpus is pre-extracted prose); semantics
+follow the public MediaWiki link syntax and the anchor-dictionary
+construction described in Spitkovsky & Chang (2012), "A Cross-Lingual
+Dictionary for English Wikipedia Concepts".
+
+Scale shape: link extraction is row-local codegen (regexp over the
+page body — the body never survives past the explode); the inversion
+exchanges ``(target, term, count)`` / ``(target, doc_id)`` rows only.
+The per-target top-k is computed IN-aggregate (sorted slice of the
+collected per-term counts, bounded by the target's distinct anchor
+vocabulary) — no second window/shuffle, and no all-pairs anywhere.
+A mega-target (a hub entity with millions of inlinks) bounds the
+collect at its distinct-TERM count, not its inlink count, because the
+term counting collapses map-side first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.vectors import ws_tokens
+
+# inner content of [[...]] — no nested brackets
+_WIKILINK_RE = r"\[\[([^\[\]]+)\]\]"
+
+
+def _normalize_target(col: Column) -> Column:
+    """MediaWiki title normalization (declared subset): underscores to
+    spaces, whitespace runs collapsed, trimmed, first char uppercased.
+    Percent/HTML-entity decoding is out of scope (same stance as
+    urls.canonical_url)."""
+    t = F.trim(F.regexp_replace(F.replace(col, F.lit("_"), F.lit(" ")),
+                                r"\s+", " "))
+    return F.concat(F.upper(F.substring(t, 1, 1)), F.substring(t, 2, 1 << 30))
+
+
+def extract_wikilinks(pages: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Explode every ``[[Target|anchor]]`` / ``[[Target]]`` occurrence
+    into ``(doc_id, target, anchor)`` rows.
+
+    The anchor is the text after the FIRST ``|`` (later pipes stay in
+    the anchor, per MediaWiki); a pipe-less link anchors with its own
+    target text (pre-normalization). Targets are normalized with
+    :func:`_normalize_target`; anchors keep their surface form (case
+    folding happens in the aggregation, where it is a counting rule,
+    not a data rewrite). Pages with no links contribute no rows.
+    """
+    # SQL string literals eat single backslashes -> double them
+    sql_re = _WIKILINK_RE.replace("\\", "\\\\")
+    inner = F.expr(
+        f"regexp_extract_all({text_col}, '{sql_re}', 1)")
+    links = pages.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(inner).alias("_raw"),
+    )
+    parts = F.split(F.col("_raw"), r"\|", 2)
+    target_raw = F.element_at(parts, 1)
+    anchor = F.when(F.size(parts) >= 2, F.element_at(parts, 2)) \
+        .otherwise(target_raw)
+    return links.select(
+        "doc_id",
+        _normalize_target(target_raw).alias("target"),
+        F.trim(anchor).alias("anchor"),
+    )
+
+
+def anchor_summary(links: DataFrame, k: int = 5) -> DataFrame:
+    """Invert a ``(doc_id, target, anchor)`` link table into the
+    per-target anchor dictionary:
+
+    - ``n_inlinks``    — total link occurrences
+    - ``n_docs``       — distinct citing documents
+    - ``n_anchor_terms`` — distinct lowercased anchor words
+    - ``top_anchor_terms`` — the ``k`` most frequent lowercased anchor
+      words, ties broken lexicographically (deterministic, replayable)
+
+    Term counting is occurrence-based (a word used twice across two
+    anchors counts twice). Exchanges carry ``(target, term, long)``
+    and ``(target, doc_id)`` rows; the top-k slice happens inside the
+    final aggregate, bounded by each target's distinct-term count.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    terms = links.select(
+        "target",
+        F.explode(ws_tokens("anchor")).alias("w"),
+    ).select("target", F.lower("w").alias("term"))
+    term_counts = terms.groupBy("target", "term").agg(
+        F.count("*").alias("c"))
+    top = term_counts.groupBy("target").agg(
+        F.count("*").cast("long").alias("n_anchor_terms"),
+        F.transform(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct(
+                    (-F.col("c")).alias("neg_c"), F.col("term")))),
+                1, k),
+            lambda s: s.term,
+        ).alias("top_anchor_terms"),
+    )
+    stats = links.groupBy("target").agg(
+        F.count("*").cast("long").alias("n_inlinks"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    return stats.join(top, "target", "left").select(
+        "target", "n_inlinks", "n_docs",
+        F.coalesce("n_anchor_terms", F.lit(0)).alias("n_anchor_terms"),
+        F.coalesce("top_anchor_terms", F.array().cast("array<string>"))
+        .alias("top_anchor_terms"),
+    )

@@ -100,3 +100,59 @@ def test_resolve_redirects_log_rounds(spark):
            for r in resolve_redirects(edges, max_rounds=7).collect()}
     assert (out[0]["target"], out[0]["hops"], out[0]["resolved"]) == (100, 100, True)
     assert all(r["resolved"] for r in out.values())
+
+
+def test_extract_wikilinks_and_anchor_summary(spark):
+    from knowledge_graph_spark.operators.wikilinks import (
+        anchor_summary, extract_wikilinks)
+
+    pages = spark.createDataFrame(
+        [(1, "see [[graph database|graph store]] and "
+             "[[Graph_database]] plus [[apache spark|Spark engine]]"),
+         (2, "more on [[graph   database|the graph store]] here"),
+         (3, "a pipe-rich [[X|a|b]] link and [[lonely]]"),
+         (4, "no links at all"),
+         (5, "[[Empty anchor|]] stays a row")],
+        "doc_id long, text string")
+    links = extract_wikilinks(pages)
+    rows = {(r["doc_id"], r["target"], r["anchor"])
+            for r in links.collect()}
+    # underscore + whitespace-collapse + ucfirst all map to one target
+    assert (1, "Graph database", "graph store") in rows
+    assert (1, "Graph database", "Graph_database") in rows
+    assert (2, "Graph database", "the graph store") in rows
+    assert (3, "X", "a|b") in rows          # later pipes stay in anchor
+    assert (3, "Lonely", "lonely") in rows
+    assert (5, "Empty anchor", "") in rows
+    assert not any(r[0] == 4 for r in rows)
+
+    summ = {r["target"]: r for r in anchor_summary(links, k=2).collect()}
+    gd = summ["Graph database"]
+    assert (gd["n_inlinks"], gd["n_docs"]) == (3, 2)
+    # term counts: graph 3, store 2, the 1, graph_database 1 ->
+    # top-2 = [graph, store]
+    assert gd["top_anchor_terms"] == ["graph", "store"]
+    assert summ["Empty anchor"]["n_anchor_terms"] == 0
+    assert summ["Empty anchor"]["top_anchor_terms"] == []
+
+
+def test_extract_jsonld_validity_rule(spark):
+    from knowledge_graph_spark.operators.structured import extract_jsonld
+
+    b = '<script type="application/ld+json">%s</script>'
+    pages = spark.createDataFrame(
+        [(1, "x " + b % '{"@type":"Organization","name":"Acme"}'
+             + " y " + b % '{"@type":"Person","name":"Jane","url":"u"}'),
+         (2, b % '{broken'),                       # invalid JSON
+         (3, b % '{"name":"typeless"}'),           # no @type
+         (4, b % '[1,2]'),                         # array, not object
+         (5, b % '{"@type":"Product"}'),           # name/url absent
+         (6, "no blocks at all")],
+        "doc_id long, text string")
+    rows = {(r["doc_id"], r["ld_type"], r["ld_name"], r["ld_url"])
+            for r in extract_jsonld(pages).collect()}
+    assert rows == {
+        (1, "Organization", "Acme", None),
+        (1, "Person", "Jane", "u"),
+        (5, "Product", None, None),
+    }
