@@ -1496,6 +1496,193 @@ FROM maj WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def _q_web_tables(spark, sf_dir):
+    """WebTables harvest (Cafarella et al. 2008) over injected
+    markdown pipe tables: every doc carries a two-column
+    Metric/Value table (with separator row), every 5th doc adds a
+    second single-column table with a ragged two-cell data row (its
+    second cell must surface with a NULL header). The oracle replays
+    the gaps-and-islands run detection, separator drop, and
+    positional header lookup."""
+    from knowledge_graph_spark.operators.structured import extract_tables
+
+    docs = _t(spark, sf_dir, "documents")
+    t1 = F.concat(
+        F.lit("| Metric | Value |\n|---|---|\n| tokens | "),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit(" |\n| chars | "),
+        (F.col("doc_id") % 13).cast("string"), F.lit(" |"),
+    )
+    t2 = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit("afterthought prose\n| K |\n| "),
+                 (F.col("doc_id") % 3).cast("string"),
+                 F.lit(" | extra |")),
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat_ws("\n", F.col("text"), t1, t2).alias("text"),
+    )
+    return extract_tables(pages).orderBy(
+        "doc_id", "table_id", "row_idx", "col_idx")
+
+
+_SQL_WEB_TABLES = r"""
+WITH inj AS (
+  SELECT doc_id,
+    text || chr(10)
+    || '| Metric | Value |' || chr(10) || '|---|---|' || chr(10)
+    || '| tokens | ' || (doc_id % 97) || ' |' || chr(10)
+    || '| chars | ' || (doc_id % 13) || ' |'
+    || CASE WHEN doc_id % 5 = 0 THEN
+         chr(10) || 'afterthought prose' || chr(10) || '| K |'
+         || chr(10) || '| ' || (doc_id % 3) || ' | extra |'
+       ELSE '' END AS text
+  FROM documents
+),
+l AS (
+  SELECT doc_id, i AS idx, trim(ls[i]) AS t
+  FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+              FROM inj))
+),
+tl AS (
+  SELECT doc_id, idx, t,
+         idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx)
+           AS grp
+  FROM l WHERE regexp_matches(t, '^\|.*\|$')
+),
+tl2 AS (
+  SELECT *,
+    dense_rank() OVER (PARTITION BY doc_id ORDER BY grp) AS table_id,
+    row_number() OVER (PARTITION BY doc_id, grp ORDER BY idx) AS rn,
+    first_value(t) OVER (PARTITION BY doc_id, grp ORDER BY idx)
+      AS hline
+  FROM tl
+),
+d AS (
+  SELECT doc_id, CAST(table_id AS BIGINT) AS table_id,
+    CAST(row_number() OVER (PARTITION BY doc_id, grp ORDER BY idx)
+         AS BIGINT) AS row_idx,
+    list_transform(string_split(regexp_replace(t, '^\||\|$', '', 'g'),
+                                '|'), x -> trim(x)) AS cs,
+    list_transform(string_split(regexp_replace(hline, '^\||\|$', '',
+                                               'g'), '|'),
+                   x -> trim(x)) AS hc
+  FROM tl2
+  WHERE rn > 1 AND NOT regexp_matches(t, '^\|[-:| ]+\|$')
+)
+SELECT doc_id, table_id, row_idx, CAST(i - 1 AS BIGINT) AS col_idx,
+       hc[i] AS header, cs[i] AS cell
+FROM (SELECT *, unnest(generate_series(1, len(cs))) AS i FROM d)
+ORDER BY doc_id, table_id, row_idx, col_idx
+"""
+
+
+def _q_entity_linking(spark, sf_dir):
+    """Commonness-baseline entity linking over the same wikilink
+    injection as anchor_texts: the dictionary is built from the
+    injected links, then three mention families resolve against it —
+    an ambiguous cased alias shared by ~17 targets (argmax + declared
+    tie-break), an unambiguous pipe-less anchor, and an unlinkable
+    surface that must abstain with NULLs. Counts only; the commonness
+    ratio never materializes as a float."""
+    from knowledge_graph_spark.operators.wikilinks import (
+        commonness_dictionary, extract_wikilinks, link_mentions)
+
+    docs = _t(spark, sf_dir, "documents")
+    m17 = (F.col("doc_id") % 17).cast("string")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" cites [[node_"), m17,
+            F.lit("|alias "), (F.col("doc_id") % 3).cast("string"),
+            F.lit(" term]] and [[Topic "),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("]] then [[node_"), m17, F.lit("]] again"),
+        ).alias("text"),
+    )
+    d = commonness_dictionary(extract_wikilinks(pages))
+    base = docs.select("doc_id")
+    mentions = (
+        base.select(
+            (F.col("doc_id") * 10 + 1).alias("mention_id"),
+            F.concat(F.lit("Alias "),
+                     (F.col("doc_id") % 3).cast("string"),
+                     F.lit(" TERM")).alias("surface"))
+        .unionAll(base.filter(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") * 10 + 2).alias("mention_id"),
+            F.concat(F.lit("node_"), (F.col("doc_id") % 17)
+                     .cast("string")).alias("surface")))
+        .unionAll(base.filter(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") * 10 + 3).alias("mention_id"),
+            F.lit("never linked anywhere").alias("surface")))
+    )
+    return link_mentions(mentions, d).orderBy("mention_id")
+
+
+_SQL_ENTITY_LINKING = r"""
+WITH inj AS (
+  SELECT doc_id,
+    text || ' cites [[node_' || (doc_id % 17) || '|alias '
+         || (doc_id % 3) || ' term]] and [[Topic ' || (doc_id % 5)
+         || ']] then [[node_' || (doc_id % 17) || ']] again' AS text
+  FROM documents
+),
+raw AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '\[\[([^\[\]]+)\]\]', 1)) AS x
+  FROM inj
+),
+lk AS (
+  SELECT doc_id,
+    CASE WHEN position('|' IN x) > 0
+         THEN substr(x, 1, position('|' IN x) - 1) ELSE x END AS traw,
+    trim(CASE WHEN position('|' IN x) > 0
+              THEN substr(x, position('|' IN x) + 1) ELSE x END) AS anchor
+  FROM raw
+),
+links AS (
+  SELECT doc_id,
+    upper(substr(t, 1, 1)) || substr(t, 2) AS target, anchor
+  FROM (SELECT doc_id, anchor,
+          trim(regexp_replace(replace(traw, '_', ' '), '\s+', ' ', 'g'))
+            AS t
+        FROM lk)
+),
+pairs AS (
+  SELECT lower(trim(anchor)) AS anchor_key, target,
+         CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM links WHERE lower(trim(anchor)) != ''
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT anchor_key, target, n_pair,
+         CAST(SUM(n_pair) OVER (PARTITION BY anchor_key) AS BIGINT)
+           AS n_anchor,
+         row_number() OVER (PARTITION BY anchor_key
+                            ORDER BY n_pair DESC, target ASC) AS rn
+  FROM pairs
+),
+mentions AS (
+  SELECT doc_id * 10 + 1 AS mention_id,
+         'Alias ' || (doc_id % 3) || ' TERM' AS surface FROM documents
+  UNION ALL
+  SELECT doc_id * 10 + 2, 'node_' || (doc_id % 17)
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id * 10 + 3, 'never linked anywhere'
+  FROM documents WHERE doc_id % 9 = 0
+)
+SELECT m.mention_id, m.surface, b.target, b.n_pair, b.n_anchor
+FROM mentions m
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+  ON lower(trim(m.surface)) = b.anchor_key
+ORDER BY m.mention_id
+"""
+
+
 def _q_jsonld_entities(spark, sf_dir):
     """schema.org JSON-LD harvest (Web Data Commons model) over pages
     with injected script blocks: an Organization block on every doc, a
@@ -5132,6 +5319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": _q_c4_filters,
         "anchor_texts": _q_anchor_texts,
         "jsonld_entities": _q_jsonld_entities,
+        "entity_linking": _q_entity_linking,
+        "web_tables": _q_web_tables,
         "ccnet_buckets": _q_ccnet_buckets,
         "dup_spans": _q_dup_spans,
         "winnow_census": _q_winnow_census,
@@ -5261,6 +5450,8 @@ def oracle_sql() -> dict[str, str]:
         "c4_filters": _SQL_C4_FILTERS,
         "anchor_texts": _SQL_ANCHOR_TEXTS,
         "jsonld_entities": _SQL_JSONLD,
+        "entity_linking": _SQL_ENTITY_LINKING,
+        "web_tables": _SQL_WEB_TABLES,
         "ccnet_buckets": _SQL_CCNET_BUCKETS,
         "dup_spans": _SQL_DUP_SPANS,
         "winnow_census": _SQL_WINNOW,

@@ -24,7 +24,7 @@ never survive past the explode; no exchange of any kind.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 _SCRIPT_RE = r'<script type="application/ld\+json">(.*?)</script>'
 _LD_SCHEMA = "`@type` STRING, name STRING, url STRING"
@@ -63,4 +63,80 @@ def extract_jsonld(pages: DataFrame, id_col: str = "doc_id",
             j.getField("url").alias("ld_url"),
         )
         .filter(F.col("ld_type").isNotNull())
+    )
+
+
+# a table line: starts and ends with '|' after trimming
+_TABLE_LINE_RE = r"^\|.*\|$"
+# a separator line: only -,:,| and spaces between the pipes
+_SEPARATOR_RE = r"^\|[-:| ]+\|$"
+
+
+def extract_tables(pages: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Relational-table harvest from markdown-style pipe tables — the
+    WebTables program (Cafarella et al., VLDB 2008): the web's
+    embedded tables are a corpus of hundreds of millions of small
+    relations whose header rows carry attribute names for free, and
+    mining them yields (entity, attribute, value) triples at a
+    precision prose extraction can't reach.
+
+    A table is a maximal run of consecutive lines that start and end
+    with ``|`` (after trimming) — the gaps-and-islands rule. Within an
+    island the FIRST line is the header, ``|---|:--:|``-style
+    separator lines are dropped, and every remaining line is a data
+    row. Output is the fully unpivoted cell list ``(doc_id, table_id,
+    row_idx, col_idx, header, cell)``: ``table_id`` numbers islands
+    within a document in text order (1-based), ``row_idx`` numbers
+    data rows within a table (1-based, separators and header
+    excluded), ``col_idx`` is 0-based, ``header`` is the header cell
+    of the same column or NULL when a ragged row is wider than its
+    header. Cells are trimmed; empty cells survive as ``''``.
+
+    Scale shape: one explode, then all sequencing windows are keyed by
+    ``doc_id`` (one doc-sized partition each — bounded by a page's
+    line count, never by corpus size), and the header lookup is an
+    ``element_at`` against the island's first line carried by a window
+    ``first()``, not a join. The exchange moves ``(doc_id, idx,
+    line)`` for TABLE lines only — prose never shuffles."""
+    lines = pages.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("idx", "line"),
+    ).withColumn("_t", F.trim("line"))
+    tl = lines.filter(F.col("_t").rlike(_TABLE_LINE_RE))
+
+    w_doc = Window.partitionBy("doc_id").orderBy("idx")
+    tl = tl.withColumn("_grp", F.col("idx") - F.row_number().over(w_doc))
+    tl = tl.withColumn(
+        "table_id",
+        F.dense_rank().over(Window.partitionBy("doc_id").orderBy("_grp")))
+
+    w_isl = Window.partitionBy("doc_id", "_grp").orderBy("idx")
+    tl = (
+        tl.withColumn("_rn", F.row_number().over(w_isl))
+        .withColumn("_header_line", F.first("_t").over(w_isl))
+        .withColumn("_sep", F.col("_t").rlike(_SEPARATOR_RE))
+    )
+    cells_of = (lambda c: F.transform(
+        F.split(F.regexp_replace(c, r"^\||\|$", ""), r"\|"),
+        lambda x: F.trim(x)))
+    data = (
+        tl.filter((F.col("_rn") > 1) & ~F.col("_sep"))
+        .withColumn("row_idx",
+                    F.row_number().over(w_isl).cast("long"))
+        .select(
+            "doc_id", F.col("table_id").cast("long").alias("table_id"),
+            "row_idx",
+            F.posexplode(cells_of(F.col("_t"))).alias("col_idx", "cell"),
+            cells_of(F.col("_header_line")).alias("_hc"),
+        )
+    )
+    return data.select(
+        "doc_id", "table_id", "row_idx",
+        F.col("col_idx").cast("long").alias("col_idx"),
+        F.try_element_at("_hc", (F.col("col_idx") + 1).cast("int"))
+        .alias("header"),
+        "cell",
     )

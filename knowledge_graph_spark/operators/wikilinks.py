@@ -120,3 +120,65 @@ def anchor_summary(links: DataFrame, k: int = 5) -> DataFrame:
         F.coalesce("top_anchor_terms", F.array().cast("array<string>"))
         .alias("top_anchor_terms"),
     )
+
+
+def commonness_dictionary(links: DataFrame) -> DataFrame:
+    """Collapse a ``(doc_id, target, anchor)`` link table into the
+    commonness dictionary P(target | anchor) in COUNT form:
+    ``(anchor_key, target, n_pair, n_anchor)`` where ``anchor_key`` is
+    the case-folded trimmed anchor, ``n_pair`` counts links using that
+    (anchor, target) pair and ``n_anchor`` counts all links with that
+    anchor. Counts, not ratios, are exposed — the consumer divides (or
+    compares cross-multiplied), so no float leaves the operator.
+
+    Scale shape: one (anchor, target) count with map-side combine, one
+    window-free per-anchor rollup rejoined by broadcast-eligible key —
+    implemented as a second aggregation + join on ``anchor_key``; both
+    exchanges carry ``(string, string, long)`` rows."""
+    pairs = (
+        links.select(F.lower(F.trim("anchor")).alias("anchor_key"),
+                     "target")
+        .filter(F.col("anchor_key") != "")
+        .groupBy("anchor_key", "target")
+        .agg(F.count("*").cast("long").alias("n_pair"))
+    )
+    totals = pairs.groupBy("anchor_key").agg(
+        F.sum("n_pair").cast("long").alias("n_anchor"))
+    return pairs.join(totals, "anchor_key").select(
+        "anchor_key", "target", "n_pair", "n_anchor")
+
+
+def link_mentions(mentions: DataFrame, dictionary: DataFrame,
+                  id_col: str = "mention_id",
+                  surface_col: str = "surface") -> DataFrame:
+    """Commonness-baseline entity linking (Spitkovsky & Chang 2012;
+    the P(entity | mention) prior every linker starts from): each
+    mention surface is matched case-folded against the anchor
+    dictionary and resolved to the target with the HIGHEST pair count,
+    ties broken by lexicographically smallest target (declared,
+    replayable). Unmatched surfaces survive with NULL target — a
+    linker must report its abstentions, not drop them.
+
+    Returns ``(mention_id, surface, target, n_pair, n_anchor)``;
+    ``n_pair / n_anchor`` is the commonness score, left to the caller
+    as counts. The argmax is computed on the dictionary BEFORE the
+    mention join (one aggregation over dictionary rows, then an
+    equi-join on the anchor key), so a frequent mention string never
+    multiplies dictionary candidates through the join."""
+    best = (
+        dictionary.groupBy("anchor_key").agg(
+            F.min(F.struct((-F.col("n_pair")).alias("neg"),
+                           F.col("target"))).alias("_b"),
+            F.max("n_anchor").alias("n_anchor"),
+        )
+        .select("anchor_key", F.col("_b.target").alias("target"),
+                (-F.col("_b.neg")).cast("long").alias("n_pair"),
+                "n_anchor")
+    )
+    m = mentions.select(
+        F.col(id_col).alias("mention_id"),
+        F.col(surface_col).alias("surface"),
+        F.lower(F.trim(surface_col)).alias("anchor_key"),
+    )
+    return m.join(best, "anchor_key", "left").select(
+        "mention_id", "surface", "target", "n_pair", "n_anchor")

@@ -156,3 +156,61 @@ def test_extract_jsonld_validity_rule(spark):
         (1, "Person", "Jane", "u"),
         (5, "Product", None, None),
     }
+
+
+def test_commonness_linking(spark):
+    from knowledge_graph_spark.operators.wikilinks import (
+        commonness_dictionary, link_mentions)
+
+    links = spark.createDataFrame(
+        [(1, "Apple Inc.", "apple"), (2, "Apple Inc.", "Apple"),
+         (3, "Apple (fruit)", "apple"), (4, "Apple Inc.", "AAPL"),
+         (5, "Aardvark", "apple"),   # 3-way anchor, Apple Inc. wins 2-1-1
+         (6, "Zebra", ""),           # empty anchor never enters the dict
+         ],
+        "doc_id long, target string, anchor string")
+    d = commonness_dictionary(links)
+    rows = {(r["anchor_key"], r["target"]): (r["n_pair"], r["n_anchor"])
+            for r in d.collect()}
+    assert rows[("apple", "Apple Inc.")] == (2, 4)
+    assert rows[("apple", "Apple (fruit)")] == (1, 4)
+    assert ("", "Zebra") not in rows
+
+    mentions = spark.createDataFrame(
+        [(10, "  APPLE "), (11, "aapl"), (12, "unknown thing")],
+        "mention_id long, surface string")
+    out = {r["mention_id"]: r
+           for r in link_mentions(mentions, d).collect()}
+    assert out[10]["target"] == "Apple Inc."
+    assert (out[10]["n_pair"], out[10]["n_anchor"]) == (2, 4)
+    assert out[11]["target"] == "Apple Inc."
+    assert out[12]["target"] is None and out[12]["n_pair"] is None
+
+
+def test_extract_tables_islands_and_headers(spark):
+    from knowledge_graph_spark.operators.structured import extract_tables
+
+    text = "\n".join([
+        "intro prose here",
+        "| Name | Pop |",
+        "|---|---|",
+        "| Oslo | 700000 |",
+        "|  Bergen | 280000 |",
+        "prose between tables",
+        "| A |",
+        "| 1 | 2 |",       # ragged: wider than its header
+        "tail prose",
+    ])
+    pages = spark.createDataFrame(
+        [(1, text), (2, "no tables"), (3, None)],
+        "doc_id long, text string")
+    rows = {(r["doc_id"], r["table_id"], r["row_idx"], r["col_idx"]):
+            (r["header"], r["cell"])
+            for r in extract_tables(pages).collect()}
+    assert rows[(1, 1, 1, 0)] == ("Name", "Oslo")
+    assert rows[(1, 1, 1, 1)] == ("Pop", "700000")
+    assert rows[(1, 1, 2, 0)] == ("Name", "Bergen")   # cell trimmed
+    assert rows[(1, 2, 1, 0)] == ("A", "1")
+    assert rows[(1, 2, 1, 1)] == (None, "2")          # ragged -> NULL
+    assert len(rows) == 6
+    assert not any(k[0] in (2, 3) for k in rows)
