@@ -1496,6 +1496,136 @@ FROM maj WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def _q_repetition_plan(spark, sf_dir):
+    """Data-constrained epoch schedule (Muennighoff et al. 2023) over
+    the documents table's real source dimension: whitespace-token
+    masses per source, a 100k-token budget, 3-epoch cap. The
+    corpus-sized work is one aggregation; the greedy fill itself runs
+    on the handful of source rows. Oracle replays the closed-form
+    prefix-sum fill with integer arithmetic."""
+    from knowledge_graph_spark.operators.sampling import repetition_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_plan(
+        docs, budget_tokens=100_000, max_epochs=3).orderBy("source")
+
+
+_SQL_REPETITION_PLAN = r"""
+WITH per AS (
+  SELECT source,
+    CAST(SUM(len(list_filter(regexp_split_to_array(COALESCE(text, ''),
+        '\s+'), x -> x != ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+c AS (
+  SELECT source, n_tokens,
+         CAST(n_tokens * 3 AS BIGINT) AS cap_tokens,
+         CAST(COALESCE(SUM(n_tokens * 3) OVER (
+            ORDER BY n_tokens DESC, source ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS prev
+  FROM per
+),
+u AS (
+  SELECT source, n_tokens, cap_tokens,
+    CAST(GREATEST(0, LEAST(cap_tokens, 100000 - prev)) AS BIGINT)
+      AS tokens_used
+  FROM c
+)
+SELECT source, n_tokens, cap_tokens, tokens_used,
+  CAST(CASE WHEN n_tokens > 0 THEN tokens_used // n_tokens
+       ELSE 0 END AS BIGINT) AS epochs_full,
+  CAST(CASE WHEN n_tokens > 0 THEN tokens_used % n_tokens
+       ELSE 0 END AS BIGINT) AS extra_tokens
+FROM u ORDER BY source
+"""
+
+
+def _q_script_profiles(spark, sf_dir):
+    """Unicode script composition over pages with injected non-Latin
+    snippets (Cyrillic on every 3rd doc — REPEATED id%9+1 times so
+    some docs flip majority — CJK on every 4th, Arabic on every 5th,
+    Hangul on every 7th, Kana on every 8th). Counts only + a declared
+    tie-break tag; the oracle counts the same BMP ranges via
+    regexp_replace and takes list_max over (count, name) structs."""
+    from knowledge_graph_spark.operators.textstats import script_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.repeat(F.lit("русский текст про данные "),
+                            (F.col("doc_id") % 9 + 1).cast("int"))),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("数据处理引擎")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("معالجة البيانات")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("데이터 처리")),
+            F.when(F.col("doc_id") % 8 == 0, F.lit("データしょり")),
+        ).alias("text"),
+    )
+    return script_profile(pages).orderBy("doc_id")
+
+
+_SQL_SCRIPT_PROFILES = r"""
+WITH inj AS (
+  SELECT doc_id,
+    concat_ws(' ',
+      text,
+      CASE WHEN doc_id % 3 = 0
+           THEN repeat('русский текст про данные ', doc_id % 9 + 1) END,
+      CASE WHEN doc_id % 4 = 0 THEN '数据处理引擎' END,
+      CASE WHEN doc_id % 5 = 0 THEN 'معالجة البيانات' END,
+      CASE WHEN doc_id % 7 = 0 THEN '데이터 처리' END,
+      CASE WHEN doc_id % 8 = 0 THEN 'データしょり' END
+    ) AS text
+  FROM documents
+),
+m AS (
+  SELECT doc_id, COALESCE(text, '') AS t FROM inj
+),
+c AS (
+  SELECT doc_id,
+    CAST(length(t) AS BIGINT) AS n_chars,
+    CAST(length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g'))
+         AS BIGINT) AS n_latin,
+    CAST(length(t) - length(regexp_replace(t, '[\x{0400}-\x{04FF}]',
+         '', 'g')) AS BIGINT) AS n_cyrillic,
+    CAST(length(t) - length(regexp_replace(t, '[\x{0370}-\x{03FF}]',
+         '', 'g')) AS BIGINT) AS n_greek,
+    CAST(length(t) - length(regexp_replace(t, '[\x{0600}-\x{06FF}]',
+         '', 'g')) AS BIGINT) AS n_arabic,
+    CAST(length(t) - length(regexp_replace(t, '[\x{4E00}-\x{9FFF}]',
+         '', 'g')) AS BIGINT) AS n_cjk,
+    CAST(length(t) - length(regexp_replace(t, '[\x{AC00}-\x{D7AF}]',
+         '', 'g')) AS BIGINT) AS n_hangul,
+    CAST(length(t) - length(regexp_replace(t, '[\x{3040}-\x{30FF}]',
+         '', 'g')) AS BIGINT) AS n_kana,
+    CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g'))
+         AS BIGINT) AS n_digit
+  FROM m
+)
+SELECT doc_id, n_chars, n_latin, n_cyrillic, n_greek, n_arabic, n_cjk,
+  n_hangul, n_kana, n_digit,
+  CAST(n_chars - n_latin - n_cyrillic - n_greek - n_arabic - n_cjk
+       - n_hangul - n_kana - n_digit AS BIGINT) AS n_other,
+  list_max([
+    struct_pack(c := n_latin, s := 'latin'),
+    struct_pack(c := n_cyrillic, s := 'cyrillic'),
+    struct_pack(c := n_greek, s := 'greek'),
+    struct_pack(c := n_arabic, s := 'arabic'),
+    struct_pack(c := n_cjk, s := 'cjk'),
+    struct_pack(c := n_hangul, s := 'hangul'),
+    struct_pack(c := n_kana, s := 'kana'),
+    struct_pack(c := n_digit, s := 'digit'),
+    struct_pack(c := n_chars - n_latin - n_cyrillic - n_greek
+                     - n_arabic - n_cjk - n_hangul - n_kana - n_digit,
+                s := 'other')]).s AS majority_script
+FROM c ORDER BY doc_id
+"""
+
+
 def _q_web_tables(spark, sf_dir):
     """WebTables harvest (Cafarella et al. 2008) over injected
     markdown pipe tables: every doc carries a two-column
@@ -5321,6 +5451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_entities": _q_jsonld_entities,
         "entity_linking": _q_entity_linking,
         "web_tables": _q_web_tables,
+        "script_profiles": _q_script_profiles,
+        "repetition_plan": _q_repetition_plan,
         "ccnet_buckets": _q_ccnet_buckets,
         "dup_spans": _q_dup_spans,
         "winnow_census": _q_winnow_census,
@@ -5452,6 +5584,8 @@ def oracle_sql() -> dict[str, str]:
         "jsonld_entities": _SQL_JSONLD,
         "entity_linking": _SQL_ENTITY_LINKING,
         "web_tables": _SQL_WEB_TABLES,
+        "script_profiles": _SQL_SCRIPT_PROFILES,
+        "repetition_plan": _SQL_REPETITION_PLAN,
         "ccnet_buckets": _SQL_CCNET_BUCKETS,
         "dup_spans": _SQL_DUP_SPANS,
         "winnow_census": _SQL_WINNOW,

@@ -104,7 +104,8 @@ def main():
         "ccnet_buckets", "dup_spans", "winnow_census", "phrase_search",
         "incr_dedup", "source_overlap", "redirects", "lang_consistency",
         "gopher_rules", "c4_filters", "anchor_texts", "jsonld_entities",
-        "entity_linking", "web_tables",
+        "entity_linking", "web_tables", "script_profiles",
+        "repetition_plan",
     ]
     qs = entrymod.queries()
     for name in headliners:

@@ -416,3 +416,75 @@ def weighted_sample_k(df: DataFrame, k: int, weight: Column,
         .drop("_es", "_rn")
         .withColumnRenamed("_w", "weight")
     )
+
+
+def repetition_plan(docs: DataFrame, budget_tokens: int,
+                    max_epochs: int = 4,
+                    source_col: str = "source",
+                    tokens: Column | None = None,
+                    text_col: str = "text") -> DataFrame:
+    """Data-constrained epoch allocation (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models"): when the token budget
+    exceeds the unique corpus, repeating data up to ~4 epochs is
+    nearly as good as fresh data, and beyond that returns decay to
+    noise. This operator turns that finding into a concrete schedule:
+    given per-source token masses and a total training budget, fill
+    the budget source-by-source in declared priority order — more
+    unique tokens first, source name as tie-break — capping every
+    source at ``max_epochs`` full passes.
+
+    The greedy fill has a closed form (each source takes
+    ``clamp(budget - Σ earlier caps, 0, max_epochs · n_tokens)``), so
+    the running-sum window is the whole algorithm. Returns one row per
+    source: ``(source, n_tokens, cap_tokens, tokens_used,
+    epochs_full, extra_tokens)`` — ``extra_tokens`` is the partial
+    final epoch (``tokens_used = epochs_full · n_tokens +
+    extra_tokens``). All integers; budgets and token counts never pass
+    through a float.
+
+    Scale shape: the corpus-sized work is ONE map-side-combined
+    aggregation to per-source token masses; the prefix-sum window then
+    runs over the SOURCE DIMENSION (dozens of rows at any corpus
+    size) with a constant pmod key, so the "single reducer" it implies
+    is a bounded metadata computation, not a data-path reducer."""
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0 (got {budget_tokens})")
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1 (got {max_epochs})")
+    if tokens is None:
+        from ..functions.vectors import n_ws_tokens
+
+        tokens = n_ws_tokens(text_col)
+    per_source = (
+        docs.select(F.col(source_col).alias("source"),
+                    tokens.cast("long").alias("_t"))
+        .groupBy("source").agg(F.sum("_t").alias("n_tokens"))
+    )
+    cap = (F.col("n_tokens") * max_epochs).cast("long")
+    w = Window.partitionBy(F.pmod(F.col("n_tokens"), F.lit(1))) \
+        .orderBy(F.col("n_tokens").desc(), F.col("source")) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    planned = (
+        per_source.withColumn("cap_tokens", cap)
+        .withColumn("_prev",
+                    F.coalesce(F.sum("cap_tokens").over(w), F.lit(0)))
+        .withColumn(
+            "tokens_used",
+            F.greatest(
+                F.lit(0),
+                F.least(F.col("cap_tokens"),
+                        F.lit(int(budget_tokens)) - F.col("_prev")),
+            ).cast("long"),
+        )
+    )
+    # integer DIV (not float division: exact at any token scale);
+    # a zero-token source allocates nothing rather than dividing by 0
+    return planned.select(
+        "source", "n_tokens", "cap_tokens", "tokens_used",
+        F.when(F.col("n_tokens") > 0,
+               F.expr("tokens_used DIV n_tokens")).otherwise(F.lit(0))
+        .cast("long").alias("epochs_full"),
+        F.when(F.col("n_tokens") > 0,
+               F.col("tokens_used") % F.col("n_tokens"))
+        .otherwise(F.lit(0)).cast("long").alias("extra_tokens"),
+    )

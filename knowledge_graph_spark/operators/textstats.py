@@ -171,6 +171,67 @@ def with_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Unicode script ranges (BMP core blocks — declared subset; rare
+# supplementary blocks count as 'other')
+_SCRIPT_RANGES = (
+    ("latin", "A-Za-z"),
+    ("cyrillic", "\\u0400-\\u04FF"),
+    ("greek", "\\u0370-\\u03FF"),
+    ("arabic", "\\u0600-\\u06FF"),
+    ("cjk", "\\u4E00-\\u9FFF"),
+    ("hangul", "\\uAC00-\\uD7AF"),
+    ("kana", "\\u3040-\\u30FF"),
+    ("digit", "0-9"),
+)
+
+
+def script_profile(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Unicode script composition per document — the signal BELOW
+    language ID: a LID tag says "this looks Russian", the script
+    profile says "78% Cyrillic, 12% Latin, 10% digits", which is what
+    mixed-script spam detection, transliteration routing, and
+    tokenizer-coverage audits actually consume (cf. the script-ratio
+    filters in CCNet and the fastText LID preprocessing).
+
+    Counts characters in eight declared BMP ranges (Latin, Cyrillic,
+    Greek, Arabic, CJK-unified, Hangul, Kana, ASCII digits); anything
+    else — punctuation, whitespace, unlisted scripts — is ``n_other``.
+    ``majority_script`` is the max-count range (``'other'`` included),
+    ties broken toward the lexicographically GREATEST name via
+    ``max(struct(count, name))`` — declared and replayable.
+
+    Outputs are longs + one tag; no ratio ever materializes (callers
+    cross-multiply against ``n_chars``). NULL text profiles as the
+    empty document: all counts 0, majority ``'other'``. Row-local
+    codegen — zero exchanges, zero UDFs.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(t).cast("long")
+    counts = {
+        name: (F.length(t)
+               - F.length(F.regexp_replace(t, f"[{rng}]", ""))
+               ).cast("long")
+        for name, rng in _SCRIPT_RANGES
+    }
+    n_listed = None
+    for c in counts.values():
+        n_listed = c if n_listed is None else n_listed + c
+    counts["other"] = (n_chars - n_listed).cast("long")
+    majority = F.greatest(*[
+        F.struct(c.alias("c"), F.lit(name).alias("s"))
+        for name, c in counts.items()
+    ])
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        *[counts[name].alias(f"n_{name}")
+          for name, _ in _SCRIPT_RANGES],
+        counts["other"].alias("n_other"),
+        majority.getField("s").alias("majority_script"),
+    )
+
+
 _GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
                      "with")
 

@@ -1636,6 +1636,29 @@ def test_c4_line_filter_rules_and_verdicts(spark):
     assert out[5]["page_verdict"] == "too_few_lines"
 
 
+def test_script_profile_counts_and_majority(spark):
+    from knowledge_graph_spark.operators.textstats import script_profile
+
+    docs = spark.createDataFrame(
+        [(1, "hello мир 一二三 123 !"),
+         (2, "это русский текст"),
+         (3, "....."),            # all punctuation -> other
+         (4, None),
+         (5, "abcd 0123")],       # 4-4 latin/digit tie -> latin
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in script_profile(docs).collect()}
+    r1 = out[1]
+    assert (r1["n_latin"], r1["n_cyrillic"], r1["n_cjk"],
+            r1["n_digit"]) == (5, 3, 3, 3)
+    assert r1["n_other"] == 5 and r1["n_chars"] == 19   # 4 spaces + !
+    assert r1["majority_script"] == "other"   # 5-5 tie, name-greatest
+    assert out[2]["majority_script"] == "cyrillic"
+    assert out[3]["majority_script"] == "other"
+    assert out[4]["n_chars"] == 0
+    assert out[4]["majority_script"] == "other"
+    assert out[5]["majority_script"] == "latin"         # tie-break
+
+
 def test_gopher_rules_flags(spark):
     from knowledge_graph_spark.operators.textstats import gopher_rules
 
@@ -1682,3 +1705,35 @@ def test_line_language_profile_majority_and_ties(spark):
     assert out[3]["majority_lang"] == "other"
     assert out[4]["n_lines"] == 1                # NULL -> one '' line
     assert out[4]["majority_lang"] == "other"
+
+
+def test_repetition_plan_greedy_fill(spark):
+    from knowledge_graph_spark.operators.sampling import repetition_plan
+
+    # per-source token masses: a=100 (x3 docs), b=60, c=40, d=0
+    docs = spark.createDataFrame(
+        [("a", 50), ("a", 30), ("a", 20), ("b", 60), ("c", 40),
+         ("d", 0)],
+        "source string, nt long")
+    from pyspark.sql import functions as F
+    out = {r["source"]: r for r in repetition_plan(
+        docs, budget_tokens=490, max_epochs=4,
+        tokens=F.col("nt")).collect()}
+    # order: a(100), b(60), c(40), d(0); caps 400/240/160/0
+    a, b, c, d = out["a"], out["b"], out["c"], out["d"]
+    assert (a["tokens_used"], a["epochs_full"], a["extra_tokens"]) \
+        == (400, 4, 0)
+    assert (b["tokens_used"], b["epochs_full"], b["extra_tokens"]) \
+        == (90, 1, 30)          # 490-400=90 -> 1 full epoch + 30
+    assert c["tokens_used"] == 0 and c["epochs_full"] == 0
+    assert d["tokens_used"] == 0 and d["epochs_full"] == 0
+
+    # budget exceeding all caps: everything at max_epochs
+    out2 = {r["source"]: r for r in repetition_plan(
+        docs, budget_tokens=10_000, max_epochs=2,
+        tokens=F.col("nt")).collect()}
+    assert out2["c"]["tokens_used"] == 80 and out2["c"]["epochs_full"] == 2
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="budget"):
+        repetition_plan(docs, budget_tokens=-1, tokens=F.col("nt"))
