@@ -1496,6 +1496,209 @@ FROM maj WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def _q_main_content(spark, sf_dir):
+    """Boilerpipe-style largest-content-block extraction over pages
+    wrapped in link-dense chrome: three chrome lines (pure [[...]]
+    spans — they fail the link-density rule, not the word count)
+    sandwich two content lines built from the doc's word halves; the
+    second half gains four extra words on every 3rd doc so the argmax
+    flips between blocks, and disappears entirely on every 6th doc.
+    The oracle replays the content rule, the islands, and the
+    (words desc, start asc) argmax."""
+    from knowledge_graph_spark.functions.vectors import ws_tokens
+    from knowledge_graph_spark.operators.cleaning import (
+        main_content_block)
+
+    docs = _t(spark, sf_dir, "documents")
+    chrome = "[[Home]] [[About]] [[Contact]] [[Login]] [[Search]]"
+    w = F.coalesce(ws_tokens("text"), F.array())
+    pages = (
+        docs.select("doc_id", w.alias("_w"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.lit(chrome),
+                F.expr("array_join(slice(_w, 1, "
+                       "int(ceil(size(_w) / 2))), ' ')"),
+                F.lit(chrome),
+                F.when(
+                    F.col("doc_id") % 6 != 0,
+                    F.concat(
+                        F.expr(
+                            "array_join(slice(_w, "
+                            "int(ceil(size(_w) / 2)) + 1, "
+                            "greatest(size(_w) - "
+                            "int(ceil(size(_w) / 2)), 0)), ' ')"),
+                        F.when(F.col("doc_id") % 3 == 0,
+                               F.lit(" plus four extra trailing words"))
+                        .otherwise(F.lit("")),
+                    )),
+                F.lit(chrome),
+            ).alias("text"),
+        )
+    )
+    return main_content_block(pages).orderBy("doc_id")
+
+
+_SQL_MAIN_CONTENT = r"""
+WITH w0 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),
+                     x -> x != '') AS w
+  FROM documents
+),
+inj AS (
+  SELECT doc_id,
+    concat_ws(chr(10),
+      '[[Home]] [[About]] [[Contact]] [[Login]] [[Search]]',
+      array_to_string(w[1 : (len(w) + 1) // 2], ' '),
+      '[[Home]] [[About]] [[Contact]] [[Login]] [[Search]]',
+      CASE WHEN doc_id % 6 != 0 THEN
+        array_to_string(w[(len(w) + 1) // 2 + 1 : len(w)], ' ')
+        || CASE WHEN doc_id % 3 = 0
+                THEN ' plus four extra trailing words' ELSE '' END END,
+      '[[Home]] [[About]] [[Contact]] [[Login]] [[Search]]'
+    ) AS text
+  FROM w0
+),
+l AS (
+  SELECT doc_id, i - 1 AS idx, ls[i] AS line, len(ls) AS n_lines
+  FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+              FROM inj))
+),
+flag AS (
+  SELECT doc_id, idx, line, n_lines,
+    len(list_filter(regexp_split_to_array(trim(line), '\s+'),
+                    x -> x != '')) AS nw,
+    length(line) - length(regexp_replace(line,
+      '\[\[[^\]]*\]\]', '', 'g')) AS lc
+  FROM l
+),
+content AS (
+  SELECT doc_id, idx, line, nw,
+    idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+  FROM flag
+  WHERE nw >= 5 AND 3 * lc <= GREATEST(length(line), 1)
+),
+blocks AS (
+  SELECT doc_id, grp,
+    CAST(MIN(idx) AS BIGINT) AS block_start,
+    CAST(COUNT(*) AS BIGINT) AS block_lines,
+    CAST(SUM(nw) AS BIGINT) AS block_words,
+    string_agg(line, chr(10) ORDER BY idx) AS main_text
+  FROM content GROUP BY doc_id, grp
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+    ORDER BY block_words DESC, block_start ASC) AS rn
+  FROM blocks
+)
+SELECT d.doc_id,
+  CAST(nl.n_lines AS BIGINT) AS n_lines,
+  COALESCE(b.block_start, -1) AS block_start,
+  COALESCE(b.block_lines, 0) AS block_lines,
+  COALESCE(b.block_words, 0) AS block_words,
+  COALESCE(b.main_text, '') AS main_text
+FROM documents d
+JOIN (SELECT doc_id, MAX(n_lines) AS n_lines FROM l GROUP BY doc_id) nl
+  USING (doc_id)
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def _q_hearst_isa(spark, sf_dir):
+    """Hearst-pattern is-a census (Hearst 1992 / WebIsADB) over pages
+    with injected taxonomy sentences drawn from small rotating
+    vocabularies: a 'such as' assertion on every doc, 'and other' on
+    every 2nd, 'including' on every 3rd, 'especially' on every 7th —
+    support counts then aggregate corpus-wide. The oracle replays the
+    four regexes and the rotation."""
+    from knowledge_graph_spark.operators.patterns import hyponym_census
+
+    docs = _t(spark, sf_dir, "documents")
+    pick = (lambda arr, mod: F.element_at(
+        F.array(*[F.lit(x) for x in arr]),
+        (F.col("doc_id") % mod + 1).cast("int")))
+    pages = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.concat(pick(("institutions", "companies", "vendors"), 3),
+                     F.lit(" such as "),
+                     pick(("banks", "museums", "libraries",
+                           "startups"), 4)),
+            F.when(F.col("doc_id") % 2 == 0, F.concat(
+                pick(("cats", "sparrows", "oaks", "ferns", "crows"), 5),
+                F.lit(" and other "),
+                pick(("animals", "plants"), 2))),
+            F.when(F.col("doc_id") % 3 == 0, F.concat(
+                F.lit("metrics including "),
+                pick(("latency", "throughput"), 2))),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit("systems especially databases")),
+        ).alias("text"),
+    )
+    return hyponym_census(pages).orderBy(
+        "hypernym", "hyponym", "pattern")
+
+
+_SQL_HEARST = r"""
+WITH inj AS (
+  SELECT doc_id,
+    concat_ws(' ',
+      text,
+      (['institutions', 'companies', 'vendors'])[doc_id % 3 + 1]
+        || ' such as '
+        || (['banks', 'museums', 'libraries', 'startups'])[doc_id % 4 + 1],
+      CASE WHEN doc_id % 2 = 0 THEN
+        (['cats', 'sparrows', 'oaks', 'ferns', 'crows'])[doc_id % 5 + 1]
+        || ' and other ' || (['animals', 'plants'])[doc_id % 2 + 1] END,
+      CASE WHEN doc_id % 3 = 0 THEN
+        'metrics including '
+        || (['latency', 'throughput'])[doc_id % 2 + 1] END,
+      CASE WHEN doc_id % 7 = 0 THEN 'systems especially databases' END
+    ) AS text
+  FROM documents
+),
+m AS (
+  SELECT doc_id, 'such_as' AS pattern,
+    lower(regexp_extract(x, '([A-Za-z]+) such as ([A-Za-z]+)', 1))
+      AS hypernym,
+    lower(regexp_extract(x, '([A-Za-z]+) such as ([A-Za-z]+)', 2))
+      AS hyponym
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text,
+          '([A-Za-z]+) such as ([A-Za-z]+)', 0)) AS x FROM inj)
+  UNION ALL
+  SELECT doc_id, 'and_other',
+    lower(regexp_extract(x, '([A-Za-z]+) and other ([A-Za-z]+)', 2)),
+    lower(regexp_extract(x, '([A-Za-z]+) and other ([A-Za-z]+)', 1))
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text,
+          '([A-Za-z]+) and other ([A-Za-z]+)', 0)) AS x FROM inj)
+  UNION ALL
+  SELECT doc_id, 'including',
+    lower(regexp_extract(x, '([A-Za-z]+) including ([A-Za-z]+)', 1)),
+    lower(regexp_extract(x, '([A-Za-z]+) including ([A-Za-z]+)', 2))
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text,
+          '([A-Za-z]+) including ([A-Za-z]+)', 0)) AS x FROM inj)
+  UNION ALL
+  SELECT doc_id, 'especially',
+    lower(regexp_extract(x, '([A-Za-z]+) especially ([A-Za-z]+)', 1)),
+    lower(regexp_extract(x, '([A-Za-z]+) especially ([A-Za-z]+)', 2))
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text,
+          '([A-Za-z]+) especially ([A-Za-z]+)', 0)) AS x FROM inj)
+)
+SELECT hypernym, hyponym, pattern,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM m GROUP BY 1, 2, 3
+ORDER BY hypernym, hyponym, pattern
+"""
+
+
 def _q_repetition_plan(spark, sf_dir):
     """Data-constrained epoch schedule (Muennighoff et al. 2023) over
     the documents table's real source dimension: whitespace-token
@@ -5453,6 +5656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_tables": _q_web_tables,
         "script_profiles": _q_script_profiles,
         "repetition_plan": _q_repetition_plan,
+        "hearst_isa": _q_hearst_isa,
+        "main_content": _q_main_content,
         "ccnet_buckets": _q_ccnet_buckets,
         "dup_spans": _q_dup_spans,
         "winnow_census": _q_winnow_census,
@@ -5586,6 +5791,8 @@ def oracle_sql() -> dict[str, str]:
         "web_tables": _SQL_WEB_TABLES,
         "script_profiles": _SQL_SCRIPT_PROFILES,
         "repetition_plan": _SQL_REPETITION_PLAN,
+        "hearst_isa": _SQL_HEARST,
+        "main_content": _SQL_MAIN_CONTENT,
         "ccnet_buckets": _SQL_CCNET_BUCKETS,
         "dup_spans": _SQL_DUP_SPANS,
         "winnow_census": _SQL_WINNOW,

@@ -105,7 +105,7 @@ def main():
         "incr_dedup", "source_overlap", "redirects", "lang_consistency",
         "gopher_rules", "c4_filters", "anchor_texts", "jsonld_entities",
         "entity_linking", "web_tables", "script_profiles",
-        "repetition_plan",
+        "repetition_plan", "hearst_isa", "main_content",
     ]
     qs = entrymod.queries()
     for name in headliners:

@@ -1,0 +1,75 @@
+# -*- coding: utf-8 -*-
+"""Lexico-syntactic pattern mining: Hearst hyponym extraction.
+
+Hearst patterns (Hearst, COLING 1992 — "Automatic Acquisition of
+Hyponyms from Large Text Corpora") are the oldest and still the most
+precise zero-training relation extractor: surface templates like
+"X such as Y" and "Y and other X" directly assert ``is-a(Y, X)``.
+Run over a web corpus they yield the taxonomy backbone (the is-a
+layer) that the extraction kernel's SVO triples don't cover, and
+modern KG pipelines still use them for that exact slot (cf.
+WebIsADB, Seitner et al. 2016, which mined 400M is-a pairs from
+Common Crawl with this method).
+
+The reference has no taxonomy stage; semantics follow the cited
+public papers.
+
+Scale shape: matching is row-local codegen (regexp over the page
+body; the body never survives the explode); the corpus aggregation
+exchanges ``(hypernym, hyponym, pattern, long)`` rows with map-side
+combine. No UDF, no window, no join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# (pattern_tag, regex, hypernym_group, hyponym_group) — single-word
+# arguments by design: without a parser, the head-noun adjacency rule
+# (the word touching the pattern) is the declared approximation.
+HEARST_PATTERNS = (
+    ("such_as", r"([A-Za-z]+) such as ([A-Za-z]+)", 1, 2),
+    ("and_other", r"([A-Za-z]+) and other ([A-Za-z]+)", 2, 1),
+    ("including", r"([A-Za-z]+) including ([A-Za-z]+)", 1, 2),
+    ("especially", r"([A-Za-z]+) especially ([A-Za-z]+)", 1, 2),
+)
+
+
+def extract_hyponyms(pages: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Emit one ``(doc_id, hypernym, hyponym, pattern)`` row per
+    Hearst-pattern occurrence. Matches are non-overlapping
+    left-to-right (both engines' regexp_extract_all semantics); both
+    terms are lowercased (taxonomy nodes are case-insensitive by
+    convention). Pages without matches contribute nothing."""
+    per_pattern = []
+    for tag, rx, g_hyper, g_hypo in HEARST_PATTERNS:
+        sql_rx = rx.replace("\\", "\\\\")
+        per_pattern.append(F.expr(
+            f"transform(regexp_extract_all({text_col}, '{sql_rx}', 0), "
+            f"m -> struct('{tag}' AS pattern, "
+            f"lower(regexp_extract(m, '{sql_rx}', {g_hyper})) AS hypernym, "
+            f"lower(regexp_extract(m, '{sql_rx}', {g_hypo})) AS hyponym))"
+        ))
+    matches = pages.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.concat(*per_pattern)).alias("m"),
+    )
+    # NULL text: regexp_extract_all(NULL) is NULL and explode drops it
+    return matches.select(
+        "doc_id", "m.hypernym", "m.hyponym", "m.pattern")
+
+
+def hyponym_census(pages: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Corpus-level is-a aggregation: ``(hypernym, hyponym, pattern,
+    n_mentions, n_docs)``. Support counts are the fusion signal — a
+    pair asserted by many documents through many patterns is taxonomy;
+    a single mention is noise (Seitner et al. gate on exactly these
+    counts)."""
+    return (
+        extract_hyponyms(pages, id_col, text_col)
+        .groupBy("hypernym", "hyponym", "pattern")
+        .agg(F.count("*").cast("long").alias("n_mentions"),
+             F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    )

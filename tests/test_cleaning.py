@@ -70,3 +70,27 @@ def test_rejects_bad_frac(spark):
     pages = _pages(spark, [(1, "x")])
     with pytest.raises(ValueError, match="max_doc_frac"):
         strip_boilerplate(pages, max_doc_frac=0.0)
+
+
+def test_main_content_block_selection(spark):
+    from knowledge_graph_spark.operators.cleaning import main_content_block
+
+    chrome = "[[Home]] [[About]] [[Contact]]"
+    art1 = "this paragraph carries the real article body of the page."
+    art2 = "it continues with a second dense informative prose line."
+    small = "a smaller but still valid content block lives down here."
+    pages = spark.createDataFrame(
+        [(1, "\n".join([chrome, art1, art2, chrome, small])),
+         (2, chrome),                       # chrome-only -> no block
+         (3, None),
+         (4, art1)],                        # single-line page
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in main_content_block(pages).collect()}
+    r1 = out[1]
+    assert (r1["block_start"], r1["block_lines"]) == (1, 2)
+    assert r1["main_text"] == art1 + "\n" + art2
+    assert r1["block_words"] == 19
+    assert out[2]["block_lines"] == 0 and out[2]["main_text"] == ""
+    assert out[2]["block_start"] == -1
+    assert out[3]["n_lines"] == 1 and out[3]["block_lines"] == 0
+    assert out[4]["block_start"] == 0 and out[4]["block_lines"] == 1

@@ -214,3 +214,29 @@ def test_extract_tables_islands_and_headers(spark):
     assert rows[(1, 2, 1, 1)] == (None, "2")          # ragged -> NULL
     assert len(rows) == 6
     assert not any(k[0] in (2, 3) for k in rows)
+
+
+def test_hearst_hyponym_extraction(spark):
+    from knowledge_graph_spark.operators.patterns import (
+        extract_hyponyms, hyponym_census)
+
+    pages = spark.createDataFrame(
+        [(1, "institutions such as banks offer loans; "
+             "banks and other lenders profit"),
+         (2, "Metrics including latency matter, especially tails"),
+         (3, "nothing to mine here"),
+         (4, None),
+         (5, "systems especially databases need care")],
+        "doc_id long, text string")
+    rows = {(r["doc_id"], r["hypernym"], r["hyponym"], r["pattern"])
+            for r in extract_hyponyms(pages).collect()}
+    assert (1, "institutions", "banks", "such_as") in rows
+    assert (1, "lenders", "banks", "and_other") in rows
+    assert (2, "metrics", "latency", "including") in rows
+    assert (5, "systems", "databases", "especially") in rows
+    assert not any(r[0] in (3, 4) for r in rows)
+
+    census = {(r["hypernym"], r["hyponym"], r["pattern"]):
+              (r["n_mentions"], r["n_docs"])
+              for r in hyponym_census(pages).collect()}
+    assert census[("institutions", "banks", "such_as")] == (1, 1)

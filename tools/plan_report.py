@@ -98,6 +98,11 @@ def main():
         "script_profiles",
         # epoch allocation (one agg + source-dimension prefix sum)
         "repetition_plan",
+        # Hearst is-a census (row-local regex + one count agg)
+        "hearst_isa",
+        # largest-content-block (doc-keyed islands; chrome filtered
+        # before any exchange)
+        "main_content",
     ]
     qs = entrymod.queries()
     lines = [
