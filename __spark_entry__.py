@@ -1496,6 +1496,69 @@ FROM maj WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def _q_triple_fusion(spark, sf_dir):
+    """Knowledge-fusion voting (Dong et al. 2014) over synthesized
+    conflicting assertions: each document asserts one triple whose
+    subject/predicate collide across docs (mod residues) while the
+    object and the integer confidence rotate on different moduli, so
+    every (subj, pred) accumulates genuinely conflicting candidates;
+    the documents table's real source column is the voting source.
+    The oracle replays dedup-before-vote, the weighted tally, and the
+    (support desc, obj asc) argmax."""
+    from knowledge_graph_spark.operators.fusion import fuse_triples
+
+    docs = _t(spark, sf_dir, "documents")
+    assertions = docs.select(
+        F.col("source").alias("source_id"),
+        F.concat(F.lit("e"), (F.col("doc_id") % 23).cast("string"))
+        .alias("subj"),
+        F.element_at(
+            F.array(F.lit("founded_by"), F.lit("hq_city"), F.lit("ceo")),
+            (F.col("doc_id") % 3 + 1).cast("int")).alias("pred"),
+        F.concat(F.lit("v"), ((F.col("doc_id") * 7) % 5).cast("string"))
+        .alias("obj"),
+        ((F.col("doc_id") % 4 + 1) * 10).cast("long").alias("conf"),
+    )
+    return (
+        fuse_triples(assertions, confidence_col="conf")
+        .orderBy("subj", "pred")
+    )
+
+
+_SQL_TRIPLE_FUSION = r"""
+WITH a AS (
+  SELECT source AS source_id,
+    'e' || (doc_id % 23) AS subj,
+    (['founded_by', 'hq_city', 'ceo'])[doc_id % 3 + 1] AS pred,
+    'v' || ((doc_id * 7) % 5) AS obj,
+    CAST((doc_id % 4 + 1) * 10 AS BIGINT) AS conf
+  FROM documents
+),
+v AS (
+  SELECT subj, pred, obj, source_id, MAX(conf) AS c
+  FROM a GROUP BY 1, 2, 3, 4
+),
+cand AS (
+  SELECT subj, pred, obj,
+         CAST(SUM(c) AS BIGINT) AS support,
+         CAST(COUNT(DISTINCT source_id) AS BIGINT) AS n_sources
+  FROM v GROUP BY 1, 2, 3
+),
+r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY subj, pred
+                       ORDER BY support DESC, obj ASC) AS rn,
+    CAST(COUNT(*) OVER (PARTITION BY subj, pred) AS BIGINT)
+      AS n_objects,
+    CAST(SUM(support) OVER (PARTITION BY subj, pred) AS BIGINT)
+      AS support_total
+  FROM cand
+)
+SELECT subj, pred, obj, support, n_sources, n_objects, support_total
+FROM r WHERE rn = 1 ORDER BY subj, pred
+"""
+
+
 def _q_main_content(spark, sf_dir):
     """Boilerpipe-style largest-content-block extraction over pages
     wrapped in link-dense chrome: three chrome lines (pure [[...]]
@@ -5658,6 +5721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_plan": _q_repetition_plan,
         "hearst_isa": _q_hearst_isa,
         "main_content": _q_main_content,
+        "triple_fusion": _q_triple_fusion,
         "ccnet_buckets": _q_ccnet_buckets,
         "dup_spans": _q_dup_spans,
         "winnow_census": _q_winnow_census,
@@ -5793,6 +5857,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_plan": _SQL_REPETITION_PLAN,
         "hearst_isa": _SQL_HEARST,
         "main_content": _SQL_MAIN_CONTENT,
+        "triple_fusion": _SQL_TRIPLE_FUSION,
         "ccnet_buckets": _SQL_CCNET_BUCKETS,
         "dup_spans": _SQL_DUP_SPANS,
         "winnow_census": _SQL_WINNOW,

@@ -240,3 +240,35 @@ def test_hearst_hyponym_extraction(spark):
               (r["n_mentions"], r["n_docs"])
               for r in hyponym_census(pages).collect()}
     assert census[("institutions", "banks", "such_as")] == (1, 1)
+
+
+def test_fuse_triples_voting_and_ties(spark):
+    from knowledge_graph_spark.operators.fusion import fuse_triples
+
+    rows = [
+        # acme hq: oslo supported by s1(3)+s2(1)=4, bergen by s3(3)
+        ("s1", "acme", "hq", "oslo", 3),
+        ("s1", "acme", "hq", "oslo", 2),   # same source dedups to max
+        ("s2", "acme", "hq", "oslo", 1),
+        ("s3", "acme", "hq", "bergen", 3),
+        # tie 2-2 -> lexicographically smallest object wins
+        ("s1", "beta", "ceo", "ada", 2),
+        ("s2", "beta", "ceo", "bob", 2),
+        ("s1", "gap", "x", None, 5),       # NULL obj dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "source_id string, subj string, pred string, "
+              "obj string, conf long")
+    out = {(r["subj"], r["pred"]): r
+           for r in fuse_triples(df, confidence_col="conf").collect()}
+    acme = out[("acme", "hq")]
+    assert (acme["obj"], acme["support"], acme["n_sources"]) \
+        == ("oslo", 4, 2)
+    assert (acme["n_objects"], acme["support_total"]) == (2, 7)
+    assert out[("beta", "ceo")]["obj"] == "ada"
+    assert ("gap", "x") not in out
+
+    # unweighted: every assertion votes 1 (per source-object)
+    out1 = {(r["subj"], r["pred"]): r
+            for r in fuse_triples(df).collect()}
+    assert out1[("acme", "hq")]["support"] == 2     # s1+s2 for oslo

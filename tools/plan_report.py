@@ -103,6 +103,8 @@ def main():
         # largest-content-block (doc-keyed islands; chrome filtered
         # before any exchange)
         "main_content",
+        # fusion voting (two hash aggs, in-aggregate argmax)
+        "triple_fusion",
     ]
     qs = entrymod.queries()
     lines = [
