@@ -1496,6 +1496,40 @@ FROM maj WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def _q_postings(spark, sf_dir):
+    """Inverted-index postings export (IIR ch.4) over the documents
+    table: delta-encoded posting lists for every term with df >= 2,
+    stopword band capped at df <= 450. The oracle rebuilds the same
+    ordered lists and gap encoding in SQL."""
+    from knowledge_graph_spark.operators.search import postings_export
+
+    docs = _t(spark, sf_dir, "documents")
+    return postings_export(docs, min_df=2, max_df=450).orderBy("term")
+
+
+_SQL_POSTINGS = r"""
+WITH p AS (
+  SELECT DISTINCT lower(w) AS term, doc_id AS doc
+  FROM (SELECT doc_id,
+          unnest(list_filter(regexp_split_to_array(COALESCE(text, ''),
+                                                   '\s+'),
+                 x -> x != '')) AS w
+        FROM documents)
+),
+l AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+         list(doc ORDER BY doc) AS ds
+  FROM p GROUP BY term
+)
+SELECT term, df, CAST(ds[1] AS BIGINT) AS first_doc,
+  CASE WHEN len(ds) >= 2
+       THEN list_transform(generate_series(2, len(ds)),
+                           i -> CAST(ds[i] - ds[i - 1] AS BIGINT))
+       ELSE CAST([] AS BIGINT[]) END AS gaps
+FROM l WHERE df >= 2 AND df <= 450 ORDER BY term
+"""
+
+
 def _q_triple_fusion(spark, sf_dir):
     """Knowledge-fusion voting (Dong et al. 2014) over synthesized
     conflicting assertions: each document asserts one triple whose
@@ -5722,6 +5756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hearst_isa": _q_hearst_isa,
         "main_content": _q_main_content,
         "triple_fusion": _q_triple_fusion,
+        "postings": _q_postings,
         "ccnet_buckets": _q_ccnet_buckets,
         "dup_spans": _q_dup_spans,
         "winnow_census": _q_winnow_census,
@@ -5858,6 +5893,7 @@ def oracle_sql() -> dict[str, str]:
         "hearst_isa": _SQL_HEARST,
         "main_content": _SQL_MAIN_CONTENT,
         "triple_fusion": _SQL_TRIPLE_FUSION,
+        "postings": _SQL_POSTINGS,
         "ccnet_buckets": _SQL_CCNET_BUCKETS,
         "dup_spans": _SQL_DUP_SPANS,
         "winnow_census": _SQL_WINNOW,

@@ -217,3 +217,56 @@ def phrase_search(docs: DataFrame, phrase: str, id_col: str = "doc_id",
              F.min("start").cast("long").alias("first_pos"))
         .withColumnRenamed("_id", id_col)
     )
+
+
+def postings_export(docs: DataFrame, min_df: int = 1,
+                    max_df: int | None = None,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Inverted-index postings construction — the index ARTIFACT
+    (IIR ch.1/ch.4 block merge; what Lucene/Anserini materialize),
+    complementing :func:`bm25_search` which scores against an ad-hoc
+    query without ever building the index.
+
+    One row per term: ``(term, df, first_doc, gaps)`` where the
+    posting list is delta-encoded — ``first_doc`` plus ``df-1``
+    positive gaps between CONSECUTIVE ascending doc ids (the classic
+    compression-friendly form; docs are reconstructed by prefix sum).
+    Terms are lowercased whitespace tokens; a term appearing twice in
+    one document posts once. ``min_df``/``max_df`` bound the exported
+    vocabulary (stopword-band and hapax trimming).
+
+    Scale shape: explode -> distinct (term, doc) -> ONE groupBy(term)
+    whose ``sort_array(collect_list(doc))`` is bounded by the term's
+    document frequency — and terms above ``max_df`` are the only
+    unbounded lists, which is exactly what ``max_df`` exists to cut
+    (at web scale you ALWAYS cap the stopword band; an uncapped 'the'
+    posting list is a single-key hot spot in ANY index builder, ours
+    or Lucene's). Exchanges carry ``(term, long)`` pairs only."""
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1 (got {min_df})")
+    from ..functions.vectors import ws_tokens
+
+    postings = (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc"),
+            F.explode(ws_tokens(text_col)).alias("w"))
+        .select("doc", F.lower("w").alias("term"))
+        .distinct()
+    )
+    lists = postings.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sort_array(F.collect_list("doc")).alias("_docs"),
+    ).filter(F.col("df") >= min_df)
+    if max_df is not None:
+        lists = lists.filter(F.col("df") <= max_df)
+    # sequence(2, 1) counts DOWN in Spark, so df=1 needs the guard
+    return lists.select(
+        "term", "df",
+        F.element_at("_docs", 1).alias("first_doc"),
+        F.when(
+            F.size("_docs") >= 2,
+            F.expr("transform(sequence(2, size(_docs)), "
+                   "i -> element_at(_docs, i) - element_at(_docs, i - 1))"),
+        ).otherwise(F.array().cast("array<long>")).alias("gaps"),
+    )

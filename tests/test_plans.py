@@ -442,3 +442,22 @@ def test_doc_chunking_is_zero_shuffle_codegen(spark):
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "\n* " in p or "+- * " in p
+
+
+def test_postings_export_gap_encoding(spark):
+    from knowledge_graph_spark.operators.search import postings_export
+
+    docs = spark.createDataFrame(
+        [(3, "alpha beta"), (1, "alpha gamma alpha"), (7, "Alpha beta"),
+         (5, "beta")],
+        "doc_id long, text string")
+    out = {r["term"]: r for r in postings_export(docs).collect()}
+    a = out["alpha"]           # docs 1,3,7 -> first 1, gaps [2,4]
+    assert (a["df"], a["first_doc"], a["gaps"]) == (3, 1, [2, 4])
+    b = out["beta"]            # docs 3,5,7
+    assert (b["first_doc"], b["gaps"]) == (3, [2, 2])
+    assert out["gamma"]["gaps"] == []
+
+    capped = {r["term"] for r in
+              postings_export(docs, min_df=2, max_df=2).collect()}
+    assert capped == set()     # alpha/beta df=3 cut by max_df, rest df=1

@@ -105,6 +105,8 @@ def main():
         "main_content",
         # fusion voting (two hash aggs, in-aggregate argmax)
         "triple_fusion",
+        # postings export (df-bounded collect_list)
+        "postings",
     ]
     qs = entrymod.queries()
     lines = [
