@@ -1496,6 +1496,60 @@ FROM maj WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def _q_lp_eval(spark, sf_dir):
+    """Link-prediction eval metrics (Bordes et al. 2013 protocol,
+    pessimistic ties per Sun et al. 2020) over synthesized candidate
+    sets: every document is a query with 20 candidates scored
+    (q*31 + i*7) mod 100, the positive at slot q mod 20 — score ties
+    occur by construction (mod-100 collisions), exercising the tie
+    rule. One all-integer summary row; MRR's float stays with the
+    caller. Oracle replays the two-pass conditional-count rank."""
+    from knowledge_graph_spark.operators.kg_export import ranking_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = docs.select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(19))).alias("i"),
+    ).select(
+        "query_id",
+        ((F.col("query_id") * 31 + F.col("i") * 7) % 100).cast("long")
+        .alias("score"),
+        (F.col("i") == F.col("query_id") % 20).alias("is_positive"),
+    )
+    return ranking_metrics(cands)
+
+
+_SQL_LP_EVAL = r"""
+WITH c AS (
+  SELECT doc_id AS query_id, i,
+         CAST((doc_id * 31 + i * 7) % 100 AS BIGINT) AS s,
+         (i = doc_id % 20) AS p
+  FROM (SELECT doc_id, unnest(generate_series(0, 19)) AS i
+        FROM documents)
+),
+ps AS (
+  SELECT query_id, MAX(s) AS ps FROM c WHERE p GROUP BY query_id
+),
+r AS (
+  SELECT c.query_id,
+    CAST(1 + SUM(CASE WHEN c.s > ps.ps
+                        OR (c.s = ps.ps AND NOT c.p)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS rank
+  FROM c JOIN ps USING (query_id)
+  GROUP BY c.query_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(rank) AS BIGINT) AS sum_rank,
+       CAST(SUM(CASE WHEN rank <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS hits_at_1,
+       CAST(SUM(CASE WHEN rank <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS hits_at_3,
+       CAST(SUM(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS hits_at_10
+FROM r
+"""
+
+
 def _q_postings(spark, sf_dir):
     """Inverted-index postings export (IIR ch.4) over the documents
     table: delta-encoded posting lists for every term with df >= 2,
@@ -5757,6 +5811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content": _q_main_content,
         "triple_fusion": _q_triple_fusion,
         "postings": _q_postings,
+        "lp_eval": _q_lp_eval,
         "ccnet_buckets": _q_ccnet_buckets,
         "dup_spans": _q_dup_spans,
         "winnow_census": _q_winnow_census,
@@ -5894,6 +5949,7 @@ def oracle_sql() -> dict[str, str]:
         "main_content": _SQL_MAIN_CONTENT,
         "triple_fusion": _SQL_TRIPLE_FUSION,
         "postings": _SQL_POSTINGS,
+        "lp_eval": _SQL_LP_EVAL,
         "ccnet_buckets": _SQL_CCNET_BUCKETS,
         "dup_spans": _SQL_DUP_SPANS,
         "winnow_census": _SQL_WINNOW,

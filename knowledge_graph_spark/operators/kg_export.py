@@ -244,3 +244,56 @@ def random_walks(edges: DataFrame, length: int = 4, n_walks: int = 1,
             frontier.select("walk_id", F.lit(step).alias("step"), "node"))
     e.unpersist()
     return out
+
+
+def ranking_metrics(scored: DataFrame, ks: tuple[int, ...] = (1, 3, 10),
+                    query_col: str = "query_id",
+                    score_col: str = "score",
+                    label_col: str = "is_positive") -> DataFrame:
+    """Link-prediction evaluation: the rank of each query's positive
+    among its scored candidates, plus corpus Hits@k counts — the MRR /
+    Hits@k protocol every KG-embedding paper reports (Bordes et al.
+    2013 "filtered" setting is this, applied after the caller removes
+    known-true corruptions from the candidate set).
+
+    Input: one row per (query, candidate) with an integer-comparable
+    ``score`` and exactly one ``is_positive`` candidate per query.
+    The positive's rank is ``1 + |candidates scoring strictly higher|
+    + |tied candidates that are not the positive|`` — the PESSIMISTIC
+    tie rule (ties rank below the positive), the conservative variant
+    recommended since Sun et al. 2020 exposed optimistic-tie inflation.
+
+    Returns ONE summary row: ``(n_queries, sum_rank, hits_at_k...)``
+    — all longs. MRR's reciprocal stays with the caller (it is the
+    one quantity here that needs a float; everything exported is
+    exact). Per-query ranks are computable by the same aggregation
+    without the final rollup; this operator ships the corpus summary
+    because that is what an eval loop consumes per checkpoint.
+
+    Scale shape: two query-keyed aggregations and one query-keyed
+    join — the positive's score is a 1-row-per-query table joined back
+    onto the candidate stream, and the rank is a conditional COUNT, so
+    NO candidate list ever materializes: ranking against the full
+    entity vocabulary (millions of candidates per query, the filtered
+    KG-eval protocol) exchanges only (query, long) rows. Then one
+    global rollup of (long) counters."""
+    cands = scored.select(
+        F.col(query_col).alias("query_id"),
+        F.col(score_col).alias("_s"),
+        F.col(label_col).alias("_p"))
+    pos = cands.filter(F.col("_p")).groupBy("query_id").agg(
+        F.max("_s").alias("_ps"))
+    per_query = (
+        cands.join(pos, "query_id")
+        .groupBy("query_id")
+        .agg((1 + F.sum(
+            ((F.col("_s") > F.col("_ps"))
+             | ((F.col("_s") == F.col("_ps")) & ~F.col("_p")))
+            .cast("long"))).cast("long").alias("rank"))
+    )
+    agg = [F.count("*").cast("long").alias("n_queries"),
+           F.sum("rank").cast("long").alias("sum_rank")]
+    for k in ks:
+        agg.append(F.sum((F.col("rank") <= k).cast("long"))
+                   .cast("long").alias(f"hits_at_{k}"))
+    return per_query.agg(*agg)

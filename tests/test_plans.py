@@ -461,3 +461,24 @@ def test_postings_export_gap_encoding(spark):
     capped = {r["term"] for r in
               postings_export(docs, min_df=2, max_df=2).collect()}
     assert capped == set()     # alpha/beta df=3 cut by max_df, rest df=1
+
+
+def test_ranking_metrics_pessimistic_ties(spark):
+    from knowledge_graph_spark.operators.kg_export import ranking_metrics
+
+    rows = [
+        # q1: positive 10, negatives 12, 10(tie), 3 -> rank 3
+        (1, 10, True), (1, 12, False), (1, 10, False), (1, 3, False),
+        # q2: positive tops -> rank 1
+        (2, 9, True), (2, 5, False),
+        # q3: positive last of 11 -> rank 11
+        *[(3, 50 + i, False) for i in range(10)], (3, 1, True),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, score long, is_positive boolean")
+    r = ranking_metrics(df).first()
+    assert r["n_queries"] == 3
+    assert r["sum_rank"] == 3 + 1 + 11
+    assert r["hits_at_1"] == 1
+    assert r["hits_at_3"] == 2
+    assert r["hits_at_10"] == 2

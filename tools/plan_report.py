@@ -107,6 +107,8 @@ def main():
         "triple_fusion",
         # postings export (df-bounded collect_list)
         "postings",
+        # LP eval (two query-keyed aggs + join; no candidate lists)
+        "lp_eval",
     ]
     qs = entrymod.queries()
     lines = [
