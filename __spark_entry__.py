@@ -1496,6 +1496,70 @@ FROM maj WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def _q_snapshot_diff(spark, sf_dir):
+    """Recrawl snapshot diff (Cho & Garcia-Molina change-rate signal)
+    between the documents table and a synthesized second crawl: every
+    13th page disappears, every 7th changes (text appended), every
+    11th spawns a brand-new page at doc_id+1000000. Per-source
+    added/removed/changed/same counts; the oracle replays the full
+    outer join comparing raw text (digest equality == text equality
+    on this corpus)."""
+    from knowledge_graph_spark.operators.crawl import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    survivors = (
+        docs.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.col("text"), F.lit(" updated")))
+            .otherwise(F.col("text")).alias("text"),
+            "source",
+        )
+    )
+    fresh = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("fresh page "), F.col("doc_id").cast("string"))
+        .alias("text"),
+        "source",
+    )
+    return snapshot_diff(docs, survivors.unionAll(fresh)) \
+        .orderBy("source")
+
+
+_SQL_SNAPSHOT_DIFF = r"""
+WITH new_snap AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN text || ' updated' ELSE text END
+      AS text,
+    source
+  FROM documents WHERE doc_id % 13 != 0
+  UNION ALL
+  SELECT doc_id + 1000000, 'fresh page ' || doc_id, source
+  FROM documents WHERE doc_id % 11 = 0
+),
+j AS (
+  SELECT COALESCE(n.source, o.source) AS source,
+    CASE WHEN o.doc_id IS NULL THEN 'added'
+         WHEN n.doc_id IS NULL THEN 'removed'
+         WHEN COALESCE(o.text, '') != COALESCE(n.text, '')
+           THEN 'changed'
+         ELSE 'same' END AS v
+  FROM documents o FULL OUTER JOIN new_snap n USING (doc_id)
+)
+SELECT source,
+  CAST(SUM(CASE WHEN v = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_added,
+  CAST(SUM(CASE WHEN v = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_removed,
+  CAST(SUM(CASE WHEN v = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_changed,
+  CAST(SUM(CASE WHEN v = 'same' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_same
+FROM j GROUP BY source ORDER BY source
+"""
+
+
 def _q_lp_eval(spark, sf_dir):
     """Link-prediction eval metrics (Bordes et al. 2013 protocol,
     pessimistic ties per Sun et al. 2020) over synthesized candidate
@@ -5812,6 +5876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triple_fusion": _q_triple_fusion,
         "postings": _q_postings,
         "lp_eval": _q_lp_eval,
+        "snapshot_diff": _q_snapshot_diff,
         "ccnet_buckets": _q_ccnet_buckets,
         "dup_spans": _q_dup_spans,
         "winnow_census": _q_winnow_census,
@@ -5950,6 +6015,7 @@ def oracle_sql() -> dict[str, str]:
         "triple_fusion": _SQL_TRIPLE_FUSION,
         "postings": _SQL_POSTINGS,
         "lp_eval": _SQL_LP_EVAL,
+        "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "ccnet_buckets": _SQL_CCNET_BUCKETS,
         "dup_spans": _SQL_DUP_SPANS,
         "winnow_census": _SQL_WINNOW,

@@ -106,7 +106,7 @@ def main():
         "gopher_rules", "c4_filters", "anchor_texts", "jsonld_entities",
         "entity_linking", "web_tables", "script_profiles",
         "repetition_plan", "hearst_isa", "main_content",
-        "triple_fusion", "postings", "lp_eval",
+        "triple_fusion", "postings", "lp_eval", "snapshot_diff",
     ]
     qs = entrymod.queries()
     for name in headliners:

@@ -272,3 +272,23 @@ def test_fuse_triples_voting_and_ties(spark):
     out1 = {(r["subj"], r["pred"]): r
             for r in fuse_triples(df).collect()}
     assert out1[("acme", "hq")]["support"] == 2     # s1+s2 for oslo
+
+
+def test_snapshot_diff_verdicts(spark):
+    from knowledge_graph_spark.operators.crawl import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha", "s1"), (2, "beta", "s1"), (3, "gamma", "s2"),
+         (4, None, "s2")],
+        "doc_id long, text string, source string")
+    new = spark.createDataFrame(
+        [(1, "alpha", "s1"),          # same
+         (2, "beta v2", "s1"),        # changed
+         (4, "", "s2"),               # NULL -> '' : same under coalesce
+         (9, "fresh", "s2")],         # added; doc 3 removed
+        "doc_id long, text string, source string")
+    out = {r["source"]: r for r in snapshot_diff(old, new).collect()}
+    s1, s2 = out["s1"], out["s2"]
+    assert (s1["n_same"], s1["n_changed"], s1["n_added"],
+            s1["n_removed"]) == (1, 1, 0, 0)
+    assert (s2["n_added"], s2["n_removed"], s2["n_same"]) == (1, 1, 1)

@@ -109,6 +109,8 @@ def main():
         "postings",
         # LP eval (two query-keyed aggs + join; no candidate lists)
         "lp_eval",
+        # recrawl diff (bodies reduce to digests before the join)
+        "snapshot_diff",
     ]
     qs = entrymod.queries()
     lines = [
