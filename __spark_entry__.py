@@ -1496,6 +1496,47 @@ FROM maj WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def _q_scd2_status(spark, sf_dir):
+    """SCD Type-2 fact history over the events stream: each user's
+    event_type sequence collapses into validity intervals (runs of
+    consecutive equal values, half-open, NULL-terminated current
+    run), tie-broken by event_id at equal timestamps. The oracle
+    replays the change-flag prefix sum and the lead() interval
+    closure."""
+    from knowledge_graph_spark.operators.temporal import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    return scd2_history(ev, tiebreak_col="event_id").orderBy(
+        "user_id", "valid_from")
+
+
+_SQL_SCD2 = r"""
+WITH r AS (
+  SELECT user_id, event_type, ts,
+    SUM(CASE WHEN prev IS NULL OR event_type != prev THEN 1 ELSE 0
+        END) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS run
+  FROM (SELECT user_id, event_type, ts, event_id,
+          lag(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev
+        FROM events)
+),
+s AS (
+  SELECT user_id, MIN(event_type) AS event_type,
+         MIN(ts) AS valid_from,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM r GROUP BY user_id, run
+)
+SELECT user_id, event_type, valid_from,
+  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+    AS valid_to,
+  n_events,
+  (lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+   IS NULL) AS is_current
+FROM s ORDER BY user_id, valid_from
+"""
+
+
 def _q_snapshot_diff(spark, sf_dir):
     """Recrawl snapshot diff (Cho & Garcia-Molina change-rate signal)
     between the documents table and a synthesized second crawl: every
@@ -5877,6 +5918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings": _q_postings,
         "lp_eval": _q_lp_eval,
         "snapshot_diff": _q_snapshot_diff,
+        "scd2_status": _q_scd2_status,
         "ccnet_buckets": _q_ccnet_buckets,
         "dup_spans": _q_dup_spans,
         "winnow_census": _q_winnow_census,
@@ -6016,6 +6058,7 @@ def oracle_sql() -> dict[str, str]:
         "postings": _SQL_POSTINGS,
         "lp_eval": _SQL_LP_EVAL,
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
+        "scd2_status": _SQL_SCD2,
         "ccnet_buckets": _SQL_CCNET_BUCKETS,
         "dup_spans": _SQL_DUP_SPANS,
         "winnow_census": _SQL_WINNOW,

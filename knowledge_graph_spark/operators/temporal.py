@@ -130,3 +130,56 @@ def range_join(left: DataFrame, right: DataFrame, delta_seconds: int,
         )
         .drop("_b")
     )
+
+
+def scd2_history(facts: DataFrame, key_col: str = "user_id",
+                 value_col: str = "event_type", ts_col: str = "ts",
+                 tiebreak_col: str | None = None) -> DataFrame:
+    """Slowly-changing-dimension Type 2 collapse (Kimball's SCD2; for
+    a temporal KG this is the fact-history table): an assertion stream
+    ``(key, value, ts)`` becomes validity intervals — one row per RUN
+    of consecutive equal values per key, ``[valid_from, valid_to)``
+    half-open, ``valid_to`` NULL on the current run. The question it
+    answers — "what did we believe about X at time t, and when did
+    that change?" — is the backbone of point-in-time KG queries and
+    of training-data freshness audits.
+
+    Runs are detected with the change-flag prefix sum (lag + running
+    count), the standard gaps-and-islands formulation; ties within a
+    key at equal ``ts`` are ordered by ``tiebreak_col`` (declared,
+    replayable) when given.
+
+    Returns ``(key, value, valid_from, valid_to, n_events,
+    is_current)`` with the input's key/value column names preserved.
+
+    Scale shape: two key-partitioned windows and one (key, run)
+    aggregation — every partition is bounded by one key's assertion
+    count, the natural unit (a key hot enough to overflow a partition
+    is a data-model bug upstream, not a planner problem). Exchanges
+    carry (key, value, ts) rows once."""
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(key_col).orderBy(*order)
+    changed = F.when(
+        F.lag(value_col).over(w).isNull()
+        | (F.col(value_col) != F.lag(value_col).over(w)), 1
+    ).otherwise(0)
+    runs = (
+        facts.select(key_col, value_col, ts_col,
+                     *( [tiebreak_col] if tiebreak_col else [] ))
+        .withColumn("_run", F.sum(changed).over(w))
+    )
+    spans = runs.groupBy(key_col, "_run").agg(
+        F.first(value_col).alias(value_col),
+        F.min(ts_col).alias("valid_from"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    w2 = Window.partitionBy(key_col).orderBy("valid_from")
+    return (
+        spans.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .select(
+            key_col, value_col, "valid_from", "valid_to", "n_events",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )

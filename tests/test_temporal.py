@@ -124,3 +124,27 @@ def test_asof_join_null_keys_never_match(spark):
     got = {r["tag"]: r["r_v"]
            for r in asof_join(left, right, on="user_id").collect()}
     assert got == {"l0": None, "l1": "r_one"}
+
+
+def test_scd2_history_runs_and_intervals(spark):
+    from datetime import datetime as dt
+
+    from knowledge_graph_spark.operators.temporal import scd2_history
+
+    t = lambda m: dt(2024, 1, 1, 0, m)
+    facts = spark.createDataFrame(
+        [(1, "trial", t(0)), (1, "trial", t(5)), (1, "paid", t(10)),
+         (1, "trial", t(20)),      # value returns -> NEW run
+         (2, "paid", t(3))],
+        "user_id long, event_type string, ts timestamp")
+    rows = [r.asDict() for r in
+            scd2_history(facts).orderBy("user_id", "valid_from")
+            .collect()]
+    u1 = [r for r in rows if r["user_id"] == 1]
+    assert [(r["event_type"], r["n_events"], r["is_current"])
+            for r in u1] == [("trial", 2, False), ("paid", 1, False),
+                             ("trial", 1, True)]
+    assert u1[0]["valid_to"] == u1[1]["valid_from"] == t(10)
+    assert u1[2]["valid_to"] is None
+    u2 = [r for r in rows if r["user_id"] == 2]
+    assert u2[0]["is_current"] and u2[0]["n_events"] == 1

@@ -111,6 +111,8 @@ def main():
         "lp_eval",
         # recrawl diff (bodies reduce to digests before the join)
         "snapshot_diff",
+        # SCD2 intervals (key-bounded windows)
+        "scd2_status",
     ]
     qs = entrymod.queries()
     lines = [
