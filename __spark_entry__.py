@@ -1496,6 +1496,65 @@ FROM maj WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def _q_readability(spark, sf_dir):
+    """Flesch-Kincaid ingredient counts over punctuated pages (the
+    soup text gains '. ... ! ... ?' sentence breaks, plus a '!!' run
+    on every 4th doc — runs collapse to one sentence boundary).
+    Counts only; the grade formula stays with the caller. Oracle
+    replays the inverse-split sentence runs and the vowel-group +
+    silent-e syllable rule per word."""
+    from knowledge_graph_spark.operators.textstats import (
+        readability_counts)
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(". The second sentence rides here! A third one?"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit(" Extra exclamation!!")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return readability_counts(pages).orderBy("doc_id")
+
+
+_SQL_READABILITY = r"""
+WITH inj AS (
+  SELECT doc_id,
+    text || '. The second sentence rides here! A third one?'
+         || CASE WHEN doc_id % 4 = 0 THEN ' Extra exclamation!!'
+            ELSE '' END AS text
+  FROM documents
+),
+b AS (
+  SELECT doc_id, COALESCE(text, '') AS t,
+    list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),
+                x -> x != '') AS words
+  FROM inj
+)
+SELECT doc_id,
+  CAST(len(words) AS BIGINT) AS n_words,
+  CAST(GREATEST(1, len(list_filter(
+    regexp_split_to_array(t, '[^.!?]+'), s -> s != ''))) AS BIGINT)
+    AS n_sentences,
+  CAST(COALESCE(list_sum(list_transform(words, w ->
+    GREATEST(
+      CASE WHEN regexp_replace(lower(w), '[^a-z]', '', 'g') != ''
+           THEN 1 ELSE 0 END,
+      len(list_filter(regexp_split_to_array(
+            regexp_replace(lower(w), '[^a-z]', '', 'g'),
+            '[^aeiouy]+'), s -> s != ''))
+      - CASE WHEN regexp_matches(
+               regexp_replace(lower(w), '[^a-z]', '', 'g'),
+               '[aeiouy].*[aeiouy]')
+             AND regexp_matches(
+               regexp_replace(lower(w), '[^a-z]', '', 'g'), '[^l]e$')
+             THEN 1 ELSE 0 END))), 0) AS BIGINT) AS n_syllables
+FROM b ORDER BY doc_id
+"""
+
+
 def _q_scd2_status(spark, sf_dir):
     """SCD Type-2 fact history over the events stream: each user's
     event_type sequence collapses into validity intervals (runs of
@@ -5919,6 +5978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lp_eval": _q_lp_eval,
         "snapshot_diff": _q_snapshot_diff,
         "scd2_status": _q_scd2_status,
+        "readability": _q_readability,
         "ccnet_buckets": _q_ccnet_buckets,
         "dup_spans": _q_dup_spans,
         "winnow_census": _q_winnow_census,
@@ -6059,6 +6119,7 @@ def oracle_sql() -> dict[str, str]:
         "lp_eval": _SQL_LP_EVAL,
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "scd2_status": _SQL_SCD2,
+        "readability": _SQL_READABILITY,
         "ccnet_buckets": _SQL_CCNET_BUCKETS,
         "dup_spans": _SQL_DUP_SPANS,
         "winnow_census": _SQL_WINNOW,

@@ -1737,3 +1737,27 @@ def test_repetition_plan_greedy_fill(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="budget"):
         repetition_plan(docs, budget_tokens=-1, tokens=F.col("nt"))
+
+
+def test_readability_counts(spark):
+    from knowledge_graph_spark.operators.textstats import (
+        readability_counts)
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. It purred! Was it happy?"),
+         (2, "table cake little"),     # silent-e / -le rules
+         (3, None),
+         (4, "12345 !!!")],            # no letters -> 0 syllables
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in readability_counts(docs).collect()}
+    r1 = out[1]
+    assert (r1["n_words"], r1["n_sentences"]) == (8, 3)
+    # the(1) cat(1) sat(1) it(1) purred(2: u,e groups; ends 'd') was(1)
+    # it(1) happy(2)
+    assert r1["n_syllables"] == 10
+    # table: ta-ble -> groups a,e=2, ends 'le' so NO silent-e cut -> 2
+    # cake: groups a,e=2, ends 'e' not 'le' -> 1; little: i,e + 'le' -> 2
+    assert out[2]["n_syllables"] == 5
+    assert (out[3]["n_words"], out[3]["n_sentences"],
+            out[3]["n_syllables"]) == (0, 1, 0)
+    assert out[4]["n_syllables"] == 0 and out[4]["n_sentences"] == 1

@@ -113,6 +113,8 @@ def main():
         "snapshot_diff",
         # SCD2 intervals (key-bounded windows)
         "scd2_status",
+        # FK readability counts (zero-exchange codegen)
+        "readability",
     ]
     qs = entrymod.queries()
     lines = [
