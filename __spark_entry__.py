@@ -1496,6 +1496,144 @@ FROM maj WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def _q_corpus_report(spark, sf_dir):
+    """Per-source governance report card composing language ID,
+    quality, the Gopher battery, and an exact-dup census — what a
+    data team reads before touching mixture weights. All counts; the
+    oracle replays each component rule (the same replays that back
+    language_id / quality_scores / gopher_rules) plus a text-equality
+    dup census."""
+    from knowledge_graph_spark.operators.curate import corpus_report
+
+    return corpus_report(_t(spark, sf_dir, "documents")) \
+        .orderBy("source")
+
+
+_SQL_CORPUS_REPORT = r"""
+WITH b AS (
+  SELECT source, doc_id, text,
+    COALESCE(text, '') AS t,
+    list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),
+                x -> x != '') AS w,
+    string_split(COALESCE(text, ''), chr(10)) AS ls
+  FROM documents
+),
+lid AS (
+  SELECT doc_id,
+    CASE WHEN CAST(length(text) - length(regexp_replace(text,
+           '[\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE)
+           / GREATEST(length(text), 1) > 0.25 THEN 'zh'
+         WHEN CAST(length(text) - length(regexp_replace(text,
+           '[A-Za-z]', '', 'g')) AS DOUBLE)
+           / GREATEST(length(text), 1) > 0.5
+          AND (CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %' THEN 1 ELSE 0 END
+             + CASE WHEN ' ' || lower(text) || ' ' LIKE '% and %' THEN 1 ELSE 0 END
+             + CASE WHEN ' ' || lower(text) || ' ' LIKE '% of %' THEN 1 ELSE 0 END
+             + CASE WHEN ' ' || lower(text) || ' ' LIKE '% to %' THEN 1 ELSE 0 END
+             + CASE WHEN ' ' || lower(text) || ' ' LIKE '% in %' THEN 1 ELSE 0 END
+             + CASE WHEN ' ' || lower(text) || ' ' LIKE '% is %' THEN 1 ELSE 0 END
+             + CASE WHEN ' ' || lower(text) || ' ' LIKE '% that %' THEN 1 ELSE 0 END
+             + CASE WHEN ' ' || lower(text) || ' ' LIKE '% for %' THEN 1 ELSE 0 END
+             + CASE WHEN ' ' || lower(text) || ' ' LIKE '% with %' THEN 1 ELSE 0 END
+             + CASE WHEN ' ' || lower(text) || ' ' LIKE '% was %' THEN 1 ELSE 0 END
+             + CASE WHEN ' ' || lower(text) || ' ' LIKE '% are %' THEN 1 ELSE 0 END
+             + CASE WHEN ' ' || lower(text) || ' ' LIKE '% this %' THEN 1 ELSE 0 END
+            ) >= 1 THEN 'en'
+         ELSE 'other' END AS lang_pred
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+    CASE WHEN text IS NULL THEN NULL
+         ELSE GREATEST(0.0, 1.0
+           - CASE WHEN length(text) < 20 THEN 0.5 ELSE 0.0 END
+           - CASE WHEN CAST(length(text) - length(regexp_replace(text,
+               '[[:punct:]，。、；：！？“”‘’（）《》【】]', '', 'g')) AS DOUBLE)
+               / GREATEST(length(text), 1) > 0.3 THEN 0.25 ELSE 0.0 END
+           - CASE WHEN CAST(length(text) - length(regexp_replace(text,
+               '[0-9]', '', 'g')) AS DOUBLE)
+               / GREATEST(length(text), 1) > 0.3 THEN 0.25 ELSE 0.0 END
+           - CASE WHEN len(list_filter(regexp_split_to_array(text,
+               '\s+'), x -> x != '')) >= 5
+              AND (CAST(list_aggregate(list_transform(
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x != ''),
+                     x -> length(x)), 'sum') AS DOUBLE)
+                   / len(list_filter(regexp_split_to_array(text,
+                       '\s+'), x -> x != '')) < 2
+               OR CAST(list_aggregate(list_transform(
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x != ''),
+                     x -> length(x)), 'sum') AS DOUBLE)
+                   / len(list_filter(regexp_split_to_array(text,
+                       '\s+'), x -> x != '')) > 12)
+              THEN 0.25 ELSE 0.0 END) END AS quality
+  FROM documents
+),
+gm AS (
+  SELECT doc_id,
+    CAST(len(w) AS BIGINT) AS n_words,
+    CAST(len(ls) AS BIGINT) AS n_lines,
+    CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0)
+         AS BIGINT) AS sum_wl,
+    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+         AS BIGINT) AS n_alpha,
+    CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*•]')))
+         AS BIGINT) AS n_bullet,
+    CAST(len(list_filter(ls,
+         l -> regexp_matches(rtrim(l), '(\.\.\.|…)$')))
+         AS BIGINT) AS n_ellipsis,
+    CAST(length(t) - length(replace(t, '#', ''))
+      + (length(t) - length(replace(t, '...', ''))) // 3
+      + length(t) - length(replace(t, '…', '')) AS BIGINT) AS n_sym,
+    CAST((CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'the')  THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'be')   THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'to')   THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'of')   THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'and')  THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'that') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'have') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(list_transform(w, x -> lower(x)), 'with') THEN 1 ELSE 0 END
+      ) AS BIGINT) AS n_stop
+  FROM b
+),
+g AS (
+  SELECT doc_id,
+    ((n_words >= 50 AND n_words <= 100000)
+     AND (sum_wl >= 3 * n_words AND sum_wl <= 10 * n_words
+          AND n_words > 0)
+     AND (10 * n_sym <= n_words AND n_words > 0)
+     AND (10 * n_bullet <= 9 * n_lines)
+     AND (10 * n_ellipsis <= 3 * n_lines)
+     AND (10 * n_alpha >= 8 * n_words AND n_words > 0)
+     AND (n_stop >= 2)) AS pass_gopher
+  FROM gm
+),
+dup AS (
+  SELECT source, t, COUNT(*) AS n FROM b GROUP BY source, t
+)
+SELECT b.source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(len(b.w)) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN lid.lang_pred = 'en' THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_en,
+  CAST(SUM(CASE WHEN lid.lang_pred = 'zh' THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_zh,
+  CAST(SUM(CASE WHEN lid.lang_pred NOT IN ('en', 'zh') THEN 1
+           ELSE 0 END) AS BIGINT) AS n_other,
+  CAST(SUM(CASE WHEN q.quality >= 0.75 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_quality_hi,
+  CAST(SUM(CASE WHEN g.pass_gopher THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_gopher_pass,
+  CAST(SUM(CASE WHEN dup.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_docs
+FROM b
+JOIN lid USING (doc_id) JOIN q USING (doc_id) JOIN g USING (doc_id)
+JOIN dup ON dup.source = b.source AND dup.t = b.t
+GROUP BY b.source ORDER BY b.source
+"""
+
+
 def _q_readability(spark, sf_dir):
     """Flesch-Kincaid ingredient counts over punctuated pages (the
     soup text gains '. ... ! ... ?' sentence breaks, plus a '!!' run
@@ -5979,6 +6117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _q_snapshot_diff,
         "scd2_status": _q_scd2_status,
         "readability": _q_readability,
+        "corpus_report": _q_corpus_report,
         "ccnet_buckets": _q_ccnet_buckets,
         "dup_spans": _q_dup_spans,
         "winnow_census": _q_winnow_census,
@@ -6120,6 +6259,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "scd2_status": _SQL_SCD2,
         "readability": _SQL_READABILITY,
+        "corpus_report": _SQL_CORPUS_REPORT,
         "ccnet_buckets": _SQL_CCNET_BUCKETS,
         "dup_spans": _SQL_DUP_SPANS,
         "winnow_census": _SQL_WINNOW,

@@ -66,3 +66,73 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
         & (F.col("dup_3gram_frac") <= g["max_dup_3gram_frac"])
     )
     return dedup_exact(d, id_col, text_col)
+
+
+def corpus_report(docs: DataFrame, source_col: str = "source",
+                  id_col: str = "doc_id", text_col: str = "text",
+                  min_quality: float = 0.75) -> DataFrame:
+    """Per-source corpus report card — the governance table a data
+    team reads before touching mixture weights: for every source, how
+    big is it, what language is it, how much of it passes the quality
+    and Gopher gates, how much is internally duplicated. One row per
+    source, all counts (rates are the caller's division), composing
+    the individually-proven operators:
+
+    - ``n_docs`` / ``n_tokens`` — volume (whitespace tokens)
+    - ``n_en`` / ``n_zh`` / ``n_other`` — :func:`with_language_id`
+    - ``n_quality_hi`` — :func:`with_quality_score` composite >=
+      ``min_quality`` (the composite takes 0.25-step values, exactly
+      representable, so the threshold compare is engine-exact)
+    - ``n_gopher_pass`` — :func:`gopher_rules` full-battery pass
+    - ``n_dup_docs`` — documents sharing their exact content
+      (xxhash64 identity) with another document OF THE SAME SOURCE
+
+    Scale shape: the per-document signals are the row-local codegen
+    of their operators; the rollup is one groupBy(source) over
+    (source, flags); the dup census is a (source, hash) count joined
+    back by hash key — bodies never shuffle anywhere.
+    """
+    from ..functions.vectors import n_ws_tokens
+    from .textstats import gopher_rules
+
+    base = with_quality_score(with_language_id(docs, text_col),
+                              text_col)
+    gop = gopher_rules(docs, id_col=id_col, text_col=text_col) \
+        .select(F.col("doc_id").alias("_gid"),
+                F.col("pass_gopher"))
+    keyed = (
+        base.select(
+            F.col(source_col).alias("source"),
+            F.col(id_col).alias("_gid"),
+            n_ws_tokens(text_col).cast("long").alias("_nt"),
+            F.col("lang_pred"),
+            (F.col("quality") >= F.lit(float(min_quality)))
+            .alias("_hi"),
+            F.xxhash64(F.coalesce(F.col(text_col), F.lit("")))
+            .alias("_h"),
+        )
+        .join(gop, "_gid")
+    )
+    dup_groups = (
+        keyed.groupBy("source", "_h")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("source", "_h", F.lit(True).alias("_dup"))
+    )
+    flagged = keyed.join(dup_groups, ["source", "_h"], "left")
+    return flagged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("n_tokens"),
+        F.sum((F.col("lang_pred") == "en").cast("long")).cast("long")
+        .alias("n_en"),
+        F.sum((F.col("lang_pred") == "zh").cast("long")).cast("long")
+        .alias("n_zh"),
+        F.sum((~F.col("lang_pred").isin("en", "zh")).cast("long"))
+        .cast("long").alias("n_other"),
+        F.sum(F.coalesce(F.col("_hi"), F.lit(False)).cast("long"))
+        .cast("long").alias("n_quality_hi"),
+        F.sum(F.col("pass_gopher").cast("long")).cast("long")
+        .alias("n_gopher_pass"),
+        F.sum(F.coalesce(F.col("_dup"), F.lit(False)).cast("long"))
+        .cast("long").alias("n_dup_docs"),
+    )

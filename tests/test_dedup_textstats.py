@@ -1761,3 +1761,25 @@ def test_readability_counts(spark):
     assert (out[3]["n_words"], out[3]["n_sentences"],
             out[3]["n_syllables"]) == (0, 1, 0)
     assert out[4]["n_syllables"] == 0 and out[4]["n_sentences"] == 1
+
+
+def test_corpus_report_card(spark):
+    from knowledge_graph_spark.operators.curate import corpus_report
+
+    good = ("the quick brown fox jumps over and that have with lazy "
+            "dogs resting near the barn today quietly") + " again" * 45
+    docs = spark.createDataFrame(
+        [(1, good, "web"),
+         (2, good, "web"),                  # exact dup of 1
+         (3, "短 文", "web"),               # zh-ish short junk
+         (4, good + " extra", "books"),     # unique
+         (5, None, "books")],
+        "doc_id long, text string, source string")
+    out = {r["source"]: r for r in corpus_report(docs).collect()}
+    web, books = out["web"], out["books"]
+    assert (web["n_docs"], web["n_dup_docs"]) == (3, 2)
+    assert web["n_zh"] == 1 and web["n_en"] == 2
+    assert books["n_dup_docs"] == 0 and books["n_docs"] == 2
+    assert books["n_en"] == 1 and books["n_other"] == 1   # NULL text
+    assert web["n_quality_hi"] == 2       # the short zh doc fails
+    assert web["n_gopher_pass"] <= 2

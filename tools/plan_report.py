@@ -115,6 +115,8 @@ def main():
         "scd2_status",
         # FK readability counts (zero-exchange codegen)
         "readability",
+        # governance report card (row-local signals + source rollup)
+        "corpus_report",
     ]
     qs = entrymod.queries()
     lines = [
