@@ -1496,6 +1496,74 @@ FROM maj WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def _q_quotes(spark, sf_dir):
+    """Attributed-quotation harvest over injected reported speech:
+    every doc carries a 'Speaker said, "..."' sentence with a
+    rotating two-word speaker and rotating reporting verb; every 3rd
+    doc adds the inverted '"...," argued Speaker' form. The oracle
+    replays both templates' regexes and group extraction."""
+    from knowledge_graph_spark.operators.patterns import extract_quotes
+
+    docs = _t(spark, sf_dir, "documents")
+    speaker = F.element_at(
+        F.array(F.lit("Jane Roe"), F.lit("Bob Stone"),
+                F.lit("Ada Lovelace")),
+        (F.col("doc_id") % 3 + 1).cast("int"))
+    verb = F.element_at(
+        F.array(F.lit("said"), F.lit("wrote"), F.lit("argued"),
+                F.lit("noted")),
+        (F.col("doc_id") % 4 + 1).cast("int"))
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" "), speaker, F.lit(" "), verb,
+            F.lit(', "statement number '),
+            (F.col("doc_id") % 9).cast("string"), F.lit('"'),
+            F.when(F.col("doc_id") % 3 == 0, F.concat(
+                F.lit(' "a contrary view '),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit('," claimed '), speaker)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return extract_quotes(pages).orderBy(
+        "doc_id", "position", "speaker", "quote")
+
+
+_SQL_QUOTES = r"""
+WITH inj AS (
+  SELECT doc_id,
+    text || ' '
+    || (['Jane Roe', 'Bob Stone', 'Ada Lovelace'])[doc_id % 3 + 1]
+    || ' ' || (['said', 'wrote', 'argued', 'noted'])[doc_id % 4 + 1]
+    || ', "statement number ' || (doc_id % 9) || '"'
+    || CASE WHEN doc_id % 3 = 0 THEN
+         ' "a contrary view ' || (doc_id % 5) || '," claimed '
+         || (['Jane Roe', 'Bob Stone', 'Ada Lovelace'])[doc_id % 3 + 1]
+       ELSE '' END AS text
+  FROM documents
+),
+a AS (
+  SELECT doc_id,
+    regexp_extract(m, '([A-Z][a-z]+(?: [A-Z][a-z]+)?) (?:said|says|wrote|argued|claimed|noted|added),? "([^"]+)"', 1) AS speaker,
+    regexp_extract(m, '([A-Z][a-z]+(?: [A-Z][a-z]+)?) (?:said|says|wrote|argued|claimed|noted|added),? "([^"]+)"', 2) AS quote,
+    'before' AS position
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text,
+          '([A-Z][a-z]+(?: [A-Z][a-z]+)?) (?:said|says|wrote|argued|claimed|noted|added),? "([^"]+)"', 0)) AS m
+        FROM inj)
+  UNION ALL
+  SELECT doc_id,
+    regexp_extract(m, '"([^"]+),?" (?:said|says|wrote|argued|claimed|noted|added) ([A-Z][a-z]+(?: [A-Z][a-z]+)?)', 2),
+    regexp_extract(m, '"([^"]+),?" (?:said|says|wrote|argued|claimed|noted|added) ([A-Z][a-z]+(?: [A-Z][a-z]+)?)', 1),
+    'after'
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text,
+          '"([^"]+),?" (?:said|says|wrote|argued|claimed|noted|added) ([A-Z][a-z]+(?: [A-Z][a-z]+)?)', 0)) AS m
+        FROM inj)
+)
+SELECT doc_id, speaker, quote, position FROM a
+ORDER BY doc_id, position, speaker, quote
+"""
+
+
 def _q_corpus_report(spark, sf_dir):
     """Per-source governance report card composing language ID,
     quality, the Gopher battery, and an exact-dup census — what a
@@ -6118,6 +6186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_status": _q_scd2_status,
         "readability": _q_readability,
         "corpus_report": _q_corpus_report,
+        "quotes": _q_quotes,
         "ccnet_buckets": _q_ccnet_buckets,
         "dup_spans": _q_dup_spans,
         "winnow_census": _q_winnow_census,
@@ -6260,6 +6329,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_status": _SQL_SCD2,
         "readability": _SQL_READABILITY,
         "corpus_report": _SQL_CORPUS_REPORT,
+        "quotes": _SQL_QUOTES,
         "ccnet_buckets": _SQL_CCNET_BUCKETS,
         "dup_spans": _SQL_DUP_SPANS,
         "winnow_census": _SQL_WINNOW,

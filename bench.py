@@ -107,7 +107,7 @@ def main():
         "entity_linking", "web_tables", "script_profiles",
         "repetition_plan", "hearst_isa", "main_content",
         "triple_fusion", "postings", "lp_eval", "snapshot_diff",
-        "scd2_status", "readability", "corpus_report",
+        "scd2_status", "readability", "corpus_report", "quotes",
     ]
     qs = entrymod.queries()
     for name in headliners:

@@ -73,3 +73,54 @@ def hyponym_census(pages: DataFrame, id_col: str = "doc_id",
         .agg(F.count("*").cast("long").alias("n_mentions"),
              F.countDistinct("doc_id").cast("long").alias("n_docs"))
     )
+
+
+# speaker-verb vocabulary for attribution (declared subset of the
+# reporting verbs used by quote-attribution corpora, e.g. PARC 3.0)
+_SAY_VERBS = "said|says|wrote|argued|claimed|noted|added"
+
+# Speaker said, "quote"   /   "quote," said Speaker
+_QUOTE_AFTER = (r'([A-Z][a-z]+(?: [A-Z][a-z]+)?) '
+                r'(?:' + _SAY_VERBS + r'),? "([^"]+)"')
+_QUOTE_BEFORE = (r'"([^"]+),?" (?:' + _SAY_VERBS + r') '
+                 r'([A-Z][a-z]+(?: [A-Z][a-z]+)?)')
+
+
+def extract_quotes(pages: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Attributed-quotation extraction — the provenance edge
+    (speaker, statement, document) that news-KG pipelines mine for
+    claim attribution (cf. the PARC attribution corpus, Pareti 2016;
+    at web scale this is how "X said Y" enters a knowledge graph with
+    a citable source).
+
+    Two declared surface templates over straight double quotes:
+    ``Speaker said, "..."`` and ``"...," said Speaker`` — speaker is
+    1-2 capitalized words adjacent to a reporting verb from a fixed
+    7-verb vocabulary. Emits ``(doc_id, speaker, quote, position)``
+    where position is 'before'/'after' (speaker relative to quote).
+    Curly quotes, nested quotes, and pronoun speakers are out of
+    scope (declared) — precision over recall, the right trade for a
+    seed extractor.
+
+    Row-local regex codegen; the page body never survives the
+    explode."""
+    outs = []
+    for rx, tag, g_speaker, g_quote in (
+            (_QUOTE_AFTER, "before", 1, 2),
+            (_QUOTE_BEFORE, "after", 2, 1)):
+        sql_rx = rx.replace("\\", "\\\\").replace("'", "\\'")
+        outs.append(F.expr(
+            f"transform(regexp_extract_all({text_col}, '{sql_rx}', 0), "
+            f"m -> struct("
+            f"regexp_extract(m, '{sql_rx}', {g_speaker}) AS speaker, "
+            f"regexp_extract(m, '{sql_rx}', {g_quote}) AS quote, "
+            f"'{tag}' AS position))"
+        ))
+    return (
+        pages.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.concat(*outs)).alias("m"),
+        )
+        .select("doc_id", "m.speaker", "m.quote", "m.position")
+    )

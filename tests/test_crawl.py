@@ -292,3 +292,24 @@ def test_snapshot_diff_verdicts(spark):
     assert (s1["n_same"], s1["n_changed"], s1["n_added"],
             s1["n_removed"]) == (1, 1, 0, 0)
     assert (s2["n_added"], s2["n_removed"], s2["n_same"]) == (1, 1, 1)
+
+
+def test_extract_quotes_attribution(spark):
+    from knowledge_graph_spark.operators.patterns import extract_quotes
+
+    pages = spark.createDataFrame(
+        [(1, 'Jane Roe said, "the merger closes friday" and left. '
+             '"we disagree," argued Bob. plain text'),
+         (2, 'lowercase person said, "ignored" but '
+             'Ada Lovelace wrote "engines compute"'),
+         (3, "no quotes"), (4, None)],
+        "doc_id long, text string")
+    rows = {(r["doc_id"], r["speaker"], r["quote"], r["position"])
+            for r in extract_quotes(pages).collect()}
+    assert (1, "Jane Roe", "the merger closes friday",
+            "before") in rows
+    assert (1, "Bob", "we disagree,", "after") in rows
+    assert (2, "Ada Lovelace", "engines compute", "before") in rows
+    # lowercase speaker never matches the capitalized-name template
+    assert not any(r[1] == "person" for r in rows)
+    assert not any(r[0] in (3, 4) for r in rows)

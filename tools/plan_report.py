@@ -117,6 +117,8 @@ def main():
         "readability",
         # governance report card (row-local signals + source rollup)
         "corpus_report",
+        # quote attribution (row-local regex)
+        "quotes",
     ]
     qs = entrymod.queries()
     lines = [
