@@ -1496,6 +1496,62 @@ FROM maj WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def _q_distant_ner(spark, sf_dir):
+    """Distant-supervision mention labeling (Mintz et al. 2009) over
+    the documents table with a 6-entry literal alias dictionary whose
+    keys occur NATURALLY in the corpus vocabulary — including a
+    bigram ('merge batch') that overlaps its unigram ('batch'), so
+    maximal munch fires on real adjacencies. The oracle replays the
+    n-gram candidate generation, the dictionary join, and the
+    longest-match argmax."""
+    from knowledge_graph_spark.operators.wikilinks import distant_labels
+
+    docs = _t(spark, sf_dir, "documents")
+    d = spark.createDataFrame(
+        [("spark", "Apache Spark"), ("merge batch", "MergeBatch Op"),
+         ("batch", "Batch Generic"), ("table", "Table Entity"),
+         ("hash join", "HashJoin Op"), ("join", "Join Generic")],
+        "anchor_key string, target string")
+    return distant_labels(docs, d).orderBy("doc_id", "pos")
+
+
+_SQL_DISTANT_NER = r"""
+WITH w AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),
+                x -> x != '') AS a
+  FROM documents
+),
+uni AS (
+  SELECT doc_id, i - 1 AS pos, 1 AS n_words, a[i] AS surface
+  FROM (SELECT doc_id, a, unnest(generate_series(1, len(a))) AS i
+        FROM w)
+),
+bi AS (
+  SELECT doc_id, i - 1 AS pos, 2 AS n_words,
+         a[i] || ' ' || a[i + 1] AS surface
+  FROM (SELECT doc_id, a, unnest(generate_series(1, len(a))) AS i
+        FROM w)
+  WHERE i + 1 <= len(a)
+),
+cand AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+d(anchor_key, target) AS (VALUES
+  ('spark', 'Apache Spark'), ('merge batch', 'MergeBatch Op'),
+  ('batch', 'Batch Generic'), ('table', 'Table Entity'),
+  ('hash join', 'HashJoin Op'), ('join', 'Join Generic')),
+hits AS (
+  SELECT c.doc_id, c.pos, c.n_words, c.surface, d.target,
+    row_number() OVER (PARTITION BY c.doc_id, c.pos
+                       ORDER BY c.n_words DESC, c.surface DESC,
+                                d.target DESC) AS rn
+  FROM cand c JOIN d ON lower(c.surface) = d.anchor_key
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       CAST(n_words AS BIGINT) AS n_words, surface, target
+FROM hits WHERE rn = 1 ORDER BY doc_id, pos
+"""
+
+
 def _q_quotes(spark, sf_dir):
     """Attributed-quotation harvest over injected reported speech:
     every doc carries a 'Speaker said, "..."' sentence with a
@@ -6187,6 +6243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": _q_readability,
         "corpus_report": _q_corpus_report,
         "quotes": _q_quotes,
+        "distant_ner": _q_distant_ner,
         "ccnet_buckets": _q_ccnet_buckets,
         "dup_spans": _q_dup_spans,
         "winnow_census": _q_winnow_census,
@@ -6330,6 +6387,7 @@ def oracle_sql() -> dict[str, str]:
         "readability": _SQL_READABILITY,
         "corpus_report": _SQL_CORPUS_REPORT,
         "quotes": _SQL_QUOTES,
+        "distant_ner": _SQL_DISTANT_NER,
         "ccnet_buckets": _SQL_CCNET_BUCKETS,
         "dup_spans": _SQL_DUP_SPANS,
         "winnow_census": _SQL_WINNOW,

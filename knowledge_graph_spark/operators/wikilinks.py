@@ -182,3 +182,65 @@ def link_mentions(mentions: DataFrame, dictionary: DataFrame,
     )
     return m.join(best, "anchor_key", "left").select(
         "mention_id", "surface", "target", "n_pair", "n_anchor")
+
+
+def distant_labels(pages: DataFrame, dictionary: DataFrame,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   max_gram: int = 2) -> DataFrame:
+    """Distant-supervision mention labeling (Mintz et al., ACL 2009):
+    every occurrence of a dictionary alias in running text becomes a
+    weak NER/linking label ``(doc_id, pos, n_words, surface,
+    target)`` — the trick that turns an anchor dictionary (e.g.
+    :func:`commonness_dictionary`'s output) into millions of free
+    training labels.
+
+    Matching is over case-folded whitespace word n-grams up to
+    ``max_gram`` words; at the same START position the LONGEST match
+    wins and shorter ones are dropped ("New York" beats "New" —
+    standard maximal-munch). Overlaps at different starts both
+    survive (resolving those needs the consumer's tag scheme).
+    ``dictionary`` rows are ``(anchor_key, target)``; duplicate keys
+    are an error the caller resolves first (e.g. keep the commonness
+    argmax per key).
+
+    Scale shape: the page side explodes to (doc, pos, gram-key) rows
+    — bounded at ``max_gram`` rows per token — and the dictionary is
+    the BROADCAST build side of the only join, so the token stream
+    never shuffles for matching; the longest-match argmax is one
+    in-aggregate max over (doc, pos) groups."""
+    if max_gram < 1:
+        raise ValueError(f"max_gram must be >= 1 (got {max_gram})")
+    toks = pages.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.coalesce(ws_tokens(text_col), F.array()))
+        .alias("pos", "_w"),
+        F.coalesce(ws_tokens(text_col), F.array()).alias("_all"),
+    )
+    grams = []
+    for n in range(1, max_gram + 1):
+        grams.append(
+            toks.filter(F.size("_all") >= F.col("pos") + n).select(
+                "doc_id", "pos", F.lit(n).alias("n_words"),
+                F.concat_ws(
+                    " ",
+                    F.slice("_all", F.col("pos") + 1, n)).alias("surface"),
+            ))
+    cand = grams[0]
+    for g in grams[1:]:
+        cand = cand.unionAll(g)
+    d = dictionary.select(F.col("anchor_key"), F.col("target"))
+    hits = cand.join(
+        F.broadcast(d),
+        F.lower(cand["surface"]) == d["anchor_key"],
+    )
+    # maximal munch: longest surface at each start position wins
+    return (
+        hits.groupBy("doc_id", "pos").agg(
+            F.max(F.struct("n_words", "surface", "target")).alias("_m"))
+        .select(
+            "doc_id", F.col("pos").cast("long").alias("pos"),
+            F.col("_m.n_words").cast("long").alias("n_words"),
+            F.col("_m.surface").alias("surface"),
+            F.col("_m.target").alias("target"),
+        )
+    )

@@ -313,3 +313,28 @@ def test_extract_quotes_attribution(spark):
     # lowercase speaker never matches the capitalized-name template
     assert not any(r[1] == "person" for r in rows)
     assert not any(r[0] in (3, 4) for r in rows)
+
+
+def test_distant_labels_maximal_munch(spark):
+    from knowledge_graph_spark.operators.wikilinks import distant_labels
+
+    pages = spark.createDataFrame(
+        [(1, "visit New York and new zealand today"),
+         (2, "york alone and New York again"),
+         (3, None)],
+        "doc_id long, text string")
+    d = spark.createDataFrame(
+        [("new york", "New York City"), ("new", "Novelty"),
+         ("york", "York UK"), ("new zealand", "New Zealand")],
+        "anchor_key string, target string")
+    rows = {(r["doc_id"], r["pos"], r["n_words"], r["target"])
+            for r in distant_labels(pages, d).collect()}
+    # pos 1 'New York' beats unigram 'New' (maximal munch); pos 2
+    # 'York' still matches at its own start
+    assert (1, 1, 2, "New York City") in rows
+    assert not any(r[:2] == (1, 1) and r[3] == "Novelty" for r in rows)
+    assert (1, 2, 1, "York UK") in rows
+    assert (1, 4, 2, "New Zealand") in rows
+    assert (2, 0, 1, "York UK") in rows
+    assert (2, 3, 2, "New York City") in rows
+    assert not any(r[0] == 3 for r in rows)

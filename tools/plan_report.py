@@ -119,6 +119,8 @@ def main():
         "corpus_report",
         # quote attribution (row-local regex)
         "quotes",
+        # distant supervision (broadcast dictionary; stream never shuffles)
+        "distant_ner",
     ]
     qs = entrymod.queries()
     lines = [
