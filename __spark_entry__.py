@@ -1496,6 +1496,153 @@ FROM maj WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def _q_doc_dates(spark, sf_dir):
+    """Temporal-expression extraction over pages with three injected
+    date forms (ISO on every doc, a month-name form on every doc, a
+    numeric US form on every 2nd) plus a calendar-invalid
+    'February 30, 2024' on every 10th that try-semantics must drop
+    identically in both engines. Output is (doc_id, raw, date) with a
+    real DATE column."""
+    from knowledge_graph_spark.operators.temporal import extract_dates
+
+    docs = _t(spark, sf_dir, "documents")
+    months = ("January", "February", "March", "April", "May", "June",
+              "July", "August", "September", "October", "November",
+              "December")
+    mname = F.element_at(F.array(*[F.lit(m) for m in months]),
+                         (F.col("doc_id") % 12 + 1).cast("int"))
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" dated 2024-0"), (F.col("doc_id") % 9 + 1).cast("string"),
+            F.lit("-1"), (F.col("doc_id") % 9).cast("string"),
+            F.lit(" on "), mname, F.lit(" "),
+            (F.col("doc_id") % 28 + 1).cast("string"), F.lit(", 2023"),
+            F.when(F.col("doc_id") % 2 == 0, F.concat(
+                F.lit(" at "), (F.col("doc_id") % 12 + 1).cast("string"),
+                F.lit("/"), (F.col("doc_id") % 28 + 1).cast("string"),
+                F.lit("/2022"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 10 == 0,
+                   F.lit(" bad February 30, 2024")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return extract_dates(pages).orderBy("doc_id", "raw")
+
+
+_SQL_DOC_DATES = r"""
+WITH inj AS (
+  SELECT doc_id,
+    text || ' dated 2024-0' || (doc_id % 9 + 1) || '-1' || (doc_id % 9)
+    || ' on '
+    || (['January','February','March','April','May','June','July',
+         'August','September','October','November','December'])
+         [doc_id % 12 + 1]
+    || ' ' || (doc_id % 28 + 1) || ', 2023'
+    || CASE WHEN doc_id % 2 = 0 THEN
+         ' at ' || (doc_id % 12 + 1) || '/' || (doc_id % 28 + 1)
+         || '/2022' ELSE '' END
+    || CASE WHEN doc_id % 10 = 0 THEN ' bad February 30, 2024'
+       ELSE '' END AS text
+  FROM documents
+),
+m AS (
+  SELECT doc_id, x AS raw, TRY_CAST(x AS DATE) AS date
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text,
+          '\b(\d{4}-\d{2}-\d{2})\b', 1)) AS x FROM inj)
+  UNION ALL
+  SELECT doc_id, x,
+    TRY_CAST(regexp_extract(x,
+        '(January|February|March|April|May|June|July|August|September|October|November|December) (\d{1,2}), (\d{4})', 3)
+      || '-' || list_position(
+        ['January','February','March','April','May','June','July',
+         'August','September','October','November','December'],
+        regexp_extract(x,
+        '(January|February|March|April|May|June|July|August|September|October|November|December) (\d{1,2}), (\d{4})', 1))
+      || '-' || regexp_extract(x,
+        '(January|February|March|April|May|June|July|August|September|October|November|December) (\d{1,2}), (\d{4})', 2)
+      AS DATE)
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text,
+          '(January|February|March|April|May|June|July|August|September|October|November|December) (\d{1,2}), (\d{4})', 0)) AS x
+        FROM inj)
+  UNION ALL
+  SELECT doc_id, x,
+    TRY_CAST(regexp_extract(x, '\b(\d{1,2})/(\d{1,2})/(\d{4})\b', 3)
+      || '-' || regexp_extract(x, '\b(\d{1,2})/(\d{1,2})/(\d{4})\b', 1)
+      || '-' || regexp_extract(x, '\b(\d{1,2})/(\d{1,2})/(\d{4})\b', 2)
+      AS DATE)
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text,
+          '\b(\d{1,2})/(\d{1,2})/(\d{4})\b', 0)) AS x FROM inj)
+)
+SELECT doc_id, raw, date FROM m WHERE date IS NOT NULL
+ORDER BY doc_id, raw
+"""
+
+
+def _q_acronyms(spark, sf_dir):
+    """Schwartz-Hearst acronym-definition mining over injected
+    'Long Form (ACRO)' sentences: a rotating matching pair on every
+    doc plus a deliberately mismatched pair on every 4th doc that the
+    strict initials rule must drop. The oracle replays the regex and
+    the initials fold."""
+    from knowledge_graph_spark.operators.patterns import extract_acronyms
+
+    docs = _t(spark, sf_dir, "documents")
+    lf = F.element_at(
+        F.array(F.lit("Global Data Fund"), F.lit("World Trade Council"),
+                F.lit("Open Source Alliance")),
+        (F.col("doc_id") % 3 + 1).cast("int"))
+    ac = F.element_at(
+        F.array(F.lit("GDF"), F.lit("WTC"), F.lit("OSA")),
+        (F.col("doc_id") % 3 + 1).cast("int"))
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" the "), lf, F.lit(" ("), ac,
+            F.lit(") announced results"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit(" and the National Audit Office (XQZ) "
+                         "did not")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return extract_acronyms(pages).orderBy("doc_id", "acronym")
+
+
+_SQL_ACRONYMS = r"""
+WITH inj AS (
+  SELECT doc_id,
+    text || ' the '
+    || (['Global Data Fund', 'World Trade Council',
+         'Open Source Alliance'])[doc_id % 3 + 1]
+    || ' (' || (['GDF', 'WTC', 'OSA'])[doc_id % 3 + 1]
+    || ') announced results'
+    || CASE WHEN doc_id % 4 = 0
+            THEN ' and the National Audit Office (XQZ) did not'
+            ELSE '' END AS text
+  FROM documents
+),
+cand AS (
+  SELECT doc_id,
+    regexp_extract(m,
+      '((?:[A-Z][a-z]+ ){1,5}[A-Z][a-z]+) \(([A-Z]{2,6})\)', 1)
+      AS long_form,
+    regexp_extract(m,
+      '((?:[A-Z][a-z]+ ){1,5}[A-Z][a-z]+) \(([A-Z]{2,6})\)', 2)
+      AS acronym
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text,
+          '((?:[A-Z][a-z]+ ){1,5}[A-Z][a-z]+) \(([A-Z]{2,6})\)', 0))
+          AS m
+        FROM inj)
+)
+SELECT doc_id, acronym, long_form
+FROM cand
+WHERE upper(array_to_string(
+        list_transform(string_split(long_form, ' '),
+                       w -> substr(w, 1, 1)), '')) = acronym
+ORDER BY doc_id, acronym
+"""
+
+
 def _q_distant_ner(spark, sf_dir):
     """Distant-supervision mention labeling (Mintz et al. 2009) over
     the documents table with a 6-entry literal alias dictionary whose
@@ -6244,6 +6391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": _q_corpus_report,
         "quotes": _q_quotes,
         "distant_ner": _q_distant_ner,
+        "acronyms": _q_acronyms,
+        "doc_dates": _q_doc_dates,
         "ccnet_buckets": _q_ccnet_buckets,
         "dup_spans": _q_dup_spans,
         "winnow_census": _q_winnow_census,
@@ -6388,6 +6537,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report": _SQL_CORPUS_REPORT,
         "quotes": _SQL_QUOTES,
         "distant_ner": _SQL_DISTANT_NER,
+        "acronyms": _SQL_ACRONYMS,
+        "doc_dates": _SQL_DOC_DATES,
         "ccnet_buckets": _SQL_CCNET_BUCKETS,
         "dup_spans": _SQL_DUP_SPANS,
         "winnow_census": _SQL_WINNOW,

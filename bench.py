@@ -108,7 +108,7 @@ def main():
         "repetition_plan", "hearst_isa", "main_content",
         "triple_fusion", "postings", "lp_eval", "snapshot_diff",
         "scd2_status", "readability", "corpus_report", "quotes",
-        "distant_ner",
+        "distant_ner", "acronyms", "doc_dates",
     ]
     qs = entrymod.queries()
     for name in headliners:

@@ -124,3 +124,47 @@ def extract_quotes(pages: DataFrame, id_col: str = "doc_id",
         )
         .select("doc_id", "m.speaker", "m.quote", "m.position")
     )
+
+
+# "Long Form (ACRO)" — 2-6 capitalized words followed by a
+# parenthesized 2-6 letter uppercase token
+_ACRO_RE = (r'((?:[A-Z][a-z]+ ){1,5}[A-Z][a-z]+) '
+            r'\(([A-Z]{2,6})\)')
+
+
+def extract_acronyms(pages: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Acronym-definition mining (Schwartz & Hearst, PSB 2003 — the
+    standard algorithm every biomedical/news alias pipeline still
+    runs): "World Health Organization (WHO)" asserts an (alias,
+    canonical-name) pair with near-perfect precision, feeding the
+    same dictionary the wikilink inversion feeds.
+
+    The surface pattern captures 2-6 capitalized words followed by a
+    parenthesized 2-6 letter uppercase token; a candidate survives
+    only if the acronym's letters are EXACTLY the long form's
+    initials in order (the strict first-letter variant of
+    Schwartz-Hearst's character matching — declared; their fuzzier
+    inner-letter rule trades precision for recall we don't need from
+    a seed extractor). Emits ``(doc_id, acronym, long_form)``.
+
+    Row-local regex + an array-fold initials check — zero exchanges,
+    no UDF."""
+    sql_rx = _ACRO_RE.replace("\\", "\\\\")
+    cand = pages.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(
+            f"regexp_extract_all({text_col}, '{sql_rx}', 0)"))
+        .alias("m"),
+    ).select(
+        "doc_id",
+        F.expr(f"regexp_extract(m, '{sql_rx}', 1)").alias("long_form"),
+        F.expr(f"regexp_extract(m, '{sql_rx}', 2)").alias("acronym"),
+    )
+    initials = F.upper(F.concat_ws(
+        "", F.transform(F.split("long_form", " "),
+                        lambda w: F.substring(w, 1, 1))))
+    return (
+        cand.filter(initials == F.col("acronym"))
+        .select("doc_id", "acronym", "long_form")
+    )

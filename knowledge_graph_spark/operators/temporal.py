@@ -183,3 +183,59 @@ def scd2_history(facts: DataFrame, key_col: str = "user_id",
             F.col("valid_to").isNull().alias("is_current"),
         )
     )
+
+
+_MONTHS = ("January", "February", "March", "April", "May", "June",
+           "July", "August", "September", "October", "November",
+           "December")
+
+
+def extract_dates(pages: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Temporal-expression extraction with normalization — the
+    HeidelTime/SUTime capability reduced to its three dominant
+    surface forms (the subset that covers most web dates), because a
+    KG fact without a date cannot be versioned:
+
+    - ISO          ``2024-03-05``
+    - US long      ``March 5, 2024``
+    - US numeric   ``3/5/2024`` (month/day/year — declared convention)
+
+    Emits ``(doc_id, raw, date)`` with ``date`` typed DATE; calendar-
+    invalid candidates (``February 30, 2024``) are DROPPED — both
+    engines agree because normalization goes through try-semantics
+    (``try_to_date`` here, ``TRY_CAST`` in the oracle), never an
+    erroring constructor. Relative expressions ("last Tuesday") are
+    out of scope (declared — they need a document timestamp anchor).
+
+    Row-local regex + date folding; zero exchanges, no UDF."""
+    forms = []
+    forms.append(F.expr(
+        f"transform(regexp_extract_all({text_col}, "
+        f"'\\\\b(\\\\d{{4}}-\\\\d{{2}}-\\\\d{{2}})\\\\b', 1), "
+        f"m -> struct(m AS raw, try_to_date(m) AS date))"))
+    long_rx = ("(" + "|".join(_MONTHS) + r") (\d{1,2}), (\d{4})")
+    sql_long = long_rx.replace("\\", "\\\\")
+    forms.append(F.expr(
+        f"transform(regexp_extract_all({text_col}, '{sql_long}', 0), "
+        f"m -> struct(m AS raw, try_to_date(concat("
+        f"  regexp_extract(m, '{sql_long}', 3), '-',"
+        f"  array_position(array({','.join(repr(x) for x in _MONTHS)}),"
+        f"       regexp_extract(m, '{sql_long}', 1)), '-',"
+        f"  regexp_extract(m, '{sql_long}', 2)), 'yyyy-M-d') AS date))"))
+    num_rx = r"\b(\d{1,2})/(\d{1,2})/(\d{4})\b"
+    sql_num = num_rx.replace("\\", "\\\\")
+    forms.append(F.expr(
+        f"transform(regexp_extract_all({text_col}, '{sql_num}', 0), "
+        f"m -> struct(m AS raw, try_to_date(concat("
+        f"  regexp_extract(m, '{sql_num}', 3), '-',"
+        f"  regexp_extract(m, '{sql_num}', 1), '-',"
+        f"  regexp_extract(m, '{sql_num}', 2)), 'yyyy-M-d') AS date))"))
+    return (
+        pages.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.concat(*forms)).alias("m"),
+        )
+        .select("doc_id", "m.raw", "m.date")
+        .filter(F.col("date").isNotNull())
+    )

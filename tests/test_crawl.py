@@ -338,3 +338,20 @@ def test_distant_labels_maximal_munch(spark):
     assert (2, 0, 1, "York UK") in rows
     assert (2, 3, 2, "New York City") in rows
     assert not any(r[0] == 3 for r in rows)
+
+
+def test_extract_acronyms_initials_rule(spark):
+    from knowledge_graph_spark.operators.patterns import extract_acronyms
+
+    pages = spark.createDataFrame(
+        [(1, "the World Health Organization (WHO) said so; "
+             "the Global Fund (GF) too"),
+         (2, "mismatch: Judicial Review Board (XYZ) is dropped"),
+         (3, "short Ab (AB) needs two capitalized words"),
+         (4, None)],
+        "doc_id long, text string")
+    rows = {(r["doc_id"], r["acronym"], r["long_form"])
+            for r in extract_acronyms(pages).collect()}
+    assert (1, "WHO", "World Health Organization") in rows
+    assert (1, "GF", "Global Fund") in rows
+    assert not any(r[0] in (2, 3, 4) for r in rows)

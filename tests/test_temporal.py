@@ -148,3 +148,22 @@ def test_scd2_history_runs_and_intervals(spark):
     assert u1[2]["valid_to"] is None
     u2 = [r for r in rows if r["user_id"] == 2]
     assert u2[0]["is_current"] and u2[0]["n_events"] == 1
+
+
+def test_extract_dates_three_forms_and_invalid(spark):
+    import datetime as dt
+
+    from knowledge_graph_spark.operators.temporal import extract_dates
+
+    pages = spark.createDataFrame(
+        [(1, "published 2024-03-05, updated March 7, 2024, "
+             "seen 3/9/2024"),
+         (2, "broken February 30, 2024 and 13/40/2024 both drop"),
+         (3, "no dates"), (4, None)],
+        "doc_id long, text string")
+    rows = {(r["doc_id"], r["raw"], r["date"])
+            for r in extract_dates(pages).collect()}
+    assert (1, "2024-03-05", dt.date(2024, 3, 5)) in rows
+    assert (1, "March 7, 2024", dt.date(2024, 3, 7)) in rows
+    assert (1, "3/9/2024", dt.date(2024, 3, 9)) in rows
+    assert not any(r[0] in (2, 3, 4) for r in rows)

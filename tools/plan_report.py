@@ -121,6 +121,9 @@ def main():
         "quotes",
         # distant supervision (broadcast dictionary; stream never shuffles)
         "distant_ner",
+        # acronym mining + date normalization (row-local regex)
+        "acronyms",
+        "doc_dates",
     ]
     qs = entrymod.queries()
     lines = [
