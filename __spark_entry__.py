@@ -4643,6 +4643,126 @@ ORDER BY doc_id, url
 """
 
 
+def _q_url_templates(spark, sf_dir):
+    """URL path-template mining (DUST-style crawl-structure census,
+    Bar-Yossef et al. WWW 2007): every customer key mints an
+    /article/{id}/view page, every 2nd a /u/{hex8}/profile page,
+    every 5th a static /about page across 13 hosts; hex runs >= 8
+    chars generalize to {hex} BEFORE digit runs generalize to {n}
+    (order declared — a long digit run is hex-shaped too). Output is
+    the per-(host, template) page and distinct-url census. Full SQL
+    oracle replays the synthesis and both regex rewrites."""
+    from knowledge_graph_spark.operators.urls import path_templates
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"))
+    k, ks = F.col("id"), F.col("id").cast("string")
+    host = F.concat(F.lit("https://site-"), (k % 13).cast("string"),
+                    F.lit(".example.com"))
+    hex8 = F.lpad(F.lower(F.hex(k)), 8, "0")
+    pages = (
+        c.select(F.concat(host, F.lit("/article/"), ks,
+                          F.lit("/view")).alias("url"))
+        .unionByName(c.filter(k % 2 == 0).select(
+            F.concat(host, F.lit("/u/"), hex8,
+                     F.lit("/profile")).alias("url")))
+        .unionByName(c.filter(k % 5 == 0).select(
+            F.concat(host, F.lit("/about")).alias("url")))
+    )
+    return path_templates(pages).orderBy("host", "template")
+
+
+_SQL_URL_TEMPLATES = r"""
+WITH c AS (SELECT c_custkey AS id FROM customer),
+u AS (
+  SELECT 'https://site-' || (id % 13) || '.example.com/article/'
+         || id || '/view' AS url FROM c
+  UNION ALL
+  SELECT 'https://site-' || (id % 13) || '.example.com/u/'
+         || lpad(lower(to_hex(id)), 8, '0') || '/profile' FROM c
+  WHERE id % 2 = 0
+  UNION ALL
+  SELECT 'https://site-' || (id % 13) || '.example.com/about' FROM c
+  WHERE id % 5 = 0
+),
+t AS (
+  SELECT url,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)
+      AS host,
+    regexp_replace(regexp_replace(
+      CASE WHEN regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) = ''
+           THEN '/'
+           ELSE regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) END,
+      '[0-9a-f]{8,}', '{hex}', 'g'), '[0-9]+', '{n}', 'g') AS template
+  FROM u
+)
+SELECT host, template, CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_urls
+FROM t
+GROUP BY host, template
+ORDER BY host, template
+"""
+
+
+def _q_cocitation(spark, sf_dir):
+    """Host co-citation graph (Small 1973; the source-relatedness
+    seed for KG source fusion): every document cites three residue-
+    class hosts (cite-k%7, mirror-k%3, src-k%5) and every 4th adds a
+    fourth — pairs are generated in-aggregate from the sorted
+    distinct host set per doc (link-farm guard at 64 hosts), then
+    counted corpus-wide. The oracle replays the synthesis with a
+    self-join on doc_id under the same guard."""
+    from knowledge_graph_spark.operators.urls import cocitation_counts
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id")
+
+    def h(p, expr, d):
+        return F.concat(F.lit(p), expr.cast("string"), F.lit(d))
+
+    links = docs.select(
+        "doc_id",
+        F.explode(F.array(
+            h("cite-", k % 7, ".example.org"),
+            h("mirror-", k % 3, ".example.net"),
+            h("src-", k % 5, ".example.com"),
+            # NULL 4th element on 3 of 4 docs — cocitation_counts'
+            # NULL filter drops it, exercising that path
+            F.when(k % 4 == 0, h("cite-", (k + 1) % 7, ".example.org")),
+        )).alias("host"))
+    return cocitation_counts(links).orderBy("host_a", "host_b")
+
+
+_SQL_COCITATION = r"""
+WITH d AS (SELECT doc_id FROM documents),
+l AS (
+  SELECT doc_id, 'cite-' || (doc_id % 7) || '.example.org' AS host
+  FROM d
+  UNION ALL
+  SELECT doc_id, 'mirror-' || (doc_id % 3) || '.example.net' FROM d
+  UNION ALL
+  SELECT doc_id, 'src-' || (doc_id % 5) || '.example.com' FROM d
+  UNION ALL
+  SELECT doc_id, 'cite-' || ((doc_id + 1) % 7) || '.example.org'
+  FROM d WHERE doc_id % 4 = 0
+),
+dh AS (SELECT DISTINCT doc_id, host FROM l),
+ok AS (
+  SELECT doc_id FROM dh GROUP BY doc_id
+  HAVING count(*) BETWEEN 2 AND 64
+)
+SELECT a.host AS host_a, b.host AS host_b,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM dh a
+JOIN dh b ON a.doc_id = b.doc_id AND a.host < b.host
+JOIN ok ON ok.doc_id = a.doc_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def _q_host_pagerank(spark, sf_dir):
     """Host-graph PageRank (the CommonCrawl-style host authority
     ranking a web-scale KG uses to weight extraction sources): every
@@ -6424,6 +6544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_profile": _q_host_profile,
         "url_canonical": _q_url_canonical,
         "url_dup_groups": _q_url_dup_groups,
+        "url_templates": _q_url_templates,
+        "cocitation": _q_cocitation,
         "weighted_sample": _q_weighted_sample,
         "doc_links": _q_doc_links,
         "host_pagerank": _q_host_pagerank,
@@ -6590,6 +6712,8 @@ def oracle_sql() -> dict[str, str]:
         "lpa_communities": _golden_sql("lpa_communities", "id"),
         "host_profile": _golden_sql("host_profile", "host"),
         "url_canonical": _SQL_URL_CANONICAL,
+        "url_templates": _SQL_URL_TEMPLATES,
+        "cocitation": _SQL_COCITATION,
         "url_dup_groups": _SQL_URL_DUP_GROUPS,
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "doc_links": _SQL_DOC_LINKS,

@@ -154,6 +154,95 @@ def extract_links(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+# path-template generalization rules, applied IN ORDER (hex first —
+# a digit-only run of >= 8 chars is hex-shaped too, and both engines
+# must agree on which placeholder wins): 8+ char [0-9a-f] runs are
+# ids/uuids/hashes, then any remaining digit run is a counter
+_HEX_RUN_RE = r"[0-9a-f]{8,}"
+_NUM_RUN_RE = r"[0-9]+"
+
+
+def path_template(url) -> "Column":
+    """Column expression: the structural template of ``url``'s path —
+    long lowercase-hex runs -> ``{hex}``, digit runs -> ``{n}``, query
+    and fragment ignored. ``/article/8812/view`` and
+    ``/article/17/view`` collapse to ``/article/{n}/view``; a uuid or
+    content-hash segment collapses to ``{hex}``. Pure codegen."""
+    u = F.col(url) if isinstance(url, str) else url
+    path = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    return F.regexp_replace(
+        F.regexp_replace(path, _HEX_RUN_RE, "{hex}"),
+        _NUM_RUN_RE, "{n}")
+
+
+def path_templates(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-host URL path-template census: ``(host, template, n_pages,
+    n_urls)`` — how many pages each structural path shape carries and
+    how many distinct urls instantiate it.
+
+    This is the crawl-structure miner every web-scale pipeline wants
+    early: templates with millions of urls and near-identical bodies
+    are calendar/pagination/session traps (crawler-trap detection),
+    while ``{hex}``-keyed templates are content pages worth recrawl
+    budget. (Cf. the URL-pattern "dust buster" line of work — Bar-
+    Yossef et al., WWW 2007, "Do Not Crawl in the DUST".)
+
+    Scale shape: template derivation is row-local codegen; the only
+    exchange is one map-side-combined aggregate keyed (host,
+    template) — bounded far below page count by construction (that is
+    the point of templating). ``n_urls`` is a count-distinct whose
+    per-group key set is the template's url population; for trap-
+    scale groups swap in approx_count_distinct — declared, exact here
+    so the oracle can replay it."""
+    u = F.col(url_col)
+    host = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    return (
+        df.select(u.alias("url"), host.alias("host"),
+                  path_template(u).alias("template"))
+        .filter(F.col("host") != "")
+        .groupBy("host", "template")
+        .agg(F.count("*").cast("long").alias("n_pages"),
+             F.countDistinct("url").cast("long").alias("n_urls"))
+    )
+
+
+def cocitation_counts(links: DataFrame, doc_col: str = "doc_id",
+                      host_col: str = "host",
+                      max_hosts_per_doc: int = 64) -> DataFrame:
+    """Host co-citation graph: ``(host_a, host_b, n_docs)`` — in how
+    many documents the two hosts are cited together (host_a < host_b).
+    Co-citation is the classic relatedness signal for web entities
+    (Small 1973 for citation graphs; SimRank/co-citation features in
+    web IR), and at KG-construction time it seeds the "these two
+    sources cover the same topic" edge that source-fusion weighs.
+
+    Scale shape: pairs are generated IN-AGGREGATE per document from
+    the sorted distinct host set — the classic LSH-bucket pair-gen
+    shape — so the quadratic blowup is bounded by
+    ``max_hosts_per_doc`` (documents citing more hosts than the cap
+    are link farms / navigation pages and are DROPPED, declared, the
+    same guard the dedup family uses). Exchanges carry (doc, host)
+    then (host, host, long) rows only; map-side combine on both."""
+    dh = (links.select(F.col(doc_col).alias("d"),
+                       F.col(host_col).alias("h"))
+          .filter(F.col("h").isNotNull() & (F.col("h") != ""))
+          .distinct())
+    per_doc = (dh.groupBy("d")
+               .agg(F.array_sort(F.collect_set("h")).alias("hs")))
+    guarded = per_doc.filter(
+        (F.size("hs") >= 2) & (F.size("hs") <= max_hosts_per_doc))
+    pairs = guarded.select(F.explode(F.expr(
+        "flatten(transform(hs, (a, i) -> "
+        "transform(slice(hs, i + 2, size(hs) - i - 1), "
+        "b -> struct(a AS host_a, b AS host_b))))")).alias("p"))
+    return (pairs.select("p.host_a", "p.host_b")
+            .groupBy("host_a", "host_b")
+            .agg(F.count("*").cast("long").alias("n_docs")))
+
+
 def host_citation_counts(links: DataFrame) -> DataFrame:
     """(host, n_links, n_citing_docs) from an :func:`extract_links`
     edge list — the inbound-authority census (which hosts the corpus

@@ -1045,6 +1045,56 @@ def test_extract_links_and_host_counts(spark):
     assert any(r["url"].startswith("HTTP://WWW.") for r in raw)
 
 
+def test_path_templates_generalization(spark):
+    """Hex runs (>=8 chars) collapse to {hex} BEFORE digit runs
+    collapse to {n}; short hex stays literal except its digits; query
+    strings are ignored; empty path reads as '/'; hostless strings
+    are dropped; counts separate pages from distinct urls."""
+    from knowledge_graph_spark.operators.urls import path_templates
+
+    docs = spark.createDataFrame([
+        ("https://a.com/article/17/view",),
+        ("https://a.com/article/9000/view",),
+        ("https://a.com/article/17/view",),       # dup page, same url
+        ("https://a.com/u/deadbeef01/profile",),  # 10-char hex
+        ("https://a.com/u/ab12/profile",),        # short: only digits
+        ("https://a.com",),                       # empty path -> '/'
+        ("https://a.com/x?page=2",),              # query ignored
+        ("not a url",),
+    ], "url string")
+    got = {(r["host"], r["template"]): (r["n_pages"], r["n_urls"])
+           for r in path_templates(docs).collect()}
+    assert got == {
+        ("a.com", "/article/{n}/view"): (3, 2),
+        ("a.com", "/u/{hex}/profile"): (1, 1),
+        ("a.com", "/u/ab{n}/profile"): (1, 1),
+        ("a.com", "/"): (1, 1),
+        ("a.com", "/x"): (1, 1),
+    }
+
+
+def test_cocitation_counts_pairs_and_guards(spark):
+    """Pairs are lexicographic (host_a < host_b) over DISTINCT hosts
+    per doc; single-host and over-cap docs contribute nothing; NULL
+    and empty hosts are dropped; counts accumulate across docs."""
+    from knowledge_graph_spark.operators.urls import cocitation_counts
+
+    links = spark.createDataFrame([
+        (1, "b.com"), (1, "a.com"), (1, "a.com"),   # dup host deduped
+        (2, "a.com"), (2, "b.com"), (2, "c.net"),
+        (3, "x.org"),                                # single -> none
+        (4, None), (4, ""), (4, "a.com"),            # null/empty only
+        (5, "h1"), (5, "h2"), (5, "h3"), (5, "h4"),  # over cap=3
+    ], "doc_id long, host string")
+    got = sorted(tuple(r) for r in
+                 cocitation_counts(links, max_hosts_per_doc=3).collect())
+    assert got == [
+        ("a.com", "b.com", 2),
+        ("a.com", "c.net", 1),
+        ("b.com", "c.net", 1),
+    ]
+
+
 def test_textrank_keywords_ranking_and_filters(spark):
     """The graph hub ('spark', co-occurring with everything) must rank
     first; words shorter than min_len never appear; isolated words
