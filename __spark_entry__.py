@@ -4643,6 +4643,112 @@ ORDER BY doc_id, url
 """
 
 
+def _q_truecase(spark, sf_dir):
+    """Corpus truecasing model (Lita et al. 2003): every doc injects
+    'Paris paris NASA' (an exact casing TIE — broken bytewise to
+    'Paris'), every 3rd adds 'Nasa' (NASA must win on count), every
+    2nd 'iPhone' and every 4th 'IPHONE' (iPhone wins). Output is the
+    per-vocabulary-key best surface form with support counts; the
+    oracle replays tokenization, counting, and the windowed argmax."""
+    from knowledge_graph_spark.operators.cleaning import truecase_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" Paris paris NASA"),
+            F.when(k % 3 == 0, F.lit(" Nasa")).otherwise(F.lit("")),
+            F.when(k % 2 == 0, F.lit(" iPhone")).otherwise(F.lit("")),
+            F.when(k % 4 == 0, F.lit(" IPHONE")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return truecase_stats(pages).orderBy("token_lc")
+
+
+_SQL_TRUECASE = r"""
+WITH inj AS (
+  SELECT doc_id, text || ' Paris paris NASA'
+    || CASE WHEN doc_id % 3 = 0 THEN ' Nasa' ELSE '' END
+    || CASE WHEN doc_id % 2 = 0 THEN ' iPhone' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0 THEN ' IPHONE' ELSE '' END AS text
+  FROM documents),
+toks AS (
+  SELECT unnest(list_filter(
+    regexp_split_to_array(text, '[^\p{L}\p{N}]+'),
+    x -> x != '' AND regexp_matches(x, '\p{L}'))) AS form
+  FROM inj),
+counts AS (
+  SELECT lower(form) AS token_lc, form, CAST(count(*) AS BIGINT) AS n
+  FROM toks GROUP BY 1, 2),
+ranked AS (
+  SELECT token_lc, form, n,
+    row_number() OVER (PARTITION BY token_lc
+                       ORDER BY n DESC, form ASC) AS rn,
+    CAST(sum(n) OVER (PARTITION BY token_lc) AS BIGINT) AS n_total
+  FROM counts)
+SELECT token_lc, form AS best_form, n AS n_best, n_total
+FROM ranked
+WHERE rn = 1 AND n_total >= 2
+ORDER BY token_lc
+"""
+
+
+def _q_bitext(spark, sf_dir):
+    """Parallel-text candidate mining (ParaCrawl-style): every 2nd
+    document injects two long digit anchors keyed doc_id % 97, so
+    documents sharing a residue share a fingerprint; candidates are
+    cross-language, length-ratio-gated (<= 2x, integer arithmetic),
+    generated in-aggregate per fingerprint group under a 32-member
+    boilerplate guard. The oracle replays with a fingerprint
+    self-join under the same HAVING guard."""
+    from knowledge_graph_spark.operators.linking import bitext_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    r = (k % 97)
+    pages = docs.select(
+        "doc_id", "lang",
+        F.when(k % 2 == 0, F.concat(
+            F.col("text"),
+            F.lit(" ref "), (r + 100000).cast("string"),
+            F.lit(" code "), (r * 7 + 900000).cast("string"),
+        )).otherwise(F.col("text")).alias("text"),
+    )
+    return bitext_candidates(pages).orderBy("doc_a", "doc_b")
+
+
+_SQL_BITEXT = r"""
+WITH inj AS (
+  SELECT doc_id, lang,
+    CASE WHEN doc_id % 2 = 0 THEN
+      text || ' ref ' || (doc_id % 97 + 100000)
+           || ' code ' || ((doc_id % 97) * 7 + 900000)
+    ELSE text END AS text
+  FROM documents),
+fp AS (
+  SELECT doc_id, lang, length(text) AS len,
+    list_aggregate(list_sort(list_distinct(
+      regexp_extract_all(text, '[0-9]{3,}'))),
+      'string_agg', ',') AS fingerprint
+  FROM inj),
+ok AS (
+  SELECT * FROM fp
+  WHERE len(string_split(fingerprint, ',')) >= 2),
+g AS (
+  SELECT fingerprint FROM ok GROUP BY fingerprint
+  HAVING count(*) BETWEEN 2 AND 32)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       a.lang AS lang_a, b.lang AS lang_b, a.fingerprint AS fingerprint
+FROM ok a
+JOIN ok b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+JOIN g ON g.fingerprint = a.fingerprint
+WHERE a.lang != b.lang
+  AND a.len * 2 >= b.len AND b.len * 2 >= a.len
+ORDER BY doc_a, doc_b
+"""
+
+
 def _q_url_templates(spark, sf_dir):
     """URL path-template mining (DUST-style crawl-structure census,
     Bar-Yossef et al. WWW 2007): every customer key mints an
@@ -6546,6 +6652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dup_groups": _q_url_dup_groups,
         "url_templates": _q_url_templates,
         "cocitation": _q_cocitation,
+        "truecase": _q_truecase,
+        "bitext_candidates": _q_bitext,
         "weighted_sample": _q_weighted_sample,
         "doc_links": _q_doc_links,
         "host_pagerank": _q_host_pagerank,
@@ -6714,6 +6822,8 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical": _SQL_URL_CANONICAL,
         "url_templates": _SQL_URL_TEMPLATES,
         "cocitation": _SQL_COCITATION,
+        "truecase": _SQL_TRUECASE,
+        "bitext_candidates": _SQL_BITEXT,
         "url_dup_groups": _SQL_URL_DUP_GROUPS,
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "doc_links": _SQL_DOC_LINKS,

@@ -293,3 +293,48 @@ def main_content_block(pages: DataFrame, id_col: str = "doc_id",
         .alias("block_words"),
         F.coalesce(F.col("_b.main_text"), F.lit("")).alias("main_text"),
     )
+
+
+# tokenizer for casing statistics: letters/digits runs; a token must
+# contain at least one LETTER (pure numbers have no casing)
+_WORD_SPLIT_RE = r"[^\p{L}\p{N}]+"
+
+
+def truecase_stats(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   min_total: int = 2) -> DataFrame:
+    """Corpus truecasing model (Lita et al., ACL 2003 — "tRuEcasIng"):
+    for every lowercased vocabulary key, the most frequent surface
+    casing and its support — ``(token_lc, best_form, n_best,
+    n_total)``. Web text arrives case-mangled (headlines ALL CAPS,
+    social text lowercase); NER and entity linking both key on casing,
+    so KG pipelines first learn the corpus-frequency casing model and
+    re-case with it. Ties break to the bytewise-smallest form
+    (uppercase sorts before lowercase in UTF-8, matching the "prefer
+    the marked form on a tie" convention) — deterministic and
+    replayable in SQL.
+
+    Scale shape: one explode to tokens (the body never survives it),
+    one map-side-combined aggregate to the vocabulary-bounded
+    ``(token_lc, form, n)`` table, then a window PARTITIONED by
+    token_lc over that bounded table — never over the corpus. Keys
+    with fewer than ``min_total`` corpus occurrences are dropped
+    (their statistics are noise)."""
+    toks = docs.select(
+        F.explode(F.split(F.col(text_col), _WORD_SPLIT_RE))
+        .alias("form")
+    ).filter((F.col("form") != "") & F.col("form").rlike(r"\p{L}"))
+    counts = (toks.groupBy(F.lower("form").alias("token_lc"), "form")
+              .agg(F.count("*").cast("long").alias("n")))
+    w = Window.partitionBy("token_lc")
+    ranked = counts.select(
+        "token_lc", "form", "n",
+        F.row_number().over(
+            w.orderBy(F.col("n").desc(), F.col("form").asc()))
+        .alias("_rn"),
+        F.sum("n").over(w).cast("long").alias("n_total"),
+    )
+    return (ranked.filter((F.col("_rn") == 1)
+                          & (F.col("n_total") >= min_total))
+            .select("token_lc", F.col("form").alias("best_form"),
+                    F.col("n").alias("n_best"), "n_total"))

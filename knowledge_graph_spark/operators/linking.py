@@ -217,3 +217,60 @@ def fuzzy_name_matches(
         .select(F.col("a").alias("name_a"), F.col("b").alias("name_b"),
                 "edit_dist")
     )
+
+
+def bitext_candidates(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", lang_col: str = "lang",
+                      min_runs: int = 2,
+                      max_group: int = 32) -> DataFrame:
+    """Parallel-text candidate mining (the ParaCrawl/CCMatrix
+    harvesting step, cf. Banon et al. ACL 2020): two pages in
+    DIFFERENT languages that share the same set of long digit
+    sequences (dates, invoice ids, phone numbers, version strings —
+    translation-invariant anchors) and have comparable lengths are
+    candidate translations of each other. Emits ``(doc_a, doc_b,
+    lang_a, lang_b, fingerprint)`` with doc_a < doc_b.
+
+    Fingerprint = the sorted distinct digit runs (>= 3 digits) joined
+    by ','; pages with fewer than ``min_runs`` runs are unmatchable
+    and dropped. Length ratio gate: neither text may be more than 2x
+    the other (integer arithmetic only — no float reaches the
+    output). Groups larger than ``max_group`` share a boilerplate
+    fingerprint (the same copyright year on every page) and are
+    DROPPED, declared — the same skew guard the dedup family uses.
+
+    Scale shape: fingerprints are row-local codegen; candidate pairs
+    are generated IN-AGGREGATE per fingerprint group from the
+    id-sorted member list, so the exchange carries one row per page
+    (fingerprint, id, lang, length) and the quadratic work is capped
+    by ``max_group``. No self-join of the corpus against itself."""
+    fp = F.array_join(
+        F.array_sort(F.array_distinct(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"[0-9]{3,}"), 0)
+        )), ",")
+    keyed = docs.select(
+        fp.alias("fingerprint"),
+        F.struct(F.col(id_col).alias("id"),
+                 F.col(lang_col).alias("lang"),
+                 F.length(text_col).alias("len")).alias("m"),
+    ).filter(F.size(F.split("fingerprint", ",")) >= min_runs)
+    grouped = (keyed.groupBy("fingerprint")
+               .agg(F.array_sort(F.collect_list("m")).alias("ms"))
+               .filter((F.size("ms") >= 2)
+                       & (F.size("ms") <= max_group)))
+    pairs = grouped.select(
+        "fingerprint",
+        F.explode(F.expr(
+            "flatten(transform(ms, (a, i) -> "
+            "transform(slice(ms, i + 2, size(ms) - i - 1), "
+            "b -> struct(a, b))))")).alias("p"),
+    )
+    return (pairs
+            .filter((F.col("p.a.lang") != F.col("p.b.lang"))
+                    & (F.col("p.a.len") * 2 >= F.col("p.b.len"))
+                    & (F.col("p.b.len") * 2 >= F.col("p.a.len")))
+            .select(F.col("p.a.id").alias("doc_a"),
+                    F.col("p.b.id").alias("doc_b"),
+                    F.col("p.a.lang").alias("lang_a"),
+                    F.col("p.b.lang").alias("lang_b"),
+                    "fingerprint"))

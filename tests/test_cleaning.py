@@ -94,3 +94,29 @@ def test_main_content_block_selection(spark):
     assert out[2]["block_start"] == -1
     assert out[3]["n_lines"] == 1 and out[3]["block_lines"] == 0
     assert out[4]["block_start"] == 0 and out[4]["block_lines"] == 1
+
+
+def test_truecase_stats_argmax_and_ties(spark):
+    """Most frequent casing wins; exact ties break to the bytewise-
+    smallest form (uppercase first); pure-number tokens are excluded;
+    keys below min_total are dropped; n_total sums ALL variants."""
+    from knowledge_graph_spark.operators.cleaning import truecase_stats
+
+    docs = spark.createDataFrame([
+        (1, "NASA NASA Nasa launches; iPhone iphone IPHONE iPhone"),
+        (2, "Paris paris 12345 once"),
+        (3, None),
+    ], "doc_id long, text string")
+    got = {r["token_lc"]: (r["best_form"], r["n_best"], r["n_total"])
+           for r in truecase_stats(docs).collect()}
+    assert got["nasa"] == ("NASA", 2, 3)
+    assert got["iphone"] == ("iPhone", 2, 4)
+    # exact 1-1 tie: 'Paris' < 'paris' bytewise
+    assert got["paris"] == ("Paris", 1, 2)
+    assert "12345" not in got          # no letter -> no casing
+    assert "once" not in got           # n_total=1 < min_total=2
+    assert "launches" not in got
+    # min_total=1 keeps the singletons
+    all_keys = {r["token_lc"] for r in
+                truecase_stats(docs, min_total=1).collect()}
+    assert "once" in all_keys and "launches" in all_keys

@@ -783,3 +783,39 @@ def test_skipgram_and_rrf_reject_bad_params(spark):
         rrf_fuse([ranks], k=0)
     with _pt.raises(ValueError):
         rrf_fuse([])
+
+
+def test_bitext_candidates_gates(spark):
+    """Same-fingerprint cross-language pairs survive; same-language,
+    length-ratio (>2x), <2 digit runs, and over-cap boilerplate
+    groups are all rejected; doc_a < doc_b; fingerprint is the
+    sorted distinct runs."""
+    from knowledge_graph_spark.operators.linking import bitext_candidates
+
+    long_pad = "x" * 200
+    docs = spark.createDataFrame([
+        (1, "en", "invoice 12345 total 678 usd"),
+        (2, "de", "rechnung 12345 summe 678 eur"),
+        (3, "en", "copy 12345 and 678 again"),        # same lang as 1
+        (4, "fr", "facture 12345 montant 678 " + long_pad),  # ratio
+        (5, "en", "only 999 one run"),                # < 2 runs
+        (6, "es", "sin digitos"),                     # no runs
+        # boilerplate group: 3 members over cap=2
+        (7, "en", "year 2020 page 111"),
+        (8, "de", "jahr 2020 seite 111"),
+        (9, "fr", "annee 2020 page 111"),
+    ], "doc_id long, lang string, text string")
+    got = sorted(tuple(r) for r in
+                 bitext_candidates(docs).collect())
+    # group {1,2,3,4}: (1,2) and (2,3) cross-lang + ratio-ok; (1,3)
+    # same lang; (x,4) ratio-rejected. group {7,8,9}: all pairs.
+    assert got == [
+        (1, 2, "en", "de", "12345,678"),
+        (2, 3, "de", "en", "12345,678"),
+        (7, 8, "en", "de", "111,2020"),
+        (7, 9, "en", "fr", "111,2020"),
+        (8, 9, "de", "fr", "111,2020"),
+    ]
+    # a cap below the group sizes (4 and 3) drops EVERYTHING —
+    # the boilerplate-fingerprint guard
+    assert bitext_candidates(docs, max_group=2).count() == 0
