@@ -4643,6 +4643,189 @@ ORDER BY doc_id, url
 """
 
 
+def _q_taxonomy(spark, sf_dir):
+    """Taxonomy induction over Hearst-asserted is-a pairs: every doc
+    asserts leaf->mid ('birds such as sparrows') and mid->top
+    ('animals including birds'), alternating docs assert top->root
+    ('organisms including animals/plants'), and every 7th doc asserts
+    a COMPETING low-support parent ('creatures including birds') that
+    argmax parent-selection must reject. Pointer doubling resolves
+    every node to (root, depth); the oracle replays the four Hearst
+    regexes, the argmax window, and the chain walk with a recursive
+    CTE (depth-capped at 32 on both sides)."""
+    from knowledge_graph_spark.operators.patterns import (
+        extract_hyponyms, taxonomy_forest,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    pick = (lambda arr: F.element_at(
+        F.array(*[F.lit(x) for x in arr]),
+        (k % 3 + 1).cast("int")))
+    mid = pick(("birds", "trees", "fish"))
+    leaf = F.when(k % 2 == 0, pick(("sparrows", "oaks", "salmon"))) \
+        .otherwise(pick(("crows", "ferns", "trout")))
+    top = pick(("animals", "plants", "animals"))
+    pages = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.col("text"),
+            F.concat(mid, F.lit(" such as "), leaf),
+            F.concat(top, F.lit(" including "), mid),
+            F.when(k % 2 == 0, F.lit("organisms including animals"))
+            .otherwise(F.lit("organisms including plants")),
+            F.when(k % 7 == 0, F.lit("creatures including birds")),
+        ).alias("text"),
+    )
+    pairs = (extract_hyponyms(pages)
+             .groupBy("hyponym", "hypernym")
+             .agg(F.countDistinct("doc_id").cast("long")
+                  .alias("support")))
+    return (taxonomy_forest(pairs, weight_col="support")
+            .orderBy("node"))
+
+
+_SQL_TAXONOMY = r"""
+WITH RECURSIVE inj AS (
+  SELECT doc_id,
+    concat_ws(' ', text,
+      (['birds','trees','fish'])[doc_id % 3 + 1] || ' such as ' ||
+        CASE WHEN doc_id % 2 = 0
+             THEN (['sparrows','oaks','salmon'])[doc_id % 3 + 1]
+             ELSE (['crows','ferns','trout'])[doc_id % 3 + 1] END,
+      (['animals','plants','animals'])[doc_id % 3 + 1]
+        || ' including ' || (['birds','trees','fish'])[doc_id % 3 + 1],
+      CASE WHEN doc_id % 2 = 0 THEN 'organisms including animals'
+           ELSE 'organisms including plants' END,
+      CASE WHEN doc_id % 7 = 0 THEN 'creatures including birds' END
+    ) AS text
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    lower(regexp_extract(x, '([A-Za-z]+) such as ([A-Za-z]+)', 1))
+      AS hypernym,
+    lower(regexp_extract(x, '([A-Za-z]+) such as ([A-Za-z]+)', 2))
+      AS hyponym
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text,
+          '([A-Za-z]+) such as ([A-Za-z]+)', 0)) AS x FROM inj)
+  UNION ALL
+  SELECT doc_id,
+    lower(regexp_extract(x, '([A-Za-z]+) and other ([A-Za-z]+)', 2)),
+    lower(regexp_extract(x, '([A-Za-z]+) and other ([A-Za-z]+)', 1))
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text,
+          '([A-Za-z]+) and other ([A-Za-z]+)', 0)) AS x FROM inj)
+  UNION ALL
+  SELECT doc_id,
+    lower(regexp_extract(x, '([A-Za-z]+) including ([A-Za-z]+)', 1)),
+    lower(regexp_extract(x, '([A-Za-z]+) including ([A-Za-z]+)', 2))
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text,
+          '([A-Za-z]+) including ([A-Za-z]+)', 0)) AS x FROM inj)
+  UNION ALL
+  SELECT doc_id,
+    lower(regexp_extract(x, '([A-Za-z]+) especially ([A-Za-z]+)', 1)),
+    lower(regexp_extract(x, '([A-Za-z]+) especially ([A-Za-z]+)', 2))
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text,
+          '([A-Za-z]+) especially ([A-Za-z]+)', 0)) AS x FROM inj)
+),
+pairs AS (
+  SELECT hyponym, hypernym,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS support
+  FROM m WHERE hyponym != hypernym
+  GROUP BY 1, 2),
+sel AS (
+  SELECT node, anc FROM (
+    SELECT hyponym AS node, hypernym AS anc,
+      row_number() OVER (PARTITION BY hyponym
+                         ORDER BY support DESC, hypernym ASC) AS rn
+    FROM pairs) WHERE rn = 1),
+walk AS (
+  SELECT node, anc AS cur, 1 AS depth FROM sel
+  UNION ALL
+  SELECT w.node, s.anc, w.depth + 1
+  FROM walk w JOIN sel s ON w.cur = s.node
+  WHERE w.depth < 32
+),
+resolved AS (
+  SELECT node, cur AS root, depth FROM walk
+  WHERE cur NOT IN (SELECT node FROM sel)),
+roots AS (
+  SELECT DISTINCT anc AS node, anc AS root, 0 AS depth FROM sel
+  WHERE anc NOT IN (SELECT node FROM sel))
+SELECT node, root, CAST(depth AS INT) AS depth FROM resolved
+UNION ALL
+SELECT node, root, CAST(depth AS INT) AS depth FROM roots
+ORDER BY node
+"""
+
+
+def _q_fact_intervals(spark, sf_dir):
+    """Temporal fact scoping (T-YAGO-style validity bounds): every doc
+    asserts one Hearst is-a fact from a rotating city vocabulary and
+    carries a synthetic publication date (year 2021+k%3, month k%12+1,
+    day k%28+1 — always calendar-valid); fact_intervals joins
+    assertions to dates and aggregates first/last-seen DATE bounds
+    plus support counts per (subj, pred, obj). Full SQL oracle."""
+    from knowledge_graph_spark.operators.patterns import extract_hyponyms
+    from knowledge_graph_spark.operators.temporal import fact_intervals
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    city = F.element_at(
+        F.array(*[F.lit(x) for x in
+                  ("lisbon", "porto", "madrid", "seville", "lyon")]),
+        (k % 5 + 1).cast("int"))
+    kind = F.element_at(
+        F.array(F.lit("cities"), F.lit("towns")),
+        (k % 2 + 1).cast("int"))
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" "), kind,
+                 F.lit(" such as "), city).alias("text"),
+    )
+    assertions = extract_hyponyms(pages).select(
+        "doc_id", F.col("hyponym").alias("subj"),
+        F.col("pattern").alias("pred"), F.col("hypernym").alias("obj"))
+    dates = docs.select(
+        "doc_id",
+        F.make_date((k % 3 + 2021).cast("int"), (k % 12 + 1).cast("int"),
+                    (k % 28 + 1).cast("int")).alias("date"))
+    return (fact_intervals(assertions, dates)
+            .orderBy("subj", "pred", "obj"))
+
+
+_SQL_FACT_INTERVALS = r"""
+WITH inj AS (
+  SELECT doc_id,
+    text || ' ' || (['cities','towns'])[doc_id % 2 + 1] || ' such as '
+         || (['lisbon','porto','madrid','seville','lyon'])
+              [doc_id % 5 + 1] AS text
+  FROM documents),
+a AS (
+  SELECT doc_id,
+    lower(regexp_extract(x, '([A-Za-z]+) such as ([A-Za-z]+)', 2))
+      AS subj,
+    'such_as' AS pred,
+    lower(regexp_extract(x, '([A-Za-z]+) such as ([A-Za-z]+)', 1))
+      AS obj
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text,
+          '([A-Za-z]+) such as ([A-Za-z]+)', 0)) AS x FROM inj)),
+d AS (
+  SELECT doc_id,
+    make_date(CAST(doc_id % 3 + 2021 AS INT),
+              CAST(doc_id % 12 + 1 AS INT),
+              CAST(doc_id % 28 + 1 AS INT)) AS date
+  FROM documents)
+SELECT subj, pred, obj,
+       min(date) AS first_seen, max(date) AS last_seen,
+       CAST(count(DISTINCT a.doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_mentions
+FROM a JOIN d ON a.doc_id = d.doc_id
+GROUP BY 1, 2, 3
+ORDER BY subj, pred, obj
+"""
+
+
 def _q_truecase(spark, sf_dir):
     """Corpus truecasing model (Lita et al. 2003): every doc injects
     'Paris paris NASA' (an exact casing TIE — broken bytewise to
@@ -6654,6 +6837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation": _q_cocitation,
         "truecase": _q_truecase,
         "bitext_candidates": _q_bitext,
+        "taxonomy_forest": _q_taxonomy,
+        "fact_intervals": _q_fact_intervals,
         "weighted_sample": _q_weighted_sample,
         "doc_links": _q_doc_links,
         "host_pagerank": _q_host_pagerank,
@@ -6824,6 +7009,8 @@ def oracle_sql() -> dict[str, str]:
         "cocitation": _SQL_COCITATION,
         "truecase": _SQL_TRUECASE,
         "bitext_candidates": _SQL_BITEXT,
+        "taxonomy_forest": _SQL_TAXONOMY,
+        "fact_intervals": _SQL_FACT_INTERVALS,
         "url_dup_groups": _SQL_URL_DUP_GROUPS,
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "doc_links": _SQL_DOC_LINKS,

@@ -168,3 +168,63 @@ def extract_acronyms(pages: DataFrame, id_col: str = "doc_id",
         cand.filter(initials == F.col("acronym"))
         .select("doc_id", "acronym", "long_form")
     )
+
+
+def taxonomy_forest(pairs: DataFrame, child_col: str = "hyponym",
+                    parent_col: str = "hypernym",
+                    weight_col: str = "n_docs",
+                    max_rounds: int = 5) -> DataFrame:
+    """Taxonomy induction from weighted is-a pairs (the WebIsADB ->
+    taxonomy step, cf. Velardi et al. 2013 OntoLearn): pick ONE parent
+    per child (argmax support weight, ties to the bytewise-smallest
+    parent — deterministic), then resolve every node to its ROOT and
+    DEPTH by pointer doubling. Emits ``(node, root, depth)`` — depth 0
+    rows are the forest roots themselves.
+
+    Pointer doubling (the standard O(log d) path-halving trick, same
+    shape as the redirect-chain resolver): each round every node's
+    ancestor pointer jumps to its ancestor's ancestor, so ``max_rounds
+    = 5`` resolves chains up to 2^5 = 32 deep — far beyond any real
+    taxonomy. Nodes that fail to reach a root within the cap sit on a
+    cycle (two patterns asserting is-a both ways) and are DROPPED,
+    declared — a cycle has no root.
+
+    Scale shape: the parent-selection window partitions by child over
+    the vocabulary-bounded pair table (never the corpus); each
+    doubling round exchanges (node, anc, depth) triples of that same
+    bounded table and cuts lineage with localCheckpoint (the iterative-
+    operator convention here)."""
+    from pyspark.sql import Window
+
+    p = (pairs.select(F.col(child_col).alias("node"),
+                      F.col(parent_col).alias("anc"),
+                      F.col(weight_col).alias("w"))
+         .filter(F.col("node") != F.col("anc")))
+    w = Window.partitionBy("node").orderBy(
+        F.col("w").desc(), F.col("anc").asc())
+    sel = (p.select("node", "anc", F.row_number().over(w).alias("_rn"))
+           .filter(F.col("_rn") == 1)
+           .select("node", "anc")
+           .localCheckpoint(eager=True))
+    f = sel.select("node", "anc", F.lit(1).alias("depth"))
+    for _ in range(max_rounds):
+        g = f.select(F.col("node").alias("g_node"),
+                     F.col("anc").alias("g_anc"),
+                     F.col("depth").alias("g_depth"))
+        f = (f.join(g, f["anc"] == g["g_node"], "left")
+             .select(f["node"],
+                     F.coalesce("g_anc", "anc").alias("anc"),
+                     (f["depth"] + F.coalesce("g_depth", F.lit(0)))
+                     .alias("depth"))
+             .localCheckpoint(eager=True))
+    children = sel.select("node").distinct()
+    resolved = f.join(children.withColumnRenamed("node", "_c"),
+                      f["anc"] == F.col("_c"), "left_anti")
+    roots = (sel.select(F.col("anc").alias("node")).distinct()
+             .join(children.withColumnRenamed("node", "_c"),
+                   F.col("node") == F.col("_c"), "left_anti")
+             .select("node", F.col("node").alias("root"),
+                     F.lit(0).alias("depth")))
+    return (resolved.select("node", F.col("anc").alias("root"), "depth")
+            .unionByName(roots)
+            .select("node", "root", F.col("depth").cast("int").alias("depth")))

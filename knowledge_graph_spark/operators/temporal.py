@@ -239,3 +239,35 @@ def extract_dates(pages: DataFrame, id_col: str = "doc_id",
         .select("doc_id", "m.raw", "m.date")
         .filter(F.col("date").isNotNull())
     )
+
+
+def fact_intervals(assertions: DataFrame, doc_dates: DataFrame,
+                   subj_col: str = "subj", pred_col: str = "pred",
+                   obj_col: str = "obj", doc_col: str = "doc_id",
+                   date_col: str = "date") -> DataFrame:
+    """Temporal scoping of extracted facts (the YAGO2/T-YAGO move —
+    Hoffart et al. 2013 attach validity time to every fact): join each
+    asserted triple with its source document's publication date and
+    aggregate to ``(subj, pred, obj, first_seen, last_seen, n_docs,
+    n_mentions)``. ``first_seen``/``last_seen`` are the corpus-observed
+    validity bounds a KG UPDATE pipeline uses to retire stale facts
+    (a triple last seen two years ago, contradicted since, loses to
+    the fresher assertion at fusion time).
+
+    Scale shape: one equi-join on the document key (both sides
+    corpus-partitioned on it — no broadcast of a corpus-sized side),
+    then one map-side-combined aggregate keyed by the triple. Dates
+    ride as real DATE values; min/max need no casting."""
+    dated = assertions.select(
+        F.col(doc_col).alias("_d"), F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"), F.col(obj_col).alias("obj"),
+    ).join(
+        doc_dates.select(F.col(doc_col).alias("_d"),
+                         F.col(date_col).alias("_dt")),
+        "_d",
+    )
+    return (dated.groupBy("subj", "pred", "obj")
+            .agg(F.min("_dt").alias("first_seen"),
+                 F.max("_dt").alias("last_seen"),
+                 F.countDistinct("_d").cast("long").alias("n_docs"),
+                 F.count("*").cast("long").alias("n_mentions")))

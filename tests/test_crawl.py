@@ -355,3 +355,36 @@ def test_extract_acronyms_initials_rule(spark):
     assert (1, "WHO", "World Health Organization") in rows
     assert (1, "GF", "Global Fund") in rows
     assert not any(r[0] in (2, 3, 4) for r in rows)
+
+
+def test_taxonomy_forest_argmax_doubling_and_cycles(spark):
+    """Argmax parent selection (support, tie -> bytewise-smallest
+    parent); pointer doubling resolves a 4-deep chain; roots emit
+    depth-0 rows; self-loops are ignored; a 2-cycle resolves to
+    nothing (dropped, no root)."""
+    from knowledge_graph_spark.operators.patterns import taxonomy_forest
+
+    pairs = spark.createDataFrame([
+        # chain: a -> b -> c -> d -> e (root)
+        ("a", "b", 5), ("b", "c", 5), ("c", "d", 5), ("d", "e", 5),
+        # competing parent for a, lower support -> rejected
+        ("a", "z", 1),
+        # exact tie for t: 'm' < 'n' bytewise wins
+        ("t", "n", 3), ("t", "m", 3),
+        # self-loop ignored
+        ("s", "s", 9),
+        # 2-cycle: both dropped
+        ("x", "y", 2), ("y", "x", 2),
+    ], "hyponym string, hypernym string, n_docs long")
+    got = {r["node"]: (r["root"], r["depth"])
+           for r in taxonomy_forest(pairs).collect()}
+    assert got["a"] == ("e", 4)
+    assert got["b"] == ("e", 3)
+    assert got["c"] == ("e", 2)
+    assert got["d"] == ("e", 1)
+    assert got["e"] == ("e", 0)
+    assert got["t"] == ("m", 1)
+    assert got["m"] == ("m", 0)
+    assert "x" not in got and "y" not in got
+    assert "s" not in got        # self-loop only -> not in forest
+    assert "z" not in got        # rejected parent never enters

@@ -167,3 +167,33 @@ def test_extract_dates_three_forms_and_invalid(spark):
     assert (1, "March 7, 2024", dt.date(2024, 3, 7)) in rows
     assert (1, "3/9/2024", dt.date(2024, 3, 9)) in rows
     assert not any(r[0] in (2, 3, 4) for r in rows)
+
+
+def test_fact_intervals_bounds_and_counts(spark):
+    """first/last_seen are per-triple DATE bounds across SOURCE docs;
+    n_docs is distinct, n_mentions total; assertions in docs without
+    a date are dropped by the inner join."""
+    import datetime as _dt
+
+    from knowledge_graph_spark.operators.temporal import fact_intervals
+
+    assertions = spark.createDataFrame([
+        (1, "paris", "capital_of", "france"),
+        (2, "paris", "capital_of", "france"),
+        (2, "paris", "capital_of", "france"),   # 2nd mention, same doc
+        (3, "lyon", "city_in", "france"),
+        (9, "ghost", "in", "nowhere"),           # doc 9 has no date
+    ], "doc_id long, subj string, pred string, obj string")
+    dates = spark.createDataFrame([
+        (1, _dt.date(2021, 5, 1)),
+        (2, _dt.date(2023, 1, 15)),
+        (3, _dt.date(2022, 7, 4)),
+    ], "doc_id long, date date")
+    got = {(r["subj"], r["pred"], r["obj"]):
+           (r["first_seen"], r["last_seen"], r["n_docs"], r["n_mentions"])
+           for r in fact_intervals(assertions, dates).collect()}
+    assert got[("paris", "capital_of", "france")] == (
+        _dt.date(2021, 5, 1), _dt.date(2023, 1, 15), 2, 3)
+    assert got[("lyon", "city_in", "france")] == (
+        _dt.date(2022, 7, 4), _dt.date(2022, 7, 4), 1, 1)
+    assert ("ghost", "in", "nowhere") not in got
