@@ -6744,6 +6744,156 @@ def _q_kg_clear_user(spark, sf_dir):
     )
 
 
+def _q_entity_salience(spark, sf_dir):
+    """Per-document entity salience (Gamon et al. 2013: mention
+    frequency + first-mention position are the load-bearing features)
+    against a 6-entry dictionary whose keys occur NATURALLY in the
+    corpus vocabulary, so mention counts and first positions vary per
+    document. The oracle replays the tokenizer (lower + non-alnum
+    split with 0-based positions), the dictionary join, and the
+    (mentions DESC, first_pos ASC, entity ASC) rank."""
+    from knowledge_graph_spark.operators.linking import entity_salience
+
+    docs = _t(spark, sf_dir, "documents")
+    ents = spark.createDataFrame(
+        [("spark",), ("table",), ("join",), ("scan",), ("window",),
+         ("customer",)], "entity string")
+    return entity_salience(docs, ents).orderBy("doc_id", "rank")
+
+
+_SQL_ENTITY_SALIENCE = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+') AS a
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, i - 1 AS pos, a[i] AS token
+  FROM (SELECT doc_id, a, unnest(generate_series(1, len(a))) AS i
+        FROM t)
+),
+d(entity) AS (VALUES ('spark'), ('table'), ('join'), ('scan'),
+                     ('window'), ('customer')),
+per AS (
+  SELECT doc_id, token AS entity,
+         CAST(count(*) AS BIGINT) AS n_mentions,
+         CAST(min(pos) + 1 AS BIGINT) AS first_pos
+  FROM toks JOIN d ON toks.token = d.entity
+  GROUP BY doc_id, token
+)
+SELECT doc_id, entity, n_mentions, first_pos,
+       CAST(row_number() OVER (
+              PARTITION BY doc_id
+              ORDER BY n_mentions DESC, first_pos ASC, entity ASC)
+            AS BIGINT) AS "rank"
+FROM per
+ORDER BY doc_id, "rank"
+"""
+
+
+def _q_infobox(spark, sf_dir):
+    """Infobox-style triple harvest (the DBpedia shape — Lehmann et
+    al. 2015): the web_tables injection (a two-column Metric/Value
+    pipe table per doc, plus every 5th doc's second table whose
+    ragged data row also spans two columns and so qualifies) is
+    pivoted into (page_subject, attribute, value) triples; subjects
+    rotate over 11 synthetic page anchors. The oracle wraps the full
+    web_tables replay as a subquery and re-applies the width
+    qualifier, the key/value pivot, and the subject attach."""
+    from knowledge_graph_spark.operators.structured import (
+        extract_tables, infobox_triples)
+
+    docs = _t(spark, sf_dir, "documents")
+    t1 = F.concat(
+        F.lit("| Metric | Value |\n|---|---|\n| tokens | "),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit(" |\n| chars | "),
+        (F.col("doc_id") % 13).cast("string"), F.lit(" |"),
+    )
+    t2 = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit("afterthought prose\n| K |\n| "),
+                 (F.col("doc_id") % 3).cast("string"),
+                 F.lit(" | extra |")),
+    )
+    pages = docs.select(
+        "doc_id", F.concat_ws("\n", F.col("text"), t1, t2).alias("text"))
+    subjects = docs.select(
+        "doc_id",
+        F.concat(F.lit("page-"), (F.col("doc_id") % 11).cast("string"))
+        .alias("subj"))
+    return (infobox_triples(extract_tables(pages), subjects)
+            .orderBy("doc_id", "key"))
+
+
+_SQL_INFOBOX = (
+    "WITH cells AS (\n" + _SQL_WEB_TABLES + "),\n"
+    + r"""
+w AS (SELECT doc_id, table_id, max(col_idx) AS mw
+      FROM cells GROUP BY doc_id, table_id),
+kv AS (
+  SELECT c.doc_id, c.table_id, c.row_idx,
+         max(CASE WHEN c.col_idx = 0 THEN c.cell END) AS "key",
+         max(CASE WHEN c.col_idx = 1 THEN c.cell END) AS "value"
+  FROM cells c
+  JOIN w ON c.doc_id = w.doc_id AND c.table_id = w.table_id
+  WHERE w.mw = 1
+  GROUP BY c.doc_id, c.table_id, c.row_idx
+)
+SELECT doc_id, 'page-' || (doc_id % 11) AS subj, "key", "value"
+FROM kv
+WHERE "key" <> '' AND "value" IS NOT NULL
+ORDER BY doc_id, "key"
+""")
+
+
+def _q_reciprocal(spark, sf_dir):
+    """Host-graph reciprocity census (the link-exchange signal,
+    Becchetti et al. 2008) over a deterministic synthetic edge list:
+    every doc asserts h(doc_id%10) -> h(doc_id%7) (a self-loop
+    whenever the residues coincide — must be dropped), every 3rd doc
+    asserts the reverse edge too, so a slice of the host pairs comes
+    out reciprocal. The oracle replays the directional fold, the
+    canonical a<b orientation, and the full-outer merge."""
+    from knowledge_graph_spark.operators.urls import reciprocal_links
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def h(m):
+        return F.concat(F.lit("h"), (F.col("doc_id") % m).cast("string"))
+
+    e1 = docs.select(h(10).alias("src"), h(7).alias("dst"))
+    e2 = (docs.filter(F.col("doc_id") % 3 == 0)
+          .select(h(7).alias("src"), h(10).alias("dst")))
+    return (reciprocal_links(e1.unionByName(e2))
+            .orderBy("host_a", "host_b"))
+
+
+_SQL_RECIPROCAL = r"""
+WITH e AS (
+  SELECT 'h' || (doc_id % 10) AS src, 'h' || (doc_id % 7) AS dst
+  FROM documents
+  UNION ALL
+  SELECT 'h' || (doc_id % 7), 'h' || (doc_id % 10)
+  FROM documents WHERE doc_id % 3 = 0
+),
+agg AS (
+  SELECT src AS s, dst AS d, CAST(count(*) AS BIGINT) AS n
+  FROM e WHERE src <> dst GROUP BY src, dst
+),
+fwd AS (SELECT s, d, n FROM agg WHERE s < d),
+rev AS (SELECT d AS s, s AS d, n AS n_rev FROM agg WHERE s > d)
+SELECT COALESCE(fwd.s, rev.s) AS host_a,
+       COALESCE(fwd.d, rev.d) AS host_b,
+       CAST(COALESCE(fwd.n, 0) AS BIGINT) AS n_ab,
+       CAST(COALESCE(rev.n_rev, 0) AS BIGINT) AS n_ba,
+       (COALESCE(fwd.n, 0) > 0 AND COALESCE(rev.n_rev, 0) > 0)
+         AS reciprocal
+FROM fwd FULL OUTER JOIN rev ON fwd.s = rev.s AND fwd.d = rev.d
+ORDER BY host_a, host_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6838,6 +6988,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truecase": _q_truecase,
         "bitext_candidates": _q_bitext,
         "taxonomy_forest": _q_taxonomy,
+        "entity_salience": _q_entity_salience,
+        "infobox_triples": _q_infobox,
+        "reciprocal_links": _q_reciprocal,
         "fact_intervals": _q_fact_intervals,
         "weighted_sample": _q_weighted_sample,
         "doc_links": _q_doc_links,
@@ -7010,6 +7163,9 @@ def oracle_sql() -> dict[str, str]:
         "truecase": _SQL_TRUECASE,
         "bitext_candidates": _SQL_BITEXT,
         "taxonomy_forest": _SQL_TAXONOMY,
+        "entity_salience": _SQL_ENTITY_SALIENCE,
+        "infobox_triples": _SQL_INFOBOX,
+        "reciprocal_links": _SQL_RECIPROCAL,
         "fact_intervals": _SQL_FACT_INTERVALS,
         "url_dup_groups": _SQL_URL_DUP_GROUPS,
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,

@@ -109,6 +109,7 @@ def main():
         "triple_fusion", "postings", "lp_eval", "snapshot_diff",
         "scd2_status", "readability", "corpus_report", "quotes",
         "distant_ner", "acronyms", "doc_dates",
+        "entity_salience", "infobox_triples", "reciprocal_links",
     ]
     qs = entrymod.queries()
     for name in headliners:

@@ -274,3 +274,41 @@ def bitext_candidates(docs: DataFrame, id_col: str = "doc_id",
                     F.col("p.a.lang").alias("lang_a"),
                     F.col("p.b.lang").alias("lang_b"),
                     "fingerprint"))
+
+
+def entity_salience(docs: DataFrame, entities: DataFrame,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    entity_col: str = "entity") -> DataFrame:
+    """Per-document entity salience (the aboutness ranking — cf.
+    Gamon et al. 2013 "Identifying salient entities in web pages":
+    frequency and first-mention position are the two load-bearing
+    features): for every (document, dictionary entity) with at least
+    one mention, ``(doc_id, entity, n_mentions, first_pos, rank)``
+    where first_pos is the 1-based token position of the first
+    mention and rank orders the doc's entities by (mentions DESC,
+    first_pos ASC, entity ASC) — rank 1 is what the page is about,
+    the subject anchor infobox/linking stages key on.
+
+    Scale shape: tokenization is row-local (the body never survives
+    the posexplode); the dictionary join broadcasts (an entity
+    dictionary is MB-scale); the aggregate is map-side combined on
+    (doc, entity); the rank window partitions by document — bounded
+    by a page's distinct-entity count, never corpus-wide."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)),
+                             r"[^\p{L}\p{N}]+")).alias("pos", "token"),
+    )
+    hits = toks.join(
+        F.broadcast(entities.select(F.col(entity_col).alias("token"))
+                    .distinct()),
+        "token")
+    per = (hits.groupBy("doc_id", F.col("token").alias("entity"))
+           .agg(F.count("*").cast("long").alias("n_mentions"),
+                (F.min("pos") + 1).cast("long").alias("first_pos")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n_mentions").desc(), F.col("first_pos").asc(),
+        F.col("entity").asc())
+    return per.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -140,3 +140,42 @@ def extract_tables(pages: DataFrame, id_col: str = "doc_id",
         .alias("header"),
         "cell",
     )
+
+
+def infobox_triples(cells: DataFrame, subjects: DataFrame,
+                    id_col: str = "doc_id",
+                    subj_col: str = "subj") -> DataFrame:
+    """Infobox-style triple harvest from 2-column web tables: a table
+    whose rows are ``| attribute | value |`` pairs is a per-page
+    entity description (the Wikipedia-infobox shape DBpedia is built
+    from — Lehmann et al. 2015), and each data row asserts
+    ``(page_subject, attribute, value)``. ``cells`` is
+    :func:`extract_tables` output; ``subjects`` maps ``doc_id`` to
+    the page's subject entity (from JSON-LD, the title, or entity
+    linking — caller's choice of anchor).
+
+    Rules: only tables whose max col_idx is exactly 1 qualify (wider
+    tables are relations, not attribute lists — WebTables territory);
+    the key is column 0, the value column 1; rows with an empty key
+    or a missing value (ragged) are dropped. Emits ``(doc_id, subj,
+    key, value)``.
+
+    Scale shape: the 2-column qualifier and the key/value pivot are
+    both map-side-combined aggregates keyed (doc, table[, row]) —
+    partition-local after extract_tables' own doc-keyed shuffle; the
+    subject attach is one equi-join on the doc key. No window over
+    anything corpus-wide."""
+    width = (cells.groupBy(id_col, "table_id")
+             .agg(F.max("col_idx").alias("_w")))
+    kv = (cells.join(width.filter(F.col("_w") == 1),
+                     [id_col, "table_id"])
+          .groupBy(id_col, "table_id", "row_idx")
+          .agg(F.max(F.when(F.col("col_idx") == 0, F.col("cell")))
+               .alias("key"),
+               F.max(F.when(F.col("col_idx") == 1, F.col("cell")))
+               .alias("value")))
+    return (kv.filter((F.col("key") != "") & F.col("value").isNotNull())
+            .join(subjects.select(F.col(id_col),
+                                  F.col(subj_col).alias("subj")),
+                  id_col)
+            .select(id_col, "subj", "key", "value"))

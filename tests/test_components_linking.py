@@ -819,3 +819,27 @@ def test_bitext_candidates_gates(spark):
     # a cap below the group sizes (4 and 3) drops EVERYTHING —
     # the boilerplate-fingerprint guard
     assert bitext_candidates(docs, max_group=2).count() == 0
+
+
+def test_entity_salience_rank_and_positions(spark):
+    """Mention counts and 1-based first positions drive the per-doc
+    rank (mentions DESC, first_pos ASC, entity ASC); dictionary
+    matching is lowercase; non-dictionary tokens never surface; docs
+    with no hits emit nothing."""
+    from knowledge_graph_spark.operators.linking import entity_salience
+
+    docs = spark.createDataFrame(
+        [(1, "Spark joins the table; the table wins"),
+         (2, "nothing relevant"),
+         (3, None)],
+        "doc_id long, text string")
+    ents = spark.createDataFrame(
+        [("spark",), ("table",), ("the",)], "entity string")
+    got = {(r["doc_id"], r["entity"]):
+           (r["n_mentions"], r["first_pos"], r["rank"])
+           for r in entity_salience(docs, ents).collect()}
+    # tokens of doc 1: spark joins the table the table wins
+    assert got[(1, "the")] == (2, 3, 1)      # tie 2-2 -> first_pos
+    assert got[(1, "table")] == (2, 4, 2)
+    assert got[(1, "spark")] == (1, 1, 3)
+    assert not any(k[0] in (2, 3) for k in got)

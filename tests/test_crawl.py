@@ -388,3 +388,53 @@ def test_taxonomy_forest_argmax_doubling_and_cycles(spark):
     assert "x" not in got and "y" not in got
     assert "s" not in got        # self-loop only -> not in forest
     assert "z" not in got        # rejected parent never enters
+
+
+def test_infobox_triples_width_and_filters(spark):
+    """Only tables whose max col_idx is exactly 1 qualify; empty keys
+    and ragged missing values are dropped; subjects attach per doc;
+    docs without a subject row vanish (inner join)."""
+    from knowledge_graph_spark.operators.structured import (
+        extract_tables, infobox_triples)
+
+    text1 = "\n".join([
+        "| K | V |", "|---|---|",
+        "| born | 1815 |",
+        "|  | orphan |",          # empty key -> dropped
+        "| field |",              # ragged: no value -> dropped
+        "prose",
+        "| A | B | C |",          # 3-wide -> relation, not infobox
+        "| 1 | 2 | 3 |",
+    ])
+    text2 = "| X | Y |\n| only | row |"
+    pages = spark.createDataFrame(
+        [(1, text1), (2, text2), (3, "no tables")],
+        "doc_id long, text string")
+    subjects = spark.createDataFrame(
+        [(1, "Ada"), (3, "Ghost")], "doc_id long, subj string")
+    got = {(r["doc_id"], r["subj"], r["key"], r["value"])
+           for r in infobox_triples(extract_tables(pages),
+                                    subjects).collect()}
+    assert got == {(1, "Ada", "born", "1815")}
+
+
+def test_reciprocal_links_census(spark):
+    """Directional counts fold before the pair merge; self-loops
+    dropped; one-way pairs carry a zero on the missing side; the
+    canonical orientation is host_a < host_b."""
+    from knowledge_graph_spark.operators.urls import reciprocal_links
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "a"),   # reciprocal, 2 vs 1
+         ("c", "d"),                            # one-way fwd
+         ("e", "c"),                            # one-way, rev-only key
+         ("x", "x")],                           # self-loop
+        "src string, dst string")
+    got = {(r["host_a"], r["host_b"]):
+           (r["n_ab"], r["n_ba"], r["reciprocal"])
+           for r in reciprocal_links(edges).collect()}
+    assert got == {
+        ("a", "b"): (2, 1, True),
+        ("c", "d"): (1, 0, False),
+        ("c", "e"): (0, 1, False),
+    }
