@@ -6847,6 +6847,148 @@ ORDER BY doc_id, "key"
 """)
 
 
+def _q_microdata(spark, sf_dir):
+    """Schema.org microdata harvest over injected itemscope markup:
+    every doc carries a typed scope with a text-valued name span and
+    a content-attribute meta rating; every 4th doc adds an empty
+    itemprop key (dropped) and a valueless tag (dropped). The oracle
+    replays both RE2 regex passes, the content-over-text precedence,
+    and the drop rules."""
+    from knowledge_graph_spark.operators.structured import (
+        extract_microdata)
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    typ = F.element_at(
+        F.array(F.lit("Organization"), F.lit("Product"), F.lit("Person")),
+        (k % 3 + 1).cast("int"))
+    inj = F.concat(
+        F.col("text"),
+        F.lit(' <div itemscope itemtype="https://schema.org/'), typ,
+        F.lit('"><span itemprop="name">Entity '),
+        (k % 23).cast("string"),
+        F.lit(' </span><meta itemprop="ratingValue" content="'),
+        (k % 5).cast("string"), F.lit('"></div>'),
+        F.when(k % 4 == 0,
+               F.lit(' <link itemprop="" href="x"><b itemprop="empty">'
+                     '</b>')).otherwise(F.lit("")),
+    )
+    pages = docs.select("doc_id", inj.alias("text"))
+    return extract_microdata(pages).orderBy(
+        "doc_id", "prop", "value", "source")
+
+
+_SQL_MICRODATA = r"""
+WITH inj AS (
+  SELECT doc_id,
+    text || ' <div itemscope itemtype="https://schema.org/'
+    || (['Organization','Product','Person'])[doc_id % 3 + 1]
+    || '"><span itemprop="name">Entity ' || (doc_id % 23)
+    || ' </span><meta itemprop="ratingValue" content="'
+    || (doc_id % 5) || '"></div>'
+    || CASE WHEN doc_id % 4 = 0
+       THEN ' <link itemprop="" href="x"><b itemprop="empty"></b>'
+       ELSE '' END AS text
+  FROM documents
+),
+types AS (
+  SELECT doc_id, '@type' AS prop,
+         unnest(regexp_extract_all(text, 'itemtype="([^"]+)"', 1))
+           AS value,
+         'type' AS source
+  FROM inj
+),
+tags AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(text,
+      '<[^<>]*itemprop="[^"]*"[^<>]*>[^<]*', 0)) AS m
+  FROM inj
+),
+fields AS (
+  SELECT doc_id,
+         regexp_extract(m, 'itemprop="([^"]+)"', 1) AS prop,
+         regexp_extract(m, 'content="([^"]+)"', 1) AS c,
+         trim(regexp_extract(m, '>([^<]*)$', 1)) AS t
+  FROM tags
+),
+props AS (
+  SELECT doc_id, prop,
+         CASE WHEN c <> '' THEN c WHEN t <> '' THEN t END AS value,
+         CASE WHEN c <> '' THEN 'content'
+              WHEN t <> '' THEN 'text' END AS source
+  FROM fields WHERE prop <> ''
+)
+SELECT * FROM (
+  SELECT * FROM types
+  UNION ALL
+  SELECT * FROM props WHERE value IS NOT NULL
+)
+ORDER BY doc_id, prop, value, source
+"""
+
+
+def _q_ntriples(spark, sf_dir):
+    """N-Triples serialization of a synthetic edge set that hits
+    every escape rule: subjects with internal whitespace (slug to
+    '_'), objects carrying quotes, backslashes, newlines, and tabs
+    (ECHAR-escaped), and every 6th doc a subject of pure forbidden
+    chars that slugs to '' and must drop. Byte-exact lines; the
+    oracle rebuilds each line with the same replace chain."""
+    from knowledge_graph_spark.operators.rdf import to_ntriples
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    subj = F.when(k % 6 == 0, F.lit('<">')).otherwise(
+        F.concat(F.lit("Page "), (k % 11).cast("string")))
+    t1 = F.struct(
+        subj.alias("subj"), F.lit("has rating").alias("pred"),
+        F.concat(F.lit('r "'), (k % 5).cast("string"),
+                 F.lit('" \\end')).alias("obj"))
+    t2 = F.struct(
+        subj.alias("subj"), F.lit("note").alias("pred"),
+        F.concat(F.lit("line1\nline2\t"),
+                 (k % 3).cast("string")).alias("obj"))
+    triples = (docs.select(F.explode(F.array(t1, t2)).alias("t"))
+               .select("t.subj", "t.pred", "t.obj"))
+    return to_ntriples(triples).orderBy("line", "obj")
+
+
+_SQL_NTRIPLES = r"""
+WITH raw AS (
+  SELECT CASE WHEN doc_id % 6 = 0 THEN '<">'
+              ELSE 'Page ' || (doc_id % 11) END AS subj,
+         'has rating' AS pred,
+         'r "' || (doc_id % 5) || '" \end' AS obj
+  FROM documents
+  UNION ALL
+  SELECT CASE WHEN doc_id % 6 = 0 THEN '<">'
+              ELSE 'Page ' || (doc_id % 11) END,
+         'note',
+         'line1' || chr(10) || 'line2' || chr(9) || (doc_id % 3)
+  FROM documents
+),
+slugged AS (
+  SELECT
+    regexp_replace(regexp_replace(trim(subj), '\s+', '_', 'g'),
+                   '[\x00-\x20<>"{}|^`\\]', '', 'g') AS s,
+    regexp_replace(regexp_replace(trim(pred), '\s+', '_', 'g'),
+                   '[\x00-\x20<>"{}|^`\\]', '', 'g') AS p,
+    subj, pred, obj
+  FROM raw
+)
+SELECT subj, pred, obj,
+  '<http://kg.example/resource/' || s || '> <http://kg.example/prop/'
+  || p || '> "'
+  || replace(replace(replace(replace(replace(obj,
+       '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'),
+       chr(9), '\t')
+  || '" .' AS line
+FROM slugged
+WHERE s <> '' AND p <> '' AND obj IS NOT NULL
+ORDER BY line, obj
+"""
+
+
 def _q_reciprocal(spark, sf_dir):
     """Host-graph reciprocity census (the link-exchange signal,
     Becchetti et al. 2008) over a deterministic synthetic edge list:
@@ -6991,6 +7133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_salience": _q_entity_salience,
         "infobox_triples": _q_infobox,
         "reciprocal_links": _q_reciprocal,
+        "microdata_entities": _q_microdata,
+        "ntriples_export": _q_ntriples,
         "fact_intervals": _q_fact_intervals,
         "weighted_sample": _q_weighted_sample,
         "doc_links": _q_doc_links,
@@ -7166,6 +7310,8 @@ def oracle_sql() -> dict[str, str]:
         "entity_salience": _SQL_ENTITY_SALIENCE,
         "infobox_triples": _SQL_INFOBOX,
         "reciprocal_links": _SQL_RECIPROCAL,
+        "microdata_entities": _SQL_MICRODATA,
+        "ntriples_export": _SQL_NTRIPLES,
         "fact_intervals": _SQL_FACT_INTERVALS,
         "url_dup_groups": _SQL_URL_DUP_GROUPS,
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,

@@ -110,6 +110,7 @@ def main():
         "scd2_status", "readability", "corpus_report", "quotes",
         "distant_ner", "acronyms", "doc_dates",
         "entity_salience", "infobox_triples", "reciprocal_links",
+        "microdata_entities", "ntriples_export",
     ]
     qs = entrymod.queries()
     for name in headliners:

@@ -179,3 +179,71 @@ def infobox_triples(cells: DataFrame, subjects: DataFrame,
                                   F.col(subj_col).alias("subj")),
                   id_col)
             .select(id_col, "subj", "key", "value"))
+
+
+# microdata: any tag carrying itemprop=..., plus the trailing inner
+# text up to the next '<' (so both content-attribute and element-text
+# values are visible in ONE extracted span). RE2-compatible: no
+# lookaround, so the same pattern runs verbatim in the SQL oracle.
+_ITEMPROP_TAG_RE = r'<[^<>]*itemprop="[^"]*"[^<>]*>[^<]*'
+
+
+def extract_microdata(pages: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Schema.org microdata harvest — the second leg of the Web Data
+    Commons structured-data triad (Meusel et al. 2014) next to
+    :func:`extract_jsonld`: HTML5 ``itemscope``/``itemtype``/
+    ``itemprop`` attributes mark up entity descriptions inline in the
+    markup, and at crawl scale microdata deployments OUTNUMBER
+    JSON-LD ones, so a KG seed-fact pass that skips them leaves
+    precision facts on the floor.
+
+    Emits ``(doc_id, prop, value, source)``:
+
+    * every ``itemtype="IRI"`` attribute → one ``('@type', IRI,
+      'type')`` row (the entity-class assertion);
+    * every tag carrying ``itemprop="k"`` → one ``(k, v, source)``
+      row where ``v`` is the tag's ``content`` attribute when present
+      (``source='content'`` — the meta-tag form), else the element
+      text up to the next tag boundary (``source='text'``), trimmed;
+      tags with neither are dropped, as are empty ``itemprop`` keys.
+
+    Nested-scope attachment (which itemscope a prop belongs to) is
+    declared out of scope — like the flat JSON-LD harvest, this is
+    the per-page property bag that downstream linking keys on.
+
+    Scale shape: entirely row-local — two RE2-safe regex passes and
+    one explode; page bodies never survive the explode and no
+    exchange of any kind happens here.
+    """
+    types = pages.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(
+            f"regexp_extract_all({text_col}, 'itemtype=\"([^\"]+)\"', 1)"
+        )).alias("value"),
+    ).select("doc_id", F.lit("@type").alias("prop"), "value",
+             F.lit("type").alias("source"))
+
+    tags = pages.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(
+            f"regexp_extract_all({text_col}, '{_ITEMPROP_TAG_RE}', 0)"
+        )).alias("_m"),
+    )
+    prop = F.regexp_extract("_m", r'itemprop="([^"]+)"', 1)
+    content = F.regexp_extract("_m", r'content="([^"]+)"', 1)
+    inner = F.trim(F.regexp_extract("_m", r">([^<]*)$", 1))
+    props = (
+        tags.select(
+            "doc_id", prop.alias("prop"), content.alias("_c"),
+            inner.alias("_t"))
+        .filter(F.col("prop") != "")
+        .select(
+            "doc_id", "prop",
+            F.when(F.col("_c") != "", F.col("_c"))
+            .when(F.col("_t") != "", F.col("_t")).alias("value"),
+            F.when(F.col("_c") != "", F.lit("content"))
+            .when(F.col("_t") != "", F.lit("text")).alias("source"))
+        .filter(F.col("value").isNotNull())
+    )
+    return types.unionByName(props)

@@ -438,3 +438,51 @@ def test_reciprocal_links_census(spark):
         ("c", "d"): (1, 0, False),
         ("c", "e"): (0, 1, False),
     }
+
+
+def test_extract_microdata_forms_and_drops(spark):
+    """@type rows from itemtype; content attr beats element text;
+    element text used when no content; empty itemprop keys and
+    valueless tags dropped; attribute order inside the tag is free."""
+    from knowledge_graph_spark.operators.structured import (
+        extract_microdata)
+
+    text = (
+        '<div itemscope itemtype="https://schema.org/Person">'
+        '<span itemprop="name"> Ada Lovelace </span>'
+        '<meta content="1815-12-10" itemprop="birthDate">'
+        '<meta itemprop="deathDate" content="1852-11-27">unread'
+        '<b itemprop="">ignored</b>'
+        '<i itemprop="empty"></i></div>')
+    pages = spark.createDataFrame(
+        [(1, text), (2, "plain prose"), (3, None)],
+        "doc_id long, text string")
+    got = {(r["doc_id"], r["prop"], r["value"], r["source"])
+           for r in extract_microdata(pages).collect()}
+    assert got == {
+        (1, "@type", "https://schema.org/Person", "type"),
+        (1, "name", "Ada Lovelace", "text"),
+        (1, "birthDate", "1815-12-10", "content"),
+        (1, "deathDate", "1852-11-27", "content"),
+    }
+
+
+def test_to_ntriples_escaping_and_slugs(spark):
+    """IRI slugs fold whitespace to _ and drop forbidden chars; the
+    ECHAR set escapes in order (backslash first); unserializable rows
+    (empty slug, NULL object) drop."""
+    from knowledge_graph_spark.operators.rdf import to_ntriples
+
+    triples = spark.createDataFrame(
+        [("Ada  Lovelace", "born in", 'Lon"don\\UK'),
+         ("A", "p", "l1\nl2\tend"),
+         ('<">', "p", "dropped"),
+         ("S", "p", None)],
+        "subj string, pred string, obj string")
+    got = {r["line"] for r in to_ntriples(triples).collect()}
+    assert got == {
+        '<http://kg.example/resource/Ada_Lovelace> '
+        '<http://kg.example/prop/born_in> "Lon\\"don\\\\UK" .',
+        '<http://kg.example/resource/A> '
+        '<http://kg.example/prop/p> "l1\\nl2\\tend" .',
+    }
