@@ -6847,6 +6847,156 @@ ORDER BY doc_id, "key"
 """)
 
 
+def _q_coref(spark, sf_dir):
+    """Recency-baseline pronoun resolution: every doc gets a leading
+    'He said' (no antecedent yet — must drop) and a trailing 'it ...
+    they' pair that must resolve to the doc's LAST dictionary-entity
+    mention, which varies naturally per document. The oracle replays
+    the tokenizer, the dictionary join, and the strictly-preceding
+    last-mention window."""
+    from knowledge_graph_spark.operators.linking import resolve_pronouns
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("He said "), F.col("text"),
+                 F.lit(" it scaled fine and they agreed")).alias("text"))
+    ents = spark.createDataFrame(
+        [("spark",), ("table",), ("customer",)], "entity string")
+    return resolve_pronouns(pages, ents).orderBy("doc_id", "pos")
+
+
+_SQL_COREF = r"""
+WITH inj AS (
+  SELECT doc_id,
+         'He said ' || text || ' it scaled fine and they agreed'
+           AS text
+  FROM documents
+),
+t AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+') AS a
+  FROM inj
+),
+toks AS (
+  SELECT doc_id, i - 1 AS pos, a[i] AS token
+  FROM (SELECT doc_id, a, unnest(generate_series(1, len(a))) AS i
+        FROM t)
+),
+d(entity) AS (VALUES ('spark'), ('table'), ('customer')),
+st AS (
+  SELECT toks.doc_id, toks.pos, toks.token, d.entity AS ent
+  FROM toks LEFT JOIN d ON toks.token = d.entity
+),
+res AS (
+  SELECT doc_id, pos, token,
+         last_value(ent IGNORE NULLS) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS antecedent
+  FROM st
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, token AS pronoun,
+       antecedent
+FROM res
+WHERE token IN ('it', 'he', 'she', 'they')
+  AND antecedent IS NOT NULL
+ORDER BY doc_id, pos
+"""
+
+
+def _q_bootstrap(spark, sf_dir):
+    """One DIPRE/Snowball iteration: two seed pairs assert 'works at'
+    in every doc (promoted), 'consults for' in every 3rd doc
+    (promoted), and a support-1 junk pattern in doc 1 (rejected);
+    rotating non-seed capitalized pairs ride the same sentences and
+    must surface as new extractions, while the seed pair itself also
+    matches 'consults for' and must be anti-joined away. The oracle
+    replays the windowed candidate generation, the support census,
+    the entity gate, and the seed exclusion."""
+    from knowledge_graph_spark.operators.patterns import (
+        bootstrap_relations)
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+
+    def pick(arr, m):
+        return F.element_at(
+            F.array(*[F.lit(x) for x in arr]), (k % m + 1).cast("int"))
+
+    name = pick(("Carol", "Dave", "Erin"), 3)
+    co = pick(("Initech", "Umbrella"), 2)
+    seed_s = pick(("Alice", "Bob"), 2)
+    seed_o = pick(("Acme", "Globex"), 2)
+    pages = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.col("text"),
+            seed_s, F.lit("works at"), seed_o,
+            name, F.lit("works at"), co,
+            F.when(k % 3 == 0, F.concat_ws(
+                " ", F.lit("Alice consults for Acme and"), name,
+                F.lit("consults for"), co)),
+            F.when(k == 1,
+                   F.lit("Alice sometimes visits famous Acme")),
+        ).alias("text"))
+    seeds = spark.createDataFrame(
+        [("Alice", "Acme"), ("Bob", "Globex")], "subj string, obj string")
+    return (bootstrap_relations(pages, seeds)
+            .orderBy("subj", "middle", "obj"))
+
+
+_SQL_BOOTSTRAP = r"""
+WITH inj AS (
+  SELECT doc_id, concat_ws(' ', text,
+    (['Alice','Bob'])[doc_id % 2 + 1], 'works at',
+    (['Acme','Globex'])[doc_id % 2 + 1],
+    (['Carol','Dave','Erin'])[doc_id % 3 + 1], 'works at',
+    (['Initech','Umbrella'])[doc_id % 2 + 1],
+    CASE WHEN doc_id % 3 = 0 THEN
+      'Alice consults for Acme and '
+      || (['Carol','Dave','Erin'])[doc_id % 3 + 1]
+      || ' consults for ' || (['Initech','Umbrella'])[doc_id % 2 + 1]
+    END,
+    CASE WHEN doc_id = 1
+      THEN 'Alice sometimes visits famous Acme' END) AS text
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, regexp_split_to_array(text, '\s+') AS a
+  FROM inj WHERE text IS NOT NULL
+),
+cand AS (
+  SELECT doc_id, a[i] AS s,
+         array_to_string(list_slice(a, i + 1, i + l), ' ') AS middle,
+         a[i + l + 1] AS o
+  FROM (SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i
+        FROM tok WHERE len(a) >= 3),
+       (SELECT unnest(generate_series(1, 3)) AS l)
+  WHERE i + l + 1 <= len(a) AND a[i] <> '' AND a[i + l + 1] <> ''
+),
+d(subj, obj) AS (VALUES ('Alice', 'Acme'), ('Bob', 'Globex')),
+pat AS (
+  SELECT middle,
+         CAST(count(DISTINCT cand.doc_id) AS BIGINT)
+           AS pattern_support
+  FROM cand JOIN d ON cand.s = d.subj AND cand.o = d.obj
+  GROUP BY middle
+  HAVING count(DISTINCT cand.doc_id) >= 2
+)
+SELECT c.s AS subj, c.middle AS middle, c.o AS obj,
+       CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_docs,
+       p.pattern_support
+FROM cand c JOIN pat p ON c.middle = p.middle
+WHERE regexp_matches(c.s, '^[A-Z][a-z]+$')
+  AND regexp_matches(c.o, '^[A-Z][a-z]+$')
+  AND NOT EXISTS (SELECT 1 FROM d
+                  WHERE d.subj = c.s AND d.obj = c.o)
+GROUP BY c.s, c.middle, c.o, p.pattern_support
+ORDER BY subj, c.middle, obj
+"""
+
+
 def _q_microdata(spark, sf_dir):
     """Schema.org microdata harvest over injected itemscope markup:
     every doc carries a typed scope with a text-valued name span and
@@ -7135,6 +7285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocal_links": _q_reciprocal,
         "microdata_entities": _q_microdata,
         "ntriples_export": _q_ntriples,
+        "coref_pronouns": _q_coref,
+        "bootstrap_relations": _q_bootstrap,
         "fact_intervals": _q_fact_intervals,
         "weighted_sample": _q_weighted_sample,
         "doc_links": _q_doc_links,
@@ -7312,6 +7464,8 @@ def oracle_sql() -> dict[str, str]:
         "reciprocal_links": _SQL_RECIPROCAL,
         "microdata_entities": _SQL_MICRODATA,
         "ntriples_export": _SQL_NTRIPLES,
+        "coref_pronouns": _SQL_COREF,
+        "bootstrap_relations": _SQL_BOOTSTRAP,
         "fact_intervals": _SQL_FACT_INTERVALS,
         "url_dup_groups": _SQL_URL_DUP_GROUPS,
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,

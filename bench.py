@@ -111,6 +111,7 @@ def main():
         "distant_ner", "acronyms", "doc_dates",
         "entity_salience", "infobox_triples", "reciprocal_links",
         "microdata_entities", "ntriples_export",
+        "coref_pronouns", "bootstrap_relations",
     ]
     qs = entrymod.queries()
     for name in headliners:

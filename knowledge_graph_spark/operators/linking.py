@@ -312,3 +312,50 @@ def entity_salience(docs: DataFrame, entities: DataFrame,
         F.col("n_mentions").desc(), F.col("first_pos").asc(),
         F.col("entity").asc())
     return per.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def resolve_pronouns(docs: DataFrame, entities: DataFrame,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     entity_col: str = "entity",
+                     pronouns: tuple = ("it", "he", "she", "they"),
+                     ) -> DataFrame:
+    """Rule-based pronoun resolution — the recency baseline (Hobbs
+    1978's weakest-but-unbeatable-for-free heuristic; Lee et al. 2013
+    Stanford sieve's final fallback): each pronoun resolves to the
+    NEAREST PRECEDING dictionary-entity mention in the same document.
+    Coreference is the classic recall lever for KG construction —
+    "Acme acquired Zeta. It then raised prices." only yields the
+    second triple if *it* resolves — and the recency rule alone
+    captures the majority of anaphoric pronouns in web prose.
+
+    Emits ``(doc_id, pos, pronoun, antecedent)`` for every pronoun
+    token with at least one preceding mention; pronouns before the
+    first mention are dropped (no antecedent). Matching is lowercase
+    on both sides.
+
+    Scale shape: tokenization is row-local (the body never survives
+    the posexplode); the dictionary attaches by BROADCAST left join;
+    the only window is doc-keyed over the doc's own token stream —
+    bounded by page length, never corpus-wide. The exchange moves
+    ``(doc_id, pos, short-string)`` rows once.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)),
+                             r"[^\p{L}\p{N}]+")).alias("pos", "token"),
+    )
+    dic = (entities.select(F.lower(F.col(entity_col)).alias("token"))
+           .distinct().withColumn("_ent", F.col("token")))
+    stream = toks.join(F.broadcast(dic), "token", "left")
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    pron = F.array(*[F.lit(p) for p in pronouns])
+    return (stream
+            .withColumn("antecedent",
+                        F.last("_ent", ignorenulls=True).over(w))
+            .filter(F.array_contains(pron, F.col("token"))
+                    & F.col("antecedent").isNotNull())
+            .select("doc_id", F.col("pos").cast("long").alias("pos"),
+                    F.col("token").alias("pronoun"), "antecedent"))

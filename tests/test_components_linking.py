@@ -843,3 +843,51 @@ def test_entity_salience_rank_and_positions(spark):
     assert got[(1, "table")] == (2, 4, 2)
     assert got[(1, "spark")] == (1, 1, 3)
     assert not any(k[0] in (2, 3) for k in got)
+
+
+def test_resolve_pronouns_recency(spark):
+    """Nearest PRECEDING mention wins (strictly before — a pronoun
+    never resolves to a mention at its own position or later);
+    pronouns before the first mention drop; matching is lowercase."""
+    from knowledge_graph_spark.operators.linking import resolve_pronouns
+
+    docs = spark.createDataFrame(
+        [(1, "It began. Acme acquired Zeta, and it raised prices; "
+             "later Zeta sued and they settled"),
+         (2, "no entities here so it drops"),
+         (3, None)],
+        "doc_id long, text string")
+    ents = spark.createDataFrame(
+        [("acme",), ("zeta",)], "entity string")
+    got = [(r["pos"], r["pronoun"], r["antecedent"])
+           for r in resolve_pronouns(docs, ents)
+           .orderBy("doc_id", "pos").collect()]
+    # doc 1 tokens: it began acme acquired zeta and it raised prices
+    #               later zeta sued and they settled
+    assert got == [(6, "it", "zeta"), (13, "they", "zeta")]
+
+
+def test_bootstrap_relations_one_iteration(spark):
+    """Seed contexts promote patterns at min_support; promoted
+    patterns extract only entity-shaped, non-seed pairs; a support-1
+    pattern never extracts; max_middle caps the window."""
+    from knowledge_graph_spark.operators.patterns import (
+        bootstrap_relations)
+
+    docs = spark.createDataFrame([
+        (1, "Alice works at Acme and Bob works at Globex"),
+        (2, "Carol works at Initech while Alice works at Acme"),
+        (3, "Alice sometimes visits famous Acme"),   # support 1
+        (4, "dave works at Initech"),                # lowercase gate
+        (5, "Erin works at Umbrella today"),
+        (6, None),
+    ], "doc_id long, text string")
+    seeds = spark.createDataFrame(
+        [("Alice", "Acme"), ("Bob", "Globex")], "subj string, obj string")
+    got = {(r["subj"], r["middle"], r["obj"]):
+           (r["n_docs"], r["pattern_support"])
+           for r in bootstrap_relations(docs, seeds).collect()}
+    assert got == {
+        ("Carol", "works at", "Initech"): (1, 2),
+        ("Erin", "works at", "Umbrella"): (1, 2),
+    }
