@@ -6847,6 +6847,218 @@ ORDER BY doc_id, "key"
 """)
 
 
+def _q_quantities(spark, sf_dir):
+    """Quantity extraction over injected measurements: comma-grouped
+    integers, decimal + scale-word forms, bare '%' (normalizes to
+    'percent'), and a unitless number that must NOT match. The oracle
+    replays the shared RE2 pattern, the comma strip, the scale fold,
+    and the integer-thousandths arithmetic."""
+    from knowledge_graph_spark.operators.measures import (
+        extract_quantities)
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    inj = F.concat(
+        F.col("text"),
+        F.lit(" raised 1,"),
+        F.lpad((k % 1000).cast("string"), 3, "0"),
+        F.lit(" dollars and grew "),
+        (k % 90).cast("string"), F.lit("% serving "),
+        (k % 9).cast("string"), F.lit("."), (k % 10).cast("string"),
+        F.lit(" million users across "),
+        (k % 40).cast("string"), F.lit(" km plus "),
+        (k % 5).cast("string"), F.lit(" unmatched widgets"),
+    )
+    pages = docs.select("doc_id", inj.alias("text"))
+    return extract_quantities(pages).orderBy(
+        "doc_id", "raw", "unit", "value_milli")
+
+
+_SQL_QUANTITIES = r"""
+WITH inj AS (
+  SELECT doc_id,
+    text || ' raised 1,' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+    || ' dollars and grew ' || (doc_id % 90) || '% serving '
+    || (doc_id % 9) || '.' || (doc_id % 10)
+    || ' million users across ' || (doc_id % 40)
+    || ' km plus ' || (doc_id % 5) || ' unmatched widgets' AS text
+  FROM documents
+),
+m AS (
+  SELECT doc_id, unnest(regexp_extract_all(text,
+    '(\d+(?:,\d{3})*(?:\.\d+)?) ?(thousand|million|billion)? ?(km|kg|percent|users|people|dollars|%)',
+    0)) AS raw
+  FROM inj
+),
+g AS (
+  SELECT doc_id, raw,
+    replace(regexp_extract(raw,
+      '(\d+(?:,\d{3})*(?:\.\d+)?) ?(thousand|million|billion)? ?(km|kg|percent|users|people|dollars|%)',
+      1), ',', '') AS mantissa,
+    regexp_extract(raw,
+      '(\d+(?:,\d{3})*(?:\.\d+)?) ?(thousand|million|billion)? ?(km|kg|percent|users|people|dollars|%)',
+      2) AS sw,
+    regexp_extract(raw,
+      '(\d+(?:,\d{3})*(?:\.\d+)?) ?(thousand|million|billion)? ?(km|kg|percent|users|people|dollars|%)',
+      3) AS unit
+  FROM m
+)
+SELECT doc_id, raw, mantissa,
+       CASE WHEN sw <> '' THEN sw END AS scale_word,
+       CASE WHEN unit = '%' THEN 'percent' ELSE unit END AS unit,
+       CAST(round(CAST(mantissa AS DOUBLE)
+         * CASE sw WHEN 'thousand' THEN 1000
+                   WHEN 'million' THEN 1000000
+                   WHEN 'billion' THEN 1000000000 ELSE 1 END
+         * 1000) AS BIGINT) AS value_milli
+FROM g
+ORDER BY doc_id, raw, unit, value_milli
+"""
+
+
+def _q_comparatives(spark, sf_dir):
+    """Comparative-relation mining with antonym folding: every doc
+    asserts a rotating 'X is faster than Y', every 2nd doc asserts
+    the SAME fact in slower-than form (must fold onto one canonical
+    edge and add support), and every 5th doc asserts a quality edge.
+    The oracle replays the regex, the antonym swap, and the census."""
+    from knowledge_graph_spark.operators.patterns import (
+        comparative_edges)
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+
+    def pick(arr, m):
+        return F.element_at(
+            F.array(*[F.lit(x) for x in arr]), (k % m + 1).cast("int"))
+
+    fast = pick(("redis", "duckdb", "spark"), 3)
+    slow = pick(("postgres", "mysql"), 2)
+    inj = F.concat_ws(
+        " ", F.col("text"),
+        fast, F.lit("is faster than"), slow,
+        F.when(k % 2 == 0, F.concat_ws(
+            " ", slow, F.lit("is slower than"), fast)),
+        F.when(k % 5 == 0, F.concat_ws(
+            " ", fast, F.lit("is worse than"), slow)),
+    )
+    pages = docs.select("doc_id", inj.alias("text"))
+    return comparative_edges(pages).orderBy(
+        "superior", "dimension", "inferior")
+
+
+_SQL_COMPARATIVES = r"""
+WITH inj AS (
+  SELECT doc_id, concat_ws(' ', text,
+    (['redis','duckdb','spark'])[doc_id % 3 + 1], 'is faster than',
+    (['postgres','mysql'])[doc_id % 2 + 1],
+    CASE WHEN doc_id % 2 = 0 THEN
+      (['postgres','mysql'])[doc_id % 2 + 1] || ' is slower than '
+      || (['redis','duckdb','spark'])[doc_id % 3 + 1] END,
+    CASE WHEN doc_id % 5 = 0 THEN
+      (['redis','duckdb','spark'])[doc_id % 3 + 1]
+      || ' is worse than '
+      || (['postgres','mysql'])[doc_id % 2 + 1] END) AS text
+  FROM documents
+),
+m AS (
+  SELECT doc_id, unnest(regexp_extract_all(text,
+    '([A-Za-z0-9_-]+) is (faster|slower|bigger|smaller|cheaper|pricier|better|worse) than ([A-Za-z0-9_-]+)',
+    0)) AS m
+  FROM inj
+),
+g AS (
+  SELECT doc_id,
+    regexp_extract(m, '([A-Za-z0-9_-]+) is (faster|slower|bigger|smaller|cheaper|pricier|better|worse) than ([A-Za-z0-9_-]+)', 1) AS l,
+    regexp_extract(m, '([A-Za-z0-9_-]+) is (faster|slower|bigger|smaller|cheaper|pricier|better|worse) than ([A-Za-z0-9_-]+)', 2) AS c,
+    regexp_extract(m, '([A-Za-z0-9_-]+) is (faster|slower|bigger|smaller|cheaper|pricier|better|worse) than ([A-Za-z0-9_-]+)', 3) AS r
+  FROM m
+),
+canon AS (
+  SELECT doc_id,
+    CASE WHEN c IN ('faster','bigger','cheaper','better') THEN l
+         ELSE r END AS superior,
+    CASE WHEN c IN ('faster','slower') THEN 'speed'
+         WHEN c IN ('bigger','smaller') THEN 'size'
+         WHEN c IN ('cheaper','pricier') THEN 'cost'
+         ELSE 'quality' END AS dimension,
+    CASE WHEN c IN ('faster','bigger','cheaper','better') THEN r
+         ELSE l END AS inferior
+  FROM g
+)
+SELECT superior, dimension, inferior,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM canon
+GROUP BY superior, dimension, inferior
+ORDER BY superior, dimension, inferior
+"""
+
+
+def _q_coordination(spark, sf_dir):
+    """Coordination sibling mining: a rotating 'A, B and C' list per
+    doc (one item shared with the Hearst vocabulary), every 4th doc a
+    duplicate-item list 'x, x, and y' whose self-pair must drop while
+    its cross pairs survive. The oracle replays the regex, the
+    3-pair expansion, the canonical orientation, and the census."""
+    from knowledge_graph_spark.operators.patterns import (
+        coordination_siblings)
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+
+    def pick(arr, m):
+        return F.element_at(
+            F.array(*[F.lit(x) for x in arr]), (k % m + 1).cast("int"))
+
+    a = pick(("Sparrows", "Oaks", "Salmon"), 3)
+    b = pick(("crows", "ferns"), 2)
+    inj = F.concat_ws(
+        " ", F.col("text"),
+        F.concat(a, F.lit(",")), b, F.lit("and trout."),
+        F.when(k % 4 == 0, F.lit("dup, dup, and solo end")),
+    )
+    pages = docs.select("doc_id", inj.alias("text"))
+    return coordination_siblings(pages).orderBy("item_a", "item_b")
+
+
+_SQL_COORDINATION = r"""
+WITH inj AS (
+  SELECT doc_id, concat_ws(' ', text,
+    (['Sparrows','Oaks','Salmon'])[doc_id % 3 + 1] || ',',
+    (['crows','ferns'])[doc_id % 2 + 1], 'and trout.',
+    CASE WHEN doc_id % 4 = 0 THEN 'dup, dup, and solo end' END)
+    AS text
+  FROM documents
+),
+m AS (
+  SELECT doc_id, unnest(regexp_extract_all(text,
+    '([A-Za-z][A-Za-z0-9_-]*), ([A-Za-z][A-Za-z0-9_-]*),? and ([A-Za-z][A-Za-z0-9_-]*)',
+    0)) AS m
+  FROM inj
+),
+g AS (
+  SELECT doc_id,
+    lower(regexp_extract(m, '([A-Za-z][A-Za-z0-9_-]*), ([A-Za-z][A-Za-z0-9_-]*),? and ([A-Za-z][A-Za-z0-9_-]*)', 1)) AS a,
+    lower(regexp_extract(m, '([A-Za-z][A-Za-z0-9_-]*), ([A-Za-z][A-Za-z0-9_-]*),? and ([A-Za-z][A-Za-z0-9_-]*)', 2)) AS b,
+    lower(regexp_extract(m, '([A-Za-z][A-Za-z0-9_-]*), ([A-Za-z][A-Za-z0-9_-]*),? and ([A-Za-z][A-Za-z0-9_-]*)', 3)) AS c
+  FROM m
+),
+pairs AS (
+  SELECT doc_id, least(a, b) AS item_a, greatest(a, b) AS item_b FROM g
+  UNION ALL
+  SELECT doc_id, least(a, c), greatest(a, c) FROM g
+  UNION ALL
+  SELECT doc_id, least(b, c), greatest(b, c) FROM g
+)
+SELECT item_a, item_b,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM pairs
+WHERE item_a <> item_b
+GROUP BY item_a, item_b
+ORDER BY item_a, item_b
+"""
+
+
 def _q_coref(spark, sf_dir):
     """Recency-baseline pronoun resolution: every doc gets a leading
     'He said' (no antecedent yet — must drop) and a trailing 'it ...
@@ -7287,6 +7499,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntriples_export": _q_ntriples,
         "coref_pronouns": _q_coref,
         "bootstrap_relations": _q_bootstrap,
+        "quantities": _q_quantities,
+        "comparative_edges": _q_comparatives,
+        "coordination_pairs": _q_coordination,
         "fact_intervals": _q_fact_intervals,
         "weighted_sample": _q_weighted_sample,
         "doc_links": _q_doc_links,
@@ -7466,6 +7681,9 @@ def oracle_sql() -> dict[str, str]:
         "ntriples_export": _SQL_NTRIPLES,
         "coref_pronouns": _SQL_COREF,
         "bootstrap_relations": _SQL_BOOTSTRAP,
+        "quantities": _SQL_QUANTITIES,
+        "comparative_edges": _SQL_COMPARATIVES,
+        "coordination_pairs": _SQL_COORDINATION,
         "fact_intervals": _SQL_FACT_INTERVALS,
         "url_dup_groups": _SQL_URL_DUP_GROUPS,
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,

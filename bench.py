@@ -112,6 +112,7 @@ def main():
         "entity_salience", "infobox_triples", "reciprocal_links",
         "microdata_entities", "ntriples_export",
         "coref_pronouns", "bootstrap_relations",
+        "quantities", "comparative_edges", "coordination_pairs",
     ]
     qs = entrymod.queries()
     for name in headliners:

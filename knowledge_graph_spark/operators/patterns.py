@@ -316,3 +316,104 @@ def bootstrap_relations(docs: DataFrame, seeds: DataFrame,
         .agg(F.countDistinct("_doc").cast("long").alias("n_docs"))
         .select("subj", "middle", "obj", "n_docs", "pattern_support"))
     return new_pairs
+
+
+#: comparative surface template: "<X> is <cmp> than <Y>". Single-word
+#: arguments (the head-adjacency rule, same declared approximation as
+#: HEARST_PATTERNS). RE2-safe.
+COMPARATIVE_RE = (r"([A-Za-z0-9_-]+) is "
+                  r"(faster|slower|bigger|smaller|cheaper|pricier|"
+                  r"better|worse) than ([A-Za-z0-9_-]+)")
+
+#: comparative -> (dimension, does-the-LEFT-side-win). The losing
+#: direction swaps the endpoints so every edge is (superior,
+#: dimension, inferior) — the canonical partial-order form ranking
+#: and fusion stages consume (cf. Jindal & Liu 2006 "Mining
+#: Comparative Sentences and Relations").
+_COMPARATIVES = {
+    "faster": ("speed", True), "slower": ("speed", False),
+    "bigger": ("size", True), "smaller": ("size", False),
+    "cheaper": ("cost", True), "pricier": ("cost", False),
+    "better": ("quality", True), "worse": ("quality", False),
+}
+
+
+def comparative_edges(pages: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Comparative-relation mining (Jindal & Liu 2006): every
+    "X is <comparative> than Y" sentence asserts a directed
+    partial-order edge. Emits ``(superior, dimension, inferior,
+    n_docs)`` with antonyms folded onto one canonical direction —
+    "A is faster than B" and "B is slower than A" land on the SAME
+    edge and their supports add.
+
+    Scale shape: row-local regex (the body never survives the
+    explode); antonym folding is an in-row CASE; one map-side-combined
+    ``(edge, long)`` count exchange. No UDF, no window, no join.
+    """
+    sql_re = COMPARATIVE_RE.replace("\\", "\\\\")
+    m = pages.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(
+            f"regexp_extract_all({text_col}, '{sql_re}', 0)"))
+        .alias("m"),
+    )
+    left = F.regexp_extract("m", COMPARATIVE_RE, 1)
+    cmpw = F.regexp_extract("m", COMPARATIVE_RE, 2)
+    right = F.regexp_extract("m", COMPARATIVE_RE, 3)
+    dim = F.coalesce(
+        *[F.when(cmpw == w, F.lit(d)) for w, (d, _) in
+          _COMPARATIVES.items()])
+    wins = F.coalesce(
+        *[F.when(cmpw == w, F.lit(lw)) for w, (_, lw) in
+          _COMPARATIVES.items()])
+    return (m.select(
+        "doc_id",
+        F.when(wins, left).otherwise(right).alias("superior"),
+        dim.alias("dimension"),
+        F.when(wins, right).otherwise(left).alias("inferior"))
+        .groupBy("superior", "dimension", "inferior")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_docs")))
+
+
+#: "A, B(,) and C" — a three-item coordination. Single-word items,
+#: RE2-safe. The web's list constructions assert co-hyponymy (the
+#: sibling signal Hearst patterns miss — cf. the set-expansion
+#: literature: Wang & Cohen 2007 SEAL; Google Sets).
+COORDINATION_RE = (r"([A-Za-z][A-Za-z0-9_-]*), "
+                   r"([A-Za-z][A-Za-z0-9_-]*),? and "
+                   r"([A-Za-z][A-Za-z0-9_-]*)")
+
+
+def coordination_siblings(pages: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Coordination sibling mining: every "A, B(,) and C" list
+    asserts pairwise co-hyponym candidates (A,B) (A,C) (B,C). Emits
+    ``(item_a, item_b, n_docs)`` with ``item_a < item_b`` (canonical
+    unordered orientation, lowercase-folded); self-pairs drop.
+
+    Scale shape: row-local regex + an in-row 3-pair array explode;
+    one map-side-combined ``(pair, long)`` count exchange.
+    """
+    sql_re = COORDINATION_RE.replace("\\", "\\\\")
+    m = pages.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(
+            f"regexp_extract_all({text_col}, '{sql_re}', 0)"))
+        .alias("m"),
+    )
+    a = F.lower(F.regexp_extract("m", COORDINATION_RE, 1))
+    b = F.lower(F.regexp_extract("m", COORDINATION_RE, 2))
+    c = F.lower(F.regexp_extract("m", COORDINATION_RE, 3))
+
+    def pair(x, y):
+        return F.struct(F.least(x, y).alias("item_a"),
+                        F.greatest(x, y).alias("item_b"))
+
+    pairs = F.array(pair(a, b), pair(a, c), pair(b, c))
+    return (m.select("doc_id", F.explode(pairs).alias("p"))
+            .select("doc_id", "p.item_a", "p.item_b")
+            .filter(F.col("item_a") != F.col("item_b"))
+            .groupBy("item_a", "item_b")
+            .agg(F.countDistinct("doc_id").cast("long")
+                 .alias("n_docs")))

@@ -486,3 +486,72 @@ def test_to_ntriples_escaping_and_slugs(spark):
         '<http://kg.example/resource/A> '
         '<http://kg.example/prop/p> "l1\\nl2\\tend" .',
     }
+
+
+def test_extract_quantities_forms(spark):
+    """Comma groups strip, scale words multiply, % normalizes,
+    integer thousandths are exact, unitless numbers never match."""
+    from knowledge_graph_spark.operators.measures import (
+        extract_quantities)
+
+    pages = spark.createDataFrame(
+        [(1, "raised 1,250 dollars and grew 40% with 2.5 million "
+             "users over 12 km but 7 widgets"),
+         (2, "0.5 thousand people"),
+         (3, None)],
+        "doc_id long, text string")
+    got = {(r["doc_id"], r["mantissa"], r["scale_word"], r["unit"],
+            r["value_milli"])
+           for r in extract_quantities(pages).collect()}
+    assert got == {
+        (1, "1250", None, "dollars", 1_250_000),
+        (1, "40", None, "percent", 40_000),
+        (1, "2.5", "million", "users", 2_500_000_000),
+        (1, "12", None, "km", 12_000),
+        (2, "0.5", "thousand", "people", 500_000),
+    }
+
+
+def test_comparative_edges_antonym_fold(spark):
+    """'A is faster than B' and 'B is slower than A' land on the SAME
+    canonical edge with added support; dimensions map correctly."""
+    from knowledge_graph_spark.operators.patterns import (
+        comparative_edges)
+
+    pages = spark.createDataFrame(
+        [(1, "redis is faster than postgres"),
+         (2, "postgres is slower than redis"),
+         (3, "redis is faster than postgres and x is cheaper than y"),
+         (4, "a is worse than b"),
+         (5, None)],
+        "doc_id long, text string")
+    got = {(r["superior"], r["dimension"], r["inferior"]): r["n_docs"]
+           for r in comparative_edges(pages).collect()}
+    assert got == {
+        ("redis", "speed", "postgres"): 3,
+        ("x", "cost", "y"): 1,
+        ("b", "quality", "a"): 1,
+    }
+
+
+def test_coordination_siblings_pairs(spark):
+    """Three pairwise edges per list, canonical a<b orientation,
+    lowercase fold, self-pairs from duplicate items drop."""
+    from knowledge_graph_spark.operators.patterns import (
+        coordination_siblings)
+
+    pages = spark.createDataFrame(
+        [(1, "we grow Apples, pears and plums here"),
+         (2, "apples, plums, and pears"),
+         (3, "dup, dup, and solo"),
+         (4, "no lists"),
+         (5, None)],
+        "doc_id long, text string")
+    got = {(r["item_a"], r["item_b"]): r["n_docs"]
+           for r in coordination_siblings(pages).collect()}
+    assert got == {
+        ("apples", "pears"): 2,
+        ("apples", "plums"): 2,
+        ("pears", "plums"): 2,
+        ("dup", "solo"): 1,
+    }
