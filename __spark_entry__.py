@@ -6847,6 +6847,82 @@ ORDER BY doc_id, "key"
 """)
 
 
+def _q_polarity(spark, sf_dir):
+    """Negation-scoped relation extraction: every doc asserts a
+    rotating positive 'X acquired Y', every 2nd doc a negated 'X did
+    not acquire Z', every 3rd a 'never'-cued buy and every 5th a
+    merge with the optional 'with' particle. The oracle replays the
+    shared regex, the tense-folding lemma CASE, and the cue flag."""
+    from knowledge_graph_spark.operators.patterns import (
+        polarity_triples)
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+
+    def pick(arr, m):
+        return F.element_at(
+            F.array(*[F.lit(x) for x in arr]), (k % m + 1).cast("int"))
+
+    a = pick(("Acme", "Globex", "Initech"), 3)
+    b = pick(("Zeta", "Omni"), 2)
+    inj = F.concat_ws(
+        " ", F.col("text"),
+        a, F.lit("acquired"), b,
+        F.when(k % 2 == 0, F.concat_ws(
+            " ", a, F.lit("did not acquire Hooli"))),
+        F.when(k % 3 == 0, F.concat_ws(
+            " ", b, F.lit("never bought"), a)),
+        F.when(k % 5 == 0, F.concat_ws(
+            " ", a, F.lit("merged with"), b)),
+    )
+    pages = docs.select("doc_id", inj.alias("text"))
+    return (polarity_triples(pages)
+            .orderBy("doc_id", "subj", "verb", "obj", "negated"))
+
+
+_SQL_POLARITY = r"""
+WITH inj AS (
+  SELECT doc_id, concat_ws(' ', text,
+    (['Acme','Globex','Initech'])[doc_id % 3 + 1], 'acquired',
+    (['Zeta','Omni'])[doc_id % 2 + 1],
+    CASE WHEN doc_id % 2 = 0 THEN
+      (['Acme','Globex','Initech'])[doc_id % 3 + 1]
+      || ' did not acquire Hooli' END,
+    CASE WHEN doc_id % 3 = 0 THEN
+      (['Zeta','Omni'])[doc_id % 2 + 1] || ' never bought '
+      || (['Acme','Globex','Initech'])[doc_id % 3 + 1] END,
+    CASE WHEN doc_id % 5 = 0 THEN
+      (['Acme','Globex','Initech'])[doc_id % 3 + 1]
+      || ' merged with ' || (['Zeta','Omni'])[doc_id % 2 + 1] END)
+    AS text
+  FROM documents
+),
+m AS (
+  SELECT doc_id, unnest(regexp_extract_all(text,
+    '([A-Za-z][A-Za-z0-9_-]*) (?:(did not|never|no longer) )?(acquired|acquire|bought|buy|sued|sue|hired|hire|merged|merge) (?:with )?([A-Za-z][A-Za-z0-9_-]*)',
+    0)) AS m
+  FROM inj
+),
+g AS (
+  SELECT doc_id,
+    regexp_extract(m, '([A-Za-z][A-Za-z0-9_-]*) (?:(did not|never|no longer) )?(acquired|acquire|bought|buy|sued|sue|hired|hire|merged|merge) (?:with )?([A-Za-z][A-Za-z0-9_-]*)', 1) AS subj,
+    regexp_extract(m, '([A-Za-z][A-Za-z0-9_-]*) (?:(did not|never|no longer) )?(acquired|acquire|bought|buy|sued|sue|hired|hire|merged|merge) (?:with )?([A-Za-z][A-Za-z0-9_-]*)', 2) AS cue,
+    regexp_extract(m, '([A-Za-z][A-Za-z0-9_-]*) (?:(did not|never|no longer) )?(acquired|acquire|bought|buy|sued|sue|hired|hire|merged|merge) (?:with )?([A-Za-z][A-Za-z0-9_-]*)', 3) AS v,
+    regexp_extract(m, '([A-Za-z][A-Za-z0-9_-]*) (?:(did not|never|no longer) )?(acquired|acquire|bought|buy|sued|sue|hired|hire|merged|merge) (?:with )?([A-Za-z][A-Za-z0-9_-]*)', 4) AS obj
+  FROM m
+)
+SELECT doc_id, subj,
+  CASE v WHEN 'acquired' THEN 'acquire' WHEN 'acquire' THEN 'acquire'
+         WHEN 'bought' THEN 'buy' WHEN 'buy' THEN 'buy'
+         WHEN 'sued' THEN 'sue' WHEN 'sue' THEN 'sue'
+         WHEN 'hired' THEN 'hire' WHEN 'hire' THEN 'hire'
+         ELSE 'merge' END AS verb,
+  obj, (cue <> '') AS negated
+FROM g
+ORDER BY doc_id, subj, verb, obj, negated
+"""
+
+
 def _q_quantities(spark, sf_dir):
     """Quantity extraction over injected measurements: comma-grouped
     integers, decimal + scale-word forms, bare '%' (normalizes to
@@ -7502,6 +7578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantities": _q_quantities,
         "comparative_edges": _q_comparatives,
         "coordination_pairs": _q_coordination,
+        "polarity_triples": _q_polarity,
         "fact_intervals": _q_fact_intervals,
         "weighted_sample": _q_weighted_sample,
         "doc_links": _q_doc_links,
@@ -7684,6 +7761,7 @@ def oracle_sql() -> dict[str, str]:
         "quantities": _SQL_QUANTITIES,
         "comparative_edges": _SQL_COMPARATIVES,
         "coordination_pairs": _SQL_COORDINATION,
+        "polarity_triples": _SQL_POLARITY,
         "fact_intervals": _SQL_FACT_INTERVALS,
         "url_dup_groups": _SQL_URL_DUP_GROUPS,
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,

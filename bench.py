@@ -113,6 +113,7 @@ def main():
         "microdata_entities", "ntriples_export",
         "coref_pronouns", "bootstrap_relations",
         "quantities", "comparative_edges", "coordination_pairs",
+        "polarity_triples",
     ]
     qs = entrymod.queries()
     for name in headliners:

@@ -417,3 +417,57 @@ def coordination_siblings(pages: DataFrame, id_col: str = "doc_id",
             .groupBy("item_a", "item_b")
             .agg(F.countDistinct("doc_id").cast("long")
                  .alias("n_docs")))
+
+
+#: "X [did not|never|no longer] <verb> Y" — polarity-aware relation
+#: surface. Verb vocabulary is declared; negated forms use the
+#: infinitive, asserted forms the past tense, so the lemma CASE below
+#: folds both onto one relation name. RE2-safe (no lookaround).
+NEGATION_RE = (r"([A-Za-z][A-Za-z0-9_-]*) "
+               r"(?:(did not|never|no longer) )?"
+               r"(acquired|acquire|bought|buy|sued|sue|hired|hire|"
+               r"merged|merge) "
+               r"(?:with )?([A-Za-z][A-Za-z0-9_-]*)")
+
+_VERB_LEMMA = {
+    "acquired": "acquire", "acquire": "acquire",
+    "bought": "buy", "buy": "buy",
+    "sued": "sue", "sue": "sue",
+    "hired": "hire", "hire": "hire",
+    "merged": "merge", "merge": "merge",
+}
+
+
+def polarity_triples(pages: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Negation-scoped relation extraction — the KG precision guard
+    (NegEx, Chapman et al. 2001: a fact extractor that can't see
+    "did not" asserts the OPPOSITE of the page; negation detection is
+    the cheapest highest-yield precision filter a triple pipeline
+    has). Emits ``(doc_id, subj, verb, obj, negated)`` with the verb
+    lemma folded across tense and ``negated`` true when a declared
+    cue ("did not", "never", "no longer") scopes the verb — fusion
+    stages downstream treat negated rows as counter-evidence instead
+    of support.
+
+    Scale shape: one row-local RE2 regex pass (shared verbatim with
+    the SQL oracle) + in-row CASE folds; the page body never survives
+    the explode; no exchange at all (the census is the caller's)."""
+    sql_re = NEGATION_RE.replace("\\", "\\\\")
+    m = pages.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(
+            f"regexp_extract_all({text_col}, '{sql_re}', 0)"))
+        .alias("m"),
+    )
+    verb_raw = F.regexp_extract("m", NEGATION_RE, 3)
+    lemma = F.coalesce(
+        *[F.when(verb_raw == w, F.lit(l))
+          for w, l in _VERB_LEMMA.items()])
+    return m.select(
+        "doc_id",
+        F.regexp_extract("m", NEGATION_RE, 1).alias("subj"),
+        lemma.alias("verb"),
+        F.regexp_extract("m", NEGATION_RE, 4).alias("obj"),
+        (F.regexp_extract("m", NEGATION_RE, 2) != "").alias("negated"),
+    )

@@ -555,3 +555,28 @@ def test_coordination_siblings_pairs(spark):
         ("pears", "plums"): 2,
         ("dup", "solo"): 1,
     }
+
+
+def test_polarity_triples_negation(spark):
+    """Negation cues flip the flag, never change the triple; tense
+    folds onto one lemma; 'with' particle is transparent; verbs
+    outside the vocabulary never match."""
+    from knowledge_graph_spark.operators.patterns import (
+        polarity_triples)
+
+    pages = spark.createDataFrame(
+        [(1, "Acme acquired Zeta but Acme did not acquire Hooli"),
+         (2, "Omni never bought Acme and Omni merged with Zeta"),
+         (3, "Acme no longer sue Zeta"),
+         (4, "Acme endorsed Zeta"),
+         (5, None)],
+        "doc_id long, text string")
+    got = {(r["doc_id"], r["subj"], r["verb"], r["obj"], r["negated"])
+           for r in polarity_triples(pages).collect()}
+    assert got == {
+        (1, "Acme", "acquire", "Zeta", False),
+        (1, "Acme", "acquire", "Hooli", True),
+        (2, "Omni", "buy", "Acme", True),
+        (2, "Omni", "merge", "Zeta", False),
+        (3, "Acme", "sue", "Zeta", True),
+    }
