@@ -6847,6 +6847,80 @@ ORDER BY doc_id, "key"
 """)
 
 
+def _q_type_check(spark, sf_dir):
+    """Ontology domain/range validation: synthetic triples over a
+    10-entity typed vocabulary (one entity deliberately multi-typed),
+    an unconstrained predicate (vacuous pass with NULL flags), and
+    every 5th doc an UNTYPED subject that must fail strict mode. The
+    oracle replays the type-set fold, both attachments, and the
+    three-valued flag algebra."""
+    from knowledge_graph_spark.operators.fusion import type_check_triples
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    e = lambda m: F.concat(F.lit("e"), (k % m).cast("string"))
+    t1 = F.struct(e(10).alias("subj"), F.lit("employs").alias("pred"),
+                  e(7).alias("obj"))
+    t2 = F.struct(e(10).alias("subj"), F.lit("likes").alias("pred"),
+                  e(3).alias("obj"))
+    t3 = F.when(k % 5 == 0, F.struct(
+        F.concat(F.lit("u"), (k % 4).cast("string")).alias("subj"),
+        F.lit("employs").alias("pred"), e(6).alias("obj")))
+    triples = (docs.select(F.explode(F.array(t1, t2, t3)).alias("t"))
+               .filter(F.col("t.subj").isNotNull())
+               .select("t.subj", "t.pred", "t.obj"))
+    ents = spark.createDataFrame(
+        [(f"e{i}", "Org" if i % 2 == 0 else "Person")
+         for i in range(10)] + [("e2", "Person")],
+        "entity string, type string")
+    cons = spark.createDataFrame(
+        [("employs", "Org", "Person"), ("acquired", "Org", "Org")],
+        "pred string, domain string, range string")
+    return (type_check_triples(triples, ents, cons)
+            .orderBy("subj", "pred", "obj", "ok"))
+
+
+_SQL_TYPE_CHECK = r"""
+WITH tr AS (
+  SELECT 'e' || (doc_id % 10) AS subj, 'employs' AS pred,
+         'e' || (doc_id % 7) AS obj
+  FROM documents
+  UNION ALL
+  SELECT 'e' || (doc_id % 10), 'likes', 'e' || (doc_id % 3)
+  FROM documents
+  UNION ALL
+  SELECT 'u' || (doc_id % 4), 'employs', 'e' || (doc_id % 6)
+  FROM documents WHERE doc_id % 5 = 0
+),
+et(entity, typ) AS (VALUES
+  ('e0','Org'), ('e1','Person'), ('e2','Org'), ('e3','Person'),
+  ('e4','Org'), ('e5','Person'), ('e6','Org'), ('e7','Person'),
+  ('e8','Org'), ('e9','Person'), ('e2','Person')),
+tl AS (SELECT entity, list(DISTINCT typ) AS types
+       FROM et GROUP BY entity),
+c(pred, dom, rng) AS (VALUES ('employs', 'Org', 'Person'),
+                             ('acquired', 'Org', 'Org'))
+SELECT tr.subj AS subj, tr.pred AS pred, tr.obj AS obj,
+  CASE WHEN c.dom IS NOT NULL
+       THEN COALESCE(list_contains(ts.types, c.dom), false)
+  END AS domain_ok,
+  CASE WHEN c.rng IS NOT NULL
+       THEN COALESCE(list_contains(tos.types, c.rng), false)
+  END AS range_ok,
+  (COALESCE(CASE WHEN c.dom IS NOT NULL
+     THEN COALESCE(list_contains(ts.types, c.dom), false) END, true)
+   AND
+   COALESCE(CASE WHEN c.rng IS NOT NULL
+     THEN COALESCE(list_contains(tos.types, c.rng), false) END, true))
+    AS ok
+FROM tr
+LEFT JOIN c ON tr.pred = c.pred
+LEFT JOIN tl ts ON tr.subj = ts.entity
+LEFT JOIN tl tos ON tr.obj = tos.entity
+ORDER BY tr.subj, tr.pred, tr.obj, ok
+"""
+
+
 def _q_polarity(spark, sf_dir):
     """Negation-scoped relation extraction: every doc asserts a
     rotating positive 'X acquired Y', every 2nd doc a negated 'X did
@@ -7579,6 +7653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "comparative_edges": _q_comparatives,
         "coordination_pairs": _q_coordination,
         "polarity_triples": _q_polarity,
+        "type_checked_triples": _q_type_check,
         "fact_intervals": _q_fact_intervals,
         "weighted_sample": _q_weighted_sample,
         "doc_links": _q_doc_links,
@@ -7762,6 +7837,7 @@ def oracle_sql() -> dict[str, str]:
         "comparative_edges": _SQL_COMPARATIVES,
         "coordination_pairs": _SQL_COORDINATION,
         "polarity_triples": _SQL_POLARITY,
+        "type_checked_triples": _SQL_TYPE_CHECK,
         "fact_intervals": _SQL_FACT_INTERVALS,
         "url_dup_groups": _SQL_URL_DUP_GROUPS,
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,

@@ -113,7 +113,7 @@ def main():
         "microdata_entities", "ntriples_export",
         "coref_pronouns", "bootstrap_relations",
         "quantities", "comparative_edges", "coordination_pairs",
-        "polarity_triples",
+        "polarity_triples", "type_checked_triples",
     ]
     qs = entrymod.queries()
     for name in headliners:

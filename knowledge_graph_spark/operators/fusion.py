@@ -86,3 +86,64 @@ def fuse_triples(assertions: DataFrame,
             "n_objects", "support_total",
         )
     )
+
+
+def type_check_triples(triples: DataFrame, entity_types: DataFrame,
+                       constraints: DataFrame,
+                       subj_col: str = "subj", pred_col: str = "pred",
+                       obj_col: str = "obj") -> DataFrame:
+    """Ontology domain/range validation — Knowledge Vault's type
+    prior (Dong et al. 2014 §4.2; also the RDFS semantics every
+    triple store enforces: a predicate declares the types its subject
+    and object must carry). A triple whose endpoints violate the
+    predicate's declared (domain, range) is the highest-precision
+    error signal a fusion stage has — "acquired" linking a Person to
+    a Date is wrong regardless of how many pages assert it.
+
+    Inputs: ``entity_types(entity, type)`` (from the microdata /
+    JSON-LD harvest or the linking stage — an entity may carry
+    several types) and ``constraints(pred, domain, range)`` (the
+    schema — predicate-scale, tiny). Emits one row per (triple,
+    evaluated constraint): ``(subj, pred, obj, domain_ok, range_ok,
+    ok)`` where each flag is true when the endpoint carries ANY type
+    satisfying the constraint; triples whose predicate has no
+    declared constraint pass vacuously (ok with NULL flags, the open-
+    world default); an endpoint with NO known type fails its flag
+    (strict mode — the caller routes those to linking, not to the
+    graph).
+
+    Scale shape: ``constraints`` broadcasts (predicate vocabulary);
+    the two type attachments are equi-joins against per-endpoint
+    type-set AGGREGATES (entity_types folds to (entity, type_list)
+    first — one map-side-combined agg each, so a hub entity
+    contributes ONE row per side, never a fan-out per assertion).
+    """
+    tl = (entity_types
+          .groupBy(F.col("entity"))
+          .agg(F.collect_set("type").alias("_types")))
+    c = F.broadcast(constraints.select(
+        F.col("pred"), F.col("domain").alias("_dom"),
+        F.col("range").alias("_rng")))
+    out = (triples
+           .join(c, triples[pred_col] == c["pred"], "left")
+           .drop(c["pred"])
+           .join(tl.select(F.col("entity").alias("_se"),
+                           F.col("_types").alias("_st")),
+                 triples[subj_col] == F.col("_se"), "left")
+           .join(tl.select(F.col("entity").alias("_oe"),
+                           F.col("_types").alias("_ot")),
+                 triples[obj_col] == F.col("_oe"), "left"))
+    dom_ok = F.when(
+        F.col("_dom").isNotNull(),
+        F.coalesce(F.array_contains(F.col("_st"), F.col("_dom")),
+                   F.lit(False)))
+    rng_ok = F.when(
+        F.col("_rng").isNotNull(),
+        F.coalesce(F.array_contains(F.col("_ot"), F.col("_rng")),
+                   F.lit(False)))
+    return out.select(
+        F.col(subj_col).alias("subj"), F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("obj"),
+        dom_ok.alias("domain_ok"), rng_ok.alias("range_ok"),
+        (F.coalesce(dom_ok, F.lit(True))
+         & F.coalesce(rng_ok, F.lit(True))).alias("ok"))

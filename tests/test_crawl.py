@@ -580,3 +580,38 @@ def test_polarity_triples_negation(spark):
         (2, "Omni", "merge", "Zeta", False),
         (3, "Acme", "sue", "Zeta", True),
     }
+
+
+def test_type_check_triples_flags(spark):
+    """Domain/range flags: pass when ANY type satisfies (multi-typed
+    entity), fail strictly when the endpoint is untyped, NULL flags +
+    vacuous pass for unconstrained predicates."""
+    from knowledge_graph_spark.operators.fusion import (
+        type_check_triples)
+
+    triples = spark.createDataFrame(
+        [("acme", "employs", "ada"),     # Org -> Person: ok
+         ("ada", "employs", "acme"),     # Person domain: fail
+         ("acme", "employs", "ghost"),   # untyped range: fail
+         ("acme", "likes", "ada"),       # unconstrained: vacuous
+         ("dual", "employs", "ada")],    # multi-typed subj: ok
+        "subj string, pred string, obj string")
+    ents = spark.createDataFrame(
+        [("acme", "Org"), ("ada", "Person"),
+         ("dual", "Person"), ("dual", "Org")],
+        "entity string, type string")
+    cons = spark.createDataFrame(
+        [("employs", "Org", "Person")],
+        "pred string, domain string, range string")
+    got = {(r["subj"], r["pred"], r["obj"]):
+           (r["domain_ok"], r["range_ok"], r["ok"])
+           for r in type_check_triples(triples, ents, cons).collect()}
+    assert got[("acme", "employs", "ada")] == (True, True, True)
+    assert got[("ada", "employs", "acme")] == (False, False, False)
+    assert got[("acme", "employs", "ghost")] == (True, False, False)
+    assert got[("dual", "employs", "ada")] == (True, True, True)
+    # unconstrained predicate: NULL flags, vacuous pass
+    lik = [r for r in type_check_triples(triples, ents, cons)
+           .filter("pred = 'likes'").collect()][0]
+    assert lik["domain_ok"] is None and lik["range_ok"] is None
+    assert lik["ok"] is True
