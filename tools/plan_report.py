@@ -124,6 +124,23 @@ def main():
         # acronym mining + date normalization (row-local regex)
         "acronyms",
         "doc_dates",
+        # second continuation: URL template census, host co-citation,
+        # truecasing vote, bitext candidates, temporal fact scoping
+        # (taxonomy_forest is pointer-doubling iterative — excluded)
+        "url_templates", "cocitation", "truecase",
+        "bitext_candidates", "fact_intervals",
+        # third continuation: salience (doc-bounded rank window),
+        # infobox pivot (doc-keyed aggs), reciprocity census (bounded
+        # self-join), microdata + N-Triples (zero-exchange codegen),
+        # coref (doc-bounded window), bootstrapping (broadcast seeds/
+        # patterns), quantities/comparatives/coordination/polarity
+        # (row-local regex + count aggs), ontology type check
+        # (broadcast constraints + folded type-set joins)
+        "entity_salience", "infobox_triples", "reciprocal_links",
+        "microdata_entities", "ntriples_export", "coref_pronouns",
+        "bootstrap_relations", "quantities", "comparative_edges",
+        "coordination_pairs", "polarity_triples",
+        "type_checked_triples",
     ]
     qs = entrymod.queries()
     lines = [
