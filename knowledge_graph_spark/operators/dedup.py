@@ -402,8 +402,20 @@ def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame,
     """Exact Jaccard over word-n-gram sets for given (id_a, id_b) pairs.
 
     Set-based: |A∩B| via a groupBy over the shingle join; |A|,|B| from a
-    pre-aggregated size table. No quadratic work, no Python."""
-    sh = shingle_table(docs, id_col, text_col, n)
+    pre-aggregated size table. No quadratic work, no Python.
+
+    The shingle stream is pruned (semi join) to pair participants and
+    ``localCheckpoint``-ed before its three references (sizes, side A,
+    side B) — otherwise each reference re-tokenizes and re-shingles
+    the corpus; the materialized slice is bounded by the candidate
+    set the caller already committed to verifying."""
+    pairs = pairs.localCheckpoint(eager=True)
+    ids = (pairs.select(F.col("id_a").alias("doc_id"))
+           .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+           .distinct())
+    sh = (shingle_table(docs, id_col, text_col, n)
+          .join(ids, "doc_id", "leftsemi")
+          .localCheckpoint(eager=True))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
 
     sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
@@ -445,8 +457,20 @@ def containment_pairs(docs: DataFrame, pairs: DataFrame,
     Scale shape: same as :func:`ngram_jaccard_pairs` — candidate
     ``pairs`` come from an LSH blocking stage, never O(N²); the
     intersection is a shingle-keyed join on the candidate set only,
-    sizes come from a pre-aggregated per-doc table."""
-    sh = shingle_table(docs, id_col, text_col, n)
+    sizes come from a pre-aggregated per-doc table. The shingle
+    stream is pruned (semi join) to PAIR PARTICIPANTS first, then
+    ``localCheckpoint``-ed: it is referenced three times below
+    (sizes, side A, side B), and without the checkpoint each
+    reference would re-tokenize and re-shingle the corpus — the
+    materialized slice is bounded by the candidate set the caller
+    already committed to verifying."""
+    pairs = pairs.localCheckpoint(eager=True)
+    ids = (pairs.select(F.col("id_a").alias("doc_id"))
+           .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+           .distinct())
+    sh = (shingle_table(docs, id_col, text_col, n)
+          .join(ids, "doc_id", "leftsemi")
+          .localCheckpoint(eager=True))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
 
     sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")

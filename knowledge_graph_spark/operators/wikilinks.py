@@ -204,30 +204,42 @@ def distant_labels(pages: DataFrame, dictionary: DataFrame,
     argmax per key).
 
     Scale shape: the page side explodes to (doc, pos, gram-key) rows
-    — bounded at ``max_gram`` rows per token — and the dictionary is
-    the BROADCAST build side of the only join, so the token stream
-    never shuffles for matching; the longest-match argmax is one
-    in-aggregate max over (doc, pos) groups."""
+    — bounded at ``max_gram`` rows per token, built ARRAY-SIDE in one
+    pass so the token array is never replicated per exploded row —
+    and the dictionary is the BROADCAST build side of the only join,
+    so the token stream never shuffles for matching; the longest-match
+    argmax is one in-aggregate max over (doc, pos) groups."""
     if max_gram < 1:
         raise ValueError(f"max_gram must be >= 1 (got {max_gram})")
-    toks = pages.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.coalesce(ws_tokens(text_col), F.array()))
-        .alias("pos", "_w"),
-        F.coalesce(ws_tokens(text_col), F.array()).alias("_all"),
-    )
-    grams = []
-    for n in range(1, max_gram + 1):
-        grams.append(
-            toks.filter(F.size("_all") >= F.col("pos") + n).select(
-                "doc_id", "pos", F.lit(n).alias("n_words"),
+    a = F.coalesce(ws_tokens(text_col), F.array())
+    empty = F.array().cast(
+        "array<struct<pos:int,n_words:int,surface:string>>")
+    def _gram_structs(n):
+        # single-arg lambda on purpose: a 2-arity lambda would make
+        # transform() bind the array INDEX as the second parameter
+        def build(i):
+            return F.struct(
+                i.cast("int").alias("pos"),
+                F.lit(n).cast("int").alias("n_words"),
                 F.concat_ws(
-                    " ",
-                    F.slice("_all", F.col("pos") + 1, n)).alias("surface"),
-            ))
-    cand = grams[0]
-    for g in grams[1:]:
-        cand = cand.unionAll(g)
+                    " ", F.slice(a, i + F.lit(1), F.lit(n))
+                ).alias("surface"),
+            )
+        return F.transform(F.sequence(F.lit(0), F.size(a) - n), build)
+
+    branches = []
+    for n in range(1, max_gram + 1):
+        # sequence(0, size-n) counts DOWN when size < n — guard first
+        branches.append(
+            F.when(F.size(a) >= n, _gram_structs(n)).otherwise(empty))
+    cand = (
+        pages.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.flatten(F.array(*branches))).alias("_g"))
+        .select("doc_id", F.col("_g.pos").alias("pos"),
+                F.col("_g.n_words").alias("n_words"),
+                F.col("_g.surface").alias("surface"))
+    )
     d = dictionary.select(F.col("anchor_key"), F.col("target"))
     hits = cand.join(
         F.broadcast(d),
