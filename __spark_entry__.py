@@ -7553,6 +7553,311 @@ ORDER BY host_a, host_b
 # ---------------------------------------------------------------------------
 
 
+def _kb_triples(spark, sf_dir):
+    """Shared KB for the rule-mining queries: a (subj, pred, obj)
+    triple table derived deterministically from the TPC-H relations —
+    supplies (distinct lineitem supplier->part), has_brand,
+    located_in, in_region as full predicates, plus two DELIBERATELY
+    PARTIAL head predicates (makes_brand for even suppliers, based_in
+    for every-3rd suppliers) so mined rules carry confidence < 1 and
+    the PCA/CWA denominators genuinely differ."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    s = lambda c: F.concat(F.lit("s"), F.col(c).cast("string"))
+    p = lambda c: F.concat(F.lit("p"), F.col(c).cast("string"))
+    n = lambda c: F.concat(F.lit("n"), F.col(c).cast("string"))
+    r = lambda c: F.concat(F.lit("r"), F.col(c).cast("string"))
+    supplies = (li.select(s("l_suppkey").alias("subj"),
+                          F.lit("supplies").alias("pred"),
+                          p("l_partkey").alias("obj")).distinct())
+    has_brand = part.select(p("p_partkey").alias("subj"),
+                            F.lit("has_brand").alias("pred"),
+                            F.col("p_brand").alias("obj"))
+    located = sup.select(s("s_suppkey").alias("subj"),
+                         F.lit("located_in").alias("pred"),
+                         n("s_nationkey").alias("obj"))
+    in_reg = nat.select(n("n_nationkey").alias("subj"),
+                        F.lit("in_region").alias("pred"),
+                        r("n_regionkey").alias("obj"))
+    makes = (li.filter(F.col("l_suppkey") % 2 == 0)
+             .join(part, li["l_partkey"] == part["p_partkey"])
+             .select(s("l_suppkey").alias("subj"),
+                     F.lit("makes_brand").alias("pred"),
+                     F.col("p_brand").alias("obj")).distinct())
+    based = (sup.filter(F.col("s_suppkey") % 3 == 0)
+             .join(nat, sup["s_nationkey"] == nat["n_nationkey"])
+             .select(s("s_suppkey").alias("subj"),
+                     F.lit("based_in").alias("pred"),
+                     r("n_regionkey").alias("obj")))
+    kb = supplies
+    for t in (has_brand, located, in_reg, makes, based):
+        kb = kb.unionByName(t)
+    return kb
+
+
+_SQL_KB = r"""
+kb AS (
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS subj,
+         'supplies' AS pred, 'p' || CAST(l_partkey AS VARCHAR) AS obj
+  FROM lineitem
+  UNION ALL
+  SELECT 'p' || CAST(p_partkey AS VARCHAR), 'has_brand', p_brand
+  FROM part
+  UNION ALL
+  SELECT 's' || CAST(s_suppkey AS VARCHAR), 'located_in',
+         'n' || CAST(s_nationkey AS VARCHAR)
+  FROM supplier
+  UNION ALL
+  SELECT 'n' || CAST(n_nationkey AS VARCHAR), 'in_region',
+         'r' || CAST(n_regionkey AS VARCHAR)
+  FROM nation
+  UNION ALL
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR), 'makes_brand',
+         p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_suppkey % 2 = 0
+  UNION ALL
+  SELECT 's' || CAST(s_suppkey AS VARCHAR), 'based_in',
+         'r' || CAST(n_regionkey AS VARCHAR)
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE s_suppkey % 3 = 0
+)"""
+
+
+def _q_amie_rules(spark, sf_dir):
+    """AMIE-style chain-rule mining (Galarraga et al., WWW 2013) over
+    the TPC-H-derived KB: the two plantable rules are supplies(x,z) ∧
+    has_brand(z,y) ⇒ makes_brand(x,y) (head present only for even
+    suppliers — CWA confidence ~0.5) and located_in(x,z) ∧
+    in_region(z,y) ⇒ based_in(x,y) (every-3rd suppliers — ~0.33);
+    PCA denominators count only x with SOME head edge, so pca_pairs <
+    body_pairs on both. Integer ingredients only; the oracle replays
+    the distinct body join, the head join, and both denominators."""
+    from knowledge_graph_spark.operators.rules import amie_rules
+
+    kb = _kb_triples(spark, sf_dir)
+    return (amie_rules(kb, min_support=2)
+            .orderBy("r1", "r2", "r3"))
+
+
+_SQL_AMIE_RULES = r"""
+WITH """ + _SQL_KB + r""",
+t AS (SELECT DISTINCT subj AS s, pred AS p, obj AS o FROM kb
+      WHERE subj IS NOT NULL AND pred IS NOT NULL AND obj IS NOT NULL),
+body AS (
+  SELECT DISTINCT t1.p AS r1, t2.p AS r2, t1.s AS x, t2.o AS y
+  FROM t t1 JOIN t t2 ON t1.o = t2.s
+),
+sup AS (
+  SELECT b.r1, b.r2, h.p AS r3, CAST(COUNT(*) AS BIGINT) AS support
+  FROM body b JOIN t h ON h.s = b.x AND h.o = b.y
+  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+),
+bn AS (
+  SELECT r1, r2, CAST(COUNT(*) AS BIGINT) AS body_pairs
+  FROM body GROUP BY 1, 2
+),
+r3x AS (SELECT DISTINCT p AS r3, s AS x FROM t),
+pca AS (
+  SELECT b.r1, b.r2, r3x.r3, CAST(COUNT(*) AS BIGINT) AS pca_pairs
+  FROM body b JOIN r3x ON r3x.x = b.x
+  GROUP BY 1, 2, 3
+)
+SELECT sup.r1, sup.r2, sup.r3, sup.support, bn.body_pairs,
+       pca.pca_pairs
+FROM sup
+JOIN bn ON bn.r1 = sup.r1 AND bn.r2 = sup.r2
+JOIN pca ON pca.r1 = sup.r1 AND pca.r2 = sup.r2 AND pca.r3 = sup.r3
+ORDER BY sup.r1, sup.r2, sup.r3
+"""
+
+
+def _q_char_sets(spark, sf_dir):
+    """Characteristic-set census (Neumann & Moerkotte, ICDE 2011)
+    over the same TPC-H-derived KB: subjects group by their distinct
+    predicate SET — suppliers split into {located_in, supplies},
+    {based_in, located_in, supplies}, {located_in, makes_brand,
+    supplies} and the full four-predicate shape depending on the
+    mod-2/mod-3 head planting, parts are all {has_brand}, nations
+    {in_region}. The census is the RDF cardinality-estimation
+    statistic AND an induced soft schema. The oracle replays the
+    per-subject set fold and the set-keyed count."""
+    from knowledge_graph_spark.operators.rules import characteristic_sets
+
+    kb = _kb_triples(spark, sf_dir)
+    return (characteristic_sets(kb)
+            .orderBy("char_set"))
+
+
+_SQL_CHAR_SETS = r"""
+WITH """ + _SQL_KB + r""",
+per_subj AS (
+  SELECT subj,
+         string_agg(DISTINCT pred, ',' ORDER BY pred) AS char_set,
+         CAST(COUNT(DISTINCT pred) AS BIGINT) AS set_size,
+         CAST(COUNT(*) AS BIGINT) AS n_t
+  FROM kb WHERE subj IS NOT NULL AND pred IS NOT NULL
+  GROUP BY subj
+)
+SELECT char_set, set_size,
+       CAST(COUNT(*) AS BIGINT) AS n_subjects,
+       CAST(SUM(n_t) AS BIGINT) AS n_triples
+FROM per_subj
+GROUP BY char_set, set_size
+ORDER BY char_set
+"""
+
+
+def _q_truth_discovery(spark, sf_dir):
+    """Iterative source-trust truth discovery (Pasternack & Roth
+    2010 "Sums"; the TruthFinder-style pass fusion.py's one-shot
+    voter declares out of scope) over synthesized conflicting
+    assertions: subjects/predicates collide on mod residues while
+    the object rotates on a coprime modulus, so every (subj, pred)
+    accumulates competing candidates backed by different source
+    sets. Three integer-exact belief/trust rounds — no float ever
+    enters, so the oracle replays the recurrence bit-for-bit as
+    chained CTEs."""
+    from knowledge_graph_spark.operators.fusion import truth_discovery
+
+    docs = _t(spark, sf_dir, "documents")
+    assertions = docs.select(
+        F.col("source").alias("source_id"),
+        F.concat(F.lit("e"), (F.col("doc_id") % 17).cast("string"))
+        .alias("subj"),
+        F.element_at(
+            F.array(F.lit("hq"), F.lit("ceo"), F.lit("founder")),
+            (F.col("doc_id") % 3 + 1).cast("int")).alias("pred"),
+        F.concat(F.lit("v"), ((F.col("doc_id") * 5) % 6).cast("string"))
+        .alias("obj"),
+    )
+    return (truth_discovery(assertions, n_iters=3)
+            .orderBy("subj", "pred"))
+
+
+_SQL_TRUTH_DISCOVERY = r"""
+WITH a AS (
+  SELECT DISTINCT source AS src,
+    'e' || (doc_id % 17) AS subj,
+    (['hq', 'ceo', 'founder'])[doc_id % 3 + 1] AS pred,
+    'v' || ((doc_id * 5) % 6) AS obj
+  FROM documents
+),
+c1 AS (SELECT subj, pred, obj, CAST(COUNT(*) AS BIGINT) AS b
+       FROM a GROUP BY 1, 2, 3),
+t1 AS (SELECT src, CAST(SUM(b) AS BIGINT) AS t
+       FROM a JOIN c1 USING (subj, pred, obj) GROUP BY 1),
+c2 AS (SELECT subj, pred, obj, CAST(SUM(t) AS BIGINT) AS b
+       FROM a JOIN t1 USING (src) GROUP BY 1, 2, 3),
+t2 AS (SELECT src, CAST(SUM(b) AS BIGINT) AS t
+       FROM a JOIN c2 USING (subj, pred, obj) GROUP BY 1),
+c3 AS (SELECT subj, pred, obj, CAST(SUM(t) AS BIGINT) AS b
+       FROM a JOIN t2 USING (src) GROUP BY 1, 2, 3),
+ns AS (SELECT subj, pred, obj, CAST(COUNT(DISTINCT src) AS BIGINT)
+         AS n_sources
+       FROM a GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT c3.subj, c3.pred, c3.obj, c3.b AS belief, ns.n_sources,
+         row_number() OVER (PARTITION BY c3.subj, c3.pred
+                            ORDER BY c3.b DESC, c3.obj ASC) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY c3.subj, c3.pred) AS BIGINT)
+           AS n_objects
+  FROM c3 JOIN ns USING (subj, pred, obj)
+)
+SELECT subj, pred, obj, belief, n_sources, n_objects
+FROM ranked WHERE rn = 1 ORDER BY subj, pred
+"""
+
+
+def _q_dirt_paths(spark, sf_dir):
+    """DIRT inference-rule mining (Lin & Pantel, KDD 2001) over
+    injected paraphrase sentences: every doc asserts '<Name> works at
+    <Org>' (names and orgs rotate on mod-3/mod-2), every even doc
+    adds the 3-token paraphrase 'is employed by' for the SAME pair,
+    and every 5th adds 'consults for' — so paraphrase path pairs
+    share argument pairs while real-text windows contribute organic
+    noise the entity gate mostly removes. The oracle replays the
+    windowed candidate generation, the entity gate, the distinct
+    (path, pair) fold, the promiscuous-pair guard, and the
+    triangular co-count."""
+    from knowledge_graph_spark.operators.patterns import dirt_paths
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    name = F.element_at(
+        F.array(F.lit("Alice"), F.lit("Bob"), F.lit("Carol")),
+        (k % 3 + 1).cast("int"))
+    org = F.element_at(
+        F.array(F.lit("Acme"), F.lit("Globex")),
+        (k % 2 + 1).cast("int"))
+    pages = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.col("text"),
+            name, F.lit("works at"), org,
+            F.when(k % 2 == 0,
+                   F.concat_ws(" ", name, F.lit("is employed by"), org)),
+            F.when(k % 5 == 0,
+                   F.concat_ws(" ", name, F.lit("consults for"), org)),
+        ).alias("text"))
+    return (dirt_paths(pages, max_middle=3, min_shared=2)
+            .orderBy("path_a", "path_b"))
+
+
+_SQL_DIRT_PATHS = r"""
+WITH inj AS (
+  SELECT doc_id, concat_ws(' ', text,
+    (['Alice','Bob','Carol'])[doc_id % 3 + 1], 'works at',
+    (['Acme','Globex'])[doc_id % 2 + 1],
+    CASE WHEN doc_id % 2 = 0 THEN
+      (['Alice','Bob','Carol'])[doc_id % 3 + 1] || ' is employed by '
+      || (['Acme','Globex'])[doc_id % 2 + 1] END,
+    CASE WHEN doc_id % 5 = 0 THEN
+      (['Alice','Bob','Carol'])[doc_id % 3 + 1] || ' consults for '
+      || (['Acme','Globex'])[doc_id % 2 + 1] END) AS text
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, regexp_split_to_array(text, '\s+') AS a
+  FROM inj WHERE text IS NOT NULL
+),
+cand AS (
+  SELECT a[i] AS s,
+         array_to_string(list_slice(a, i + 1, i + l), ' ') AS middle,
+         a[i + l + 1] AS o
+  FROM (SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i
+        FROM tok WHERE len(a) >= 3),
+       (SELECT unnest(generate_series(1, 3)) AS l)
+  WHERE i + l + 1 <= len(a) AND a[i] <> '' AND a[i + l + 1] <> ''
+),
+tri AS (
+  SELECT DISTINCT middle, s AS a, o AS b FROM cand
+  WHERE regexp_matches(s, '^[A-Z][a-z]+$')
+    AND regexp_matches(o, '^[A-Z][a-z]+$')
+),
+sup AS (SELECT middle, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tri GROUP BY middle),
+bsz AS (SELECT a, b, COUNT(*) AS c FROM tri GROUP BY a, b),
+ok AS (SELECT tri.* FROM tri JOIN bsz USING (a, b)
+       WHERE bsz.c BETWEEN 2 AND 64),
+shared AS (
+  SELECT t1.middle AS path_a, t2.middle AS path_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM ok t1 JOIN ok t2
+    ON t1.a = t2.a AND t1.b = t2.b AND t1.middle < t2.middle
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT s.path_a, s.path_b, s.n_shared,
+       na.n AS n_a, nb.n AS n_b
+FROM shared s
+JOIN sup na ON na.middle = s.path_a
+JOIN sup nb ON nb.middle = s.path_b
+ORDER BY s.path_a, s.path_b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # classical relational operators (DuckDB-oracled)
@@ -7596,6 +7901,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hearst_isa": _q_hearst_isa,
         "main_content": _q_main_content,
         "triple_fusion": _q_triple_fusion,
+        "truth_discovery": _q_truth_discovery,
+        "amie_rules": _q_amie_rules,
+        "char_sets": _q_char_sets,
+        "dirt_paths": _q_dirt_paths,
         "postings": _q_postings,
         "lp_eval": _q_lp_eval,
         "snapshot_diff": _q_snapshot_diff,
@@ -7760,6 +8069,10 @@ def oracle_sql() -> dict[str, str]:
         "hearst_isa": _SQL_HEARST,
         "main_content": _SQL_MAIN_CONTENT,
         "triple_fusion": _SQL_TRIPLE_FUSION,
+        "truth_discovery": _SQL_TRUTH_DISCOVERY,
+        "amie_rules": _SQL_AMIE_RULES,
+        "char_sets": _SQL_CHAR_SETS,
+        "dirt_paths": _SQL_DIRT_PATHS,
         "postings": _SQL_POSTINGS,
         "lp_eval": _SQL_LP_EVAL,
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,

@@ -114,6 +114,7 @@ def main():
         "coref_pronouns", "bootstrap_relations",
         "quantities", "comparative_edges", "coordination_pairs",
         "polarity_triples", "type_checked_triples",
+        "truth_discovery", "amie_rules", "char_sets", "dirt_paths",
     ]
     qs = entrymod.queries()
     for name in headliners:

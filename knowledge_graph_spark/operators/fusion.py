@@ -147,3 +147,79 @@ def type_check_triples(triples: DataFrame, entity_types: DataFrame,
         dom_ok.alias("domain_ok"), rng_ok.alias("range_ok"),
         (F.coalesce(dom_ok, F.lit(True))
          & F.coalesce(rng_ok, F.lit(True))).alias("ok"))
+
+
+def truth_discovery(assertions: DataFrame,
+                    subj_col: str = "subj", pred_col: str = "pred",
+                    obj_col: str = "obj", source_col: str = "source_id",
+                    n_iters: int = 3) -> DataFrame:
+    """Iterative source-trust truth discovery — the "Sums" fixpoint of
+    Pasternack & Roth ("Knowing What to Believe", COLING 2010; the
+    HITS recurrence of Kleinberg 1999 applied to the source↔fact
+    bipartite graph), composing on top of :func:`fuse_triples`'s
+    single voting pass exactly as that docstring promises:
+
+        belief(f) = Σ_{s asserts f} trust(s)
+        trust(s)  = Σ_{f asserted by s} belief(f)
+
+    run for ``n_iters`` rounds from trust ≡ 1. Sources corroborated
+    by well-trusted sources gain weight; a spam host asserting junk
+    facts nobody repeats loses it. Pasternack & Roth normalize each
+    round only to avoid numeric blow-up — normalization is uniform
+    across facts, so the per-``(subj, pred)`` RANKING after k rounds
+    is identical without it. This implementation therefore keeps the
+    recurrence in EXACT 64-bit integers (belief/trust are integer
+    sums of integer values), which is what lets a plain-SQL oracle
+    replay it bit-for-bit: no float ever enters the pipeline.
+    Overflow bound: beliefs grow by a factor ≤ (max facts/source ×
+    max sources/fact) per round — at the default 3 rounds anything
+    below ~10^6 on both degrees stays far inside int64.
+
+    Returns the winning object per ``(subj, pred)`` — argmax final
+    belief, ties to the lexicographically smallest object — with
+    integer evidence: ``belief`` (winner's final score), ``n_sources``
+    (distinct sources behind the winner), ``n_objects`` (candidates
+    that competed).
+
+    Scale shape: the assertion graph folds once to distinct
+    ``(source, fact)`` edges; each half-round is one equi-join of
+    those edges against a ``(key, long)`` score table plus one
+    map-side-combined sum — 2·``n_iters`` shuffles of long-only rows.
+    The final argmax is an in-aggregate ``max_by``. No window over
+    raw data, no Python, no collect.
+    """
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1 (got {n_iters})")
+    edges = (
+        assertions.select(
+            F.col(source_col).alias("src"),
+            F.col(subj_col).alias("subj"), F.col(pred_col).alias("pred"),
+            F.col(obj_col).alias("obj"))
+        .filter(F.col("src").isNotNull() & F.col("subj").isNotNull()
+                & F.col("pred").isNotNull() & F.col("obj").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)  # referenced 2x per round
+    )
+    # round 1 with trust ≡ 1 folds to a plain source count
+    belief = (edges.groupBy("subj", "pred", "obj")
+              .agg(F.count("*").cast("long").alias("_b")))
+    for _ in range(int(n_iters) - 1):
+        trust = (edges.join(belief, ["subj", "pred", "obj"])
+                 .groupBy("src").agg(F.sum("_b").alias("_t")))
+        belief = (edges.join(trust, "src")
+                  .groupBy("subj", "pred", "obj")
+                  .agg(F.sum("_t").cast("long").alias("_b")))
+    n_src = (edges.groupBy("subj", "pred", "obj")
+             .agg(F.countDistinct("src").cast("long").alias("_ns")))
+    cand = belief.join(n_src, ["subj", "pred", "obj"])
+    return (
+        cand.groupBy("subj", "pred")
+        .agg(
+            F.expr("min_by(obj, named_struct('nb', -_b, 'o', obj))")
+            .alias("obj"),
+            F.max("_b").alias("belief"),
+            F.expr("min_by(_ns, named_struct('nb', -_b, 'o', obj))")
+            .alias("n_sources"),
+            F.count("*").cast("long").alias("n_objects"),
+        )
+    )

@@ -22,7 +22,7 @@ combine. No UDF, no window, no join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # (pattern_tag, regex, hypernym_group, hyponym_group) — single-word
 # arguments by design: without a parser, the head-noun adjacency rule
@@ -230,6 +230,49 @@ def taxonomy_forest(pairs: DataFrame, child_col: str = "hyponym",
             .select("node", "root", F.col("depth").cast("int").alias("depth")))
 
 
+def _candidate_windows(docs: DataFrame, id_col: str, text_col: str,
+                       max_middle: int) -> DataFrame:
+    """``(_doc, a, middle, b)`` candidate windows: every
+    ``(token_i, middle, token_j)`` with ``1 <= len(middle) <=
+    max_middle`` — generated ROW-LOCALLY from shifted array slices
+    zipped per middle-length (one explode per length, unioned): the
+    token array never leaves its row (no positional self-join, no
+    per-token array duplication), and the slice/zip_with/arrays_zip
+    chain stays an order of magnitude faster than a nested-transform
+    struct build (measured 5x on the bench corpus). Shared by
+    :func:`bootstrap_relations` (DIPRE) and :func:`dirt_paths`."""
+    if max_middle < 1:
+        raise ValueError(f"max_middle must be >= 1, got {max_middle}")
+    arr = F.split(F.col(text_col), r"\s+")
+    base = (docs
+            .filter(F.col(text_col).isNotNull() & (F.size(arr) >= 3))
+            .select(F.col(id_col).alias("_doc"), arr.alias("_arr")))
+    a = F.col("_arr")
+    sz = F.size(a)
+    parts = []
+    for L in range(1, int(max_middle) + 1):
+        # full windows only: head index i = 1..sz-L-1 (1-based), so
+        # every zipped triple has a real b — no partials to filter
+        w_len = F.greatest(sz - L - 1, F.lit(0))
+        heads = F.slice(a, 1, w_len)
+        tails = F.slice(a, L + 2, w_len)
+        mid = F.slice(a, 2, w_len)
+        for j in range(1, L):
+            mid = F.zip_with(mid, F.slice(a, 2 + j, w_len),
+                             lambda x, y: F.concat_ws(" ", x, y))
+        z = F.arrays_zip(heads.alias("a"), mid.alias("middle"),
+                         tails.alias("b"))
+        parts.append(base.select("_doc", F.explode(z).alias("w")))
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    return (cand
+            .select("_doc", F.col("w.a").alias("a"),
+                    F.col("w.middle").alias("middle"),
+                    F.col("w.b").alias("b"))
+            .filter((F.col("a") != "") & (F.col("b") != "")))
+
+
 def bootstrap_relations(docs: DataFrame, seeds: DataFrame,
                         id_col: str = "doc_id", text_col: str = "text",
                         subj_col: str = "subj", obj_col: str = "obj",
@@ -267,36 +310,7 @@ def bootstrap_relations(docs: DataFrame, seeds: DataFrame,
     metadata, orders below data size) and folds to (pair, middle,
     long). Page bodies never shuffle anywhere.
     """
-    if max_middle < 1:
-        raise ValueError(f"max_middle must be >= 1, got {max_middle}")
-    arr = F.split(F.col(text_col), r"\s+")
-    base = (docs
-            .filter(F.col(text_col).isNotNull() & (F.size(arr) >= 3))
-            .select(F.col(id_col).alias("_doc"), arr.alias("_arr")))
-    a = F.col("_arr")
-    sz = F.size(a)
-    parts = []
-    for L in range(1, int(max_middle) + 1):
-        # full windows only: head index i = 1..sz-L-1 (1-based), so
-        # every zipped triple has a real b — no partials to filter
-        w_len = F.greatest(sz - L - 1, F.lit(0))
-        heads = F.slice(a, 1, w_len)
-        tails = F.slice(a, L + 2, w_len)
-        mid = F.slice(a, 2, w_len)
-        for j in range(1, L):
-            mid = F.zip_with(mid, F.slice(a, 2 + j, w_len),
-                             lambda x, y: F.concat_ws(" ", x, y))
-        z = F.arrays_zip(heads.alias("a"), mid.alias("middle"),
-                         tails.alias("b"))
-        parts.append(base.select("_doc", F.explode(z).alias("w")))
-    cand = parts[0]
-    for p in parts[1:]:
-        cand = cand.unionByName(p)
-    cand = (cand
-            .select("_doc", F.col("w.a").alias("a"),
-                    F.col("w.middle").alias("middle"),
-                    F.col("w.b").alias("b"))
-            .filter((F.col("a") != "") & (F.col("b") != "")))
+    cand = _candidate_windows(docs, id_col, text_col, max_middle)
 
     seed_pairs = seeds.select(F.col(subj_col).alias("a"),
                               F.col(obj_col).alias("b")).distinct()
@@ -471,3 +485,85 @@ def polarity_triples(pages: DataFrame, id_col: str = "doc_id",
         F.regexp_extract("m", NEGATION_RE, 4).alias("obj"),
         (F.regexp_extract("m", NEGATION_RE, 2) != "").alias("negated"),
     )
+
+
+def dirt_paths(docs: DataFrame,
+               id_col: str = "doc_id", text_col: str = "text",
+               max_middle: int = 2, min_shared: int = 2,
+               max_pair_paths: int = 64,
+               entity_re: str = r"^[A-Z][a-z]+$") -> DataFrame:
+    """DIRT path-similarity mining (Lin & Pantel, KDD 2001 —
+    "Discovery of Inference Rules from Text"): two dependency paths
+    (here: middle token sequences between entity-shaped endpoints,
+    the same surface approximation as :func:`bootstrap_relations`)
+    are paraphrase candidates when they connect many of the SAME
+    argument pairs — "X works at Y" ~ "X is employed by Y". The
+    output is the raw material for predicate canonicalization in KG
+    fusion: synonymous relation surface forms collapse to one edge
+    type.
+
+    Emits ``(path_a, path_b, n_shared, n_a, n_b)`` with ``path_a <
+    path_b``: ``n_shared`` = distinct argument pairs the two paths
+    share (>= ``min_shared``, counted over non-promiscuous pairs —
+    see the guard below), ``n_a``/``n_b`` = each path's distinct
+    argument-pair support. Integer ingredients only — the
+    Lin/Jaccard path similarity ``n_shared / (n_a + n_b - n_shared)``
+    is a row-local division the caller applies.
+
+    Scale shape: candidate windows are row-local slices (see
+    :func:`_candidate_windows`); (path, pair) evidence folds to
+    DISTINCT triples first; path co-occurrence pairs are generated
+    IN-AGGREGATE per argument pair (sorted collect + triangular
+    slice — the LSH ``_bucket_pairs`` shape, one shuffle, no
+    self-join, no join-back: ``n_shared`` is the per-path-pair
+    EMISSION count, since each emitting bucket IS one shared
+    argument pair). Argument pairs connected by more than
+    ``max_pair_paths`` paths are dropped whole BEFORE the collect —
+    the promiscuous-pair guard: a generic pair like (He, It) linked
+    by thousands of middles carries no paraphrase signal (DIRT's
+    mutual-information weighting exists to discount exactly these)
+    and would go quadratic in the pair generator. Bodies never
+    shuffle.
+    """
+    cand = _candidate_windows(docs, id_col, text_col, max_middle)
+    triples = (
+        cand.filter(F.col("a").rlike(entity_re)
+                    & F.col("b").rlike(entity_re))
+        .select("middle", "a", "b").distinct()
+        .localCheckpoint(eager=True)  # referenced by pairing AND support
+    )
+    support = (triples.groupBy("middle")
+               .agg(F.count("*").cast("long").alias("n")))
+
+    # triangular path pairs per argument-pair bucket, WITHOUT the
+    # trailing distinct: each emission is one shared argument pair
+    w = Window.partitionBy("a", "b")
+    sized = (triples.withColumn("_n", F.count("*").over(w))
+             .filter((F.col("_n") >= 2)
+                     & (F.col("_n") <= int(max_pair_paths)))
+             .drop("_n"))
+    grouped = sized.groupBy("a", "b").agg(
+        F.sort_array(F.collect_list("middle")).alias("_ms"))
+    pairs = F.flatten(
+        F.transform(
+            "_ms",
+            lambda x, i: F.transform(
+                F.slice("_ms", i + F.lit(2), F.size("_ms")),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    shared = (
+        grouped.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.pa").alias("_m1"), F.col("p.pb").alias("_m2"))
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )
+    na = support.select(F.col("middle").alias("_m1"),
+                        F.col("n").alias("n_a"))
+    nb = support.select(F.col("middle").alias("_m2"),
+                        F.col("n").alias("n_b"))
+    return (shared.join(na, "_m1").join(nb, "_m2")
+            .select(F.col("_m1").alias("path_a"),
+                    F.col("_m2").alias("path_b"),
+                    "n_shared", "n_a", "n_b"))

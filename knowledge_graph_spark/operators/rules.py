@@ -1,0 +1,157 @@
+# -*- coding: utf-8 -*-
+"""Rule mining and schema discovery over a (subj, pred, obj) triple KB.
+
+The reference stops at materializing extracted triples; a production
+KG-construction pipeline then LEARNS from the assembled graph:
+
+- :func:`amie_rules` — AMIE-style 2-atom closed horn rules
+  ``r1(x, z) ∧ r2(z, y) ⇒ r3(x, y)`` with support and the two
+  confidence denominators (Galárraga, Teflioudi, Hose, Suchanek,
+  "AMIE: Association Rule Mining under Incomplete Evidence", WWW
+  2013). Rules drive KB completion and error detection.
+- :func:`characteristic_sets` — the characteristic-set census of
+  Neumann & Moerkotte ("Characteristic Sets: Accurate Cardinality
+  Estimation for RDF Queries with Multiple Joins", ICDE 2011): the
+  distinct predicate SET each subject carries, grouped and counted.
+  The census is simultaneously an induced soft schema ("entities
+  shaped like {has_brand, supplies, located_in}") and the standard
+  RDF cardinality-estimation statistic.
+
+Not in the reference (no rule-mining stage); semantics from the cited
+public papers.
+
+Scale shape: everything is joins + hash aggregations over
+``(string, string, string)`` triples — no window over raw data, no
+Python, no collect. The body join hashes on the shared variable
+``z``; high-degree ``z`` values (hub entities) are the classic skew
+point, so the body join is guarded by an optional per-``z`` degree
+cap exactly like the LSH bucket guards (drop hubs above the cap
+BEFORE the join fans out, disclosed to the caller via the dropped
+count being derivable from the census).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def amie_rules(triples: DataFrame,
+               subj_col: str = "subj", pred_col: str = "pred",
+               obj_col: str = "obj",
+               min_support: int = 2,
+               max_z_degree: int | None = None) -> DataFrame:
+    """Mine 2-atom chain rules ``r1(x, z) ∧ r2(z, y) ⇒ r3(x, y)``.
+
+    For every predicate triple ``(r1, r2, r3)`` present in the KB:
+
+    - ``support``   — |{(x, y)}| with both the body path and the head
+      edge (distinct head pairs the rule correctly predicts)
+    - ``body_pairs`` — |{(x, y)}| connected by the body path
+      (standard-confidence denominator; ``support / body_pairs`` is
+      CWA confidence)
+    - ``pca_pairs`` — |{(x, y) in body : ∃ y' r3(x, y')}| — the
+      partial-completeness denominator of Galárraga et al. §4.3
+      (``support / pca_pairs`` is PCA confidence)
+
+    Integer ingredients only — both confidences are row-local
+    divisions the caller applies.
+
+    ``max_z_degree`` drops join-variable values whose in- or
+    out-degree exceeds the cap BEFORE the body join (the hub-entity
+    skew guard; NULL = no cap). Duplicate triples are collapsed
+    first, so crawl replays add no weight.
+    """
+    # the deduped KB is referenced three times (body left, body
+    # right, heads) and the body three times (support, CWA and PCA
+    # denominators) — each reference would re-execute the distinct /
+    # join shuffle; one localCheckpoint each trades a single
+    # materialization (to executor-local storage, the persist-for-
+    # iterative-reuse pattern) for three recomputed shuffles
+    t = (triples.select(F.col(subj_col).alias("s"),
+                        F.col(pred_col).alias("p"),
+                        F.col(obj_col).alias("o"))
+         .filter(F.col("s").isNotNull() & F.col("p").isNotNull()
+                 & F.col("o").isNotNull())
+         .distinct()
+         .localCheckpoint(eager=True))
+
+    left = t.select(F.col("s").alias("x"), F.col("p").alias("r1"),
+                    F.col("o").alias("z"))
+    right = t.select(F.col("s").alias("z"), F.col("p").alias("r2"),
+                     F.col("o").alias("y"))
+    if max_z_degree is not None:
+        zcap = int(max_z_degree)
+        z_out = (left.groupBy("z").agg(F.count("*").alias("_d"))
+                 .filter(F.col("_d") <= zcap).select("z"))
+        z_in = (right.groupBy("z").agg(F.count("*").alias("_d"))
+                .filter(F.col("_d") <= zcap).select("z"))
+        left = left.join(z_out, "z", "leftsemi")
+        right = right.join(z_in, "z", "leftsemi")
+
+    # body paths, collapsed to distinct (r1, r2, x, y) — the same
+    # (x, y) reachable through two z values counts once, per the
+    # AMIE support definition
+    body = (left.join(right, "z")
+            .select("r1", "r2", "x", "y").distinct()
+            .localCheckpoint(eager=True))
+
+    heads = t.select(F.col("p").alias("r3"), F.col("s").alias("x"),
+                     F.col("o").alias("y"))
+    support = (body.join(heads, ["x", "y"])
+               .groupBy("r1", "r2", "r3")
+               .agg(F.count("*").cast("long").alias("support"))
+               .filter(F.col("support") >= int(min_support)))
+
+    body_n = (body.groupBy("r1", "r2")
+              .agg(F.count("*").cast("long").alias("body_pairs")))
+
+    # PCA denominator: body pairs whose x has SOME r3 edge. One
+    # distinct (r3, x) table joined on x — (predicate, subject)
+    # pairs, orders below the body size.
+    r3x = heads.select("r3", "x").distinct()
+    pca = (body.join(r3x, "x")
+           .groupBy("r1", "r2", "r3")
+           .agg(F.count("*").cast("long").alias("pca_pairs")))
+
+    return (support
+            .join(body_n, ["r1", "r2"])
+            .join(pca, ["r1", "r2", "r3"])
+            .select("r1", "r2", "r3", "support", "body_pairs",
+                    "pca_pairs"))
+
+
+def characteristic_sets(triples: DataFrame,
+                        subj_col: str = "subj",
+                        pred_col: str = "pred") -> DataFrame:
+    """Characteristic-set census: group subjects by their distinct
+    predicate SET.
+
+    Returns one row per observed set: ``char_set`` (the sorted
+    distinct predicates joined with ``,`` — a deterministic set key),
+    ``set_size`` (predicates in the set), ``n_subjects`` (subjects
+    carrying exactly this set), ``n_triples`` (total triples those
+    subjects carry, the cardinality-estimation numerator of Neumann &
+    Moerkotte §3).
+
+    Scale shape: one hash aggregation per subject (collect_set of
+    predicates is bounded by the SCHEMA's predicate vocabulary, not
+    the data), then one hash aggregation over set keys. Both
+    map-side combinable; bodies/objects never move.
+    """
+    per_subj = (
+        triples.select(F.col(subj_col).alias("s"),
+                       F.col(pred_col).alias("p"))
+        .filter(F.col("s").isNotNull() & F.col("p").isNotNull())
+        .groupBy("s")
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_set("p"))).alias("char_set"),
+            F.size(F.collect_set("p")).cast("long").alias("set_size"),
+            F.count("*").cast("long").alias("n_t"),
+        )
+    )
+    return (
+        per_subj.groupBy("char_set", "set_size")
+        .agg(F.count("*").cast("long").alias("n_subjects"),
+             F.sum("n_t").cast("long").alias("n_triples"))
+    )

@@ -1,0 +1,131 @@
+# -*- coding: utf-8 -*-
+"""Rule mining (AMIE, characteristic sets), iterative truth
+discovery, and DIRT path-synonym mining — hand-computed twins."""
+
+import pytest
+
+from knowledge_graph_spark.operators.fusion import truth_discovery
+from knowledge_graph_spark.operators.patterns import dirt_paths
+from knowledge_graph_spark.operators.rules import (
+    amie_rules, characteristic_sets)
+
+
+@pytest.fixture(scope="module")
+def kb(spark):
+    rows = [
+        ("s1", "supplies", "p1"), ("s1", "supplies", "p2"),
+        ("p1", "has_brand", "b1"), ("p2", "has_brand", "b1"),
+        ("s1", "makes_brand", "b1"),
+        ("s2", "supplies", "p3"), ("p3", "has_brand", "b2"),
+        # duplicate triple: must collapse before mining
+        ("s1", "supplies", "p1"),
+        # NULL row: dropped
+        (None, "supplies", "p9"),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string")
+
+
+def test_amie_support_and_denominators(kb):
+    out = {(r.r1, r.r2, r.r3): r
+           for r in amie_rules(kb, min_support=1).collect()}
+    # body supplies∘has_brand: distinct (x, y) = (s1,b1), (s2,b2)
+    # head makes_brand covers only (s1,b1); PCA: only s1 has any
+    # makes_brand edge -> pca_pairs counts body pairs with x=s1
+    r = out[("supplies", "has_brand", "makes_brand")]
+    assert (r.support, r.body_pairs, r.pca_pairs) == (1, 2, 1)
+    # head supplies on body pairs? (x,y)=(s1,b1) needs supplies(s1,b1)
+    # — absent, so no (supplies, has_brand, supplies) rule
+    assert ("supplies", "has_brand", "supplies") not in out
+
+
+def test_amie_min_support_filters(kb):
+    assert amie_rules(kb, min_support=2).count() == 0
+
+
+def test_amie_z_degree_guard(kb):
+    # s1 supplies two parts -> z = p1/p2 each degree 1; cap 0 is
+    # impossible so everything drops
+    assert amie_rules(kb, min_support=1, max_z_degree=0).count() == 0
+    # generous cap changes nothing
+    r = amie_rules(kb, min_support=1, max_z_degree=100).collect()
+    assert len(r) == 1
+
+
+def test_characteristic_sets(kb):
+    out = {r.char_set: r for r in characteristic_sets(kb).collect()}
+    # s1: supplies x3 rows (dup counts as a triple) + makes_brand
+    r = out["makes_brand,supplies"]
+    assert (r.set_size, r.n_subjects, r.n_triples) == (2, 1, 4)
+    assert out["has_brand"].n_subjects == 3
+    assert out["supplies"].n_subjects == 1  # s2
+    # NULL subject contributes no set
+    assert sum(r.n_subjects for r in out.values()) == 5
+
+
+def test_truth_discovery_hand_computed(spark):
+    a = spark.createDataFrame(
+        [("s1", "e1", "hq", "oslo"), ("s2", "e1", "hq", "oslo"),
+         ("s3", "e1", "hq", "bergen"),
+         ("s1", "e2", "hq", "rome"), ("s3", "e2", "hq", "rome"),
+         ("s3", "e1", "ceo", "ann"),
+         # duplicate assertion by the same source: votes once
+         ("s1", "e1", "hq", "oslo")],
+        "source_id string, subj string, pred string, obj string")
+    out = {(r.subj, r.pred): r
+           for r in truth_discovery(a, n_iters=3).collect()}
+    # hand-run: c1 oslo=2 bergen=1 rome=2 ann=1; t1 s1=4 s2=2 s3=4;
+    # c2 oslo=6 bergen=4 rome=8 ann=4; t2 s1=14 s2=6 s3=16;
+    # c3 oslo=20 bergen=16 rome=30 ann=16
+    r = out[("e1", "hq")]
+    assert (r.obj, r.belief, r.n_sources, r.n_objects) == \
+        ("oslo", 20, 2, 2)
+    assert out[("e2", "hq")].belief == 30
+    assert out[("e1", "ceo")].belief == 16
+
+
+def test_truth_discovery_one_iter_is_vote_count(spark):
+    a = spark.createDataFrame(
+        [("s1", "e", "p", "x"), ("s2", "e", "p", "x"),
+         ("s3", "e", "p", "y")],
+        "source_id string, subj string, pred string, obj string")
+    r = truth_discovery(a, n_iters=1).collect()[0]
+    assert (r.obj, r.belief) == ("x", 2)
+    with pytest.raises(ValueError):
+        truth_discovery(a, n_iters=0)
+
+
+def test_truth_discovery_tie_breaks_to_smaller_obj(spark):
+    a = spark.createDataFrame(
+        [("s1", "e", "p", "zz"), ("s2", "e", "p", "aa")],
+        "source_id string, subj string, pred string, obj string")
+    # symmetric evidence at every iteration -> tie -> obj asc
+    r = truth_discovery(a, n_iters=3).collect()[0]
+    assert r.obj == "aa"
+
+
+def test_dirt_paths_paraphrase(spark):
+    docs = spark.createDataFrame(
+        [(1, "Alice works at Acme and Bob works at Globex"),
+         (2, "Alice joined Acme while Bob joined Globex"),
+         (3, "Carol works at Initech and Carol joined Initech"),
+         (4, None)],
+        "doc_id int, text string")
+    out = dirt_paths(docs, min_shared=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    # shared argument pairs: (Alice,Acme), (Bob,Globex),
+    # (Carol,Initech); each path also has exactly those 3 pairs
+    assert (r.path_a, r.path_b, r.n_shared, r.n_a, r.n_b) == \
+        ("joined", "works at", 3, 3, 3)
+
+
+def test_dirt_paths_promiscuous_pair_guard(spark):
+    # one argument pair connected by 3 middles; cap 2 drops the
+    # bucket whole -> no co-occurrence evidence survives
+    docs = spark.createDataFrame(
+        [(1, "Alice works at Acme"), (2, "Alice joined Acme"),
+         (3, "Alice runs Acme")],
+        "doc_id int, text string")
+    assert dirt_paths(docs, min_shared=1, max_pair_paths=2).count() == 0
+    assert dirt_paths(docs, min_shared=1, max_pair_paths=3).count() == 3

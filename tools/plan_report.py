@@ -141,6 +141,12 @@ def main():
         "bootstrap_relations", "quantities", "comparative_edges",
         "coordination_pairs", "polarity_triples",
         "type_checked_triples",
+        # fourth continuation: AMIE chain rules + characteristic sets
+        # (joins/aggs over (s,p,o) strings), integer-exact Sums truth
+        # discovery (fixed-round (key,long) joins), DIRT path synonymy
+        # (in-aggregate triangular pair gen behind the promiscuous-
+        # pair guard)
+        "amie_rules", "char_sets", "truth_discovery", "dirt_paths",
     ]
     qs = entrymod.queries()
     lines = [
