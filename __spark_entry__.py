@@ -7858,6 +7858,159 @@ ORDER BY s.path_a, s.path_b
 """
 
 
+def _q_predicate_canon(spark, sf_dir):
+    """Open-KB predicate canonicalization (Galarraga et al., CIKM
+    2014) chained end-to-end: DIRT paraphrase mining over the same
+    injected corpus as `dirt_paths`, an INTEGER-cross-product Jaccard
+    gate (>= 1/3), connected components over the synonym graph, and
+    the min-path canonical form. The oracle replays the whole chain,
+    components included (recursive CTE), so the composition — not
+    just each stage — is value-verified."""
+    from knowledge_graph_spark.operators.patterns import (
+        canonicalize_predicates)
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    name = F.element_at(
+        F.array(F.lit("Alice"), F.lit("Bob"), F.lit("Carol")),
+        (k % 3 + 1).cast("int"))
+    org = F.element_at(
+        F.array(F.lit("Acme"), F.lit("Globex")),
+        (k % 2 + 1).cast("int"))
+    pages = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.col("text"),
+            name, F.lit("works at"), org,
+            F.when(k % 2 == 0,
+                   F.concat_ws(" ", name, F.lit("is employed by"), org)),
+            F.when(k % 5 == 0,
+                   F.concat_ws(" ", name, F.lit("consults for"), org)),
+        ).alias("text"))
+    return (canonicalize_predicates(pages, max_middle=3, min_shared=2,
+                                    jaccard_num=1, jaccard_den=3)
+            .orderBy("path"))
+
+
+_SQL_PREDICATE_CANON = r"""
+WITH RECURSIVE inj AS (
+  SELECT doc_id, concat_ws(' ', text,
+    (['Alice','Bob','Carol'])[doc_id % 3 + 1], 'works at',
+    (['Acme','Globex'])[doc_id % 2 + 1],
+    CASE WHEN doc_id % 2 = 0 THEN
+      (['Alice','Bob','Carol'])[doc_id % 3 + 1] || ' is employed by '
+      || (['Acme','Globex'])[doc_id % 2 + 1] END,
+    CASE WHEN doc_id % 5 = 0 THEN
+      (['Alice','Bob','Carol'])[doc_id % 3 + 1] || ' consults for '
+      || (['Acme','Globex'])[doc_id % 2 + 1] END) AS text
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, regexp_split_to_array(text, '\s+') AS a
+  FROM inj WHERE text IS NOT NULL
+),
+cand AS (
+  SELECT a[i] AS s,
+         array_to_string(list_slice(a, i + 1, i + l), ' ') AS middle,
+         a[i + l + 1] AS o
+  FROM (SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i
+        FROM tok WHERE len(a) >= 3),
+       (SELECT unnest(generate_series(1, 3)) AS l)
+  WHERE i + l + 1 <= len(a) AND a[i] <> '' AND a[i + l + 1] <> ''
+),
+tri AS (
+  SELECT DISTINCT middle, s AS a, o AS b FROM cand
+  WHERE regexp_matches(s, '^[A-Z][a-z]+$')
+    AND regexp_matches(o, '^[A-Z][a-z]+$')
+),
+sup AS (SELECT middle, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tri GROUP BY middle),
+bsz AS (SELECT a, b, COUNT(*) AS c FROM tri GROUP BY a, b),
+okt AS (SELECT tri.* FROM tri JOIN bsz USING (a, b)
+        WHERE bsz.c BETWEEN 2 AND 64),
+shared AS (
+  SELECT t1.middle AS pa, t2.middle AS pb,
+         CAST(COUNT(*) AS BIGINT) AS ns
+  FROM okt t1 JOIN okt t2
+    ON t1.a = t2.a AND t1.b = t2.b AND t1.middle < t2.middle
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+edges AS (
+  SELECT s.pa AS u, s.pb AS v
+  FROM shared s
+  JOIN sup na ON na.middle = s.pa
+  JOIN sup nb ON nb.middle = s.pb
+  WHERE 3 * s.ns >= 1 * (na.n + nb.n - s.ns)
+),
+sym AS (SELECT u, v FROM edges WHERE u <> v
+        UNION SELECT v, u FROM edges WHERE u <> v),
+reach(node, lab) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT s.v, r.lab FROM reach r JOIN sym s ON s.u = r.node
+),
+labels AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+canon AS (SELECT component, MIN(node) AS canonical
+          FROM labels GROUP BY component)
+SELECT l.node AS path, c.canonical
+FROM labels l JOIN canon c USING (component)
+ORDER BY path
+"""
+
+
+def _q_er_eval(spark, sf_dir):
+    """Pairwise entity-resolution evaluation (Menestrina et al., VLDB
+    2010) of a planted canonicalization: gold clusters are customer
+    nations; the predicted clustering mis-merges every 10th customer
+    into the next nation and splits every 13th into a spurious
+    singleton (split wins when both fire). TP/FP/FN come from three
+    C(n,2) aggregations — no pair is ever materialized — and the
+    oracle recomputes all three from the same CASE expression."""
+    from knowledge_graph_spark.operators.linking import er_pair_metrics
+
+    cust = _t(spark, sf_dir, "customer")
+    gold = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string"))
+        .alias("cluster"))
+    pred = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.when(F.col("c_custkey") % 13 == 0,
+               F.concat(F.lit("s"), F.col("c_custkey").cast("string")))
+        .when(F.col("c_custkey") % 10 == 0,
+              F.concat(F.lit("n"),
+                       ((F.col("c_nationkey") + 1) % 25).cast("string")))
+        .otherwise(F.concat(F.lit("n"),
+                            F.col("c_nationkey").cast("string")))
+        .alias("cluster"))
+    return er_pair_metrics(pred, gold)
+
+
+_SQL_ER_EVAL = r"""
+WITH j AS (
+  SELECT c_custkey AS id,
+    CASE WHEN c_custkey % 13 = 0 THEN 's' || CAST(c_custkey AS VARCHAR)
+         WHEN c_custkey % 10 = 0
+           THEN 'n' || CAST((c_nationkey + 1) % 25 AS VARCHAR)
+         ELSE 'n' || CAST(c_nationkey AS VARCHAR) END AS p,
+    'n' || CAST(c_nationkey AS VARCHAR) AS g
+  FROM customer
+),
+pp AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS pairs,
+              CAST(COUNT(*) AS BIGINT) AS k
+       FROM (SELECT COUNT(*) AS n FROM j GROUP BY p)),
+gp AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS pairs,
+              CAST(COUNT(*) AS BIGINT) AS k
+       FROM (SELECT COUNT(*) AS n FROM j GROUP BY g)),
+tp AS (SELECT CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT) AS v
+       FROM (SELECT COUNT(*) AS n FROM j GROUP BY p, g))
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM j) AS n_items,
+       pp.k AS n_pred_clusters, gp.k AS n_gold_clusters,
+       tp.v AS tp, pp.pairs - tp.v AS fp, gp.pairs - tp.v AS fn
+FROM pp, gp, tp
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # classical relational operators (DuckDB-oracled)
@@ -7905,6 +8058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "amie_rules": _q_amie_rules,
         "char_sets": _q_char_sets,
         "dirt_paths": _q_dirt_paths,
+        "predicate_canon": _q_predicate_canon,
+        "er_eval": _q_er_eval,
         "postings": _q_postings,
         "lp_eval": _q_lp_eval,
         "snapshot_diff": _q_snapshot_diff,
@@ -8073,6 +8228,8 @@ def oracle_sql() -> dict[str, str]:
         "amie_rules": _SQL_AMIE_RULES,
         "char_sets": _SQL_CHAR_SETS,
         "dirt_paths": _SQL_DIRT_PATHS,
+        "predicate_canon": _SQL_PREDICATE_CANON,
+        "er_eval": _SQL_ER_EVAL,
         "postings": _SQL_POSTINGS,
         "lp_eval": _SQL_LP_EVAL,
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,

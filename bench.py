@@ -115,6 +115,7 @@ def main():
         "quantities", "comparative_edges", "coordination_pairs",
         "polarity_triples", "type_checked_triples",
         "truth_discovery", "amie_rules", "char_sets", "dirt_paths",
+        "predicate_canon", "er_eval",
     ]
     qs = entrymod.queries()
     for name in headliners:

@@ -359,3 +359,58 @@ def resolve_pronouns(docs: DataFrame, entities: DataFrame,
                     & F.col("antecedent").isNotNull())
             .select("doc_id", F.col("pos").cast("long").alias("pos"),
                     F.col("token").alias("pronoun"), "antecedent"))
+
+
+def er_pair_metrics(pred: DataFrame, gold: DataFrame,
+                    id_col: str = "id",
+                    cluster_col: str = "cluster") -> DataFrame:
+    """Pairwise entity-resolution evaluation (the standard pair-
+    counting metrics of Menestrina, Whang, Garcia-Molina, VLDB 2010,
+    "Evaluating Entity Resolution Results"): compare a predicted
+    clustering against a gold clustering WITHOUT materializing a
+    single pair —
+
+    - ``tp + fp`` = Σ over predicted clusters of C(n, 2)
+    - ``tp``      = Σ over (predicted, gold) intersection cells of C(n, 2)
+    - ``tp + fn`` = Σ over gold clusters of C(n, 2)
+
+    so three hash aggregations over ``(cluster, long)`` rows replace
+    the quadratic pair join; pairwise precision/recall/F1 are
+    row-local divisions of the returned integers. Items present in
+    only one side are dropped (inner join on id — evaluation is over
+    the common universe, declared).
+
+    Returns ONE row: ``(n_items, n_pred_clusters, n_gold_clusters,
+    tp, fp, fn)``, all BIGINT.
+    """
+    j = (pred.select(F.col(id_col).alias("_id"),
+                     F.col(cluster_col).alias("_p"))
+         .join(gold.select(F.col(id_col).alias("_id"),
+                           F.col(cluster_col).alias("_g")), "_id"))
+    j = j.localCheckpoint(eager=True)  # three aggregations below
+
+    def pairs_of(cols):
+        return (j.groupBy(*cols).agg(F.count("*").alias("_n"))
+                .agg(F.coalesce(
+                    F.sum(F.expr("(_n * (_n - 1)) div 2")),
+                    F.lit(0).cast("long")).alias("_pairs"),
+                    F.count("*").cast("long").alias("_k")))
+
+    p = pairs_of(["_p"]).select(
+        F.col("_pairs").alias("_pp"), F.col("_k").alias("_pk"))
+    g = pairs_of(["_g"]).select(
+        F.col("_pairs").alias("_gp"), F.col("_k").alias("_gk"))
+    both = (j.groupBy("_p", "_g").agg(F.count("*").alias("_n"))
+            .agg(F.coalesce(
+                F.sum(F.expr("(_n * (_n - 1)) div 2")),
+                F.lit(0).cast("long")).alias("_tp")))
+    n = j.agg(F.count("*").cast("long").alias("n_items"))
+    return (n.crossJoin(p).crossJoin(g).crossJoin(both)
+            .select(
+                "n_items",
+                F.col("_pk").alias("n_pred_clusters"),
+                F.col("_gk").alias("n_gold_clusters"),
+                F.col("_tp").alias("tp"),
+                (F.col("_pp") - F.col("_tp")).alias("fp"),
+                (F.col("_gp") - F.col("_tp")).alias("fn"),
+            ))

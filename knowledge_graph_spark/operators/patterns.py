@@ -567,3 +567,55 @@ def dirt_paths(docs: DataFrame,
             .select(F.col("_m1").alias("path_a"),
                     F.col("_m2").alias("path_b"),
                     "n_shared", "n_a", "n_b"))
+
+
+def canonicalize_predicates(docs: DataFrame,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            max_middle: int = 2, min_shared: int = 2,
+                            max_pair_paths: int = 64,
+                            jaccard_num: int = 1, jaccard_den: int = 2,
+                            entity_re: str = r"^[A-Z][a-z]+$") -> DataFrame:
+    """Predicate canonicalization — the stage that turns
+    :func:`dirt_paths`' paraphrase evidence into one canonical
+    relation per synonym cluster (the predicate-merge step of open-KG
+    canonicalization, cf. Galárraga, Heitz, Murphy, Suchanek, CIKM
+    2014, "Canonicalizing Open Knowledge Bases"):
+
+    1. mine path-paraphrase candidates (:func:`dirt_paths`);
+    2. keep pairs whose argument-set Jaccard meets
+       ``jaccard_num/jaccard_den`` — tested as the INTEGER cross
+       product ``den·n_shared >= num·(n_a + n_b − n_shared)``, so no
+       float enters the decision;
+    3. connected components over the surviving synonym edges
+       (:func:`~..operators.components.connected_components` — same
+       min-representative contract at every scale);
+    4. canonical form = the lexicographically smallest path in the
+       component (deterministic, replayable).
+
+    Returns ``(path, canonical)`` for every path that appears in at
+    least one surviving synonym pair; unclustered paths are their own
+    canonical form by definition and are omitted (the caller's
+    COALESCE on the mapping join).
+
+    Scale shape: inherits :func:`dirt_paths`' single-shuffle pair
+    generation; the component stage runs over the synonym graph,
+    which is VOCABULARY-sized (distinct paths), orders below the
+    corpus.
+    """
+    pairs = dirt_paths(docs, id_col, text_col, max_middle, min_shared,
+                       max_pair_paths, entity_re)
+    num, den = int(jaccard_num), int(jaccard_den)
+    edges = (
+        pairs.filter(
+            F.lit(den) * F.col("n_shared")
+            >= F.lit(num) * (F.col("n_a") + F.col("n_b")
+                             - F.col("n_shared")))
+        .select(F.col("path_a").alias("u"), F.col("path_b").alias("v"))
+    )
+    from .components import connected_components
+    labels = connected_components(edges)
+    canon = labels.groupBy("component").agg(
+        F.min("node").alias("canonical"))
+    return (labels.join(canon, "component")
+            .select(F.col("node").alias("path"), "canonical"))

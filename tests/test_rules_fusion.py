@@ -129,3 +129,43 @@ def test_dirt_paths_promiscuous_pair_guard(spark):
         "doc_id int, text string")
     assert dirt_paths(docs, min_shared=1, max_pair_paths=2).count() == 0
     assert dirt_paths(docs, min_shared=1, max_pair_paths=3).count() == 3
+
+
+def test_er_pair_metrics_hand_computed(spark):
+    from knowledge_graph_spark.operators.linking import er_pair_metrics
+    pred = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b"), (6, "c")],
+        "id int, cluster string")
+    gold = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (4, "y"), (5, "y"), (6, "z"),
+         (7, "w")],  # id 7 absent from pred: dropped (inner join)
+        "id int, cluster string")
+    r = er_pair_metrics(pred, gold).collect()[0]
+    # pred pairs C(3,2)+C(2,2)... a=3, b=1, c=0 -> 4; gold x=1,y=3 -> 4
+    # cells (a,x)=1,(a,y)=0,(b,y)=1 -> tp=2
+    assert (r.n_items, r.n_pred_clusters, r.n_gold_clusters,
+            r.tp, r.fp, r.fn) == (6, 3, 3, 2, 2, 2)
+
+
+def test_er_pair_metrics_perfect_and_singletons(spark):
+    from knowledge_graph_spark.operators.linking import er_pair_metrics
+    d = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, cluster string")
+    r = er_pair_metrics(d, d).collect()[0]
+    # all-singleton: zero pairs anywhere, sums must coalesce to 0
+    assert (r.tp, r.fp, r.fn) == (0, 0, 0)
+
+
+def test_canonicalize_predicates_chain(spark):
+    from knowledge_graph_spark.operators.patterns import (
+        canonicalize_predicates)
+    docs = spark.createDataFrame(
+        [(1, "Alice works at Acme and Bob works at Globex"),
+         (2, "Alice joined Acme while Bob joined Globex"),
+         (3, "Carol works at Initech and Carol joined Initech")],
+        "doc_id int, text string")
+    out = {r.path: r.canonical
+           for r in canonicalize_predicates(docs, min_shared=2).collect()}
+    # 'joined' ~ 'works at' share all 3 pairs (J=1) -> one cluster,
+    # canonical = min path
+    assert out == {"joined": "joined", "works at": "joined"}

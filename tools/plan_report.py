@@ -147,6 +147,9 @@ def main():
         # (in-aggregate triangular pair gen behind the promiscuous-
         # pair guard)
         "amie_rules", "char_sets", "truth_discovery", "dirt_paths",
+        # (predicate_canon is excluded: its component stage is
+        # iterative, so the static plan is the last round only)
+        "er_eval",
     ]
     qs = entrymod.queries()
     lines = [
