@@ -8011,6 +8011,218 @@ FROM pp, gp, tp
 """
 
 
+def _kb_triples_v2(spark, sf_dir):
+    """The 'recrawl' KB version for the diff query: supplies objects
+    rotate for partkey%11 rows (edited facts), located_in drops every
+    9th supplier (removals), and an `audited` predicate appears for
+    every 4th supplier (additions); everything else matches
+    :func:`_kb_triples`."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    s = lambda c: F.concat(F.lit("s"), F.col(c).cast("string"))
+    p = lambda c: F.concat(F.lit("p"), F.col(c).cast("string"))
+    n = lambda c: F.concat(F.lit("n"), F.col(c).cast("string"))
+    r = lambda c: F.concat(F.lit("r"), F.col(c).cast("string"))
+    supplies = (li.select(
+        s("l_suppkey").alias("subj"),
+        F.lit("supplies").alias("pred"),
+        F.concat(F.lit("p"),
+                 F.when(F.col("l_partkey") % 11 == 0,
+                        F.col("l_partkey") + 1)
+                 .otherwise(F.col("l_partkey")).cast("string"))
+        .alias("obj")).distinct())
+    has_brand = part.select(p("p_partkey").alias("subj"),
+                            F.lit("has_brand").alias("pred"),
+                            F.col("p_brand").alias("obj"))
+    located = (sup.filter(F.col("s_suppkey") % 9 != 0)
+               .select(s("s_suppkey").alias("subj"),
+                       F.lit("located_in").alias("pred"),
+                       n("s_nationkey").alias("obj")))
+    in_reg = nat.select(n("n_nationkey").alias("subj"),
+                        F.lit("in_region").alias("pred"),
+                        r("n_regionkey").alias("obj"))
+    makes = (li.filter(F.col("l_suppkey") % 2 == 0)
+             .join(part, li["l_partkey"] == part["p_partkey"])
+             .select(s("l_suppkey").alias("subj"),
+                     F.lit("makes_brand").alias("pred"),
+                     F.col("p_brand").alias("obj")).distinct())
+    based = (sup.filter(F.col("s_suppkey") % 3 == 0)
+             .join(nat, sup["s_nationkey"] == nat["n_nationkey"])
+             .select(s("s_suppkey").alias("subj"),
+                     F.lit("based_in").alias("pred"),
+                     r("n_regionkey").alias("obj")))
+    audited = (sup.filter(F.col("s_suppkey") % 4 == 0)
+               .select(s("s_suppkey").alias("subj"),
+                       F.lit("audited").alias("pred"),
+                       F.concat(F.lit("y"),
+                                (F.col("s_suppkey") % 3).cast("string"))
+                       .alias("obj")))
+    kb = supplies
+    for t in (has_brand, located, in_reg, makes, based, audited):
+        kb = kb.unionByName(t)
+    return kb
+
+
+_SQL_KB_V2 = r"""
+kb2 AS (
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS subj,
+         'supplies' AS pred,
+         'p' || CAST(CASE WHEN l_partkey % 11 = 0 THEN l_partkey + 1
+                          ELSE l_partkey END AS VARCHAR) AS obj
+  FROM lineitem
+  UNION ALL
+  SELECT 'p' || CAST(p_partkey AS VARCHAR), 'has_brand', p_brand
+  FROM part
+  UNION ALL
+  SELECT 's' || CAST(s_suppkey AS VARCHAR), 'located_in',
+         'n' || CAST(s_nationkey AS VARCHAR)
+  FROM supplier WHERE s_suppkey % 9 <> 0
+  UNION ALL
+  SELECT 'n' || CAST(n_nationkey AS VARCHAR), 'in_region',
+         'r' || CAST(n_regionkey AS VARCHAR)
+  FROM nation
+  UNION ALL
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR), 'makes_brand',
+         p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_suppkey % 2 = 0
+  UNION ALL
+  SELECT 's' || CAST(s_suppkey AS VARCHAR), 'based_in',
+         'r' || CAST(n_regionkey AS VARCHAR)
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE s_suppkey % 3 = 0
+  UNION ALL
+  SELECT 's' || CAST(s_suppkey AS VARCHAR), 'audited',
+         'y' || CAST(s_suppkey % 3 AS VARCHAR)
+  FROM supplier WHERE s_suppkey % 4 = 0
+)"""
+
+
+def _q_kb_diff(spark, sf_dir):
+    """Per-predicate KG-update audit between the base KB and its
+    'recrawl' version (edited supplies objects, dropped located_in
+    rows, a new audited predicate): added/removed/retained triple
+    counts plus the changed-key census — the counters an incremental
+    MERGE pipeline publishes per batch. The oracle replays the
+    full-outer diff and both aggregates."""
+    from knowledge_graph_spark.operators.rules import kb_diff
+
+    return (kb_diff(_kb_triples(spark, sf_dir),
+                    _kb_triples_v2(spark, sf_dir))
+            .orderBy("pred"))
+
+
+_SQL_KB_DIFF = r"""
+WITH """ + _SQL_KB + r""",
+""" + _SQL_KB_V2 + r""",
+o AS (SELECT DISTINCT subj AS s, pred AS p, obj AS ob FROM kb
+      WHERE subj IS NOT NULL AND pred IS NOT NULL AND obj IS NOT NULL),
+n AS (SELECT DISTINCT subj AS s, pred AS p, obj AS ob FROM kb2
+      WHERE subj IS NOT NULL AND pred IS NOT NULL AND obj IS NOT NULL),
+j AS (
+  SELECT COALESCE(o.s, n.s) AS s, COALESCE(o.p, n.p) AS p,
+         CASE WHEN o.s IS NULL THEN 0 ELSE 1 END AS in_old,
+         CASE WHEN n.s IS NULL THEN 0 ELSE 1 END AS in_new
+  FROM o FULL OUTER JOIN n
+    ON o.s = n.s AND o.p = n.p AND o.ob = n.ob
+),
+per_pred AS (
+  SELECT p,
+         CAST(SUM(CASE WHEN in_new = 1 AND in_old = 0 THEN 1 ELSE 0
+                  END) AS BIGINT) AS n_added,
+         CAST(SUM(CASE WHEN in_old = 1 AND in_new = 0 THEN 1 ELSE 0
+                  END) AS BIGINT) AS n_removed,
+         CAST(SUM(CASE WHEN in_old = 1 AND in_new = 1 THEN 1 ELSE 0
+                  END) AS BIGINT) AS n_retained
+  FROM j GROUP BY p
+),
+keys AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS n_changed_keys
+  FROM (SELECT s, p, MAX(in_old) AS ko, MAX(in_new) AS kn,
+               MAX(CASE WHEN in_old <> in_new THEN 1 ELSE 0 END) AS df
+        FROM j GROUP BY s, p)
+  WHERE ko = 1 AND kn = 1 AND df = 1
+  GROUP BY p
+)
+SELECT per_pred.p AS pred, n_added, n_removed, n_retained,
+       COALESCE(keys.n_changed_keys, 0) AS n_changed_keys
+FROM per_pred LEFT JOIN keys ON keys.p = per_pred.p
+ORDER BY pred
+"""
+
+
+def _q_blocking_eval(spark, sf_dir):
+    """Blocking-quality evaluation (Christen 2012 §7.4) of a
+    two-band blocker over the documents table — band 0 keys on
+    (source, n_chars), band 1 on the lowercased first whitespace
+    token — against exact-duplicate ground truth (md5 of text).
+    Emits the reduction-ratio / pairs-completeness INTEGER
+    ingredients; candidate pairs come from the guarded in-aggregate
+    generator, true-pair counts from C(n,2) folds. The oracle
+    replays both bands, the bucket guard, the pair distinct, and
+    the truth joins."""
+    from knowledge_graph_spark.functions.vectors import ws_tokens
+    from knowledge_graph_spark.operators.linking import blocking_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    items = docs.select(
+        "doc_id", F.md5("text").alias("content_key"),
+        F.concat_ws("|", "source",
+                    F.col("n_chars").cast("string")).alias("_band0"),
+        F.lower(F.try_element_at(
+            ws_tokens("text"), F.lit(1).cast("int"))).alias("_band1"),
+    )
+    return blocking_metrics(
+        items, [F.col("_band0"), F.col("_band1")],
+        truth_col="content_key", max_bucket=256)
+
+
+_SQL_BLOCKING_EVAL = r"""
+WITH base AS (
+  SELECT doc_id, md5(text) AS truth,
+         concat_ws('|', source, CAST(n_chars AS VARCHAR)) AS b0,
+         lower(list_filter(regexp_split_to_array(text, '\s+'),
+                           x -> x <> '')[1]) AS b1
+  FROM documents
+),
+keyed AS (
+  SELECT 0 AS band, b0 AS key, doc_id FROM base WHERE b0 IS NOT NULL
+  UNION ALL
+  SELECT 1, b1, doc_id FROM base WHERE b1 IS NOT NULL
+),
+sz AS (SELECT band, key, COUNT(*) AS c FROM keyed GROUP BY 1, 2),
+ok AS (SELECT keyed.* FROM keyed JOIN sz USING (band, key)
+       WHERE sz.c BETWEEN 2 AND 256),
+cand AS (
+  SELECT DISTINCT k1.doc_id AS a, k2.doc_id AS b
+  FROM ok k1 JOIN ok k2
+    ON k1.band = k2.band AND k1.key = k2.key
+   AND k1.doc_id < k2.doc_id
+),
+hit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM cand
+  JOIN base ba ON ba.doc_id = cand.a
+  JOIN base bb ON bb.doc_id = cand.b
+  WHERE ba.truth IS NOT NULL AND ba.truth = bb.truth
+),
+gold AS (
+  SELECT CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT) AS n_gold
+  FROM (SELECT COUNT(*) AS n FROM base WHERE truth IS NOT NULL
+        GROUP BY truth)
+),
+ni AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items FROM base),
+nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand)
+SELECT ni.n_items,
+       CAST(ni.n_items * (ni.n_items - 1) // 2 AS BIGINT)
+         AS total_pairs,
+       nc.n_cand, hit.n_hit, gold.n_gold
+FROM ni, nc, hit, gold
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # classical relational operators (DuckDB-oracled)
@@ -8060,6 +8272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dirt_paths": _q_dirt_paths,
         "predicate_canon": _q_predicate_canon,
         "er_eval": _q_er_eval,
+        "kb_diff": _q_kb_diff,
+        "blocking_eval": _q_blocking_eval,
         "postings": _q_postings,
         "lp_eval": _q_lp_eval,
         "snapshot_diff": _q_snapshot_diff,
@@ -8230,6 +8444,8 @@ def oracle_sql() -> dict[str, str]:
         "dirt_paths": _SQL_DIRT_PATHS,
         "predicate_canon": _SQL_PREDICATE_CANON,
         "er_eval": _SQL_ER_EVAL,
+        "kb_diff": _SQL_KB_DIFF,
+        "blocking_eval": _SQL_BLOCKING_EVAL,
         "postings": _SQL_POSTINGS,
         "lp_eval": _SQL_LP_EVAL,
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,

@@ -115,7 +115,7 @@ def main():
         "quantities", "comparative_edges", "coordination_pairs",
         "polarity_triples", "type_checked_triples",
         "truth_discovery", "amie_rules", "char_sets", "dirt_paths",
-        "predicate_canon", "er_eval",
+        "predicate_canon", "er_eval", "kb_diff", "blocking_eval",
     ]
     qs = entrymod.queries()
     for name in headliners:

@@ -414,3 +414,73 @@ def er_pair_metrics(pred: DataFrame, gold: DataFrame,
                 (F.col("_pp") - F.col("_tp")).alias("fp"),
                 (F.col("_gp") - F.col("_tp")).alias("fn"),
             ))
+
+
+def blocking_metrics(items: DataFrame, band_keys: list,
+                     id_col: str = "doc_id",
+                     truth_col: str = "content_key",
+                     max_bucket: int = 256) -> DataFrame:
+    """Blocking-quality evaluation — the reduction-ratio /
+    pairs-completeness ingredients of Christen's record-linkage
+    framework (Christen, "Data Matching", 2012 §7.4) for a
+    MULTI-BAND blocker (docs may land in several blocks, the LSH
+    shape, so blocks are NOT a partition and this is not
+    :func:`er_pair_metrics`):
+
+    - ``n_cand``  — distinct candidate pairs across all bands
+    - ``n_hit``   — candidate pairs whose two rows share
+      ``truth_col`` (true duplicates the blocker caught)
+    - ``n_gold``  — all true-duplicate pairs (Σ C(n,2) over
+      ``truth_col`` groups — never materialized)
+    - ``n_items``, ``total_pairs`` = C(n_items, 2)
+
+    Pairs completeness = ``n_hit / n_gold``; reduction ratio =
+    ``1 − n_cand / total_pairs`` — row-local divisions of the
+    returned integers.
+
+    ``band_keys``: list of Columns (each a blocking key expression).
+    NULL band keys don't block; NULL truth keys count as non-dups.
+
+    Scale shape: candidate pairs come from the in-aggregate
+    triangular generator behind the ``max_bucket`` skew guard (the
+    LSH `_bucket_pairs` shape — one shuffle per evaluation, no
+    self-join); ``n_hit`` attaches the two truth keys by id-keyed
+    joins against the (id, truth) projection, never against bodies;
+    ``n_gold`` is a pure hash aggregation.
+    """
+    from .dedup import _bucket_pairs
+
+    base = items.select(F.col(id_col).alias("_id"),
+                        F.col(truth_col).alias("_truth"),
+                        *[k.alias(f"_b{i}") for i, k in
+                          enumerate(band_keys)])
+    base = base.localCheckpoint(eager=True)  # bands + truth + census
+    keyed = None
+    for i in range(len(band_keys)):
+        part = (base.filter(F.col(f"_b{i}").isNotNull())
+                .select(F.lit(i).alias("_band"),
+                        F.col(f"_b{i}").alias("_key"), "_id"))
+        keyed = part if keyed is None else keyed.unionByName(part)
+    cand = _bucket_pairs(keyed, ["_band", "_key"], max_bucket,
+                         F.col("_id"))
+    cand = cand.localCheckpoint(eager=True)  # counted AND hit-joined
+    t = base.select("_id", "_truth")
+    hits = (cand
+            .join(t.select(F.col("_id").alias("a"),
+                           F.col("_truth").alias("_ta")), "a")
+            .join(t.select(F.col("_id").alias("b"),
+                           F.col("_truth").alias("_tb")), "b")
+            .filter(F.col("_ta").isNotNull()
+                    & (F.col("_ta") == F.col("_tb"))))
+    gold = (base.filter(F.col("_truth").isNotNull())
+            .groupBy("_truth").agg(F.count("*").alias("_n"))
+            .agg(F.coalesce(F.sum(F.expr("(_n * (_n - 1)) div 2")),
+                            F.lit(0).cast("long")).alias("n_gold")))
+    nc = cand.agg(F.count("*").cast("long").alias("n_cand"))
+    nh = hits.agg(F.count("*").cast("long").alias("n_hit"))
+    ni = base.agg(F.count("*").cast("long").alias("n_items"))
+    return (ni.crossJoin(nc).crossJoin(nh).crossJoin(gold)
+            .select("n_items",
+                    F.expr("(n_items * (n_items - 1)) div 2")
+                    .alias("total_pairs"),
+                    "n_cand", "n_hit", "n_gold"))

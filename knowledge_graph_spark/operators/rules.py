@@ -155,3 +155,65 @@ def characteristic_sets(triples: DataFrame,
         .agg(F.count("*").cast("long").alias("n_subjects"),
              F.sum("n_t").cast("long").alias("n_triples"))
     )
+
+
+def kb_diff(old: DataFrame, new: DataFrame,
+            subj_col: str = "subj", pred_col: str = "pred",
+            obj_col: str = "obj") -> DataFrame:
+    """Per-predicate audit of a KG update — the counters an
+    incremental construction pipeline publishes with every batch
+    commit (the reference's update semantics, lifted to version
+    accounting):
+
+    - ``n_added``    — triples in ``new`` only
+    - ``n_removed``  — triples in ``old`` only
+    - ``n_retained`` — triples in both
+    - ``n_changed_keys`` — ``(subj, pred)`` keys present on BOTH
+      sides whose object SETS differ (the "fact edited" signal that
+      added/removed counts alone can't distinguish from unrelated
+      churn)
+
+    Returns one row per predicate occurring on either side.
+
+    Scale shape: both sides fold to distinct triples; the diff is one
+    full-outer join on ``(subj, pred, obj)`` aggregated map-side to
+    ``(pred, long)`` counters, plus one ``(subj, pred)``-level
+    aggregate for the changed-key census. Objects never fan out;
+    no window, no collect.
+    """
+    def _t(df):
+        return (df.select(F.col(subj_col).alias("s"),
+                          F.col(pred_col).alias("p"),
+                          F.col(obj_col).alias("o"))
+                .filter(F.col("s").isNotNull() & F.col("p").isNotNull()
+                        & F.col("o").isNotNull())
+                .distinct())
+
+    o = _t(old).withColumn("_o", F.lit(1))
+    n = _t(new).withColumn("_n", F.lit(1))
+    j = (o.join(n, ["s", "p", "o"], "full_outer")
+         .select("s", "p",
+                 F.coalesce("_o", F.lit(0)).alias("in_old"),
+                 F.coalesce("_n", F.lit(0)).alias("in_new"))
+         .localCheckpoint(eager=True))  # feeds both aggregates below
+    per_pred = (j.groupBy("p").agg(
+        F.sum(F.expr("if(in_new = 1 and in_old = 0, 1, 0)"))
+        .cast("long").alias("n_added"),
+        F.sum(F.expr("if(in_old = 1 and in_new = 0, 1, 0)"))
+        .cast("long").alias("n_removed"),
+        F.sum(F.expr("if(in_old = 1 and in_new = 1, 1, 0)"))
+        .cast("long").alias("n_retained"),
+    ))
+    keys = (j.groupBy("s", "p").agg(
+        F.max("in_old").alias("_ko"), F.max("in_new").alias("_kn"),
+        # the key's object sets differ iff some triple is one-sided
+        F.max(F.expr("if(in_old != in_new, 1, 0)")).alias("_diff"))
+        .filter((F.col("_ko") == 1) & (F.col("_kn") == 1)
+                & (F.col("_diff") == 1))
+        .groupBy("p")
+        .agg(F.count("*").cast("long").alias("n_changed_keys")))
+    return (per_pred.join(keys, "p", "left")
+            .select(F.col("p").alias("pred"), "n_added", "n_removed",
+                    "n_retained",
+                    F.coalesce("n_changed_keys", F.lit(0).cast("long"))
+                    .alias("n_changed_keys")))

@@ -169,3 +169,55 @@ def test_canonicalize_predicates_chain(spark):
     # 'joined' ~ 'works at' share all 3 pairs (J=1) -> one cluster,
     # canonical = min path
     assert out == {"joined": "joined", "works at": "joined"}
+
+
+def test_kb_diff_hand_computed(spark):
+    from knowledge_graph_spark.operators.rules import kb_diff
+    old = spark.createDataFrame(
+        [("e1", "hq", "oslo"), ("e2", "hq", "rome"), ("e3", "hq", "nyc"),
+         ("e1", "ceo", "ann"), ("e1", "ceo", "bob")],
+        "subj string, pred string, obj string")
+    new = spark.createDataFrame(
+        [("e1", "hq", "bergen"), ("e2", "hq", "rome"),
+         ("e1", "ceo", "ann"), ("e1", "ceo", "bob"),
+         ("e4", "hq", "lima")],
+        "subj string, pred string, obj string")
+    out = {r.pred: r for r in kb_diff(old, new).collect()}
+    r = out["hq"]
+    # added: bergen, lima; removed: oslo, nyc; retained: rome;
+    # changed keys: (e1, hq) — present both sides, object set differs.
+    # (e3, hq) and (e4, hq) are one-sided keys, NOT changed.
+    assert (r.n_added, r.n_removed, r.n_retained, r.n_changed_keys) \
+        == (2, 2, 1, 1)
+    assert (out["ceo"].n_added, out["ceo"].n_removed,
+            out["ceo"].n_retained, out["ceo"].n_changed_keys) \
+        == (0, 0, 2, 0)
+
+
+def test_blocking_metrics_hand_computed(spark):
+    from pyspark.sql import functions as F
+    from knowledge_graph_spark.operators.linking import blocking_metrics
+    items = spark.createDataFrame(
+        [(1, "h1", "A", "x"), (2, "h1", "A", "y"), (3, "h2", "B", "x"),
+         (4, "h2", "B", "y"), (5, None, "A", "z"), (6, "h3", None, "x")],
+        "doc_id int, content_key string, band1 string, band2 string")
+    r = blocking_metrics(
+        items, [F.col("band1"), F.col("band2")]).collect()[0]
+    # band1 buckets A={1,2,5} B={3,4}; band2 x={1,3,6} y={2,4} z={5}
+    # cand = {12,15,25,34} ∪ {13,16,36,24} = 8; hits: (1,2) and (3,4);
+    # gold: h1 -> 1 pair, h2 -> 1 pair (NULL truth is not a dup)
+    assert (r.n_items, r.total_pairs, r.n_cand, r.n_hit, r.n_gold) \
+        == (6, 15, 8, 2, 2)
+
+
+def test_blocking_metrics_bucket_guard(spark):
+    from pyspark.sql import functions as F
+    from knowledge_graph_spark.operators.linking import blocking_metrics
+    items = spark.createDataFrame(
+        [(i, "h", "A") for i in range(10)],
+        "doc_id int, content_key string, band1 string")
+    # one 10-doc bucket: cap 4 drops it whole -> zero candidates,
+    # but gold pairs still count (blocker recall failure is visible)
+    r = blocking_metrics(items, [F.col("band1")],
+                         max_bucket=4).collect()[0]
+    assert (r.n_cand, r.n_hit, r.n_gold) == (0, 0, 45)
