@@ -35,8 +35,25 @@ _KG_GRAPH_ID_B = "graph_fixed_b"
 _KG_USER_B = "user_002"
 
 
+#: single small parquet files (one row-group) scan as ONE task no
+#: matter how many cores exist — Spark cannot split below row-group
+#: granularity. Production inputs arrive as many files/row-groups and
+#: never hit this branch; for the bench corpora, spreading the rows
+#: restores the at-scale plan shape (row-local tokenize/regex/hash
+#: work across all cores) at the cost of one tiny exchange.
+_SMALL_INPUT_BYTES = 64 << 20
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    try:
+        small = os.path.getsize(path) < _SMALL_INPUT_BYTES
+    except OSError:
+        small = False
+    if small:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def _warehouse(spark: SparkSession, sf_dir: str):
@@ -8223,6 +8240,120 @@ FROM ni, nc, hit, gold
 """
 
 
+def _q_pathsim(spark, sf_dir):
+    """PathSim meta-path similarity (Sun et al., VLDB 2011) for the
+    supplier -supplies-> part -supplies⁻¹-> supplier round trip:
+    co-supplier path-instance counts plus both self-path degrees,
+    integer ingredients of the hub-robust 2·n_ab/(n_aa+n_bb) score.
+    The oracle replays the distinct edge fold, the per-part degree
+    guard, the triangular pairing, and the degree joins."""
+    from knowledge_graph_spark.operators.graph_analytics import pathsim
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(F.col("l_suppkey").alias("src"),
+                      F.col("l_partkey").alias("dst"))
+    return (pathsim(edges, min_shared=50, max_dst_degree=256)
+            .orderBy("id_a", "id_b"))
+
+
+_SQL_PATHSIM = r"""
+WITH e AS (
+  SELECT DISTINCT l_suppkey AS a, l_partkey AS b FROM lineitem
+  WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL
+),
+keep AS (SELECT b FROM e GROUP BY b HAVING COUNT(*) <= 256),
+ek AS (SELECT e.* FROM e JOIN keep USING (b)),
+deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS n FROM ek GROUP BY a),
+shared AS (
+  SELECT e1.a AS id_a, e2.a AS id_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM ek e1 JOIN ek e2 ON e1.b = e2.b AND e1.a < e2.a
+  GROUP BY 1, 2 HAVING COUNT(*) >= 50
+)
+SELECT s.id_a, s.id_b, s.n_ab, da.n AS n_aa, db.n AS n_bb
+FROM shared s
+JOIN deg da ON da.a = s.id_a
+JOIN deg db ON db.a = s.id_b
+ORDER BY s.id_a, s.id_b
+"""
+
+
+def _q_set_expansion(spark, sf_dir):
+    """SEAL-style entity-set expansion (Wang & Cohen, ICDM 2007)
+    over the same injected coordination lists as
+    `coordination_pairs`, seeded with {sparrows, crows}: trout and
+    ferns must surface ranked by distinct co-list documents and by
+    how many DIFFERENT seeds corroborate them, while the seeds
+    themselves are anti-joined out. The oracle replays the pair
+    extraction, both seed joins, the anti-join, and both distinct
+    counts."""
+    from knowledge_graph_spark.operators.patterns import set_expansion
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+
+    def pick(arr, m):
+        return F.element_at(
+            F.array(*[F.lit(x) for x in arr]), (k % m + 1).cast("int"))
+
+    a = pick(("Sparrows", "Oaks", "Salmon"), 3)
+    b = pick(("crows", "ferns"), 2)
+    inj = F.concat_ws(
+        " ", F.col("text"),
+        F.concat(a, F.lit(",")), b, F.lit("and trout."),
+        F.when(k % 4 == 0, F.lit("dup, dup, and solo end")),
+    )
+    pages = docs.select("doc_id", inj.alias("text"))
+    seeds = spark.createDataFrame(
+        [("sparrows",), ("crows",)], "item string")
+    return set_expansion(pages, seeds).orderBy("item")
+
+
+_SQL_SET_EXPANSION = r"""
+WITH inj AS (
+  SELECT doc_id, concat_ws(' ', text,
+    (['Sparrows','Oaks','Salmon'])[doc_id % 3 + 1] || ',',
+    (['crows','ferns'])[doc_id % 2 + 1], 'and trout.',
+    CASE WHEN doc_id % 4 = 0 THEN 'dup, dup, and solo end' END)
+    AS text
+  FROM documents
+),
+m AS (
+  SELECT doc_id, unnest(regexp_extract_all(text,
+    '([A-Za-z][A-Za-z0-9_-]*), ([A-Za-z][A-Za-z0-9_-]*),? and ([A-Za-z][A-Za-z0-9_-]*)',
+    0)) AS m
+  FROM inj
+),
+g AS (
+  SELECT doc_id,
+    lower(regexp_extract(m, '([A-Za-z][A-Za-z0-9_-]*), ([A-Za-z][A-Za-z0-9_-]*),? and ([A-Za-z][A-Za-z0-9_-]*)', 1)) AS a,
+    lower(regexp_extract(m, '([A-Za-z][A-Za-z0-9_-]*), ([A-Za-z][A-Za-z0-9_-]*),? and ([A-Za-z][A-Za-z0-9_-]*)', 2)) AS b,
+    lower(regexp_extract(m, '([A-Za-z][A-Za-z0-9_-]*), ([A-Za-z][A-Za-z0-9_-]*),? and ([A-Za-z][A-Za-z0-9_-]*)', 3)) AS c
+  FROM m
+),
+pairs AS (
+  SELECT doc_id, least(a, b) AS item_a, greatest(a, b) AS item_b FROM g
+  UNION ALL
+  SELECT doc_id, least(a, c), greatest(a, c) FROM g
+  UNION ALL
+  SELECT doc_id, least(b, c), greatest(b, c) FROM g
+),
+p2 AS (SELECT * FROM pairs WHERE item_a <> item_b),
+seeds(s) AS (VALUES ('sparrows'), ('crows')),
+hits AS (
+  SELECT doc_id, item_b AS item, s FROM p2 JOIN seeds ON item_a = s
+  UNION ALL
+  SELECT doc_id, item_a, s FROM p2 JOIN seeds ON item_b = s
+)
+SELECT item,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_seed_docs,
+       CAST(COUNT(DISTINCT s) AS BIGINT) AS n_seeds
+FROM hits
+WHERE item NOT IN (SELECT s FROM seeds)
+GROUP BY item
+ORDER BY item
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # classical relational operators (DuckDB-oracled)
@@ -8274,6 +8405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_eval": _q_er_eval,
         "kb_diff": _q_kb_diff,
         "blocking_eval": _q_blocking_eval,
+        "pathsim": _q_pathsim,
+        "set_expansion": _q_set_expansion,
         "postings": _q_postings,
         "lp_eval": _q_lp_eval,
         "snapshot_diff": _q_snapshot_diff,
@@ -8446,6 +8579,8 @@ def oracle_sql() -> dict[str, str]:
         "er_eval": _SQL_ER_EVAL,
         "kb_diff": _SQL_KB_DIFF,
         "blocking_eval": _SQL_BLOCKING_EVAL,
+        "pathsim": _SQL_PATHSIM,
+        "set_expansion": _SQL_SET_EXPANSION,
         "postings": _SQL_POSTINGS,
         "lp_eval": _SQL_LP_EVAL,
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,

@@ -718,3 +718,70 @@ def neighborhood_mean(edges: DataFrame, features: DataFrame,
             .localCheckpoint(eager=True)
         )
     return cur
+
+
+def pathsim(edges: DataFrame, src_col: str = "src",
+            dst_col: str = "dst", min_shared: int = 1,
+            max_dst_degree: int | None = 256) -> DataFrame:
+    """PathSim meta-path similarity (Sun, Han, Yan, Yu, Wu, VLDB
+    2011: "PathSim: Meta Path-Based Top-K Similarity Search in
+    Heterogeneous Information Networks") for the symmetric round-trip
+    meta-path ``A -e-> B -e⁻¹-> A``: two source entities are similar
+    when many path instances connect them — e.g. two suppliers
+    co-supplying many parts, two authors co-publishing at many
+    venues.
+
+    Emits ``(id_a, id_b, n_ab, n_aa, n_bb)`` with ``id_a < id_b``,
+    INTEGER path-instance counts only:
+
+    - ``n_ab`` — round-trip path instances between a and b
+      (= shared distinct neighbors for a deduped edge set)
+    - ``n_aa`` / ``n_bb`` — self path instances (= degrees)
+
+    PathSim itself is the row-local division
+    ``2·n_ab / (n_aa + n_bb)`` — the normalization that, unlike raw
+    path counts, doesn't just rank hubs first (the paper's point).
+
+    Scale shape: edges fold to distinct; the path join would fan out
+    quadratically on a hub ``B`` node (a part supplied by everyone),
+    so destinations above ``max_dst_degree`` are dropped whole
+    BEFORE the pairing (None = no cap) and pairs are generated
+    IN-AGGREGATE per destination (sorted collect + triangular slice
+    — one shuffle, no self-join). Degrees come from the same distinct
+    edge set, counted over the SAME capped destination set so that
+    n_aa/n_bb and n_ab are consistent ingredients.
+    """
+    e = (edges.select(F.col(src_col).alias("a"),
+                      F.col(dst_col).alias("b"))
+         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+         .distinct())
+    if max_dst_degree is not None:
+        cap = int(max_dst_degree)
+        keep = (e.groupBy("b").agg(F.count("*").alias("_d"))
+                .filter(F.col("_d") <= cap).select("b"))
+        e = e.join(keep, "b", "leftsemi")
+    e = e.localCheckpoint(eager=True)  # pairing AND degrees below
+
+    deg = e.groupBy("a").agg(F.count("*").cast("long").alias("n"))
+
+    grouped = e.groupBy("b").agg(
+        F.sort_array(F.collect_list("a")).alias("_ids"))
+    pairs = F.flatten(
+        F.transform(
+            "_ids",
+            lambda x, i: F.transform(
+                F.slice("_ids", i + F.lit(2), F.size("_ids")),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    shared = (
+        grouped.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.pa").alias("id_a"), F.col("p.pb").alias("id_b"))
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= int(min_shared))
+    )
+    da = deg.select(F.col("a").alias("id_a"), F.col("n").alias("n_aa"))
+    db = deg.select(F.col("a").alias("id_b"), F.col("n").alias("n_bb"))
+    return shared.join(da, "id_a").join(db, "id_b").select(
+        "id_a", "id_b", "n_ab", "n_aa", "n_bb")

@@ -399,16 +399,13 @@ COORDINATION_RE = (r"([A-Za-z][A-Za-z0-9_-]*), "
                    r"([A-Za-z][A-Za-z0-9_-]*)")
 
 
-def coordination_siblings(pages: DataFrame, id_col: str = "doc_id",
-                          text_col: str = "text") -> DataFrame:
-    """Coordination sibling mining: every "A, B(,) and C" list
-    asserts pairwise co-hyponym candidates (A,B) (A,C) (B,C). Emits
-    ``(item_a, item_b, n_docs)`` with ``item_a < item_b`` (canonical
-    unordered orientation, lowercase-folded); self-pairs drop.
-
-    Scale shape: row-local regex + an in-row 3-pair array explode;
-    one map-side-combined ``(pair, long)`` count exchange.
-    """
+def _coordination_doc_pairs(pages: DataFrame, id_col: str,
+                            text_col: str) -> DataFrame:
+    """``(doc_id, item_a, item_b)`` per coordination-list match —
+    the pre-aggregation pair stream shared by
+    :func:`coordination_siblings` (census) and :func:`set_expansion`
+    (seed scoring). Row-local regex + in-row 3-pair explode; no
+    exchange."""
     sql_re = COORDINATION_RE.replace("\\", "\\\\")
     m = pages.select(
         F.col(id_col).alias("doc_id"),
@@ -427,7 +424,19 @@ def coordination_siblings(pages: DataFrame, id_col: str = "doc_id",
     pairs = F.array(pair(a, b), pair(a, c), pair(b, c))
     return (m.select("doc_id", F.explode(pairs).alias("p"))
             .select("doc_id", "p.item_a", "p.item_b")
-            .filter(F.col("item_a") != F.col("item_b"))
+            .filter(F.col("item_a") != F.col("item_b")))
+
+def coordination_siblings(pages: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Coordination sibling mining: every "A, B(,) and C" list
+    asserts pairwise co-hyponym candidates (A,B) (A,C) (B,C). Emits
+    ``(item_a, item_b, n_docs)`` with ``item_a < item_b`` (canonical
+    unordered orientation, lowercase-folded); self-pairs drop.
+
+    Scale shape: row-local regex + an in-row 3-pair array explode;
+    one map-side-combined ``(pair, long)`` count exchange.
+    """
+    return (_coordination_doc_pairs(pages, id_col, text_col)
             .groupBy("item_a", "item_b")
             .agg(F.countDistinct("doc_id").cast("long")
                  .alias("n_docs")))
@@ -619,3 +628,43 @@ def canonicalize_predicates(docs: DataFrame,
         F.min("node").alias("canonical"))
     return (labels.join(canon, "component")
             .select(F.col("node").alias("path"), "canonical"))
+
+
+def set_expansion(pages: DataFrame, seeds: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  seed_col: str = "item") -> DataFrame:
+    """Seed-driven entity-set expansion (SEAL — Wang & Cohen, ICDM
+    2007): rank candidate entities by how often they co-occur with a
+    SEED in the same coordination list ("A, B and C"). The classic
+    grow-a-gazetteer loop: seeds {python, java} surface the other
+    members of whatever lists they appear in.
+
+    Emits ``(item, n_seed_docs, n_seeds)`` for non-seed items:
+    ``n_seed_docs`` = distinct documents where the item shares a
+    list pair with some seed (the expansion score — integer),
+    ``n_seeds`` = distinct seeds it co-occurred with (multi-seed
+    corroboration beats single-seed frequency, the SEAL ranking
+    insight). Seeds are lowercase-folded like the list items.
+
+    Scale shape: rides the same row-local pair extraction as
+    :func:`coordination_siblings`; the seed list BROADCASTS to both
+    pair slots (each side one broadcast equi-join), candidates fold
+    in one map-side-combined aggregate. Page bodies never shuffle.
+    """
+    pairs = _coordination_doc_pairs(pages, id_col, text_col)
+    s = F.broadcast(
+        seeds.select(F.lower(F.col(seed_col)).alias("_seed")).distinct())
+    hits = (
+        pairs.join(s, pairs["item_a"] == s["_seed"])
+        .select("doc_id", F.col("item_b").alias("item"), "_seed")
+        .unionByName(
+            pairs.join(s, pairs["item_b"] == s["_seed"])
+            .select("doc_id", F.col("item_a").alias("item"), "_seed"))
+    )
+    return (
+        hits.join(s.select(F.col("_seed").alias("item")), "item",
+                  "left_anti")
+        .groupBy("item")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_seed_docs"),
+             F.countDistinct("_seed").cast("long").alias("n_seeds"))
+    )

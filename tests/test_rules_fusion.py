@@ -221,3 +221,48 @@ def test_blocking_metrics_bucket_guard(spark):
     r = blocking_metrics(items, [F.col("band1")],
                          max_bucket=4).collect()[0]
     assert (r.n_cand, r.n_hit, r.n_gold) == (0, 0, 45)
+
+
+def test_pathsim_hand_computed(spark):
+    from knowledge_graph_spark.operators.graph_analytics import pathsim
+    e = spark.createDataFrame(
+        [(1, "p1"), (1, "p2"), (2, "p1"), (2, "p2"), (2, "p3"),
+         (3, "p3"), (1, "p1")],  # duplicate edge collapses
+        "src int, dst string")
+    out = {(r.id_a, r.id_b): r for r in pathsim(e).collect()}
+    assert (out[(1, 2)].n_ab, out[(1, 2)].n_aa, out[(1, 2)].n_bb) \
+        == (2, 2, 3)
+    assert out[(2, 3)].n_ab == 1
+    assert (1, 3) not in out  # no shared neighbor
+
+
+def test_pathsim_hub_guard(spark):
+    from knowledge_graph_spark.operators.graph_analytics import pathsim
+    e = spark.createDataFrame(
+        [(i, "hub") for i in range(5)] + [(0, "x"), (1, "x")],
+        "src int, dst string")
+    out = {(r.id_a, r.id_b): r
+           for r in pathsim(e, max_dst_degree=4).collect()}
+    # the 5-degree hub is dropped whole; only x contributes, and the
+    # degrees are counted over the SAME capped edge set
+    assert out == {k: v for k, v in out.items()}
+    assert list(out) == [(0, 1)]
+    assert (out[(0, 1)].n_ab, out[(0, 1)].n_aa, out[(0, 1)].n_bb) \
+        == (1, 1, 1)
+
+
+def test_set_expansion_seeds_and_scores(spark):
+    from knowledge_graph_spark.operators.patterns import set_expansion
+    docs = spark.createDataFrame(
+        [(1, "we use python, java and rust daily"),
+         (2, "python, go and rust are fast"),
+         (3, "apples, pears and plums here")],
+        "doc_id int, text string")
+    seeds = spark.createDataFrame(
+        [("Python",), ("java",)], "item string")  # case-folds
+    out = {r.item: r for r in set_expansion(docs, seeds).collect()}
+    # rust: with python in docs 1+2 and java in doc 1 -> 2 docs, 2 seeds
+    assert (out["rust"].n_seed_docs, out["rust"].n_seeds) == (2, 2)
+    assert (out["go"].n_seed_docs, out["go"].n_seeds) == (1, 1)
+    assert "python" not in out and "java" not in out  # anti-joined
+    assert "apples" not in out  # no seed in its list

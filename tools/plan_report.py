@@ -149,7 +149,8 @@ def main():
         "amie_rules", "char_sets", "truth_discovery", "dirt_paths",
         # (predicate_canon is excluded: its component stage is
         # iterative, so the static plan is the last round only)
-        "er_eval", "kb_diff", "blocking_eval",
+        "er_eval", "kb_diff", "blocking_eval", "pathsim",
+        "set_expansion",
     ]
     qs = entrymod.queries()
     lines = [
