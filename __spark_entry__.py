@@ -8354,6 +8354,114 @@ ORDER BY item
 """
 
 
+def _q_seeded_hosts(spark, sf_dir):
+    """Semi-supervised domain tagging by seeded label propagation
+    (Zhu & Ghahramani 2002): suppliers co-occurring in an order are
+    linked; every 5th supplier is seeded with its region label and
+    two clamped-seed argmax rounds spread labels across the
+    co-occurrence graph (integer votes, ties to the smaller label).
+    The oracle replays the edge fold, both rounds, the seed clamp,
+    and the tie-break."""
+    from knowledge_graph_spark.operators.graph_analytics import (
+        seeded_label_propagation)
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    bi = li.select(F.col("l_orderkey").alias("o"),
+                   F.col("l_suppkey").alias("s")).distinct()
+    a = bi.select(F.col("o"), F.col("s").alias("src"))
+    b = bi.select(F.col("o"), F.col("s").alias("dst"))
+    edges = (a.join(b, "o")
+             .filter(F.col("src") != F.col("dst"))
+             .select("src", "dst"))
+    seeds = (sup.filter(F.col("s_suppkey") % 5 == 0)
+             .join(nat, sup["s_nationkey"] == nat["n_nationkey"])
+             .select(F.col("s_suppkey").alias("node"),
+                     F.concat(F.lit("r"),
+                              F.col("n_regionkey").cast("string"))
+                     .alias("label")))
+    return (seeded_label_propagation(edges, seeds, n_rounds=2)
+            .orderBy("node"))
+
+
+_SQL_SEEDED_HOSTS = r"""
+WITH e0 AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+            FROM lineitem),
+ed AS (SELECT DISTINCT a.s AS u, b.s AS v
+       FROM e0 a JOIN e0 b ON a.o = b.o AND a.s <> b.s),
+seeds AS (
+  SELECT s_suppkey AS n, 'r' || CAST(n_regionkey AS VARCHAR) AS l
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE s_suppkey % 5 = 0
+),
+r1v AS (SELECT ed.u AS n, s.l, COUNT(*) AS c
+        FROM ed JOIN seeds s ON ed.v = s.n GROUP BY 1, 2),
+r1i AS (SELECT n, l FROM (
+          SELECT n, l, row_number() OVER (
+            PARTITION BY n ORDER BY c DESC, l ASC) AS rn
+          FROM r1v WHERE n NOT IN (SELECT n FROM seeds))
+        WHERE rn = 1),
+l1 AS (SELECT * FROM seeds UNION ALL SELECT * FROM r1i),
+r2v AS (SELECT ed.u AS n, t.l, COUNT(*) AS c
+        FROM ed JOIN l1 t ON ed.v = t.n GROUP BY 1, 2),
+r2i AS (SELECT n, l FROM (
+          SELECT n, l, row_number() OVER (
+            PARTITION BY n ORDER BY c DESC, l ASC) AS rn
+          FROM r2v WHERE n NOT IN (SELECT n FROM seeds))
+        WHERE rn = 1),
+l2 AS (SELECT * FROM seeds UNION ALL SELECT * FROM r2i)
+SELECT n AS node, l AS label FROM l2 ORDER BY node
+"""
+
+
+def _q_basket_pairs(spark, sf_dir):
+    """Frequent 2-itemset mining (Agrawal et al., SIGMOD 1993) over
+    order baskets with parts folded to 199 pseudo-items so pair
+    support accumulates: pair/item/basket counts are the support /
+    confidence / lift ingredients, all integers. The oracle replays
+    the distinct fold, the basket-size guard, the triangular pair
+    generation, and the census."""
+    from knowledge_graph_spark.operators.assoc import frequent_item_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("basket"),
+        F.concat(F.lit("i"), (F.col("l_partkey") % 199).cast("string"))
+        .alias("item"))
+    return (frequent_item_pairs(baskets, min_support=4)
+            .orderBy("item_a", "item_b"))
+
+
+_SQL_BASKET_PAIRS = r"""
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS b,
+         'i' || CAST(l_partkey % 199 AS VARCHAR) AS i
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL
+),
+sup AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM bi GROUP BY i),
+census AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_baskets
+           FROM bi),
+sz AS (SELECT b, COUNT(*) AS c FROM bi GROUP BY b),
+okb AS (SELECT bi.* FROM bi JOIN sz USING (b)
+        WHERE sz.c BETWEEN 2 AND 256),
+co AS (
+  SELECT t1.i AS item_a, t2.i AS item_b,
+         CAST(COUNT(*) AS BIGINT) AS pair_count
+  FROM okb t1 JOIN okb t2 ON t1.b = t2.b AND t1.i < t2.i
+  GROUP BY 1, 2 HAVING COUNT(*) >= 4
+)
+SELECT co.item_a, co.item_b, co.pair_count,
+       sa.n AS count_a, sb.n AS count_b, census.n_baskets
+FROM co
+JOIN sup sa ON sa.i = co.item_a
+JOIN sup sb ON sb.i = co.item_b
+CROSS JOIN census
+ORDER BY co.item_a, co.item_b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # classical relational operators (DuckDB-oracled)
@@ -8407,6 +8515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_eval": _q_blocking_eval,
         "pathsim": _q_pathsim,
         "set_expansion": _q_set_expansion,
+        "seeded_hosts": _q_seeded_hosts,
+        "basket_pairs": _q_basket_pairs,
         "postings": _q_postings,
         "lp_eval": _q_lp_eval,
         "snapshot_diff": _q_snapshot_diff,
@@ -8581,6 +8691,8 @@ def oracle_sql() -> dict[str, str]:
         "blocking_eval": _SQL_BLOCKING_EVAL,
         "pathsim": _SQL_PATHSIM,
         "set_expansion": _SQL_SET_EXPANSION,
+        "seeded_hosts": _SQL_SEEDED_HOSTS,
+        "basket_pairs": _SQL_BASKET_PAIRS,
         "postings": _SQL_POSTINGS,
         "lp_eval": _SQL_LP_EVAL,
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,

@@ -116,7 +116,7 @@ def main():
         "polarity_triples", "type_checked_triples",
         "truth_discovery", "amie_rules", "char_sets", "dirt_paths",
         "predicate_canon", "er_eval", "kb_diff", "blocking_eval",
-        "pathsim", "set_expansion",
+        "pathsim", "set_expansion", "seeded_hosts", "basket_pairs",
     ]
     qs = entrymod.queries()
     for name in headliners:

@@ -785,3 +785,58 @@ def pathsim(edges: DataFrame, src_col: str = "src",
     db = deg.select(F.col("a").alias("id_b"), F.col("n").alias("n_bb"))
     return shared.join(da, "id_a").join(db, "id_b").select(
         "id_a", "id_b", "n_ab", "n_aa", "n_bb")
+
+
+def seeded_label_propagation(edges: DataFrame, seeds: DataFrame,
+                             n_rounds: int = 2,
+                             src_col: str = "src", dst_col: str = "dst",
+                             node_col: str = "node",
+                             label_col: str = "label") -> DataFrame:
+    """Semi-supervised node classification by seeded label
+    propagation (Zhu & Ghahramani 2002, CMU-CALD-02-107) — the
+    web-corpus domain-tagging workhorse: a few hand-labeled hosts
+    propagate their topic label across the link graph. UNLIKE
+    :func:`label_propagation` (unsupervised community detection),
+    seed labels are CLAMPED: a seed never changes, and every round
+    each non-seed node takes the argmax label among its neighbors'
+    current labels (INTEGER vote counts; ties to the
+    lexicographically smallest label — deterministic, replayable).
+
+    Runs a FIXED ``n_rounds`` (the caller picks reach = n_rounds
+    hops from the nearest seed), returning ``(node, label)`` for
+    every node labeled by then — unreached nodes are absent, the
+    caller's NULL-handling decision.
+
+    Scale shape: edges fold to distinct symmetric pairs once; each
+    round is one equi-join of edges against the current ``(node,
+    label)`` table plus one map-side-combined count and one
+    in-aggregate ``min_by`` argmax — ``(key, long)`` exchanges only.
+    The label table is localCheckpointed per round (iterative-reuse
+    precedent), so lineage stays O(1) across rounds.
+    """
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1 (got {n_rounds})")
+    e = (edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+         .filter(F.col("u").isNotNull() & F.col("v").isNotNull()
+                 & (F.col("u") != F.col("v")))
+         .distinct())
+    sym = (e.unionByName(e.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")))
+           .localCheckpoint(eager=True))
+    seed = (seeds.select(F.col(node_col).alias("n"),
+                         F.col(label_col).alias("l"))
+            .filter(F.col("n").isNotNull() & F.col("l").isNotNull())
+            .distinct()
+            .localCheckpoint(eager=True))
+    cur = seed
+    for _ in range(int(n_rounds)):
+        votes = (sym.join(cur, sym["v"] == cur["n"])
+                 .groupBy(F.col("u").alias("n"), F.col("l"))
+                 .agg(F.count("*").alias("_c")))
+        inferred = (votes.join(seed.select(F.col("n")), "n", "left_anti")
+                    .groupBy("n")
+                    .agg(F.expr(
+                        "min_by(l, named_struct('nc', -_c, 'l', l))")
+                        .alias("l")))
+        cur = seed.unionByName(inferred).localCheckpoint(eager=True)
+    return cur.select(F.col("n").alias("node"), F.col("l").alias("label"))

@@ -266,3 +266,61 @@ def test_set_expansion_seeds_and_scores(spark):
     assert (out["go"].n_seed_docs, out["go"].n_seeds) == (1, 1)
     assert "python" not in out and "java" not in out  # anti-joined
     assert "apples" not in out  # no seed in its list
+
+
+def test_seeded_label_propagation(spark):
+    from knowledge_graph_spark.operators.graph_analytics import (
+        seeded_label_propagation)
+    import pytest as _pt
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 4), (6, 7), (2, 1)],  # dup dir
+        "src int, dst int")
+    seeds = spark.createDataFrame(
+        [(1, "news"), (5, "shop")], "node int, label string")
+    out = {r.node: r.label
+           for r in seeded_label_propagation(e, seeds, 2).collect()}
+    # round 1: 2<-news, 4<-shop; round 2: 3 sees {news, shop} tie ->
+    # 'news' (lexical); 6/7 unreachable from any seed -> absent;
+    # seeds clamped
+    assert out == {1: "news", 2: "news", 3: "news", 4: "shop",
+                   5: "shop"}
+    with _pt.raises(ValueError):
+        seeded_label_propagation(e, seeds, 0)
+
+
+def test_seed_clamp_beats_neighbors(spark):
+    from knowledge_graph_spark.operators.graph_analytics import (
+        seeded_label_propagation)
+    # seed 1 surrounded by 'shop' seeds must KEEP its own label
+    e = spark.createDataFrame([(1, 2), (1, 3)], "src int, dst int")
+    seeds = spark.createDataFrame(
+        [(1, "news"), (2, "shop"), (3, "shop")], "node int, label string")
+    out = {r.node: r.label
+           for r in seeded_label_propagation(e, seeds, 3).collect()}
+    assert out[1] == "news"
+
+
+def test_frequent_item_pairs(spark):
+    from knowledge_graph_spark.operators.assoc import frequent_item_pairs
+    b = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (1, "z"), (2, "x"), (2, "y"), (3, "x"),
+         (3, "y"), (4, "q"), (1, "x")],  # dup (1,x) collapses
+        "basket int, item string")
+    out = frequent_item_pairs(b, min_support=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.item_a, r.item_b, r.pair_count, r.count_a, r.count_b,
+            r.n_baskets) == ("x", "y", 3, 3, 3, 4)
+
+
+def test_frequent_item_pairs_basket_guard(spark):
+    from knowledge_graph_spark.operators.assoc import frequent_item_pairs
+    rows = [(1, f"i{k}") for k in range(5)] + \
+        [(2, "i0"), (2, "i1"), (3, "i0"), (3, "i1")]
+    b = spark.createDataFrame(rows, "basket int, item string")
+    # basket 1 (5 items) dropped whole by cap 4: (i0,i1) pair count
+    # falls to 2 (baskets 2 and 3) while item supports still count
+    # basket 1's rows
+    r = frequent_item_pairs(b, min_support=2, max_basket=4).collect()[0]
+    assert (r.item_a, r.item_b, r.pair_count, r.count_a, r.count_b) \
+        == ("i0", "i1", 2, 3, 3)

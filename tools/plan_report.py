@@ -150,7 +150,9 @@ def main():
         # (predicate_canon is excluded: its component stage is
         # iterative, so the static plan is the last round only)
         "er_eval", "kb_diff", "blocking_eval", "pathsim",
-        "set_expansion",
+        "set_expansion", "basket_pairs",
+        # (seeded_hosts is fixed-round iterative with per-round
+        # checkpoints — static plan is the last round only, excluded)
     ]
     qs = entrymod.queries()
     lines = [
