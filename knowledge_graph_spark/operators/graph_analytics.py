@@ -823,10 +823,13 @@ def seeded_label_propagation(edges: DataFrame, seeds: DataFrame,
     sym = (e.unionByName(e.select(F.col("v").alias("u"),
                                   F.col("u").alias("v")))
            .localCheckpoint(eager=True))
+    # a node seeded with two conflicting labels resolves to the min
+    # label (deterministic) — otherwise it would vote twice AND
+    # emit two output rows
     seed = (seeds.select(F.col(node_col).alias("n"),
                          F.col(label_col).alias("l"))
             .filter(F.col("n").isNotNull() & F.col("l").isNotNull())
-            .distinct()
+            .groupBy("n").agg(F.min("l").alias("l"))
             .localCheckpoint(eager=True))
     cur = seed
     for _ in range(int(n_rounds)):

@@ -450,6 +450,8 @@ def blocking_metrics(items: DataFrame, band_keys: list,
     """
     from .dedup import _bucket_pairs
 
+    if not band_keys:
+        raise ValueError("band_keys must name at least one blocking key")
     base = items.select(F.col(id_col).alias("_id"),
                         F.col(truth_col).alias("_truth"),
                         *[k.alias(f"_b{i}") for i, k in

@@ -324,3 +324,23 @@ def test_frequent_item_pairs_basket_guard(spark):
     r = frequent_item_pairs(b, min_support=2, max_basket=4).collect()[0]
     assert (r.item_a, r.item_b, r.pair_count, r.count_a, r.count_b) \
         == ("i0", "i1", 2, 3, 3)
+
+
+def test_seeded_lpa_conflicting_seed_resolves_min(spark):
+    from knowledge_graph_spark.operators.graph_analytics import (
+        seeded_label_propagation)
+    e = spark.createDataFrame([(1, 2)], "src int, dst int")
+    seeds = spark.createDataFrame(
+        [(1, "zoo"), (1, "art")], "node int, label string")
+    out = seeded_label_propagation(e, seeds, 1).collect()
+    got = {r.node: r.label for r in out}
+    assert got == {1: "art", 2: "art"}
+    assert len(out) == 2  # no duplicate rows for the seeded node
+
+
+def test_blocking_metrics_empty_bands_raises(spark):
+    import pytest as _pt
+    from knowledge_graph_spark.operators.linking import blocking_metrics
+    d = spark.createDataFrame([(1, "h")], "doc_id int, content_key string")
+    with _pt.raises(ValueError):
+        blocking_metrics(d, [])
