@@ -5171,6 +5171,286 @@ FROM r{iters} ORDER BY pos"""
 _SQL_HOST_PAGERANK = _host_pagerank_sql()
 
 
+def _web_census_edges(docs):
+    """Deterministic bowtie-shaped host link graph for the web-census
+    queries (host_scc / host_bowtie / host_reach): every document
+    contributes residue-class edges that together form the full Broder
+    anatomy — a 13-host CORE cycle (with chords), a 29-host IN layer
+    fed by a second 7-host SCC ring, a 17-host OUT layer, 5 TUBE hosts
+    bypassing the core, 11 TENDRIL hosts hanging off IN, and a 6-host
+    disconnected cycle. 88 hosts total, however many documents — the
+    bounded-vocabulary shape every census operator here relies on."""
+    d = F.col("doc_id")
+
+    def h(prefix, expr):
+        return F.concat(F.lit(prefix), expr.cast("string"))
+
+    specs = [
+        (h("core-", d % 13), h("core-", (d + 1) % 13), None),
+        (h("core-", d % 13), h("core-", (d + 5) % 13), d % 3 == 0),
+        (h("in-", d % 29), h("core-", d % 13), None),
+        (h("ring2-", d % 7), h("ring2-", (d + 1) % 7), None),
+        (h("ring2-", d % 7), h("in-", d % 29), None),
+        (h("in-", d % 29), h("tend-", d % 11), None),
+        (h("in-", d % 29), h("tube-", d % 5), None),
+        (h("tube-", d % 5), h("out-", d % 17), None),
+        (h("core-", d % 13), h("out-", d % 17), None),
+        (h("disc-", d % 6), h("disc-", (d + 1) % 6), None),
+    ]
+    out = None
+    for s, t, cond in specs:
+        base = docs if cond is None else docs.filter(cond)
+        part = base.select(s.alias("src"), t.alias("dst"))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+# DuckDB twin of _web_census_edges — shared by the three census oracles
+_WEB_CENSUS_EDGES_CTE = r"""docs AS MATERIALIZED (SELECT doc_id FROM documents),
+e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'core-' || CAST(doc_id % 13 AS VARCHAR) AS src,
+           'core-' || CAST((doc_id + 1) % 13 AS VARCHAR) AS dst FROM docs
+    UNION ALL
+    SELECT 'core-' || CAST(doc_id % 13 AS VARCHAR),
+           'core-' || CAST((doc_id + 5) % 13 AS VARCHAR)
+    FROM docs WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT 'in-' || CAST(doc_id % 29 AS VARCHAR),
+           'core-' || CAST(doc_id % 13 AS VARCHAR) FROM docs
+    UNION ALL
+    SELECT 'ring2-' || CAST(doc_id % 7 AS VARCHAR),
+           'ring2-' || CAST((doc_id + 1) % 7 AS VARCHAR) FROM docs
+    UNION ALL
+    SELECT 'ring2-' || CAST(doc_id % 7 AS VARCHAR),
+           'in-' || CAST(doc_id % 29 AS VARCHAR) FROM docs
+    UNION ALL
+    SELECT 'in-' || CAST(doc_id % 29 AS VARCHAR),
+           'tend-' || CAST(doc_id % 11 AS VARCHAR) FROM docs
+    UNION ALL
+    SELECT 'in-' || CAST(doc_id % 29 AS VARCHAR),
+           'tube-' || CAST(doc_id % 5 AS VARCHAR) FROM docs
+    UNION ALL
+    SELECT 'tube-' || CAST(doc_id % 5 AS VARCHAR),
+           'out-' || CAST(doc_id % 17 AS VARCHAR) FROM docs
+    UNION ALL
+    SELECT 'core-' || CAST(doc_id % 13 AS VARCHAR),
+           'out-' || CAST(doc_id % 17 AS VARCHAR) FROM docs
+    UNION ALL
+    SELECT 'disc-' || CAST(doc_id % 6 AS VARCHAR),
+           'disc-' || CAST((doc_id + 1) % 6 AS VARCHAR) FROM docs
+  )
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM e UNION ALL SELECT dst FROM e))"""
+# ^ DISTINCT-over-UNION-ALL, not UNION: DuckDB 1.0.0 drops the UNION
+#   dedup of NON-recursive CTEs inside a WITH RECURSIVE list
+
+
+def _q_host_scc(spark, sf_dir):
+    """Strongly connected components of the host link graph —
+    forward-backward min-label peeling (Fleischer et al. 2000 / the
+    MapReduce shape in Rastogi et al. ICDE 2013). The synthesized
+    graph has three non-trivial SCCs (13-cycle core, 7-ring, 6-ring
+    island) plus 62 singletons; the oracle derives the same labels
+    from first principles — mutual reachability over the recursive-CTE
+    transitive closure — so it cross-checks the ALGORITHM, not a
+    replay of it."""
+    from knowledge_graph_spark.operators.graph_analytics import (
+        strongly_connected_components)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = _web_census_edges(docs)
+    return (strongly_connected_components(edges)
+            .select(F.col("id").alias("host"), "scc_id")
+            .orderBy("host"))
+
+
+_SQL_HOST_SCC = r"""
+WITH RECURSIVE """ + _WEB_CENSUS_EDGES_CTE + r""",
+reach AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, x.dst FROM reach r JOIN e x ON x.src = r.dst
+),
+mutual AS (
+  SELECT a.src AS id, a.dst AS o
+  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+)
+SELECT n.id AS host,
+       LEAST(n.id, COALESCE(MIN(m.o), n.id)) AS scc_id
+FROM nodes n LEFT JOIN mutual m ON m.id = n.id
+GROUP BY n.id
+ORDER BY host
+"""
+
+
+def _q_host_bowtie(spark, sf_dir):
+    """Broder bowtie census of the host graph (Broder et al. 2000):
+    per-host region in {CORE, IN, OUT, TUBE, TENDRIL, DISC}. The
+    oracle recomputes every region definitionally from recursive-CTE
+    closures (directed, core-avoiding, and undirected), independent of
+    the engine's SCC-peeling + BFS implementation."""
+    from knowledge_graph_spark.operators.graph_analytics import (
+        bowtie_regions)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = _web_census_edges(docs)
+    return (bowtie_regions(edges)
+            .select(F.col("id").alias("host"), "region")
+            .orderBy("host"))
+
+
+_SQL_HOST_BOWTIE = r"""
+WITH RECURSIVE """ + _WEB_CENSUS_EDGES_CTE + r""",
+reach AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, x.dst FROM reach r JOIN e x ON x.src = r.dst
+),
+mutual AS (
+  SELECT a.src AS id, a.dst AS o
+  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+),
+scc AS (
+  SELECT n.id, LEAST(n.id, COALESCE(MIN(m.o), n.id)) AS scc_id
+  FROM nodes n LEFT JOIN mutual m ON m.id = n.id GROUP BY n.id
+),
+core AS (
+  SELECT id FROM scc WHERE scc_id = (
+    SELECT scc_id FROM (
+      SELECT scc_id, COUNT(*) AS n FROM scc GROUP BY scc_id)
+    ORDER BY n DESC, scc_id LIMIT 1)
+),
+inset AS (
+  SELECT DISTINCT src AS id FROM reach
+  WHERE dst IN (SELECT id FROM core)
+    AND src NOT IN (SELECT id FROM core)
+),
+outset AS (
+  SELECT DISTINCT dst AS id FROM reach
+  WHERE src IN (SELECT id FROM core)
+    AND dst NOT IN (SELECT id FROM core)
+),
+e2 AS MATERIALIZED (
+  SELECT src, dst FROM e
+  WHERE src NOT IN (SELECT id FROM core)
+    AND dst NOT IN (SELECT id FROM core)
+),
+reach2 AS (
+  SELECT src, dst FROM e2
+  UNION
+  SELECT r.src, x.dst FROM reach2 r JOIN e2 x ON x.src = r.dst
+),
+fromin AS (
+  SELECT DISTINCT id FROM (
+    SELECT id FROM inset
+    UNION ALL
+    SELECT dst AS id FROM reach2 WHERE src IN (SELECT id FROM inset))
+),
+toout AS (
+  SELECT DISTINCT id FROM (
+    SELECT id FROM outset
+    UNION ALL
+    SELECT src AS id FROM reach2 WHERE dst IN (SELECT id FROM outset))
+),
+sym AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM e)
+),
+ureach AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM ureach r JOIN sym s ON s.src = r.dst
+),
+wcc AS (
+  SELECT DISTINCT id FROM (
+    SELECT id FROM core
+    UNION ALL
+    SELECT dst AS id FROM ureach WHERE src IN (SELECT id FROM core))
+)
+SELECT n.id AS host,
+       CASE WHEN n.id IN (SELECT id FROM core) THEN 'CORE'
+            WHEN n.id IN (SELECT id FROM inset) THEN 'IN'
+            WHEN n.id IN (SELECT id FROM outset) THEN 'OUT'
+            WHEN n.id IN (SELECT id FROM fromin)
+                 AND n.id IN (SELECT id FROM toout) THEN 'TUBE'
+            WHEN n.id IN (SELECT id FROM wcc) THEN 'TENDRIL'
+            ELSE 'DISC' END AS region
+FROM nodes n
+ORDER BY host
+"""
+
+
+def _q_host_reach(spark, sf_dir):
+    """HyperANF neighborhood function over the host graph (Boldi,
+    Rosa & Vigna, WWW 2011): per (round t, host), the HLL-estimated
+    out-ball size — the web-scale distance census whose saturation
+    point is the effective diameter. p=4 (16 registers/host); the
+    oracle replays register seeding, four max-propagation rounds, and
+    the integer-exact estimate formula in DuckDB."""
+    from knowledge_graph_spark.operators.graph_analytics import (
+        neighborhood_function)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = _web_census_edges(docs)
+    return (neighborhood_function(edges, rounds=4, p=4)
+            .select("t", F.col("id").alias("host"), "n_registers",
+                    "ball_est")
+            .orderBy("t", "host"))
+
+
+def _host_reach_sql(rounds: int = 4) -> str:
+    """Unrolled HyperANF oracle: registers seeded exactly as
+    sketches.hll_sketch (p=4: register = h % 16, rank = 49 -
+    bit_length(h >> 4)), one max-union CTE per round, then the
+    hll_estimate formula per round (integer harmonic sum, alpha_16 =
+    0.673, linear counting below 2.5m) — the same integer-exact shape
+    as _SQL_HLL_DISTINCT."""
+    q = "WITH " + _WEB_CENSUS_EDGES_CTE + r""",
+h AS (SELECT id, CAST(concat('0x', substring(md5(id), 1, 13)) AS BIGINT) AS h
+      FROM nodes),
+r0 AS (SELECT id, h % 16 AS register,
+              49 - length(regexp_replace(bin(h >> 4), '^0+', '')) AS rank
+       FROM h)"""
+    for t in range(1, rounds + 1):
+        q += f""",
+r{t} AS MATERIALIZED (
+  SELECT id, register, MAX(rank) AS rank FROM (
+    SELECT id, register, rank FROM r{t - 1}
+    UNION ALL
+    SELECT e.src AS id, r.register, r.rank
+    FROM e JOIN r{t - 1} r ON r.id = e.dst
+  ) GROUP BY id, register)"""
+    ests = []
+    for t in range(rounds + 1):
+        ests.append(f"""
+SELECT {t} AS t, id, n_registers,
+       ROUND(CASE WHEN (0.673 * 16 * 16)
+                       / (CAST(sum_int AS DOUBLE)
+                          / CAST(1::BIGINT << 49 AS DOUBLE)) <= 40.0
+                   AND n_registers < 16
+             THEN 16.0 * ln(16.0 / CAST(16 - n_registers AS DOUBLE))
+             ELSE (0.673 * 16 * 16)
+                  / (CAST(sum_int AS DOUBLE)
+                     / CAST(1::BIGINT << 49 AS DOUBLE))
+             END, 4) AS ball_est
+FROM (SELECT id, COUNT(*) AS n_registers,
+             SUM(1::BIGINT << (49 - rank))
+               + (16 - COUNT(*)) * (1::BIGINT << 49) AS sum_int
+      FROM r{t} GROUP BY id)""")
+    q += "\nSELECT t, id AS host, n_registers, ball_est FROM ("
+    q += "\nUNION ALL".join(ests)
+    q += "\n) ORDER BY t, host"
+    return q
+
+
+_SQL_HOST_REACH = _host_reach_sql()
+
+
 def _q_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling (Efraimidis-Spirakis with the
     md5-52bit hash uniform): 10 documents per source, inclusion
@@ -8579,6 +8859,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "doc_links": _q_doc_links,
         "host_pagerank": _q_host_pagerank,
+        "host_scc": _q_host_scc,
+        "host_bowtie": _q_host_bowtie,
+        "host_reach": _q_host_reach,
         "dd_quantiles": _q_dd_quantiles,
         "text_normalized": _q_text_normalized,
         "textrank_keywords": _q_textrank_keywords,
@@ -8776,6 +9059,9 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "doc_links": _SQL_DOC_LINKS,
         "host_pagerank": _SQL_HOST_PAGERANK,
+        "host_scc": _SQL_HOST_SCC,
+        "host_bowtie": _SQL_HOST_BOWTIE,
+        "host_reach": _SQL_HOST_REACH,
         "dd_quantiles": _SQL_DD_QUANTILES,
         "text_normalized": _SQL_TEXT_NORMALIZED,
         "textrank_keywords": _golden_sql("textrank_keywords", "rank"),

@@ -843,3 +843,242 @@ def seeded_label_propagation(edges: DataFrame, seeds: DataFrame,
                         .alias("l")))
         cur = seed.unionByName(inferred).localCheckpoint(eager=True)
     return cur.select(F.col("n").alias("node"), F.col("l").alias("label"))
+
+
+def _directed_distinct(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Distinct directed edge set ``(u, v)``, NULL endpoints and
+    self-loops dropped — self-loops never change strong connectivity
+    or reachability, and dropping them here keeps every closure loop
+    below from re-deriving that fact."""
+    return (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull()
+                & (F.col("u") != F.col("v")))
+        .distinct()
+    )
+
+
+def _min_label_fixpoint(nodes: DataFrame, edges_uv: DataFrame,
+                        max_iters: int) -> DataFrame:
+    """Propagate min node-id labels along ``(u, v)`` edges (label
+    flows u -> v) to fixpoint: returns ``(id, lab)`` where ``lab`` =
+    min id over {id} ∪ {ancestors of id along the given direction}.
+    Each iteration is one edge-keyed join plus one min aggregate —
+    ``(id, id)`` pairs only on the wire — with a localCheckpoint so
+    lineage stays O(1); iterations are bounded by graph diameter
+    (hash-min propagation, Rastogi et al. ICDE 2013)."""
+    lab = (nodes.select("id", F.col("id").alias("lab"))
+           .localCheckpoint(eager=True))
+    for _ in range(max_iters):
+        cand = (edges_uv.join(lab.withColumnRenamed("id", "_src"),
+                              edges_uv["u"] == F.col("_src"))
+                .groupBy(F.col("v").alias("id"))
+                .agg(F.min("lab").alias("cand")))
+        new = (lab.join(cand, "id", "left")
+               .select("id", F.least("lab", F.coalesce("cand", "lab"))
+                       .alias("lab"))
+               .localCheckpoint(eager=True))
+        changed = (new.withColumnRenamed("lab", "_new")
+                   .join(lab, "id")
+                   .filter(F.col("_new") != F.col("lab")))
+        lab = new
+        if changed.isEmpty():
+            break
+    return lab
+
+
+def strongly_connected_components(edges: DataFrame, src: str = "src",
+                                  dst: str = "dst",
+                                  max_rounds: int = 30) -> DataFrame:
+    """Strongly connected components of the directed distinct edge
+    set -> ``(id, scc_id)`` for every endpoint node, where ``scc_id``
+    is the minimum node id in the component.
+
+    Algorithm: forward-backward min-label peeling (the label-based
+    variant of FW-BW / coloring SCC — Fleischer et al. IPDPS 2000;
+    Orzan 2004; the MapReduce adaptation in Rastogi et al. ICDE
+    2013). Each outer round computes, over the still-unresolved
+    subgraph, ``f(v)`` = min ancestor id (min-label propagated along
+    edges) and ``b(v)`` = min descendant id (propagated along
+    reversed edges); nodes with ``f(v) == b(v) == m`` are exactly the
+    SCC of node ``m`` among still-live pivots (``m`` reaches v and v
+    reaches m), get ``scc_id = m``, and are peeled. Progress is
+    guaranteed: the minimum live node id always resolves its own SCC,
+    so rounds are bounded by the longest chain of SCCs in condensation
+    order — small on web graphs, whose condensation is shallow
+    (Broder et al., Computer Networks 2000).
+
+    Scale shape: every exchange carries ``(id, id)`` string/long pairs
+    — never payloads; the live edge set shrinks monotonically and is
+    re-checkpointed per round; inner propagation is diameter-bounded
+    hash-min. Hub skew in the propagation joins is AQE's skew case."""
+    live_edges = _directed_distinct(edges, src, dst).localCheckpoint(
+        eager=True)
+    live_nodes = (
+        live_edges.select(F.col("u").alias("id"))
+        .unionByName(live_edges.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out: DataFrame | None = None
+    for _ in range(max_rounds):
+        if live_nodes.isEmpty():
+            break
+        fwd = _min_label_fixpoint(live_nodes, live_edges, max_rounds * 4)
+        bwd = _min_label_fixpoint(
+            live_nodes,
+            live_edges.select(F.col("v").alias("u"), F.col("u").alias("v")),
+            max_rounds * 4)
+        done = (fwd.withColumnRenamed("lab", "f")
+                .join(bwd.withColumnRenamed("lab", "b"), "id")
+                .filter(F.col("f") == F.col("b"))
+                .select("id", F.col("f").alias("scc_id"))
+                .localCheckpoint(eager=True))
+        out = done if out is None else out.unionByName(done)
+        live_nodes = (live_nodes.join(done, "id", "left_anti")
+                      .localCheckpoint(eager=True))
+        live_edges = (
+            live_edges
+            .join(live_nodes.withColumnRenamed("id", "u"), "u", "left_semi")
+            .join(live_nodes.withColumnRenamed("id", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    if out is None:
+        spark_nodes = live_nodes
+        return spark_nodes.select("id", F.col("id").alias("scc_id"))
+    return out
+
+
+def _reachable(seeds: DataFrame, edges_uv: DataFrame,
+               max_hops: int) -> DataFrame:
+    """Directed BFS closure: every node reachable from ``seeds``
+    (inclusive) along ``(u, v)`` edges, as a one-column ``id`` frame.
+    Same frontier/visited shape as :func:`shortest_paths` — ``(id,)``
+    rows only, per-hop localCheckpoint, early exit on empty frontier."""
+    visited = seeds.select("id").distinct().localCheckpoint(eager=True)
+    frontier = visited
+    for _ in range(max_hops):
+        frontier = (
+            edges_uv.join(frontier.withColumnRenamed("id", "u"), "u",
+                          "left_semi")
+            .select(F.col("v").alias("id")).distinct()
+            .join(visited, "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+    return visited
+
+
+def bowtie_regions(edges: DataFrame, src: str = "src", dst: str = "dst",
+                   max_rounds: int = 30) -> DataFrame:
+    """Broder bowtie decomposition of a directed graph (Broder et al.,
+    "Graph structure in the Web", Computer Networks 2000) ->
+    ``(id, region)`` with region in {CORE, IN, OUT, TUBE, TENDRIL,
+    DISC}: CORE = the largest SCC (ties to the smallest scc_id); IN =
+    nodes that reach CORE; OUT = nodes CORE reaches; among the rest,
+    TUBE = on an IN->OUT path avoiding CORE, TENDRIL = weakly
+    connected to the giant component without touching CORE either way
+    (hangs off IN, feeds OUT, or dangles from OUT), DISC = in another
+    weak component entirely.
+
+    The web-graph census primitive: at crawl scale it tells a KG
+    pipeline which hosts are authority-carrying (CORE/IN/OUT) versus
+    crawl debris (TENDRIL/DISC). Built from
+    :func:`strongly_connected_components` plus four diameter-bounded
+    directed BFS closures; every exchange carries id-only rows."""
+    e = _directed_distinct(edges, src, dst).localCheckpoint(eager=True)
+    scc = strongly_connected_components(e, "u", "v", max_rounds)
+    sizes = scc.groupBy("scc_id").agg(F.count("*").alias("n"))
+    core_id = sizes.agg(F.expr(
+        "min_by(scc_id, named_struct('nn', -n, 's', scc_id))").alias("cid"))
+    core = (scc.join(F.broadcast(core_id),
+                     F.col("scc_id") == F.col("cid"))
+            .select("id").localCheckpoint(eager=True))
+    rev = e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    from_core = _reachable(core, e, max_rounds * 4)
+    to_core = _reachable(core, rev, max_rounds * 4)
+    in_set = to_core.join(core, "id", "left_anti").localCheckpoint(eager=True)
+    out_set = from_core.join(core, "id", "left_anti").localCheckpoint(
+        eager=True)
+    # closures avoiding CORE: drop every edge touching a core node
+    e2 = (e.join(core.withColumnRenamed("id", "u"), "u", "left_anti")
+          .join(core.withColumnRenamed("id", "v"), "v", "left_anti")
+          .localCheckpoint(eager=True))
+    rev2 = e2.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    from_in = _reachable(in_set, e2, max_rounds * 4)
+    to_out = _reachable(out_set, rev2, max_rounds * 4)
+    # the giant weak component: undirected reach from CORE over ALL
+    # edges — what separates tendril debris from truly disconnected
+    # islands in Broder's taxonomy
+    sym = e.unionByName(e.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v")))
+    wcc = _reachable(core, sym, max_rounds * 8)
+    nodes = scc.select("id")
+    flags = (
+        nodes
+        .join(core.select("id", F.lit(1).alias("_core")), "id", "left")
+        .join(in_set.select("id", F.lit(1).alias("_in")), "id", "left")
+        .join(out_set.select("id", F.lit(1).alias("_out")), "id", "left")
+        .join(from_in.select("id", F.lit(1).alias("_fi")), "id", "left")
+        .join(to_out.select("id", F.lit(1).alias("_to")), "id", "left")
+        .join(wcc.select("id", F.lit(1).alias("_wcc")), "id", "left")
+    )
+    region = (
+        F.when(F.col("_core") == 1, F.lit("CORE"))
+        .when(F.col("_in") == 1, F.lit("IN"))
+        .when(F.col("_out") == 1, F.lit("OUT"))
+        .when((F.col("_fi") == 1) & (F.col("_to") == 1), F.lit("TUBE"))
+        .when(F.col("_wcc") == 1, F.lit("TENDRIL"))
+        .otherwise(F.lit("DISC"))
+    )
+    return flags.select("id", region.alias("region"))
+
+
+def neighborhood_function(edges: DataFrame, rounds: int = 4, p: int = 4,
+                          src: str = "src", dst: str = "dst") -> DataFrame:
+    """HyperANF neighborhood function (Boldi, Rosa & Vigna, WWW 2011;
+    the HLL-sketch successor of Palmer et al.'s ANF, KDD 2002) ->
+    ``(t, id, n_registers, ball_est)`` for t in 0..rounds: per node,
+    the estimated size of its OUT-ball ``|{u : dist(id -> u) <= t}|``.
+    Summing ``ball_est`` over nodes gives the neighborhood function
+    N(t), whose saturation point is the effective-diameter estimate —
+    the web-graph distance census that is infeasible exactly (all-pairs
+    BFS) but one sketch-exchange per round with HLL registers.
+
+    Register mechanics reuse :func:`sketches.hll_sketch` /
+    :func:`sketches.hll_estimate` verbatim: integer-exact ranks (no
+    float log2), harmonic denominator accumulated as an exact int64,
+    linear counting below 2.5m — so the whole propagation is exactly
+    SQL-replayable. Per round: ONE join of the register table against
+    the edge list keyed by ``dst`` plus one (id, register)-keyed max
+    aggregate; exchanges carry ``(id, int, int)`` rows only, at most
+    m = 2^p per node, localCheckpoint-ed per round. Ball growth is
+    monotone by register-wise max idempotence — the property that
+    makes shard-merge at 1000 executors exact rather than approximate."""
+    from .sketches import hll_estimate, hll_sketch
+
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0 (got {rounds})")
+    e = _directed_distinct(edges, src, dst).localCheckpoint(eager=True)
+    nodes = (e.select(F.col("u").alias("id"))
+             .unionByName(e.select(F.col("v").alias("id")))
+             .distinct())
+    sk = hll_sketch(nodes, "id", ["id"], p=p).localCheckpoint(eager=True)
+
+    def _est(sketch: DataFrame, t: int) -> DataFrame:
+        return (hll_estimate(sketch, ["id"], p=p)
+                .select(F.lit(t).cast("int").alias("t"), "id",
+                        "n_registers",
+                        F.col("est_distinct").alias("ball_est")))
+
+    out = _est(sk, 0)
+    for t in range(1, rounds + 1):
+        contrib = (e.join(sk.withColumnRenamed("id", "v"), "v")
+                   .select(F.col("u").alias("id"), "register", "rank"))
+        sk = (sk.unionByName(contrib)
+              .groupBy("id", "register").agg(F.max("rank").alias("rank"))
+              .localCheckpoint(eager=True))
+        out = out.unionByName(_est(sk, t))
+    return out
