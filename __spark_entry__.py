@@ -8742,6 +8742,230 @@ ORDER BY co.item_a, co.item_b
 """
 
 
+def _q_rule_inferences(spark, sf_dir):
+    """KB completion (Galárraga et al. WWW 2013 §6): the mined AMIE
+    chain rules applied BACK to the KB — every body path whose head
+    triple is not yet asserted becomes an inferred (subj, pred, obj)
+    with full rule provenance (r1, r2 and the integer
+    support/body_pairs/pca_pairs counters, so CWA/PCA confidence
+    stays a row-local division). On the TPC-H KB the two mined rules
+    predict makes_brand for the ODD suppliers (the mod-2 planting
+    asserts only even ones) and based_in for the non-mod-3 ones. The
+    oracle replays mining, set-at-a-time application, and the
+    existing-head anti join."""
+    from knowledge_graph_spark.operators.rules import (
+        amie_rules, apply_rules)
+
+    kb = _kb_triples(spark, sf_dir)
+    rules = amie_rules(kb, min_support=2)
+    return (apply_rules(kb, rules)
+            .orderBy("subj", "pred", "obj", "r1", "r2"))
+
+
+_SQL_RULE_INFERENCES = r"""
+WITH """ + _SQL_KB + r""",
+t AS (SELECT DISTINCT subj AS s, pred AS p, obj AS o FROM kb
+      WHERE subj IS NOT NULL AND pred IS NOT NULL AND obj IS NOT NULL),
+body AS (
+  SELECT DISTINCT t1.p AS r1, t2.p AS r2, t1.s AS x, t2.o AS y
+  FROM t t1 JOIN t t2 ON t1.o = t2.s
+),
+sup AS (
+  SELECT b.r1, b.r2, h.p AS r3, CAST(COUNT(*) AS BIGINT) AS support
+  FROM body b JOIN t h ON h.s = b.x AND h.o = b.y
+  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+),
+bn AS (
+  SELECT r1, r2, CAST(COUNT(*) AS BIGINT) AS body_pairs
+  FROM body GROUP BY 1, 2
+),
+r3x AS (SELECT DISTINCT p AS r3, s AS x FROM t),
+pca AS (
+  SELECT b.r1, b.r2, r3x.r3, CAST(COUNT(*) AS BIGINT) AS pca_pairs
+  FROM body b JOIN r3x ON r3x.x = b.x
+  GROUP BY 1, 2, 3
+),
+rules AS (
+  SELECT sup.r1, sup.r2, sup.r3, sup.support, bn.body_pairs,
+         pca.pca_pairs
+  FROM sup
+  JOIN bn ON bn.r1 = sup.r1 AND bn.r2 = sup.r2
+  JOIN pca ON pca.r1 = sup.r1 AND pca.r2 = sup.r2
+            AND pca.r3 = sup.r3
+),
+cand AS (
+  SELECT b.x, r.r3 AS p, b.y AS o, r.r1, r.r2, r.support,
+         r.body_pairs, r.pca_pairs
+  FROM body b JOIN rules r ON r.r1 = b.r1 AND r.r2 = b.r2
+)
+SELECT c.x AS subj, c.p AS pred, c.o AS obj, c.r1, c.r2, c.support,
+       c.body_pairs, c.pca_pairs
+FROM cand c
+LEFT JOIN t e ON e.s = c.x AND e.p = c.p AND e.o = c.o
+WHERE e.s IS NULL
+ORDER BY subj, pred, obj, r1, r2
+"""
+
+
+def _q_predicate_profile(spark, sf_dir):
+    """Per-predicate cardinality/functionality profile over the
+    TPC-H KB (the AMIE §4.2 functionality statistic + the YAGO
+    functional-property audit): distinct-triple, subject and object
+    counts plus max fan-out/fan-in, all integers. located_in /
+    in_region / based_in / has_brand are functional (max_fanout = 1);
+    supplies and makes_brand are many-to-many. The oracle replays the
+    distinct fold and both grouped maxima."""
+    from knowledge_graph_spark.operators.rules import predicate_stats
+
+    kb = _kb_triples(spark, sf_dir)
+    return predicate_stats(kb).orderBy("pred")
+
+
+_SQL_PREDICATE_PROFILE = r"""
+WITH """ + _SQL_KB + r""",
+t AS (SELECT DISTINCT subj AS s, pred AS p, obj AS o FROM kb
+      WHERE subj IS NOT NULL AND pred IS NOT NULL AND obj IS NOT NULL),
+by_s AS (SELECT p, s, COUNT(*) AS fo FROM t GROUP BY 1, 2),
+by_o AS (SELECT p, o, COUNT(*) AS fi FROM t GROUP BY 1, 2),
+a AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS n_subjects,
+         CAST(SUM(fo) AS BIGINT) AS n_triples,
+         CAST(MAX(fo) AS BIGINT) AS max_fanout
+  FROM by_s GROUP BY p
+),
+b AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS n_objects,
+         CAST(MAX(fi) AS BIGINT) AS max_fanin
+  FROM by_o GROUP BY p
+)
+SELECT a.p AS pred, a.n_triples, a.n_subjects, b.n_objects,
+       a.max_fanout, b.max_fanin
+FROM a JOIN b ON a.p = b.p
+ORDER BY pred
+"""
+
+
+def _q_kg_motif(spark, sf_dir):
+    """Cypher-MATCH-style motif query compiled to Catalyst joins
+    (the reference answers exactly such patterns via Neo4j Cypher —
+    `reference/backend/kgapi/kg_writer.py` query strings): bind
+    (s)-[supplies]->(prt); (prt)-[has_brand]->(brand);
+    (s)-[located_in]->(nat), then census the (brand, nation) pairs —
+    "which brands does each nation's supplier base reach". The
+    oracle is the same conjunctive pattern as explicit SQL joins
+    over the distinct triple set."""
+    from knowledge_graph_spark.operators.graph_analytics import find_motif
+
+    kb = _kb_triples(spark, sf_dir)
+    m = find_motif(
+        kb,
+        "(s)-[supplies]->(prt); (prt)-[has_brand]->(brand); "
+        "(s)-[located_in]->(nat)")
+    return (m.groupBy("brand", "nat")
+            .agg(F.count("*").cast("long").alias("n_bindings"))
+            .orderBy("brand", "nat"))
+
+
+_SQL_KG_MOTIF = r"""
+WITH """ + _SQL_KB + r""",
+t AS (SELECT DISTINCT subj AS s, pred AS p, obj AS o FROM kb
+      WHERE subj IS NOT NULL AND pred IS NOT NULL AND obj IS NOT NULL),
+m AS (
+  SELECT DISTINCT a1.s AS s, a1.o AS prt, a2.o AS brand, a3.o AS nat
+  FROM t a1
+  JOIN t a2 ON a2.s = a1.o AND a2.p = 'has_brand'
+  JOIN t a3 ON a3.s = a1.s AND a3.p = 'located_in'
+  WHERE a1.p = 'supplies'
+)
+SELECT brand, nat, CAST(COUNT(*) AS BIGINT) AS n_bindings
+FROM m GROUP BY brand, nat
+ORDER BY brand, nat
+"""
+
+
+def _q_scc_condensation(spark, sf_dir):
+    """Condensation (quotient DAG) of the host link graph under its
+    SCCs — the object Broder-anatomy analyses traverse: one
+    super-edge per ordered component pair with the distinct
+    underlying-edge count. The oracle derives SCC labels from first
+    principles (mutual reachability over the recursive transitive
+    closure, as in host_scc) and folds the edge list over them."""
+    from knowledge_graph_spark.operators.graph_analytics import (
+        condense, strongly_connected_components)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = _web_census_edges(docs)
+    scc = strongly_connected_components(edges)
+    return condense(edges, scc).orderBy("scc_u", "scc_v")
+
+
+_SQL_SCC_CONDENSATION = r"""
+WITH RECURSIVE """ + _WEB_CENSUS_EDGES_CTE + r""",
+reach AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, x.dst FROM reach r JOIN e x ON x.src = r.dst
+),
+mutual AS (
+  SELECT a.src AS id, a.dst AS o
+  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+),
+scc AS (
+  SELECT n.id, LEAST(n.id, COALESCE(MIN(m.o), n.id)) AS scc_id
+  FROM nodes n LEFT JOIN mutual m ON m.id = n.id
+  GROUP BY n.id
+)
+SELECT su.scc_id AS scc_u, sv.scc_id AS scc_v,
+       CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM e
+JOIN scc su ON su.id = e.src
+JOIN scc sv ON sv.id = e.dst
+WHERE su.scc_id != sv.scc_id AND e.src != e.dst
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def _q_degree_powerlaw(spark, sf_dir):
+    """Power-law exponent census of the host graph's undirected
+    degree distribution (Clauset-Shalizi-Newman SIAM Rev. 2009 eq.
+    3.1 ingredients, integer-exact): one row of BIGINTs — the alpha
+    MLE is ``1 + n_tail / (sum_log_1e6 / 1e6)``, a row-local
+    division for the caller. The float work is one ln per DISTINCT
+    degree, rounded at the integer scale BEFORE the weighted sum, so
+    summation order and engine libm can't flip the hash. The oracle
+    replays the canonical undirected fold, the degree census, and
+    the rounded sum."""
+    from knowledge_graph_spark.operators.graph_analytics import (
+        degree_powerlaw)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = _web_census_edges(docs)
+    return degree_powerlaw(edges, d_min=2)
+
+
+_SQL_DEGREE_POWERLAW = r"""
+WITH """ + _WEB_CENSUS_EDGES_CTE + r""",
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM e WHERE src != dst
+),
+ids AS (SELECT a AS id FROM und UNION ALL SELECT b FROM und),
+deg AS (SELECT id, COUNT(*) AS d FROM ids GROUP BY id),
+census AS (SELECT d, COUNT(*) AS n_d FROM deg GROUP BY d)
+SELECT CAST(SUM(n_d) AS BIGINT) AS n_nodes,
+       CAST(SUM(CASE WHEN d >= 2 THEN n_d ELSE 0 END) AS BIGINT)
+         AS n_tail,
+       CAST(2 AS BIGINT) AS d_min,
+       CAST(MAX(d) AS BIGINT) AS max_degree,
+       CAST(SUM(CASE WHEN d >= 2 THEN
+                CAST(ROUND(LN(CAST(d AS DOUBLE) / 1.5) * 1000000, 0)
+                     AS BIGINT) * n_d
+                ELSE 0 END) AS BIGINT) AS sum_log_1e6
+FROM census
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # classical relational operators (DuckDB-oracled)
@@ -8787,6 +9011,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triple_fusion": _q_triple_fusion,
         "truth_discovery": _q_truth_discovery,
         "amie_rules": _q_amie_rules,
+        "rule_inferences": _q_rule_inferences,
+        "predicate_profile": _q_predicate_profile,
+        "kg_motif": _q_kg_motif,
+        "scc_condensation": _q_scc_condensation,
+        "degree_powerlaw": _q_degree_powerlaw,
         "char_sets": _q_char_sets,
         "dirt_paths": _q_dirt_paths,
         "predicate_canon": _q_predicate_canon,
@@ -8966,6 +9195,11 @@ def oracle_sql() -> dict[str, str]:
         "triple_fusion": _SQL_TRIPLE_FUSION,
         "truth_discovery": _SQL_TRUTH_DISCOVERY,
         "amie_rules": _SQL_AMIE_RULES,
+        "rule_inferences": _SQL_RULE_INFERENCES,
+        "predicate_profile": _SQL_PREDICATE_PROFILE,
+        "kg_motif": _SQL_KG_MOTIF,
+        "scc_condensation": _SQL_SCC_CONDENSATION,
+        "degree_powerlaw": _SQL_DEGREE_POWERLAW,
         "char_sets": _SQL_CHAR_SETS,
         "dirt_paths": _SQL_DIRT_PATHS,
         "predicate_canon": _SQL_PREDICATE_CANON,

@@ -117,6 +117,8 @@ def main():
         "truth_discovery", "amie_rules", "char_sets", "dirt_paths",
         "predicate_canon", "er_eval", "kb_diff", "blocking_eval",
         "pathsim", "set_expansion", "seeded_hosts", "basket_pairs",
+        "rule_inferences", "predicate_profile", "kg_motif",
+        "degree_powerlaw",
     ]
     qs = entrymod.queries()
     for name in headliners:

@@ -1082,3 +1082,191 @@ def neighborhood_function(edges: DataFrame, rounds: int = 4, p: int = 4,
               .localCheckpoint(eager=True))
         out = out.unionByName(_est(sk, t))
     return out
+
+
+_MOTIF_ATOM = None  # compiled lazily below
+
+
+def _parse_motif(pattern: str):
+    """Parse a chain-motif pattern into (src_var, pred_token,
+    dst_var) atoms. Grammar (GraphFrames-find-style, SPARQL predicate
+    variables): semicolon-separated directed atoms
+    ``(a)-[supplies]->(b)``; the predicate slot is a literal
+    predicate name, ``?r`` to BIND the predicate as an output
+    column, or empty ``[]`` for "any predicate, not returned"."""
+    import re
+    global _MOTIF_ATOM
+    if _MOTIF_ATOM is None:
+        _MOTIF_ATOM = re.compile(
+            r"^\(\s*(\w+)\s*\)\s*-\s*\[\s*(\??[\w:.\-]*)\s*\]\s*"
+            r"->\s*\(\s*(\w+)\s*\)$")
+    atoms = []
+    for raw in pattern.split(";"):
+        raw = raw.strip()
+        if not raw:
+            continue
+        m = _MOTIF_ATOM.match(raw)
+        if not m:
+            raise ValueError(f"unparseable motif atom: {raw!r}")
+        atoms.append((m.group(1), m.group(2), m.group(3)))
+    if not atoms:
+        raise ValueError("empty motif pattern")
+    return atoms
+
+
+def find_motif(triples: DataFrame, pattern: str,
+               subj_col: str = "subj", pred_col: str = "pred",
+               obj_col: str = "obj") -> DataFrame:
+    """Graph-pattern (motif) matching over a ``(subj, pred, obj)``
+    edge table — the relational core of a Cypher ``MATCH`` clause /
+    GraphFrames ``find()`` / a SPARQL basic graph pattern, as pure
+    Catalyst joins.
+
+    ``pattern`` is a semicolon-separated conjunction of directed
+    atoms ``(a)-[supplies]->(b)``. Node variables bind across atoms
+    (the join keys); the predicate slot is a literal name (filter,
+    pushed to the scan), ``?r`` (a predicate VARIABLE, returned as
+    column ``r``), or ``[]`` (wildcard, anonymous). Returns the
+    DISTINCT variable bindings, one column per node/predicate
+    variable in first-appearance order. Atoms sharing no variable
+    with the already-joined prefix are rejected (a Cartesian motif
+    is almost always a pattern bug; cross products stay explicit in
+    caller code).
+
+    The reference's Neo4j layer answers exactly such patterns via
+    Cypher (`reference/backend/kgapi/kg_writer.py` query strings);
+    here the pattern compiles to a join tree Catalyst reorders and
+    AQE re-plans — predicate literals prune at the scan, each shared
+    variable is one hash-join key, and no loop or Python runs per
+    row. Skewed hub variables are AQE's skew-join case.
+
+    Scale shape: k atoms = k scans of the (pruned) triple table and
+    k-1 hash joins carrying only the bound variable columns; the
+    final distinct is the only extra exchange.
+    """
+    atoms = _parse_motif(pattern)
+    t = (triples.select(F.col(subj_col).alias("_s"),
+                        F.col(pred_col).alias("_p"),
+                        F.col(obj_col).alias("_o"))
+         .filter(F.col("_s").isNotNull() & F.col("_p").isNotNull()
+                 & F.col("_o").isNotNull()))
+
+    out_cols: list[str] = []
+    acc = None
+    anon = 0
+    for (sv, ptok, ov) in atoms:
+        cols = [F.col("_s").alias(sv)]
+        atom = t
+        if ptok.startswith("?") and len(ptok) > 1:
+            pv = ptok[1:]
+            cols.append(F.col("_p").alias(pv))
+            new_vars = [sv, pv, ov]
+        elif ptok == "" or ptok == "?":
+            anon += 1
+            new_vars = [sv, ov]
+        else:
+            atom = atom.filter(F.col("_p") == F.lit(ptok))
+            new_vars = [sv, ov]
+        if ov == sv:
+            atom = atom.filter(F.col("_s") == F.col("_o"))
+        else:
+            cols.append(F.col("_o").alias(ov))
+        atom = atom.select(*cols)
+        if acc is None:
+            acc = atom
+        else:
+            shared = [c for c in atom.columns if c in set(out_cols)]
+            if not shared:
+                raise ValueError(
+                    f"motif atom ({sv})-[{ptok}]->({ov}) shares no "
+                    "variable with the preceding atoms — Cartesian "
+                    "patterns are rejected")
+            acc = acc.join(atom, shared)
+        for c in atom.columns:
+            if c not in out_cols:
+                out_cols.append(c)
+    return acc.select(*out_cols).distinct()
+
+
+def condense(edges: DataFrame, scc: DataFrame,
+             src: str = "src", dst: str = "dst") -> DataFrame:
+    """Condensation (quotient graph) of a directed graph under its
+    strongly-connected components: one super-edge per ordered SCC
+    pair connected by at least one underlying edge, with the count
+    of distinct underlying edges. The condensation is a DAG — the
+    object web-graph structure analyses (Broder et al. 2000) and
+    incremental SCC maintenance actually traverse.
+
+    ``scc`` is :func:`strongly_connected_components` output
+    ``(id, scc_id)``. Intra-component edges collapse away.
+
+    Scale shape: two id-keyed hash joins mapping endpoints to
+    component ids (the label table is (id, id) pairs — broadcast
+    when small, AQE decides), one distinct-edge fold, one
+    map-side-combined count aggregate. Nothing wider than two id
+    columns ever moves.
+    """
+    e = _directed_distinct(edges, src, dst)
+    lab_u = scc.select(F.col("id").alias("u"),
+                       F.col("scc_id").alias("scc_u"))
+    lab_v = scc.select(F.col("id").alias("v"),
+                       F.col("scc_id").alias("scc_v"))
+    return (e.join(lab_u, "u").join(lab_v, "v")
+            .filter(F.col("scc_u") != F.col("scc_v"))
+            .groupBy("scc_u", "scc_v")
+            .agg(F.count("*").cast("long").alias("n_edges")))
+
+
+def degree_powerlaw(edges: DataFrame, src: str = "src",
+                    dst: str = "dst", d_min: int = 2) -> DataFrame:
+    """Power-law fit of the (undirected, distinct-neighbor) degree
+    distribution — the scale-free exponent census every web-graph
+    characterization reports (Barabási & Albert 1999; estimator from
+    Clauset, Shalizi & Newman, SIAM Review 2009 eq. 3.1: continuous
+    MLE ``alpha = 1 + n / Σ ln(d_i / (d_min − ½))`` over the tail
+    ``d_i ≥ d_min``).
+
+    Returns ONE row of integer-exact ingredients (the division and
+    the final ``1 +`` stay row-local for the caller):
+
+    - ``n_nodes`` / ``n_tail``  — all nodes / nodes with ``d ≥ d_min``
+    - ``d_min`` / ``max_degree``
+    - ``sum_log_1e6`` — ``Σ_i round(ln(d_i / (d_min − ½)) · 10⁶)``
+      as BIGINT, accumulated over the bounded (degree, count) census
+      so the float work is one ``ln`` per DISTINCT degree, rounded to
+      6 dp BEFORE the integer-weighted sum — summation order can
+      never reorder floats, and cross-engine libm agreement at 6 dp
+      makes the statistic engine-deterministic (the repo-wide
+      round-before-aggregate rule).
+
+    Scale shape: one distinct-edge fold, one degree aggregate, one
+    census aggregate over ≤ max_degree rows, one single-row final
+    fold. ``(id, long)`` pairs are the widest exchange.
+    """
+    if d_min < 2:
+        raise ValueError("d_min must be >= 2 (the d_min - 0.5 offset "
+                         "must stay positive and the tail non-trivial)")
+    und = _undirected(edges, src, dst)
+    deg = (und.select(F.col("a").alias("id"))
+           .unionByName(und.select(F.col("b").alias("id")))
+           .groupBy("id")
+           .agg(F.count("*").cast("long").alias("d")))
+    census = (deg.groupBy("d")
+              .agg(F.count("*").cast("long").alias("n_d")))
+    # round at the INTEGER scale (round(ln·10⁶, 0)), never
+    # round-to-6dp-then-multiply: 0.693147 · 10⁶ can sit at
+    # x.999… in binary and a bare cast would truncate it down
+    term_int = F.round(
+        F.log(F.col("d").cast("double") / F.lit(float(d_min) - 0.5))
+        * F.lit(1000000.0), 0).cast("long")
+    return (census.agg(
+        F.sum("n_d").cast("long").alias("n_nodes"),
+        F.sum(F.when(F.col("d") >= d_min, F.col("n_d"))
+              .otherwise(F.lit(0))).cast("long").alias("n_tail"),
+        F.max("d").cast("long").alias("max_degree"),
+        F.sum(F.when(F.col("d") >= d_min, term_int * F.col("n_d"))
+              .otherwise(F.lit(0).cast("long")))
+        .cast("long").alias("sum_log_1e6"))
+        .select("n_nodes", "n_tail",
+                F.lit(int(d_min)).cast("long").alias("d_min"),
+                "max_degree", "sum_log_1e6"))

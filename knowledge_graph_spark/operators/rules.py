@@ -217,3 +217,121 @@ def kb_diff(old: DataFrame, new: DataFrame,
                     "n_retained",
                     F.coalesce("n_changed_keys", F.lit(0).cast("long"))
                     .alias("n_changed_keys")))
+
+
+def apply_rules(triples: DataFrame, rules: DataFrame,
+                subj_col: str = "subj", pred_col: str = "pred",
+                obj_col: str = "obj",
+                min_conf_pct: int = 0) -> DataFrame:
+    """KB completion: materialize the NEW head triples every mined
+    chain rule predicts (Galárraga et al. WWW 2013 §6 — the point of
+    mining the rules in the first place).
+
+    ``rules`` is the :func:`amie_rules` output (``r1, r2, r3,
+    support, body_pairs, pca_pairs``). For each rule, the body join
+    ``r1(x, z) ∧ r2(z, y)`` produces candidate heads ``r3(x, y)``;
+    candidates already asserted in the KB are anti-joined away. The
+    output carries full provenance — one row per (inferred triple,
+    rule) with the rule's integer support/denominator counters, so
+    CWA and PCA confidence stay row-local divisions for the caller.
+
+    ``min_conf_pct`` keeps only rules whose CWA confidence reaches
+    the given percentage, tested integer-exactly as
+    ``support * 100 >= min_conf_pct * body_pairs`` (no float ever
+    materializes — the same cross-multiplication trick the curation
+    cascade uses for ratio gates).
+
+    Scale shape: the KB folds to distinct triples once and is
+    referenced three times (body left/right, existing-head anti
+    join) off one localCheckpoint; the rules table is mined output —
+    orders of magnitude below the KB — and BROADCAST onto the body
+    join, so the only exchanges are the body's hash join on ``z``
+    and the anti join on ``(r3, x, y)``. Rules are applied
+    set-at-a-time: one body join serves every rule simultaneously
+    (predicate pairs filter via the broadcast), never a loop over
+    rules.
+    """
+    r = (rules.select("r1", "r2", "r3", "support", "body_pairs",
+                      "pca_pairs")
+         .filter(F.col("support") * 100
+                 >= int(min_conf_pct) * F.col("body_pairs")))
+
+    t = (triples.select(F.col(subj_col).alias("s"),
+                        F.col(pred_col).alias("p"),
+                        F.col(obj_col).alias("o"))
+         .filter(F.col("s").isNotNull() & F.col("p").isNotNull()
+                 & F.col("o").isNotNull())
+         .distinct()
+         .localCheckpoint(eager=True))
+
+    left = t.select(F.col("s").alias("x"), F.col("p").alias("r1"),
+                    F.col("o").alias("z"))
+    right = t.select(F.col("s").alias("z"), F.col("p").alias("r2"),
+                     F.col("o").alias("y"))
+    # restrict each side to predicates any surviving rule uses —
+    # broadcast semi joins that prune the body join's inputs before
+    # the z-hash exchange
+    left = left.join(F.broadcast(r.select("r1").distinct()), "r1",
+                     "leftsemi")
+    right = right.join(F.broadcast(r.select("r2").distinct()), "r2",
+                       "leftsemi")
+
+    body = (left.join(right, "z")
+            .select("r1", "r2", "x", "y").distinct())
+    cand = (body.join(F.broadcast(r), ["r1", "r2"])
+            .select("x", F.col("r3").alias("p"), F.col("y").alias("o"),
+                    "r1", "r2", "support", "body_pairs", "pca_pairs"))
+    return (cand.join(t.select(F.col("s").alias("x"), "p",
+                               F.col("o").alias("o")),
+                      ["x", "p", "o"], "left_anti")
+            .select(F.col("x").alias("subj"), F.col("p").alias("pred"),
+                    F.col("o").alias("obj"), "r1", "r2", "support",
+                    "body_pairs", "pca_pairs"))
+
+
+def predicate_stats(triples: DataFrame,
+                    subj_col: str = "subj", pred_col: str = "pred",
+                    obj_col: str = "obj") -> DataFrame:
+    """Per-predicate cardinality profile — the functionality
+    statistics AMIE's PCA confidence assumes and the schema-induction
+    signal an ontology layer consumes (Galárraga et al. WWW 2013
+    §4.2; Suchanek et al.'s YAGO functional-property checks).
+
+    One row per predicate, integer ingredients only:
+
+    - ``n_triples``  — distinct triples carrying the predicate
+    - ``n_subjects`` / ``n_objects`` — distinct subjects / objects
+    - ``max_fanout``  — max distinct objects for one subject
+    - ``max_fanin``   — max distinct subjects for one object
+
+    Functionality ``n_subjects / n_triples`` and inverse
+    functionality ``n_objects / n_triples`` are row-local divisions
+    for the caller; ``max_fanout = 1`` identifies functional
+    predicates (a subject has at most one object — the predicates
+    whose multi-object subjects are CONFLICTS for truth discovery).
+
+    Scale shape: distinct fold, then one (pred, subj)-keyed and one
+    (pred, obj)-keyed aggregate, each collapsing map-side to
+    per-predicate longs before the final predicate-keyed merge.
+    Objects never fan out; no window, no collect.
+    """
+    t = (triples.select(F.col(subj_col).alias("s"),
+                        F.col(pred_col).alias("p"),
+                        F.col(obj_col).alias("o"))
+         .filter(F.col("s").isNotNull() & F.col("p").isNotNull()
+                 & F.col("o").isNotNull())
+         .distinct()
+         .localCheckpoint(eager=True))
+    by_s = (t.groupBy("p", "s").agg(F.count("*").alias("_fo"))
+            .groupBy("p").agg(
+                F.count("*").cast("long").alias("n_subjects"),
+                F.sum("_fo").cast("long").alias("n_triples"),
+                F.max("_fo").cast("long").alias("max_fanout")))
+    by_o = (t.groupBy("p", "o").agg(F.count("*").alias("_fi"))
+            .groupBy("p").agg(
+                F.count("*").cast("long").alias("n_objects"),
+                F.max("_fi").cast("long").alias("max_fanin")))
+    return (by_s.join(by_o, "p")
+            .select(F.col("p").alias("pred"), "n_triples",
+                    "n_subjects", "n_objects", "max_fanout",
+                    "max_fanin"))

@@ -344,3 +344,37 @@ def test_blocking_metrics_empty_bands_raises(spark):
     d = spark.createDataFrame([(1, "h")], "doc_id int, content_key string")
     with _pt.raises(ValueError):
         blocking_metrics(d, [])
+
+
+def test_apply_rules_infers_missing_heads(kb):
+    from knowledge_graph_spark.operators.rules import apply_rules
+    rules = amie_rules(kb, min_support=1)
+    out = apply_rules(kb, rules).collect()
+    # body pairs (s1,b1), (s2,b2); makes_brand(s1,b1) already
+    # asserted -> only (s2, makes_brand, b2) is NEW
+    assert len(out) == 1
+    r = out[0]
+    assert (r.subj, r.pred, r.obj) == ("s2", "makes_brand", "b2")
+    assert (r.r1, r.r2) == ("supplies", "has_brand")
+    assert (r.support, r.body_pairs, r.pca_pairs) == (1, 2, 1)
+
+
+def test_apply_rules_integer_conf_gate(kb):
+    from knowledge_graph_spark.operators.rules import apply_rules
+    rules = amie_rules(kb, min_support=1)
+    # CWA conf = 1/2: kept at exactly 50%, dropped at 51%
+    assert apply_rules(kb, rules, min_conf_pct=50).count() == 1
+    assert apply_rules(kb, rules, min_conf_pct=51).count() == 0
+
+
+def test_predicate_stats(kb):
+    from knowledge_graph_spark.operators.rules import predicate_stats
+    out = {r.pred: r for r in predicate_stats(kb).collect()}
+    s = out["supplies"]
+    assert (s.n_triples, s.n_subjects, s.n_objects,
+            s.max_fanout, s.max_fanin) == (3, 2, 3, 2, 1)
+    h = out["has_brand"]
+    assert (h.n_triples, h.n_subjects, h.n_objects,
+            h.max_fanout, h.max_fanin) == (3, 3, 2, 1, 2)
+    m = out["makes_brand"]
+    assert (m.n_triples, m.max_fanout, m.max_fanin) == (1, 1, 1)
