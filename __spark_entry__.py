@@ -8753,12 +8753,10 @@ def _q_rule_inferences(spark, sf_dir):
     asserts only even ones) and based_in for the non-mod-3 ones. The
     oracle replays mining, set-at-a-time application, and the
     existing-head anti join."""
-    from knowledge_graph_spark.operators.rules import (
-        amie_rules, apply_rules)
+    from knowledge_graph_spark.operators.rules import complete_kb
 
     kb = _kb_triples(spark, sf_dir)
-    rules = amie_rules(kb, min_support=2)
-    return (apply_rules(kb, rules)
+    return (complete_kb(kb, min_support=2)
             .orderBy("subj", "pred", "obj", "r1", "r2"))
 
 

@@ -39,7 +39,8 @@ def amie_rules(triples: DataFrame,
                subj_col: str = "subj", pred_col: str = "pred",
                obj_col: str = "obj",
                min_support: int = 2,
-               max_z_degree: int | None = None) -> DataFrame:
+               max_z_degree: int | None = None,
+               assume_distinct: bool = False) -> DataFrame:
     """Mine 2-atom chain rules ``r1(x, z) ∧ r2(z, y) ⇒ r3(x, y)``.
 
     For every predicate triple ``(r1, r2, r3)`` present in the KB:
@@ -66,14 +67,18 @@ def amie_rules(triples: DataFrame,
     # denominators) — each reference would re-execute the distinct /
     # join shuffle; one localCheckpoint each trades a single
     # materialization (to executor-local storage, the persist-for-
-    # iterative-reuse pattern) for three recomputed shuffles
+    # iterative-reuse pattern) for three recomputed shuffles.
+    # ``assume_distinct`` skips that fold for callers who pin an
+    # already-deduped NULL-free KB (e.g. mine-then-apply pipelines
+    # that localCheckpoint the KB once and share it).
     t = (triples.select(F.col(subj_col).alias("s"),
                         F.col(pred_col).alias("p"),
-                        F.col(obj_col).alias("o"))
-         .filter(F.col("s").isNotNull() & F.col("p").isNotNull()
-                 & F.col("o").isNotNull())
-         .distinct()
-         .localCheckpoint(eager=True))
+                        F.col(obj_col).alias("o")))
+    if not assume_distinct:
+        t = (t.filter(F.col("s").isNotNull() & F.col("p").isNotNull()
+                      & F.col("o").isNotNull())
+             .distinct()
+             .localCheckpoint(eager=True))
 
     left = t.select(F.col("s").alias("x"), F.col("p").alias("r1"),
                     F.col("o").alias("z"))
@@ -222,7 +227,8 @@ def kb_diff(old: DataFrame, new: DataFrame,
 def apply_rules(triples: DataFrame, rules: DataFrame,
                 subj_col: str = "subj", pred_col: str = "pred",
                 obj_col: str = "obj",
-                min_conf_pct: int = 0) -> DataFrame:
+                min_conf_pct: int = 0,
+                assume_distinct: bool = False) -> DataFrame:
     """KB completion: materialize the NEW head triples every mined
     chain rule predicts (Galárraga et al. WWW 2013 §6 — the point of
     mining the rules in the first place).
@@ -251,18 +257,28 @@ def apply_rules(triples: DataFrame, rules: DataFrame,
     (predicate pairs filter via the broadcast), never a loop over
     rules.
     """
+    # the rules table is referenced four times below (broadcast join
+    # + two predicate-pruning semi joins + the filter); without a pin
+    # each reference RE-EXECUTES the caller's entire mining DAG. It
+    # is mining output — orders of magnitude below the KB — so one
+    # eager localCheckpoint makes the re-references free.
     r = (rules.select("r1", "r2", "r3", "support", "body_pairs",
                       "pca_pairs")
          .filter(F.col("support") * 100
-                 >= int(min_conf_pct) * F.col("body_pairs")))
+                 >= int(min_conf_pct) * F.col("body_pairs"))
+         .localCheckpoint(eager=True))
 
     t = (triples.select(F.col(subj_col).alias("s"),
                         F.col(pred_col).alias("p"),
-                        F.col(obj_col).alias("o"))
-         .filter(F.col("s").isNotNull() & F.col("p").isNotNull()
-                 & F.col("o").isNotNull())
-         .distinct()
-         .localCheckpoint(eager=True))
+                        F.col(obj_col).alias("o")))
+    if not assume_distinct:
+        # ``assume_distinct`` skips the fold for callers who pin an
+        # already-deduped NULL-free KB (the mine-then-apply pipeline
+        # shares one localCheckpoint across both operators)
+        t = (t.filter(F.col("s").isNotNull() & F.col("p").isNotNull()
+                      & F.col("o").isNotNull())
+             .distinct()
+             .localCheckpoint(eager=True))
 
     left = t.select(F.col("s").alias("x"), F.col("p").alias("r1"),
                     F.col("o").alias("z"))
@@ -335,3 +351,77 @@ def predicate_stats(triples: DataFrame,
             .select(F.col("p").alias("pred"), "n_triples",
                     "n_subjects", "n_objects", "max_fanout",
                     "max_fanin"))
+
+
+def complete_kb(triples: DataFrame,
+                subj_col: str = "subj", pred_col: str = "pred",
+                obj_col: str = "obj",
+                min_support: int = 2,
+                min_conf_pct: int = 0,
+                max_z_degree: int | None = None) -> DataFrame:
+    """Fused mine-then-apply KB completion: :func:`amie_rules` and
+    :func:`apply_rules` share ONE body join instead of each paying
+    it. Output and semantics are exactly ``apply_rules(triples,
+    amie_rules(triples, min_support), min_conf_pct)`` — the fusion is
+    a pure plan optimization: the body table (the largest intermediate
+    by orders of magnitude) is materialized once and feeds support,
+    both confidence denominators, AND candidate generation.
+
+    Scale shape: one distinct KB fold, one z-hash body join, three
+    map-side-combined aggregates over the pinned body, one broadcast
+    of the (tiny) mined-rule table back onto it, one existing-head
+    anti join.
+    """
+    t = (triples.select(F.col(subj_col).alias("s"),
+                        F.col(pred_col).alias("p"),
+                        F.col(obj_col).alias("o"))
+         .filter(F.col("s").isNotNull() & F.col("p").isNotNull()
+                 & F.col("o").isNotNull())
+         .distinct()
+         .localCheckpoint(eager=True))
+
+    left = t.select(F.col("s").alias("x"), F.col("p").alias("r1"),
+                    F.col("o").alias("z"))
+    right = t.select(F.col("s").alias("z"), F.col("p").alias("r2"),
+                     F.col("o").alias("y"))
+    if max_z_degree is not None:
+        zcap = int(max_z_degree)
+        z_out = (left.groupBy("z").agg(F.count("*").alias("_d"))
+                 .filter(F.col("_d") <= zcap).select("z"))
+        z_in = (right.groupBy("z").agg(F.count("*").alias("_d"))
+                .filter(F.col("_d") <= zcap).select("z"))
+        left = left.join(z_out, "z", "leftsemi")
+        right = right.join(z_in, "z", "leftsemi")
+
+    body = (left.join(right, "z")
+            .select("r1", "r2", "x", "y").distinct()
+            .localCheckpoint(eager=True))
+
+    heads = t.select(F.col("p").alias("r3"), F.col("s").alias("x"),
+                     F.col("o").alias("y"))
+    support = (body.join(heads, ["x", "y"])
+               .groupBy("r1", "r2", "r3")
+               .agg(F.count("*").cast("long").alias("support"))
+               .filter(F.col("support") >= int(min_support)))
+    body_n = (body.groupBy("r1", "r2")
+              .agg(F.count("*").cast("long").alias("body_pairs")))
+    r3x = heads.select("r3", "x").distinct()
+    pca = (body.join(r3x, "x")
+           .groupBy("r1", "r2", "r3")
+           .agg(F.count("*").cast("long").alias("pca_pairs")))
+    rules = (support
+             .join(body_n, ["r1", "r2"])
+             .join(pca, ["r1", "r2", "r3"])
+             .filter(F.col("support") * 100
+                     >= int(min_conf_pct) * F.col("body_pairs"))
+             .localCheckpoint(eager=True))
+
+    cand = (body.join(F.broadcast(rules), ["r1", "r2"])
+            .select("x", F.col("r3").alias("p"), F.col("y").alias("o"),
+                    "r1", "r2", "support", "body_pairs", "pca_pairs"))
+    return (cand.join(t.select(F.col("s").alias("x"), "p",
+                               F.col("o").alias("o")),
+                      ["x", "p", "o"], "left_anti")
+            .select(F.col("x").alias("subj"), F.col("p").alias("pred"),
+                    F.col("o").alias("obj"), "r1", "r2", "support",
+                    "body_pairs", "pca_pairs"))

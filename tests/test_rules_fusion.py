@@ -378,3 +378,26 @@ def test_predicate_stats(kb):
             h.max_fanout, h.max_fanin) == (3, 3, 2, 1, 2)
     m = out["makes_brand"]
     assert (m.n_triples, m.max_fanout, m.max_fanin) == (1, 1, 1)
+
+
+def test_complete_kb_equals_mine_then_apply(kb):
+    from knowledge_graph_spark.operators.rules import (
+        apply_rules, complete_kb)
+    fused = {tuple(r) for r in complete_kb(kb, min_support=1).collect()}
+    composed = {tuple(r)
+                for r in apply_rules(kb, amie_rules(kb, min_support=1))
+                .collect()}
+    assert fused == composed and len(fused) == 1
+
+
+def test_complete_kb_conf_gate(kb):
+    from knowledge_graph_spark.operators.rules import complete_kb
+    assert complete_kb(kb, min_support=1, min_conf_pct=51).count() == 0
+
+
+def test_amie_assume_distinct_equivalent(kb):
+    deduped = kb.dropna().distinct()
+    a = {tuple(r) for r in amie_rules(kb, min_support=1).collect()}
+    b = {tuple(r) for r in amie_rules(deduped, min_support=1,
+                                      assume_distinct=True).collect()}
+    assert a == b
