@@ -8964,6 +8964,112 @@ FROM census
 """
 
 
+def _q_entity_cards(spark, sf_dir):
+    """KG → RAG-corpus bridge: one verbalized "entity card" per
+    subject (KELM-style KG verbalization — Agarwal et al. NAACL
+    2021), with sorted predicates/objects and a per-predicate object
+    cap so the rendering is byte-deterministic on any engine or
+    cluster size. The oracle re-renders every card in DuckDB
+    (string_agg ORDER BY = Spark's sorted-struct fold, binary
+    collation both sides)."""
+    from knowledge_graph_spark.operators.kg_export import entity_cards
+
+    kb = _kb_triples(spark, sf_dir)
+    return entity_cards(kb, max_objects=5).orderBy("entity")
+
+
+_SQL_ENTITY_CARDS = r"""
+WITH """ + _SQL_KB + r""",
+t AS (SELECT DISTINCT subj AS s, pred AS p, obj AS o FROM kb
+      WHERE subj IS NOT NULL AND pred IS NOT NULL AND obj IS NOT NULL),
+per_sp AS (
+  SELECT s, p, CAST(COUNT(*) AS BIGINT) AS n,
+         p || ': ' ||
+         array_to_string(list_slice(list_sort(list(o)), 1, 5), ', ')
+           AS line
+  FROM t GROUP BY s, p
+)
+SELECT s AS entity, CAST(SUM(n) AS BIGINT) AS n_facts,
+       s || chr(10) || string_agg(line, chr(10) ORDER BY p) AS card
+FROM per_sp GROUP BY s
+ORDER BY entity
+"""
+
+
+_QA_TEMPLATES = {
+    "has_brand": "Which brand is {s}?",
+    "located_in": "Where is supplier {s} located?",
+}
+
+
+def _q_qa_pairs(spark, sf_dir):
+    """Template-based QA synthesis from KG triples (LC-QuAD /
+    SimpleQuestions-style dataset construction — Trivedi et al. ISWC
+    2017): one question per (subject, templated predicate) with
+    sorted capped answers and the uncapped answer count, so ambiguous
+    questions stay filterable. The oracle replays the literal
+    placeholder replace and the sorted answer fold."""
+    from knowledge_graph_spark.operators.kg_export import qa_pairs
+
+    kb = _kb_triples(spark, sf_dir)
+    return (qa_pairs(kb, _QA_TEMPLATES, max_answers=8)
+            .orderBy("subj", "pred"))
+
+
+_SQL_QA_PAIRS = r"""
+WITH """ + _SQL_KB + r""",
+t AS (SELECT DISTINCT subj AS s, pred AS p, obj AS o FROM kb
+      WHERE subj IS NOT NULL AND pred IS NOT NULL AND obj IS NOT NULL)
+SELECT s AS subj, p AS pred,
+       CASE p
+         WHEN 'has_brand'
+           THEN replace('Which brand is {s}?', '{s}', s)
+         WHEN 'located_in'
+           THEN replace('Where is supplier {s} located?', '{s}', s)
+       END AS question,
+       array_to_string(list_slice(list_sort(list(o)), 1, 8), ', ')
+         AS answers,
+       CAST(COUNT(*) AS BIGINT) AS n_answers
+FROM t WHERE p IN ('has_brand', 'located_in')
+GROUP BY s, p
+ORDER BY subj, pred
+"""
+
+
+def _q_term_powerlaw(spark, sf_dir):
+    """Zipf exponent census of the documents corpus term-frequency
+    distribution (CSN 2009 eq. 3.1 ingredients, integer-exact — the
+    same shared estimator as degree_powerlaw, over the repo-canonical
+    word tokenization). One BIGINT-only row; alpha is a row-local
+    division for the caller."""
+    from knowledge_graph_spark.operators.textstats import term_powerlaw
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return term_powerlaw(docs, f_min=2)
+
+
+_SQL_TERM_POWERLAW = r"""
+WITH w AS (
+  SELECT unnest(list_filter(
+    regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+    x -> x != '')) AS w
+  FROM documents
+),
+freqs AS (SELECT w, COUNT(*) AS f FROM w GROUP BY w),
+census AS (SELECT f AS d, COUNT(*) AS n_d FROM freqs GROUP BY f)
+SELECT CAST(SUM(n_d) AS BIGINT) AS n_nodes,
+       CAST(SUM(CASE WHEN d >= 2 THEN n_d ELSE 0 END) AS BIGINT)
+         AS n_tail,
+       CAST(2 AS BIGINT) AS d_min,
+       CAST(MAX(d) AS BIGINT) AS max_degree,
+       CAST(SUM(CASE WHEN d >= 2 THEN
+                CAST(ROUND(LN(CAST(d AS DOUBLE) / 1.5) * 1000000, 0)
+                     AS BIGINT) * n_d
+                ELSE 0 END) AS BIGINT) AS sum_log_1e6
+FROM census
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # classical relational operators (DuckDB-oracled)
@@ -9014,6 +9120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_motif": _q_kg_motif,
         "scc_condensation": _q_scc_condensation,
         "degree_powerlaw": _q_degree_powerlaw,
+        "entity_cards": _q_entity_cards,
+        "qa_pairs": _q_qa_pairs,
+        "term_powerlaw": _q_term_powerlaw,
         "char_sets": _q_char_sets,
         "dirt_paths": _q_dirt_paths,
         "predicate_canon": _q_predicate_canon,
@@ -9198,6 +9307,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_motif": _SQL_KG_MOTIF,
         "scc_condensation": _SQL_SCC_CONDENSATION,
         "degree_powerlaw": _SQL_DEGREE_POWERLAW,
+        "entity_cards": _SQL_ENTITY_CARDS,
+        "qa_pairs": _SQL_QA_PAIRS,
+        "term_powerlaw": _SQL_TERM_POWERLAW,
         "char_sets": _SQL_CHAR_SETS,
         "dirt_paths": _SQL_DIRT_PATHS,
         "predicate_canon": _SQL_PREDICATE_CANON,

@@ -1251,7 +1251,26 @@ def degree_powerlaw(edges: DataFrame, src: str = "src",
            .unionByName(und.select(F.col("b").alias("id")))
            .groupBy("id")
            .agg(F.count("*").cast("long").alias("d")))
-    census = (deg.groupBy("d")
+    return powerlaw_ingredients(deg, "d", d_min)
+
+
+def powerlaw_ingredients(values: DataFrame, value_col: str,
+                         d_min: int) -> DataFrame:
+    """Integer-exact CSN power-law MLE ingredients for ANY positive
+    integer value distribution (node degrees, term frequencies, host
+    sizes): one row of ``n_nodes`` / ``n_tail`` / ``d_min`` /
+    ``max_degree`` / ``sum_log_1e6`` over the rows of ``values``.
+    Shared by :func:`degree_powerlaw` (degrees) and
+    ``textstats.term_powerlaw`` (Zipf over term frequencies).
+
+    Scale shape: one census aggregate over ≤ max(value) distinct
+    values, then one single-row fold; the ln runs once per DISTINCT
+    value and is rounded at the integer scale BEFORE the weighted
+    sum (the repo-wide round-before-aggregate rule)."""
+    if d_min < 2:
+        raise ValueError("d_min must be >= 2 (the d_min - 0.5 offset "
+                         "must stay positive and the tail non-trivial)")
+    census = (values.groupBy(F.col(value_col).alias("d"))
               .agg(F.count("*").cast("long").alias("n_d")))
     # round at the INTEGER scale (round(ln·10⁶, 0)), never
     # round-to-6dp-then-multiply: 0.693147 · 10⁶ can sit at

@@ -297,3 +297,114 @@ def ranking_metrics(scored: DataFrame, ks: tuple[int, ...] = (1, 3, 10),
         agg.append(F.sum((F.col("rank") <= k).cast("long"))
                    .cast("long").alias(f"hits_at_{k}"))
     return per_query.agg(*agg)
+
+
+def entity_cards(triples: DataFrame,
+                 subj_col: str = "subj", pred_col: str = "pred",
+                 obj_col: str = "obj",
+                 max_objects: int = 5) -> DataFrame:
+    """Render one retrieval/RAG "entity card" per subject — the
+    KG-to-corpus bridge every retrieval-augmented training pipeline
+    ships (a verbalized per-entity summary document; the KELM corpus
+    of Agarwal et al., NAACL 2021 verbalizes KG triples into text
+    exactly so they can be mixed into LM training data).
+
+    Per subject: ``entity``, ``n_facts`` (distinct triples), and
+    ``card`` — a deterministic rendering::
+
+        <entity>
+        <pred>: <obj1>, <obj2>, ...      (one line per predicate,
+        ...                               predicates sorted, objects
+                                          sorted, capped at
+                                          ``max_objects`` each)
+
+    Determinism contract: predicates and objects order
+    lexicographically (Spark's UTF-8 binary sort = DuckDB's default
+    binary collation), so the same KB renders byte-identical cards
+    on any engine and any cluster size.
+
+    Scale shape: one (subj, pred)-keyed aggregate (object sets
+    bounded per predicate by collect_set then capped — hub subjects
+    with millions of objects keep only ``max_objects`` strings after
+    the slice, and the set itself is the per-(s,p) fan-out the KB
+    already pays to store), then one subj-keyed aggregate whose rows
+    are (pred, line) pairs bounded by the predicate vocabulary.
+    Bodies never join; no window, no collect.
+    """
+    t = (triples.select(F.col(subj_col).alias("s"),
+                        F.col(pred_col).alias("p"),
+                        F.col(obj_col).alias("o"))
+         .filter(F.col("s").isNotNull() & F.col("p").isNotNull()
+                 & F.col("o").isNotNull())
+         .distinct())
+    per_sp = (t.groupBy("s", "p")
+              .agg(F.count("*").cast("long").alias("_n"),
+                   F.slice(F.sort_array(F.collect_set("o")), 1,
+                           int(max_objects)).alias("_objs")))
+    lines = per_sp.select(
+        "s", "_n",
+        F.struct(F.col("p"), F.concat(F.col("p"), F.lit(": "),
+                                      F.array_join("_objs", ", "))
+                 .alias("line")).alias("_pl"))
+    return (lines.groupBy("s")
+            .agg(F.sum("_n").cast("long").alias("n_facts"),
+                 F.concat(
+                     F.col("s"), F.lit("\n"),
+                     F.array_join(
+                         F.transform(F.sort_array(F.collect_list("_pl")),
+                                     lambda x: x["line"]),
+                         "\n")).alias("card"))
+            .select(F.col("s").alias("entity"), "n_facts", "card"))
+
+
+def qa_pairs(triples: DataFrame, templates: dict[str, str],
+             subj_col: str = "subj", pred_col: str = "pred",
+             obj_col: str = "obj",
+             max_answers: int = 8) -> DataFrame:
+    """Synthesize question-answer training pairs from KG triples via
+    per-predicate templates — the template-based KGQA data synthesis
+    of LC-QuAD / SimpleQuestions-style dataset construction (Trivedi
+    et al., ISWC 2017 build QA corpora from KG templates; WebNLG
+    verbalization works the same way).
+
+    ``templates`` maps predicate → question template containing the
+    literal placeholder ``{s}`` (replaced by the subject). One output
+    row per (subject, templated predicate): ``question``, ``answers``
+    (sorted distinct objects joined with ``", "``, capped at
+    ``max_answers``), ``n_answers`` (uncapped distinct count — so
+    the consumer can filter ambiguous questions), and the
+    provenance columns ``subj``/``pred``.
+
+    Determinism: template application is a literal string replace;
+    answer order is the binary sort. Predicates without a template
+    emit nothing (the map is the declared question inventory).
+
+    Scale shape: the template map rides as a broadcast literal
+    CASE/map lookup (predicate vocabulary is schema-scale); the only
+    exchange is the (subj, pred) aggregate with map-side combine.
+    """
+    if not templates:
+        raise ValueError("templates must map at least one predicate")
+    for p, tpl in templates.items():
+        if "{s}" not in tpl:
+            raise ValueError(
+                f"template for {p!r} lacks the {{s}} placeholder")
+    t = (triples.select(F.col(subj_col).alias("s"),
+                        F.col(pred_col).alias("p"),
+                        F.col(obj_col).alias("o"))
+         .filter(F.col("s").isNotNull() & F.col("p").isNotNull()
+                 & F.col("o").isNotNull())
+         .filter(F.col("p").isin(*templates.keys()))
+         .distinct())
+    tpl_map = F.create_map(
+        *[F.lit(x) for kv in templates.items() for x in kv])
+    return (t.groupBy("s", "p")
+            .agg(F.count("*").cast("long").alias("n_answers"),
+                 F.slice(F.sort_array(F.collect_set("o")), 1,
+                         int(max_answers)).alias("_objs"))
+            .select(
+                F.col("s").alias("subj"), F.col("p").alias("pred"),
+                F.replace(tpl_map[F.col("p")], F.lit("{s}"),
+                          F.col("s")).alias("question"),
+                F.array_join("_objs", ", ").alias("answers"),
+                "n_answers"))

@@ -1182,3 +1182,31 @@ def readability_counts(docs: DataFrame, id_col: str = "doc_id",
         n_sent.alias("n_sentences"),
         n_syl.alias("n_syllables"),
     )
+
+
+def term_powerlaw(docs: DataFrame, text_col: str = "text",
+                  f_min: int = 2) -> DataFrame:
+    """Zipf/power-law exponent census of the corpus TERM-FREQUENCY
+    distribution — the standard corpus-statistics health check
+    (Zipf 1949; estimator: Clauset-Shalizi-Newman SIAM Rev. 2009 eq.
+    3.1 over frequencies ≥ ``f_min``), sharing
+    :func:`~..graph_analytics.powerlaw_ingredients` with the degree
+    census so the two fits can never drift apart. ``n_nodes`` here =
+    vocabulary size, ``max_degree`` = the top term's frequency;
+    alpha = ``1 + n_tail / (sum_log_1e6 / 1e6)`` row-locally.
+
+    Tokenization is the repo-canonical :func:`word_tokens` (lowercase,
+    split on non-letter/digit runs) so Zipf, PMI, and Jaccard all
+    census the same vocabulary.
+
+    Scale shape: one explode + (term)-keyed count with map-side
+    combine (the term vocabulary bounds the exchange), then the
+    bounded frequency census — terms never co-occur on any wire.
+    """
+    from ..functions.vectors import word_tokens
+    from .graph_analytics import powerlaw_ingredients
+
+    freqs = (docs.select(F.explode(word_tokens(text_col)).alias("w"))
+             .groupBy("w")
+             .agg(F.count("*").cast("long").alias("f")))
+    return powerlaw_ingredients(freqs, "f", f_min)
