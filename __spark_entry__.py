@@ -9070,6 +9070,138 @@ FROM census
 """
 
 
+def _q_entity_alignment(spark, sf_dir):
+    """Cross-KB instance alignment by shared (pred, obj) evidence —
+    the instance-based core of PARIS (Suchanek et al. VLDB 2012). KB
+    A asserts four attribute facts per part ('p'||key); KB B is a
+    re-crawl of every 3rd part under a different id scheme
+    ('q'||key) with the same facts. True pairs share up to four
+    facts; coincidental pairs (same type/container/size) survive only
+    past min_shared=2; the (has_brand, Brand#XX) facts exceed the
+    per-key degree cap at this corpus size and are dropped BEFORE the
+    join — the PARIS stop-literal move — while the per-side fact
+    denominators stay uncapped. The oracle replays the guard, the
+    evidence join, and both denominators."""
+    from knowledge_graph_spark.operators.linking import align_entities
+
+    part = _t(spark, sf_dir, "part")
+
+    def facts(prefix, flt):
+        base = part.filter(flt) if flt is not None else part
+        subj = F.concat(F.lit(prefix),
+                        F.col("p_partkey").cast("string"))
+        out = None
+        for pred, col in (("has_brand", F.col("p_brand")),
+                          ("has_type", F.col("p_type")),
+                          ("has_name", F.col("p_name")),
+                          ("has_size",
+                           F.concat(F.lit("sz"),
+                                    F.col("p_size").cast("string")))):
+            piece = base.select(subj.alias("subj"),
+                                F.lit(pred).alias("pred"),
+                                col.alias("obj"))
+            out = piece if out is None else out.unionByName(piece)
+        return out
+
+    kb_a = facts("p", None)
+    kb_b = facts("q", F.col("p_partkey") % 3 == 0)
+    return (align_entities(kb_a, kb_b, min_shared=2, max_po_degree=64)
+            .orderBy("subj_a", "subj_b"))
+
+
+_SQL_ENTITY_ALIGNMENT = r"""
+WITH a AS (
+  SELECT DISTINCT 'p' || CAST(p_partkey AS VARCHAR) AS s, pred, obj
+  FROM part, (VALUES ('has_brand'), ('has_type'), ('has_name'),
+              ('has_size')) v(pred),
+  LATERAL (SELECT CASE v.pred
+             WHEN 'has_brand' THEN p_brand
+             WHEN 'has_type' THEN p_type
+             WHEN 'has_name' THEN p_name
+             ELSE 'sz' || CAST(p_size AS VARCHAR) END AS obj) o
+),
+b AS (
+  SELECT DISTINCT 'q' || CAST(p_partkey AS VARCHAR) AS s, pred, obj
+  FROM part, (VALUES ('has_brand'), ('has_type'), ('has_name'),
+              ('has_size')) v(pred),
+  LATERAL (SELECT CASE v.pred
+             WHEN 'has_brand' THEN p_brand
+             WHEN 'has_type' THEN p_type
+             WHEN 'has_name' THEN p_name
+             ELSE 'sz' || CAST(p_size AS VARCHAR) END AS obj) o
+  WHERE p_partkey % 3 = 0
+),
+ca AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n_facts_a FROM a GROUP BY s),
+cb AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n_facts_b FROM b GROUP BY s),
+ga AS (
+  SELECT a.* FROM a
+  JOIN (SELECT pred, obj FROM a GROUP BY pred, obj
+        HAVING COUNT(*) <= 64) k
+    ON k.pred = a.pred AND k.obj = a.obj
+),
+gb AS (
+  SELECT b.* FROM b
+  JOIN (SELECT pred, obj FROM b GROUP BY pred, obj
+        HAVING COUNT(*) <= 64) k
+    ON k.pred = b.pred AND k.obj = b.obj
+),
+shared AS (
+  SELECT ga.s AS subj_a, gb.s AS subj_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM ga JOIN gb ON ga.pred = gb.pred AND ga.obj = gb.obj
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT sh.subj_a, sh.subj_b, sh.n_shared, ca.n_facts_a, cb.n_facts_b
+FROM shared sh
+JOIN ca ON ca.s = sh.subj_a
+JOIN cb ON cb.s = sh.subj_b
+ORDER BY sh.subj_a, sh.subj_b
+"""
+
+
+def _q_kg_snapshot(spark, sf_dir):
+    """Point-in-time KB read over temporally-scoped facts (the
+    T-YAGO/YAGO2 validity-window semantics): facts are (customer,
+    ordered_status, status) scoped by order dates via
+    fact_intervals; the snapshot keeps facts first seen on or before
+    1997-06-15 and last seen within 90 grace days of it — the
+    retire-stale-facts read an incremental KG update pipeline serves.
+    The oracle replays interval derivation and the window filter."""
+    from knowledge_graph_spark.operators.temporal import (
+        fact_intervals, snapshot_at)
+
+    orders = _t(spark, sf_dir, "orders")
+    assertions = orders.select(
+        F.col("o_orderkey").alias("doc_id"),
+        F.concat(F.lit("c"),
+                 F.col("o_custkey").cast("string")).alias("subj"),
+        F.lit("ordered_status").alias("pred"),
+        F.col("o_orderstatus").alias("obj"))
+    dates = orders.select(F.col("o_orderkey").alias("doc_id"),
+                          F.to_date("o_orderdate").alias("date"))
+    iv = fact_intervals(assertions, dates)
+    return (snapshot_at(iv, "1997-06-15", grace_days=90)
+            .orderBy("subj", "pred", "obj"))
+
+
+_SQL_KG_SNAPSHOT = r"""
+WITH iv AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS subj,
+         'ordered_status' AS pred, o_orderstatus AS obj,
+         MIN(CAST(o_orderdate AS DATE)) AS first_seen,
+         MAX(CAST(o_orderdate AS DATE)) AS last_seen,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_mentions
+  FROM orders GROUP BY 1, 2, 3
+)
+SELECT subj, pred, obj, first_seen, last_seen, n_docs, n_mentions
+FROM iv
+WHERE first_seen <= DATE '1997-06-15'
+  AND last_seen + INTERVAL 90 DAY >= DATE '1997-06-15'
+ORDER BY subj, pred, obj
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # classical relational operators (DuckDB-oracled)
@@ -9123,6 +9255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_cards": _q_entity_cards,
         "qa_pairs": _q_qa_pairs,
         "term_powerlaw": _q_term_powerlaw,
+        "entity_alignment": _q_entity_alignment,
+        "kg_snapshot": _q_kg_snapshot,
         "char_sets": _q_char_sets,
         "dirt_paths": _q_dirt_paths,
         "predicate_canon": _q_predicate_canon,
@@ -9310,6 +9444,8 @@ def oracle_sql() -> dict[str, str]:
         "entity_cards": _SQL_ENTITY_CARDS,
         "qa_pairs": _SQL_QA_PAIRS,
         "term_powerlaw": _SQL_TERM_POWERLAW,
+        "entity_alignment": _SQL_ENTITY_ALIGNMENT,
+        "kg_snapshot": _SQL_KG_SNAPSHOT,
         "char_sets": _SQL_CHAR_SETS,
         "dirt_paths": _SQL_DIRT_PATHS,
         "predicate_canon": _SQL_PREDICATE_CANON,

@@ -118,7 +118,8 @@ def main():
         "predicate_canon", "er_eval", "kb_diff", "blocking_eval",
         "pathsim", "set_expansion", "seeded_hosts", "basket_pairs",
         "rule_inferences", "predicate_profile", "kg_motif",
-        "degree_powerlaw",
+        "degree_powerlaw", "entity_cards", "qa_pairs",
+        "term_powerlaw", "entity_alignment", "kg_snapshot",
     ]
     qs = entrymod.queries()
     for name in headliners:

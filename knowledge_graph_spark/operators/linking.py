@@ -486,3 +486,70 @@ def blocking_metrics(items: DataFrame, band_keys: list,
                     F.expr("(n_items * (n_items - 1)) div 2")
                     .alias("total_pairs"),
                     "n_cand", "n_hit", "n_gold"))
+
+
+def align_entities(kb_a: DataFrame, kb_b: DataFrame,
+                   subj_col: str = "subj", pred_col: str = "pred",
+                   obj_col: str = "obj",
+                   min_shared: int = 2,
+                   max_po_degree: int = 64) -> DataFrame:
+    """Cross-KB instance alignment by shared evidence — the
+    instance-based core of PARIS (Suchanek, Abiteboul, Senellart,
+    VLDB 2012): two entities from different KBs that assert many of
+    the same ``(pred, obj)`` facts are alignment candidates. Emits
+    one row per candidate pair with integer evidence only:
+
+    - ``subj_a`` / ``subj_b``  — the candidate pair (one from each KB)
+    - ``n_shared``             — distinct (pred, obj) facts both carry
+    - ``n_facts_a`` / ``n_facts_b`` — each side's distinct fact count
+      (so Jaccard/containment confidence stays a row-local division)
+
+    Assumes both KBs share a predicate/object vocabulary (run
+    :func:`~.patterns.canonicalize_predicates` + object
+    canonicalization first — the same precondition PARIS bootstraps
+    via literal equality).
+
+    Scale shape: the pair generation joins the two sides on the
+    ``(pred, obj)`` key, so the fan-out per key is |A-subjects| ×
+    |B-subjects| carrying that fact — the classic stop-value blowup
+    (every person born in the most common city). ``max_po_degree``
+    drops keys whose PER-SIDE subject count exceeds the cap BEFORE
+    the join (the PARIS stop-literal move; uninformative evidence —
+    it contributes least to alignment precision). Per-side fact
+    counts are computed over the FULL fact sets (the denominators
+    must not shrink with the guard). Everything exchanges
+    ``(string, long)``-shaped rows; no window, no collect.
+    """
+    def _t(df):
+        return (df.select(F.col(subj_col).alias("s"),
+                          F.col(pred_col).alias("p"),
+                          F.col(obj_col).alias("o"))
+                .filter(F.col("s").isNotNull() & F.col("p").isNotNull()
+                        & F.col("o").isNotNull())
+                .distinct())
+
+    a, b = _t(kb_a), _t(kb_b)
+    counts_a = a.groupBy("s").agg(
+        F.count("*").cast("long").alias("n_facts_a"))
+    counts_b = b.groupBy("s").agg(
+        F.count("*").cast("long").alias("n_facts_b"))
+
+    cap = int(max_po_degree)
+
+    def _guarded(t):
+        keep = (t.groupBy("p", "o").agg(F.count("*").alias("_d"))
+                .filter(F.col("_d") <= cap).select("p", "o"))
+        return t.join(keep, ["p", "o"], "leftsemi")
+
+    shared = (_guarded(a).select("p", "o", F.col("s").alias("subj_a"))
+              .join(_guarded(b).select("p", "o",
+                                       F.col("s").alias("subj_b")),
+                    ["p", "o"])
+              .groupBy("subj_a", "subj_b")
+              .agg(F.count("*").cast("long").alias("n_shared"))
+              .filter(F.col("n_shared") >= int(min_shared)))
+    return (shared
+            .join(counts_a.withColumnRenamed("s", "subj_a"), "subj_a")
+            .join(counts_b.withColumnRenamed("s", "subj_b"), "subj_b")
+            .select("subj_a", "subj_b", "n_shared", "n_facts_a",
+                    "n_facts_b"))

@@ -271,3 +271,22 @@ def fact_intervals(assertions: DataFrame, doc_dates: DataFrame,
                  F.max("_dt").alias("last_seen"),
                  F.countDistinct("_d").cast("long").alias("n_docs"),
                  F.count("*").cast("long").alias("n_mentions")))
+
+
+def snapshot_at(intervals: DataFrame, as_of,
+                grace_days: int = 0) -> DataFrame:
+    """Point-in-time view of a temporally-scoped KB: the facts
+    considered VALID at ``as_of`` — first observed on or before the
+    date, last observed within ``grace_days`` of it (a fact unseen
+    for longer has been retired by the update pipeline; the
+    T-YAGO/YAGO2 validity-window read — Hoffart et al. 2013).
+
+    ``intervals`` is :func:`fact_intervals` output; ``as_of`` is a
+    date/string accepted by ``to_date``. Pure row-local filter —
+    partition-prunable when the lake stores facts partitioned by
+    ``last_seen`` month, zero exchanges here.
+    """
+    d = F.to_date(F.lit(as_of) if not hasattr(as_of, "alias") else as_of)
+    return intervals.filter(
+        (F.col("first_seen") <= d)
+        & (F.date_add(F.col("last_seen"), int(grace_days)) >= d))
