@@ -9202,6 +9202,376 @@ ORDER BY subj, pred, obj
 """
 
 
+def _q_wl_roles(spark, sf_dir):
+    """Weisfeiler-Leman structural-role refinement (1-WL color
+    refinement; Shervashidze et al., JMLR 2011) over the bipartite
+    part↔supplier graph: 2 rounds of label = md5(old, commutative
+    neighbor-multiset fold). Nodes sharing a role are structurally
+    indistinguishable at radius 2 — the blocking signal for
+    graph-shaped entity resolution. The oracle replays the degree
+    seed and both rounds with the same md5-52 fold."""
+    from knowledge_graph_spark.operators.graph_analytics import wl_roles
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    return wl_roles(edges, rounds=2).orderBy("id")
+
+
+def _wl_roles_sql(rounds: int = 2) -> str:
+    """Unrolled 1-WL refinement: same edge fold, same degree seed,
+    same per-round md5(old:sum:count) relabel as wl_roles(). The
+    neighbor fold is the shared md5-52 convention (sketches.h52)
+    reduced mod 2^30 — both engines sum exact BIGINTs."""
+    q = r"""WITH e AS (
+  SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst
+  FROM lineitem
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e WHERE least(src, dst) <> greatest(src, dst)
+),
+sym AS (SELECT a AS u, b AS v FROM und
+        UNION ALL SELECT b AS u, a AS v FROM und),
+l0 AS (SELECT u AS id, CAST(COUNT(*) AS VARCHAR) AS role
+       FROM sym GROUP BY u)"""
+    for i in range(rounds):
+        q += f""",
+n{i} AS (
+  SELECT s.u,
+         CAST(SUM(CAST(concat('0x', substring(md5(l.role), 1, 13))
+                       AS BIGINT) % 1073741824) AS BIGINT) AS sm,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM sym s JOIN l{i} l ON s.v = l.id GROUP BY s.u
+),
+l{i + 1} AS (
+  SELECT l.id,
+         md5(concat_ws(':', l.role, CAST(n.sm AS VARCHAR),
+                       CAST(n.c AS VARCHAR))) AS role
+  FROM l{i} l JOIN n{i} n ON l.id = n.u
+)"""
+    q += f"""
+SELECT id, role FROM l{rounds} ORDER BY id"""
+    return q
+
+
+_SQL_WL_ROLES = _wl_roles_sql()
+
+
+def _q_host_spam_mass(spark, sf_dir):
+    """Spam-mass ranking (Gyongyi et al., VLDB 2006) over the same
+    synthesized host-citation graph as host_pagerank: global
+    PageRank minus TrustRank (personalized PageRank teleporting to
+    the trusted core = src hosts with residue % 7 == 0) — the rank
+    share the trusted core can't account for. Output is the integer
+    rank POSITION over 6-dp-rounded mass (ties by host), the same
+    hash-stable convention as host_pagerank; the oracle unrolls
+    BOTH damped power iterations."""
+    from pyspark.sql import Window
+
+    from knowledge_graph_spark.operators.graph_analytics import spam_mass
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _host(prefix, expr, domain):
+        return F.concat(F.lit(prefix), expr.cast("string"), F.lit(domain))
+
+    a, b, c = (F.col("doc_id") % 89), (F.col("doc_id") % 97), \
+        (F.col("doc_id") % 83)
+    src = _host("src-", a, ".example.com")
+    cite = _host("cite-", b, ".example.org")
+    mirror = _host("mirror-", c, ".example.net")
+    mirror_b = _host("mirror-", b % 83, ".example.net")
+    src_c = _host("src-", c, ".example.com")
+    edges = (
+        docs.select(src.alias("src"), cite.alias("dst"))
+        .unionByName(docs.select(src.alias("src"), mirror.alias("dst")))
+        .unionByName(docs.select(cite.alias("src"), mirror_b.alias("dst")))
+        .unionByName(docs.select(mirror.alias("src"), src_c.alias("dst")))
+    )
+    trusted = (docs.filter((a % 7) == 0)
+               .select(src.alias("id")).distinct())
+    sm = spam_mass(edges, trusted, iterations=10)
+    w = Window.partitionBy(
+        F.pmod(F.col("pr").cast("bigint"), F.lit(1))).orderBy(
+        F.round(F.col("mass"), 6).desc(), F.col("id"))
+    return (sm.select(F.col("id").alias("host"),
+                      F.row_number().over(w).cast("long").alias("pos"))
+            .orderBy("pos"))
+
+
+def _host_spam_mass_sql(iters: int = 10) -> str:
+    """Unrolled PR + TrustRank chains over the synthesized host
+    graph; mass = pr - tr ranked over 6-dp rounding. Literals follow
+    the ENGINE's float sequencing: Spark computes (1.0 - damping) in
+    Python, so the oracle writes (1.0::DOUBLE - 0.85::DOUBLE), not a
+    bare 0.15 (1 ulp apart — enough to flip a 6-dp tie)."""
+    q = r"""WITH docs AS MATERIALIZED (SELECT doc_id FROM documents),
+e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'src-' || CAST(doc_id % 89 AS VARCHAR) || '.example.com' AS src,
+           'cite-' || CAST(doc_id % 97 AS VARCHAR) || '.example.org' AS dst
+    FROM docs
+    UNION ALL
+    SELECT 'src-' || CAST(doc_id % 89 AS VARCHAR) || '.example.com',
+           'mirror-' || CAST(doc_id % 83 AS VARCHAR) || '.example.net'
+    FROM docs
+    UNION ALL
+    SELECT 'cite-' || CAST(doc_id % 97 AS VARCHAR) || '.example.org',
+           'mirror-' || CAST((doc_id % 97) % 83 AS VARCHAR) || '.example.net'
+    FROM docs
+    UNION ALL
+    SELECT 'mirror-' || CAST(doc_id % 83 AS VARCHAR) || '.example.net',
+           'src-' || CAST(doc_id % 83 AS VARCHAR) || '.example.com'
+    FROM docs
+  )
+),
+nodes AS MATERIALIZED (SELECT id FROM
+          (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)),
+nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+seeds AS MATERIALIZED (
+  SELECT DISTINCT 'src-' || CAST(doc_id % 89 AS VARCHAR) || '.example.com'
+    AS id
+  FROM docs WHERE (doc_id % 89) % 7 = 0
+),
+flags AS MATERIALIZED (
+  SELECT n.id, CASE WHEN s.id IS NOT NULL THEN 1 ELSE 0 END AS f
+  FROM nodes n LEFT JOIN seeds s ON n.id = s.id
+),
+ns AS MATERIALIZED (SELECT CAST(SUM(f) AS DOUBLE) AS m FROM flags),
+tele AS MATERIALIZED (
+  SELECT id, CAST(f AS DOUBLE) / (SELECT m FROM ns) AS t FROM flags),
+r0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE / (SELECT n FROM nn) AS rank
+                    FROM nodes),
+p0 AS MATERIALIZED (SELECT id, t AS rank FROM tele)"""
+    for i in range(iters):
+        q += f""",
+d{i} AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0.0::DOUBLE) AS dm FROM r{i}
+         WHERE id NOT IN (SELECT src FROM deg)),
+c{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(r.rank / deg.deg) AS c
+         FROM e JOIN r{i} r ON e.src = r.id JOIN deg ON e.src = deg.src
+         GROUP BY e.dst),
+r{i + 1} AS MATERIALIZED (SELECT n.id,
+           (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+           + 0.85::DOUBLE * (COALESCE(c.c, 0.0::DOUBLE)
+                             + (SELECT dm FROM d{i})
+                               / CAST((SELECT n FROM nn) AS DOUBLE))
+             AS rank
+           FROM nodes n LEFT JOIN c{i} c ON n.id = c.id),
+pd{i} AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0.0::DOUBLE) AS dm
+         FROM p{i} WHERE id NOT IN (SELECT src FROM deg)),
+pc{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(r.rank / deg.deg) AS c
+         FROM e JOIN p{i} r ON e.src = r.id JOIN deg ON e.src = deg.src
+         GROUP BY e.dst),
+p{i + 1} AS MATERIALIZED (SELECT tl.id,
+           (1.0::DOUBLE - 0.85::DOUBLE) * tl.t
+           + 0.85::DOUBLE * (COALESCE(c.c, 0.0::DOUBLE)
+                             + (SELECT dm FROM pd{i}) * tl.t)
+             AS rank
+           FROM tele tl LEFT JOIN pc{i} c ON tl.id = c.id)"""
+    q += f"""
+SELECT r.id AS host,
+       CAST(ROW_NUMBER() OVER (ORDER BY round(r.rank - p.rank, 6) DESC,
+                               r.id) AS BIGINT) AS pos
+FROM r{iters} r JOIN p{iters} p ON r.id = p.id ORDER BY pos"""
+    return q
+
+
+_SQL_HOST_SPAM_MASS = _host_spam_mass_sql()
+
+
+def _q_golden_record(spark, sf_dir):
+    """Field-level survivorship over resolved duplicate clusters
+    (Talburt 2011; Bleiholder & Naumann 2008): customers fold to
+    deterministic clusters (custkey % 211) with deterministically
+    dirtied attributes (nulled-out every 17th, case-corrupted every
+    13th segment, nulled every 19th nation) — each attribute
+    survives by majority vote, ties to the smaller value. The
+    oracle replays the corruption, the melt, the vote, and the
+    window-free argmax as a window."""
+    from knowledge_graph_spark.operators.fusion import golden_record
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    rec = cust.select(
+        (k % 211).alias("cluster_id"),
+        F.when(k % 17 == 0, F.lit(None).cast("string"))
+        .when(k % 13 == 0, F.lower("c_mktsegment"))
+        .otherwise(F.col("c_mktsegment")).alias("seg"),
+        F.when(k % 19 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_nationkey").cast("string")).alias("nat"),
+        F.when(k % 23 == 0, F.lit(None).cast("string"))
+        .otherwise(F.expr("right(c_name, 2)")).alias("ph"),
+    )
+    return (golden_record(rec, "cluster_id", ["seg", "nat", "ph"])
+            .orderBy("cluster_id"))
+
+
+_SQL_GOLDEN_RECORD = r"""
+WITH rec AS (
+  SELECT c_custkey % 211 AS k,
+         CASE WHEN c_custkey % 17 = 0 THEN NULL
+              WHEN c_custkey % 13 = 0 THEN lower(c_mktsegment)
+              ELSE c_mktsegment END AS seg,
+         CASE WHEN c_custkey % 19 = 0 THEN NULL
+              ELSE CAST(c_nationkey AS VARCHAR) END AS nat,
+         CASE WHEN c_custkey % 23 = 0 THEN NULL
+              ELSE right(c_name, 2) END AS ph
+  FROM customer
+),
+melt AS (
+  SELECT k, 'seg' AS a, seg AS v FROM rec
+  UNION ALL SELECT k, 'nat', nat FROM rec
+  UNION ALL SELECT k, 'ph', ph FROM rec
+),
+votes AS (
+  SELECT k, a, v, CAST(COUNT(*) AS BIGINT) AS n
+  FROM melt WHERE v IS NOT NULL GROUP BY k, a, v
+),
+best AS (
+  SELECT k, a, v, n FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY k, a
+                                 ORDER BY n DESC, v ASC) AS rn
+    FROM votes) WHERE rn = 1
+),
+sizes AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_records
+          FROM rec GROUP BY k)
+SELECT s.k AS cluster_id, s.n_records,
+       MAX(CASE WHEN b.a = 'seg' THEN b.v END) AS seg,
+       COALESCE(CAST(MAX(CASE WHEN b.a = 'seg' THEN b.n END) AS BIGINT),
+                0) AS seg_n,
+       MAX(CASE WHEN b.a = 'nat' THEN b.v END) AS nat,
+       COALESCE(CAST(MAX(CASE WHEN b.a = 'nat' THEN b.n END) AS BIGINT),
+                0) AS nat_n,
+       MAX(CASE WHEN b.a = 'ph' THEN b.v END) AS ph,
+       COALESCE(CAST(MAX(CASE WHEN b.a = 'ph' THEN b.n END) AS BIGINT),
+                0) AS ph_n
+FROM sizes s LEFT JOIN best b ON s.k = b.k
+GROUP BY s.k, s.n_records
+ORDER BY cluster_id
+"""
+
+
+def _q_rake_keywords(spark, sf_dir):
+    """RAKE candidate keyphrases (Rose et al. 2010): stopword-free
+    word runs with the integer score ingredients (sum of word
+    degrees / sum of word frequencies — the float ratio is
+    derivable). Phrases occurring >= 5 times corpus-wide. The
+    oracle replays the regex cascade, both word aggregates, and the
+    phrase-word join."""
+    from knowledge_graph_spark.operators.textstats import rake_phrases
+
+    docs = _t(spark, sf_dir, "documents")
+    return (rake_phrases(docs)
+            .filter(F.col("n_occur") >= 2)
+            .orderBy("phrase"))
+
+
+def _rake_keywords_sql() -> str:
+    from knowledge_graph_spark.operators.textstats import RAKE_STOPWORDS
+    alt = "|".join(RAKE_STOPWORDS)
+    return rf"""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9]+', ' ', 'g'), '\b({alt})\b', '|', 'g'), '|')) AS p
+  FROM documents
+),
+inst AS (
+  SELECT doc_id,
+         trim(regexp_replace(p, ' +', ' ', 'g')) AS phrase
+  FROM raw
+),
+inst2 AS (
+  SELECT doc_id, phrase,
+         CAST(len(string_split(phrase, ' ')) AS BIGINT) AS n_words
+  FROM inst WHERE phrase <> ''
+),
+inst3 AS (SELECT * FROM inst2 WHERE n_words BETWEEN 2 AND 4),
+words AS (SELECT n_words, unnest(string_split(phrase, ' ')) AS w
+          FROM inst3),
+stats AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+                 CAST(SUM(n_words) AS BIGINT) AS deg
+          FROM words GROUP BY w),
+phrases AS (
+  SELECT phrase, n_words, CAST(COUNT(*) AS BIGINT) AS n_occur,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM inst3 GROUP BY phrase, n_words
+),
+pw AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS w
+       FROM phrases),
+scores AS (
+  SELECT phrase, CAST(SUM(deg) AS BIGINT) AS sum_deg,
+         CAST(SUM(freq) AS BIGINT) AS sum_freq
+  FROM pw JOIN stats USING (w) GROUP BY phrase
+)
+SELECT p.phrase, p.n_words, p.n_occur, p.n_docs, s.sum_deg, s.sum_freq
+FROM phrases p JOIN scores s USING (phrase)
+WHERE p.n_occur >= 2
+ORDER BY p.phrase
+"""
+
+
+_SQL_RAKE_KEYWORDS = _rake_keywords_sql()
+
+
+def _q_mirror_hosts(spark, sf_dir):
+    """Mirror-host detection (Bharat & Broder, WWW 1999): every
+    document lands on two synthesized hosts (s<doc_id%13>,
+    m<doc_id%7>) keyed by its normalized-content md5 fingerprint;
+    host pairs sharing >= 3 distinct fingerprints surface with both
+    host sizes. Ubiquitous fingerprints (> 8 hosts — planted
+    duplicate groups = sitewide boilerplate) are dropped whole
+    before pairing. The oracle replays the synthesis, the ubiquity
+    cap, and the triangular pairing."""
+    from knowledge_graph_spark.operators.crawl import mirror_hosts
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), "[ \t\r\n]+",
+                                       " ")))
+    pages = (docs.select(
+        F.concat(F.lit("s"), (F.col("doc_id") % 13).cast("string"))
+        .alias("host"), fp.alias("fingerprint"))
+        .unionByName(docs.select(
+            F.concat(F.lit("m"), (F.col("doc_id") % 7).cast("string"))
+            .alias("host"), fp.alias("fingerprint"))))
+    return (mirror_hosts(pages, min_shared=3, max_fp_hosts=8)
+            .orderBy("host_a", "host_b"))
+
+
+_SQL_MIRROR_HOSTS = r"""
+WITH pg AS (
+  SELECT 's' || CAST(doc_id % 13 AS VARCHAR) AS host,
+         md5(trim(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g')))
+           AS fp
+  FROM documents
+  UNION ALL
+  SELECT 'm' || CAST(doc_id % 7 AS VARCHAR),
+         md5(trim(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g')))
+  FROM documents
+),
+e AS (SELECT DISTINCT host AS a, fp AS b FROM pg
+      WHERE host IS NOT NULL AND fp IS NOT NULL),
+keep AS (SELECT b FROM e GROUP BY b HAVING COUNT(*) <= 8),
+ek AS (SELECT e.* FROM e JOIN keep USING (b)),
+deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS n FROM ek GROUP BY a),
+shared AS (
+  SELECT e1.a AS host_a, e2.a AS host_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM ek e1 JOIN ek e2 ON e1.b = e2.b AND e1.a < e2.a
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+)
+SELECT s.host_a, s.host_b, s.n_shared, da.n AS n_a, db.n AS n_b
+FROM shared s
+JOIN deg da ON da.a = s.host_a
+JOIN deg db ON db.a = s.host_b
+ORDER BY s.host_a, s.host_b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # classical relational operators (DuckDB-oracled)
@@ -9257,6 +9627,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_powerlaw": _q_term_powerlaw,
         "entity_alignment": _q_entity_alignment,
         "kg_snapshot": _q_kg_snapshot,
+        "wl_roles": _q_wl_roles,
+        "host_spam_mass": _q_host_spam_mass,
+        "golden_record": _q_golden_record,
+        "rake_keywords": _q_rake_keywords,
+        "mirror_hosts": _q_mirror_hosts,
         "char_sets": _q_char_sets,
         "dirt_paths": _q_dirt_paths,
         "predicate_canon": _q_predicate_canon,
@@ -9446,6 +9821,11 @@ def oracle_sql() -> dict[str, str]:
         "term_powerlaw": _SQL_TERM_POWERLAW,
         "entity_alignment": _SQL_ENTITY_ALIGNMENT,
         "kg_snapshot": _SQL_KG_SNAPSHOT,
+        "wl_roles": _SQL_WL_ROLES,
+        "host_spam_mass": _SQL_HOST_SPAM_MASS,
+        "golden_record": _SQL_GOLDEN_RECORD,
+        "rake_keywords": _SQL_RAKE_KEYWORDS,
+        "mirror_hosts": _SQL_MIRROR_HOSTS,
         "char_sets": _SQL_CHAR_SETS,
         "dirt_paths": _SQL_DIRT_PATHS,
         "predicate_canon": _SQL_PREDICATE_CANON,

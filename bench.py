@@ -120,6 +120,8 @@ def main():
         "rule_inferences", "predicate_profile", "kg_motif",
         "degree_powerlaw", "entity_cards", "qa_pairs",
         "term_powerlaw", "entity_alignment", "kg_snapshot",
+        "wl_roles", "host_spam_mass", "golden_record",
+        "rake_keywords", "mirror_hosts",
     ]
     qs = entrymod.queries()
     for name in headliners:

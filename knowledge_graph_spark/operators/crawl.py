@@ -242,3 +242,38 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
                .alias(f"n_{x}")
                for x in ("added", "removed", "changed", "same")])
     )
+
+
+def mirror_hosts(pages: DataFrame, host_col: str = "host",
+                 fp_col: str = "fingerprint", min_shared: int = 2,
+                 max_fp_hosts: int | None = 64) -> DataFrame:
+    """Mirror-host detection (Bharat & Broder, WWW 1999 "A study of
+    host pairs with replicated content"): two hosts serving many
+    documents with IDENTICAL content fingerprints are mirrors —
+    the crawl-governance signal that lets a scheduler fetch one
+    replica instead of n, upstream of any per-document dedup.
+
+    Input is one row per (host, document content fingerprint); the
+    output pairs hosts by shared distinct fingerprints:
+    ``(host_a, host_b, n_shared, n_a, n_b)`` with ``host_a <
+    host_b`` — ``n_shared / min(n_a, n_b)`` (row-local, for API
+    users) is the containment that flags partial mirrors.
+
+    This IS the PathSim round-trip shape on the host→fingerprint
+    bipartite graph (:func:`graph_analytics.pathsim` — shared
+    distinct neighbors + both degrees), so it delegates: same
+    in-aggregate triangular pairing, same ubiquity cap
+    (fingerprints on more than ``max_fp_hosts`` hosts are sitewide
+    boilerplate, dropped whole before pairing), one shuffle.
+    """
+    from knowledge_graph_spark.operators.graph_analytics import pathsim
+
+    sim = pathsim(
+        pages.select(F.col(host_col).alias("src"),
+                     F.col(fp_col).alias("dst")),
+        min_shared=min_shared, max_dst_degree=max_fp_hosts)
+    return sim.select(F.col("id_a").alias("host_a"),
+                      F.col("id_b").alias("host_b"),
+                      F.col("n_ab").alias("n_shared"),
+                      F.col("n_aa").alias("n_a"),
+                      F.col("n_bb").alias("n_b"))

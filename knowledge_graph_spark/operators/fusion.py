@@ -223,3 +223,65 @@ def truth_discovery(assertions: DataFrame,
             F.count("*").cast("long").alias("n_objects"),
         )
     )
+
+
+def golden_record(records: DataFrame, cluster_col: str,
+                  attr_cols: list[str]) -> DataFrame:
+    """Field-level survivorship over resolved duplicate clusters —
+    the "golden record" step of classic MDM/record-linkage stacks
+    (Talburt 2011 ch. 6; the fuse step of Bleiholder & Naumann's
+    ACM CS 2008 data-fusion survey): after entity resolution groups
+    dirty records into clusters, each ATTRIBUTE survives
+    independently by majority vote over the cluster's non-null
+    values, ties broken by the smaller value (deterministic, so
+    reruns and the SQL oracle agree).
+
+    Returns one row per cluster: ``n_records`` plus, for every
+    attribute ``a`` in ``attr_cols``, ``a`` (the surviving value,
+    as string; NULL when every record left it null) and ``a_n``
+    (that value's vote count).
+
+    Scale shape: records melt to ``(cluster, attr, value)`` — rows
+    × |attrs|, value strings only, never whole records — then two
+    key-local aggregates: vote counts per (cluster, attr, value),
+    argmax per (cluster, attr) via a ``min(struct(-votes, value))``
+    fold (no window, no collect), and one pivot-shaped aggregate
+    back to a row per cluster. All exchanges are keyed by cluster;
+    a hub cluster costs its own record count, nothing global.
+    """
+    if not attr_cols:
+        raise ValueError("golden_record needs >= 1 attribute column")
+    c = F.col(cluster_col).alias("_k")
+    melted = records.select(
+        c,
+        F.explode(F.array(*[
+            F.struct(F.lit(a).alias("_a"),
+                     F.col(a).cast("string").alias("_v"))
+            for a in attr_cols
+        ])).alias("_m"),
+    ).select("_k", F.col("_m._a").alias("_a"), F.col("_m._v").alias("_v"))
+    votes = (melted.filter(F.col("_v").isNotNull())
+             .groupBy("_k", "_a", "_v")
+             .agg(F.count("*").cast("long").alias("_n")))
+    best = (votes.groupBy("_k", "_a")
+            .agg(F.min(F.struct((-F.col("_n")).alias("_neg"),
+                                F.col("_v").alias("_v"))).alias("_b"))
+            .select("_k", "_a", F.col("_b._v").alias("_v"),
+                    (-F.col("_b._neg")).cast("long").alias("_n")))
+    sizes = records.groupBy(c).agg(
+        F.count("*").cast("long").alias("n_records"))
+    wide = best.groupBy("_k").agg(*[
+        e for a in attr_cols for e in (
+            F.max(F.when(F.col("_a") == a, F.col("_v"))).alias(a),
+            F.coalesce(
+                F.max(F.when(F.col("_a") == a, F.col("_n"))),
+                F.lit(0)).cast("long").alias(f"{a}_n"),
+        )
+    ])
+    return (sizes.join(wide, "_k", "left")
+            .select(F.col("_k").alias(cluster_col), "n_records",
+                    *[x for a in attr_cols for x in (
+                        F.col(a),
+                        # all-null cluster: no votes row at all
+                        F.coalesce(F.col(f"{a}_n"), F.lit(0))
+                        .cast("long").alias(f"{a}_n"))]))

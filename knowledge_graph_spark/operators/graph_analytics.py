@@ -1289,3 +1289,94 @@ def powerlaw_ingredients(values: DataFrame, value_col: str,
         .select("n_nodes", "n_tail",
                 F.lit(int(d_min)).cast("long").alias("d_min"),
                 "max_degree", "sum_log_1e6"))
+
+
+def wl_roles(edges: DataFrame, rounds: int = 3, src: str = "src",
+             dst: str = "dst") -> DataFrame:
+    """Weisfeiler-Leman structural-role refinement (Weisfeiler &
+    Leman 1968; the 1-WL color refinement used as graph-structure
+    features by Shervashidze et al., JMLR 2011): every node starts
+    with its degree as a label, then ``rounds`` times each node's
+    label becomes a hash of (its old label, the MULTISET of its
+    neighbors' old labels). Nodes sharing a final label are
+    structurally indistinguishable at radius ``rounds`` — the
+    "role" signal entity resolution over graphs blocks on, and the
+    census a web-graph audit reads mirror/farm patterns from.
+
+    Returns ``(id, role)``, ``role`` a 32-hex md5 string.
+
+    The neighbor multiset is folded COMMUTATIVELY — per-neighbor
+    52-bit md5 of the label (:func:`sketches.h52`) reduced mod 2^30,
+    then summed alongside the neighbor count — instead of the
+    classic sort-and-concatenate, so a hub's update is a plain
+    aggregate: no ``collect_list`` whose row width scales with
+    degree. The sum stays exact in a BIGINT up to ~2^33 neighbors.
+    Two multisets colliding on (sum mod 2^30·deg-space, count) is
+    possible but role-census-harmless; the fold is md5-based so the
+    DuckDB oracle replays it bit-for-bit.
+
+    Scale shape per round: one (id, label-hash) exchange keyed by
+    the neighbor id + one join back to the label frame; labels are
+    ``localCheckpoint``-ed per round so lineage stays flat.
+    """
+    from knowledge_graph_spark.operators.sketches import h52
+
+    und = _undirected(edges, src, dst)
+    sym = (und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .unionByName(und.select(F.col("b").alias("u"),
+                                   F.col("a").alias("v")))
+           .persist())
+    labels = (sym.groupBy(F.col("u").alias("id"))
+              .agg(F.count("*").cast("long").alias("_d"))
+              .select("id", F.col("_d").cast("string").alias("role"))
+              .localCheckpoint(eager=True))
+    for _ in range(int(rounds)):
+        nb = (sym.join(labels, sym["v"] == labels["id"])
+              .select(F.col("u"),
+                      F.pmod(h52(F.col("role")),
+                             F.lit(1 << 30)).alias("_h"))
+              .groupBy("u")
+              .agg(F.sum("_h").cast("long").alias("_s"),
+                   F.count("*").cast("long").alias("_c")))
+        labels = (labels.join(nb, labels["id"] == nb["u"])
+                  .select("id",
+                          F.md5(F.concat_ws(
+                              ":", F.col("role"),
+                              F.col("_s").cast("string"),
+                              F.col("_c").cast("string"))).alias("role"))
+                  .localCheckpoint(eager=True))
+    sym.unpersist()
+    return labels
+
+
+def spam_mass(edges: DataFrame, trusted: DataFrame, src: str = "src",
+              dst: str = "dst", iterations: int = 10,
+              damping: float = 0.85) -> DataFrame:
+    """Spam-mass estimation (Gyongyi, Berkhin, Garcia-Molina,
+    Pedersen, VLDB 2006 "Link spam detection based on mass
+    estimation"): how much of a host's PageRank arrives from OUTSIDE
+    a trusted core. ``pr`` is global PageRank, ``tr`` the
+    TrustRank-style personalized PageRank teleporting only to the
+    ``trusted`` seed hosts (Gyongyi et al., VLDB 2004); both are
+    probability distributions over the same node set, so
+    ``mass = pr - tr`` is the (possibly negative) rank share the
+    trusted core cannot account for — large positive mass with
+    meaningful pr is the link-spam signature.
+
+    Returns ``(id, pr, tr, mass)`` doubles; callers needing
+    hash-stable output should rank over rounded scores (the
+    host_pagerank convention).
+
+    Scale shape: exactly two fixed-iteration rank loops
+    (:func:`pagerank`, :func:`personalized_pagerank` — (id, double)
+    exchanges, one-row dangling broadcasts, per-round
+    localCheckpoint) plus ONE final join keyed by node id.
+    """
+    pr = pagerank(edges, src=src, dst=dst, iterations=iterations,
+                  damping=damping)
+    tr = personalized_pagerank(edges, trusted, src=src, dst=dst,
+                               iterations=iterations, damping=damping)
+    return (pr.select("id", F.col("rank").alias("pr"))
+            .join(tr.select("id", F.col("rank").alias("tr")), "id")
+            .select("id", "pr", "tr",
+                    (F.col("pr") - F.col("tr")).alias("mass")))

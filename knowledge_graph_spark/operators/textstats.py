@@ -1210,3 +1210,75 @@ def term_powerlaw(docs: DataFrame, text_col: str = "text",
              .groupBy("w")
              .agg(F.count("*").cast("long").alias("f")))
     return powerlaw_ingredients(freqs, "f", f_min)
+
+
+# RAKE's phrase-boundary lexicon: function words that terminate a
+# candidate phrase (Rose et al. 2010 use a full stoplist; this fixed
+# 32-word core keeps the operator deterministic and the SQL oracle
+# literal). Module-level so the oracle generator injects the SAME list.
+RAKE_STOPWORDS = (
+    "the", "a", "an", "and", "or", "but", "of", "to", "in", "on",
+    "at", "for", "with", "by", "from", "as", "is", "are", "was",
+    "were", "be", "been", "it", "its", "this", "that", "these",
+    "those", "their", "they", "we", "you",
+)
+
+
+def rake_phrases(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 stopwords: tuple = RAKE_STOPWORDS,
+                 min_words: int = 2, max_words: int = 4) -> DataFrame:
+    """RAKE candidate keyphrases (Rose, Engel, Cramer, Cowley 2010
+    "Automatic keyword extraction from individual documents"):
+    candidate phrases are maximal stopword-free word runs; each
+    word's degree is the total size of the phrases it appears in and
+    its frequency is its phrase-occurrence count; a phrase's score is
+    the sum over its words of degree/frequency. This emits the
+    INTEGER ingredients — ``sum_deg`` and ``sum_freq`` per distinct
+    phrase — plus occurrence/document counts, keeping the output
+    hash-stable (the float ratio is a row-local division for API
+    users).
+
+    Returns ``(phrase, n_words, n_occur, n_docs, sum_deg,
+    sum_freq)``.
+
+    Scale shape: texts fold row-locally to phrase strings (lower →
+    non-alphanumeric collapse → stopword-boundary split — all
+    codegen regex, shared verbatim with the RE2 oracle); word stats
+    are one vocabulary-bounded aggregate; the phrase table exchanges
+    phrase strings and longs only. The word-stats join is keyed on
+    single words — the stopword band is already cut, so no 'the'-
+    scale hot key exists by construction.
+    """
+    alt = "|".join(stopwords)
+    s = F.lower(F.col(text_col))
+    s = F.regexp_replace(s, "[^a-z0-9]+", " ")
+    s = F.regexp_replace(s, rf"\b({alt})\b", "|")
+    inst = (docs.select(F.col(id_col).alias("_doc"),
+                        F.explode(F.split(s, r"\|")).alias("_p"))
+            .select("_doc",
+                    F.trim(F.regexp_replace(F.col("_p"), " +", " "))
+                    .alias("phrase"))
+            .filter(F.col("phrase") != "")
+            .withColumn("n_words", F.size(F.split(F.col("phrase"), " "))
+                        .cast("long"))
+            .filter((F.col("n_words") >= int(min_words))
+                    & (F.col("n_words") <= int(max_words))))
+    inst = inst.localCheckpoint(eager=True)  # feeds word stats AND phrases
+    words = inst.select("n_words",
+                        F.explode(F.split("phrase", " ")).alias("w"))
+    stats = words.groupBy("w").agg(
+        F.count("*").cast("long").alias("_freq"),
+        F.sum("n_words").cast("long").alias("_deg"))
+    phrases = inst.groupBy("phrase", "n_words").agg(
+        F.count("*").cast("long").alias("n_occur"),
+        F.count_distinct(F.col("_doc")).cast("long").alias("n_docs"))
+    pw = phrases.select("phrase",
+                        F.explode(F.split("phrase", " ")).alias("w"))
+    scores = (pw.join(stats, "w")
+              .groupBy("phrase")
+              .agg(F.sum("_deg").cast("long").alias("sum_deg"),
+                   F.sum("_freq").cast("long").alias("sum_freq")))
+    return (phrases.join(scores, "phrase")
+            .select("phrase", "n_words", "n_occur", "n_docs",
+                    "sum_deg", "sum_freq"))

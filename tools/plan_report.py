@@ -151,6 +151,12 @@ def main():
         # iterative, so the static plan is the last round only)
         "er_eval", "kb_diff", "blocking_eval", "pathsim",
         "set_expansion", "basket_pairs",
+        # fifth continuation: golden-record survivorship (melt +
+        # two key-local aggs), RAKE (regex cascade + vocab-bounded
+        # word stats), mirror hosts (pathsim shape on host->fp)
+        # (wl_roles and host_spam_mass are fixed-round iterative —
+        # static plan is the last round only, excluded)
+        "golden_record", "rake_keywords", "mirror_hosts",
         # (seeded_hosts is fixed-round iterative with per-round
         # checkpoints — static plan is the last round only, excluded)
     ]
