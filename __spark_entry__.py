@@ -9572,6 +9572,364 @@ ORDER BY s.host_a, s.host_b
 """
 
 
+def _q_landmark_dists(spark, sf_dir):
+    """Landmark BFS index (Potamias et al., CIKM 2009) over the
+    part↔supplier graph: per-landmark hop distances from s1/s2/s5,
+    all landmarks advancing in ONE composite-key frontier. The
+    oracle recomputes the whole index with a recursive CTE carrying
+    the landmark column."""
+    from knowledge_graph_spark.operators.graph_analytics import (
+        landmark_distances)
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    lms = spark.createDataFrame([("s1",), ("s2",), ("s5",)], "id string")
+    return (landmark_distances(edges, lms, max_hops=6)
+            .orderBy("id", "landmark"))
+
+
+_SQL_LANDMARK_DISTS = r"""
+WITH RECURSIVE
+e AS (SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst
+      FROM lineitem),
+sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+lms(lm) AS (VALUES ('s1'), ('s2'), ('s5')),
+walk(id, lm, dist) AS (
+  SELECT lm, lm, 0 FROM lms WHERE lm IN (SELECT src FROM sym)
+  UNION
+  SELECT s.dst, w.lm, w.dist + 1
+  FROM walk w JOIN sym s ON s.src = w.id
+  WHERE w.dist < 6
+)
+SELECT id, lm AS landmark, CAST(MIN(dist) AS BIGINT) AS dist
+FROM walk GROUP BY id, lm ORDER BY id, landmark
+"""
+
+
+def _q_landmark_est(spark, sf_dir):
+    """Triangle-inequality distance estimates from the landmark
+    index (Potamias et al. 2009): min over landmarks of
+    d(a,l)+d(l,b) for 25 deterministic part pairs — the at-scale
+    answer shape (no per-query BFS). The oracle rebuilds the index
+    recursively and replays both joins and the min."""
+    from knowledge_graph_spark.operators.graph_analytics import (
+        landmark_distances, landmark_estimate)
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    lms = spark.createDataFrame([("s1",), ("s2",), ("s5",)], "id string")
+    idx = landmark_distances(edges, lms, max_hops=6)
+    pairs = spark.range(1, 26).select(
+        F.concat(F.lit("p"), (F.col("id") * 2 - 1).cast("string"))
+        .alias("a"),
+        F.concat(F.lit("p"), (F.col("id") * 2).cast("string")).alias("b"))
+    return landmark_estimate(idx, pairs).orderBy("a", "b")
+
+
+_SQL_LANDMARK_EST = r"""
+WITH RECURSIVE
+e AS (SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst
+      FROM lineitem),
+sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+lms(lm) AS (VALUES ('s1'), ('s2'), ('s5')),
+walk(id, lm, dist) AS (
+  SELECT lm, lm, 0 FROM lms WHERE lm IN (SELECT src FROM sym)
+  UNION
+  SELECT s.dst, w.lm, w.dist + 1
+  FROM walk w JOIN sym s ON s.src = w.id
+  WHERE w.dist < 6
+),
+idx AS (SELECT id, lm, MIN(dist) AS d FROM walk GROUP BY id, lm),
+pairs AS (SELECT 'p' || CAST(2 * i - 1 AS VARCHAR) AS a,
+                 'p' || CAST(2 * i AS VARCHAR) AS b
+          FROM range(1, 26) t(i))
+SELECT p.a, p.b, CAST(MIN(ia.d + ib.d) AS BIGINT) AS est
+FROM pairs p
+JOIN idx ia ON ia.id = p.a
+JOIN idx ib ON ib.id = p.b AND ib.lm = ia.lm
+GROUP BY p.a, p.b
+ORDER BY p.a, p.b
+"""
+
+
+def _q_fd_census(spark, sf_dir):
+    """Functional-dependency census (TANE — Huhtala et al. 1999)
+    over the part relation: p_partkey->p_brand and p_name->p_brand
+    hold (key / near-key), p_brand->p_type and p_type->p_size fail
+    with counted violating keys. The oracle recomputes each pair's
+    distinct folds."""
+    from knowledge_graph_spark.operators.profiling import fd_profile
+
+    part = _t(spark, sf_dir, "part")
+    return fd_profile(part, [
+        ("p_partkey", "p_brand"), ("p_name", "p_brand"),
+        ("p_brand", "p_type"), ("p_type", "p_size"),
+    ]).orderBy("lhs", "rhs")
+
+
+_SQL_FD_CENSUS = r"""
+WITH prof AS (
+  SELECT 'p_partkey' AS lhs, 'p_brand' AS rhs,
+         CAST(p_partkey AS VARCHAR) AS a, CAST(p_brand AS VARCHAR) AS b
+  FROM part
+  UNION ALL
+  SELECT 'p_name', 'p_brand', CAST(p_name AS VARCHAR),
+         CAST(p_brand AS VARCHAR) FROM part
+  UNION ALL
+  SELECT 'p_brand', 'p_type', CAST(p_brand AS VARCHAR),
+         CAST(p_type AS VARCHAR) FROM part
+  UNION ALL
+  SELECT 'p_type', 'p_size', CAST(p_type AS VARCHAR),
+         CAST(p_size AS VARCHAR) FROM part
+),
+d AS (SELECT DISTINCT lhs, rhs, a, b FROM prof
+      WHERE a IS NOT NULL AND b IS NOT NULL),
+per_key AS (SELECT lhs, rhs, a, COUNT(*) AS nb
+            FROM d GROUP BY lhs, rhs, a)
+SELECT lhs, rhs,
+       CAST(COUNT(*) AS BIGINT) AS n_lhs,
+       CAST(SUM(nb) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN nb >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_keys
+FROM per_key GROUP BY lhs, rhs ORDER BY lhs, rhs
+"""
+
+
+def _q_fk_census(spark, sf_dir):
+    """Inclusion-dependency / foreign-key discovery census
+    (De Marchi et al. 2002): three true FKs (lineitem.partkey ⊆
+    part, orders.custkey ⊆ customer, customer.nationkey ⊆ nation)
+    and one partial inclusion (part.p_size vs nation keys). The
+    oracle replays every distinct fold and semi-join count."""
+    from knowledge_graph_spark.operators.profiling import (
+        inclusion_profile)
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    return inclusion_profile([
+        ("lineitem.l_partkey<part.p_partkey", li, "l_partkey",
+         part, "p_partkey"),
+        ("orders.o_custkey<customer.c_custkey", orders, "o_custkey",
+         cust, "c_custkey"),
+        ("customer.c_nationkey<nation.n_nationkey", cust, "c_nationkey",
+         nat, "n_nationkey"),
+        ("part.p_size<nation.n_nationkey", part, "p_size",
+         nat, "n_nationkey"),
+    ]).orderBy("candidate")
+
+
+_SQL_FK_CENSUS = r"""
+WITH c1 AS (SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS v
+            FROM lineitem WHERE l_partkey IS NOT NULL),
+p1 AS (SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS v
+       FROM part WHERE p_partkey IS NOT NULL),
+c2 AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v
+       FROM orders WHERE o_custkey IS NOT NULL),
+p2 AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS v
+       FROM customer WHERE c_custkey IS NOT NULL),
+c3 AS (SELECT DISTINCT CAST(c_nationkey AS VARCHAR) AS v
+       FROM customer WHERE c_nationkey IS NOT NULL),
+p3 AS (SELECT DISTINCT CAST(n_nationkey AS VARCHAR) AS v
+       FROM nation WHERE n_nationkey IS NOT NULL),
+c4 AS (SELECT DISTINCT CAST(p_size AS VARCHAR) AS v
+       FROM part WHERE p_size IS NOT NULL)
+SELECT 'lineitem.l_partkey<part.p_partkey' AS candidate,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c1) AS n_child,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c1
+        WHERE v IN (SELECT v FROM p1)) AS n_matched
+UNION ALL
+SELECT 'orders.o_custkey<customer.c_custkey',
+       (SELECT COUNT(*) FROM c2),
+       (SELECT COUNT(*) FROM c2 WHERE v IN (SELECT v FROM p2))
+UNION ALL
+SELECT 'customer.c_nationkey<nation.n_nationkey',
+       (SELECT COUNT(*) FROM c3),
+       (SELECT COUNT(*) FROM c3 WHERE v IN (SELECT v FROM p3))
+UNION ALL
+SELECT 'part.p_size<nation.n_nationkey',
+       (SELECT COUNT(*) FROM c4),
+       (SELECT COUNT(*) FROM c4 WHERE v IN (SELECT v FROM p3))
+ORDER BY candidate
+"""
+
+
+def _q_texttiling(spark, sf_dir):
+    """TextTiling gap cohesion ingredients (Hearst, CL 1997) over
+    the documents table: per 20-word-block gap, the adjacent-block
+    term-count dot product and both squared norms (integers; cosine
+    is a row-local division). The oracle replays tokenization,
+    blocking, both aggregates, and the zero-overlap left join."""
+    from knowledge_graph_spark.operators.textstats import (
+        texttiling_ingredients)
+
+    docs = _t(spark, sf_dir, "documents")
+    return (texttiling_ingredients(docs, block_words=20)
+            .orderBy("doc_id", "gap"))
+
+
+_SQL_TEXTTILING = r"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS a
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         unnest(generate_series(0, len(a) - 1)) // 20 AS b,
+         unnest(a) AS w
+  FROM arr
+),
+counts AS (SELECT doc_id, b, w, COUNT(*) AS c
+           FROM tok GROUP BY doc_id, b, w),
+norms AS (SELECT doc_id, b, SUM(c * c) AS n2
+          FROM counts GROUP BY doc_id, b),
+gaps AS (
+  SELECT na.doc_id, na.b AS gap, na.n2 AS na2, nb.n2 AS nb2
+  FROM norms na JOIN norms nb
+    ON na.doc_id = nb.doc_id AND nb.b = na.b + 1
+),
+dots AS (
+  SELECT ca.doc_id, ca.b AS gap, SUM(ca.c * cb.c) AS dot
+  FROM counts ca JOIN counts cb
+    ON ca.doc_id = cb.doc_id AND cb.b = ca.b + 1 AND ca.w = cb.w
+  GROUP BY ca.doc_id, ca.b
+)
+SELECT g.doc_id, CAST(g.gap AS BIGINT) AS gap,
+       CAST(COALESCE(d.dot, 0) AS BIGINT) AS dot,
+       CAST(g.na2 AS BIGINT) AS na2, CAST(g.nb2 AS BIGINT) AS nb2
+FROM gaps g LEFT JOIN dots d ON g.doc_id = d.doc_id AND g.gap = d.gap
+ORDER BY g.doc_id, g.gap
+"""
+
+
+def _q_column_census(spark, sf_dir):
+    """Single-pass per-column profiling census (the unary leg of
+    Abedjan et al.'s VLDB-J 2015 profiling survey) over nation +
+    customer + orders: row/null/distinct counts and lexicographic
+    min/max of the string form, one union-able shape per table. The
+    oracle recomputes every column block independently."""
+    from knowledge_graph_spark.operators.profiling import column_profile
+
+    nat = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    prof = (column_profile(nat, table_name="nation")
+            .unionByName(column_profile(
+                cust, ["c_custkey", "c_name", "c_nationkey",
+                       "c_mktsegment"], table_name="customer"))
+            .unionByName(column_profile(
+                orders, ["o_orderkey", "o_custkey", "o_orderstatus",
+                         "o_orderpriority"], table_name="orders")))
+    return prof.orderBy("table_col")
+
+
+def _col_census_sql() -> str:
+    blocks = []
+    for tbl, col in (
+        ("nation", "n_nationkey"), ("nation", "n_name"),
+        ("nation", "n_regionkey"),
+        ("customer", "c_custkey"), ("customer", "c_name"),
+        ("customer", "c_nationkey"), ("customer", "c_mktsegment"),
+        ("orders", "o_orderkey"), ("orders", "o_custkey"),
+        ("orders", "o_orderstatus"), ("orders", "o_orderpriority"),
+    ):
+        blocks.append(f"""
+SELECT '{tbl}.{col}' AS table_col,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+       MIN(v) AS min_val, MAX(v) AS max_val
+FROM (SELECT CAST({col} AS VARCHAR) AS v FROM {tbl})""")
+    return "\nUNION ALL".join(blocks) + "\nORDER BY table_col"
+
+
+_SQL_COLUMN_CENSUS = _col_census_sql()
+
+
+def _q_event_changepoints(spark, sf_dir):
+    """CUSUM level-shift scan (Page 1954 / Hinkley 1970 AMOC) per
+    event type: the day maximizing the integer-scaled mean-removed
+    cumulative deviation of daily counts, with its strength. The
+    oracle replays the daily fold, both prefix windows, and the
+    first-max tie-break."""
+    from knowledge_graph_spark.operators.events import cusum_ingredients
+
+    ev = _t(spark, sf_dir, "events")
+    return cusum_ingredients(ev).orderBy("event_type")
+
+
+_SQL_EVENT_CHANGEPOINTS = r"""
+WITH daily AS (
+  SELECT event_type AS k, CAST(ts AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY event_type, CAST(ts AS DATE)
+),
+cur AS (
+  SELECT k, d,
+         SUM(n) OVER (PARTITION BY k ORDER BY d
+                      ROWS UNBOUNDED PRECEDING) AS pre,
+         CAST(ROW_NUMBER() OVER (PARTITION BY k ORDER BY d) AS BIGINT)
+           AS i,
+         SUM(n) OVER (PARTITION BY k) AS tot,
+         CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS t
+  FROM daily
+),
+s AS (SELECT k, d, t, tot, t * pre - i * tot AS sv FROM cur),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                                   ORDER BY abs(sv) DESC, d ASC) AS rn
+      FROM s)
+SELECT k AS event_type, CAST(t AS BIGINT) AS n_days,
+       CAST(tot AS BIGINT) AS total, d AS cp_day,
+       CAST(sv AS BIGINT) AS s_at_cp,
+       CAST(abs(sv) AS BIGINT) AS max_abs_s
+FROM r WHERE rn = 1 ORDER BY event_type
+"""
+
+
+def _q_event_trends(spark, sf_dir):
+    """Per-series OLS trend ingredients over daily event counts —
+    the integer sufficient statistics (n, Σx, Σy, Σx², Σxy) of the
+    least-squares slope, day indices per-series from each type's
+    first active day. The oracle replays the daily fold, the
+    per-series origin window, and the sums."""
+    from knowledge_graph_spark.operators.events import trend_ingredients
+
+    ev = _t(spark, sf_dir, "events")
+    return trend_ingredients(ev).orderBy("event_type")
+
+
+_SQL_EVENT_TRENDS = r"""
+WITH daily AS (
+  SELECT event_type AS k, CAST(ts AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY event_type, CAST(ts AS DATE)
+),
+xy AS (
+  SELECT k, CAST(d - MIN(d) OVER (PARTITION BY k) AS BIGINT) AS x,
+         n AS y
+  FROM daily
+)
+SELECT k AS event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       CAST(SUM(x * x) AS BIGINT) AS sxx,
+       CAST(SUM(x * y) AS BIGINT) AS sxy
+FROM xy GROUP BY k ORDER BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # classical relational operators (DuckDB-oracled)
@@ -9632,6 +9990,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_record": _q_golden_record,
         "rake_keywords": _q_rake_keywords,
         "mirror_hosts": _q_mirror_hosts,
+        "landmark_dists": _q_landmark_dists,
+        "landmark_est": _q_landmark_est,
+        "fd_census": _q_fd_census,
+        "fk_census": _q_fk_census,
+        "texttiling": _q_texttiling,
+        "column_census": _q_column_census,
+        "event_changepoints": _q_event_changepoints,
+        "event_trends": _q_event_trends,
         "char_sets": _q_char_sets,
         "dirt_paths": _q_dirt_paths,
         "predicate_canon": _q_predicate_canon,
@@ -9826,6 +10192,14 @@ def oracle_sql() -> dict[str, str]:
         "golden_record": _SQL_GOLDEN_RECORD,
         "rake_keywords": _SQL_RAKE_KEYWORDS,
         "mirror_hosts": _SQL_MIRROR_HOSTS,
+        "landmark_dists": _SQL_LANDMARK_DISTS,
+        "landmark_est": _SQL_LANDMARK_EST,
+        "fd_census": _SQL_FD_CENSUS,
+        "fk_census": _SQL_FK_CENSUS,
+        "texttiling": _SQL_TEXTTILING,
+        "column_census": _SQL_COLUMN_CENSUS,
+        "event_changepoints": _SQL_EVENT_CHANGEPOINTS,
+        "event_trends": _SQL_EVENT_TRENDS,
         "char_sets": _SQL_CHAR_SETS,
         "dirt_paths": _SQL_DIRT_PATHS,
         "predicate_canon": _SQL_PREDICATE_CANON,

@@ -122,6 +122,9 @@ def main():
         "term_powerlaw", "entity_alignment", "kg_snapshot",
         "wl_roles", "host_spam_mass", "golden_record",
         "rake_keywords", "mirror_hosts",
+        "landmark_dists", "landmark_est", "fd_census", "fk_census",
+        "texttiling", "column_census", "event_changepoints",
+        "event_trends",
     ]
     qs = entrymod.queries()
     for name in headliners:

@@ -264,3 +264,100 @@ def transition_matrix(events: DataFrame, user_col: str = "user_id",
         "cur_type", "next_type", "n_transitions",
         F.round(F.col("n_transitions") / denom, 6).alias("prob"),
     )
+
+
+def cusum_ingredients(events: DataFrame, key_col: str = "event_type",
+                      ts_col: str = "ts") -> DataFrame:
+    """CUSUM changepoint statistics (Page, Biometrika 1954; the
+    at-most-one-change scan statistic of Hinkley 1970) per series:
+    for each key's daily-count sequence, the INTEGER-scaled
+    cumulative deviation ``S_t = T * prefix_t - t_index * total``
+    (= T·(prefix_t − t/T·total), the mean-removed CUSUM times T —
+    kept in BIGINT so both engines replay it exactly); the day
+    maximizing ``|S_t|`` is the single most likely level-shift
+    point, and ``max|S|`` its strength.
+
+    Returns per key: ``(key, n_days, total, cp_day, s_at_cp,
+    max_abs_s)`` where ``cp_day`` is the FIRST day attaining the
+    max (deterministic tie-break).
+
+    Scale shape: one (key, day) count aggregate; prefix sums run in
+    a window partitioned BY KEY (series-local, never global); the
+    argmax folds with ``min(struct(-|S|, day, S))`` — no second
+    window, no collect.
+    """
+    from pyspark.sql import Window
+
+    daily = (events
+             .select(F.col(key_col).alias("k"),
+                     F.to_date(ts_col).alias("d"))
+             .filter(F.col("k").isNotNull() & F.col("d").isNotNull())
+             .groupBy("k", "d")
+             .agg(F.count("*").cast("long").alias("n")))
+    w = (Window.partitionBy("k").orderBy("d")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wk = Window.partitionBy("k")
+    cur = (daily
+           .withColumn("_pre", F.sum("n").over(w))
+           .withColumn("_i", F.count("*").over(w))
+           .withColumn("_tot", F.sum("n").over(wk).cast("long"))
+           .withColumn("_T", F.count("*").over(wk).cast("long")))
+    s = cur.select(
+        "k", "d", "_tot", "_T",
+        (F.col("_T") * F.col("_pre") - F.col("_i") * F.col("_tot"))
+        .cast("long").alias("_s"))
+    return (s.groupBy("k")
+            .agg(F.max("_T").alias("n_days"),
+                 F.max("_tot").alias("total"),
+                 F.min(F.struct(
+                     (-F.abs(F.col("_s"))).alias("_na"),
+                     F.col("d").alias("_d"),
+                     F.col("_s").alias("_sv"))).alias("_b"))
+            .select(F.col("k").alias(key_col), "n_days", "total",
+                    F.col("_b._d").alias("cp_day"),
+                    F.col("_b._sv").alias("s_at_cp"),
+                    (-F.col("_b._na")).cast("long").alias("max_abs_s")))
+
+
+def trend_ingredients(events: DataFrame, key_col: str = "event_type",
+                      ts_col: str = "ts") -> DataFrame:
+    """Per-series OLS trend ingredients over daily counts — the
+    "is this entity/predicate/source growing" census a temporal KG
+    publishes per batch. Emits the five INTEGER sufficient
+    statistics of the least-squares slope over (day_index, count)
+    pairs — ``slope = (n·sxy − sx·sy) / (n·sxx − sx·sx)`` is a
+    row-local division for API users, so the output hash-stably
+    replays cross-engine.
+
+    Day indices are per-series (0 = the series' first active day,
+    counting calendar days, zero-count days contributing nothing —
+    the standard sparse convention; datediff is exact integer
+    arithmetic in both engines).
+
+    Returns ``(key, n_days, sx, sy, sxx, sxy)``.
+
+    Scale shape: one (key, day) count aggregate, one key-local min
+    window for the series origin, one final key-keyed fold. No
+    global window, no collect.
+    """
+    from pyspark.sql import Window
+
+    daily = (events
+             .select(F.col(key_col).alias("k"),
+                     F.to_date(ts_col).alias("d"))
+             .filter(F.col("k").isNotNull() & F.col("d").isNotNull())
+             .groupBy("k", "d")
+             .agg(F.count("*").cast("long").alias("n")))
+    wk = Window.partitionBy("k")
+    xy = (daily
+          .withColumn("_d0", F.min("d").over(wk))
+          .select("k", F.datediff(F.col("d"), F.col("_d0"))
+                  .cast("long").alias("x"), F.col("n").alias("y")))
+    return (xy.groupBy("k")
+            .agg(F.count("*").cast("long").alias("n_days"),
+                 F.sum("x").cast("long").alias("sx"),
+                 F.sum("y").cast("long").alias("sy"),
+                 F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+                 F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"))
+            .select(F.col("k").alias(key_col), "n_days", "sx", "sy",
+                    "sxx", "sxy"))

@@ -1380,3 +1380,90 @@ def spam_mass(edges: DataFrame, trusted: DataFrame, src: str = "src",
             .join(tr.select("id", F.col("rank").alias("tr")), "id")
             .select("id", "pr", "tr",
                     (F.col("pr") - F.col("tr")).alias("mass")))
+
+
+def landmark_distances(edges: DataFrame, landmarks: DataFrame,
+                       src: str = "src", dst: str = "dst",
+                       max_hops: int = 6) -> DataFrame:
+    """Landmark (pivot) BFS index (Potamias, Bonchi, Castillo,
+    Gionis, CIKM 2009 "Fast shortest path distance estimation in
+    large networks"): hop distances from EVERY landmark to every
+    node within ``max_hops``, kept per-landmark — the offline index
+    whose triangle-inequality read ``min_l d(a,l) + d(l,b)``
+    (:func:`landmark_estimate`) answers pairwise distance queries
+    without a per-query BFS, the only practical distance oracle at
+    web-graph scale.
+
+    Returns ``(id, landmark, dist)``; landmarks absent from the
+    edge set contribute nothing.
+
+    Same per-hop shape as :func:`shortest_paths`, with the
+    composite ``(id, landmark)`` frontier key: one shuffle join of
+    the frontier against the symmetrized edge list (re-keyed once,
+    reused every hop) + one anti-join against the visited set; rows
+    are ``(id, landmark, int)`` triples only. All landmarks advance
+    in the SAME frontier, so the index costs one BFS sweep, not one
+    per landmark.
+    """
+    sym = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .unionByName(
+            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+            .filter(F.col("src") != F.col("dst")))
+        .distinct()
+        .repartition(F.col("src"))
+        .persist()
+    )
+    lm = landmarks.select(
+        F.col(landmarks.columns[0]).alias("landmark")).distinct()
+    # keep only landmarks that are actual endpoints (dist-0 seeds)
+    frontier = (
+        lm.join(sym.select(F.col("src").alias("id")).distinct(),
+                lm["landmark"] == F.col("id"), "left_semi")
+        .select(F.col("landmark").alias("id"), F.col("landmark"),
+                F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    dist = frontier
+    for hop in range(1, max_hops + 1):
+        frontier = (
+            frontier.join(sym, frontier["id"] == sym["src"])
+            .select(F.col("dst").alias("id"), "landmark",
+                    F.lit(hop).alias("dist"))
+            .distinct()
+            .join(dist, ["id", "landmark"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        dist = dist.unionByName(frontier)
+    sym.unpersist()
+    return dist.select("id", "landmark", F.col("dist").cast("long")
+                       .alias("dist"))
+
+
+def landmark_estimate(index: DataFrame, pairs: DataFrame,
+                      a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Triangle-inequality distance estimates from a landmark index
+    (Potamias et al. 2009): for each query pair, the upper bound
+    ``est = min over landmarks of d(a, l) + d(l, b)``. Pairs where
+    no landmark reaches both sides are omitted (disconnected or
+    beyond the index horizon).
+
+    Scale shape: two joins keyed by node id against the (id,
+    landmark, dist) index — each pair fans out to at most
+    |landmarks| rows — then one pair-keyed min. No BFS at query
+    time; that is the point of the index."""
+    ia = index.select(F.col("id").alias("_a"), "landmark",
+                      F.col("dist").alias("_da"))
+    ib = index.select(F.col("id").alias("_b"), "landmark",
+                      F.col("dist").alias("_db"))
+    return (pairs.select(F.col(a_col).alias("_a"),
+                         F.col(b_col).alias("_b"))
+            .join(ia, "_a").join(ib, ["_b", "landmark"])
+            .groupBy("_a", "_b")
+            .agg(F.min(F.col("_da") + F.col("_db")).cast("long")
+                 .alias("est"))
+            .select(F.col("_a").alias(a_col), F.col("_b").alias(b_col),
+                    "est"))

@@ -1282,3 +1282,57 @@ def rake_phrases(docs: DataFrame, text_col: str = "text",
     return (phrases.join(scores, "phrase")
             .select("phrase", "n_words", "n_occur", "n_docs",
                     "sum_deg", "sum_freq"))
+
+
+def texttiling_ingredients(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           block_words: int = 20) -> DataFrame:
+    """TextTiling gap statistics (Hearst, CL 1997 "TextTiling:
+    Segmenting text into multi-paragraph subtopic passages"): the
+    text splits into fixed ``block_words``-token blocks; for every
+    internal gap the lexical-cohesion score is the cosine between
+    the adjacent blocks' term-count vectors — topic boundaries are
+    the cosine valleys. This emits the INTEGER ingredients per gap —
+    ``dot`` (term-count dot product) and both squared norms — so the
+    output is hash-stable and the cosine ``dot/sqrt(na2*nb2)`` is a
+    row-local division for API users.
+
+    Returns ``(doc_id, gap, dot, na2, nb2)``, ``gap`` = index of the
+    left block (0-based); docs with fewer than 2 blocks emit no rows.
+
+    Scale shape: tokens fold row-locally to (doc, block, word,
+    count) — the only exchange key, bounded by text length — then
+    one adjacent-block self-join per (doc, word) and one squared-
+    norm aggregate; gaps sharing no word still surface via the
+    norm-frame join with ``dot = 0``. No window, no collect, no
+    position reindexing shuffle.
+    """
+    arr = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                   lambda x: x != "")
+    tok = (docs.select(F.col(id_col).alias("_doc"),
+                       F.posexplode(arr).alias("_pos", "_w"))
+           .select("_doc", F.floor(F.col("_pos") / block_words)
+                   .alias("_b"), "_w"))
+    counts = (tok.groupBy("_doc", "_b", "_w")
+              .agg(F.count("*").cast("long").alias("_c"))
+              .localCheckpoint(eager=True))  # feeds norms AND dots
+    norms = counts.groupBy("_doc", "_b").agg(
+        F.sum(F.col("_c") * F.col("_c")).cast("long").alias("_n2"))
+    na = norms.select("_doc", F.col("_b").alias("gap"),
+                      F.col("_n2").alias("na2"))
+    nb = norms.select("_doc", (F.col("_b") - 1).alias("gap"),
+                      F.col("_n2").alias("nb2"))
+    gaps = na.join(nb, ["_doc", "gap"])
+    ca = counts.select("_doc", F.col("_b").alias("gap"), "_w",
+                       F.col("_c").alias("_ca"))
+    cb = counts.select("_doc", (F.col("_b") - 1).alias("gap"), "_w",
+                       F.col("_c").alias("_cb"))
+    dots = (ca.join(cb, ["_doc", "gap", "_w"])
+            .groupBy("_doc", "gap")
+            .agg(F.sum(F.col("_ca") * F.col("_cb")).cast("long")
+                 .alias("dot")))
+    return (gaps.join(dots, ["_doc", "gap"], "left")
+            .select(F.col("_doc").alias(id_col),
+                    F.col("gap").cast("long").alias("gap"),
+                    F.coalesce(F.col("dot"), F.lit(0)).cast("long")
+                    .alias("dot"), "na2", "nb2"))

@@ -185,3 +185,230 @@ def test_mirror_hosts_counts_and_cap(spark):
     r = got[("h1", "h2")]
     # degrees counted over the capped fingerprint set (fb dropped)
     assert (r["n_shared"], r["n_a"], r["n_b"]) == (3, 3, 3)
+
+
+# -------------------------------------------------------- landmark index
+
+
+def test_landmark_distances_path_graph(spark):
+    """Path a-b-c-d with landmark a: exact hop distances; landmark z
+    (absent from the graph) contributes nothing."""
+    from knowledge_graph_spark.operators.graph_analytics import (
+        landmark_distances)
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string")
+    lms = spark.createDataFrame([("a",), ("z",)], "id string")
+    got = {(r["id"], r["landmark"]): r["dist"]
+           for r in landmark_distances(edges, lms).collect()}
+    assert got == {("a", "a"): 0, ("b", "a"): 1,
+                   ("c", "a"): 2, ("d", "a"): 3}
+
+
+def test_landmark_estimate_triangle_inequality(spark):
+    """Square a-b-c-d-a with landmark a: est(b,d) = d(b,a)+d(a,d)
+    = 2 (exact here); est(a,c) = 2."""
+    from knowledge_graph_spark.operators.graph_analytics import (
+        landmark_distances, landmark_estimate)
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        "src string, dst string")
+    lms = spark.createDataFrame([("a",)], "id string")
+    idx = landmark_distances(edges, lms)
+    pairs = spark.createDataFrame(
+        [("b", "d"), ("a", "c"), ("b", "zz")], "a string, b string")
+    got = {(r["a"], r["b"]): r["est"]
+           for r in landmark_estimate(idx, pairs).collect()}
+    # unreachable pair side drops out; both estimates exact via a
+    assert got == {("b", "d"): 2, ("a", "c"): 2}
+
+
+def test_landmark_multi_landmark_takes_min(spark):
+    """Path a-b-c-d-e, landmarks a and e: est(b,d) via a = 1+3 = 4,
+    via e = 3+1 = 4; but est(b,c) = min(1+2, 3+2) = 3 via a."""
+    from knowledge_graph_spark.operators.graph_analytics import (
+        landmark_distances, landmark_estimate)
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "src string, dst string")
+    lms = spark.createDataFrame([("a",), ("e",)], "id string")
+    idx = landmark_distances(edges, lms)
+    pairs = spark.createDataFrame([("b", "c")], "a string, b string")
+    [row] = landmark_estimate(idx, pairs).collect()
+    assert row["est"] == 3
+
+
+# ------------------------------------------------------------- profiling
+
+
+def test_fd_profile_holds_and_violations(spark):
+    from knowledge_graph_spark.operators.profiling import fd_profile
+
+    df = spark.createDataFrame(
+        [(1, "x", 10), (2, "x", 10), (3, "y", 20), (3, "y", 20),
+         (4, None, 30), (None, "z", 40)],
+        "k long, a string, b long")
+    got = {(r["lhs"], r["rhs"]): r for r in
+           fd_profile(df, [("k", "a"), ("a", "b"), ("b", "a")])
+           .collect()}
+    # k -> a: keys 1,2,3 map uniquely (4 has NULL a, NULL k dropped)
+    r = got[("k", "a")]
+    assert (r["n_lhs"], r["n_pairs"], r["n_violating_keys"]) == (3, 3, 0)
+    # a -> b holds: x->10, y->20, z->40
+    r = got[("a", "b")]
+    assert (r["n_lhs"], r["n_pairs"], r["n_violating_keys"]) == (3, 3, 0)
+    # b -> a: 10->x only, 20->y, 40->z, 30 dropped (NULL a)
+    r = got[("b", "a")]
+    assert (r["n_lhs"], r["n_pairs"], r["n_violating_keys"]) == (3, 3, 0)
+
+
+def test_fd_profile_counts_violating_keys(spark):
+    from knowledge_graph_spark.operators.profiling import fd_profile
+
+    df = spark.createDataFrame(
+        [("x", 1), ("x", 2), ("y", 3), ("z", 4), ("z", 4), ("z", 5)],
+        "a string, b long")
+    [r] = fd_profile(df, [("a", "b")]).collect()
+    # x carries {1,2}, z carries {4,5} -> 2 violating keys, 5 pairs
+    assert (r["n_lhs"], r["n_pairs"], r["n_violating_keys"]) == (3, 5, 2)
+
+
+def test_inclusion_profile_full_and_partial(spark):
+    from knowledge_graph_spark.operators.profiling import (
+        inclusion_profile)
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (2,), (9,), (None,)], "v long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "p long")
+    got = {r["candidate"]: r for r in inclusion_profile([
+        ("c<p", child, "v", parent, "p"),
+        ("p<c", parent, "p", child, "v"),
+    ]).collect()}
+    assert (got["c<p"]["n_child"], got["c<p"]["n_matched"]) == (3, 2)
+    assert (got["p<c"]["n_child"], got["p<c"]["n_matched"]) == (3, 2)
+
+
+# ------------------------------------------------------------ TextTiling
+
+
+def test_texttiling_hand_computed(spark):
+    """Two 3-word blocks sharing one word: block A = (a b a),
+    block B = (b c c); dot = cnt_A(b)*cnt_B(b) = 1;
+    na2 = 2^2+1 = 5, nb2 = 1+2^2 = 5."""
+    from knowledge_graph_spark.operators.textstats import (
+        texttiling_ingredients)
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c c")], "doc_id long, text string")
+    [r] = texttiling_ingredients(docs, block_words=3).collect()
+    assert (r["gap"], r["dot"], r["na2"], r["nb2"]) == (0, 1, 5, 5)
+
+
+def test_texttiling_zero_overlap_and_short_docs(spark):
+    from knowledge_graph_spark.operators.textstats import (
+        texttiling_ingredients)
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b b"),     # disjoint blocks -> dot 0
+         (2, "only three words"),  # single block -> no gaps
+         (3, None)],
+        "doc_id long, text string")
+    rows = texttiling_ingredients(docs, block_words=3).collect()
+    assert len(rows) == 1
+    [r] = rows
+    assert (r["doc_id"], r["dot"], r["na2"], r["nb2"]) == (1, 0, 9, 9)
+
+
+# -------------------------------------------------------- column profiling
+
+
+def test_column_profile_counts_nulls_distincts(spark):
+    from knowledge_graph_spark.operators.profiling import column_profile
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("b", 2), (None, 2)],
+        "s string, v long")
+    got = {r["table_col"]: r for r in
+           column_profile(df, table_name="t").collect()}
+    s = got["t.s"]
+    assert (s["n_rows"], s["n_nulls"], s["n_distinct"]) == (4, 1, 2)
+    assert (s["min_val"], s["max_val"]) == ("a", "b")
+    v = got["t.v"]
+    assert (v["n_rows"], v["n_nulls"], v["n_distinct"]) == (4, 1, 2)
+    # numeric columns profile through their string form
+    assert (v["min_val"], v["max_val"]) == ("1", "2")
+
+
+def test_column_profile_rejects_empty(spark):
+    from knowledge_graph_spark.operators.profiling import column_profile
+
+    df = spark.createDataFrame([("a",)], "s string")
+    with pytest.raises(ValueError):
+        column_profile(df, cols=[])
+
+
+# ------------------------------------------------------------------ CUSUM
+
+
+def test_cusum_finds_level_shift(spark):
+    """Series 1,1,1,5,5 (days 1-5): total=13, T=5;
+    S_t = 5*prefix - i*13 -> [-8, -16, -24, -12, 0]; the shift
+    point (largest |S|) is day 3, S=-24."""
+    from knowledge_graph_spark.operators.events import cusum_ingredients
+
+    rows = []
+    for day, n in ((1, 1), (2, 1), (3, 1), (4, 5), (5, 5)):
+        rows += [(f"2024-01-0{day} 10:00:00", "x")] * n
+    ev = spark.createDataFrame(rows, "ts string, event_type string") \
+        .select(F.to_timestamp("ts").alias("ts"), "event_type")
+    [r] = cusum_ingredients(ev).collect()
+    assert (r["n_days"], r["total"]) == (5, 13)
+    assert str(r["cp_day"]) == "2024-01-03"
+    assert (r["s_at_cp"], r["max_abs_s"]) == (-24, 24)
+
+
+def test_cusum_flat_series_ties_to_first_day(spark):
+    from knowledge_graph_spark.operators.events import cusum_ingredients
+
+    rows = [(f"2024-02-0{d} 00:00:00", "y") for d in (1, 2, 3)]
+    ev = spark.createDataFrame(rows, "ts string, event_type string") \
+        .select(F.to_timestamp("ts").alias("ts"), "event_type")
+    [r] = cusum_ingredients(ev).collect()
+    # flat series: every S_t = 0; first day wins the tie
+    assert (str(r["cp_day"]), r["max_abs_s"]) == ("2024-02-01", 0)
+
+
+# ------------------------------------------------------------------ trends
+
+
+def test_trend_ingredients_hand_computed(spark):
+    """Counts 2,4,6 on days 0,1,2: sx=3, sy=12, sxx=5, sxy=16
+    (slope = (3*16-3*12)/(3*5-9) = 2)."""
+    from knowledge_graph_spark.operators.events import trend_ingredients
+
+    rows = []
+    for day, n in ((1, 2), (2, 4), (3, 6)):
+        rows += [(f"2024-03-0{day} 12:00:00", "z")] * n
+    ev = spark.createDataFrame(rows, "ts string, event_type string") \
+        .select(F.to_timestamp("ts").alias("ts"), "event_type")
+    [r] = trend_ingredients(ev).collect()
+    assert (r["n_days"], r["sx"], r["sy"], r["sxx"], r["sxy"]) == \
+        (3, 3, 12, 5, 16)
+    n, sx, sy, sxx, sxy = (r["n_days"], r["sx"], r["sy"], r["sxx"],
+                           r["sxy"])
+    assert (n * sxy - sx * sy) / (n * sxx - sx * sx) == 2.0
+
+
+def test_trend_ingredients_sparse_days(spark):
+    """Zero-count days contribute nothing: days 1 and 11 -> x in
+    {0, 10}."""
+    from knowledge_graph_spark.operators.events import trend_ingredients
+
+    ev = spark.createDataFrame(
+        [("2024-03-01 00:00:00", "z"), ("2024-03-11 00:00:00", "z")],
+        "ts string, event_type string") \
+        .select(F.to_timestamp("ts").alias("ts"), "event_type")
+    [r] = trend_ingredients(ev).collect()
+    assert (r["n_days"], r["sx"], r["sxx"]) == (2, 10, 100)

@@ -157,6 +157,11 @@ def main():
         # (wl_roles and host_spam_mass are fixed-round iterative —
         # static plan is the last round only, excluded)
         "golden_record", "rake_keywords", "mirror_hosts",
+        # landmark_est reads the iterative index then joins — audit
+        # the read side; (landmark_dists itself is iterative BFS,
+        # static plan = last hop, excluded like seeded_hosts)
+        "landmark_est", "fd_census", "fk_census", "texttiling",
+        "column_census", "event_changepoints", "event_trends",
         # (seeded_hosts is fixed-round iterative with per-round
         # checkpoints — static plan is the last round only, excluded)
     ]
