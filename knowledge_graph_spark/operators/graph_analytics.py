@@ -1322,9 +1322,13 @@ def wl_roles(edges: DataFrame, rounds: int = 3, src: str = "src",
     from knowledge_graph_spark.operators.sketches import h52
 
     und = _undirected(edges, src, dst)
+    # pre-key by v: every round joins labels on v, so the (big) edge
+    # side shuffles ONCE here and its cached partitioning is reused
+    # each round — same pattern as shortest_paths
     sym = (und.select(F.col("a").alias("u"), F.col("b").alias("v"))
            .unionByName(und.select(F.col("b").alias("u"),
                                    F.col("a").alias("v")))
+           .repartition(F.col("v"))
            .persist())
     labels = (sym.groupBy(F.col("u").alias("id"))
               .agg(F.count("*").cast("long").alias("_d"))
