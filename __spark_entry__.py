@@ -9930,6 +9930,87 @@ FROM xy GROUP BY k ORDER BY event_type
 """
 
 
+def _q_warc_records(spark, sf_dir):
+    """WARC/WET round trip (ISO 28500 text-split convention — the
+    step zero of a Common-Crawl pipeline): documents assemble into
+    one WET blob per 20-doc shard (ordered records with Type/URI/
+    Date headers), then ``parse_warc_text`` splits the blobs back
+    into records. Emits per record the three headers + payload
+    length; the oracle replays the string_agg assembly, the split,
+    and all four extracts."""
+    from knowledge_graph_spark.sources.warc import (build_warc_text,
+                                                    parse_warc_text)
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    recs = docs.select(
+        (k % 20).alias("g"), k.alias("doc_id"),
+        F.lit("conversion").alias("wt"),
+        F.concat(F.lit("https://example.com/doc/"), k.cast("string"))
+        .alias("uri"),
+        F.concat(F.lit("2024-01-01T00:00:0"), (k % 10).cast("string"),
+                 F.lit("Z")).alias("dt"),
+        F.coalesce(F.col("text"), F.lit("")).alias("payload"))
+    blobs = build_warc_text(recs, "g", "doc_id", "wt", "uri", "dt",
+                            "payload")
+    parsed = parse_warc_text(blobs, "warc", "blob_id")
+    return (parsed.select(
+        "blob_id", "rec_idx", "warc_type", "target_uri", "warc_date",
+        F.length("payload").cast("long").alias("n_payload"))
+        .orderBy("blob_id", "rec_idx"))
+
+
+_SQL_WARC_RECORDS = r"""
+WITH rec AS (
+  SELECT doc_id % 20 AS g, doc_id,
+         'WARC/1.0' || chr(13) || chr(10)
+         || 'WARC-Type: conversion' || chr(13) || chr(10)
+         || 'WARC-Target-URI: https://example.com/doc/'
+           || CAST(doc_id AS VARCHAR) || chr(13) || chr(10)
+         || 'WARC-Date: 2024-01-01T00:00:0'
+           || CAST(doc_id % 10 AS VARCHAR) || 'Z'
+           || chr(13) || chr(10)
+         || chr(13) || chr(10)
+         || COALESCE(text, '') || chr(13) || chr(10)
+           || chr(13) || chr(10) AS t
+  FROM documents
+),
+blobs AS (
+  SELECT g AS blob_id, string_agg(t, '' ORDER BY doc_id) AS warc
+  FROM rec GROUP BY g
+),
+parts AS (
+  SELECT blob_id,
+         regexp_split_to_array(warc, 'WARC/1\.0\r\n') AS a
+  FROM blobs
+),
+recs AS (
+  SELECT blob_id,
+         unnest(generate_series(1, len(a) - 1)) - 1 AS rec_idx,
+         unnest(a[2:]) AS r
+  FROM parts
+),
+split AS (
+  SELECT blob_id, rec_idx,
+         regexp_extract(r, '(?s)^(.*?)\r\n\r\n(.*)$', 1) AS hdr,
+         regexp_extract(r, '(?s)^(.*?)\r\n\r\n(.*)$', 2) AS body
+  FROM recs
+)
+SELECT blob_id, CAST(rec_idx AS BIGINT) AS rec_idx,
+       NULLIF(regexp_extract(hdr, '(?im)^WARC-Type: *([^\r\n]*)', 1),
+              '') AS warc_type,
+       NULLIF(regexp_extract(hdr,
+              '(?im)^WARC-Target-URI: *([^\r\n]*)', 1), '')
+         AS target_uri,
+       NULLIF(regexp_extract(hdr, '(?im)^WARC-Date: *([^\r\n]*)', 1),
+              '') AS warc_date,
+       CAST(length(regexp_replace(body, '(\r\n)+$', '')) AS BIGINT)
+         AS n_payload
+FROM split
+ORDER BY blob_id, rec_idx
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # classical relational operators (DuckDB-oracled)
@@ -9998,6 +10079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_census": _q_column_census,
         "event_changepoints": _q_event_changepoints,
         "event_trends": _q_event_trends,
+        "warc_records": _q_warc_records,
         "char_sets": _q_char_sets,
         "dirt_paths": _q_dirt_paths,
         "predicate_canon": _q_predicate_canon,
@@ -10200,6 +10282,7 @@ def oracle_sql() -> dict[str, str]:
         "column_census": _SQL_COLUMN_CENSUS,
         "event_changepoints": _SQL_EVENT_CHANGEPOINTS,
         "event_trends": _SQL_EVENT_TRENDS,
+        "warc_records": _SQL_WARC_RECORDS,
         "char_sets": _SQL_CHAR_SETS,
         "dirt_paths": _SQL_DIRT_PATHS,
         "predicate_canon": _SQL_PREDICATE_CANON,

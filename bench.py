@@ -124,7 +124,7 @@ def main():
         "rake_keywords", "mirror_hosts",
         "landmark_dists", "landmark_est", "fd_census", "fk_census",
         "texttiling", "column_census", "event_changepoints",
-        "event_trends",
+        "event_trends", "warc_records",
     ]
     qs = entrymod.queries()
     for name in headliners:

@@ -412,3 +412,58 @@ def test_trend_ingredients_sparse_days(spark):
         .select(F.to_timestamp("ts").alias("ts"), "event_type")
     [r] = trend_ingredients(ev).collect()
     assert (r["n_days"], r["sx"], r["sxx"]) == (2, 10, 100)
+
+
+# -------------------------------------------------------------- WARC split
+
+
+def test_warc_round_trip_and_malformed(spark):
+    from knowledge_graph_spark.sources.warc import (build_warc_text,
+                                                    parse_warc_text)
+
+    recs = spark.createDataFrame(
+        [(1, 0, "conversion", "http://a/x", "2024-01-01T00:00:00Z",
+          "hello world"),
+         (1, 1, "conversion", "http://a/y", "2024-01-02T00:00:00Z",
+          ""),
+         (2, 0, "response", "http://b/z", "2024-01-03T00:00:00Z",
+          "line one\r\nline two")],
+        "g long, o long, wt string, uri string, dt string, p string")
+    blobs = build_warc_text(recs, "g", "o", "wt", "uri", "dt", "p")
+    got = {(r["blob_id"], r["rec_idx"]): r for r in
+           parse_warc_text(blobs, "warc", "blob_id").collect()}
+    assert len(got) == 3
+    r = got[(1, 0)]
+    assert (r["warc_type"], r["target_uri"], r["payload"]) == \
+        ("conversion", "http://a/x", "hello world")
+    # empty payload survives as ''
+    assert got[(1, 1)]["payload"] == ""
+    # multi-line payload keeps its interior CRLF
+    assert got[(2, 0)]["payload"] == "line one\r\nline two"
+    assert got[(2, 0)]["warc_date"] == "2024-01-03T00:00:00Z"
+
+
+def test_warc_parse_preamble_case_and_missing_headers(spark):
+    from knowledge_graph_spark.sources.warc import parse_warc_text
+
+    blob = ("junk preamble\r\n"
+            "WARC/1.0\r\n"
+            "warc-type: conversion\r\n"          # case-insensitive
+            "WARC-Target-URI: http://x\r\n"
+            "\r\n"
+            "payload A\r\n\r\n"
+            "WARC/1.0\r\n"
+            "X-Other: nope\r\n"
+            "\r\n"
+            "payload B\r\n\r\n")
+    blobs = spark.createDataFrame([(7, blob)], "blob_id long, warc string")
+    got = {r["rec_idx"]: r for r in
+           parse_warc_text(blobs).collect()}
+    assert len(got) == 2
+    assert got[0]["warc_type"] == "conversion"
+    assert got[0]["target_uri"] == "http://x"
+    # missing headers surface as NULL (the quarantine signal),
+    # never as empty strings
+    assert got[0]["warc_date"] is None
+    assert got[1]["warc_type"] is None
+    assert got[1]["payload"] == "payload B"
