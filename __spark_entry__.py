@@ -10011,6 +10011,117 @@ ORDER BY blob_id, rec_idx
 """
 
 
+def _q_assortativity(spark, sf_dir):
+    """Degree-assortativity sufficient statistics (Newman, PRL
+    2002) over the part↔supplier graph: one integer row (n_pairs,
+    Σx, Σx², Σxy) over both edge orientations — the Pearson r is a
+    row-local division. The oracle replays the edge fold, degree
+    join, and sums."""
+    from knowledge_graph_spark.operators.graph_analytics import (
+        assortativity_ingredients)
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    return assortativity_ingredients(edges)
+
+
+_SQL_ASSORTATIVITY = r"""
+WITH e AS (
+  SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst
+  FROM lineitem
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e WHERE least(src, dst) <> greatest(src, dst)
+),
+sym AS (SELECT a AS u, b AS v FROM und
+        UNION ALL SELECT b, a FROM und),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(du.d) AS BIGINT) AS sx,
+       CAST(SUM(du.d * du.d) AS BIGINT) AS sxx,
+       CAST(SUM(du.d * dv.d) AS BIGINT) AS sxy
+FROM sym s
+JOIN deg du ON du.u = s.u
+JOIN deg dv ON dv.u = s.v
+"""
+
+
+def _q_heaps_census(spark, sf_dir):
+    """Heaps'-law vocabulary-growth census: cumulative tokens vs
+    cumulative distinct vocabulary over 10 doc-id-range corpus
+    prefixes — prefix vocabulary via one (word -> first slice)
+    aggregate, never a per-prefix distinct pass. The oracle replays
+    the slice arithmetic, both histograms, and the running sums."""
+    from knowledge_graph_spark.operators.textstats import heaps_census
+
+    docs = _t(spark, sf_dir, "documents")
+    return heaps_census(docs, buckets=10).orderBy("prefix")
+
+
+_SQL_HEAPS_CENSUS = r"""
+WITH lohi AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi
+              FROM documents),
+toks AS (
+  SELECT least(10, CAST(floor(CAST(doc_id - lo AS DOUBLE) * 10
+                              / (hi - lo + 1)) AS INT) + 1) AS s,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+'),
+                            x -> x <> '')) AS w
+  FROM documents, lohi
+),
+per_word AS (SELECT w, MIN(s) AS fs FROM toks GROUP BY w),
+tok_hist AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS tok
+             FROM toks GROUP BY s),
+voc_hist AS (SELECT fs AS s, CAST(COUNT(*) AS BIGINT) AS voc
+             FROM per_word GROUP BY fs),
+grid AS (
+  SELECT COALESCE(t.s, v.s) AS s, COALESCE(t.tok, 0) AS tok,
+         COALESCE(v.voc, 0) AS voc
+  FROM tok_hist t FULL OUTER JOIN voc_hist v ON t.s = v.s
+)
+SELECT CAST(s AS BIGINT) AS prefix,
+       CAST(SUM(tok) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS n_tokens,
+       CAST(SUM(voc) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS n_vocab
+FROM grid ORDER BY prefix
+"""
+
+
+def _q_term_dispersion(spark, sf_dir):
+    """Term burstiness census (Church & Gale 1995): collection
+    frequency, document frequency, and peak within-doc frequency
+    per term with cf >= 5 — cf/df separates bursty topical words
+    from dispersed glue, extreme max_tf flags keyword stuffing. The
+    oracle replays tokenization and both aggregates."""
+    from knowledge_graph_spark.operators.textstats import term_dispersion
+
+    docs = _t(spark, sf_dir, "documents")
+    return term_dispersion(docs, min_cf=5).orderBy("term")
+
+
+_SQL_TERM_DISPERSION = r"""
+WITH tf AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+c AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tf GROUP BY doc_id, term)
+SELECT term, CAST(SUM(tf) AS BIGINT) AS cf,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(MAX(tf) AS BIGINT) AS max_tf
+FROM c GROUP BY term HAVING SUM(tf) >= 5
+ORDER BY term
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # classical relational operators (DuckDB-oracled)
@@ -10080,6 +10191,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_changepoints": _q_event_changepoints,
         "event_trends": _q_event_trends,
         "warc_records": _q_warc_records,
+        "assortativity": _q_assortativity,
+        "heaps_census": _q_heaps_census,
+        "term_dispersion": _q_term_dispersion,
         "char_sets": _q_char_sets,
         "dirt_paths": _q_dirt_paths,
         "predicate_canon": _q_predicate_canon,
@@ -10283,6 +10397,9 @@ def oracle_sql() -> dict[str, str]:
         "event_changepoints": _SQL_EVENT_CHANGEPOINTS,
         "event_trends": _SQL_EVENT_TRENDS,
         "warc_records": _SQL_WARC_RECORDS,
+        "assortativity": _SQL_ASSORTATIVITY,
+        "heaps_census": _SQL_HEAPS_CENSUS,
+        "term_dispersion": _SQL_TERM_DISPERSION,
         "char_sets": _SQL_CHAR_SETS,
         "dirt_paths": _SQL_DIRT_PATHS,
         "predicate_canon": _SQL_PREDICATE_CANON,

@@ -124,7 +124,8 @@ def main():
         "rake_keywords", "mirror_hosts",
         "landmark_dists", "landmark_est", "fd_census", "fk_census",
         "texttiling", "column_census", "event_changepoints",
-        "event_trends", "warc_records",
+        "event_trends", "warc_records", "assortativity",
+        "heaps_census", "term_dispersion",
     ]
     qs = entrymod.queries()
     for name in headliners:

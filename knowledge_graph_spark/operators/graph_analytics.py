@@ -1471,3 +1471,40 @@ def landmark_estimate(index: DataFrame, pairs: DataFrame,
                  .alias("est"))
             .select(F.col("_a").alias(a_col), F.col("_b").alias(b_col),
                     "est"))
+
+
+def assortativity_ingredients(edges: DataFrame, src: str = "src",
+                              dst: str = "dst") -> DataFrame:
+    """Degree-assortativity ingredients (Newman, PRL 2002
+    "Assortative mixing in networks"): the Pearson correlation of
+    endpoint degrees over the undirected distinct edge set — the
+    one-number census separating social-style graphs (assortative,
+    r > 0) from web/biological graphs (disassortative, r < 0), and a
+    drift alarm for synthetic-vs-crawled link corpora.
+
+    Emits ONE row of INTEGER sufficient statistics over the edge
+    list with both orientations (the standard symmetric convention:
+    each undirected edge contributes (deg_u, deg_v) and
+    (deg_v, deg_u)): ``(n_pairs, sx, sxx, sxy)`` — by symmetry
+    sy = sx and syy = sxx, so
+    ``r = (n·sxy − sx²) / (n·sxx − sx²)`` is a row-local division
+    for API users and the output hash-stably replays cross-engine.
+
+    Scale shape: one distinct-edge fold, one degree aggregate, one
+    id-keyed join per endpoint ((id, long) pairs only), one single-
+    row fold. Degree sums fit BIGINT to ~2^21-degree hubs on 2^21
+    edges; beyond that, profile on a degree-capped subgraph.
+    """
+    und = _undirected(edges, src, dst)
+    sym = (und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .unionByName(und.select(F.col("b").alias("u"),
+                                   F.col("a").alias("v"))))
+    deg = sym.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    du = deg.select(F.col("u"), F.col("d").alias("_du"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("_dv"))
+    j = sym.join(du, "u").join(dv, "v")
+    return j.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("_du").cast("long").alias("sx"),
+        F.sum(F.col("_du") * F.col("_du")).cast("long").alias("sxx"),
+        F.sum(F.col("_du") * F.col("_dv")).cast("long").alias("sxy"))

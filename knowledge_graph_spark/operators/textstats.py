@@ -1336,3 +1336,96 @@ def texttiling_ingredients(docs: DataFrame, id_col: str = "doc_id",
                     F.col("gap").cast("long").alias("gap"),
                     F.coalesce(F.col("dot"), F.lit(0)).cast("long")
                     .alias("dot"), "na2", "nb2"))
+
+
+def heaps_census(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 buckets: int = 10) -> DataFrame:
+    """Heaps'-law vocabulary-growth census (Heaps 1978; Baeza-Yates
+    & Ribeiro-Neto ch. 6): cumulative token count vs cumulative
+    DISTINCT vocabulary over growing corpus prefixes — the curve
+    whose V ≈ k·nᵝ fit sizes tokenizer vocabularies and dedup hash
+    tables before a full crawl lands.
+
+    The corpus orders by ``id_col`` and folds into ``buckets`` equal
+    id-range slices; for prefix k the census reports total tokens
+    and distinct vocabulary of slices 1..k. The vocabulary of a
+    PREFIX needs no per-prefix distinct pass: a word belongs to
+    prefix k iff its FIRST slice <= k, so one (word -> min slice)
+    aggregate plus a slice histogram gives every prefix via a
+    running sum over ``buckets`` rows.
+
+    Returns per prefix: ``(prefix, n_tokens, n_vocab)``,
+    ``prefix`` in 1..buckets.
+
+    Scale shape: one row-local tokenize, one (word)-keyed min/count
+    aggregate (vocabulary-bounded), then window arithmetic over the
+    ``buckets``-row summary — keyed by a constant non-foldable
+    partition so the plan carries no real unpartitioned window.
+    """
+    from pyspark.sql import Window
+
+    ids = docs.select(F.col(id_col).alias("_id"))
+    lo_hi = ids.agg(F.min("_id").alias("_lo"),
+                    F.max("_id").alias("_hi"))
+    b = int(buckets)
+    # slice = 1..b by id position in [lo, hi] (closed-form, no sort)
+    toks = (docs.crossJoin(F.broadcast(lo_hi))
+            .select(
+                F.least(F.lit(b), (F.floor(
+                    (F.col(id_col) - F.col("_lo")).cast("double")
+                    * b / (F.col("_hi") - F.col("_lo") + 1)) + 1)
+                    .cast("int")).alias("_s"),
+                F.explode(F.split(F.lower(F.col(text_col)),
+                                  "[^a-z0-9]+")).alias("_w"))
+            .filter(F.col("_w") != ""))
+    per_word = toks.groupBy("_w").agg(
+        F.min("_s").alias("_first"),
+        F.count("*").cast("long").alias("_n"))
+    tok_hist = (toks.groupBy("_s")
+                .agg(F.count("*").cast("long").alias("_tok")))
+    voc_hist = (per_word.groupBy(F.col("_first").alias("_s"))
+                .agg(F.count("*").cast("long").alias("_voc")))
+    grid = (tok_hist.join(voc_hist, "_s", "full_outer")
+            .select(F.col("_s"),
+                    F.coalesce("_tok", F.lit(0)).alias("_tok"),
+                    F.coalesce("_voc", F.lit(0)).alias("_voc")))
+    w = (Window.partitionBy(F.pmod(F.col("_s"), F.lit(1)))
+         .orderBy("_s")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (grid
+            .withColumn("n_tokens", F.sum("_tok").over(w).cast("long"))
+            .withColumn("n_vocab", F.sum("_voc").over(w).cast("long"))
+            .select(F.col("_s").cast("long").alias("prefix"),
+                    "n_tokens", "n_vocab"))
+
+
+def term_dispersion(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    min_cf: int = 5) -> DataFrame:
+    """Term burstiness/dispersion census (Church & Gale 1995
+    "Poisson mixtures"): collection frequency vs document frequency
+    vs peak within-document frequency per term. cf/df >> 1 with a
+    high max_tf marks BURSTY content words (they arrive in clumps);
+    cf/df ≈ 1 marks dispersed function words — the statistic that
+    separates topical vocabulary from glue without any stoplist,
+    and a spam signal (keyword stuffing = extreme max_tf).
+
+    Returns ``(term, cf, df, max_tf)`` for terms with ``cf >=
+    min_cf`` — all integers.
+
+    Scale shape: one row-local tokenize, one (doc, term) count
+    aggregate (map-side combined), one term-keyed fold. The term
+    key space is the vocabulary; the cf filter bounds the output.
+    """
+    tf = (docs.select(F.col(id_col).alias("_doc"),
+                      F.explode(F.split(F.lower(F.col(text_col)),
+                                        "[^a-z0-9]+")).alias("term"))
+          .filter(F.col("term") != "")
+          .groupBy("_doc", "term")
+          .agg(F.count("*").cast("long").alias("_tf")))
+    return (tf.groupBy("term")
+            .agg(F.sum("_tf").cast("long").alias("cf"),
+                 F.count("*").cast("long").alias("df"),
+                 F.max("_tf").cast("long").alias("max_tf"))
+            .filter(F.col("cf") >= int(min_cf)))

@@ -467,3 +467,87 @@ def test_warc_parse_preamble_case_and_missing_headers(spark):
     assert got[0]["warc_date"] is None
     assert got[1]["warc_type"] is None
     assert got[1]["payload"] == "payload B"
+
+
+# ---------------------------------------------------------- assortativity
+
+
+def test_assortativity_star_is_disassortative(spark):
+    """Star c-(x,y,z): pairs (3,1)x3 and (1,3)x3; n=6, sx=12,
+    sxx=30, sxy=18 -> r = (6*18-144)/(6*30-144) = -1 (perfectly
+    disassortative, as a star must be)."""
+    from knowledge_graph_spark.operators.graph_analytics import (
+        assortativity_ingredients)
+
+    edges = spark.createDataFrame(
+        [("c", "x"), ("c", "y"), ("c", "z")], "src string, dst string")
+    [r] = assortativity_ingredients(edges).collect()
+    assert (r["n_pairs"], r["sx"], r["sxx"], r["sxy"]) == (6, 12, 30, 18)
+    n, sx, sxx, sxy = r["n_pairs"], r["sx"], r["sxx"], r["sxy"]
+    assert (n * sxy - sx * sx) / (n * sxx - sx * sx) == -1.0
+
+
+def test_assortativity_regular_graph_degenerate(spark):
+    """4-cycle: every degree 2, variance 0 -> both numerator and
+    denominator of r are 0 (the census exposes that; r undefined)."""
+    from knowledge_graph_spark.operators.graph_analytics import (
+        assortativity_ingredients)
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        "src string, dst string")
+    [r] = assortativity_ingredients(edges).collect()
+    n, sx, sxx, sxy = r["n_pairs"], r["sx"], r["sxx"], r["sxy"]
+    assert (n, sx) == (8, 16)
+    assert n * sxx - sx * sx == 0 and n * sxy - sx * sx == 0
+
+
+# ------------------------------------------------------------ Heaps census
+
+
+def test_heaps_census_prefix_vocab(spark):
+    """Docs 1..4 in 2 buckets: bucket 1 = {a b, b c}, bucket 2 =
+    {c d, a e}. Prefix 1: 4 tokens, vocab {a,b,c}=3; prefix 2: 8
+    tokens, vocab {a,b,c,d,e}=5."""
+    from knowledge_graph_spark.operators.textstats import heaps_census
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b c"), (3, "c d"), (4, "a e")],
+        "doc_id long, text string")
+    got = {r["prefix"]: r for r in heaps_census(docs, buckets=2).collect()}
+    assert (got[1]["n_tokens"], got[1]["n_vocab"]) == (4, 3)
+    assert (got[2]["n_tokens"], got[2]["n_vocab"]) == (8, 5)
+
+
+def test_heaps_census_monotone_on_corpus(spark):
+    import os
+
+    from knowledge_graph_spark.operators.textstats import heaps_census
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    rows = (heaps_census(docs, buckets=5)
+            .orderBy("prefix").collect())
+    toks = [r["n_tokens"] for r in rows]
+    vocs = [r["n_vocab"] for r in rows]
+    assert toks == sorted(toks) and vocs == sorted(vocs)
+    assert vocs[-1] <= toks[-1]
+
+
+# -------------------------------------------------------- term dispersion
+
+
+def test_term_dispersion_bursty_vs_dispersed(spark):
+    """'x' appears 4x in one doc (bursty); 'y' once in each of 4
+    docs (dispersed)."""
+    from knowledge_graph_spark.operators.textstats import term_dispersion
+
+    docs = spark.createDataFrame(
+        [(1, "x x x x y"), (2, "y"), (3, "y"), (4, "y")],
+        "doc_id long, text string")
+    got = {r["term"]: r for r in
+           term_dispersion(docs, min_cf=4).collect()}
+    assert (got["x"]["cf"], got["x"]["df"], got["x"]["max_tf"]) == \
+        (4, 1, 4)
+    assert (got["y"]["cf"], got["y"]["df"], got["y"]["max_tf"]) == \
+        (4, 4, 1)

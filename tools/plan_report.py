@@ -162,7 +162,8 @@ def main():
         # static plan = last hop, excluded like seeded_hosts)
         "landmark_est", "fd_census", "fk_census", "texttiling",
         "column_census", "event_changepoints", "event_trends",
-        "warc_records",
+        "warc_records", "assortativity", "heaps_census",
+        "term_dispersion",
         # (seeded_hosts is fixed-round iterative with per-round
         # checkpoints — static plan is the last round only, excluded)
     ]
