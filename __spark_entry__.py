@@ -10063,15 +10063,15 @@ def _q_heaps_census(spark, sf_dir):
 
 
 _SQL_HEAPS_CENSUS = r"""
-WITH lohi AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi
-              FROM documents),
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL),
+lohi AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM d),
 toks AS (
   SELECT least(10, CAST(floor(CAST(doc_id - lo AS DOUBLE) * 10
                               / (hi - lo + 1)) AS INT) + 1) AS s,
          unnest(list_filter(regexp_split_to_array(lower(text),
                                                   '[^a-z0-9]+'),
                             x -> x <> '')) AS w
-  FROM documents, lohi
+  FROM d, lohi
 ),
 per_word AS (SELECT w, MIN(s) AS fs FROM toks GROUP BY w),
 tok_hist AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS tok

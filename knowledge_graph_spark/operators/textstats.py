@@ -1365,6 +1365,10 @@ def heaps_census(docs: DataFrame, id_col: str = "doc_id",
     """
     from pyspark.sql import Window
 
+    # NULL ids carry no position in the prefix order — drop them
+    # (a NULL slice would also sort NULLS FIRST in Spark but NULLS
+    # LAST in DuckDB, silently skewing the running sums)
+    docs = docs.filter(F.col(id_col).isNotNull())
     ids = docs.select(F.col(id_col).alias("_id"))
     lo_hi = ids.agg(F.min("_id").alias("_lo"),
                     F.max("_id").alias("_hi"))
