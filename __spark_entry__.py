@@ -9459,7 +9459,7 @@ def _q_rake_keywords(spark, sf_dir):
     """RAKE candidate keyphrases (Rose et al. 2010): stopword-free
     word runs with the integer score ingredients (sum of word
     degrees / sum of word frequencies — the float ratio is
-    derivable). Phrases occurring >= 5 times corpus-wide. The
+    derivable). Phrases occurring >= 2 times corpus-wide. The
     oracle replays the regex cascade, both word aggregates, and the
     phrase-word join."""
     from knowledge_graph_spark.operators.textstats import rake_phrases
@@ -9471,8 +9471,9 @@ def _q_rake_keywords(spark, sf_dir):
 
 
 def _rake_keywords_sql() -> str:
-    from knowledge_graph_spark.operators.textstats import RAKE_STOPWORDS
-    alt = "|".join(RAKE_STOPWORDS)
+    from knowledge_graph_spark.operators.textstats import (
+        RAKE_STOPWORDS, rake_stop_pattern)
+    alt = rake_stop_pattern(RAKE_STOPWORDS)
     return rf"""
 WITH raw AS (
   SELECT doc_id,
@@ -9691,13 +9692,30 @@ WITH prof AS (
 d AS (SELECT DISTINCT lhs, rhs, a, b FROM prof
       WHERE a IS NOT NULL AND b IS NOT NULL),
 per_key AS (SELECT lhs, rhs, a, COUNT(*) AS nb
-            FROM d GROUP BY lhs, rhs, a)
-SELECT lhs, rhs,
-       CAST(COUNT(*) AS BIGINT) AS n_lhs,
-       CAST(SUM(nb) AS BIGINT) AS n_pairs,
-       CAST(SUM(CASE WHEN nb >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM d GROUP BY lhs, rhs, a),
+agg AS (
+  SELECT lhs, rhs,
+         CAST(COUNT(*) AS BIGINT) AS n_lhs,
+         CAST(SUM(nb) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN nb >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating_keys
+  FROM per_key GROUP BY lhs, rhs
+),
+-- one row per profiled pair even if every row of a pair is NULL
+-- (the engine's global-agg-per-pair census always emits the pair)
+grid AS (
+  SELECT 'p_partkey' AS lhs, 'p_brand' AS rhs
+  UNION ALL SELECT 'p_name', 'p_brand'
+  UNION ALL SELECT 'p_brand', 'p_type'
+  UNION ALL SELECT 'p_type', 'p_size'
+)
+SELECT g.lhs, g.rhs,
+       CAST(COALESCE(a.n_lhs, 0) AS BIGINT) AS n_lhs,
+       CAST(COALESCE(a.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(a.n_violating_keys, 0) AS BIGINT)
          AS n_violating_keys
-FROM per_key GROUP BY lhs, rhs ORDER BY lhs, rhs
+FROM grid g LEFT JOIN agg a ON g.lhs = a.lhs AND g.rhs = a.rhs
+ORDER BY g.lhs, g.rhs
 """
 
 
@@ -10004,7 +10022,7 @@ SELECT blob_id, CAST(rec_idx AS BIGINT) AS rec_idx,
          AS target_uri,
        NULLIF(regexp_extract(hdr, '(?im)^WARC-Date: *([^\r\n]*)', 1),
               '') AS warc_date,
-       CAST(length(regexp_replace(body, '(\r\n)+$', '')) AS BIGINT)
+       CAST(length(regexp_replace(body, '\r\n\r\n\z', '')) AS BIGINT)
          AS n_payload
 FROM split
 ORDER BY blob_id, rec_idx
@@ -10079,9 +10097,10 @@ tok_hist AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS tok
 voc_hist AS (SELECT fs AS s, CAST(COUNT(*) AS BIGINT) AS voc
              FROM per_word GROUP BY fs),
 grid AS (
-  SELECT COALESCE(t.s, v.s) AS s, COALESCE(t.tok, 0) AS tok,
-         COALESCE(v.voc, 0) AS voc
-  FROM tok_hist t FULL OUTER JOIN voc_hist v ON t.s = v.s
+  SELECT g.s, COALESCE(t.tok, 0) AS tok, COALESCE(v.voc, 0) AS voc
+  FROM (SELECT unnest(generate_series(1, 10)) AS s) g
+  LEFT JOIN tok_hist t ON t.s = g.s
+  LEFT JOIN voc_hist v ON v.s = g.s
 )
 SELECT CAST(s AS BIGINT) AS prefix,
        CAST(SUM(tok) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)

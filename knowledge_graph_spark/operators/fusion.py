@@ -273,9 +273,10 @@ def golden_record(records: DataFrame, cluster_col: str,
     wide = best.groupBy("_k").agg(*[
         e for a in attr_cols for e in (
             F.max(F.when(F.col("_a") == a, F.col("_v"))).alias(a),
-            F.coalesce(
-                F.max(F.when(F.col("_a") == a, F.col("_n"))),
-                F.lit(0)).cast("long").alias(f"{a}_n"),
+            # missing-attribute NULLs fall through to the final
+            # select's coalesce (same path as the no-votes-row case)
+            F.max(F.when(F.col("_a") == a, F.col("_n")))
+            .cast("long").alias(f"{a}_n"),
         )
     ])
     return (sizes.join(wide, "_k", "left")

@@ -144,13 +144,27 @@ def column_profile(df: DataFrame, cols: list[str] | None = None,
         for c in names
     ])).alias("_m")).select(F.col("_m._c").alias("_c"),
                             F.col("_m._v").alias("_v"))
-    return (melted.groupBy("_c")
-            .agg(F.count("*").cast("long").alias("n_rows"),
-                 F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0))
-                 .cast("long").alias("n_nulls"),
-                 F.count_distinct(F.col("_v")).cast("long")
-                 .alias("n_distinct"),
-                 F.min("_v").alias("min_val"),
-                 F.max("_v").alias("max_val"))
-            .select(F.col("_c").alias("table_col"), "n_rows", "n_nulls",
-                    "n_distinct", "min_val", "max_val"))
+    agg = (melted.groupBy("_c")
+           .agg(F.count("*").cast("long").alias("n_rows"),
+                F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0))
+                .cast("long").alias("n_nulls"),
+                F.count_distinct(F.col("_v")).cast("long")
+                .alias("n_distinct"),
+                F.min("_v").alias("min_val"),
+                F.max("_v").alias("max_val"))
+           .select(F.col("_c").alias("table_col"), "n_rows", "n_nulls",
+                   "n_distinct", "min_val", "max_val"))
+    # |cols|-row literal skeleton guarantees the contract (one row
+    # per column, n_rows=0 for an empty table) instead of the melted
+    # groupBy silently dropping columns of an empty ingest
+    skeleton = df.sparkSession.createDataFrame(
+        [(prefix + c,) for c in names], "table_col string")
+    return (skeleton.join(agg, "table_col", "left")
+            .select("table_col",
+                    F.coalesce("n_rows", F.lit(0)).cast("long")
+                    .alias("n_rows"),
+                    F.coalesce("n_nulls", F.lit(0)).cast("long")
+                    .alias("n_nulls"),
+                    F.coalesce("n_distinct", F.lit(0)).cast("long")
+                    .alias("n_distinct"),
+                    "min_val", "max_val"))

@@ -1224,6 +1224,20 @@ RAKE_STOPWORDS = (
 )
 
 
+def rake_stop_pattern(stopwords: tuple) -> str:
+    """Regex alternation over the stopword list, each word escaped
+    (``re.escape`` output is valid in both Java regex and RE2) —
+    shared by :func:`rake_phrases` and the SQL oracle generator so a
+    stopword carrying a metacharacter can't corrupt either parse."""
+    import re
+
+    if not stopwords:
+        raise ValueError("rake stopword list must be non-empty "
+                         "(an empty alternation matches every word "
+                         "boundary and shreds all text)")
+    return "|".join(re.escape(w) for w in stopwords)
+
+
 def rake_phrases(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id",
                  stopwords: tuple = RAKE_STOPWORDS,
@@ -1250,7 +1264,7 @@ def rake_phrases(docs: DataFrame, text_col: str = "text",
     single words — the stopword band is already cut, so no 'the'-
     scale hot key exists by construction.
     """
-    alt = "|".join(stopwords)
+    alt = rake_stop_pattern(stopwords)
     s = F.lower(F.col(text_col))
     s = F.regexp_replace(s, "[^a-z0-9]+", " ")
     s = F.regexp_replace(s, rf"\b({alt})\b", "|")
@@ -1390,7 +1404,14 @@ def heaps_census(docs: DataFrame, id_col: str = "doc_id",
                 .agg(F.count("*").cast("long").alias("_tok")))
     voc_hist = (per_word.groupBy(F.col("_first").alias("_s"))
                 .agg(F.count("*").cast("long").alias("_voc")))
-    grid = (tok_hist.join(voc_hist, "_s", "full_outer")
+    # dense 1..buckets slice spine: an id-range slice holding no
+    # document still gets its prefix row (repeating the cumulative
+    # totals) — sparse/skewed doc ids must not punch holes in the
+    # growth curve a Heaps' fit consumes
+    spine = (docs.sparkSession.range(1, b + 1)
+             .select(F.col("id").cast("int").alias("_s")))
+    grid = (spine.join(tok_hist, "_s", "left")
+            .join(voc_hist, "_s", "left")
             .select(F.col("_s"),
                     F.coalesce("_tok", F.lit(0)).alias("_tok"),
                     F.coalesce("_voc", F.lit(0)).alias("_voc")))

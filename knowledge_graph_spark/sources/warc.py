@@ -78,7 +78,11 @@ def parse_warc_text(blobs: DataFrame, blob_col: str = "warc",
         _h("WARC-Type").alias("warc_type"),
         _h("WARC-Target-URI").alias("target_uri"),
         _h("WARC-Date").alias("warc_date"),
-        F.regexp_replace(body, r"(\r\n)+$", "").alias("payload"),
+        # trim EXACTLY the one \r\n\r\n record separator (\z, not $:
+        # absolute end in both Java and RE2) — a greedy (\r\n)+ would
+        # also eat CRLFs that belong to the payload itself, breaking
+        # the byte-for-byte round trip with build_warc_text
+        F.regexp_replace(body, "\r\n\r\n\\z", "").alias("payload"),
     )
 
 
@@ -91,14 +95,31 @@ def build_warc_text(records: DataFrame, group_col: str,
 
     Scale shape: one group-keyed sort_array(collect_list) aggregate;
     blob size = the group's payload volume, so group by crawl shard,
-    not by host, when shards are large."""
+    not by host, when shards are large.
+
+    NULL handling mirrors the parser: a NULL header field emits NO
+    header line (parse_warc_text reads it back as NULL), and a NULL
+    payload writes as empty — a record is never silently dropped
+    because one field is missing (concat over a NULL would null the
+    whole record and array_join would skip it). The round trip is
+    byte-exact whenever >= 1 header is non-NULL; a record with all
+    three headers NULL has an empty header block, which the textual
+    framing cannot delimit (it parses back as a malformed record
+    with NULL headers — the quarantine signal, not silent loss)."""
+
+    def _hline(name, col):
+        return F.when(
+            F.col(col).isNotNull(),
+            F.concat(F.lit(name + ": "), F.col(col), F.lit("\r\n")),
+        ).otherwise(F.lit(""))
+
     rec_txt = F.concat(
         F.lit(WARC_MARKER),
-        F.lit("WARC-Type: "), F.col(type_col), F.lit("\r\n"),
-        F.lit("WARC-Target-URI: "), F.col(uri_col), F.lit("\r\n"),
-        F.lit("WARC-Date: "), F.col(date_col), F.lit("\r\n"),
+        _hline("WARC-Type", type_col),
+        _hline("WARC-Target-URI", uri_col),
+        _hline("WARC-Date", date_col),
         F.lit("\r\n"),
-        F.col(payload_col), F.lit("\r\n\r\n"))
+        F.coalesce(F.col(payload_col), F.lit("")), F.lit("\r\n\r\n"))
     return (records
             .select(F.col(group_col).alias("blob_id"),
                     F.struct(F.col(order_col).alias("_o"),

@@ -145,6 +145,27 @@ def test_rake_phrases_hand_computed(spark):
     assert (dls["sum_deg"], dls["sum_freq"]) == (13, 5)
 
 
+def test_rake_phrases_metachar_stopwords_and_empty_list(spark):
+    """Stopwords are regex-escaped (a 'c++'-style entry must not
+    throw a PatternSyntaxException or corrupt the split), and an
+    empty stoplist raises instead of matching every word boundary."""
+    import pytest
+
+    from knowledge_graph_spark.operators.textstats import rake_phrases
+
+    docs = spark.createDataFrame(
+        [(1, "big data c++ big data")], "doc_id long, text string")
+    # note: the a-z0-9 collapse rewrites 'c++' to 'c ' first, so the
+    # stopword must be its post-collapse form 'c' — the point here is
+    # the metachar entry must not corrupt the OTHER boundaries
+    got = {r["phrase"]: r for r in
+           rake_phrases(docs, stopwords=("c++", "c"),
+                        min_words=1).collect()}
+    assert got["big data"]["n_occur"] == 2
+    with pytest.raises(ValueError):
+        rake_phrases(docs, stopwords=()).collect()
+
+
 def test_rake_phrases_stopword_boundaries_and_word_caps(spark):
     from knowledge_graph_spark.operators.textstats import rake_phrases
 
@@ -288,6 +309,31 @@ def test_inclusion_profile_full_and_partial(spark):
     ]).collect()}
     assert (got["c<p"]["n_child"], got["c<p"]["n_matched"]) == (3, 2)
     assert (got["p<c"]["n_child"], got["p<c"]["n_matched"]) == (3, 2)
+
+
+def test_fd_profile_all_null_pair_still_emits_row(spark):
+    """A pair whose rows are all NULL on either side still gets its
+    census row (zeros) — the contract is one row per profiled pair."""
+    from knowledge_graph_spark.operators.profiling import fd_profile
+
+    df = spark.createDataFrame(
+        [(None, "x"), (None, "y")], "a string, b string")
+    [r] = fd_profile(df, [("a", "b")]).collect()
+    assert (r["n_lhs"], r["n_pairs"], r["n_violating_keys"]) == (0, 0, 0)
+
+
+def test_column_profile_empty_table_emits_zero_rows_per_column(spark):
+    """An empty ingest must surface every column with n_rows=0, not
+    silently drop it from the census."""
+    from knowledge_graph_spark.operators.profiling import column_profile
+
+    df = spark.createDataFrame([], "a string, b long")
+    got = {r["table_col"]: r for r in
+           column_profile(df, table_name="t").collect()}
+    assert set(got) == {"t.a", "t.b"}
+    for r in got.values():
+        assert (r["n_rows"], r["n_nulls"], r["n_distinct"]) == (0, 0, 0)
+        assert r["min_val"] is None and r["max_val"] is None
 
 
 # ------------------------------------------------------------ TextTiling
@@ -469,6 +515,47 @@ def test_warc_parse_preamble_case_and_missing_headers(spark):
     assert got[1]["payload"] == "payload B"
 
 
+def test_warc_null_fields_never_drop_records(spark):
+    """A NULL header field must not null the whole record out of the
+    blob (concat-over-NULL + array_join would silently lose it):
+    the line is omitted, the record survives, the field reads back
+    NULL; a NULL payload writes as empty."""
+    from knowledge_graph_spark.sources.warc import (build_warc_text,
+                                                    parse_warc_text)
+
+    recs = spark.createDataFrame(
+        [(1, 0, "conversion", None, "2024-01-01T00:00:00Z", "body A"),
+         (1, 1, "conversion", "http://a/y", None, None)],
+        "g long, o long, wt string, uri string, dt string, p string")
+    blobs = build_warc_text(recs, "g", "o", "wt", "uri", "dt", "p")
+    got = {r["rec_idx"]: r for r in
+           parse_warc_text(blobs, "warc", "blob_id").collect()}
+    assert len(got) == 2                      # nothing vanished
+    assert got[0]["target_uri"] is None
+    assert got[0]["payload"] == "body A"
+    assert got[1]["warc_date"] is None
+    assert got[1]["payload"] == ""
+
+
+def test_warc_payload_trailing_crlf_round_trips(spark):
+    """Only the ONE appended record separator is trimmed — CRLFs
+    that belong to the payload itself survive the round trip."""
+    from knowledge_graph_spark.sources.warc import (build_warc_text,
+                                                    parse_warc_text)
+
+    recs = spark.createDataFrame(
+        [(1, 0, "conversion", "http://a", "2024-01-01T00:00:00Z",
+          "line one\r\n"),
+         (1, 1, "conversion", "http://b", "2024-01-01T00:00:00Z",
+          "tail\r\n\r\n")],
+        "g long, o long, wt string, uri string, dt string, p string")
+    blobs = build_warc_text(recs, "g", "o", "wt", "uri", "dt", "p")
+    got = {r["rec_idx"]: r["payload"] for r in
+           parse_warc_text(blobs, "warc", "blob_id").collect()}
+    assert got[0] == "line one\r\n"
+    assert got[1] == "tail\r\n\r\n"
+
+
 # ---------------------------------------------------------- assortativity
 
 
@@ -517,6 +604,24 @@ def test_heaps_census_prefix_vocab(spark):
     got = {r["prefix"]: r for r in heaps_census(docs, buckets=2).collect()}
     assert (got[1]["n_tokens"], got[1]["n_vocab"]) == (4, 3)
     assert (got[2]["n_tokens"], got[2]["n_vocab"]) == (8, 5)
+
+
+def test_heaps_census_sparse_ids_fill_every_prefix(spark):
+    """Skewed doc ids {1, 2, 1000} land in slices 1 and 10 only —
+    the empty slices must still emit their prefix row (repeating the
+    cumulative totals), not punch holes in the growth curve."""
+    from knowledge_graph_spark.operators.textstats import heaps_census
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b c"), (1000, "c d")],
+        "doc_id long, text string")
+    got = {r["prefix"]: r for r in
+           heaps_census(docs, buckets=10).collect()}
+    assert sorted(got) == list(range(1, 11))
+    # slices 2..9 are empty: cumulative totals repeat prefix 1's
+    for p in range(1, 10):
+        assert (got[p]["n_tokens"], got[p]["n_vocab"]) == (4, 3)
+    assert (got[10]["n_tokens"], got[10]["n_vocab"]) == (6, 4)
 
 
 def test_heaps_census_monotone_on_corpus(spark):
