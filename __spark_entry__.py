@@ -6278,6 +6278,53 @@ ORDER BY name_a, name_b
 """
 
 
+def _q_phonetic_blocks(spark, sf_dir):
+    """Soundex-style phonetic blocking census over the part-name word
+    vocabulary (Russell/Odell coding, H/W-as-separator variant —
+    declared and implemented identically in both engines): per code,
+    row/distinct-value counts and the lexicographic extremes.
+    ``n_values >= 2`` blocks are the ER candidate space a phonetic
+    pass feeds to fuzzy matching. The oracle replays the full
+    upper/translate/collapse/pad chain in SQL."""
+    from knowledge_graph_spark.operators.linking import phonetic_blocks
+
+    part = _t(spark, sf_dir, "part")
+    words = (part.select(F.explode(F.split("p_name", " "))
+                         .alias("word"))
+             .filter(F.col("word") != ""))
+    return phonetic_blocks(words, "word").orderBy("code")
+
+
+def _phonetic_blocks_sql() -> str:
+    from knowledge_graph_spark.operators.linking import (
+        SOUNDEX_DIGITS, SOUNDEX_LETTERS)
+
+    up = "regexp_replace(upper(word), '[^A-Z]', '', 'g')"
+    d = f"translate({up}, '{SOUNDEX_LETTERS}', '{SOUNDEX_DIGITS}')"
+    for ch in "0123456":
+        d = f"regexp_replace({d}, '{ch}{ch}+', '{ch}', 'g')"
+    noz = f"replace(substr({d}, 2), '0', '')"
+    code = (f"CASE WHEN {up} = '' THEN NULL ELSE "
+            f"substr({up}, 1, 1) || rpad(substr({noz}, 1, 3), 3, '0') "
+            f"END")
+    return f"""
+WITH words AS (
+  SELECT unnest(string_split(p_name, ' ')) AS word FROM part
+),
+coded AS (
+  SELECT word, {code} AS code FROM words WHERE word <> ''
+)
+SELECT code, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT word) AS BIGINT) AS n_values,
+       MIN(word) AS first_value, MAX(word) AS last_value
+FROM coded WHERE code IS NOT NULL
+GROUP BY code ORDER BY code
+"""
+
+
+_SQL_PHONETIC_BLOCKS = _phonetic_blocks_sql()
+
+
 def _q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline (exact; DuckDB-oracled)."""
     from knowledge_graph_spark.operators.simsearch import brute_force_topk
@@ -6910,6 +6957,23 @@ def _q_kg_kcore(spark, sf_dir):
     wh = _warehouse(spark, sf_dir)
     edges = wh.edges.read(spark).filter(F.col("graph_id") == _KG_GRAPH_ID)
     return k_core(edges, 2).orderBy("id")
+
+
+def _q_kg_ktruss(spark, sf_dir):
+    """3-truss of graph A (edges closing >= 1 in-subgraph triangle
+    after iterative support peeling, with their in-truss support) —
+    edge-level cohesion one notch above the 2-core: spurious
+    extracted relations rarely close triangles with real ones, so
+    they peel out while genuine entity cliques survive. Twin-golden
+    oracled."""
+    from knowledge_graph_spark.operators.graph_analytics import k_truss
+
+    wh = _warehouse(spark, sf_dir)
+    edges = wh.edges.read(spark).filter(F.col("graph_id") == _KG_GRAPH_ID)
+    return (k_truss(edges, 3)
+            .select(F.col("a").alias("src"), F.col("b").alias("dst"),
+                    "support")
+            .orderBy("src", "dst"))
 
 
 def _q_kg_hits(spark, sf_dir):
@@ -10322,6 +10386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_merged": _q_hll_merged,
         "bloom_members": _q_bloom_members,
         "fuzzy_part_names": _q_fuzzy_part_names,
+        "phonetic_blocks": _q_phonetic_blocks,
         "semantic_dedup": _q_semantic_dedup,
         "media_metadata": _q_media_metadata,
         "media_frames": _q_media_frames,
@@ -10338,6 +10403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": _q_kg_triangles,
         "kg_clustering": _q_kg_clustering,
         "kg_kcore": _q_kg_kcore,
+        "kg_ktruss": _q_kg_ktruss,
         "kg_hits": _q_kg_hits,
         "kg_training_triples": _q_kg_training_triples,
         "kg_user_graphs": _q_kg_user_graphs,
@@ -10481,6 +10547,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_merged": _SQL_HLL_DISTINCT,
         "bloom_members": _SQL_BLOOM_MEMBERS,
         "fuzzy_part_names": _SQL_FUZZY_PART_NAMES,
+        "phonetic_blocks": _SQL_PHONETIC_BLOCKS,
         "semantic_dedup": _SQL_SEMANTIC_DEDUP,
         "embedding_neardups": _SQL_EMBEDDING_NEARDUPS,
         # pinned-golden oracles (independent pure-Python twin,
@@ -10552,6 +10619,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": _golden_sql("kg_triangles", "id"),
         "kg_clustering": _golden_sql("kg_clustering", "id"),
         "kg_kcore": _golden_sql("kg_kcore", "id"),
+        "kg_ktruss": _golden_sql("kg_ktruss", "src, dst"),
         "kg_hits": _golden_sql("kg_hits", "id"),
         "kg_training_triples": _golden_sql("kg_training_triples",
                                            "h_id, r_id, t_id, k"),

@@ -254,6 +254,19 @@ def triangle_counts(edges: DataFrame, src: str = "src",
     on a web-scale graph. Three shuffles: degree aggregate, wedge
     self-join on the low endpoint, closing-edge join."""
     und = _undirected(edges, src, dst)
+    tri = _oriented_triangles(und)
+    return (
+        tri.select(F.explode(F.array("t_u", "t_v", "t_w")).alias("id"))
+        .groupBy("id").agg(F.count("*").alias("triangles"))
+    )
+
+
+def _oriented_triangles(und: DataFrame) -> DataFrame:
+    """Every triangle of the undirected distinct edge set ``(a, b)``,
+    once, as ``(t_u, t_v, t_w)`` — the Suri & Vassilvitskii WWW'11
+    degree-ordered enumeration (edges orient from their (degree, id)-
+    smaller endpoint, bounding wedge fan-out by O(sqrt E) per node).
+    Shared by :func:`triangle_counts` and :func:`k_truss`."""
     deg = (
         und.select(F.explode(F.array("a", "b")).alias("id"))
         .groupBy("id").agg(F.count("*").alias("d"))
@@ -281,11 +294,59 @@ def triangle_counts(edges: DataFrame, src: str = "src",
                 F.col("y.v").alias("t_w"))
     )
     closing = o.select(F.col("u").alias("t_v"), F.col("v").alias("t_w"))
-    tri = wedges.join(closing, ["t_v", "t_w"])
-    return (
-        tri.select(F.explode(F.array("t_u", "t_v", "t_w")).alias("id"))
-        .groupBy("id").agg(F.count("*").alias("triangles"))
-    )
+    return wedges.join(closing, ["t_v", "t_w"])
+
+
+def k_truss(edges: DataFrame, k: int, src: str = "src",
+            dst: str = "dst", max_rounds: int = 100) -> DataFrame:
+    """k-truss membership (Cohen 2008, "Trusses: cohesive subgraphs
+    for social network analysis"): the maximal subgraph in which every
+    edge closes at least ``k - 2`` triangles WITHIN the subgraph.
+    Edge-level cohesion — strictly stronger than the (k-1)-core, and
+    the standard KG-denoising step above it: a spurious extracted
+    relation rarely closes triangles with real ones, so it peels out
+    while genuine entity cliques survive. Returns the surviving edges
+    ``(a, b, support)`` with ``a < b`` and their in-truss triangle
+    support.
+
+    Scale shape per round: one degree-ordered triangle enumeration
+    (:func:`_oriented_triangles` — wedge fan-out bounded O(sqrt E)
+    per node, hub-safe) folded to per-edge support counts (each
+    triangle contributes to its three normalized edges), then one
+    filter; every exchange carries id pairs and one long, and the
+    surviving edge set is ``localCheckpoint``-ed per round to cut
+    lineage. Rounds are O(peeling depth) — small on power-law graphs
+    (tail edges with no support fall out in round one)."""
+    if k < 2:
+        raise ValueError("k_truss needs k >= 2")
+
+    def _support(cur: DataFrame) -> DataFrame:
+        tri = _oriented_triangles(cur)
+        pair = (lambda p, q: F.struct(
+            F.least(p, q).alias("a"), F.greatest(p, q).alias("b")))
+        per_edge = (
+            tri.select(F.explode(F.array(
+                pair(F.col("t_u"), F.col("t_v")),
+                pair(F.col("t_u"), F.col("t_w")),
+                pair(F.col("t_v"), F.col("t_w")))).alias("_e"))
+            .select("_e.a", "_e.b")
+            .groupBy("a", "b").agg(F.count("*").cast("long")
+                                   .alias("support"))
+        )
+        return (cur.join(per_edge, ["a", "b"], "left")
+                .select("a", "b",
+                        F.coalesce("support", F.lit(0)).cast("long")
+                        .alias("support")))
+
+    need = int(k) - 2
+    cur = _undirected(edges, src, dst).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        sup = _support(cur).localCheckpoint(eager=True)
+        if sup.filter(F.col("support") < need).isEmpty():
+            return sup
+        cur = (sup.filter(F.col("support") >= need)
+               .select("a", "b").localCheckpoint(eager=True))
+    return _support(cur)
 
 
 def clustering_coefficient(edges: DataFrame, src: str = "src",

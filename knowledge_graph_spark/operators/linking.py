@@ -219,6 +219,61 @@ def fuzzy_name_matches(
     )
 
 
+#: Soundex letter -> digit table (Russell & Odell, US patent 1261167;
+#: the Knuth TAOCP vol. 3 presentation): vowels/H/W/Y -> 0, the six
+#: consonant classes -> 1..6. Module-level so the SQL oracle generator
+#: injects the SAME table.
+SOUNDEX_LETTERS = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+SOUNDEX_DIGITS = "01230120022455012623010202"
+
+
+def phonetic_code(col) -> "F.Column":
+    """Soundex-style phonetic code of a name: first letter + the
+    first three non-zero consonant-class digits after collapsing
+    adjacent repeats, zero-padded (``robert``/``rupert`` -> R163,
+    ``smith``/``smyth`` -> S530). NULL when the value has no A-Z
+    letter after uppercasing.
+
+    Declared simplification vs genealogy-grade Soundex: H and W act
+    as separators like vowels (the classic "same code across h/w"
+    merge rule is dropped) — the variant is implemented IDENTICALLY
+    here and in the SQL oracle, which is what blocking determinism
+    needs. Every step is codegen (upper/translate/regexp chain) with
+    no backreference, so the same expressions run verbatim in Java
+    regex and RE2.
+    """
+    up = F.regexp_replace(F.upper(col), "[^A-Z]", "")
+    coll = F.translate(up, SOUNDEX_LETTERS, SOUNDEX_DIGITS)
+    for d in "0123456":   # collapse adjacent repeats, no backrefs
+        coll = F.regexp_replace(coll, d + d + "+", d)
+    nozero = F.regexp_replace(F.substring(coll, 2, 1 << 30), "0", "")
+    code = F.concat(F.substring(up, 1, 1),
+                    F.rpad(F.substring(nozero, 1, 3), 3, "0"))
+    return F.when(up == "", F.lit(None).cast("string")).otherwise(code)
+
+
+def phonetic_blocks(items: DataFrame, col: str = "name") -> DataFrame:
+    """Phonetic blocking census: fold values to their Soundex-style
+    code (:func:`phonetic_code`) and report per block ``(code,
+    n_rows, n_values, first_value, last_value)`` — the ER blocking
+    quality signal (``n_values >= 2`` blocks are the candidate space
+    a phonetic pass would hand to :func:`fuzzy_name_matches` via
+    ``block_expr=phonetic_code(...)``; a megablock code flags an
+    unproductive key).
+
+    Scale shape: one row-local code computation + one code-keyed
+    aggregate (count/count_distinct/min/max) — values exchange once,
+    keyed by the 4-char code; no pair generation happens here."""
+    coded = (items.select(F.col(col).alias("_v"),
+                          phonetic_code(F.col(col)).alias("code"))
+             .filter(F.col("code").isNotNull()))
+    return (coded.groupBy("code")
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.count_distinct("_v").cast("long").alias("n_values"),
+                 F.min("_v").alias("first_value"),
+                 F.max("_v").alias("last_value")))
+
+
 def bitext_candidates(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", lang_col: str = "lang",
                       min_runs: int = 2,

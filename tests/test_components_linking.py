@@ -417,6 +417,63 @@ def test_k_core_cascading_peel(spark):
     assert k_core(path, 2).count() == 0
 
 
+def test_phonetic_code_classic_pairs(spark):
+    """Textbook Soundex merges: robert/rupert -> R163, smith/smyth
+    -> S530, ashcraft -> A226 under the declared H/W-as-separator
+    variant; non-letters strip; letterless values code to NULL."""
+    from knowledge_graph_spark.operators.linking import phonetic_code
+
+    df = spark.createDataFrame(
+        [("robert",), ("rupert",), ("smith",), ("smyth",),
+         ("ashcraft",), ("o'brien",), ("42",), (None,)], "v string")
+    got = {r["v"]: r["c"] for r in
+           df.select("v", phonetic_code(F.col("v")).alias("c"))
+           .collect()}
+    assert got["robert"] == got["rupert"] == "R163"
+    assert got["smith"] == got["smyth"] == "S530"
+    assert got["ashcraft"] == "A226"     # H separates, no h/w merge
+    assert got["o'brien"] == "O165"      # apostrophe stripped
+    assert got["42"] is None and got[None] is None
+
+
+def test_phonetic_blocks_census(spark):
+    from knowledge_graph_spark.operators.linking import phonetic_blocks
+
+    df = spark.createDataFrame(
+        [("smith",), ("smyth",), ("smith",), ("jones",)], "name string")
+    got = {r["code"]: r for r in phonetic_blocks(df).collect()}
+    s = got["S530"]
+    assert (s["n_rows"], s["n_values"]) == (3, 2)
+    assert (s["first_value"], s["last_value"]) == ("smith", "smyth")
+    assert got["J520"]["n_values"] == 1
+
+
+def test_k_truss_peels_bridges_and_cascades(spark):
+    """K4 with a triangle attached through a bridge: the bridge edge
+    closes no triangle so it peels at k=3, which does NOT take the
+    attached triangle with it (it has its own support); at k=4 only
+    K4 survives (every K4 edge closes 2 in-subgraph triangles), and
+    the cascade re-checks support INSIDE the shrinking subgraph."""
+    from knowledge_graph_spark.operators.graph_analytics import k_truss
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    tri = [("x", "y"), ("y", "z"), ("x", "z")]
+    edges = spark.createDataFrame(
+        k4 + tri + [("d", "x"), ("b", "a")], ["src", "dst"])
+    t3 = {(r["a"], r["b"]): r["support"]
+          for r in k_truss(edges, 3).collect()}
+    assert ("d", "x") not in t3              # bridge peeled
+    assert t3[("x", "y")] == 1               # triangle survives k=3
+    assert t3[("a", "b")] == 2               # K4 edges: support 2
+    assert len(t3) == 9                      # 6 K4 + 3 triangle edges
+    t4 = {(r["a"], r["b"]) for r in k_truss(edges, 4).collect()}
+    assert t4 == {tuple(sorted(e)) for e in k4}
+    # k=2 truss is the whole deduped edge set: 6 K4 + 3 triangle +
+    # the bridge (the reversed duplicate ("b","a") folds away)
+    t2 = k_truss(edges, 2).count()
+    assert t2 == 10
+
+
 def test_dense_ids_deterministic_permutation(spark):
     """dense_ids: a permutation of [0, N), equal to the pure-Python
     bucket construction, stable under input repartitioning."""

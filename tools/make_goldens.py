@@ -937,6 +937,29 @@ def main() -> None:
            for k in sorted(core_adj)],
           pa.schema([("id", pa.string()), ("core_degree", pa.int64())]))
 
+    # kg_ktruss: twin of graph_analytics.k_truss (k=3) — iterative
+    # peel of edges whose in-subgraph triangle support < k-2 = 1 over
+    # graph A's undirected distinct edges; final in-truss support
+    tr_edges = {tuple(sorted((e["src"], e["dst"])))
+                for e in edges_a if e["src"] != e["dst"]}
+    tr_adj: dict = defaultdict(set)
+    while True:
+        tr_adj = defaultdict(set)
+        for a_, b_ in tr_edges:
+            tr_adj[a_].add(b_)
+            tr_adj[b_].add(a_)
+        bad_e = {e for e in tr_edges
+                 if len(tr_adj[e[0]] & tr_adj[e[1]]) < 1}
+        if not bad_e:
+            break
+        tr_edges -= bad_e
+    write("kg_ktruss",
+          [{"src": a_, "dst": b_,
+            "support": len(tr_adj[a_] & tr_adj[b_])}
+           for a_, b_ in sorted(tr_edges)],
+          pa.schema([("src", pa.string()), ("dst", pa.string()),
+                     ("support", pa.int64())]))
+
     # kg_hits: twin of graph_analytics.hits (10 rounds, L2-normalized
     # half-steps) over graph A's distinct directed pairs
     h_pairs = sorted({(e["src"], e["dst"]) for e in edges_a})
