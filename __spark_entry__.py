@@ -7800,6 +7800,223 @@ ORDER BY doc_id, prop, value, source
 """
 
 
+def _q_sitemap_urls(spark, sf_dir):
+    """Sitemap-protocol harvest (sitemaps.org 0.9) over synthesized
+    per-shard sitemap blobs: 25 entry streams with a missing <loc>
+    every 11th entry (surfaces as NULL — the quarantine signal, not
+    a drop), missing <lastmod> every 5th, and a <priority> on every
+    7th. The oracle replays the ordered string_agg assembly, the
+    entry split, and all three tag extracts."""
+    from knowledge_graph_spark.operators.structured import extract_sitemap
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    entry = F.concat(
+        F.lit("<url>"),
+        F.when(k % 11 != 0, F.concat(
+            F.lit("<loc>https://w"), (k % 4).cast("string"),
+            F.lit(".example.org/p/"), k.cast("string"),
+            F.lit("</loc>"))).otherwise(F.lit("")),
+        F.when(k % 5 != 0, F.concat(
+            F.lit("<lastmod>2024-01-"),
+            F.lpad((k % 27 + 1).cast("string"), 2, "0"),
+            F.lit("</lastmod>"))).otherwise(F.lit("")),
+        F.when(k % 7 == 0, F.lit("<priority>0.8</priority>"))
+        .otherwise(F.lit("")),
+        F.lit("</url>"))
+    blobs = (docs.select((k % 25).alias("g"),
+                         F.struct(k.alias("_o"), entry.alias("_t"))
+                         .alias("_s"))
+             .groupBy("g")
+             .agg(F.array_join(
+                 F.transform(F.sort_array(F.collect_list("_s")),
+                             lambda s: s["_t"]), "").alias("xml")))
+    return (extract_sitemap(blobs, "g", "xml")
+            .orderBy("sitemap_id", "entry_idx"))
+
+
+_SQL_SITEMAP_URLS = r"""
+WITH e AS (
+  SELECT doc_id % 25 AS g, doc_id,
+    '<url>'
+    || CASE WHEN doc_id % 11 <> 0
+       THEN '<loc>https://w' || (doc_id % 4) || '.example.org/p/'
+            || doc_id || '</loc>' ELSE '' END
+    || CASE WHEN doc_id % 5 <> 0
+       THEN '<lastmod>2024-01-'
+            || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0')
+            || '</lastmod>' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN '<priority>0.8</priority>'
+       ELSE '' END
+    || '</url>' AS t
+  FROM documents
+),
+blobs AS (
+  SELECT g AS sitemap_id, string_agg(t, '' ORDER BY doc_id) AS xml
+  FROM e GROUP BY g
+),
+parts AS (
+  SELECT sitemap_id,
+         regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1) AS a
+  FROM blobs
+),
+recs AS (
+  SELECT sitemap_id,
+         unnest(generate_series(1, len(a))) - 1 AS entry_idx,
+         unnest(a) AS r
+  FROM parts
+)
+SELECT sitemap_id, CAST(entry_idx AS BIGINT) AS entry_idx,
+       NULLIF(trim(regexp_extract(r, '(?s)<loc>(.*?)</loc>', 1)), '')
+         AS loc,
+       NULLIF(trim(regexp_extract(r, '(?s)<lastmod>(.*?)</lastmod>',
+                                  1)), '') AS lastmod,
+       NULLIF(trim(regexp_extract(r, '(?s)<priority>(.*?)</priority>',
+                                  1)), '') AS priority
+FROM recs ORDER BY sitemap_id, entry_idx
+"""
+
+
+def _q_og_meta(spark, sf_dir):
+    """OpenGraph / canonical-link harvest over injected head markup:
+    og:title on every page, og:type on 2 of 3, og:url on 3 of 4,
+    rel=canonical on every 2nd; every 9th page repeats og:title with
+    a DIFFERENT value to pin the declared first-occurrence-wins tie
+    rule (leftmost match in both Java regex and RE2). The oracle
+    replays all four extracts."""
+    from knowledge_graph_spark.operators.structured import extract_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    head = F.concat(
+        F.lit('<meta property="og:title" content="Doc '),
+        (k % 13).cast("string"), F.lit('">'),
+        F.when(k % 3 != 0, F.concat(
+            F.lit('<meta property="og:type" content="'),
+            F.when(k % 2 == 0, F.lit("article"))
+            .otherwise(F.lit("website")), F.lit('">')))
+        .otherwise(F.lit("")),
+        F.when(k % 4 != 0, F.concat(
+            F.lit('<meta property="og:url" content="https://w'),
+            (k % 4).cast("string"), F.lit(".example.org/p/"),
+            k.cast("string"), F.lit('">'))).otherwise(F.lit("")),
+        F.when(k % 2 == 0, F.concat(
+            F.lit('<link rel="canonical" href="https://example.org/c/'),
+            (k % 50).cast("string"), F.lit('">'))).otherwise(F.lit("")),
+        F.when(k % 9 == 0,
+               F.lit('<meta property="og:title" content="SHADOW">'))
+        .otherwise(F.lit("")))
+    pages = docs.select(
+        "doc_id", F.concat(head, F.lit(" "), F.col("text")).alias("text"))
+    return extract_meta(pages).orderBy("doc_id")
+
+
+_SQL_OG_META = r"""
+WITH pg AS (
+  SELECT doc_id,
+    '<meta property="og:title" content="Doc ' || (doc_id % 13) || '">'
+    || CASE WHEN doc_id % 3 <> 0
+       THEN '<meta property="og:type" content="'
+            || CASE WHEN doc_id % 2 = 0 THEN 'article'
+               ELSE 'website' END || '">' ELSE '' END
+    || CASE WHEN doc_id % 4 <> 0
+       THEN '<meta property="og:url" content="https://w'
+            || (doc_id % 4) || '.example.org/p/' || doc_id || '">'
+       ELSE '' END
+    || CASE WHEN doc_id % 2 = 0
+       THEN '<link rel="canonical" href="https://example.org/c/'
+            || (doc_id % 50) || '">' ELSE '' END
+    || CASE WHEN doc_id % 9 = 0
+       THEN '<meta property="og:title" content="SHADOW">'
+       ELSE '' END
+    || ' ' || text AS text
+  FROM documents
+)
+SELECT doc_id,
+  NULLIF(regexp_extract(text,
+    '<meta property="og:title" content="([^"]*)"', 1), '') AS og_title,
+  NULLIF(regexp_extract(text,
+    '<meta property="og:type" content="([^"]*)"', 1), '') AS og_type,
+  NULLIF(regexp_extract(text,
+    '<meta property="og:url" content="([^"]*)"', 1), '') AS og_url,
+  NULLIF(regexp_extract(text,
+    '<link rel="canonical" href="([^"]*)"', 1), '') AS canonical
+FROM pg ORDER BY doc_id
+"""
+
+
+def _q_hreflang_pairs(spark, sf_dir):
+    """Markup-declared bitext mining: every page declares an en
+    alternate, 1 of 2 a zh, 1 of 3 a de, and every 5th repeats the
+    en tag verbatim (must fold before pairing); cross-language pairs
+    emit per page with (lang, href)-sorted endpoints. The oracle
+    replays the tag extract, the dedup, and the tuple-ordered
+    triangular self-join."""
+    from knowledge_graph_spark.operators.structured import hreflang_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+
+    def _alt(lang):
+        return F.concat(
+            F.lit('<link rel="alternate" hreflang="'), F.lit(lang),
+            F.lit('" href="https://example.org/'), F.lit(lang),
+            F.lit("/"), k.cast("string"), F.lit('">'))
+
+    head = F.concat(
+        _alt("en"),
+        F.when(k % 2 == 0, _alt("zh")).otherwise(F.lit("")),
+        F.when(k % 3 == 0, _alt("de")).otherwise(F.lit("")),
+        F.when(k % 5 == 0, _alt("en")).otherwise(F.lit("")))
+    pages = docs.select(
+        "doc_id", F.concat(head, F.lit(" "), F.col("text")).alias("text"))
+    return (hreflang_pairs(pages)
+            .orderBy("doc_id", "lang_a", "lang_b"))
+
+
+_SQL_HREFLANG_PAIRS = r"""
+WITH pg AS (
+  SELECT doc_id,
+    '<link rel="alternate" hreflang="en" href="https://example.org/en/'
+      || doc_id || '">'
+    || CASE WHEN doc_id % 2 = 0
+       THEN '<link rel="alternate" hreflang="zh" '
+            || 'href="https://example.org/zh/' || doc_id || '">'
+       ELSE '' END
+    || CASE WHEN doc_id % 3 = 0
+       THEN '<link rel="alternate" hreflang="de" '
+            || 'href="https://example.org/de/' || doc_id || '">'
+       ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+       THEN '<link rel="alternate" hreflang="en" '
+            || 'href="https://example.org/en/' || doc_id || '">'
+       ELSE '' END AS text
+  FROM documents
+),
+tags AS (
+  SELECT DISTINCT doc_id,
+    lower(regexp_extract(m,
+      '<link rel="alternate" hreflang="([a-zA-Z-]+)" href="([^"]*)"',
+      1)) AS lang,
+    regexp_extract(m,
+      '<link rel="alternate" hreflang="([a-zA-Z-]+)" href="([^"]*)"',
+      2) AS href
+  FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text,
+      '<link rel="alternate" hreflang="([a-zA-Z-]+)" href="([^"]*)"',
+      0)) AS m
+    FROM pg)
+)
+SELECT a.doc_id, a.lang AS lang_a, a.href AS href_a,
+       b.lang AS lang_b, b.href AS href_b
+FROM tags a JOIN tags b
+  ON a.doc_id = b.doc_id
+ AND (a.lang, a.href) < (b.lang, b.href)
+ AND a.lang <> b.lang
+ORDER BY a.doc_id, lang_a, lang_b
+"""
+
+
 def _q_ntriples(spark, sf_dir):
     """N-Triples serialization of a synthetic edge set that hits
     every escape rule: subjects with internal whitespace (slug to
@@ -10337,6 +10554,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infobox_triples": _q_infobox,
         "reciprocal_links": _q_reciprocal,
         "microdata_entities": _q_microdata,
+        "sitemap_urls": _q_sitemap_urls,
+        "og_meta": _q_og_meta,
+        "hreflang_pairs": _q_hreflang_pairs,
         "ntriples_export": _q_ntriples,
         "coref_pronouns": _q_coref,
         "bootstrap_relations": _q_bootstrap,
@@ -10566,6 +10786,9 @@ def oracle_sql() -> dict[str, str]:
         "infobox_triples": _SQL_INFOBOX,
         "reciprocal_links": _SQL_RECIPROCAL,
         "microdata_entities": _SQL_MICRODATA,
+        "sitemap_urls": _SQL_SITEMAP_URLS,
+        "og_meta": _SQL_OG_META,
+        "hreflang_pairs": _SQL_HREFLANG_PAIRS,
         "ntriples_export": _SQL_NTRIPLES,
         "coref_pronouns": _SQL_COREF,
         "bootstrap_relations": _SQL_BOOTSTRAP,

@@ -247,3 +247,144 @@ def extract_microdata(pages: DataFrame, id_col: str = "doc_id",
         .filter(F.col("value").isNotNull())
     )
     return types.unionByName(props)
+
+
+# one <url>...</url> entry of a sitemap; (?s) so loc/lastmod may sit
+# on their own lines. RE2-compatible (no lookaround) — the SQL oracle
+# runs the same pattern verbatim.
+_SITEMAP_ENTRY_RE = r"(?s)<url>(.*?)</url>"
+
+
+def extract_sitemap(blobs: DataFrame, id_col: str = "sitemap_id",
+                    xml_col: str = "xml") -> DataFrame:
+    """Sitemap-protocol harvest (sitemaps.org 0.9 — the crawl-
+    scheduling seed every polite crawler reads before fetching): split
+    sitemap XML blobs into their ``<url>`` entries and extract the
+    three load-bearing fields.
+
+    Returns one row per entry: ``(sitemap_id, entry_idx, loc,
+    lastmod, priority)`` — ``entry_idx`` 0-based in blob order,
+    ``loc`` NULL when the entry lacks one (the malformed-entry
+    signal; filter or quarantine downstream, never silently dropped),
+    ``lastmod``/``priority`` NULL when absent.
+
+    Scale shape: one regexp_extract_all + posexplode per blob and
+    three row-local extracts per entry — zero exchange; a sitemap
+    file never crosses a shuffle whole. XML niceties (CDATA, entity
+    escapes, namespaces) are declared out of scope: this is the
+    textual-convention harvest matching how sitemaps are emitted in
+    practice, same contract as the WARC textual split.
+    """
+    entries = F.expr(
+        f"regexp_extract_all({xml_col}, '{_SITEMAP_ENTRY_RE}', 1)")
+    rec = blobs.select(
+        F.col(id_col).alias("sitemap_id"),
+        F.posexplode(entries).alias("entry_idx", "_e"),
+    ).select("sitemap_id",
+             F.col("entry_idx").cast("long").alias("entry_idx"),
+             F.col("_e"))
+
+    def _tag(name):
+        v = F.regexp_extract(
+            F.col("_e"), rf"(?s)<{name}>(.*?)</{name}>", 1)
+        return F.when(v == "", F.lit(None).cast("string")) \
+            .otherwise(F.trim(v))
+
+    return rec.select(
+        "sitemap_id", "entry_idx",
+        _tag("loc").alias("loc"),
+        _tag("lastmod").alias("lastmod"),
+        _tag("priority").alias("priority"),
+    )
+
+
+def extract_meta(pages: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """OpenGraph / canonical-link harvest — the third leg of the
+    markup triad next to :func:`extract_jsonld` and
+    :func:`extract_microdata`: ``<meta property="og:*" content=..>``
+    tags (the OpenGraph protocol, ogp.me) carry the page's own
+    declaration of its title/type/url, and ``<link rel="canonical"
+    href=..>`` is the dedup signal search pipelines trust FIRST —
+    the page naming its own canonical variant, upstream of any
+    content hash.
+
+    Returns one row per page: ``(doc_id, og_title, og_type, og_url,
+    canonical)``, each NULL when the tag is absent. First occurrence
+    wins when a tag repeats (regexp_extract takes the leftmost match
+    in both Java regex and RE2 — the declared tie rule).
+
+    Scale shape: four row-local regexp extracts, zero exchange.
+    """
+
+    def _first(pat):
+        v = F.regexp_extract(F.col(text_col), pat, 1)
+        return F.when(v == "", F.lit(None).cast("string")).otherwise(v)
+
+    def _og(prop):
+        return _first(
+            rf'<meta property="og:{prop}" content="([^"]*)"')
+
+    return pages.select(
+        F.col(id_col).alias("doc_id"),
+        _og("title").alias("og_title"),
+        _og("type").alias("og_type"),
+        _og("url").alias("og_url"),
+        _first(r'<link rel="canonical" href="([^"]*)"')
+        .alias("canonical"),
+    )
+
+
+#: one alternate-language link tag; href/hreflang order fixed by the
+#: emitter convention (declared), keeping the pattern RE2-safe
+_HREFLANG_TAG_RE = (r'<link rel="alternate" hreflang="([a-zA-Z-]+)" '
+                    r'href="([^"]*)"')
+
+
+def hreflang_pairs(pages: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   max_langs: int = 64) -> DataFrame:
+    """Markup-declared bitext mining: ``<link rel="alternate"
+    hreflang=..>`` clusters (the ogp/Google i18n convention) name a
+    page's own translations — the highest-precision parallel-corpus
+    signal a crawl carries, upstream of the content-based
+    :func:`linking.bitext_candidates`. Emits every cross-language
+    pair within a page's alternate cluster: ``(doc_id, lang_a,
+    href_a, lang_b, href_b)`` with ``lang_a < lang_b`` (ties on
+    lang broken by href order; duplicate tags fold first).
+
+    Scale shape: tags extract row-locally; pairs generate IN the
+    per-doc aggregate (sorted struct list -> strict upper triangle
+    via JVM lambdas — the proven ``dedup._bucket_pairs``
+    construction), so no self-join exists and a page's cost is its
+    own alternate count, capped by ``max_langs`` (a runaway tag farm
+    drops whole rather than going quadratic).
+    """
+    tag0 = F.expr(
+        f"regexp_extract_all({text_col}, '{_HREFLANG_TAG_RE}', 0)")
+    tags = pages.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tag0).alias("_t"),
+    ).select(
+        "doc_id",
+        F.lower(F.regexp_extract("_t", _HREFLANG_TAG_RE, 1))
+        .alias("lang"),
+        F.regexp_extract("_t", _HREFLANG_TAG_RE, 2).alias("href"),
+    ).distinct()
+    grouped = (tags.groupBy("doc_id")
+               .agg(F.sort_array(F.collect_list(
+                   F.struct("lang", "href"))).alias("_alts"))
+               .filter(F.size("_alts") <= int(max_langs)))
+    tri = F.flatten(F.transform(
+        "_alts",
+        lambda x, i: F.transform(
+            F.slice("_alts", i + F.lit(2), F.size("_alts")),
+            lambda y: F.struct(
+                x["lang"].alias("lang_a"), x["href"].alias("href_a"),
+                y["lang"].alias("lang_b"), y["href"].alias("href_b")),
+        ),
+    ))
+    return (grouped.select("doc_id", F.explode(tri).alias("_p"))
+            .select("doc_id", "_p.lang_a", "_p.href_a",
+                    "_p.lang_b", "_p.href_b")
+            .filter(F.col("lang_a") != F.col("lang_b")))

@@ -615,3 +615,75 @@ def test_type_check_triples_flags(spark):
            .filter("pred = 'likes'").collect()][0]
     assert lik["domain_ok"] is None and lik["range_ok"] is None
     assert lik["ok"] is True
+
+
+# ------------------------------------------------------- sitemap harvest
+
+
+def test_extract_sitemap_missing_fields_surface_as_null(spark):
+    from knowledge_graph_spark.operators.structured import extract_sitemap
+
+    xml = ("<urlset>"
+           "<url><loc>https://a/1</loc>"
+           "<lastmod>2024-01-02</lastmod></url>"
+           "<url><lastmod>2024-01-03</lastmod></url>"   # no loc
+           "<url><loc> https://a/3 </loc>"              # ws trimmed
+           "<priority>0.8</priority></url>"
+           "</urlset>")
+    blobs = spark.createDataFrame([(7, xml)], "sitemap_id long, xml string")
+    got = {r["entry_idx"]: r for r in extract_sitemap(blobs).collect()}
+    assert len(got) == 3                      # malformed entry KEPT
+    assert got[0]["loc"] == "https://a/1"
+    assert got[0]["priority"] is None
+    assert got[1]["loc"] is None              # quarantine signal
+    assert got[1]["lastmod"] == "2024-01-03"
+    assert got[2]["loc"] == "https://a/3"
+    assert got[2]["priority"] == "0.8"
+
+
+def test_extract_meta_first_wins_and_absent_null(spark):
+    from knowledge_graph_spark.operators.structured import extract_meta
+
+    pages = spark.createDataFrame(
+        [(1, '<meta property="og:title" content="First">'
+             '<meta property="og:title" content="Second">'
+             '<link rel="canonical" href="https://c/x">'),
+         (2, "no markup at all")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in extract_meta(pages).collect()}
+    assert got[1]["og_title"] == "First"      # leftmost match wins
+    assert got[1]["canonical"] == "https://c/x"
+    assert got[1]["og_type"] is None
+    assert all(got[2][c] is None
+               for c in ("og_title", "og_type", "og_url", "canonical"))
+
+
+def test_hreflang_pairs_dedup_cap_and_single_lang(spark):
+    from knowledge_graph_spark.operators.structured import hreflang_pairs
+
+    def alt(lang, href):
+        return (f'<link rel="alternate" hreflang="{lang}" '
+                f'href="{href}">')
+
+    pages = spark.createDataFrame(
+        [(1, alt("en", "https://x/en") + alt("zh", "https://x/zh")
+             + alt("en", "https://x/en")),        # dup folds
+         (2, alt("en", "https://y/en")),           # single lang: no pair
+         (3, alt("EN", "https://z/en") + alt("de", "https://z/de")
+             + alt("fr", "https://z/fr"))],        # case folds, 3 pairs
+        "doc_id long, text string")
+    rows = hreflang_pairs(pages).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["lang_a"], r["lang_b"]))
+    assert by_doc[1] == [("en", "zh")]
+    assert 2 not in by_doc
+    assert sorted(by_doc[3]) == [("de", "en"), ("de", "fr"),
+                                 ("en", "fr")]
+    # megacluster guard: a tag farm above max_langs drops whole
+    farm = "".join(alt(f"l{chr(97 + i)}", f"https://f/{i}")
+                   for i in range(9))
+    fp = spark.createDataFrame([(9, farm)], "doc_id long, text string")
+    assert hreflang_pairs(fp, max_langs=8).count() == 0
+    assert hreflang_pairs(fp, max_langs=9).count() == 36

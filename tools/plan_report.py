@@ -166,6 +166,13 @@ def main():
         "term_dispersion",
         # (seeded_hosts is fixed-round iterative with per-round
         # checkpoints — static plan is the last round only, excluded)
+        # seventh continuation: phonetic blocking census (row-local
+        # translate/regex chain + one code-keyed agg); (kg_ktruss is
+        # iterative peel — static plan is the last round, excluded);
+        # markup-harvest completion: sitemap split (blob-keyed
+        # posexplode), og/canonical meta (zero-exchange codegen),
+        # hreflang pairs (in-aggregate triangular pairing)
+        "phonetic_blocks", "sitemap_urls", "og_meta", "hreflang_pairs",
     ]
     qs = entrymod.queries()
     lines = [
