@@ -1432,19 +1432,84 @@ def spam_mass(edges: DataFrame, trusted: DataFrame, src: str = "src",
     hash-stable output should rank over rounded scores (the
     host_pagerank convention).
 
-    Scale shape: exactly two fixed-iteration rank loops
-    (:func:`pagerank`, :func:`personalized_pagerank` — (id, double)
-    exchanges, one-row dangling broadcasts, per-round
-    localCheckpoint) plus ONE final join keyed by node id.
+    Scale shape: both chains run in ONE fused loop — the state frame
+    carries ``(id, t, pr, tr)``, so each round is one links-join
+    feeding BOTH contribution sums, one two-column dangling
+    broadcast, and one checkpointed update. Per-column arithmetic is
+    exactly the :func:`pagerank` / :func:`personalized_pagerank`
+    recurrences (same expressions, same join/aggregate keys), but
+    the edge list is scanned once per round instead of twice and the
+    sequential job chain is half as long — the wall-clock win at toy
+    scale, and one fewer full rank-exchange per round at any scale.
     """
-    pr = pagerank(edges, src=src, dst=dst, iterations=iterations,
-                  damping=damping)
-    tr = personalized_pagerank(edges, trusted, src=src, dst=dst,
-                               iterations=iterations, damping=damping)
-    return (pr.select("id", F.col("rank").alias("pr"))
-            .join(tr.select("id", F.col("rank").alias("tr")), "id")
-            .select("id", "pr", "tr",
-                    (F.col("pr") - F.col("tr")).alias("mass")))
+    pairs = edges.select(F.col(src).alias("src"),
+                         F.col(dst).alias("dst")).distinct()
+    nodes = (
+        pairs.select(F.col("src").alias("id"))
+        .unionByName(pairs.select(F.col("dst").alias("id")))
+        .distinct().persist()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        nodes.unpersist()
+        return nodes.select("id", F.lit(0.0).alias("pr"),
+                            F.lit(0.0).alias("tr"),
+                            F.lit(0.0).alias("mass"))
+    srcs = trusted.select(F.col(trusted.columns[0]).alias("id")).distinct()
+    flags = (
+        nodes.join(srcs.withColumn("_s", F.lit(1)), "id", "left")
+        .select("id", F.coalesce(F.col("_s"), F.lit(0)).alias("_s"))
+        .localCheckpoint(eager=True)
+    )
+    n_matched = flags.agg(F.sum("_s")).first()[0] or 0
+    if n_matched == 0:
+        raise ValueError(
+            "spam_mass needs >= 1 trusted seed that is an edge "
+            "endpoint (none of the given seeds appear in the graph)")
+    deg = pairs.groupBy("src").agg(F.count("*").alias("deg"))
+    links = pairs.join(deg, "src").persist()
+    dangling = nodes.join(deg, nodes["id"] == deg["src"],
+                          "left_anti").persist()
+
+    base = (1.0 - damping) / n_nodes
+    state = flags.select(
+        "id", (F.col("_s") / F.lit(float(n_matched))).alias("t"),
+        F.lit(1.0 / n_nodes).alias("pr"),
+        (F.col("_s") / F.lit(float(n_matched))).alias("tr"))
+    for _ in range(iterations):
+        contribs = (
+            links.join(state, links["src"] == state["id"])
+            .select(F.col("dst").alias("id"),
+                    (F.col("pr") / F.col("deg")).alias("cp"),
+                    (F.col("tr") / F.col("deg")).alias("ct"))
+            .groupBy("id").agg(F.sum("cp").alias("cp"),
+                               F.sum("ct").alias("ct"))
+        )
+        dang = (
+            state.join(dangling, "id", "left_semi")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dp"),
+                 F.coalesce(F.sum("tr"), F.lit(0.0)).alias("dt"))
+        )
+        state = (
+            state.select("id", "t")
+            .join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "id", "t",
+                (F.lit(base) + F.lit(damping)
+                 * (F.coalesce(F.col("cp"), F.lit(0.0))
+                    + F.col("dp") / F.lit(float(n_nodes)))).alias("pr"),
+                ((1.0 - damping) * F.col("t") + damping
+                 * (F.coalesce(F.col("ct"), F.lit(0.0))
+                    + F.col("dt") * F.col("t"))).alias("tr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    nodes.unpersist()
+    links.unpersist()
+    dangling.unpersist()
+    return state.select("id", "pr", "tr",
+                        (F.col("pr") - F.col("tr")).alias("mass"))
 
 
 def landmark_distances(edges: DataFrame, landmarks: DataFrame,
