@@ -9940,6 +9940,136 @@ ORDER BY p.a, p.b
 """
 
 
+def _q_closeness_census(spark, sf_dir):
+    """Pivot-sampled closeness/eccentricity census (Eppstein & Wang
+    2004) over the part↔supplier graph: BFS from s1/s2/s5 in one
+    composite-key sweep, folded per node into integer sufficient
+    statistics — pivots reached, closeness denominator, observed
+    eccentricity (whose max lower-bounds the diameter). The oracle
+    recomputes the whole index with a recursive CTE and replays the
+    fold."""
+    from knowledge_graph_spark.operators.graph_analytics import (
+        centrality_census)
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    lms = spark.createDataFrame([("s1",), ("s2",), ("s5",)], "id string")
+    return (centrality_census(edges, lms, max_hops=6)
+            .orderBy("id"))
+
+
+_SQL_CLOSENESS_CENSUS = r"""
+WITH RECURSIVE
+e AS (SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst
+      FROM lineitem),
+sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+lms(lm) AS (VALUES ('s1'), ('s2'), ('s5')),
+walk(id, lm, dist) AS (
+  SELECT lm, lm, 0 FROM lms WHERE lm IN (SELECT src FROM sym)
+  UNION
+  SELECT s.dst, w.lm, w.dist + 1
+  FROM walk w JOIN sym s ON s.src = w.id
+  WHERE w.dist < 6
+),
+idx AS (SELECT id, lm, MIN(dist) AS d FROM walk GROUP BY id, lm)
+SELECT id, CAST(COUNT(*) AS BIGINT) AS n_src,
+       CAST(SUM(d) AS BIGINT) AS sum_dist,
+       CAST(MAX(d) AS BIGINT) AS ecc
+FROM idx GROUP BY id ORDER BY id
+"""
+
+
+def _q_graph_stress(spark, sf_dir):
+    """Pivot-sampled stress centrality (Shimbel 1953; Brandes 2001
+    backward accumulation; Bader et al. 2007 pivots) over the
+    part↔supplier graph: exact BIGINT count of s1/s2/s5-sourced
+    shortest paths passing through each node as an interior vertex,
+    horizon 4. The betweenness double rides in the operator API;
+    the driver surface is the integer-exact count, so the oracle —
+    which unrolls the forward sigma levels and the backward r
+    levels explicitly — replays it bit-for-bit."""
+    from knowledge_graph_spark.operators.graph_analytics import (
+        stress_centrality)
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    lms = spark.createDataFrame([("s1",), ("s2",), ("s5",)], "id string")
+    return (stress_centrality(edges, lms, max_hops=4)
+            .select("id", "stress").orderBy("id"))
+
+
+def _graph_stress_sql(hops: int = 4) -> str:
+    """Unrolled sigma-forward / r-backward replay of
+    :func:`stress_centrality` at horizon ``hops``: forward level d
+    sums parent sigmas over the symmetric edge list restricted to
+    min-dist d; backward level d folds each node's successor count
+    ``sum(r_w + 1)`` over the adjacent-depth DAG. Integer-only, so
+    the replay is exact; every SUM is cast to BIGINT (DuckDB
+    HUGEINT hygiene)."""
+    q = r"""WITH RECURSIVE
+e AS MATERIALIZED (SELECT DISTINCT 'p' || l_partkey AS src,
+                          's' || l_suppkey AS dst FROM lineitem),
+sym AS MATERIALIZED (SELECT src, dst FROM e
+                     UNION SELECT dst AS src, src AS dst FROM e),
+lms(lm) AS (VALUES ('s1'), ('s2'), ('s5')),
+walk(id, s, dist) AS (
+  SELECT lm, lm, 0 FROM lms WHERE lm IN (SELECT src FROM sym)
+  UNION
+  SELECT y.dst, w.s, w.dist + 1
+  FROM walk w JOIN sym y ON y.src = w.id
+  WHERE w.dist < """ + str(hops) + r"""
+),
+idx AS MATERIALIZED (SELECT id, s, MIN(dist) AS d FROM walk
+                     GROUP BY id, s),
+sig0 AS MATERIALIZED (SELECT id, s, CAST(1 AS BIGINT) AS sigma
+                      FROM idx WHERE d = 0)"""
+    for d in range(1, hops + 1):
+        q += f""",
+sig{d} AS MATERIALIZED (
+  SELECT i.id, i.s, CAST(SUM(p.sigma) AS BIGINT) AS sigma
+  FROM sig{d - 1} p JOIN sym y ON y.src = p.id
+  JOIN idx i ON i.id = y.dst AND i.s = p.s AND i.d = {d}
+  GROUP BY i.id, i.s)"""
+    parts = " UNION ALL ".join(
+        f"SELECT id, s, {d} AS d, sigma FROM sig{d}"
+        for d in range(hops + 1))
+    q += f""",
+allsig AS MATERIALIZED ({parts}),
+dag AS MATERIALIZED (
+  SELECT a.s, a.id AS u, a.d AS du, b.id AS v
+  FROM allsig a JOIN sym y ON y.src = a.id
+  JOIN allsig b ON b.id = y.dst AND b.s = a.s AND b.d = a.d + 1),
+r{hops} AS MATERIALIZED (SELECT id, s, CAST(0 AS BIGINT) AS r
+                         FROM allsig WHERE d = {hops})"""
+    for d in range(hops - 1, -1, -1):
+        q += f""",
+r{d} AS MATERIALIZED (
+  SELECT n.id, n.s, CAST(COALESCE(x.r, 0) AS BIGINT) AS r
+  FROM (SELECT id, s FROM allsig WHERE d = {d}) n
+  LEFT JOIN (
+    SELECT g.u AS id, g.s, CAST(SUM(w.r + 1) AS BIGINT) AS r
+    FROM dag g JOIN r{d + 1} w ON w.id = g.v AND w.s = g.s
+    WHERE g.du = {d} GROUP BY g.u, g.s) x
+  ON x.id = n.id AND x.s = n.s)"""
+    rall = " UNION ALL ".join(
+        f"SELECT * FROM r{d}" for d in range(hops + 1))
+    q += f""",
+rall AS ({rall})
+SELECT a.id, CAST(SUM(a.sigma * r.r) AS BIGINT) AS stress
+FROM allsig a JOIN rall r ON r.id = a.id AND r.s = a.s
+WHERE a.d > 0 GROUP BY a.id ORDER BY a.id"""
+    return q
+
+
+_SQL_GRAPH_STRESS = _graph_stress_sql()
+
+
 def _q_fd_census(spark, sf_dir):
     """Functional-dependency census (TANE — Huhtala et al. 1999)
     over the part relation: p_partkey->p_brand and p_name->p_brand
@@ -10484,6 +10614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": _q_mirror_hosts,
         "landmark_dists": _q_landmark_dists,
         "landmark_est": _q_landmark_est,
+        "closeness_census": _q_closeness_census,
+        "graph_stress": _q_graph_stress,
         "fd_census": _q_fd_census,
         "fk_census": _q_fk_census,
         "texttiling": _q_texttiling,
@@ -10695,6 +10827,8 @@ def oracle_sql() -> dict[str, str]:
         "mirror_hosts": _SQL_MIRROR_HOSTS,
         "landmark_dists": _SQL_LANDMARK_DISTS,
         "landmark_est": _SQL_LANDMARK_EST,
+        "closeness_census": _SQL_CLOSENESS_CENSUS,
+        "graph_stress": _SQL_GRAPH_STRESS,
         "fd_census": _SQL_FD_CENSUS,
         "fk_census": _SQL_FK_CENSUS,
         "texttiling": _SQL_TEXTTILING,

@@ -1634,3 +1634,172 @@ def assortativity_ingredients(edges: DataFrame, src: str = "src",
         F.sum("_du").cast("long").alias("sx"),
         F.sum(F.col("_du") * F.col("_du")).cast("long").alias("sxx"),
         F.sum(F.col("_du") * F.col("_dv")).cast("long").alias("sxy"))
+
+
+def centrality_census(edges: DataFrame, sources: DataFrame,
+                      src: str = "src", dst: str = "dst",
+                      max_hops: int = 6) -> DataFrame:
+    """Pivot-sampled closeness/eccentricity ingredients (Eppstein &
+    Wang 2004 "Fast approximation of centrality"; Bavelas 1950):
+    BFS hop distances from a deterministic pivot sample, folded per
+    node into the INTEGER sufficient statistics of every classical
+    distance centrality — ``n_src`` pivots reached, ``sum_dist``
+    (closeness denominator), ``ecc`` (max observed distance, an
+    eccentricity lower bound whose max over nodes lower-bounds the
+    diameter). Closeness ``(n_src-1)/sum_dist`` and the Eppstein-
+    Wang extrapolation are row-local divisions for API users;
+    keeping the output integral makes it hash-stable cross-engine.
+
+    Returns ``(id, n_src, sum_dist, ecc)``, all BIGINT.
+
+    Scale shape: ONE composite-key BFS sweep for all pivots
+    (exactly :func:`landmark_distances` — rows are (id, pivot, int)
+    triples, the symmetrized edge list shuffles once and is reused
+    every hop) + one id-keyed aggregate. Pivot count bounds both
+    the frontier width multiplier and the census variance."""
+    idx = landmark_distances(edges, sources, src=src, dst=dst,
+                             max_hops=max_hops)
+    return idx.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_src"),
+        F.sum("dist").cast("long").alias("sum_dist"),
+        F.max("dist").cast("long").alias("ecc"))
+
+
+def stress_centrality(edges: DataFrame, sources: DataFrame,
+                      src: str = "src", dst: str = "dst",
+                      max_hops: int = 6) -> DataFrame:
+    """Pivot-sampled stress and betweenness centrality over the
+    undirected graph (Shimbel 1953 stress; Brandes 2001 dependency
+    accumulation; Bader et al. 2007 pivot sampling): for each pivot
+    ``s`` run a BFS that counts shortest paths ``sigma_s(v)``, then
+    accumulate backward over the shortest-path DAG
+
+    - ``r_s(v) = sum over DAG successors w of (r_s(w) + 1)`` — the
+      number of shortest s-paths CONTINUING strictly through v
+      (integer-exact), so ``stress(v) = sum_s sigma_s(v) * r_s(v)``
+      is Shimbel's count of pivot-sourced shortest paths passing
+      through v as an interior vertex;
+    - ``delta_s(v) = sigma_s(v) * sum over successors w of
+      (1 + delta_s(w)) / sigma_s(w)`` — Brandes' pair dependency,
+      summed into ``betweenness``.
+
+    Returns ``(id, stress, betweenness)`` for every node reached at
+    depth >= 1 from some pivot; ``stress`` is BIGINT and exact (the
+    cross-engine hash surface), ``betweenness`` DOUBLE (rank it
+    over rounded values downstream, the host_pagerank convention).
+    Pivots themselves appear only via OTHER pivots' walks, matching
+    the s != v != t convention. For undirected graphs each (s, t)
+    pair is seen once per pivot endpoint, so full-pivot-set runs
+    report 2x the textbook undirected betweenness.
+
+    Scale shape: forward = one composite ``(pivot, node)`` frontier
+    join per hop against the once-shuffled symmetric edge list with
+    map-side-combinable sigma sums; the DAG is materialized ONCE as
+    ``(pivot, u, du, sigma_u, v)`` rows keyed by adjacent BFS
+    depths; backward = one depth-d slice join per level against the
+    accumulated ``(pivot, node, r, acc)`` frame. Every exchange
+    carries ids and fixed-width numerics only. Path counts grow
+    combinatorially on dense graphs — BIGINT holds to ~2^63, so cap
+    ``max_hops`` (the horizon is also the variance knob) rather
+    than sweeping deep on high-degree webgraphs."""
+    sym = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .unionByName(
+            edges.select(F.col(dst).alias("src"),
+                         F.col(src).alias("dst"))
+            .filter(F.col("src") != F.col("dst")))
+        .distinct()
+        .repartition(F.col("src"))
+        .persist()
+    )
+    piv = sources.select(
+        F.col(sources.columns[0]).alias("s")).distinct()
+    frontier = (
+        piv.join(sym.select(F.col("src").alias("id")).distinct(),
+                 piv["s"] == F.col("id"), "left_semi")
+        .select("s", F.col("s").alias("id"), F.lit(0).alias("dist"),
+                F.lit(1).cast("long").alias("sigma"))
+        .localCheckpoint(eager=True)
+    )
+    full = frontier
+    max_seen = 0
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["id"] == sym["src"])
+            .select("s", F.col("dst").alias("id"), F.col("sigma"))
+            .groupBy("s", "id")
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .join(full.select("s", "id"), ["s", "id"], "left_anti")
+            .select("s", "id", F.lit(hop).alias("dist"), "sigma")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        max_seen = hop
+        full = full.unionByName(nxt)
+        frontier = nxt
+    # shortest-path DAG: (s, u, du, sigma_u, v) for sym edges u->v
+    # with dist_s(v) = dist_s(u) + 1
+    u_side = full.select("s", F.col("id").alias("u"),
+                         F.col("dist").alias("du"),
+                         F.col("sigma").alias("sigma_u"))
+    v_side = full.select(F.col("s").alias("s2"),
+                         F.col("id").alias("v"),
+                         F.col("dist").alias("dv"),
+                         F.col("sigma").alias("sigma_v"))
+    dag = (
+        sym.join(u_side, sym["src"] == u_side["u"])
+        .join(v_side, (sym["dst"] == v_side["v"])
+              & (u_side["s"] == v_side["s2"])
+              & (v_side["dv"] == u_side["du"] + 1))
+        .select("s", "u", "du", "sigma_u", "v", "sigma_v")
+        .persist()
+    )
+    # backward accumulation, deepest level first; acc holds
+    # sum over successors of (1 + delta_w) / sigma_w
+    done = (full.filter(F.col("dist") == max_seen)
+            .select("s", "id", F.lit(0).cast("long").alias("r"),
+                    F.lit(0.0).alias("acc"))
+            .localCheckpoint(eager=True))
+    for d in range(max_seen - 1, -1, -1):
+        succ = (
+            dag.filter(F.col("du") == d)
+            .join(done.select(F.col("s").alias("s3"),
+                              F.col("id").alias("w"),
+                              F.col("r").alias("rw"),
+                              F.col("acc").alias("accw")),
+                  (F.col("v") == F.col("w")) & (F.col("s") == F.col("s3")))
+            .groupBy("s", "u")
+            .agg(F.sum(F.col("rw") + 1).cast("long").alias("r"),
+                 F.sum((F.lit(1.0) + F.col("accw") * F.col("sigma_v"))
+                       / F.col("sigma_v")).alias("acc"))
+        )
+        lvl = (
+            full.filter(F.col("dist") == d).select("s", "id")
+            .join(succ.select(F.col("s").alias("s4"),
+                              F.col("u"), F.col("r"), F.col("acc")),
+                  (F.col("id") == F.col("u")) & (F.col("s") == F.col("s4")),
+                  "left")
+            .select("s", "id",
+                    F.coalesce(F.col("r"), F.lit(0)).cast("long")
+                    .alias("r"),
+                    F.coalesce(F.col("acc"), F.lit(0.0)).alias("acc"))
+            .localCheckpoint(eager=True)
+        )
+        done = done.unionByName(lvl)
+    out = (
+        full.filter(F.col("dist") > 0)
+        .join(done.select(F.col("s").alias("s5"),
+                          F.col("id").alias("id5"),
+                          F.col("r"), F.col("acc")),
+              (F.col("id") == F.col("id5")) & (F.col("s") == F.col("s5")))
+        .groupBy("id")
+        .agg(F.sum(F.col("sigma") * F.col("r")).cast("long")
+             .alias("stress"),
+             F.sum(F.col("sigma") * F.col("acc")).alias("betweenness"))
+    )
+    out = out.localCheckpoint(eager=True)
+    sym.unpersist()
+    dag.unpersist()
+    return out

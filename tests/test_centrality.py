@@ -1,0 +1,93 @@
+# -*- coding: utf-8 -*-
+"""Hand-computed checks for the pivot-sampled centrality suite:
+closeness/eccentricity census, Shimbel stress, Brandes betweenness.
+
+Path graph a-b-c-d, pivot a (sigma = 1 everywhere):
+  r: d=0, c=1, b=2  ->  stress b=2 (a->c, a->d), c=1 (a->d), d=0
+  delta: c=1, b=2   ->  betweenness b=2, c=1
+Diamond a-b, a-c, b-d, c-d, pivot a (sigma_d = 2):
+  stress b=1, c=1, d=0; delta b = c = 0.5.
+"""
+
+import pytest
+
+from knowledge_graph_spark.operators.graph_analytics import (
+    centrality_census, stress_centrality)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def _pivots(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id string")
+
+
+def test_stress_path_single_pivot(spark):
+    out = stress_centrality(
+        _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")]),
+        _pivots(spark, ["a"]))
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == {"b", "c", "d"}
+    assert rows["b"]["stress"] == 2
+    assert rows["c"]["stress"] == 1
+    assert rows["d"]["stress"] == 0
+    assert rows["b"]["betweenness"] == pytest.approx(2.0)
+    assert rows["c"]["betweenness"] == pytest.approx(1.0)
+    assert rows["d"]["betweenness"] == pytest.approx(0.0)
+
+
+def test_stress_path_both_endpoints(spark):
+    out = stress_centrality(
+        _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")]),
+        _pivots(spark, ["a", "d"]))
+    rows = {r["id"]: r for r in out.collect()}
+    # symmetric: each interior node accumulates from both pivots
+    assert rows["b"]["stress"] == 2 + 1
+    assert rows["c"]["stress"] == 1 + 2
+    assert rows["a"]["stress"] == 0  # leaves are never interior
+    assert rows["d"]["stress"] == 0
+    assert rows["b"]["betweenness"] == pytest.approx(3.0)
+
+
+def test_stress_diamond_sigma2(spark):
+    out = stress_centrality(
+        _edges(spark, [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")]),
+        _pivots(spark, ["a"]))
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows["b"]["stress"] == 1
+    assert rows["c"]["stress"] == 1
+    assert rows["d"]["stress"] == 0
+    assert rows["b"]["betweenness"] == pytest.approx(0.5)
+    assert rows["c"]["betweenness"] == pytest.approx(0.5)
+
+
+def test_stress_horizon_bounded(spark):
+    out = stress_centrality(
+        _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")]),
+        _pivots(spark, ["a"]), max_hops=2)
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == {"b", "c"}
+    # d is beyond the horizon: only a->c passes through b
+    assert rows["b"]["stress"] == 1
+    assert rows["c"]["stress"] == 0
+
+
+def test_stress_pivot_not_endpoint(spark):
+    out = stress_centrality(
+        _edges(spark, [("a", "b")]), _pivots(spark, ["z"]))
+    assert out.count() == 0
+
+
+def test_closeness_census_path(spark):
+    out = centrality_census(
+        _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")]),
+        _pivots(spark, ["a", "d"]))
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows["b"]["n_src"] == 2
+    assert rows["b"]["sum_dist"] == 1 + 2
+    assert rows["b"]["ecc"] == 2
+    assert rows["a"]["sum_dist"] == 0 + 3
+    assert rows["a"]["ecc"] == 3
+    # diameter lower bound from the census
+    assert max(r["ecc"] for r in rows.values()) == 3
