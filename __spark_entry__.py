@@ -10070,6 +10070,110 @@ WHERE a.d > 0 GROUP BY a.id ORDER BY a.id"""
 _SQL_GRAPH_STRESS = _graph_stress_sql()
 
 
+def _q_fs_linkage(spark, sf_dir):
+    """Fellegi-Sunter probabilistic record linkage (Fellegi &
+    Sunter, JASA 1969; EM per Winkler 1988) over blocked customer
+    pairs (block = custkey % 97): three field comparators
+    (nationkey, mktsegment, account-balance cent residue mod 7 — an
+    integer-exact proxy for a noisy numeric field) fold to the
+    bounded agreement-pattern census, EM fits the latent
+    match/non-match mixture driver-side over those ≤ 8 rows (the
+    BPE-trainer convention), and the driver surface is the
+    integer-exact (pattern, n, w_rank) triple — rank over 6-dp
+    weight. The oracle rebuilds the census and unrolls all 15 EM
+    iterations with the engine's exact arithmetic shape."""
+    from knowledge_graph_spark.operators.linking import fellegi_sunter
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        (F.col("c_custkey") % 97).alias("b"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        (F.round(F.col("c_acctbal") * 100).cast("long") % 7)
+        .alias("ph"))
+    rhs = cust.select(F.col("k").alias("k2"), F.col("b").alias("b2"),
+                      F.col("nat").alias("nat2"),
+                      F.col("seg").alias("seg2"),
+                      F.col("ph").alias("ph2"))
+    pairs = (cust.join(rhs, (F.col("b") == F.col("b2"))
+                       & (F.col("k") < F.col("k2")))
+             .select((F.col("nat") == F.col("nat2")).alias("a_nat"),
+                     (F.col("seg") == F.col("seg2")).alias("a_seg"),
+                     (F.col("ph") == F.col("ph2")).alias("a_ph")))
+    return (fellegi_sunter(pairs, ["a_nat", "a_seg", "a_ph"])
+            .select("pattern", "n", "w_rank").orderBy("pattern"))
+
+
+def _fs_linkage_sql(iters: int = 15) -> str:
+    """Unrolled EM replay of :func:`fellegi_sunter` over the
+    customer pair census: CASE-selected factors (no pow), products
+    left-associated in field order, LEAST/GREATEST clamps with the
+    engine's literals, FILTER-ed numerators matching Python's
+    conditional sums. Scientific-notation literals keep every
+    constant DOUBLE (a bare 0.1 is DECIMAL in DuckDB)."""
+    pm = ("(CASE WHEN (c.pattern >> 0) & 1 = 1 THEN pp.m0 "
+          "ELSE 1.0::DOUBLE - pp.m0 END) * "
+          "(CASE WHEN (c.pattern >> 1) & 1 = 1 THEN pp.m1 "
+          "ELSE 1.0::DOUBLE - pp.m1 END) * "
+          "(CASE WHEN (c.pattern >> 2) & 1 = 1 THEN pp.m2 "
+          "ELSE 1.0::DOUBLE - pp.m2 END)")
+    pu = pm.replace("pp.m", "pp.u")
+    q = r"""WITH cust AS MATERIALIZED (
+  SELECT c_custkey AS k, c_custkey % 97 AS b, c_nationkey AS nat,
+         c_mktsegment AS seg,
+         CAST(round(c_acctbal * 100) AS BIGINT) % 7 AS ph
+  FROM customer),
+census AS MATERIALIZED (
+  SELECT CAST((CASE WHEN a.nat = b.nat THEN 1 ELSE 0 END)
+       + 2 * (CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END)
+       + 4 * (CASE WHEN a.ph = b.ph THEN 1 ELSE 0 END) AS BIGINT)
+         AS pattern,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM cust a JOIN cust b ON a.b = b.b AND a.k < b.k
+  GROUP BY 1),
+tot AS MATERIALIZED (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM census),
+par0 AS MATERIALIZED (
+  SELECT 1e-1::DOUBLE AS p,
+         9e-1::DOUBLE AS m0, 9e-1::DOUBLE AS m1, 9e-1::DOUBLE AS m2,
+         1e-1::DOUBLE AS u0, 1e-1::DOUBLE AS u1, 1e-1::DOUBLE AS u2)"""
+    for t in range(iters):
+        q += f""",
+w{t} AS MATERIALIZED (
+  SELECT c.pattern, c.n,
+         (pp.p * ({pm}))
+         / (pp.p * ({pm}) + (1.0::DOUBLE - pp.p) * ({pu})) AS post
+  FROM census c CROSS JOIN par{t} pp)"""
+        clamps = []
+        clamps.append(
+            "LEAST(GREATEST(SUM(n * post) / (SELECT t FROM tot), "
+            "1e-6), 1.0 - 1e-6) AS p")
+        for k in range(3):
+            clamps.append(
+                f"LEAST(GREATEST(COALESCE(SUM(n * post) FILTER "
+                f"(WHERE (pattern >> {k}) & 1 = 1), 0.0::DOUBLE) "
+                f"/ SUM(n * post), 1e-6), 1.0 - 1e-6) AS m{k}")
+        for k in range(3):
+            clamps.append(
+                f"LEAST(GREATEST(COALESCE(SUM(n * (1.0::DOUBLE - post)) "
+                f"FILTER (WHERE (pattern >> {k}) & 1 = 1), 0.0::DOUBLE) "
+                f"/ SUM(n * (1.0::DOUBLE - post)), 1e-6), 1.0 - 1e-6) "
+                f"AS u{k}")
+        q += f""",
+par{t + 1} AS MATERIALIZED (SELECT {', '.join(clamps)} FROM w{t})"""
+    q += f"""
+SELECT pattern, n,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY round(log2(({pm.replace('pp.', 'q.')})
+                        / ({pu.replace('pp.', 'q.')})), 6) DESC,
+                  pattern) AS BIGINT) AS w_rank
+FROM census c CROSS JOIN par{iters} q
+ORDER BY pattern"""
+    return q
+
+
+_SQL_FS_LINKAGE = _fs_linkage_sql()
+
+
 def _q_fd_census(spark, sf_dir):
     """Functional-dependency census (TANE — Huhtala et al. 1999)
     over the part relation: p_partkey->p_brand and p_name->p_brand
@@ -10616,6 +10720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_est": _q_landmark_est,
         "closeness_census": _q_closeness_census,
         "graph_stress": _q_graph_stress,
+        "fs_linkage": _q_fs_linkage,
         "fd_census": _q_fd_census,
         "fk_census": _q_fk_census,
         "texttiling": _q_texttiling,
@@ -10829,6 +10934,7 @@ def oracle_sql() -> dict[str, str]:
         "landmark_est": _SQL_LANDMARK_EST,
         "closeness_census": _SQL_CLOSENESS_CENSUS,
         "graph_stress": _SQL_GRAPH_STRESS,
+        "fs_linkage": _SQL_FS_LINKAGE,
         "fd_census": _SQL_FD_CENSUS,
         "fk_census": _SQL_FK_CENSUS,
         "texttiling": _SQL_TEXTTILING,

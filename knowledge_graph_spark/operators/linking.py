@@ -608,3 +608,99 @@ def align_entities(kb_a: DataFrame, kb_b: DataFrame,
             .join(counts_b.withColumnRenamed("s", "subj_b"), "subj_b")
             .select("subj_a", "subj_b", "n_shared", "n_facts_a",
                     "n_facts_b"))
+
+
+def fs_pattern_census(pairs: DataFrame,
+                      agree_cols: list) -> DataFrame:
+    """Agreement-pattern census for probabilistic record linkage
+    (Fellegi & Sunter, JASA 1969): fold candidate pairs to one row
+    per agreement pattern — ``pattern`` packs the 0/1 field
+    comparators little-endian (field k contributes ``a_k * 2^k``)
+    — with its BIGINT pair count. The bounded (≤ 2^K rows) census
+    is the sufficient statistic for every γ-based linkage model, so
+    nothing per-pair ever leaves the executors.
+
+    Scale shape: one map-side-combinable aggregate keyed by the
+    packed pattern int; exchange rows are ``(int, long)``."""
+    pat = None
+    for k, c in enumerate(agree_cols):
+        term = F.when(F.col(c), F.lit(1 << k)).otherwise(F.lit(0))
+        pat = term if pat is None else pat + term
+    return (pairs.groupBy(pat.cast("long").alias("pattern"))
+            .agg(F.count("*").cast("long").alias("n")))
+
+
+def _fs_em(census: list, n_fields: int, iterations: int = 15):
+    """Driver-side EM for the Fellegi-Sunter latent match/non-match
+    mixture over the COLLECTED pattern census (Winkler 1988) —
+    metadata-scale by construction (≤ 2^K rows), the same
+    driver-loop convention as the BPE trainer. Arithmetic is kept
+    in the exact shape the SQL oracle replays: CASE-style factor
+    selection (no pow), left-associated products in field order,
+    clamps via min/max with the same literals."""
+    lo, hi = 1e-6, 1.0 - 1e-6
+    p = 0.1
+    m = [0.9] * n_fields
+    u = [0.1] * n_fields
+    rows = sorted(census)  # (pattern, n)
+    for _ in range(iterations):
+        stats = []
+        for pattern, n in rows:
+            pm, pu = 1.0, 1.0
+            for k in range(n_fields):
+                a = (pattern >> k) & 1
+                pm = pm * (m[k] if a else 1.0 - m[k])
+                pu = pu * (u[k] if a else 1.0 - u[k])
+            post = (p * pm) / (p * pm + (1.0 - p) * pu)
+            stats.append((pattern, n, post))
+        tot = float(sum(n for _, n, _ in stats))
+        sp = sum(n * post for _, n, post in stats)
+        sq = sum(n * (1.0 - post) for _, n, post in stats)
+        p = min(max(sp / tot, lo), hi)
+        for k in range(n_fields):
+            num_m = sum(n * post for pat, n, post in stats
+                        if (pat >> k) & 1)
+            num_u = sum(n * (1.0 - post) for pat, n, post in stats
+                        if (pat >> k) & 1)
+            m[k] = min(max(num_m / sp, lo), hi)
+            u[k] = min(max(num_u / sq, lo), hi)
+    out = []
+    for pattern, n in rows:
+        pm, pu = 1.0, 1.0
+        for k in range(n_fields):
+            a = (pattern >> k) & 1
+            pm = pm * (m[k] if a else 1.0 - m[k])
+            pu = pu * (u[k] if a else 1.0 - u[k])
+        post = (p * pm) / (p * pm + (1.0 - p) * pu)
+        import math
+        weight = math.log2(pm / pu)
+        out.append((pattern, n, weight, post))
+    return out, p, m, u
+
+
+def fellegi_sunter(pairs: DataFrame, agree_cols: list,
+                   iterations: int = 15) -> DataFrame:
+    """Fellegi-Sunter probabilistic linkage weights (Fellegi &
+    Sunter 1969; EM fitting per Winkler 1988): per agreement
+    pattern, the pair count, the log2 match weight
+    ``log2 P(γ|M)/P(γ|U)``, and the EM posterior match
+    probability. The distributed work is the pattern census
+    (:func:`fs_pattern_census`); EM runs driver-side over the
+    ≤ 2^K census rows.
+
+    Returns ``(pattern, n, weight, posterior, w_rank)`` — ``w_rank``
+    is the integer rank over 6-dp-rounded weight (ties by pattern),
+    the hash-stable projection for cross-engine checks; ``weight``/
+    ``posterior`` are doubles for API users."""
+    census = [(r["pattern"], r["n"])
+              for r in fs_pattern_census(pairs, agree_cols).collect()]
+    if not census:
+        raise ValueError("fellegi_sunter: no candidate pairs")
+    rows, _, _, _ = _fs_em(census, len(agree_cols), iterations)
+    ranked = sorted(rows, key=lambda r: (-round(r[2], 6), r[0]))
+    spark = pairs.sparkSession
+    return spark.createDataFrame(
+        [(p, n, w, post, i + 1)
+         for i, (p, n, w, post) in enumerate(ranked)],
+        "pattern long, n long, weight double, posterior double, "
+        "w_rank long").orderBy("pattern")

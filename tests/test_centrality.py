@@ -91,3 +91,31 @@ def test_closeness_census_path(spark):
     assert rows["a"]["ecc"] == 3
     # diameter lower bound from the census
     assert max(r["ecc"] for r in rows.values()) == 3
+
+
+def test_fellegi_sunter_separates_mixture(spark):
+    from knowledge_graph_spark.operators.linking import (
+        fellegi_sunter, fs_pattern_census)
+    # 40 clear matches (all three fields agree), 160 clear
+    # non-matches (none agree), 10 noisy rows per side
+    rows = ([(True, True, True)] * 40 + [(False, False, False)] * 160
+            + [(True, True, False)] * 10 + [(False, False, True)] * 10)
+    pairs = spark.createDataFrame(
+        rows, "a_f1 boolean, a_f2 boolean, a_f3 boolean")
+    census = {r["pattern"]: r["n"] for r in
+              fs_pattern_census(
+                  pairs, ["a_f1", "a_f2", "a_f3"]).collect()}
+    assert census == {7: 40, 0: 160, 3: 10, 4: 10}
+    out = {r["pattern"]: r for r in
+           fellegi_sunter(pairs, ["a_f1", "a_f2", "a_f3"]).collect()}
+    assert out[7]["w_rank"] == 1          # all-agree ranks first
+    assert out[7]["posterior"] > 0.9
+    assert out[0]["posterior"] < 0.1
+    assert out[7]["weight"] > out[3]["weight"] > out[0]["weight"]
+
+
+def test_fellegi_sunter_empty_raises(spark):
+    from knowledge_graph_spark.operators.linking import fellegi_sunter
+    pairs = spark.createDataFrame([], "a boolean, b boolean")
+    with pytest.raises(ValueError):
+        fellegi_sunter(pairs, ["a", "b"])
