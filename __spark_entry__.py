@@ -10174,6 +10174,36 @@ ORDER BY pattern"""
 _SQL_FS_LINKAGE = _fs_linkage_sql()
 
 
+def _q_snm_pairs(spark, sf_dir):
+    """Sorted-neighborhood ER blocking (Hernández & Stolfo, SIGMOD
+    1995) over customers ordered by account-balance cents: every
+    pair within a 3-record sliding window of the global sort —
+    similar balances become candidate pairs without any equality
+    block. The engine ranks via order-preserving range slices (no
+    single-node sort); the oracle replays the window with one
+    ROW_NUMBER and a rank-band join."""
+    from knowledge_graph_spark.operators.linking import (
+        sorted_neighborhood)
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"))
+    return (sorted_neighborhood(cust, "cents", "id", window=3,
+                                slice_width=5000)
+            .orderBy("a", "b"))
+
+
+_SQL_SNM_PAIRS = r"""
+WITH c AS (SELECT c_custkey AS id,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS k
+           FROM customer),
+r AS (SELECT id, ROW_NUMBER() OVER (ORDER BY k, id) - 1 AS g FROM c)
+SELECT a.id AS a, b.id AS b, CAST(b.g - a.g AS BIGINT) AS gap
+FROM r a JOIN r b ON b.g > a.g AND b.g - a.g < 3
+ORDER BY a, b
+"""
+
+
 def _q_fd_census(spark, sf_dir):
     """Functional-dependency census (TANE — Huhtala et al. 1999)
     over the part relation: p_partkey->p_brand and p_name->p_brand
@@ -10721,6 +10751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_census": _q_closeness_census,
         "graph_stress": _q_graph_stress,
         "fs_linkage": _q_fs_linkage,
+        "snm_pairs": _q_snm_pairs,
         "fd_census": _q_fd_census,
         "fk_census": _q_fk_census,
         "texttiling": _q_texttiling,
@@ -10935,6 +10966,7 @@ def oracle_sql() -> dict[str, str]:
         "closeness_census": _SQL_CLOSENESS_CENSUS,
         "graph_stress": _SQL_GRAPH_STRESS,
         "fs_linkage": _SQL_FS_LINKAGE,
+        "snm_pairs": _SQL_SNM_PAIRS,
         "fd_census": _SQL_FD_CENSUS,
         "fk_census": _SQL_FK_CENSUS,
         "texttiling": _SQL_TEXTTILING,

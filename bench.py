@@ -126,7 +126,7 @@ def main():
         "texttiling", "column_census", "event_changepoints",
         "event_trends", "warc_records", "assortativity",
         "heaps_census", "term_dispersion",
-        "closeness_census", "graph_stress", "fs_linkage",
+        "closeness_census", "graph_stress", "fs_linkage", "snm_pairs",
     ]
     qs = entrymod.queries()
     for name in headliners:

@@ -119,3 +119,29 @@ def test_fellegi_sunter_empty_raises(spark):
     pairs = spark.createDataFrame([], "a boolean, b boolean")
     with pytest.raises(ValueError):
         fellegi_sunter(pairs, ["a", "b"])
+
+
+def test_sorted_neighborhood_window3(spark):
+    from knowledge_graph_spark.operators.linking import (
+        sorted_neighborhood)
+    # keys sort as: x(10), y(10), z(25), w(3007), v(3009)
+    # (tie 10/10 broken by id: x < y); slice_width=1000 forces a
+    # slice boundary between z and w
+    items = spark.createDataFrame(
+        [("x", 10), ("y", 10), ("z", 25), ("w", 3007), ("v", 3009)],
+        "id string, k long")
+    out = sorted_neighborhood(items, "k", "id", window=3,
+                              slice_width=1000)
+    pairs = {(r["a"], r["b"]): r["gap"] for r in out.collect()}
+    assert pairs == {
+        ("x", "y"): 1, ("x", "z"): 2, ("y", "z"): 1,
+        ("y", "w"): 2, ("z", "w"): 1, ("z", "v"): 2, ("w", "v"): 1,
+    }
+
+
+def test_sorted_neighborhood_bad_window(spark):
+    from knowledge_graph_spark.operators.linking import (
+        sorted_neighborhood)
+    items = spark.createDataFrame([("x", 1)], "id string, k long")
+    with pytest.raises(ValueError):
+        sorted_neighborhood(items, "k", "id", window=1)
