@@ -9664,6 +9664,117 @@ FROM r{iters} r JOIN p{iters} p ON r.id = p.id ORDER BY pos"""
 _SQL_HOST_SPAM_MASS = _host_spam_mass_sql()
 
 
+def _q_host_salsa(spark, sf_dir):
+    """SALSA hub/authority analysis (Lempel & Moran, WWW 2000) over
+    the same synthesized host-citation graph as host_pagerank,
+    via the exact closed form (component share × within-component
+    degree fraction) instead of power iteration. The driver surface
+    is the integer-exact ingredient tuple — the double score is one
+    row-local division for API users — and the oracle recomputes
+    degrees, the star-reduced support components (recursive CTE),
+    and the component folds."""
+    from knowledge_graph_spark.operators.graph_analytics import salsa
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _host(prefix, expr, domain):
+        return F.concat(F.lit(prefix), expr.cast("string"), F.lit(domain))
+
+    a, b, c = (F.col("doc_id") % 89), (F.col("doc_id") % 97), \
+        (F.col("doc_id") % 83)
+    src = _host("src-", a, ".example.com")
+    cite = _host("cite-", b, ".example.org")
+    mirror = _host("mirror-", c, ".example.net")
+    mirror_b = _host("mirror-", b % 83, ".example.net")
+    src_c = _host("src-", c, ".example.com")
+    edges = (
+        docs.select(src.alias("src"), cite.alias("dst"))
+        .unionByName(docs.select(src.alias("src"), mirror.alias("dst")))
+        .unionByName(docs.select(cite.alias("src"),
+                                 mirror_b.alias("dst")))
+        .unionByName(docs.select(mirror.alias("src"),
+                                 src_c.alias("dst")))
+    )
+    return (salsa(edges)
+            .select("id", "side", "deg", "comp_size", "comp_deg",
+                    "n_side")
+            .orderBy("side", "id"))
+
+
+_SQL_HOST_SALSA = r"""
+WITH RECURSIVE docs AS MATERIALIZED (SELECT doc_id FROM documents),
+e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'src-' || CAST(doc_id % 89 AS VARCHAR) || '.example.com' AS src,
+           'cite-' || CAST(doc_id % 97 AS VARCHAR) || '.example.org' AS dst
+    FROM docs
+    UNION ALL
+    SELECT 'src-' || CAST(doc_id % 89 AS VARCHAR) || '.example.com',
+           'mirror-' || CAST(doc_id % 83 AS VARCHAR) || '.example.net'
+    FROM docs
+    UNION ALL
+    SELECT 'cite-' || CAST(doc_id % 97 AS VARCHAR) || '.example.org',
+           'mirror-' || CAST((doc_id % 97) % 83 AS VARCHAR) || '.example.net'
+    FROM docs
+    UNION ALL
+    SELECT 'mirror-' || CAST(doc_id % 83 AS VARCHAR) || '.example.net',
+           'src-' || CAST(doc_id % 83 AS VARCHAR) || '.example.com'
+    FROM docs
+  )
+),
+din AS MATERIALIZED (SELECT dst AS id, CAST(COUNT(*) AS BIGINT) AS deg
+                     FROM e GROUP BY dst),
+dout AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+                      FROM e GROUP BY src),
+ar AS MATERIALIZED (SELECT src, MIN(dst) AS root FROM e GROUP BY src),
+astar AS MATERIALIZED (
+  SELECT DISTINCT r.root AS u, e.dst AS v
+  FROM e JOIN ar r ON e.src = r.src WHERE r.root <> e.dst),
+asym AS MATERIALIZED (SELECT u, v FROM astar
+                      UNION SELECT v AS u, u AS v FROM astar),
+areach(node, lab) AS (
+  SELECT u, u FROM asym
+  UNION
+  SELECT s.v, r.lab FROM areach r JOIN asym s ON s.u = r.node),
+acomp AS MATERIALIZED (SELECT node, MIN(lab) AS comp FROM areach
+                       GROUP BY node),
+alab AS MATERIALIZED (
+  SELECT d.id, d.deg, COALESCE(c.comp, d.id) AS comp
+  FROM din d LEFT JOIN acomp c ON c.node = d.id),
+astats AS MATERIALIZED (
+  SELECT comp, CAST(COUNT(*) AS BIGINT) AS comp_size,
+         CAST(SUM(deg) AS BIGINT) AS comp_deg
+  FROM alab GROUP BY comp),
+hr AS MATERIALIZED (SELECT dst, MIN(src) AS root FROM e GROUP BY dst),
+hstar AS MATERIALIZED (
+  SELECT DISTINCT r.root AS u, e.src AS v
+  FROM e JOIN hr r ON e.dst = r.dst WHERE r.root <> e.src),
+hsym AS MATERIALIZED (SELECT u, v FROM hstar
+                      UNION SELECT v AS u, u AS v FROM hstar),
+hreach(node, lab) AS (
+  SELECT u, u FROM hsym
+  UNION
+  SELECT s.v, r.lab FROM hreach r JOIN hsym s ON s.u = r.node),
+hcomp AS MATERIALIZED (SELECT node, MIN(lab) AS comp FROM hreach
+                       GROUP BY node),
+hlab AS MATERIALIZED (
+  SELECT d.id, d.deg, COALESCE(c.comp, d.id) AS comp
+  FROM dout d LEFT JOIN hcomp c ON c.node = d.id),
+hstats AS MATERIALIZED (
+  SELECT comp, CAST(COUNT(*) AS BIGINT) AS comp_size,
+         CAST(SUM(deg) AS BIGINT) AS comp_deg
+  FROM hlab GROUP BY comp)
+SELECT id, 'authority' AS side, deg, comp_size, comp_deg,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM alab) AS n_side
+FROM alab JOIN astats USING (comp)
+UNION ALL
+SELECT id, 'hub' AS side, deg, comp_size, comp_deg,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM hlab) AS n_side
+FROM hlab JOIN hstats USING (comp)
+ORDER BY side, id
+"""
+
+
 def _q_golden_record(spark, sf_dir):
     """Field-level survivorship over resolved duplicate clusters
     (Talburt 2011; Bleiholder & Naumann 2008): customers fold to
@@ -10752,6 +10863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_stress": _q_graph_stress,
         "fs_linkage": _q_fs_linkage,
         "snm_pairs": _q_snm_pairs,
+        "host_salsa": _q_host_salsa,
         "fd_census": _q_fd_census,
         "fk_census": _q_fk_census,
         "texttiling": _q_texttiling,
@@ -10967,6 +11079,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_stress": _SQL_GRAPH_STRESS,
         "fs_linkage": _SQL_FS_LINKAGE,
         "snm_pairs": _SQL_SNM_PAIRS,
+        "host_salsa": _SQL_HOST_SALSA,
         "fd_census": _SQL_FD_CENSUS,
         "fk_census": _SQL_FK_CENSUS,
         "texttiling": _SQL_TEXTTILING,

@@ -1803,3 +1803,78 @@ def stress_centrality(edges: DataFrame, sources: DataFrame,
     sym.unpersist()
     dag.unpersist()
     return out
+
+
+def salsa(edges: DataFrame, src: str = "src",
+          dst: str = "dst") -> DataFrame:
+    """SALSA link analysis (Lempel & Moran, WWW 2000): hub and
+    authority scores from the stationary distribution of the
+    alternating backward/forward random walk on the bipartite
+    hub↔authority view of the link graph. Computed in CLOSED FORM
+    rather than by power iteration — Lempel & Moran's Proposition 2:
+    within a connected component ``C`` of the authority support
+    graph (authorities adjacent iff co-cited by some hub), the
+    stationary authority weight is
+
+        score(i) = (|C| / |A|) * din(i) / din(C)
+
+    (component share times within-component in-degree fraction), and
+    symmetrically for hubs over out-degrees on the co-reference
+    graph. The closed form is exact, iteration-free, and all its
+    ingredients are INTEGERS — ``(deg, comp_size, comp_deg,
+    n_side)`` — so the result is hash-stable cross-engine and the
+    derived double is one row-local division.
+
+    Returns ``(id, side, deg, comp_size, comp_deg, n_side, score)``
+    with ``side`` in {'authority', 'hub'}.
+
+    Scale shape: one distinct-edge fold; per side one degree
+    aggregate, one min-per-block star reduction (co-citation
+    connectivity via (min co-endpoint, endpoint) STAR edges — never
+    the quadratic co-citation pair set), one
+    :func:`~knowledge_graph_spark.operators.components.connected_components`
+    run over those |E|-bounded star edges, and one component
+    aggregate broadcast back. Every exchange carries (id, id) or
+    (id, long) rows only."""
+    from knowledge_graph_spark.operators.components import (
+        connected_components)
+
+    pairs = (edges.select(F.col(src).alias("src"),
+                          F.col(dst).alias("dst"))
+             .distinct().persist())
+
+    def _side(end_col: str, other_col: str, side_name: str):
+        deg = (pairs.groupBy(F.col(end_col).alias("id"))
+               .agg(F.count("*").cast("long").alias("deg")))
+        # star edges: every endpoint of a shared co-endpoint links to
+        # the minimum such endpoint — same components as the full
+        # co-citation graph, linear in |E|
+        roots = (pairs.groupBy(other_col)
+                 .agg(F.min(end_col).alias("_root")))
+        star = (pairs.join(roots, other_col)
+                .select(F.col("_root").alias("u"),
+                        F.col(end_col).alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct())
+        comp = connected_components(star)
+        lab = (deg.join(comp, deg["id"] == comp["node"], "left")
+               .select("id", "deg",
+                       F.coalesce(F.col("component"), F.col("id"))
+                       .alias("comp")))
+        stats = (lab.groupBy("comp")
+                 .agg(F.count("*").cast("long").alias("comp_size"),
+                      F.sum("deg").cast("long").alias("comp_deg")))
+        tot = lab.agg(F.count("*").cast("long").alias("n_side"))
+        return (lab.join(F.broadcast(stats), "comp")
+                .crossJoin(F.broadcast(tot))
+                .select("id", F.lit(side_name).alias("side"), "deg",
+                        "comp_size", "comp_deg", "n_side",
+                        ((F.col("comp_size") / F.col("n_side"))
+                         * (F.col("deg") / F.col("comp_deg")))
+                        .alias("score")))
+
+    out = (_side("dst", "src", "authority")
+           .unionByName(_side("src", "dst", "hub")))
+    out = out.localCheckpoint(eager=True)
+    pairs.unpersist()
+    return out

@@ -145,3 +145,26 @@ def test_sorted_neighborhood_bad_window(spark):
     items = spark.createDataFrame([("x", 1)], "id string, k long")
     with pytest.raises(ValueError):
         sorted_neighborhood(items, "k", "id", window=1)
+
+
+def test_salsa_closed_form(spark):
+    from knowledge_graph_spark.operators.graph_analytics import salsa
+    edges = spark.createDataFrame(
+        [("h1", "a"), ("h1", "b"), ("h2", "b"), ("h2", "c"),
+         ("h3", "d")], "src string, dst string")
+    out = {(r["side"], r["id"]): r for r in salsa(edges).collect()}
+    # authority component {a,b,c} (co-cited chain), singleton {d}
+    assert out[("authority", "b")]["deg"] == 2
+    assert out[("authority", "b")]["comp_size"] == 3
+    assert out[("authority", "b")]["comp_deg"] == 4
+    assert out[("authority", "b")]["score"] == pytest.approx(0.375)
+    assert out[("authority", "a")]["score"] == pytest.approx(0.1875)
+    assert out[("authority", "d")]["score"] == pytest.approx(0.25)
+    # hub side: {h1,h2} share b; h3 alone; scores all 1/3
+    for h in ("h1", "h2", "h3"):
+        assert out[("hub", h)]["score"] == pytest.approx(1 / 3)
+    # stationary: each side sums to 1
+    assert sum(r["score"] for k, r in out.items()
+               if k[0] == "authority") == pytest.approx(1.0)
+    assert sum(r["score"] for k, r in out.items()
+               if k[0] == "hub") == pytest.approx(1.0)
