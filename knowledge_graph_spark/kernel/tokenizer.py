@@ -207,7 +207,7 @@ def _person_match(text: str, pos: int) -> str | None:
         return None
     for L in (3, 2, 1):
         name = text[pos : pos + L]
-        if len(name) < L or not all(_RE_CJK.match(c) for c in name):
+        if len(name) < L or not all("一" <= c <= "鿿" for c in name):
             continue
         rest = text[pos + L :]
         if any(rest.startswith(cue) for cue in V.PERSON_CUES):
@@ -267,8 +267,12 @@ def tokenize(text: str) -> Doc:
     while pos < n:
         ch = text[pos]
 
-        m = _RE_WS.match(text, pos)
-        if m:
+        # first-char guards: each regex below can only match when its
+        # guard holds (verified over the whole BMP: \s ⊆ isspace,
+        # \d ⊆ isdigit), so skipping the .match() calls on the CJK
+        # fast path changes nothing but wall-clock
+        if ch.isspace():
+            m = _RE_WS.match(text, pos)
             flush_unknown()
             pos = m.end()
             prev_text = ""
@@ -281,7 +285,7 @@ def tokenize(text: str) -> Doc:
             end = text.find(close, pos + 1)
             if 0 < end <= pos + 11:
                 inner = text[pos + 1 : end]
-                if inner and all(_RE_CJK.match(c) for c in inner):
+                if inner and all("一" <= c <= "鿿" for c in inner):
                     emit(ch, pos, "PUNCT")
                     emit(inner, pos + 1, "PROPN", "ORG")
                     emit(close, end, "PUNCT")
@@ -299,33 +303,41 @@ def tokenize(text: str) -> Doc:
             pos += 1
             continue
 
-        m = _RE_DATE.match(text, pos)
-        if m:
-            emit(m.group(), pos, "NOUN", "DATE")
-            prev_text = m.group()
-            pos = m.end()
-            continue
-        m = _RE_MONEY.match(text, pos)
-        if m:
-            emit(m.group(), pos, "NOUN", "MONEY")
-            prev_text = m.group()
-            pos = m.end()
-            continue
-        m = _RE_PERCENT.match(text, pos)
-        if m:
-            emit(m.group(), pos, "NOUN", "PERCENT")
-            prev_text = m.group()
-            pos = m.end()
-            continue
         if ch.isdigit():
+            m = _RE_DATE.match(text, pos)
+            if m:
+                emit(m.group(), pos, "NOUN", "DATE")
+                prev_text = m.group()
+                pos = m.end()
+                continue
+            m = _RE_MONEY.match(text, pos)
+            if m:
+                emit(m.group(), pos, "NOUN", "MONEY")
+                prev_text = m.group()
+                pos = m.end()
+                continue
+            m = _RE_PERCENT.match(text, pos)
+            if m:
+                emit(m.group(), pos, "NOUN", "PERCENT")
+                prev_text = m.group()
+                pos = m.end()
+                continue
             m = _RE_NUMBER.match(text, pos)
             if m:
                 emit(m.group(), pos, "NUM", "CARDINAL")
                 prev_text = m.group()
                 pos = m.end()
                 continue
-        m = _RE_ASCII.match(text, pos)
-        if m:
+        elif ch == "百":
+            # the only non-digit PERCENT opener (百分之…)
+            m = _RE_PERCENT.match(text, pos)
+            if m:
+                emit(m.group(), pos, "NOUN", "PERCENT")
+                prev_text = m.group()
+                pos = m.end()
+                continue
+        if ("A" <= ch <= "Z") or ("a" <= ch <= "z"):
+            m = _RE_ASCII.match(text, pos)
             emit(m.group(), pos, "NOUN")
             prev_text = m.group()
             pos = m.end()
