@@ -36,6 +36,7 @@ _RE_PERCENT = re.compile(r"\d+(?:\.\d+)?%|ç™¾åˆ†ä¹‹[\dä¸€äºŒä¸‰å››äº”å…­ä¸ƒå…«ä¹
 _RE_NUMBER = re.compile(r"\d+(?:\.\d+)?(?:äº¿|ä¸‡|åƒ|ç™¾ä¸‡)?|[ä¸€äºŒä¸‰å››äº”å…­ä¸ƒå…«ä¹åç™¾åƒä¸‡äº¿]{1,6}")
 _RE_ASCII = re.compile(r"[A-Za-z][A-Za-z0-9_\-\.]*")
 _RE_CJK = re.compile(r"[ä¸€-é¿¿]")
+_CJK_NUMERALS = frozenset("ä¸€äºŒä¸‰å››äº”å…­ä¸ƒå…«ä¹åç™¾åƒä¸‡äº¿")
 
 _OPEN_QUOTES = "â€œã€Œã€Ž\""
 _CLOSE_FOR = {"â€œ": "â€", "ã€Œ": "ã€", "ã€Ž": "ã€", '"': '"'}
@@ -80,7 +81,7 @@ for _w, _p in _LEXICON:
     _LEX_BY_FIRST.setdefault(_w[0], []).append((_w, _p))
 
 
-@dataclass
+@dataclass(slots=True)
 class Token:
     i: int          # token index in document order
     text: str
@@ -89,7 +90,7 @@ class Token:
     ner: str | None = None   # model-NER hint (PERSON/ORG/GPE/DATE/...)
 
 
-@dataclass
+@dataclass(slots=True)
 class Sentence:
     start: int      # first token index (inclusive)
     end: int        # last token index (exclusive)
@@ -433,13 +434,16 @@ def tokenize(text: str) -> Doc:
             pos += len(word)
             continue
 
-        # CJK numerals (checked after the lexicon so ä¸€ä¸ª stays DET)
-        m = _RE_NUMBER.match(text, pos)
-        if m:
-            emit(m.group(), pos, "NUM", "CARDINAL")
-            prev_text = m.group()
-            pos = m.end()
-            continue
+        # CJK numerals (checked after the lexicon so ä¸€ä¸ª stays DET);
+        # guarded â€” _RE_NUMBER's CJK alternative can only start on one
+        # of these 13 numeral chars (digits were consumed above)
+        if ch in _CJK_NUMERALS:
+            m = _RE_NUMBER.match(text, pos)
+            if m:
+                emit(m.group(), pos, "NUM", "CARDINAL")
+                prev_text = m.group()
+                pos = m.end()
+                continue
 
         # unknown char: buffer; consecutive unknowns merge to one NOUN
         pending_unknown.append((ch, pos))
