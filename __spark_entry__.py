@@ -9775,6 +9775,87 @@ ORDER BY side, id
 """
 
 
+def _q_ds_labels(spark, sf_dir):
+    """Dawid-Skene crowd-label aggregation (Dawid & Skene, JRSS-C
+    1979) over five synthetic raters of deterministic reliability
+    (noise rates 5/10/20/35/50% via an integer hash of (doc, rater))
+    voting on a binary document property: 10 EM iterations re-synced
+    to a 9-dp lattice each step (module convention — see
+    operators/labels.py), driver surface integer-only (vote counts
+    + hard label). The oracle replays the vote synthesis and unrolls
+    all ten EM rounds with the engine's exact arithmetic shape."""
+    from knowledge_graph_spark.operators.labels import dawid_skene
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    raters = spark.createDataFrame(
+        [(0, 5), (1, 10), (2, 20), (3, 35), (4, 50)],
+        "w long, noise long")
+    t = F.when(F.col("doc_id") % 3 == 0, F.lit(1)).otherwise(F.lit(0))
+    flip = F.when(
+        ((F.col("doc_id") + F.col("w")) * F.lit(2654435761)) % 100
+        < F.col("noise"), F.lit(1)).otherwise(F.lit(0))
+    votes = (docs.crossJoin(F.broadcast(raters))
+             .select(F.col("doc_id").alias("item"),
+                     F.col("w").alias("worker"),
+                     ((t + flip) % 2).alias("label")))
+    items, _workers = dawid_skene(votes, iterations=10)
+    return (items.select("item", "n_votes", "n_pos", "label_hat")
+            .orderBy("item"))
+
+
+def _ds_labels_sql(iters: int = 10) -> str:
+    """Unrolled 10-round EM replay of :func:`dawid_skene` over the
+    synthesized rater votes. Every update rounds to 9 dp exactly
+    where the engine does, clamps with the same literals, and keeps
+    products in log space (ln/exp of identical 9-dp inputs), so the
+    replay stays on the engine's lattice."""
+    cl = "LEAST(GREATEST(round({x}, 9), 1e-6), 1.0 - 1e-6)"
+    q = r"""WITH docs AS MATERIALIZED (SELECT doc_id FROM documents),
+raters(w, noise) AS (VALUES (0, 5), (1, 10), (2, 20), (3, 35),
+                            (4, 50)),
+v AS MATERIALIZED (
+  SELECT doc_id AS item, w AS worker,
+         ((CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN ((doc_id + w) * 2654435761) % 100 < noise
+             THEN 1 ELSE 0 END)) % 2 AS y
+  FROM docs CROSS JOIN raters),
+q0 AS MATERIALIZED (SELECT item, round(AVG(y), 9) AS q FROM v
+                    GROUP BY item),
+ni AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM q0)"""
+    for i in range(iters):
+        alpha = cl.format(x="SUM(q.q * v.y) / SUM(q.q)")
+        beta = cl.format(
+            x="SUM((1.0 - q.q) * (1 - v.y)) / SUM(1.0 - q.q)")
+        p = cl.format(x="SUM(q) / (SELECT n FROM ni)")
+        q += f""",
+par{i} AS MATERIALIZED (
+  SELECT v.worker, {alpha} AS alpha, {beta} AS beta
+  FROM v JOIN q{i} q ON q.item = v.item GROUP BY v.worker),
+pr{i} AS MATERIALIZED (SELECT {p} AS p FROM q{i}),
+q{i + 1} AS MATERIALIZED (
+  SELECT s.item, round(1.0 / (1.0 + exp(-s.z)), 9) AS q FROM (
+    SELECT v.item,
+           round(SUM(CASE WHEN v.y = 1 THEN ln(p.alpha)
+                          ELSE ln(1.0 - p.alpha) END
+                   - CASE WHEN v.y = 1 THEN ln(1.0 - p.beta)
+                          ELSE ln(p.beta) END)
+                 + ln((SELECT p FROM pr{i}))
+                 - ln(1.0 - (SELECT p FROM pr{i})), 9) AS z
+    FROM v JOIN par{i} p ON p.worker = v.worker
+    GROUP BY v.item) s)"""
+    q += f"""
+SELECT v.item, CAST(COUNT(*) AS BIGINT) AS n_votes,
+       CAST(SUM(v.y) AS BIGINT) AS n_pos,
+       CAST(CASE WHEN MIN(q.q) > 0.5 THEN 1 ELSE 0 END AS BIGINT)
+         AS label_hat
+FROM v JOIN q{iters} q ON q.item = v.item
+GROUP BY v.item ORDER BY v.item"""
+    return q
+
+
+_SQL_DS_LABELS = _ds_labels_sql()
+
+
 def _q_golden_record(spark, sf_dir):
     """Field-level survivorship over resolved duplicate clusters
     (Talburt 2011; Bleiholder & Naumann 2008): customers fold to
@@ -10864,6 +10945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_linkage": _q_fs_linkage,
         "snm_pairs": _q_snm_pairs,
         "host_salsa": _q_host_salsa,
+        "ds_labels": _q_ds_labels,
         "fd_census": _q_fd_census,
         "fk_census": _q_fk_census,
         "texttiling": _q_texttiling,
@@ -11080,6 +11162,7 @@ def oracle_sql() -> dict[str, str]:
         "fs_linkage": _SQL_FS_LINKAGE,
         "snm_pairs": _SQL_SNM_PAIRS,
         "host_salsa": _SQL_HOST_SALSA,
+        "ds_labels": _SQL_DS_LABELS,
         "fd_census": _SQL_FD_CENSUS,
         "fk_census": _SQL_FK_CENSUS,
         "texttiling": _SQL_TEXTTILING,

@@ -168,3 +168,35 @@ def test_salsa_closed_form(spark):
                if k[0] == "authority") == pytest.approx(1.0)
     assert sum(r["score"] for k, r in out.items()
                if k[0] == "hub") == pytest.approx(1.0)
+
+
+def test_dawid_skene_recovers_truth(spark):
+    from knowledge_graph_spark.operators.labels import dawid_skene
+    rows = []
+    for i in range(30):
+        t = i % 2
+        for w, vote in (("a", t), ("b", t), ("c", t),
+                        ("d", 1 - t), ("e", 1)):
+            rows.append((i, w, vote))
+    votes = spark.createDataFrame(
+        rows, "item long, worker string, label int")
+    items, workers = dawid_skene(votes)
+    it = {r["item"]: r for r in items.collect()}
+    assert all(it[i]["label_hat"] == i % 2 for i in range(30))
+    assert it[0]["n_votes"] == 5
+    assert it[1]["n_pos"] == 4          # t=1: a,b,c vote 1, e votes 1
+    wk = {r["worker"]: r for r in workers.collect()}
+    # reliable raters: high sensitivity and specificity
+    for w in ("a", "b", "c"):
+        assert wk[w]["alpha"] > 0.95 and wk[w]["beta"] > 0.95
+    # adversarial rater: inverted profile
+    assert wk["d"]["alpha"] < 0.05 and wk["d"]["beta"] < 0.05
+    # always-1 rater: perfect sensitivity, zero specificity
+    assert wk["e"]["alpha"] > 0.95 and wk["e"]["beta"] < 0.05
+
+
+def test_dawid_skene_empty_raises(spark):
+    from knowledge_graph_spark.operators.labels import dawid_skene
+    votes = spark.createDataFrame([], "item long, worker string, label int")
+    with pytest.raises(ValueError):
+        dawid_skene(votes)
