@@ -9856,6 +9856,46 @@ GROUP BY v.item ORDER BY v.item"""
 _SQL_DS_LABELS = _ds_labels_sql()
 
 
+def _q_rich_club(spark, sf_dir):
+    """Rich-club census (Zhou & Mondragón 2004) over the
+    part↔supplier graph at degree thresholds 1/2/4/8/16/32: node
+    and edge counts above each threshold — phi(k) is a row-local
+    division. The oracle recomputes the canonical undirected edge
+    set, both degree tags, and every threshold fold."""
+    from knowledge_graph_spark.operators.graph_analytics import (
+        rich_club_census)
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    return (rich_club_census(edges, [1, 2, 4, 8, 16, 32])
+            .orderBy("k"))
+
+
+_SQL_RICH_CLUB = r"""
+WITH e AS (SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst
+           FROM lineitem),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e WHERE src <> dst),
+sym AS (SELECT a AS u, b AS v FROM und
+        UNION ALL SELECT b AS u, a AS v FROM und),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+tagged AS (SELECT da.d AS pa, db.d AS pb
+           FROM und JOIN deg da ON da.u = und.a
+                    JOIN deg db ON db.u = und.b),
+ks(k) AS (VALUES (1), (2), (4), (8), (16), (32))
+SELECT CAST(k AS BIGINT) AS k,
+       (SELECT CAST(COALESCE(SUM(CASE WHEN d > k THEN 1 ELSE 0 END), 0)
+               AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(COALESCE(SUM(CASE WHEN pa > k AND pb > k
+                             THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM tagged) AS n_edges
+FROM ks ORDER BY k
+"""
+
+
 def _q_golden_record(spark, sf_dir):
     """Field-level survivorship over resolved duplicate clusters
     (Talburt 2011; Bleiholder & Naumann 2008): customers fold to
@@ -10946,6 +10986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_pairs": _q_snm_pairs,
         "host_salsa": _q_host_salsa,
         "ds_labels": _q_ds_labels,
+        "rich_club": _q_rich_club,
         "fd_census": _q_fd_census,
         "fk_census": _q_fk_census,
         "texttiling": _q_texttiling,
@@ -11163,6 +11204,7 @@ def oracle_sql() -> dict[str, str]:
         "snm_pairs": _SQL_SNM_PAIRS,
         "host_salsa": _SQL_HOST_SALSA,
         "ds_labels": _SQL_DS_LABELS,
+        "rich_club": _SQL_RICH_CLUB,
         "fd_census": _SQL_FD_CENSUS,
         "fk_census": _SQL_FK_CENSUS,
         "texttiling": _SQL_TEXTTILING,

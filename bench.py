@@ -127,7 +127,7 @@ def main():
         "event_trends", "warc_records", "assortativity",
         "heaps_census", "term_dispersion",
         "closeness_census", "graph_stress", "fs_linkage", "snm_pairs",
-        "host_salsa", "ds_labels",
+        "host_salsa", "ds_labels", "rich_club",
     ]
     qs = entrymod.queries()
     for name in headliners:

@@ -1878,3 +1878,53 @@ def salsa(edges: DataFrame, src: str = "src",
     out = out.localCheckpoint(eager=True)
     pairs.unpersist()
     return out
+
+
+def rich_club_census(edges: DataFrame, ks: list,
+                     src: str = "src", dst: str = "dst") -> DataFrame:
+    """Rich-club ingredients (Zhou & Mondragón 2004; Colizza et al.,
+    Nature Physics 2006): for each degree threshold ``k``, the number
+    of nodes with degree > k and the number of undirected edges with
+    BOTH endpoints above the threshold. The rich-club coefficient
+    ``phi(k) = 2 E_k / (N_k (N_k - 1))`` is a row-local division for
+    API users; the census stays integral (the cross-engine hash
+    surface). The k-profile separates hub-interconnected webgraphs
+    (rich clubs: mirror farms, link exchanges) from hub-and-spoke
+    topologies.
+
+    Returns ``(k, n_nodes, n_edges)``, all BIGINT, one row per
+    requested threshold (thresholds with no qualifying nodes emit
+    ``(k, 0, 0)``).
+
+    Scale shape: one degree aggregate over the canonical undirected
+    edge set, two id-keyed joins to tag each edge with its endpoint
+    degrees, then ONE pass over the tagged edges producing all
+    thresholds via conditional aggregation (the threshold list rides
+    in the plan — no per-k scan)."""
+    und = _undirected(edges, src, dst)
+    sym = (und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .unionByName(und.select(F.col("b").alias("u"),
+                                   F.col("a").alias("v"))))
+    deg = sym.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    ks = sorted(set(int(k) for k in ks))
+    if not ks:
+        raise ValueError("rich_club_census: need >= 1 threshold")
+    node_rows = deg.agg(*[
+        F.sum(F.when(F.col("d") > k, 1).otherwise(0)).cast("long")
+        .alias(f"n{k}") for k in ks])
+    tagged = (und
+              .join(deg.select(F.col("u").alias("a"),
+                               F.col("d").alias("_da")), "a")
+              .join(deg.select(F.col("u").alias("b"),
+                               F.col("d").alias("_db")), "b"))
+    edge_rows = tagged.agg(*[
+        F.sum(F.when((F.col("_da") > k) & (F.col("_db") > k), 1)
+              .otherwise(0)).cast("long").alias(f"e{k}") for k in ks])
+    both = node_rows.crossJoin(edge_rows)
+    out = None
+    for k in ks:
+        row = both.select(F.lit(k).cast("long").alias("k"),
+                          F.col(f"n{k}").alias("n_nodes"),
+                          F.col(f"e{k}").alias("n_edges"))
+        out = row if out is None else out.unionByName(row)
+    return out

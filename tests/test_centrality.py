@@ -200,3 +200,22 @@ def test_dawid_skene_empty_raises(spark):
     votes = spark.createDataFrame([], "item long, worker string, label int")
     with pytest.raises(ValueError):
         dawid_skene(votes)
+
+
+def test_rich_club_census(spark):
+    from knowledge_graph_spark.operators.graph_analytics import (
+        rich_club_census)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d")],
+        "src string, dst string")
+    out = {r["k"]: (r["n_nodes"], r["n_edges"])
+           for r in rich_club_census(edges, [0, 1, 2, 5]).collect()}
+    assert out == {0: (4, 4), 1: (3, 3), 2: (1, 0), 5: (0, 0)}
+
+
+def test_rich_club_empty_ks(spark):
+    from knowledge_graph_spark.operators.graph_analytics import (
+        rich_club_census)
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        rich_club_census(edges, [])
