@@ -9896,6 +9896,83 @@ FROM ks ORDER BY k
 """
 
 
+def _q_yule_census(spark, sf_dir):
+    """Yule's characteristic K ingredients per language slice (Yule
+    1944) — the length-robust lexical-diversity / template-content
+    alarm, integer-only over the repo-canonical word tokenization.
+    The oracle recomputes the per-slice term frequencies and the
+    three folds."""
+    from knowledge_graph_spark.operators.textstats import yule_census
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "text")
+    return yule_census(docs).orderBy("slice")
+
+
+_SQL_YULE_CENSUS = r"""
+WITH w AS (
+  SELECT lang AS slice,
+         unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+           x -> x != '')) AS w
+  FROM documents),
+f AS (SELECT slice, w, CAST(COUNT(*) AS BIGINT) AS f
+      FROM w GROUP BY slice, w)
+SELECT slice, CAST(SUM(f) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(f * f) AS BIGINT) AS sum_f_sq
+FROM f GROUP BY slice ORDER BY slice
+"""
+
+
+def _q_distinct_terms(spark, sf_dir):
+    """Distinctive-term extraction English-vs-Romance/Germanic via
+    log-odds with informative Dirichlet prior (Monroe, Colaresi &
+    Quinn 2008 "Fightin' Words"): top-50 most-English terms by
+    z-scored prior-smoothed log-odds. Counts are exact integers, z
+    is row-local arithmetic on them rounded to 6 dp, ranks break
+    ties by term — hash-stable. The oracle replays the counts, the
+    formula (same literal shapes), and the ranking."""
+    from knowledge_graph_spark.operators.textstats import log_odds_terms
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "text")
+    return (log_odds_terms(docs, "en", ["de", "es", "fr"],
+                           min_count=5, top_k=50)
+            .orderBy("rank"))
+
+
+_SQL_DISTINCT_TERMS = r"""
+WITH ta AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+           x -> x != '')) AS w
+  FROM documents WHERE lang IN ('en')),
+tb AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+           x -> x != '')) AS w
+  FROM documents WHERE lang IN ('de', 'es', 'fr')),
+ca AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f_a FROM ta GROUP BY w),
+cb AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f_b FROM tb GROUP BY w),
+na AS (SELECT CAST(COALESCE(SUM(f_a), 0) AS BIGINT) AS n_a FROM ca),
+nb AS (SELECT CAST(COALESCE(SUM(f_b), 0) AS BIGINT) AS n_b FROM cb),
+j AS (
+  SELECT COALESCE(ca.w, cb.w) AS w,
+         COALESCE(f_a, 0) AS f_a, COALESCE(f_b, 0) AS f_b
+  FROM ca FULL JOIN cb ON ca.w = cb.w
+  WHERE COALESCE(f_a, 0) + COALESCE(f_b, 0) >= 5),
+s AS (
+  SELECT w, f_a, f_b,
+         round((ln((f_a + 1e-2) / ((SELECT n_a FROM na) - f_a + 1e-2))
+              - ln((f_b + 1e-2) / ((SELECT n_b FROM nb) - f_b + 1e-2)))
+               / sqrt(1.0 / (f_a + 1e-2) + 1.0 / (f_b + 1e-2)),
+               6) AS z
+  FROM j)
+SELECT w AS term, f_a, f_b, z,
+       CAST(ROW_NUMBER() OVER (ORDER BY z DESC, w) AS BIGINT) AS rank
+FROM s QUALIFY rank <= 50 ORDER BY rank
+"""
+
+
 def _q_golden_record(spark, sf_dir):
     """Field-level survivorship over resolved duplicate clusters
     (Talburt 2011; Bleiholder & Naumann 2008): customers fold to
@@ -10987,6 +11064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_salsa": _q_host_salsa,
         "ds_labels": _q_ds_labels,
         "rich_club": _q_rich_club,
+        "yule_census": _q_yule_census,
+        "distinct_terms": _q_distinct_terms,
         "fd_census": _q_fd_census,
         "fk_census": _q_fk_census,
         "texttiling": _q_texttiling,
@@ -11205,6 +11284,8 @@ def oracle_sql() -> dict[str, str]:
         "host_salsa": _SQL_HOST_SALSA,
         "ds_labels": _SQL_DS_LABELS,
         "rich_club": _SQL_RICH_CLUB,
+        "yule_census": _SQL_YULE_CENSUS,
+        "distinct_terms": _SQL_DISTINCT_TERMS,
         "fd_census": _SQL_FD_CENSUS,
         "fk_census": _SQL_FK_CENSUS,
         "texttiling": _SQL_TEXTTILING,

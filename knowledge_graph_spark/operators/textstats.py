@@ -1454,3 +1454,104 @@ def term_dispersion(docs: DataFrame, id_col: str = "doc_id",
                  F.count("*").cast("long").alias("df"),
                  F.max("_tf").cast("long").alias("max_tf"))
             .filter(F.col("cf") >= int(min_cf)))
+
+
+def yule_census(docs: DataFrame, slice_col: str = "lang",
+                text_col: str = "text") -> DataFrame:
+    """Yule's characteristic K ingredients per corpus slice (Yule,
+    "The Statistical Study of Literary Vocabulary", 1944): the
+    classic repeat-rate / lexical-diversity statistic
+
+        K = 10^4 * (S2 - N) / N^2,   S2 = sum over types of f^2
+
+    — N tokens, V types, S2 the repeat-rate second moment. K is
+    length-robust (unlike raw type/token ratio) and is the standard
+    stylometry / corpus-drift alarm: template-generated or
+    boilerplate-heavy slices spike K. The census stays INTEGER —
+    ``(slice, n_tokens, n_types, sum_f_sq)`` — so it hashes stably
+    cross-engine; K is a row-local division for API users.
+
+    Tokenization is the repo-canonical :func:`word_tokens`, the same
+    vocabulary as Zipf / Heaps / PMI so the censuses compose.
+
+    Scale shape: one explode + (slice, term)-keyed count with
+    map-side combine (exchange bounded by per-slice vocabulary),
+    then one slice-keyed fold. Terms never co-occur on any wire."""
+    from ..functions.vectors import word_tokens
+
+    freqs = (docs.select(F.col(slice_col).alias("slice"),
+                         F.explode(word_tokens(text_col)).alias("w"))
+             .groupBy("slice", "w")
+             .agg(F.count("*").cast("long").alias("f")))
+    return (freqs.groupBy("slice")
+            .agg(F.sum("f").cast("long").alias("n_tokens"),
+                 F.count("*").cast("long").alias("n_types"),
+                 F.sum(F.col("f") * F.col("f")).cast("long")
+                 .alias("sum_f_sq")))
+
+
+def log_odds_terms(docs: DataFrame, group_a, group_b,
+                   slice_col: str = "lang", text_col: str = "text",
+                   alpha: float = 0.01, min_count: int = 5,
+                   top_k: int = 50) -> DataFrame:
+    """Distinctive-term extraction between two corpus slices via
+    log-odds with an informative Dirichlet prior (Monroe, Colaresi &
+    Quinn 2008, "Fightin' Words" — the corpus-comparison method that
+    fixes naive log-ratio's low-frequency explosions): for term w
+    with counts ``f_a, f_b`` and slice totals ``n_a, n_b``,
+
+        delta_w = ln((f_a + a) / (n_a - f_a + a))
+                - ln((f_b + a) / (n_b - f_b + a))
+        z_w     = delta_w / sqrt(1/(f_a + a) + 1/(f_b + a))
+
+    Returns the ``top_k`` most-a-distinctive terms: ``(term, f_a,
+    f_b, z)`` with ``z`` rounded to 6 dp, ranked by (rounded z desc,
+    term) — counts are exact integers and z is row-local arithmetic
+    on them, so the output is hash-stable cross-engine.
+
+    Scale shape: one explode + (slice, term) count per side
+    (vocabulary-bounded, map-side combined), a full outer join on
+    the term key, two one-row total aggregates broadcast in-plan,
+    then a salt-free top-k over the already-vocabulary-bounded
+    scored frame."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import word_tokens
+
+    def _counts(group):
+        vals = group if isinstance(group, (list, tuple)) else [group]
+        return (docs.filter(F.col(slice_col).isin(list(vals)))
+                .select(F.explode(word_tokens(text_col)).alias("w"))
+                .groupBy("w")
+                .agg(F.count("*").cast("long").alias("f")))
+
+    ca = _counts(group_a)
+    cb = _counts(group_b)
+    joined = (ca.select("w", F.col("f").alias("f_a"))
+              .join(cb.select("w", F.col("f").alias("f_b")),
+                    "w", "full")
+              .select("w",
+                      F.coalesce(F.col("f_a"), F.lit(0)).alias("f_a"),
+                      F.coalesce(F.col("f_b"), F.lit(0)).alias("f_b"))
+              .filter(F.col("f_a") + F.col("f_b") >= min_count))
+    na = ca.agg(F.coalesce(F.sum("f"), F.lit(0)).alias("n_a"))
+    nb = cb.agg(F.coalesce(F.sum("f"), F.lit(0)).alias("n_b"))
+    a = float(alpha)
+    scored = (joined.crossJoin(F.broadcast(na))
+              .crossJoin(F.broadcast(nb))
+              .select("w", "f_a", "f_b",
+                      F.round(
+                          (F.log((F.col("f_a") + a)
+                                 / (F.col("n_a") - F.col("f_a") + a))
+                           - F.log((F.col("f_b") + a)
+                                   / (F.col("n_b") - F.col("f_b") + a)))
+                          / F.sqrt(1.0 / (F.col("f_a") + a)
+                                   + 1.0 / (F.col("f_b") + a)),
+                          6).alias("z")))
+    w = Window.partitionBy(F.pmod(F.col("f_a"), F.lit(1))).orderBy(
+        F.col("z").desc(), F.col("w"))
+    return (scored
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= top_k)
+            .select(F.col("w").alias("term"), "f_a", "f_b", "z",
+                    "rank"))

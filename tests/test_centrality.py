@@ -219,3 +219,35 @@ def test_rich_club_empty_ks(spark):
     edges = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError):
         rich_club_census(edges, [])
+
+
+def test_yule_census_hand_counts(spark):
+    from knowledge_graph_spark.operators.textstats import yule_census
+    docs = spark.createDataFrame(
+        [("en", "the cat the dog"), ("en", "the cat"),
+         ("zh", "one two three")],
+        "lang string, text string")
+    out = {r["slice"]: r for r in yule_census(docs).collect()}
+    # en: tokens the×3 cat×2 dog×1 -> N=6 V=3 S2=9+4+1=14
+    assert (out["en"]["n_tokens"], out["en"]["n_types"],
+            out["en"]["sum_f_sq"]) == (6, 3, 14)
+    assert (out["zh"]["n_tokens"], out["zh"]["n_types"],
+            out["zh"]["sum_f_sq"]) == (3, 3, 3)
+    # K = 1e4 (S2 - N) / N^2
+    assert 1e4 * (14 - 6) / 36 == pytest.approx(2222.2, abs=0.1)
+
+
+def test_log_odds_terms_distinctive(spark):
+    from knowledge_graph_spark.operators.textstats import log_odds_terms
+    docs = spark.createDataFrame(
+        [("a", "alpha alpha alpha shared shared")] * 5
+        + [("b", "beta beta beta shared shared")] * 5,
+        "lang string, text string")
+    out = log_odds_terms(docs, "a", "b", min_count=5,
+                         top_k=3).collect()
+    ranked = [r["term"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked[0] == "alpha"          # most a-distinctive
+    assert "beta" in ranked              # most negative z still in k=3
+    za = {r["term"]: r["z"] for r in out}
+    assert za["alpha"] > 0 > za["beta"]
+    assert abs(za["shared"]) < 1.0
