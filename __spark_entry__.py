@@ -8564,6 +8564,55 @@ def _q_er_eval(spark, sf_dir):
     return er_pair_metrics(pred, gold)
 
 
+def _q_bcubed_eval(spark, sf_dir):
+    """B-cubed ER evaluation (Bagga & Baldwin 1998; Amigó et al.
+    2009) of the SAME planted canonicalization er_eval grades
+    pairwise — the complementary per-item view that weights
+    giant-cluster mistakes linearly instead of quadratically.
+    Integer ingredients per customer: predicted-cluster size, gold-
+    cluster size, overlap; P/R are row-local averages downstream.
+    The oracle recomputes the three counts from the same CASE
+    expression."""
+    from knowledge_graph_spark.operators.linking import bcubed_ingredients
+
+    cust = _t(spark, sf_dir, "customer")
+    gold = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string"))
+        .alias("cluster"))
+    pred = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.when(F.col("c_custkey") % 13 == 0,
+               F.concat(F.lit("s"), F.col("c_custkey").cast("string")))
+        .when(F.col("c_custkey") % 10 == 0,
+              F.concat(F.lit("n"),
+                       ((F.col("c_nationkey") + 1) % 25).cast("string")))
+        .otherwise(F.concat(F.lit("n"),
+                            F.col("c_nationkey").cast("string")))
+        .alias("cluster"))
+    return bcubed_ingredients(pred, gold).orderBy("id")
+
+
+_SQL_BCUBED_EVAL = r"""
+WITH j AS (
+  SELECT c_custkey AS id,
+    CASE WHEN c_custkey % 13 = 0 THEN 's' || CAST(c_custkey AS VARCHAR)
+         WHEN c_custkey % 10 = 0
+           THEN 'n' || CAST((c_nationkey + 1) % 25 AS VARCHAR)
+         ELSE 'n' || CAST(c_nationkey AS VARCHAR) END AS c,
+    'n' || CAST(c_nationkey AS VARCHAR) AS g
+  FROM customer),
+cs AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS c_size FROM j GROUP BY c),
+gs AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS g_size FROM j GROUP BY g),
+cell AS (SELECT c, g, CAST(COUNT(*) AS BIGINT) AS overlap
+         FROM j GROUP BY c, g)
+SELECT j.id, cs.c_size, gs.g_size, cell.overlap
+FROM j JOIN cs USING (c) JOIN gs USING (g)
+       JOIN cell ON cell.c = j.c AND cell.g = j.g
+ORDER BY j.id
+"""
+
+
 _SQL_ER_EVAL = r"""
 WITH j AS (
   SELECT c_custkey AS id,
@@ -11066,6 +11115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club": _q_rich_club,
         "yule_census": _q_yule_census,
         "distinct_terms": _q_distinct_terms,
+        "bcubed_eval": _q_bcubed_eval,
         "fd_census": _q_fd_census,
         "fk_census": _q_fk_census,
         "texttiling": _q_texttiling,
@@ -11286,6 +11336,7 @@ def oracle_sql() -> dict[str, str]:
         "rich_club": _SQL_RICH_CLUB,
         "yule_census": _SQL_YULE_CENSUS,
         "distinct_terms": _SQL_DISTINCT_TERMS,
+        "bcubed_eval": _SQL_BCUBED_EVAL,
         "fd_census": _SQL_FD_CENSUS,
         "fk_census": _SQL_FK_CENSUS,
         "texttiling": _SQL_TEXTTILING,

@@ -128,7 +128,7 @@ def main():
         "heaps_census", "term_dispersion",
         "closeness_census", "graph_stress", "fs_linkage", "snm_pairs",
         "host_salsa", "ds_labels", "rich_club",
-        "yule_census", "distinct_terms",
+        "yule_census", "distinct_terms", "bcubed_eval",
     ]
     qs = entrymod.queries()
     for name in headliners:

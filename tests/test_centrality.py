@@ -251,3 +251,25 @@ def test_log_odds_terms_distinctive(spark):
     za = {r["term"]: r["z"] for r in out}
     assert za["alpha"] > 0 > za["beta"]
     assert abs(za["shared"]) < 1.0
+
+
+def test_bcubed_ingredients(spark):
+    from knowledge_graph_spark.operators.linking import bcubed_ingredients
+    pred = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (4, "B")],
+        "id long, cluster string")
+    gold = spark.createDataFrame(
+        [(1, "X"), (2, "X"), (3, "X"), (4, "Y")],
+        "id long, cluster string")
+    out = {r["id"]: r for r in bcubed_ingredients(pred, gold).collect()}
+    assert (out[1]["c_size"], out[1]["g_size"], out[1]["overlap"]) \
+        == (2, 3, 2)
+    assert (out[3]["c_size"], out[3]["g_size"], out[3]["overlap"]) \
+        == (2, 3, 1)
+    assert (out[4]["c_size"], out[4]["g_size"], out[4]["overlap"]) \
+        == (2, 1, 1)
+    # B-cubed P/R from the census (hand): P = avg(o/c) = (1+1+.5+.5)/4
+    p = sum(r["overlap"] / r["c_size"] for r in out.values()) / 4
+    r_ = sum(r["overlap"] / r["g_size"] for r in out.values()) / 4
+    assert p == pytest.approx(0.75)
+    assert r_ == pytest.approx((2 / 3 + 2 / 3 + 1 / 3 + 1) / 4)
