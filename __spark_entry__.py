@@ -10022,6 +10022,84 @@ FROM s QUALIFY rank <= 50 ORDER BY rank
 """
 
 
+def _q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) layout census of lineitem clustered on
+    (l_partkey, l_suppkey) — the Delta/Iceberg OPTIMIZE ZORDER key
+    as pure codegen (functions/layout.py): rows fold into 2^8
+    z-ranges; each range's distinct-part/supplier spans show the
+    hyper-rectangle locality min/max pruning would exploit. The
+    oracle shares the exact bit-interleave SQL string with the
+    engine, so the layout definition cannot drift."""
+    from knowledge_graph_spark.functions.layout import zorder_key2
+
+    li = _t(spark, sf_dir, "lineitem")
+    z = zorder_key2("l_partkey", "l_suppkey")
+    return (li.select(F.shiftright(z, 14).alias("bucket"),
+                      "l_partkey", "l_suppkey")
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.countDistinct("l_partkey").cast("long")
+                 .alias("n_parts"),
+                 F.countDistinct("l_suppkey").cast("long")
+                 .alias("n_supps"),
+                 F.min("l_partkey").cast("long").alias("min_part"),
+                 F.max("l_partkey").cast("long").alias("max_part"))
+            .orderBy("bucket"))
+
+
+def _zorder_layout_sql() -> str:
+    from knowledge_graph_spark.functions.layout import zorder_key2_sql
+
+    z = zorder_key2_sql("l_partkey", "l_suppkey")
+    return f"""
+WITH z AS (SELECT ({z} >> 14) AS bucket, l_partkey, l_suppkey
+           FROM lineitem)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+       CAST(MIN(l_partkey) AS BIGINT) AS min_part,
+       CAST(MAX(l_partkey) AS BIGINT) AS max_part
+FROM z GROUP BY bucket ORDER BY bucket
+"""
+
+
+_SQL_ZORDER_LAYOUT = _zorder_layout_sql()
+
+
+def _q_allen_census(spark, sf_dir):
+    """Allen interval-algebra census (Allen, CACM 1983) over each
+    user's per-event-type activity spans [min ts, max ts]: every
+    within-user ordered type pair classified into the 13 Allen
+    primitives by ONE CASE cascade shared verbatim with the oracle
+    (operators/temporal.py) — the temporal-consistency fingerprint
+    of a fact table."""
+    from knowledge_graph_spark.operators.temporal import allen_census
+
+    ev = _t(spark, sf_dir, "events")
+    iv = (ev.groupBy("user_id", "event_type")
+          .agg(F.min("ts").alias("s"), F.max("ts").alias("e")))
+    return (allen_census(iv, "user_id", "event_type", "s", "e")
+            .orderBy("relation"))
+
+
+def _allen_census_sql() -> str:
+    from knowledge_graph_spark.operators.temporal import (
+        allen_relation_expr)
+
+    rel = allen_relation_expr("a.s", "a.e", "b.s", "b.e")
+    return f"""
+WITH iv AS (SELECT user_id, event_type, MIN(ts) AS s, MAX(ts) AS e
+            FROM events GROUP BY user_id, event_type)
+SELECT {rel} AS relation, CAST(COUNT(*) AS BIGINT) AS n
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1 ORDER BY relation
+"""
+
+
+_SQL_ALLEN_CENSUS = _allen_census_sql()
+
+
 def _q_golden_record(spark, sf_dir):
     """Field-level survivorship over resolved duplicate clusters
     (Talburt 2011; Bleiholder & Naumann 2008): customers fold to
@@ -11116,6 +11194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "yule_census": _q_yule_census,
         "distinct_terms": _q_distinct_terms,
         "bcubed_eval": _q_bcubed_eval,
+        "zorder_layout": _q_zorder_layout,
+        "allen_census": _q_allen_census,
         "fd_census": _q_fd_census,
         "fk_census": _q_fk_census,
         "texttiling": _q_texttiling,
@@ -11337,6 +11417,8 @@ def oracle_sql() -> dict[str, str]:
         "yule_census": _SQL_YULE_CENSUS,
         "distinct_terms": _SQL_DISTINCT_TERMS,
         "bcubed_eval": _SQL_BCUBED_EVAL,
+        "zorder_layout": _SQL_ZORDER_LAYOUT,
+        "allen_census": _SQL_ALLEN_CENSUS,
         "fd_census": _SQL_FD_CENSUS,
         "fk_census": _SQL_FK_CENSUS,
         "texttiling": _SQL_TEXTTILING,

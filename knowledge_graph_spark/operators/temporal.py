@@ -290,3 +290,78 @@ def snapshot_at(intervals: DataFrame, as_of,
     return intervals.filter(
         (F.col("first_seen") <= d)
         & (F.date_add(F.col("last_seen"), int(grace_days)) >= d))
+
+
+# the 13 Allen relations, classified by ONE deterministic CASE cascade
+# shared verbatim with the SQL oracle. For PROPER intervals the 13
+# conditions partition the space and order is cosmetic; for POINT
+# intervals ([t,t]) several conditions can hold at once (e.g. [t,t]
+# vs [t,u] satisfies both starts and meets), so the first-match
+# order below IS the classification contract — equality relations
+# win over meets/before, which win over the strict-overlap family
+_ALLEN_CASES = [
+    ("equals", "(s1 = s2) AND (e1 = e2)"),
+    ("starts", "(s1 = s2) AND (e1 < e2)"),
+    ("started_by", "(s1 = s2) AND (e1 > e2)"),
+    ("finishes", "(e1 = e2) AND (s1 > s2)"),
+    ("finished_by", "(e1 = e2) AND (s1 < s2)"),
+    ("meets", "e1 = s2"),
+    ("met_by", "e2 = s1"),
+    ("before", "e1 < s2"),
+    ("after", "e2 < s1"),
+    ("during", "(s1 > s2) AND (e1 < e2)"),
+    ("contains", "(s1 < s2) AND (e1 > e2)"),
+    ("overlaps", "(s1 < s2) AND (e1 < e2)"),
+    ("overlapped_by", "(s1 > s2) AND (e1 > e2)"),
+]
+
+
+def allen_relation_expr(s1="s1", e1="e1", s2="s2", e2="e2"):
+    """SQL CASE expression classifying interval pair
+    ``[s1,e1] vs [s2,e2]`` into its Allen relation (Allen, CACM
+    1983). Valid Spark SQL and DuckDB SQL alike — the oracle embeds
+    the same string, so the cascade can never drift between
+    engines."""
+    parts = " ".join(
+        f"WHEN {cond} THEN '{name}'"
+        for name, cond in _ALLEN_CASES)
+    expr = f"CASE {parts} END"
+    for a, b in (("s1", s1), ("e1", e1), ("s2", s2), ("e2", e2)):
+        expr = expr.replace(a, b)
+    return expr
+
+
+def allen_census(intervals: DataFrame, group_col: str,
+                 id_col: str, start_col: str = "start",
+                 end_col: str = "end") -> DataFrame:
+    """Allen interval-algebra census (Allen, CACM 1983) over the
+    temporal facts of a KB: for every within-group ordered pair of
+    intervals (``id_a < id_b``), classify their temporal relation
+    into the 13 Allen primitives and fold to ``(relation, n)`` —
+    the one-table temporal-consistency fingerprint (a KB whose
+    'position held' facts mostly *overlap* instead of *meet* has
+    extraction errors; a census dominated by *equals* signals
+    default-dated facts).
+
+    Proper and point intervals both classify (a point interval
+    [t, t] *starts* any longer interval sharing t); the cascade is
+    one shared CASE string (:func:`allen_relation_expr`), so engine
+    and oracle agree bit-for-bit on every boundary tie.
+
+    Scale shape: one self-join keyed by the group column (group
+    sizes bound the quadratic locally — callers pass entity or
+    user keys, not corpus-constants), then one map-side-combinable
+    13-row fold. Exchange rows are (group, id, 2 timestamps)."""
+    base = intervals.select(
+        F.col(group_col).alias("g"), F.col(id_col).alias("i"),
+        F.col(start_col).alias("s"), F.col(end_col).alias("e"))
+    a = base.select("g", F.col("i").alias("ia"),
+                    F.col("s").alias("s1"), F.col("e").alias("e1"))
+    b = base.select(F.col("g").alias("g2"), F.col("i").alias("ib"),
+                    F.col("s").alias("s2"), F.col("e").alias("e2"))
+    pairs = a.join(b, (F.col("g") == F.col("g2"))
+                   & (F.col("ia") < F.col("ib")))
+    rel = F.expr(allen_relation_expr("s1", "e1", "s2", "e2"))
+    return (pairs.select(rel.alias("relation"))
+            .groupBy("relation")
+            .agg(F.count("*").cast("long").alias("n")))

@@ -10,6 +10,7 @@ Diamond a-b, a-c, b-d, c-d, pivot a (sigma_d = 2):
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from knowledge_graph_spark.operators.graph_analytics import (
     centrality_census, stress_centrality)
@@ -273,3 +274,51 @@ def test_bcubed_ingredients(spark):
     r_ = sum(r["overlap"] / r["g_size"] for r in out.values()) / 4
     assert p == pytest.approx(0.75)
     assert r_ == pytest.approx((2 / 3 + 2 / 3 + 1 / 3 + 1) / 4)
+
+
+def test_zorder_key_interleaves(spark):
+    from knowledge_graph_spark.functions.layout import zorder_key2
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)],
+        "a long, b long")
+    out = [r["z"] for r in
+           df.select(zorder_key2("a", "b").alias("z")).collect()]
+    def morton(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+    assert out == [morton(a, b) for a, b in
+                   [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)]]
+    assert out[0] == 0 and out[1] == 1 and out[2] == 2
+    assert out[4] == (1 << 32) - 1
+
+
+def test_zorder_locality(spark):
+    from knowledge_graph_spark.functions.layout import zorder_key2
+    # z-ordered 16x16 grid: any 64-key range covers a small rectangle
+    df = spark.range(256).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") / 16).cast("long")
+        .alias("y"))
+    rows = (df.select("x", "y", zorder_key2("x", "y").alias("z"))
+            .orderBy("z").collect())
+    first = rows[:64]
+    assert max(r["x"] for r in first) <= 7
+    assert max(r["y"] for r in first) <= 7
+
+
+def test_allen_census_classifies(spark):
+    from knowledge_graph_spark.operators.temporal import allen_census
+    iv = spark.createDataFrame(
+        [("g", 1, 0, 10), ("g", 2, 0, 10),    # equals
+         ("g", 3, 10, 20),                    # meets 1&2; during? no
+         ("g", 4, 2, 5),                      # during 1,2; before 3
+         ("h", 1, 0, 3), ("h", 2, 1, 5)],     # overlaps
+        "g string, i long, s long, e long")
+    out = {r["relation"]: r["n"] for r in
+           allen_census(iv, "g", "i", "s", "e").collect()}
+    # pairs in g: (1,2) equals, (1,3) meets, (2,3) meets,
+    # (1,4) contains, (2,4) contains, (3,4) after; h: (1,2) overlaps
+    assert out == {"equals": 1, "meets": 2, "contains": 2,
+                   "after": 1, "overlaps": 1}
