@@ -10100,6 +10100,62 @@ GROUP BY 1 ORDER BY relation
 _SQL_ALLEN_CENSUS = _allen_census_sql()
 
 
+def _q_supply_matching(spark, sf_dir):
+    """Locally-dominant greedy matching (Preis 1999; Manne &
+    Bisseling 2007) assigning each part its single best supplier by
+    total shipped quantity — the distributed 1/2-approx of maximum
+    weight matching that enforces 1-1 constraints after ER scoring.
+    Deterministic via the (weight, partner) lexicographic order and
+    a fixed 8-round horizon; the oracle unrolls all 8 rounds with
+    ROW_NUMBER bests and anti-joins."""
+    from knowledge_graph_spark.operators.graph_analytics import (
+        dominant_matching)
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (li.groupBy(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long")
+             .alias("w")))
+    return (dominant_matching(edges, rounds=8)
+            .orderBy("src", "dst"))
+
+
+def _supply_matching_sql(rounds: int = 8) -> str:
+    q = r"""WITH e0 AS MATERIALIZED (
+  SELECT 'p' || l_partkey AS u, 's' || l_suppkey AS v,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2)"""
+    for r in range(rounds):
+        q += f""",
+bu{r} AS MATERIALIZED (
+  SELECT u, v AS bv FROM (
+    SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u
+                                    ORDER BY w DESC, v DESC) AS rn
+    FROM e{r}) WHERE rn = 1),
+bv{r} AS MATERIALIZED (
+  SELECT v, u AS bu FROM (
+    SELECT u, v, ROW_NUMBER() OVER (PARTITION BY v
+                                    ORDER BY w DESC, u DESC) AS rn
+    FROM e{r}) WHERE rn = 1),
+m{r} AS MATERIALIZED (
+  SELECT e.u, e.v, e.w
+  FROM e{r} e JOIN bu{r} ON bu{r}.u = e.u AND bu{r}.bv = e.v
+              JOIN bv{r} ON bv{r}.v = e.v AND bv{r}.bu = e.u),
+e{r + 1} AS MATERIALIZED (
+  SELECT * FROM e{r}
+  WHERE u NOT IN (SELECT u FROM m{r})
+    AND v NOT IN (SELECT v FROM m{r}))"""
+    un = " UNION ALL ".join(f"SELECT * FROM m{r}"
+                            for r in range(rounds))
+    q += f"""
+SELECT u AS src, v AS dst, w FROM ({un}) ORDER BY src, dst"""
+    return q
+
+
+_SQL_SUPPLY_MATCHING = _supply_matching_sql()
+
+
 def _q_golden_record(spark, sf_dir):
     """Field-level survivorship over resolved duplicate clusters
     (Talburt 2011; Bleiholder & Naumann 2008): customers fold to
@@ -11196,6 +11252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bcubed_eval": _q_bcubed_eval,
         "zorder_layout": _q_zorder_layout,
         "allen_census": _q_allen_census,
+        "supply_matching": _q_supply_matching,
         "fd_census": _q_fd_census,
         "fk_census": _q_fk_census,
         "texttiling": _q_texttiling,
@@ -11419,6 +11476,7 @@ def oracle_sql() -> dict[str, str]:
         "bcubed_eval": _SQL_BCUBED_EVAL,
         "zorder_layout": _SQL_ZORDER_LAYOUT,
         "allen_census": _SQL_ALLEN_CENSUS,
+        "supply_matching": _SQL_SUPPLY_MATCHING,
         "fd_census": _SQL_FD_CENSUS,
         "fk_census": _SQL_FK_CENSUS,
         "texttiling": _SQL_TEXTTILING,

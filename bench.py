@@ -129,7 +129,7 @@ def main():
         "closeness_census", "graph_stress", "fs_linkage", "snm_pairs",
         "host_salsa", "ds_labels", "rich_club",
         "yule_census", "distinct_terms", "bcubed_eval",
-        "zorder_layout", "allen_census",
+        "zorder_layout", "allen_census", "supply_matching",
     ]
     qs = entrymod.queries()
     for name in headliners:

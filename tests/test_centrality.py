@@ -322,3 +322,28 @@ def test_allen_census_classifies(spark):
     # (1,4) contains, (2,4) contains, (3,4) after; h: (1,2) overlaps
     assert out == {"equals": 1, "meets": 2, "contains": 2,
                    "after": 1, "overlaps": 1}
+
+
+def test_dominant_matching_cascade(spark):
+    from knowledge_graph_spark.operators.graph_analytics import (
+        dominant_matching)
+    edges = spark.createDataFrame(
+        [("a", "x", 9), ("b", "x", 8), ("b", "y", 7)],
+        "src string, dst string, w long")
+    # round 1: a-x dominant (both prefer it); round 2: b-y
+    out = {(r["src"], r["dst"]): r["w"]
+           for r in dominant_matching(edges).collect()}
+    assert out == {("a", "x"): 9, ("b", "y"): 7}
+
+
+def test_dominant_matching_tiebreak_and_horizon(spark):
+    from knowledge_graph_spark.operators.graph_analytics import (
+        dominant_matching)
+    edges = spark.createDataFrame(
+        [("a", "v1", 5), ("a", "v2", 5)],
+        "src string, dst string, w long")
+    out = dominant_matching(edges).collect()
+    # equal weights: lexicographic max partner wins
+    assert [(r["src"], r["dst"]) for r in out] == [("a", "v2")]
+    # horizon 0 rounds -> empty matching, empty schema preserved
+    assert dominant_matching(edges, rounds=0).count() == 0
