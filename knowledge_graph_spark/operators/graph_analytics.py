@@ -1921,13 +1921,14 @@ def rich_club_census(edges: DataFrame, ks: list,
         F.sum(F.when((F.col("_da") > k) & (F.col("_db") > k), 1)
               .otherwise(0)).cast("long").alias(f"e{k}") for k in ks])
     both = node_rows.crossJoin(edge_rows)
-    out = None
-    for k in ks:
-        row = both.select(F.lit(k).cast("long").alias("k"),
-                          F.col(f"n{k}").alias("n_nodes"),
-                          F.col(f"e{k}").alias("n_edges"))
-        out = row if out is None else out.unionByName(row)
-    return out
+    # one row per threshold via a single in-plan explode — a k-way
+    # union would re-evaluate both aggregates once per branch
+    rows = F.array(*[
+        F.struct(F.lit(k).cast("long").alias("k"),
+                 F.col(f"n{k}").alias("n_nodes"),
+                 F.col(f"e{k}").alias("n_edges")) for k in ks])
+    return (both.select(F.explode(rows).alias("_r"))
+            .select("_r.k", "_r.n_nodes", "_r.n_edges"))
 
 
 def dominant_matching(edges: DataFrame, src: str = "src",

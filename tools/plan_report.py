@@ -173,6 +173,23 @@ def main():
         # posexplode), og/canonical meta (zero-exchange codegen),
         # hreflang pairs (in-aggregate triangular pairing)
         "phonetic_blocks", "sitemap_urls", "og_meta", "hreflang_pairs",
+        # seventh-continuation session 2. Audited: FS pattern census
+        # (EM itself is driver-side over <=2^K rows, its small output
+        # frame is createDataFrame — static plan audits the census
+        # path via fs_linkage's pair build), SNM blocking (rank via
+        # range slices, pair gen via rank-band join), SALSA closed
+        # form (star reduction + component folds), rich club
+        # (single-pass multi-threshold fold), Yule census /
+        # distinctive terms (vocabulary-bounded aggs; top-k must show
+        # WindowGroupLimit), B-cubed (three counts + joins, no
+        # pairs), Z-order layout (pure codegen interleave + one agg),
+        # Allen census (one self-join keyed by user + 13-row fold).
+        # Excluded as iterative-checkpointed (static plan = last
+        # round only): graph_stress, closeness_census (BFS frontier),
+        # ds_labels (EM rounds), supply_matching (matching rounds).
+        "fs_linkage", "snm_pairs", "host_salsa", "rich_club",
+        "yule_census", "distinct_terms", "bcubed_eval",
+        "zorder_layout", "allen_census",
     ]
     qs = entrymod.queries()
     lines = [
