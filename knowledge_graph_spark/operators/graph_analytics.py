@@ -1958,9 +1958,14 @@ def dominant_matching(edges: DataFrame, src: str = "src",
     against both bests, two anti-joins to drop matched endpoints;
     the edge frame is localCheckpoint-ed so lineage stays flat.
     Exchanges carry (id, id, numeric) triples only."""
+    # parallel (u, v) edges fold to their max weight FIRST — the
+    # dominance test compares partners, so without this fold every
+    # parallel copy of a dominant pair would match (found by the
+    # multigraph property test)
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"),
                       F.col(weight).alias("w"))
          .filter(F.col("w").isNotNull())
+         .groupBy("u", "v").agg(F.max("w").alias("w"))
          .localCheckpoint(eager=True))
     out = None
     for _ in range(int(rounds)):
