@@ -231,3 +231,45 @@ def test_dawid_skene_matches_replica_em(spark):
     for i, qv in ref.items():
         # both sides round to the same 9-dp lattice every step
         assert got[i] == pytest.approx(qv, abs=2e-9), i
+
+
+def test_fellegi_sunter_matches_replica_em(spark):
+    from knowledge_graph_spark.operators.linking import (
+        _fs_em, fellegi_sunter)
+    rows = []
+    for i in range(300):
+        h = hashlib.md5(f"fs:{i}".encode()).hexdigest()
+        rows.append((int(h[0], 16) % 2 == 0, int(h[1], 16) % 3 == 0,
+                     int(h[2], 16) % 4 == 0))
+    pairs = spark.createDataFrame(rows, "a boolean, b boolean, c boolean")
+    out = {r["pattern"]: r for r in
+           fellegi_sunter(pairs, ["a", "b", "c"]).collect()}
+    census = defaultdict(int)
+    for a, b, c in rows:
+        census[int(a) + 2 * int(b) + 4 * int(c)] += 1
+    ref, _, _, _ = _fs_em(sorted(census.items()), 3, 15)
+    for pattern, n, weight, post in ref:
+        assert out[pattern]["n"] == n
+        assert out[pattern]["weight"] == pytest.approx(weight)
+        assert out[pattern]["posterior"] == pytest.approx(post)
+    # ranks are a permutation of 1..K
+    assert sorted(r["w_rank"] for r in out.values()) == \
+        list(range(1, len(out) + 1))
+
+
+def test_sorted_neighborhood_matches_bruteforce(spark):
+    from knowledge_graph_spark.operators.linking import (
+        sorted_neighborhood)
+    items = []
+    for i in range(60):
+        h = hashlib.md5(f"snm:{i}".encode()).hexdigest()
+        items.append((f"r{i}", int(h[:4], 16) % 500))
+    df = spark.createDataFrame(items, "id string, k long")
+    got = sorted((r["a"], r["b"], r["gap"]) for r in
+                 sorted_neighborhood(df, "k", "id", window=4,
+                                     slice_width=64).collect())
+    order = [i for i, _ in sorted(items, key=lambda t: (t[1], t[0]))]
+    exp = sorted((order[i], order[j], j - i)
+                 for i in range(len(order))
+                 for j in range(i + 1, min(i + 4, len(order))))
+    assert got == exp
