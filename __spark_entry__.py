@@ -10156,6 +10156,45 @@ SELECT u AS src, v AS dst, w FROM ({un}) ORDER BY src, dst"""
 _SQL_SUPPLY_MATCHING = _supply_matching_sql()
 
 
+def _q_kn_counts(spark, sf_dir):
+    """Modified Kneser-Ney bigram ingredients (Kneser & Ney 1995;
+    Chen & Goodman 1999) over the documents corpus — integer
+    sufficient statistics (bigram count, history count, distinct
+    continuations, distinct histories) from which the KN
+    probability is row-local arithmetic. The oracle replays the
+    doc-local bigram build and all three folds."""
+    from knowledge_graph_spark.operators.textstats import (
+        kneser_ney_ingredients)
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return (kneser_ney_ingredients(docs, min_count=5)
+            .orderBy("w1", "w2"))
+
+
+_SQL_KN_COUNTS = r"""
+WITH toks AS (
+  SELECT list_filter(
+           regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+           x -> x != '') AS ws
+  FROM documents),
+big AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2
+  FROM toks, unnest(range(1, len(ws))) AS t(i)),
+cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_big
+       FROM big GROUP BY w1, w2),
+hist AS (SELECT w1, CAST(SUM(c_big) AS BIGINT) AS c_w1,
+                CAST(COUNT(*) AS BIGINT) AS n1p_hist
+         FROM cb GROUP BY w1),
+cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_cont
+         FROM cb GROUP BY w2)
+SELECT cb.w1, cb.w2, cb.c_big, hist.c_w1, hist.n1p_hist,
+       cont.n1p_cont
+FROM cb JOIN hist ON hist.w1 = cb.w1 JOIN cont ON cont.w2 = cb.w2
+WHERE cb.c_big >= 5
+ORDER BY cb.w1, cb.w2
+"""
+
+
 def _q_golden_record(spark, sf_dir):
     """Field-level survivorship over resolved duplicate clusters
     (Talburt 2011; Bleiholder & Naumann 2008): customers fold to
@@ -11253,6 +11292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": _q_zorder_layout,
         "allen_census": _q_allen_census,
         "supply_matching": _q_supply_matching,
+        "kn_counts": _q_kn_counts,
         "fd_census": _q_fd_census,
         "fk_census": _q_fk_census,
         "texttiling": _q_texttiling,
@@ -11477,6 +11517,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout": _SQL_ZORDER_LAYOUT,
         "allen_census": _SQL_ALLEN_CENSUS,
         "supply_matching": _SQL_SUPPLY_MATCHING,
+        "kn_counts": _SQL_KN_COUNTS,
         "fd_census": _SQL_FD_CENSUS,
         "fk_census": _SQL_FK_CENSUS,
         "texttiling": _SQL_TEXTTILING,

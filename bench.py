@@ -130,6 +130,7 @@ def main():
         "host_salsa", "ds_labels", "rich_club",
         "yule_census", "distinct_terms", "bcubed_eval",
         "zorder_layout", "allen_census", "supply_matching",
+        "kn_counts",
     ]
     qs = entrymod.queries()
     for name in headliners:

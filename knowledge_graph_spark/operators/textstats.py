@@ -1555,3 +1555,53 @@ def log_odds_terms(docs: DataFrame, group_a, group_b,
             .filter(F.col("rank") <= top_k)
             .select(F.col("w").alias("term"), "f_a", "f_b", "z",
                     "rank"))
+
+
+def kneser_ney_ingredients(docs: DataFrame, text_col: str = "text",
+                           min_count: int = 2) -> DataFrame:
+    """Modified Kneser-Ney bigram ingredients (Kneser & Ney, ICASSP
+    1995; Chen & Goodman 1999) — the integer sufficient statistics
+    of the standard n-gram LM smoother, per bigram with count >=
+    ``min_count``:
+
+    - ``c_big``: bigram count; ``c_w1``: left-unigram count as a
+      bigram HISTORY (sum of its bigram counts — the correct KN
+      denominator, not the raw token count);
+    - ``n1p_hist``: distinct continuations of w1 (``N1+(w1 •)``, the
+      backoff-weight numerator);
+    - ``n1p_cont``: distinct histories of w2 (``N1+(• w2)``, the
+      continuation-probability numerator).
+
+    With the corpus constants (total bigram types for the
+    continuation denominator; discount ``D = n1/(n1+2 n2)`` from the
+    count-of-counts, both derivable from this frame), the KN
+    probability ``max(c_big - D, 0)/c_w1 + D·n1p_hist/c_w1 ·
+    n1p_cont/T`` is row-local arithmetic — the census stays INTEGER
+    so it hashes stably cross-engine.
+
+    Tokenization is the repo-canonical :func:`word_tokens`; bigrams
+    never cross documents.
+
+    Scale shape: one explode to (doc-local) bigrams, one
+    (w1, w2)-keyed count with map-side combine (exchange bounded by
+    the bigram vocabulary), then two vocabulary-keyed folds joined
+    back — words never co-occur on any wire beyond the bigram key
+    itself."""
+    from ..functions.vectors import word_tokens
+
+    toks = docs.select(word_tokens(text_col).alias("ws"))
+    bigrams = toks.select(F.explode(F.expr(
+        "transform(sequence(0, size(ws) - 2), "
+        "i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).alias("b")) \
+        .select("b.w1", "b.w2")
+    cb = (bigrams.groupBy("w1", "w2")
+          .agg(F.count("*").cast("long").alias("c_big")))
+    hist = (cb.groupBy("w1")
+            .agg(F.sum("c_big").cast("long").alias("c_w1"),
+                 F.count("*").cast("long").alias("n1p_hist")))
+    cont = (cb.groupBy("w2")
+            .agg(F.count("*").cast("long").alias("n1p_cont")))
+    return (cb.filter(F.col("c_big") >= int(min_count))
+            .join(hist, "w1").join(cont, "w2")
+            .select("w1", "w2", "c_big", "c_w1", "n1p_hist",
+                    "n1p_cont"))

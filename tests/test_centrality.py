@@ -347,3 +347,20 @@ def test_dominant_matching_tiebreak_and_horizon(spark):
     assert [(r["src"], r["dst"]) for r in out] == [("a", "v2")]
     # horizon 0 rounds -> empty matching, empty schema preserved
     assert dominant_matching(edges, rounds=0).count() == 0
+
+
+def test_kneser_ney_ingredients(spark):
+    from knowledge_graph_spark.operators.textstats import (
+        kneser_ney_ingredients)
+    docs = spark.createDataFrame(
+        [("a b a b c",), ("x b",)], "text string")
+    out = {(r["w1"], r["w2"]): r for r in
+           kneser_ney_ingredients(docs, min_count=1).collect()}
+    # bigrams doc1: (a,b)x2 (b,a) (b,c); doc2: (x,b) — no cross-doc
+    assert out[("a", "b")]["c_big"] == 2
+    assert out[("a", "b")]["c_w1"] == 2          # 'a' history count
+    assert out[("a", "b")]["n1p_hist"] == 1      # a -> {b}
+    assert out[("a", "b")]["n1p_cont"] == 2      # b after {a, x}
+    assert out[("b", "a")]["c_w1"] == 2          # b -> a, c
+    assert out[("b", "a")]["n1p_hist"] == 2
+    assert ("b", "x") not in out                 # never crosses docs
