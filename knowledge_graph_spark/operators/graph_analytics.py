@@ -1964,7 +1964,8 @@ def dominant_matching(edges: DataFrame, src: str = "src",
     # multigraph property test)
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"),
                       F.col(weight).alias("w"))
-         .filter(F.col("w").isNotNull())
+         .filter(F.col("w").isNotNull() & F.col("u").isNotNull()
+                 & F.col("v").isNotNull())
          .groupBy("u", "v").agg(F.max("w").alias("w"))
          .localCheckpoint(eager=True))
     out = None

@@ -56,9 +56,14 @@ def dawid_skene(votes: DataFrame, item_col: str = "item",
     - ``workers``: ``(worker, n_votes, alpha, beta)`` — per-rater
       vote count and the fitted 9-dp sensitivity/specificity.
     """
-    v = votes.select(F.col(item_col).alias("item"),
-                     F.col(worker_col).alias("worker"),
-                     F.col(label_col).cast("int").alias("y")).persist()
+    v = (votes.select(F.col(item_col).alias("item"),
+                      F.col(worker_col).alias("worker"),
+                      F.col(label_col).cast("int").alias("y"))
+         # a NULL vote would be skipped by the aggregates but hit the
+         # otherwise() branch of the E-step CASE — drop it outright
+         .filter(F.col("y").isNotNull() & F.col("item").isNotNull()
+                 & F.col("worker").isNotNull())
+         .persist())
     q = (v.groupBy("item")
          .agg(F.round(F.avg("y"), 9).alias("q"))
          .localCheckpoint(eager=True))

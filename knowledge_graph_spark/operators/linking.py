@@ -741,6 +741,10 @@ def sorted_neighborhood(items: DataFrame, skey_col: str,
     base = items.select(
         F.col(id_col).alias("_id"),
         F.col(skey_col).cast("long").alias("_k"))
+    # NULL keys/ids have no defined sort position (and the two
+    # engines order NULLs differently) — they take part in no window
+    base = base.filter(F.col("_k").isNotNull()
+                       & F.col("_id").isNotNull())
     base = base.withColumn(
         "_s", F.floor(F.col("_k") / F.lit(int(slice_width))))
     ranked = base.withColumn(
