@@ -11217,6 +11217,229 @@ ORDER BY term
 """
 
 
+def _q_katz(spark, sf_dir):
+    """Integer-exact Katz centrality (Katz, Psychometrika 1953) over
+    the international trade digraph (customer nation -> supplier
+    nation per order line): 4 attenuated-path rounds at alpha = 1/8,
+    carried as the scaled BIGINT iterate y_t = 8^t * x_t so every
+    round is exact integer arithmetic and the oracle replays the
+    recurrence y_{t+1}(v) = sum_{u->v} (8^t + y_t(u)) bit-for-bit."""
+    from knowledge_graph_spark.operators.graph_analytics import (
+        katz_ingredients)
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    edges = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+             .join(c, o["o_custkey"] == c["c_custkey"])
+             .join(s, li["l_suppkey"] == s["s_suppkey"])
+             .select(F.col("c_nationkey").cast("long").alias("src"),
+                     F.col("s_nationkey").cast("long").alias("dst")))
+    return (katz_ingredients(edges, alpha_inv=8, rounds=4)
+            .select(F.col("id").cast("long").alias("id"), "katz_num")
+            .orderBy("id"))
+
+
+_SQL_KATZ = r"""
+WITH e AS (
+  SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS u,
+                  CAST(s.s_nationkey AS BIGINT) AS v
+  FROM orders o
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+),
+nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+y0 AS (SELECT id, CAST(0 AS BIGINT) AS y FROM nodes),
+y1 AS (
+  SELECT n.id, CAST(COALESCE(SUM(1 + y.y), 0) AS BIGINT) AS y
+  FROM nodes n LEFT JOIN e ON e.v = n.id LEFT JOIN y0 y ON y.id = e.u
+  GROUP BY n.id
+),
+y2 AS (
+  SELECT n.id, CAST(COALESCE(SUM(8 + y.y), 0) AS BIGINT) AS y
+  FROM nodes n LEFT JOIN e ON e.v = n.id LEFT JOIN y1 y ON y.id = e.u
+  GROUP BY n.id
+),
+y3 AS (
+  SELECT n.id, CAST(COALESCE(SUM(64 + y.y), 0) AS BIGINT) AS y
+  FROM nodes n LEFT JOIN e ON e.v = n.id LEFT JOIN y2 y ON y.id = e.u
+  GROUP BY n.id
+),
+y4 AS (
+  SELECT n.id, CAST(COALESCE(SUM(512 + y.y), 0) AS BIGINT) AS y
+  FROM nodes n LEFT JOIN e ON e.v = n.id LEFT JOIN y3 y ON y.id = e.u
+  GROUP BY n.id
+)
+SELECT id, y AS katz_num FROM y4 ORDER BY id
+"""
+
+
+def _q_dyad_census(spark, sf_dir):
+    """Holland-Leinhardt M/A/N dyad census (JASA 1976) over the
+    trade digraph: one integer row (n_nodes, mutual, asym, null) —
+    reciprocity is a row-local division. No pair join: each edge
+    folds to its unordered dyad key; null dyads come from C(n,2)
+    arithmetic (integer DIV, BIGINT-exact cross-engine)."""
+    from knowledge_graph_spark.operators.graph_analytics import dyad_census
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    edges = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+             .join(c, o["o_custkey"] == c["c_custkey"])
+             .join(s, li["l_suppkey"] == s["s_suppkey"])
+             .select(F.col("c_nationkey").cast("long").alias("src"),
+                     F.col("s_nationkey").cast("long").alias("dst")))
+    return dyad_census(edges)
+
+
+_SQL_DYAD_CENSUS = r"""
+WITH e AS (
+  SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS u,
+                  CAST(s.s_nationkey AS BIGINT) AS v
+  FROM orders o
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+),
+d AS (
+  SELECT LEAST(u, v) AS a, GREATEST(u, v) AS b, COUNT(*) AS m
+  FROM e GROUP BY 1, 2
+),
+n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT u AS id FROM e UNION SELECT v FROM e)
+)
+SELECT n.c AS n_nodes,
+       CAST(SUM(CASE WHEN d.m = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS mutual_dyads,
+       CAST(SUM(CASE WHEN d.m = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS asym_dyads,
+       CAST((n.c * (n.c - 1)) // 2
+            - SUM(CASE WHEN d.m = 2 THEN 1 ELSE 0 END)
+            - SUM(CASE WHEN d.m = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_dyads
+FROM d CROSS JOIN n GROUP BY n.c
+"""
+
+
+def _q_conductance(spark, sf_dir):
+    """Per-community conductance ingredients (Leskovec et al.,
+    Internet Math. 2009 NCP) of the nation partition over the
+    customer-supplier trade graph: per nation, n_nodes / volume /
+    internal_edges / cut_edges as BIGINTs — phi(C) is row-local.
+    The oracle replays the undirected fold, the two label joins,
+    and the two-row cross-edge explode."""
+    from knowledge_graph_spark.operators.graph_analytics import (
+        conductance_census)
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    edges = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+             .select(F.concat(F.lit("c"), o["o_custkey"]).alias("src"),
+                     F.concat(F.lit("s"), li["l_suppkey"]).alias("dst")))
+    labels = (c.select(F.concat(F.lit("c"), F.col("c_custkey"))
+                       .alias("id"),
+                       F.col("c_nationkey").cast("long")
+                       .alias("community"))
+              .unionByName(
+                  s.select(F.concat(F.lit("s"), F.col("s_suppkey"))
+                           .alias("id"),
+                           F.col("s_nationkey").cast("long")
+                           .alias("community"))))
+    return conductance_census(edges, labels).orderBy("community")
+
+
+_SQL_CONDUCTANCE = r"""
+WITH pairs AS (
+  SELECT DISTINCT 'c' || o.o_custkey AS a, 's' || l.l_suppkey AS b
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+lab AS (
+  SELECT 'c' || c_custkey AS id, CAST(c_nationkey AS BIGINT) AS c
+  FROM customer
+  UNION ALL
+  SELECT 's' || s_suppkey, CAST(s_nationkey AS BIGINT) FROM supplier
+),
+tagged AS (
+  SELECT la.c AS ca, lb.c AS cb
+  FROM pairs p JOIN lab la ON la.id = p.a JOIN lab lb ON lb.id = p.b
+),
+sides AS (
+  SELECT ca AS c, CASE WHEN ca = cb THEN 1 ELSE 0 END AS i,
+         CASE WHEN ca = cb THEN 0 ELSE 1 END AS x
+  FROM tagged
+  UNION ALL
+  SELECT cb, 0, 1 FROM tagged WHERE ca <> cb
+),
+es AS (
+  SELECT c, CAST(SUM(i) AS BIGINT) AS internal_edges,
+         CAST(SUM(x) AS BIGINT) AS cut_edges
+  FROM sides GROUP BY c
+),
+deg AS (
+  SELECT id, COUNT(*) AS d
+  FROM (SELECT a AS id FROM pairs UNION ALL SELECT b FROM pairs)
+  GROUP BY id
+),
+ns AS (
+  SELECT l.c, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(COALESCE(deg.d, 0)) AS BIGINT) AS volume
+  FROM lab l LEFT JOIN deg ON deg.id = l.id GROUP BY l.c
+)
+SELECT ns.c AS community, ns.n_nodes, ns.volume,
+       CAST(COALESCE(es.internal_edges, 0) AS BIGINT)
+         AS internal_edges,
+       CAST(COALESCE(es.cut_edges, 0) AS BIGINT) AS cut_edges
+FROM ns LEFT JOIN es ON es.c = ns.c
+ORDER BY community
+"""
+
+
+def _q_good_turing(spark, sf_dir):
+    """Simple Good-Turing frequency-of-frequencies census (Good
+    1953; Gale & Sampson 1995) over the documents corpus: (r, N_r)
+    count-of-counts plus nearest-neighbor frequencies, all BIGINT —
+    Z_r and the unseen-mass P_0 = N_1/N are row-local. The oracle
+    replays the tokenize, both counting folds, and the lag/lead
+    boundary convention."""
+    from knowledge_graph_spark.operators.textstats import (
+        good_turing_census)
+
+    docs = _t(spark, sf_dir, "documents")
+    return good_turing_census(docs).orderBy("r")
+
+
+_SQL_GOOD_TURING = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+tf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS r FROM toks GROUP BY w),
+coc AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM tf GROUP BY r),
+nb AS (
+  SELECT r, n_r,
+         CAST(COALESCE(LAG(r) OVER (ORDER BY r), 0) AS BIGINT)
+           AS r_prev,
+         LEAD(r) OVER (ORDER BY r) AS r_next0
+  FROM coc
+)
+SELECT r, n_r, r_prev,
+       CAST(COALESCE(r_next0, 2 * r - r_prev) AS BIGINT) AS r_next
+FROM nb ORDER BY r
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # classical relational operators (DuckDB-oracled)
@@ -11293,6 +11516,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "allen_census": _q_allen_census,
         "supply_matching": _q_supply_matching,
         "kn_counts": _q_kn_counts,
+        "trade_katz": _q_katz,
+        "dyad_census": _q_dyad_census,
+        "conductance": _q_conductance,
+        "good_turing": _q_good_turing,
         "fd_census": _q_fd_census,
         "fk_census": _q_fk_census,
         "texttiling": _q_texttiling,
@@ -11518,6 +11745,10 @@ def oracle_sql() -> dict[str, str]:
         "allen_census": _SQL_ALLEN_CENSUS,
         "supply_matching": _SQL_SUPPLY_MATCHING,
         "kn_counts": _SQL_KN_COUNTS,
+        "trade_katz": _SQL_KATZ,
+        "dyad_census": _SQL_DYAD_CENSUS,
+        "conductance": _SQL_CONDUCTANCE,
+        "good_turing": _SQL_GOOD_TURING,
         "fd_census": _SQL_FD_CENSUS,
         "fk_census": _SQL_FK_CENSUS,
         "texttiling": _SQL_TEXTTILING,

@@ -131,6 +131,7 @@ def main():
         "yule_census", "distinct_terms", "bcubed_eval",
         "zorder_layout", "allen_census", "supply_matching",
         "kn_counts",
+        "trade_katz", "dyad_census", "conductance", "good_turing",
     ]
     qs = entrymod.queries()
     for name in headliners:

@@ -1993,3 +1993,170 @@ def dominant_matching(edges: DataFrame, src: str = "src",
         out = e.limit(0)
     return out.select(F.col("u").alias(src), F.col("v").alias(dst),
                       F.col("w").alias(weight))
+
+
+def katz_ingredients(edges: DataFrame, alpha_inv: int = 8,
+                     rounds: int = 4, src: str = "src",
+                     dst: str = "dst") -> DataFrame:
+    """Katz centrality, integer-exact (Katz, Psychometrika 1953
+    "A new status index derived from sociometric analysis"): the
+    attenuated path-count status measure
+    ``x(v) = sum_k alpha^k (#paths of length k ending at v)`` —
+    the in-link prestige index that, unlike PageRank, does not
+    dilute a recommendation by the recommender's out-degree, which
+    is exactly the right convention for citation/endorsement edges.
+
+    Determinism across engines is the whole design: with
+    ``alpha = 1/alpha_inv`` the scaled iterate
+    ``y_t = alpha_inv^t * x_t`` satisfies the INTEGER recurrence
+
+        ``y_{t+1}(v) = sum_{u->v} (alpha_inv^t + y_t(u))``
+
+    so every round is BIGINT-exact arithmetic and the emitted
+    ``katz_num = y_rounds`` hash-replays bit-for-bit on any engine;
+    ``katz = katz_num / alpha_inv^rounds`` is a row-local division
+    for API users. Truncation at ``rounds`` is the standard finite
+    Neumann-series cutoff; attenuation alpha^k bounds the tail.
+
+    Returns ``(id, katz_num)`` over every endpoint node, BIGINT.
+
+    Scale shape: per round ONE edge-keyed join + one dst-keyed sum
+    — ``(id, long)`` pairs only on the wire, the distinct edge list
+    shuffles once and is reused, per-round localCheckpoint keeps
+    lineage O(1). Overflow bound: ``y_t <= (t+1) * max(alpha_inv,
+    max_indegree)^t`` — BIGINT-safe to ~2^15-indegree hubs at 4
+    rounds; cap hub in-degree or lower ``rounds`` beyond that.
+
+    Cites reference scope: ``backend/kgapi/`` has no centrality —
+    this is part of the "which entities matter" analytics layer the
+    Spark engine adds over the materialized KG.
+    """
+    a = int(alpha_inv)
+    if a < 2:
+        raise ValueError("alpha_inv must be >= 2 (alpha < 1/2)")
+    e = _directed_distinct(edges, src, dst).localCheckpoint(eager=True)
+    nodes = (e.select(F.col("u").alias("id"))
+             .unionByName(e.select(F.col("v").alias("id")))
+             .distinct().localCheckpoint(eager=True))
+    y = nodes.select("id", F.lit(0).cast("long").alias("y"))
+    for t in range(int(rounds)):
+        c_t = a ** t
+        contrib = (e.join(y.withColumnRenamed("id", "u"), "u")
+                   .groupBy(F.col("v").alias("id"))
+                   .agg(F.sum(F.col("y") + F.lit(c_t).cast("long"))
+                        .cast("long").alias("_c")))
+        y = (nodes.join(contrib, "id", "left")
+             .select("id", F.coalesce("_c", F.lit(0).cast("long"))
+                     .alias("y"))
+             .localCheckpoint(eager=True))
+    return y.select("id", F.col("y").alias("katz_num"))
+
+
+def dyad_census(edges: DataFrame, src: str = "src",
+                dst: str = "dst") -> DataFrame:
+    """Directed dyad census (Holland & Leinhardt, JASA 1976 "Local
+    structure in social networks" — the M/A/N census): for every
+    unordered node pair, is the connection mutual (edges both
+    ways), asymmetric (one way), or null? The one-row summary that
+    measures a link corpus's reciprocity — web/citation graphs run
+    asymmetric, social/endorsement graphs run mutual — and feeds
+    the classical conditional-uniform graph tests.
+
+    Returns ONE integer row ``(n_nodes, mutual_dyads, asym_dyads,
+    null_dyads)``; reciprocity ``r = 2M / (2M + A)`` and dyad
+    density are row-local divisions for API users.
+
+    Scale shape: no pair join anywhere — each directed edge folds
+    to its unordered dyad key ``(least, greatest)``, one map-side-
+    combined count per connected dyad (1 or 2), one single-row
+    fold; null dyads come from ``C(n,2)`` arithmetic, never from
+    materializing non-edges. Exchanges carry (id, id) keys only.
+    """
+    e = _directed_distinct(edges, src, dst)
+    dyads = (e.select(F.least("u", "v").alias("a"),
+                      F.greatest("u", "v").alias("b"))
+             .groupBy("a", "b")
+             .agg(F.count("*").cast("int").alias("_m")))
+    n_nodes = (e.select(F.col("u").alias("id"))
+               .unionByName(e.select(F.col("v").alias("id")))
+               .distinct()
+               .agg(F.count("*").cast("long").alias("n"))
+               .select("n"))
+    summary = dyads.agg(
+        F.sum(F.when(F.col("_m") == 2, 1).otherwise(0))
+        .cast("long").alias("mutual_dyads"),
+        F.sum(F.when(F.col("_m") == 1, 1).otherwise(0))
+        .cast("long").alias("asym_dyads"))
+    return (summary.crossJoin(F.broadcast(n_nodes))
+            .select(F.col("n").alias("n_nodes"),
+                    "mutual_dyads", "asym_dyads",
+                    # integer division (DIV) keeps the census
+                    # BIGINT-exact cross-engine; n*(n-1) is even so
+                    # no truncation ever actually occurs
+                    (F.expr("(n * (n - 1)) DIV 2")
+                     - F.col("mutual_dyads") - F.col("asym_dyads"))
+                    .cast("long").alias("null_dyads")))
+
+
+def conductance_census(edges: DataFrame, communities: DataFrame,
+                       src: str = "src", dst: str = "dst",
+                       id_col: str = "id",
+                       com_col: str = "community") -> DataFrame:
+    """Community conductance census (Leskovec, Lang, Dasgupta &
+    Mahoney, Internet Math. 2009 — the Network Community Profile's
+    per-community ingredient; Shi & Malik 2000 normalized cut): for
+    each community C over the undirected distinct edge set, the
+    INTEGER ingredients of ``phi(C) = cut(C) / min(vol(C),
+    vol(V)-vol(C))`` — the standard "is this partition real
+    structure or an arbitrary slice" diagnostic over an ER
+    partition, a crawl shard, or an LPA output.
+
+    Returns per community: ``(community, n_nodes, volume,
+    internal_edges, cut_edges)`` — all BIGINT; ``internal_edges``
+    counts each inside-C edge once, ``volume = 2*internal + cut``
+    (the identity doubles as a self-check), and phi is a row-local
+    division for API users (total volume = sum over the census).
+
+    Scale shape: one undirected-distinct fold, one (id, community)
+    join per endpoint (AQE skew case on hub communities), then two
+    map-side-combined aggregates — per-edge rows carry (id, id,
+    community, community) keys only; a cross edge contributes one
+    cut count to EACH side via an in-plan two-row explode, never a
+    second scan. Nodes missing a community label are dropped with
+    their edges (documented: label your frontier first).
+    """
+    und = _undirected(edges, src, dst)
+    lab = communities.select(F.col(id_col).alias("_id"),
+                             F.col(com_col).alias("_c"))
+    lab_a = lab.select(F.col("_id").alias("a"), F.col("_c").alias("_ca"))
+    lab_b = lab.select(F.col("_id").alias("b"), F.col("_c").alias("_cb"))
+    tagged = und.join(lab_a, "a").join(lab_b, "b")
+    per_side = tagged.select(
+        F.explode(F.when(F.col("_ca") == F.col("_cb"),
+                         F.array(F.struct(F.col("_ca").alias("c"),
+                                          F.lit(1).alias("i"),
+                                          F.lit(0).alias("x"))))
+                  .otherwise(F.array(
+                      F.struct(F.col("_ca").alias("c"),
+                               F.lit(0).alias("i"), F.lit(1).alias("x")),
+                      F.struct(F.col("_cb").alias("c"),
+                               F.lit(0).alias("i"), F.lit(1).alias("x")))))
+        .alias("_e"))
+    edge_stats = (per_side
+                  .groupBy(F.col("_e.c").alias(com_col))
+                  .agg(F.sum("_e.i").cast("long").alias("internal_edges"),
+                       F.sum("_e.x").cast("long").alias("cut_edges")))
+    deg = (und.select(F.col("a").alias("_id"))
+           .unionByName(und.select(F.col("b").alias("_id")))
+           .groupBy("_id").agg(F.count("*").cast("long").alias("_d")))
+    node_stats = (lab.join(deg, "_id", "left")
+                  .groupBy(F.col("_c").alias(com_col))
+                  .agg(F.count("*").cast("long").alias("n_nodes"),
+                       F.sum(F.coalesce("_d", F.lit(0).cast("long")))
+                       .cast("long").alias("volume")))
+    return (node_stats.join(edge_stats, com_col, "left")
+            .select(com_col, "n_nodes", "volume",
+                    F.coalesce("internal_edges", F.lit(0).cast("long"))
+                    .alias("internal_edges"),
+                    F.coalesce("cut_edges", F.lit(0).cast("long"))
+                    .alias("cut_edges")))

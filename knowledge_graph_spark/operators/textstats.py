@@ -1605,3 +1605,51 @@ def kneser_ney_ingredients(docs: DataFrame, text_col: str = "text",
             .join(hist, "w1").join(cont, "w2")
             .select("w1", "w2", "c_big", "c_w1", "n1p_hist",
                     "n1p_cont"))
+
+
+def good_turing_census(docs: DataFrame, text_col: str = "text",
+                       max_r: int = 0) -> DataFrame:
+    """Simple Good-Turing frequency-of-frequencies census (Good,
+    Biometrika 1953; Gale & Sampson, J. Quant. Linguistics 1995):
+    for each observed term frequency r, how many DISTINCT terms
+    occur exactly r times (N_r), plus each r's nearest observed
+    neighbors below and above — the exact ingredients of the SGT
+    smoothed estimate ``Z_r = 2 N_r / (r_next - r_prev)`` and of
+    the unseen-mass estimate ``P_0 = N_1 / N``. This is the count
+    table every open-vocabulary LM smoother (Good-Turing, and the
+    discount fits behind Kneser-Ney) consumes, and at corpus scale
+    the Zipf tail diagnostic (N_1/V ~ hapax rate).
+
+    Returns ``(r, n_r, r_prev, r_next)`` — all BIGINT; ``r_prev``
+    is 0 for the smallest r and ``r_next`` is ``2*r - r_prev`` for
+    the largest (Gale & Sampson's boundary convention), so Z_r is
+    row-local everywhere. ``max_r > 0`` truncates the table (the
+    SGT switch point makes the deep tail irrelevant).
+
+    Scale shape: one row-local tokenize, one vocabulary-bounded
+    (term -> r) count, one (r -> N_r) count-of-counts fold (output
+    rows ~ O(sqrt(total tokens)) by Zipf), then lag/lead windows
+    over THAT summary only — keyed by a constant non-foldable
+    partition, so no corpus-scale row ever meets a window.
+    """
+    from pyspark.sql import Window
+
+    tf = (docs.select(F.explode(F.split(F.lower(F.col(text_col)),
+                                        "[^a-z0-9]+")).alias("_w"))
+          .filter(F.col("_w") != "")
+          .groupBy("_w").agg(F.count("*").cast("long").alias("_r")))
+    coc = tf.groupBy(F.col("_r").alias("r")).agg(
+        F.count("*").cast("long").alias("n_r"))
+    if int(max_r) > 0:
+        coc = coc.filter(F.col("r") <= int(max_r))
+    w = (Window.partitionBy(F.pmod(F.col("r"), F.lit(1)))
+         .orderBy("r"))
+    return (coc
+            .withColumn("r_prev",
+                        F.coalesce(F.lag("r").over(w),
+                                   F.lit(0).cast("long")))
+            .withColumn("r_next",
+                        F.coalesce(F.lead("r").over(w),
+                                   (F.lit(2) * F.col("r")
+                                    - F.col("r_prev")).cast("long")))
+            .select("r", "n_r", "r_prev", "r_next"))

@@ -1,0 +1,116 @@
+# -*- coding: utf-8 -*-
+"""Hand-computed checks for the round-4 census additions: integer-
+exact Katz centrality, the Holland-Leinhardt dyad census, the NCP
+conductance census, and the Good-Turing count-of-counts census.
+
+Katz on a -> b -> c, a -> c at alpha = 1/2 (alpha_inv = 2):
+  x_1 = alpha * indegree, x_2(c) = alpha*((1+x_1(a)) + (1+x_1(b)))
+      = 0.5 * (1 + 1.5) = 1.25  ->  y_2(c) = 4 * 1.25 = 5.
+Two-cycle a <-> b at alpha = 1/2, 3 rounds: exactly one path per
+length, so x_3 = 1/2 + 1/4 + 1/8 = 7/8  ->  y_3 = 7.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_spark.operators.graph_analytics import (
+    conductance_census, dyad_census, katz_ingredients)
+from knowledge_graph_spark.operators.textstats import good_turing_census
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_katz_triangle_hand_computed(spark):
+    out = katz_ingredients(
+        _edges(spark, [("a", "b"), ("b", "c"), ("a", "c")]),
+        alpha_inv=2, rounds=2)
+    rows = {r["id"]: r["katz_num"] for r in out.collect()}
+    # y_2(b) = 2 + y_1(a) = 2;  y_2(c) = (2 + y_1(a)) + (2 + y_1(b)) = 5
+    assert rows == {"a": 0, "b": 2, "c": 5}
+
+
+def test_katz_two_cycle_geometric(spark):
+    out = katz_ingredients(_edges(spark, [("a", "b"), ("b", "a")]),
+                           alpha_inv=2, rounds=3)
+    rows = {r["id"]: r["katz_num"] for r in out.collect()}
+    # one path per length 1..3: y_3 = 4 + 2 + 1 = 7 on both nodes
+    assert rows == {"a": 7, "b": 7}
+
+
+def test_katz_drops_self_loops_and_duplicates(spark):
+    out = katz_ingredients(
+        _edges(spark, [("a", "b"), ("a", "b"), ("a", "a")]),
+        alpha_inv=2, rounds=1)
+    rows = {r["id"]: r["katz_num"] for r in out.collect()}
+    assert rows == {"a": 0, "b": 1}
+
+
+def test_katz_rejects_bad_alpha(spark):
+    with pytest.raises(ValueError):
+        katz_ingredients(_edges(spark, [("a", "b")]), alpha_inv=1)
+
+
+def test_dyad_census_hand_computed(spark):
+    out = dyad_census(_edges(spark, [
+        ("a", "b"), ("b", "a"), ("a", "c"), ("x", "y"),
+        ("a", "b"),              # duplicate directed edge
+        ("c", "c"),              # self-loop: dropped
+    ]))
+    row = out.collect()[0]
+    assert row["n_nodes"] == 5
+    assert row["mutual_dyads"] == 1     # {a,b}
+    assert row["asym_dyads"] == 2       # {a,c}, {x,y}
+    assert row["null_dyads"] == 10 - 3  # C(5,2) - connected
+
+
+def test_conductance_square_two_halves(spark):
+    edges = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"),
+                           ("d", "a")])
+    labels = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 2), ("d", 2), ("e", 3)],
+        "id string, community int")
+    rows = {r["community"]: r for r in
+            conductance_census(edges, labels).collect()}
+    for c in (1, 2):
+        assert rows[c]["n_nodes"] == 2
+        assert rows[c]["internal_edges"] == 1
+        assert rows[c]["cut_edges"] == 2
+        # identity: volume = 2*internal + cut
+        assert rows[c]["volume"] == 4
+    # labeled but edge-free community still appears, all zeros
+    assert rows[3]["n_nodes"] == 1
+    assert rows[3]["volume"] == 0
+    assert rows[3]["internal_edges"] == 0
+    assert rows[3]["cut_edges"] == 0
+
+
+def test_conductance_drops_unlabeled_endpoints(spark):
+    edges = _edges(spark, [("a", "b"), ("a", "z")])  # z unlabeled
+    labels = spark.createDataFrame([("a", 1), ("b", 1)],
+                                   "id string, community int")
+    rows = {r["community"]: r for r in
+            conductance_census(edges, labels).collect()}
+    assert rows[1]["internal_edges"] == 1
+    assert rows[1]["cut_edges"] == 0
+    # degree still counts the a-z edge (volume is over the raw graph)
+    assert rows[1]["volume"] == 3
+
+
+def test_good_turing_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "c d")], "doc_id long, text string")
+    rows = {r["r"]: r for r in good_turing_census(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert (rows[1]["n_r"], rows[1]["r_prev"], rows[1]["r_next"]) == (1, 0, 2)
+    assert (rows[2]["n_r"], rows[2]["r_prev"], rows[2]["r_next"]) == (2, 1, 3)
+    # Gale-Sampson boundary: r_next = 2r - r_prev at the top
+    assert (rows[3]["n_r"], rows[3]["r_prev"], rows[3]["r_next"]) == (1, 2, 4)
+
+
+def test_good_turing_max_r_truncates(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c c d")], "doc_id long, text string")
+    out = good_turing_census(docs, max_r=2)
+    assert {r["r"] for r in out.collect()} == {1, 2}
