@@ -11440,6 +11440,104 @@ FROM nb ORDER BY r
 
 
 
+def _q_allpairs_sim(spark, sf_dir):
+    """EXACT all-pairs Jaccard similarity join with prefix filtering
+    (Bayardo, Ma & Srikant WWW 2007; PPJoin Lemma 1) over the
+    documents corpus at t = 1/2 on word-3-gram sets: integer-only
+    (id_a, id_b, inter, sz_a, sz_b) — the threshold test is the
+    integer cross-multiply 2*inter >= sz_a + sz_b - inter. The oracle
+    is the NAIVE exact O(N^2) shingle self-join, so agreement proves
+    the prefix filter loses no pair."""
+    from knowledge_graph_spark.operators.dedup import allpairs_jaccard
+
+    docs = _t(spark, sf_dir, "documents")
+    return (allpairs_jaccard(docs, t_num=1, t_den=2, n=3)
+            .orderBy("id_a", "id_b"))
+
+
+_SQL_ALLPAIRS_SIM = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                     x -> x != '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(w) >= 3
+    THEN list_transform(range(len(w) - 2),
+         i -> list_aggregate(list_slice(w, i + 1, i + 3), 'string_agg', ' '))
+    ELSE [list_aggregate(w, 'string_agg', ' ')] END) AS g
+  FROM base
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+i AS (
+  SELECT ga.doc_id AS id_a, gb.doc_id AS id_b, COUNT(*) AS inter
+  FROM grams ga
+  JOIN grams gb ON gb.g = ga.g AND gb.doc_id > ga.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, CAST(i.inter AS BIGINT) AS inter,
+       CAST(za.sz AS BIGINT) AS sz_a, CAST(zb.sz AS BIGINT) AS sz_b
+FROM i
+JOIN sizes za ON za.doc_id = i.id_a
+JOIN sizes zb ON zb.doc_id = i.id_b
+WHERE 2 * i.inter >= za.sz + zb.sz - i.inter
+ORDER BY id_a, id_b
+"""
+
+
+def _q_coreness(spark, sf_dir):
+    """Full k-core decomposition via the h-index fix-point (Lü et
+    al., Nature Communications 2016) over the part-supplier supply
+    graph: (id, coreness), integer-exact. The oracle unrolls the
+    h-index iteration from degree for a fixed round budget; the
+    fix-point is idempotent, so the early-exited Spark loop and the
+    fixed-depth SQL replay agree exactly once both have converged
+    (round budget verified >= convergence depth at both test
+    scales)."""
+    from knowledge_graph_spark.operators.graph_analytics import coreness
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
+    return coreness(edges).orderBy("id")
+
+
+def _mk_coreness_sql(rounds: int) -> str:
+    """Unrolled h-index fix-point SQL: c0 = degree; each round ranks
+    neighbor values descending per node and takes max(min(rank,
+    value)). Generated, not hand-written, so the round budget is one
+    number."""
+    parts = [r"""
+WITH e AS (
+  SELECT DISTINCT 'p' || l_partkey AS a, 's' || l_suppkey AS b
+  FROM lineitem
+),
+sym AS (
+  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+),
+c0 AS (SELECT u AS id, CAST(COUNT(*) AS INT) AS c FROM sym GROUP BY u)"""]
+    for t in range(rounds):
+        parts.append(f""",
+c{t + 1} AS (
+  SELECT id, CAST(MAX(LEAST(r, cv)) AS INT) AS c FROM (
+    SELECT s.u AS id, c.c AS cv,
+           ROW_NUMBER() OVER (PARTITION BY s.u ORDER BY c.c DESC) AS r
+    FROM sym s JOIN c{t} c ON c.id = s.v
+  ) GROUP BY id
+)""")
+    parts.append(f"""
+SELECT id, CAST(c AS INT) AS coreness FROM c{rounds} ORDER BY id
+""")
+    return "".join(parts)
+
+
+_SQL_CORENESS = _mk_coreness_sql(12)
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # classical relational operators (DuckDB-oracled)
@@ -11520,6 +11618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dyad_census": _q_dyad_census,
         "conductance": _q_conductance,
         "good_turing": _q_good_turing,
+        "allpairs_sim": _q_allpairs_sim,
+        "supply_coreness": _q_coreness,
         "fd_census": _q_fd_census,
         "fk_census": _q_fk_census,
         "texttiling": _q_texttiling,
@@ -11749,6 +11849,8 @@ def oracle_sql() -> dict[str, str]:
         "dyad_census": _SQL_DYAD_CENSUS,
         "conductance": _SQL_CONDUCTANCE,
         "good_turing": _SQL_GOOD_TURING,
+        "allpairs_sim": _SQL_ALLPAIRS_SIM,
+        "supply_coreness": _SQL_CORENESS,
         "fd_census": _SQL_FD_CENSUS,
         "fk_census": _SQL_FK_CENSUS,
         "texttiling": _SQL_TEXTTILING,

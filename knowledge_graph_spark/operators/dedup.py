@@ -1027,3 +1027,81 @@ def semantic_dedup(embeddings: DataFrame, id_col: str = "vec_id",
         .select("vec_id", "cell_id",
                 F.when(F.col("_drop").isNull(), 1).otherwise(0).alias("keep"))
     )
+
+
+def allpairs_jaccard(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 3,
+                     t_num: int = 1, t_den: int = 2,
+                     max_bucket: int = 100000) -> DataFrame:
+    """EXACT all-pairs similarity join with prefix filtering (Bayardo,
+    Ma & Srikant, WWW 2007 "Scaling up all pairs similarity search";
+    Chaudhuri et al. ICDE 2006 SSJoin): every document pair whose
+    word-``n``-gram Jaccard is ``>= t_num/t_den``, with NO candidate
+    loss — the complement to :func:`minhash_lsh_pairs`, which trades
+    recall for cost. The prefix theorem does the pruning: order every
+    doc's shingle set by ascending global document frequency (rarest
+    first, ties by shingle); two sets with J >= t MUST share a token
+    inside each other's first ``|x| - ceil(t*|x|) + 1`` tokens, so
+    only prefix tokens generate candidates and the common-token
+    buckets that make naive token-joins quadratic never pair.
+
+    Thresholding is INTEGER-exact: a pair passes iff
+    ``t_den * inter >= t_num * (sz_a + sz_b - inter)`` — no float
+    ever decides membership, so the result hash-replays cross-engine.
+    Returns ``(id_a, id_b, inter, sz_a, sz_b)``, all integers;
+    Jaccard itself is a row-local division for the caller.
+
+    Scale shape: shingle stream folds once; the df join rides the
+    vocabulary; each doc's ordered set materializes doc-locally (one
+    collect_list bounded by doc length — the minhash-signature
+    convention); candidates come from :func:`_bucket_pairs` keyed on
+    PREFIX tokens only (prefix tokens are by construction the rare
+    end of the vocabulary, so buckets stay small on natural corpora);
+    verification is the :func:`ngram_jaccard_pairs` shape — a
+    shingle-keyed join over candidate participants only.
+    ``max_bucket`` is the skew guard: a prefix token hotter than it
+    drops its bucket (documented recall trade AT THE GUARD only —
+    leave it above the corpus's max prefix-token df for the exact
+    contract; lower it only when a boilerplate-token flood is worth
+    bounded recall loss)."""
+    sh = shingle_table(docs, id_col, text_col, n).localCheckpoint(
+        eager=True)
+    dfreq = sh.groupBy("shingle").agg(
+        F.count("*").cast("long").alias("_df"))
+    ordered = (sh.join(dfreq, "shingle")
+               .groupBy("doc_id")
+               .agg(F.sort_array(F.collect_list(
+                   F.struct(F.col("_df"), F.col("shingle"))))
+                   .alias("_toks")))
+    tn, td = int(t_num), int(t_den)
+    # prefix_len = sz - ceil(t*sz) + 1, ceil via integer arithmetic
+    pref = (ordered.select(
+        "doc_id",
+        F.expr(f"slice(_toks, 1, size(_toks) "
+               f"- ((({tn} * size(_toks)) + {td} - 1) DIV {td}) + 1)")
+        .alias("_p"))
+        .select("doc_id", F.explode("_p").alias("_t"))
+        .select(F.col("_t.shingle").alias("shingle"), "doc_id"))
+    cand = (_bucket_pairs(pref, ["shingle"], int(max_bucket),
+                          F.col("doc_id"))
+            .select(F.col("a").alias("id_a"), F.col("b").alias("id_b")))
+    ids = (cand.select(F.col("id_a").alias("doc_id"))
+           .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+           .distinct())
+    psh = sh.join(ids, "doc_id", "leftsemi").localCheckpoint(eager=True)
+    sizes = psh.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("sz"))
+    sa = psh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = psh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (cand.join(sa, "id_a").join(sb, ["id_b", "shingle"])
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").cast("long").alias("inter")))
+    za = sizes.select(F.col("doc_id").alias("id_a"),
+                      F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"),
+                      F.col("sz").alias("sz_b"))
+    return (inter.join(za, "id_a").join(zb, "id_b")
+            .filter(F.lit(td) * F.col("inter")
+                    >= F.lit(tn) * (F.col("sz_a") + F.col("sz_b")
+                                    - F.col("inter")))
+            .select("id_a", "id_b", "inter", "sz_a", "sz_b"))

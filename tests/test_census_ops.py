@@ -114,3 +114,82 @@ def test_good_turing_max_r_truncates(spark):
         [(1, "a a a b b c c d")], "doc_id long, text string")
     out = good_turing_census(docs, max_r=2)
     assert {r["r"] for r in out.collect()} == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# coreness (h-index fix-point) + allpairs exact similarity join
+# ---------------------------------------------------------------------------
+
+from knowledge_graph_spark.operators.dedup import allpairs_jaccard
+from knowledge_graph_spark.operators.graph_analytics import coreness
+
+
+def test_coreness_triangle_with_pendant(spark):
+    out = coreness(_edges(spark, [("a", "b"), ("b", "c"), ("a", "c"),
+                                  ("a", "d")]))
+    rows = {r["id"]: r["coreness"] for r in out.collect()}
+    assert rows == {"a": 2, "b": 2, "c": 2, "d": 1}
+
+
+def test_coreness_path_and_k4(spark):
+    path = coreness(_edges(spark, [("a", "b"), ("b", "c"), ("c", "d")]))
+    assert {r["coreness"] for r in path.collect()} == {1}
+    k4 = coreness(_edges(spark, [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d")]))
+    assert {r["coreness"] for r in k4.collect()} == {3}
+
+
+def test_coreness_two_triangles_sharing_a_node(spark):
+    out = coreness(_edges(spark, [("a", "b"), ("b", "c"), ("a", "c"),
+                                  ("c", "d"), ("d", "e"), ("c", "e")]))
+    rows = {r["id"]: r["coreness"] for r in out.collect()}
+    # the shared node's degree is 4 but its coreness is still 2
+    assert rows == {"a": 2, "b": 2, "c": 2, "d": 2, "e": 2}
+
+
+def _brute_jaccard_pairs(texts, n=3, t=0.5):
+    """Pure-Python exact reference: shingle sets + all-pairs."""
+    import re
+
+    def shingles(s):
+        w = [x for x in re.split(r"[^\w]+", s.lower()) if x]
+        if len(w) >= n:
+            return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+        return {" ".join(w)}
+
+    sets = {i: shingles(s) for i, s in texts}
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if union and inter / union >= t:
+                out[(a, b)] = (inter, len(sets[a]), len(sets[b]))
+    return out
+
+
+def test_allpairs_matches_bruteforce(spark):
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup
+        (3, "the quick brown fox jumps over the sleepy dog"), # near dup
+        (4, "entirely different words live in this document"),
+        (5, "another unrelated text about spark and graphs"),
+        (6, "a b c d e"),
+        (7, "a b c d f"),   # J = 2/4 = 0.5: boundary pair, must be IN
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): (r["inter"], r["sz_a"], r["sz_b"])
+           for r in allpairs_jaccard(docs).collect()}
+    assert got == _brute_jaccard_pairs(texts)
+    assert (6, 7) in got          # the exact-boundary pair survived
+
+
+def test_allpairs_integer_threshold_excludes_below(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c x y z")],
+        "doc_id long, text string")
+    # 4 shingles each, intersection 1: J = 1/7 < 1/2
+    assert allpairs_jaccard(docs).count() == 0
