@@ -190,6 +190,17 @@ def main():
         "fs_linkage", "snm_pairs", "host_salsa", "rich_club",
         "yule_census", "distinct_terms", "bcubed_eval",
         "zorder_layout", "allen_census",
+        # eighth continuation: Kneser-Ney ingredient census (doc-local
+        # bigram explode + vocabulary folds), dyad census (dyad-keyed
+        # fold, no pair join), conductance census (label joins + two-
+        # row cross-edge explode), Good-Turing count-of-counts
+        # (vocabulary-bounded + summary-only windows), all-pairs
+        # prefix-filtered similarity join (prefix-token buckets +
+        # candidate-bounded verify). Excluded as iterative-
+        # checkpointed: trade_katz (4 rounds), supply_coreness
+        # (h-index fix-point).
+        "kn_counts", "dyad_census", "conductance", "good_turing",
+        "allpairs_sim",
     ]
     qs = entrymod.queries()
     lines = [
