@@ -11538,6 +11538,98 @@ _SQL_CORENESS = _mk_coreness_sql(12)
 
 
 
+def _q_triad_census(spark, sf_dir):
+    """Full 16-type directed triad census (Holland & Leinhardt 1970;
+    Davis & Leinhardt M-A-N labels; Batagelj & Mrvar 2001
+    subquadratic enumeration) over the international trade digraph.
+    The Spark side never enumerates O(n^3) — wedge-join for >=2-dyad
+    triads, per-dyad integer arithmetic for single-dyad triads,
+    C(n,3) subtraction for 003 — while the oracle IS the brute-force
+    all-triples classifier, so agreement proves the subquadratic
+    decomposition exactly."""
+    from knowledge_graph_spark.operators.graph_analytics import (
+        triad_census)
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    edges = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+             .join(c, o["o_custkey"] == c["c_custkey"])
+             .join(s, li["l_suppkey"] == s["s_suppkey"])
+             .select(F.concat(F.lit("n"),
+                              F.format_string("%02d",
+                                              F.col("c_nationkey")))
+                     .alias("src"),
+                     F.concat(F.lit("n"),
+                              F.format_string("%02d",
+                                              F.col("s_nationkey")))
+                     .alias("dst")))
+    return triad_census(edges).orderBy("triad_type")
+
+
+def _mk_triad_sql() -> str:
+    """Brute-force all-triples triad classifier: every node triple,
+    six EXISTS probes -> 6-bit code -> 64-row VALUES decode table
+    (the same table the engine uses, literal here so the two sides
+    stay independently auditable)."""
+    from knowledge_graph_spark.operators.graph_analytics import (
+        TRIAD_TYPES, _TRIAD_TYPE_BY_CODE)
+
+    map64 = ", ".join(f"({c}, '{t}')"
+                      for c, t in sorted(_TRIAD_TYPE_BY_CODE.items()))
+    spine = ", ".join(f"('{t}')" for t in TRIAD_TYPES)
+    return f"""
+WITH e AS (
+  SELECT DISTINCT 'n' || lpad(CAST(c.c_nationkey AS VARCHAR), 2, '0') AS u,
+                  'n' || lpad(CAST(s.s_nationkey AS VARCHAR), 2, '0') AS v
+  FROM orders o
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+),
+nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+tri AS (
+  SELECT n1.id AS i, n2.id AS j, n3.id AS k
+  FROM nodes n1
+  JOIN nodes n2 ON n2.id > n1.id
+  JOIN nodes n3 ON n3.id > n2.id
+),
+st AS (
+  SELECT
+    (CASE WHEN EXISTS (SELECT 1 FROM e WHERE u = i AND v = j)
+          THEN 1 ELSE 0 END
+     + CASE WHEN EXISTS (SELECT 1 FROM e WHERE u = j AND v = i)
+            THEN 2 ELSE 0 END) AS mij,
+    (CASE WHEN EXISTS (SELECT 1 FROM e WHERE u = i AND v = k)
+          THEN 1 ELSE 0 END
+     + CASE WHEN EXISTS (SELECT 1 FROM e WHERE u = k AND v = i)
+            THEN 2 ELSE 0 END) AS mik,
+    (CASE WHEN EXISTS (SELECT 1 FROM e WHERE u = j AND v = k)
+          THEN 1 ELSE 0 END
+     + CASE WHEN EXISTS (SELECT 1 FROM e WHERE u = k AND v = j)
+            THEN 2 ELSE 0 END) AS mjk
+  FROM tri
+),
+decode(code, ttype) AS (VALUES {map64}),
+cnt AS (
+  SELECT d.ttype AS triad_type, CAST(COUNT(*) AS BIGINT) AS n_triads
+  FROM st JOIN decode d ON d.code = st.mij + 4 * st.mik + 16 * st.mjk
+  GROUP BY d.ttype
+),
+spine(triad_type) AS (VALUES {spine})
+SELECT s.triad_type,
+       CAST(COALESCE(c.n_triads, 0) AS BIGINT) AS n_triads
+FROM spine s LEFT JOIN cnt c ON c.triad_type = s.triad_type
+ORDER BY 1
+"""
+
+
+_SQL_TRIAD_CENSUS = _mk_triad_sql()
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # classical relational operators (DuckDB-oracled)
@@ -11620,6 +11712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "good_turing": _q_good_turing,
         "allpairs_sim": _q_allpairs_sim,
         "supply_coreness": _q_coreness,
+        "triad_census": _q_triad_census,
         "fd_census": _q_fd_census,
         "fk_census": _q_fk_census,
         "texttiling": _q_texttiling,
@@ -11851,6 +11944,7 @@ def oracle_sql() -> dict[str, str]:
         "good_turing": _SQL_GOOD_TURING,
         "allpairs_sim": _SQL_ALLPAIRS_SIM,
         "supply_coreness": _SQL_CORENESS,
+        "triad_census": _SQL_TRIAD_CENSUS,
         "fd_census": _SQL_FD_CENSUS,
         "fk_census": _SQL_FK_CENSUS,
         "texttiling": _SQL_TEXTTILING,

@@ -132,7 +132,7 @@ def main():
         "zorder_layout", "allen_census", "supply_matching",
         "kn_counts",
         "trade_katz", "dyad_census", "conductance", "good_turing",
-        "allpairs_sim", "supply_coreness",
+        "allpairs_sim", "supply_coreness", "triad_census",
     ]
     qs = entrymod.queries()
     for name in headliners:

@@ -193,3 +193,54 @@ def test_allpairs_integer_threshold_excludes_below(spark):
         "doc_id long, text string")
     # 4 shingles each, intersection 1: J = 1/7 < 1/2
     assert allpairs_jaccard(docs).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# triad census
+# ---------------------------------------------------------------------------
+
+from knowledge_graph_spark.operators.graph_analytics import (
+    TRIAD_TYPES, triad_census)
+
+
+def _census(spark, pairs):
+    out = triad_census(_edges(spark, pairs))
+    rows = {r["triad_type"]: r["n_triads"] for r in out.collect()}
+    assert set(rows) == set(TRIAD_TYPES)
+    return rows
+
+
+def test_triad_census_chain_star_cycles(spark):
+    rows = _census(spark, [("a", "b"), ("b", "c")])
+    assert rows["021C"] == 1 and sum(rows.values()) == 1
+    rows = _census(spark, [("a", "b"), ("a", "c"), ("a", "d")])
+    assert rows["021D"] == 3 and rows["003"] == 1
+    rows = _census(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    assert rows["030C"] == 1
+    rows = _census(spark, [("a", "b"), ("b", "a"), ("b", "c"),
+                           ("c", "b"), ("a", "c"), ("c", "a")])
+    assert rows["300"] == 1
+
+
+def test_triad_census_matches_networkx_on_hash_graphs(spark):
+    import hashlib
+
+    nx = pytest.importorskip("networkx", reason="independent reference")
+
+    for seed in (1, 2, 3):
+        # deterministic pseudo-random digraph on 12 nodes
+        pairs = []
+        for u in range(12):
+            for v in range(12):
+                if u == v:
+                    continue
+                h = hashlib.md5(f"{seed}:{u}:{v}".encode()).digest()[0]
+                if h < 70:
+                    pairs.append((f"n{u:02d}", f"n{v:02d}"))
+        G = nx.DiGraph()
+        G.add_nodes_from(f"n{i:02d}" for i in range(12))
+        G.add_edges_from(pairs)
+        want = nx.triadic_census(G)
+        got = _census(spark, pairs)
+        assert got == want, f"seed {seed}: {got} != {want}"
+        assert sum(got.values()) == 12 * 11 * 10 // 6

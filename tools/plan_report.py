@@ -201,6 +201,8 @@ def main():
         # (h-index fix-point).
         "kn_counts", "dyad_census", "conductance", "good_turing",
         "allpairs_sim",
+        # triad census: wedge join + dyad arithmetic, not iterative
+        "triad_census",
     ]
     qs = entrymod.queries()
     lines = [
