@@ -11630,6 +11630,135 @@ _SQL_TRIAD_CENSUS = _mk_triad_sql()
 
 
 
+_KB_STEPS = 31
+_KB_TAU = None  # computed below, shared verbatim by engine and oracle
+
+
+def _kb_tau() -> int:
+    import math
+
+    return round(math.log(_KB_STEPS) * 1e6)
+
+
+def _q_kleinberg(spark, sf_dir):
+    """Kleinberg two-state burst detection (KDD 2002 §4, the
+    batched-stream automaton) over per-type daily event counts:
+    per series the min-cost 0/1 state path, burst-day count, and
+    total cost in BIGINT micro-nats. Per-cell costs land on a 1e-6
+    lattice before the DP so every sum/argmin is integer-exact; the
+    transition toll tau = round(ln(31)*1e6) is one Python-computed
+    literal shared verbatim with the oracle; ties break on the
+    lower predecessor state via min(struct). The oracle unrolls all
+    31 DP steps. Residual cross-engine exposure: one ln() per
+    (series, state) pair of rational rates — a 1-ulp ln divergence
+    would need to move a cost across a 0.5e-6 lattice edge to
+    surface (same exposure class as ccnet_buckets, disclosed)."""
+    from knowledge_graph_spark.operators.events import kleinberg_bursts
+
+    ev = _t(spark, sf_dir, "events")
+    # plant a deterministic 4x surge of 'click' on days 10-12 so the
+    # burst state actually fires (the synthetic stream is uniform);
+    # the oracle replays the same UNION ALL boost
+    boost = ev.filter((F.col("event_type") == "click")
+                      & F.dayofmonth("ts").between(10, 12))
+    boosted = (ev.unionByName(boost).unionByName(boost)
+               .unionByName(boost))
+    return (kleinberg_bursts(boosted, n_steps=_KB_STEPS,
+                             tau_scaled=_kb_tau())
+            .orderBy("key"))
+
+
+def _mk_kleinberg_sql() -> str:
+    n = _KB_STEPS
+    tau = _kb_tau()
+    parts = [f"""
+WITH raw AS (
+  SELECT event_type, ts FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+),
+boost AS (
+  SELECT event_type, ts FROM raw
+  WHERE event_type = 'click' AND date_part('day', ts) BETWEEN 10 AND 12
+),
+base AS (
+  SELECT event_type AS key, CAST(ts AS DATE) AS d
+  FROM (SELECT * FROM raw UNION ALL SELECT * FROM boost
+        UNION ALL SELECT * FROM boost UNION ALL SELECT * FROM boost)
+),
+lo AS (SELECT MIN(d) AS lo FROM base),
+counts AS (
+  SELECT key, DATEDIFF('day', lo.lo, d) + 1 AS t,
+         CAST(COUNT(*) AS BIGINT) AS r
+  FROM base, lo
+  WHERE DATEDIFF('day', lo.lo, d) + 1 BETWEEN 1 AND {n}
+  GROUP BY 1, 2
+),
+totals AS (SELECT t, CAST(SUM(r) AS BIGINT) AS d FROM counts GROUP BY t),
+series AS (SELECT key, CAST(SUM(r) AS BIGINT) AS rtot
+           FROM counts GROUP BY key),
+grand AS (SELECT CAST(SUM(d) AS BIGINT) AS dtot FROM totals),
+tgrid AS (SELECT CAST(unnest(range(1, {n + 1})) AS INT) AS t),
+grid AS (
+  SELECT s.key, g.t, COALESCE(c.r, 0) AS r, COALESCE(tt.d, 0) AS d,
+         s.rtot, gr.dtot
+  FROM series s CROSS JOIN tgrid g
+  LEFT JOIN counts c ON c.key = s.key AND c.t = g.t
+  LEFT JOIN totals tt ON tt.t = g.t
+  CROSS JOIN grand gr
+),
+dc AS MATERIALIZED (
+  SELECT key, t,
+    CASE WHEN d = 0 THEN CAST(0 AS BIGINT)
+         ELSE CAST(ROUND(-(r * ln(rtot / dtot)
+                           + (d - r) * ln(1 - rtot / dtot)) * 1e6, 0)
+                   AS BIGINT) END AS c0,
+    CASE WHEN d = 0 THEN CAST(0 AS BIGINT)
+         ELSE CAST(ROUND(-(r * ln(LEAST((rtot / dtot) * 2, 0.999999))
+                           + (d - r) * ln(1 - LEAST((rtot / dtot) * 2,
+                                                    0.999999))) * 1e6, 0)
+                   AS BIGINT) END AS c1
+  FROM grid
+),
+s0 AS (
+  SELECT key, qq.q,
+         CASE WHEN qq.q = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(1000000000000000 AS BIGINT) END AS cost,
+         '' AS path
+  FROM series CROSS JOIN (VALUES (0), (1)) qq(q)
+)"""]
+    for t in range(1, n + 1):
+        parts.append(f""",
+m{t} AS MATERIALIZED (
+  SELECT key, nn.qn,
+         MIN(struct_pack(
+             c := cost + CASE WHEN nn.qn = 1 AND q = 0
+                              THEN {tau} ELSE 0 END,
+             q := q, p := path)) AS b
+  FROM s{t - 1} CROSS JOIN (VALUES (0), (1)) nn(qn)
+  GROUP BY key, nn.qn
+),
+s{t} AS MATERIALIZED (
+  SELECT m.key, m.qn AS q,
+         m.b.c + CASE WHEN m.qn = 0 THEN d.c0 ELSE d.c1 END AS cost,
+         m.b.p || CAST(m.qn AS VARCHAR) AS path
+  FROM m{t} m JOIN dc d ON d.key = m.key AND d.t = {t}
+)""")
+    parts.append(f"""
+SELECT key, b.p AS path,
+       CAST(length(b.p) - length(replace(b.p, '1', '')) AS BIGINT)
+         AS n_burst_steps,
+       b.c AS total_cost_scaled
+FROM (SELECT key, MIN(struct_pack(c := cost, q := q, p := path)) AS b
+      FROM s{n} GROUP BY key)
+ORDER BY key
+""")
+    return "".join(parts)
+
+
+_SQL_KLEINBERG = _mk_kleinberg_sql()
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # classical relational operators (DuckDB-oracled)
@@ -11713,6 +11842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "allpairs_sim": _q_allpairs_sim,
         "supply_coreness": _q_coreness,
         "triad_census": _q_triad_census,
+        "event_bursts": _q_kleinberg,
         "fd_census": _q_fd_census,
         "fk_census": _q_fk_census,
         "texttiling": _q_texttiling,
@@ -11945,6 +12075,7 @@ def oracle_sql() -> dict[str, str]:
         "allpairs_sim": _SQL_ALLPAIRS_SIM,
         "supply_coreness": _SQL_CORENESS,
         "triad_census": _SQL_TRIAD_CENSUS,
+        "event_bursts": _SQL_KLEINBERG,
         "fd_census": _SQL_FD_CENSUS,
         "fk_census": _SQL_FK_CENSUS,
         "texttiling": _SQL_TEXTTILING,

@@ -244,3 +244,104 @@ def test_triad_census_matches_networkx_on_hash_graphs(spark):
         got = _census(spark, pairs)
         assert got == want, f"seed {seed}: {got} != {want}"
         assert sum(got.values()) == 12 * 11 * 10 // 6
+
+
+# ---------------------------------------------------------------------------
+# Kleinberg burst detection
+# ---------------------------------------------------------------------------
+
+from knowledge_graph_spark.operators.events import kleinberg_bursts
+
+
+def _events(spark, day_counts, base="2024-01-01"):
+    """day_counts: {type: [count per day 1..T]} -> events frame."""
+    import datetime as dt
+
+    rows = []
+    b = dt.datetime.fromisoformat(base)
+    for tp, counts in day_counts.items():
+        for d, n in enumerate(counts, start=1):
+            for i in range(n):
+                rows.append((tp, b + dt.timedelta(days=d - 1, seconds=i)))
+    return spark.createDataFrame(rows, "event_type string, ts timestamp")
+
+
+def _py_kleinberg(day_counts, n_steps, tau, s_ratio=2):
+    """Pure-Python reference DP on the same 1e-6 integer lattice."""
+    import math
+
+    R = {k: sum(v) for k, v in day_counts.items()}
+    d = [0] * (n_steps + 1)
+    for k, v in day_counts.items():
+        for t, n in enumerate(v, start=1):
+            d[t] += n
+    D = sum(d)
+    out = {}
+    for k, v in day_counts.items():
+        p0 = R[k] / D
+        p1 = min(p0 * s_ratio, 0.999999)
+
+        def cost(t, p):
+            r = v[t - 1] if t <= len(v) else 0
+            if d[t] == 0:
+                return 0
+            return round(-(r * math.log(p)
+                           + (d[t] - r) * math.log(1 - p)) * 1e6)
+
+        # states: (cost, path); start forced into state 0
+        st = {0: (0, ""), 1: (10 ** 15, "")}
+        for t in range(1, n_steps + 1):
+            new = {}
+            for qn in (0, 1):
+                cands = sorted(
+                    (st[q][0] + (tau if qn == 1 and q == 0 else 0),
+                     q, st[q][1])
+                    for q in (0, 1))
+                c, q, pth = cands[0]
+                new[qn] = (c + cost(t, p1 if qn else p0),
+                           pth + str(qn))
+            st = new
+        c, q, pth = sorted((st[q][0], q, st[q][1]) for q in (0, 1))[0]
+        out[k] = (pth, pth.count("1"), c)
+    return out
+
+
+def test_kleinberg_planted_burst_fires(spark):
+    import math
+
+    counts = {
+        "bg1": [100] * 6,
+        "bg2": [100] * 6,
+        "spiky": [10, 10, 100, 100, 10, 10],
+    }
+    tau = round(math.log(6) * 1e6)
+    out = kleinberg_bursts(_events(spark, counts), n_steps=6,
+                           tau_scaled=tau)
+    rows = {r["key"]: (r["path"], r["n_burst_steps"],
+                       r["total_cost_scaled"]) for r in out.collect()}
+    assert rows["spiky"][0] == "001100"
+    assert rows["bg1"][0] == "000000"
+    assert rows == _py_kleinberg(counts, 6, tau)
+
+
+def test_kleinberg_matches_python_twin_on_hash_series(spark):
+    import hashlib
+    import math
+
+    counts = {}
+    for k in ("a", "b", "c", "d"):
+        counts[k] = [
+            hashlib.md5(f"{k}:{t}".encode()).digest()[0] % 40 + 5
+            for t in range(1, 9)]
+    tau = round(math.log(8) * 1e6)
+    out = kleinberg_bursts(_events(spark, counts), n_steps=8,
+                           tau_scaled=tau)
+    rows = {r["key"]: (r["path"], r["n_burst_steps"],
+                       r["total_cost_scaled"]) for r in out.collect()}
+    assert rows == _py_kleinberg(counts, 8, tau)
+
+
+def test_kleinberg_rejects_bad_steps(spark):
+    with pytest.raises(ValueError):
+        kleinberg_bursts(_events(spark, {"a": [1]}), n_steps=0,
+                         tau_scaled=1)
