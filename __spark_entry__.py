@@ -11759,6 +11759,28 @@ _SQL_KLEINBERG = _mk_kleinberg_sql()
 
 
 
+def _q_supply_msf(spark, sf_dir):
+    """Minimum spanning forest of the part-supplier supply graph
+    (weight = min extended price per pair) via distributed Borůvka
+    rounds (Borůvka 1926; Lattanzi et al. SPAA 2011) — the single-
+    linkage clustering backbone for ER similarity graphs. Oracled
+    against an independent pure-Python Kruskal twin: both follow the
+    same (weight, src, dst) total order, under which the forest is
+    unique, so row equality proves the distributed contraction loop.
+    Selection-only output — no arithmetic ever touches the weights,
+    so no float drift can exist cross-engine."""
+    from knowledge_graph_spark.operators.graph_analytics import (
+        boruvka_msf)
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        F.col("l_extendedprice").alias("weight"))
+    return boruvka_msf(edges).orderBy("src", "dst")
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # classical relational operators (DuckDB-oracled)
@@ -11843,6 +11865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supply_coreness": _q_coreness,
         "triad_census": _q_triad_census,
         "event_bursts": _q_kleinberg,
+        "supply_msf": _q_supply_msf,
         "fd_census": _q_fd_census,
         "fk_census": _q_fk_census,
         "texttiling": _q_texttiling,
@@ -12076,6 +12099,7 @@ def oracle_sql() -> dict[str, str]:
         "supply_coreness": _SQL_CORENESS,
         "triad_census": _SQL_TRIAD_CENSUS,
         "event_bursts": _SQL_KLEINBERG,
+        "supply_msf": _golden_sql("supply_msf", "src, dst"),
         "fd_census": _SQL_FD_CENSUS,
         "fk_census": _SQL_FK_CENSUS,
         "texttiling": _SQL_TEXTTILING,

@@ -2365,3 +2365,84 @@ def triad_census(edges: DataFrame, src: str = "src",
                      - F.col("_s")).cast("long").alias("n_triads")))
     return (filled.filter(F.col("triad_type") != "003")
             .unionByName(n003))
+
+
+def boruvka_msf(edges: DataFrame, src: str = "src", dst: str = "dst",
+                weight: str = "weight",
+                max_rounds: int = 20) -> DataFrame:
+    """Minimum spanning forest via Borůvka's algorithm (Borůvka 1926;
+    the parallel-MST workhorse — Chung & Condon IPPS 1996, and the
+    MapReduce form in Lattanzi et al. SPAA 2011 filtering) — the
+    backbone of SINGLE-LINKAGE clustering over an ER similarity
+    graph: cutting the forest at a distance threshold yields exactly
+    the single-linkage clusters, without ever materializing a
+    dendrogram. Per round every component selects its minimum
+    outgoing edge and components merge; rounds are O(log V) because
+    the component count at least halves.
+
+    Determinism by construction: edges are totally ordered by
+    ``(weight, src, dst)`` — distinct even on tied weights — so the
+    forest is UNIQUE (the classic cut-property argument needs only a
+    total order) and hash-replays exactly; selection-only output
+    (no arithmetic ever touches the weights, so float drift cannot
+    exist cross-engine).
+
+    Returns the forest edge list ``(src, dst, weight)`` — V minus
+    #components rows.
+
+    Scale shape: per round one label join per endpoint ((id, id)
+    pairs), one min(struct) fold per component side (map-side
+    combined — a hub component never collects its edge list), a
+    distinct over the chosen edges, and component contraction via
+    :mod:`components`' size-adaptive connected components on the
+    CHOSEN-edge graph only (≤ one edge per component). The live
+    inter-component edge set shrinks monotonically and re-
+    checkpoints per round.
+    """
+    from knowledge_graph_spark.operators.components import (
+        connected_components)
+
+    e = (edges.select(F.least(src, dst).alias("u"),
+                      F.greatest(src, dst).alias("v"),
+                      F.col(weight).alias("w"))
+         .filter(F.col("u").isNotNull() & F.col("v").isNotNull()
+                 & F.col("w").isNotNull() & (F.col("u") != F.col("v")))
+         .groupBy("u", "v").agg(F.min("w").alias("w"))
+         .localCheckpoint(eager=True))
+    comp = (e.select(F.col("u").alias("id"))
+            .unionByName(e.select(F.col("v").alias("id")))
+            .distinct()
+            .select("id", F.col("id").alias("c"))
+            .localCheckpoint(eager=True))
+    out: DataFrame | None = None
+    for _ in range(int(max_rounds)):
+        cu = comp.select(F.col("id").alias("u"), F.col("c").alias("_cu"))
+        cv = comp.select(F.col("id").alias("v"), F.col("c").alias("_cv"))
+        live = (e.join(cu, "u").join(cv, "v")
+                .filter(F.col("_cu") != F.col("_cv")))
+        if live.isEmpty():
+            break
+        pick = F.struct("w", "u", "v")
+        side = (live.select(F.col("_cu").alias("cc"), pick.alias("_e"))
+                .unionByName(live.select(F.col("_cv").alias("cc"),
+                                         pick.alias("_e"))))
+        chosen = (side.groupBy("cc").agg(F.min("_e").alias("_e"))
+                  .select("_e.u", "_e.v", "_e.w").distinct()
+                  .localCheckpoint(eager=True))
+        out = chosen if out is None else out.unionByName(chosen)
+        # contract: relabel via CC over the chosen component pairs
+        cpairs = (chosen.join(cu, "u").join(cv, "v")
+                  .select(F.col("_cu").alias("u"),
+                          F.col("_cv").alias("v")))
+        relab = connected_components(cpairs)
+        comp = (comp.join(relab.withColumnRenamed("node", "c")
+                          .withColumnRenamed("component", "_nc"),
+                          "c", "left")
+                .select("id", F.coalesce("_nc", "c").alias("c"))
+                .localCheckpoint(eager=True))
+    if out is None:
+        return e.limit(0).select(F.col("u").alias(src),
+                                 F.col("v").alias(dst),
+                                 F.col("w").alias(weight))
+    return out.select(F.col("u").alias(src), F.col("v").alias(dst),
+                      F.col("w").alias(weight))

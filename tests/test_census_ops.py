@@ -345,3 +345,66 @@ def test_kleinberg_rejects_bad_steps(spark):
     with pytest.raises(ValueError):
         kleinberg_bursts(_events(spark, {"a": [1]}), n_steps=0,
                          tau_scaled=1)
+
+
+# ---------------------------------------------------------------------------
+# Boruvka minimum spanning forest
+# ---------------------------------------------------------------------------
+
+from knowledge_graph_spark.operators.graph_analytics import boruvka_msf
+
+
+def _wedges(spark, triples):
+    return spark.createDataFrame(
+        triples, "src string, dst string, weight double")
+
+
+def test_boruvka_hand_computed_square(spark):
+    # square with one diagonal: MST = the three cheapest non-cyclic
+    out = boruvka_msf(_wedges(spark, [
+        ("a", "b", 1.0), ("b", "c", 2.0), ("c", "d", 3.0),
+        ("d", "a", 4.0), ("a", "c", 5.0)]))
+    got = {(r["src"], r["dst"], r["weight"]) for r in out.collect()}
+    assert got == {("a", "b", 1.0), ("b", "c", 2.0), ("c", "d", 3.0)}
+
+
+def test_boruvka_forest_two_components(spark):
+    out = boruvka_msf(_wedges(spark, [
+        ("a", "b", 1.0), ("b", "c", 5.0), ("a", "c", 2.0),
+        ("x", "y", 7.0)]))
+    got = {(r["src"], r["dst"]) for r in out.collect()}
+    assert got == {("a", "b"), ("a", "c"), ("x", "y")}
+
+
+def test_boruvka_tied_weights_deterministic_and_acyclic(spark):
+    # all weights tied: the (w, src, dst) total order must still
+    # produce a unique spanning tree (n-1 edges, no cycle)
+    out = boruvka_msf(_wedges(spark, [
+        ("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0),
+        ("c", "d", 1.0), ("d", "a", 1.0)]))
+    rows = sorted((r["src"], r["dst"]) for r in out.collect())
+    assert len(rows) == 3
+    assert rows == [("a", "b"), ("a", "c"), ("a", "d")]
+
+
+def test_boruvka_matches_networkx_on_hash_graphs(spark):
+    import hashlib
+
+    nx = pytest.importorskip("networkx", reason="independent reference")
+    for seed in (1, 2):
+        triples = []
+        for u in range(14):
+            for v in range(u + 1, 14):
+                h = hashlib.md5(f"{seed}:{u}:{v}".encode()).digest()
+                if h[0] < 90:
+                    # distinct weights so the MSF is unique
+                    triples.append((f"n{u:02d}", f"n{v:02d}",
+                                    float(int.from_bytes(h[1:4], "big"))))
+        G = nx.Graph()
+        for u, v, w in triples:
+            G.add_edge(u, v, weight=w)
+        want = {(min(u, v), max(u, v)) for u, v in
+                nx.minimum_spanning_edges(G, data=False)}
+        out = boruvka_msf(_wedges(spark, triples))
+        got = {(r["src"], r["dst"]) for r in out.collect()}
+        assert got == want, f"seed {seed}"

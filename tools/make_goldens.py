@@ -699,6 +699,48 @@ def canonical_mapping(pairs: set[tuple[str, str]]) -> dict[str, str]:
     return mapping
 
 
+def golden_supply_msf(sf_dir: str) -> list[dict]:
+    """Pure-Python Kruskal twin of graph_analytics.boruvka_msf over
+    the part-supplier supply graph (edge weight = min extended price
+    per (part, supplier) pair). The engine runs Borůvka rounds; both
+    follow the same (weight, src, dst) total order, under which the
+    forest is unique — so row equality proves the distributed
+    contraction loop."""
+    t = pq.read_table(os.path.join(sf_dir, "lineitem.parquet"),
+                      columns=["l_partkey", "l_suppkey",
+                               "l_extendedprice"])
+    best: dict[tuple, float] = {}
+    for pk, sk, price in zip(t["l_partkey"].to_pylist(),
+                             t["l_suppkey"].to_pylist(),
+                             t["l_extendedprice"].to_pylist()):
+        if pk is None or sk is None or price is None:
+            continue
+        a, b = f"p{pk}", f"s{sk}"
+        if a > b:
+            a, b = b, a
+        k = (a, b)
+        if k not in best or price < best[k]:
+            best[k] = price
+    parent: dict[str, str] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    rows = []
+    for (a, b), w in sorted(best.items(), key=lambda kv:
+                            (kv[1], kv[0][0], kv[0][1])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            rows.append({"src": a, "dst": b, "weight": w})
+    rows.sort(key=lambda r: (r["src"], r["dst"]))
+    return rows
+
+
+
 # ---------------------------------------------------------------------------
 # writers
 # ---------------------------------------------------------------------------
@@ -745,6 +787,9 @@ def main() -> None:
         ("n_tokens", pa.int64())]))
     write("lpa_communities", golden_lpa_communities(args.sf_dir), pa.schema([
         ("id", pa.int64()), ("label", pa.int64())]))
+    write("supply_msf", golden_supply_msf(args.sf_dir), pa.schema([
+        ("src", pa.string()), ("dst", pa.string()),
+        ("weight", pa.float64())]))
     write("host_profile", golden_host_profile(), pa.schema([
         ("host", pa.string()), ("n_pages", pa.int64()),
         ("n_heldout", pa.int64()), ("n_chars", pa.int64()),

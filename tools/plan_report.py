@@ -203,6 +203,8 @@ def main():
         "allpairs_sim",
         # triad census: wedge join + dyad arithmetic, not iterative
         "triad_census",
+        # (event_bursts and supply_msf are iterative — DP steps /
+        # Borůvka rounds — static plan is the last round, excluded)
     ]
     qs = entrymod.queries()
     lines = [
