@@ -11781,6 +11781,78 @@ def _q_supply_msf(spark, sf_dir):
 
 
 
+def _q_sales_cube(spark, sf_dir):
+    """OLAP CUBE (Gray et al., Data Mining & Knowledge Discovery
+    1997 "Data Cube"): all four grouping sets of (returnflag,
+    linestatus) in ONE pass plus the grouping_id bitmask — the
+    classical rollup operator (exercises SURVEY §2.5 grouping sets;
+    Spark computes it with a single Expand + aggregate, no repeated
+    scans). Sums carry the 2-dp convention of pricing_summary."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.count("*").alias("n_rows"),
+             F.grouping_id().alias("gid"))
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+_SQL_SALES_CUBE = r"""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       COUNT(*) AS n_rows,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
+def _q_events_rolling(spark, sf_dir):
+    """7-day rolling event volume per type via a RANGE-frame window
+    over the integer day axis (the classical moving-aggregate
+    operator; frame = 6 preceding days + current): sparse day gaps
+    must NOT contribute — a ROWS frame would silently include
+    out-of-range days, which is exactly what RANGE exists for.
+    Integer-only output."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.filter(F.col("event_type").isNotNull()
+                       & F.col("ts").isNotNull())
+             .groupBy("event_type",
+                      F.to_date("ts").alias("d"))
+             .agg(F.count("*").cast("long").alias("n")))
+    w = (Window.partitionBy("event_type")
+         .orderBy(F.datediff(F.col("d"), F.lit("1970-01-01")))
+         .rangeBetween(-6, 0))
+    return (daily
+            .withColumn("roll7", F.sum("n").over(w).cast("long"))
+            .select("event_type", "d", "n", "roll7")
+            .orderBy("event_type", "d"))
+
+
+_SQL_EVENTS_ROLLING = r"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT event_type, d, n,
+       CAST(SUM(n) OVER (
+         PARTITION BY event_type
+         ORDER BY DATEDIFF('day', DATE '1970-01-01', d)
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS roll7
+FROM daily
+ORDER BY event_type, d
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # classical relational operators (DuckDB-oracled)
@@ -11866,6 +11938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triad_census": _q_triad_census,
         "event_bursts": _q_kleinberg,
         "supply_msf": _q_supply_msf,
+        "sales_cube": _q_sales_cube,
+        "events_rolling": _q_events_rolling,
         "fd_census": _q_fd_census,
         "fk_census": _q_fk_census,
         "texttiling": _q_texttiling,
@@ -12100,6 +12174,8 @@ def oracle_sql() -> dict[str, str]:
         "triad_census": _SQL_TRIAD_CENSUS,
         "event_bursts": _SQL_KLEINBERG,
         "supply_msf": _golden_sql("supply_msf", "src, dst"),
+        "sales_cube": _SQL_SALES_CUBE,
+        "events_rolling": _SQL_EVENTS_ROLLING,
         "fd_census": _SQL_FD_CENSUS,
         "fk_census": _SQL_FK_CENSUS,
         "texttiling": _SQL_TEXTTILING,

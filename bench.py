@@ -133,7 +133,7 @@ def main():
         "kn_counts",
         "trade_katz", "dyad_census", "conductance", "good_turing",
         "allpairs_sim", "supply_coreness", "triad_census",
-        "event_bursts", "supply_msf",
+        "event_bursts", "supply_msf", "sales_cube", "events_rolling",
     ]
     qs = entrymod.queries()
     for name in headliners:

@@ -201,6 +201,9 @@ def main():
         # (h-index fix-point).
         "kn_counts", "dyad_census", "conductance", "good_turing",
         "allpairs_sim",
+        # classical OLAP: CUBE grouping sets (one Expand + agg, one
+        # scan) and RANGE-frame rolling window (event_type-keyed)
+        "sales_cube", "events_rolling",
         # triad census: wedge join + dyad arithmetic, not iterative
         "triad_census",
         # (event_bursts and supply_msf are iterative — DP steps /
