@@ -11853,6 +11853,58 @@ ORDER BY event_type, d
 
 
 
+_KC_K = 6
+
+
+def _q_kcenter(spark, sf_dir):
+    """Gonzalez greedy k-center coreset selection (TCS 1985) over
+    the embedding table: 6 farthest-point rounds, selection-only
+    (rank, center_id) output. The oracle unrolls every round with
+    the SAME sequential fold order as functions/vectors.l2_sq
+    (DuckDB list_reduce == Spark aggregate left fold, and the
+    engine casts to double BEFORE any arithmetic), so the argmax
+    replays bit-for-bit; ties break on ascending id."""
+    from knowledge_graph_spark.operators.simsearch import kcenter_coreset
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kcenter_coreset(emb, k=_KC_K).orderBy("rank")
+
+
+def _mk_kcenter_sql() -> str:
+    fold = ("ROUND(list_reduce(list_transform(range(1, len({a}) + 1), "
+            "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), "
+            "(acc, x) -> acc + x), 6)")
+    parts = [f"""
+WITH allv AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+),
+c1 AS (SELECT v FROM allv WHERE vec_id = (SELECT MIN(vec_id) FROM allv)),
+d1 AS MATERIALIZED (
+  SELECT a.vec_id AS id, a.v, {fold.format(a="a.v", b="c1.v")} AS d6
+  FROM allv a CROSS JOIN c1
+)"""]
+    for r in range(2, _KC_K + 1):
+        parts.append(f""",
+n{r} AS (SELECT id FROM d{r - 1} ORDER BY d6 DESC, id LIMIT 1),
+c{r} AS (SELECT a.v FROM allv a JOIN n{r} ON a.vec_id = n{r}.id),
+d{r} AS MATERIALIZED (
+  SELECT d.id, d.v,
+         LEAST(d.d6, {fold.format(a="d.v", b="c.v")}) AS d6
+  FROM d{r - 1} d CROSS JOIN c{r} c
+)""")
+    sel = ["SELECT CAST(1 AS INT) AS rank, "
+           "(SELECT MIN(vec_id) FROM allv) AS center_id"]
+    for r in range(2, _KC_K + 1):
+        sel.append(f"SELECT CAST({r} AS INT), (SELECT id FROM n{r})")
+    parts.append("\n" + "\nUNION ALL\n".join(sel) + "\nORDER BY rank\n")
+    return "".join(parts)
+
+
+_SQL_KCENTER = _mk_kcenter_sql()
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # classical relational operators (DuckDB-oracled)
@@ -11939,6 +11991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_bursts": _q_kleinberg,
         "supply_msf": _q_supply_msf,
         "sales_cube": _q_sales_cube,
+        "coreset_centers": _q_kcenter,
         "events_rolling": _q_events_rolling,
         "fd_census": _q_fd_census,
         "fk_census": _q_fk_census,
@@ -12175,6 +12228,7 @@ def oracle_sql() -> dict[str, str]:
         "event_bursts": _SQL_KLEINBERG,
         "supply_msf": _golden_sql("supply_msf", "src, dst"),
         "sales_cube": _SQL_SALES_CUBE,
+        "coreset_centers": _SQL_KCENTER,
         "events_rolling": _SQL_EVENTS_ROLLING,
         "fd_census": _SQL_FD_CENSUS,
         "fk_census": _SQL_FK_CENSUS,

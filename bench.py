@@ -134,6 +134,7 @@ def main():
         "trade_katz", "dyad_census", "conductance", "good_turing",
         "allpairs_sim", "supply_coreness", "triad_census",
         "event_bursts", "supply_msf", "sales_cube", "events_rolling",
+        "coreset_centers",
     ]
     qs = entrymod.queries()
     for name in headliners:

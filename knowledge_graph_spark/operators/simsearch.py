@@ -583,3 +583,74 @@ def kmeans_min_id(v: DataFrame, n_clusters: int, n_iter: int = 0
                     F.coalesce("centroid", "old").alias("centroid"))
         )
     return _assign_cells(v, cent)
+
+
+def kcenter_coreset(vectors: DataFrame, k: int,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Greedy k-center / farthest-point coreset selection (Gonzalez,
+    Theoretical Computer Science 1985 — the 2-approximation that is
+    the standard DIVERSE-sample selector for training-data coresets:
+    each round picks the point farthest from everything already
+    chosen, so the selection covers the embedding space instead of
+    oversampling its dense core; also the k-center++-style seeding
+    step of facility-location curation).
+
+    Deterministic selection: round 1 takes the minimum id; each
+    later round takes ``argmax(round(d_min^2, 6))`` with ties broken
+    by ascending id — the squared distance is the shared
+    ``functions/vectors.l2_sq`` sequential fold, so a SQL replay
+    using the same fold order reproduces the argmax bit-for-bit.
+    Output is SELECTION-ONLY ``(rank, center_id)``: no distance ever
+    leaves the plan, so no float reaches a comparator downstream.
+
+    Scale shape: the state is one (id, d6) frame over the corpus;
+    each round is ONE map-side argmax fold (max(struct)) plus one
+    row-local least() update against the newly chosen vector, which
+    rides in as a LITERAL array (two driver actions per round — the
+    1-row argmax collect and the 1-row vector fetch — the bounded
+    driver-action convention of bpe_train/landmarks); k rounds
+    total, per-round localCheckpoint. No join ever touches the
+    corpus.
+    """
+    from knowledge_graph_spark.functions.vectors import l2_sq
+
+    if int(k) < 1:
+        raise ValueError("k must be >= 1")
+    # double precision up front: the float->double cast must happen
+    # BEFORE any arithmetic so a DOUBLE[] SQL replay is bit-identical
+    pts = (vectors.select(F.col(id_col).alias("id"),
+                          F.col(vec_col).cast("array<double>")
+                          .alias("v"))
+           .filter(F.col("id").isNotNull() & F.col("v").isNotNull())
+           .localCheckpoint(eager=True))
+    first = pts.agg(F.min("id")).collect()[0][0]
+    if first is None:
+        return pts.sparkSession.createDataFrame(
+            [], "rank int, center_id long")
+    centers = [(1, first)]
+
+    def _vec_lit(cid):
+        row = pts.filter(F.col("id") == cid).select("v").collect()[0]
+        return F.array(*[F.lit(float(x)) for x in row[0]])
+
+    state = (pts.withColumn("_c", _vec_lit(first))
+             .withColumn("_d6", F.round(l2_sq("v", "_c"), 6))
+             .drop("_c")
+             .localCheckpoint(eager=True))
+    for r in range(2, int(k) + 1):
+        top = (state.agg(F.max(F.struct(F.col("_d6"),
+                                        (-F.col("id")).alias("_ni")))
+                         .alias("_b"))
+               .select((-F.col("_b._ni")).alias("id"))
+               .collect())
+        nxt = top[0][0]
+        centers.append((r, nxt))
+        state = (state.withColumn("_c", _vec_lit(nxt))
+                 .withColumn("_d6",
+                             F.least("_d6",
+                                     F.round(l2_sq("v", "_c"), 6)))
+                 .drop("_c")
+                 .localCheckpoint(eager=True))
+    return pts.sparkSession.createDataFrame(
+        centers, "rank int, center_id long")

@@ -408,3 +408,63 @@ def test_boruvka_matches_networkx_on_hash_graphs(spark):
         out = boruvka_msf(_wedges(spark, triples))
         got = {(r["src"], r["dst"]) for r in out.collect()}
         assert got == want, f"seed {seed}"
+
+
+# ---------------------------------------------------------------------------
+# Gonzalez greedy k-center coreset
+# ---------------------------------------------------------------------------
+
+from knowledge_graph_spark.operators.simsearch import kcenter_coreset
+
+
+def _points(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+
+
+def test_kcenter_farthest_point_order(spark):
+    pts = _points(spark, [(1, [0.0]), (2, [1.0]), (3, [10.0]),
+                          (4, [11.0]), (5, [100.0])])
+    out = {r["rank"]: r["center_id"]
+           for r in kcenter_coreset(pts, k=3).collect()}
+    # min id first, then 100 (farthest), then 11 (d_min 121 > 100)
+    assert out == {1: 1, 2: 5, 3: 4}
+
+
+def test_kcenter_tie_breaks_on_lower_id(spark):
+    pts = _points(spark, [(1, [0.0]), (2, [5.0]), (3, [5.0]),
+                          (4, [-5.0])])
+    out = {r["rank"]: r["center_id"]
+           for r in kcenter_coreset(pts, k=2).collect()}
+    # ids 2, 3, 4 all sit at distance 25: lowest id wins
+    assert out == {1: 1, 2: 2}
+
+
+def test_kcenter_matches_python_greedy_on_hash_points(spark):
+    import hashlib
+
+    rows = []
+    for i in range(40):
+        h = hashlib.md5(f"pt{i}".encode()).digest()
+        rows.append((i, [float(h[0]), float(h[1]), float(h[2])]))
+    got = {r["rank"]: r["center_id"]
+           for r in kcenter_coreset(_points(spark, rows), k=6).collect()}
+
+    # pure-Python twin with the same 6-dp rounding + id tie-break
+    pts = {i: v for i, v in rows}
+    centers = [min(pts)]
+    d = {i: round(sum((a - b) ** 2 for a, b in
+                      zip(v, pts[centers[0]])), 6)
+         for i, v in pts.items()}
+    for _ in range(5):
+        nxt = max(pts, key=lambda i: (d[i], -i))
+        centers.append(nxt)
+        for i, v in pts.items():
+            d[i] = min(d[i], round(sum((a - b) ** 2 for a, b in
+                                       zip(v, pts[nxt])), 6))
+    assert got == {r + 1: c for r, c in enumerate(centers)}
+
+
+def test_kcenter_rejects_bad_k(spark):
+    with pytest.raises(ValueError):
+        kcenter_coreset(_points(spark, [(1, [0.0])]), k=0)
