@@ -11905,6 +11905,80 @@ _SQL_KCENTER = _mk_kcenter_sql()
 
 
 
+def _q_snn_clusters(spark, sf_dir):
+    """Jarvis-Patrick shared-nearest-neighbor clustering (IEEE ToC
+    1973; Ertöz et al. SDM 2003) over the embedding corpus: exact
+    cosine 12-NN lists (the brute tier — IVF/PQ drop in at scale),
+    mutual-listing + >=2 shared neighbors -> SNN edges -> connected
+    components. Selection-only integer output (vec_id, cluster).
+    The oracle replays the k-NN ranking, the mutual and shared-count
+    joins, and the component closure via a recursive CTE."""
+    from knowledge_graph_spark.operators.simsearch import (
+        brute_force_topk, snn_clusters)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.select(F.col("vec_id").alias("query_id"),
+                         F.col("embedding").alias("query_vec"))
+    knn = brute_force_topk(emb, queries, k=12)
+    return snn_clusters(knn, min_shared=2).orderBy("vec_id")
+
+
+_SQL_SNN_CLUSTERS = r"""
+WITH RECURSIVE
+allv AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+),
+nz AS (
+  SELECT vec_id, v FROM allv
+  WHERE sqrt(list_reduce(list_transform(v, x -> x * x),
+                         (a, b) -> a + b)) > 0
+),
+knn AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(e.v, q.v) DESC,
+                      e.vec_id) AS rk
+    FROM nz e CROSS JOIN nz q)
+  WHERE rk <= 12
+),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT query_id AS p, vec_id AS n
+  FROM knn WHERE query_id <> vec_id
+),
+mutual AS (
+  SELECT a.p AS a, a.n AS b FROM pairs a
+  JOIN pairs r ON r.p = a.n AND r.n = a.p
+  WHERE a.p < a.n
+),
+shared AS (
+  SELECT x.p AS a, y.p AS b, COUNT(*) AS s
+  FROM pairs x JOIN pairs y ON y.n = x.n AND y.p > x.p
+  GROUP BY 1, 2
+),
+edges AS MATERIALIZED (
+  SELECT m.a, m.b
+  FROM mutual m LEFT JOIN shared s ON s.a = m.a AND s.b = m.b
+  WHERE COALESCE(s.s, 0) >= 2
+),
+sym AS (SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges),
+reach(node, lab) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT s.v, r.lab FROM reach r JOIN sym s ON s.u = r.node
+),
+labs AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+pts AS (SELECT DISTINCT query_id AS id FROM knn)
+SELECT p.id AS vec_id,
+       CAST(COALESCE(l.component, p.id) AS BIGINT) AS cluster
+FROM pts p LEFT JOIN labs l ON l.node = p.id
+ORDER BY vec_id
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # classical relational operators (DuckDB-oracled)
@@ -11992,6 +12066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supply_msf": _q_supply_msf,
         "sales_cube": _q_sales_cube,
         "coreset_centers": _q_kcenter,
+        "snn_clusters": _q_snn_clusters,
         "events_rolling": _q_events_rolling,
         "fd_census": _q_fd_census,
         "fk_census": _q_fk_census,
@@ -12229,6 +12304,7 @@ def oracle_sql() -> dict[str, str]:
         "supply_msf": _golden_sql("supply_msf", "src, dst"),
         "sales_cube": _SQL_SALES_CUBE,
         "coreset_centers": _SQL_KCENTER,
+        "snn_clusters": _SQL_SNN_CLUSTERS,
         "events_rolling": _SQL_EVENTS_ROLLING,
         "fd_census": _SQL_FD_CENSUS,
         "fk_census": _SQL_FK_CENSUS,

@@ -654,3 +654,75 @@ def kcenter_coreset(vectors: DataFrame, k: int,
                  .localCheckpoint(eager=True))
     return pts.sparkSession.createDataFrame(
         centers, "rank int, center_id long")
+
+
+def snn_clusters(knn: DataFrame, min_shared: int = 4,
+                 qid_col: str = "query_id", nb_col: str = "vec_id",
+                 max_bucket: int = 100000) -> DataFrame:
+    """Shared-nearest-neighbor clustering (Jarvis & Patrick, IEEE
+    ToC 1973; the density form in Ertöz, Steinbach & Kumar SDM
+    2003): two points link when each lists the other in its k-NN
+    list (MUTUAL — the asymmetric hub links that wreck naive
+    distance clustering in high dimension are exactly what this
+    kills) AND their k-NN lists share >= ``min_shared`` common
+    neighbors; clusters are the connected components of that SNN
+    graph. Input is any (query_id, vec_id) k-NN pair list — brute
+    force, IVF or PQ — so the clustering composes with whichever
+    ANN tier the corpus size dictates.
+
+    Returns ``(vec_id, cluster)`` for every point that appears as a
+    query — isolated points keep themselves as singleton clusters;
+    ``cluster`` is the min point id of the component (integer /
+    selection-only output, nothing to drift cross-engine).
+
+    Scale shape: mutuality is one self-semi-join on the k-NN list
+    ((id, id) keys, k-bounded fan-out); shared-neighbor counts come
+    from in-aggregate pair generation keyed by the COMMON neighbor
+    (a hub neighbor — one that appears in > ``max_bucket`` k-NN
+    lists — is dropped by the guard window BEFORE its id list could
+    materialize, the `_bucket_pairs` convention); the component
+    step is :mod:`components`' size-adaptive CC over the sparse SNN
+    edge set only.
+    """
+    from pyspark.sql import Window
+
+    from knowledge_graph_spark.operators.components import (
+        connected_components)
+
+    points = (knn.select(F.col(qid_col).alias("id"))
+              .filter(F.col("id").isNotNull()).distinct())
+    pairs = (knn.select(F.col(qid_col).alias("p"),
+                        F.col(nb_col).alias("n"))
+             .filter(F.col("p").isNotNull() & F.col("n").isNotNull()
+                     & (F.col("p") != F.col("n")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    rev = pairs.select(F.col("n").alias("p"), F.col("p").alias("n"))
+    mutual = (pairs.join(rev, ["p", "n"], "leftsemi")
+              .filter(F.col("p") < F.col("n"))
+              .select(F.col("p").alias("a"), F.col("n").alias("b")))
+    # shared-neighbor counts via neighbor-keyed triangular pair-gen
+    w = Window.partitionBy("n")
+    sized = (pairs.withColumn("_c", F.count("*").over(w))
+             .filter((F.col("_c") >= 2) & (F.col("_c") <= int(max_bucket)))
+             .drop("_c"))
+    grouped = sized.groupBy("n").agg(
+        F.sort_array(F.collect_list("p")).alias("_ids"))
+    gen = F.flatten(F.transform(
+        "_ids",
+        lambda x, i: F.transform(
+            F.slice("_ids", i + F.lit(2), F.size("_ids")),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))
+    shared = (grouped.select(F.explode(gen).alias("_p"))
+              .groupBy(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+              .agg(F.count("*").cast("long").alias("_shared")))
+    edges = (mutual.join(shared, ["a", "b"], "left")
+             .filter(F.coalesce("_shared", F.lit(0).cast("long"))
+                     >= int(min_shared))
+             .select("a", "b"))
+    labels = connected_components(
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v")))
+    return (points.join(labels.withColumnRenamed("node", "id"),
+                        "id", "left")
+            .select(F.col("id").alias(nb_col),
+                    F.coalesce("component", "id").alias("cluster")))

@@ -468,3 +468,55 @@ def test_kcenter_matches_python_greedy_on_hash_points(spark):
 def test_kcenter_rejects_bad_k(spark):
     with pytest.raises(ValueError):
         kcenter_coreset(_points(spark, [(1, [0.0])]), k=0)
+
+
+# ---------------------------------------------------------------------------
+# shared-nearest-neighbor clustering
+# ---------------------------------------------------------------------------
+
+from knowledge_graph_spark.operators.simsearch import snn_clusters
+
+
+def _knn(spark, pairs):
+    return spark.createDataFrame(pairs, "query_id long, vec_id long")
+
+
+def test_snn_two_tight_groups(spark):
+    knn = _knn(spark, [
+        (1, 2), (1, 3), (2, 1), (2, 3), (3, 1), (3, 2),
+        (4, 5), (4, 6), (5, 4), (5, 6), (6, 4), (6, 5),
+    ])
+    out = {r["vec_id"]: r["cluster"]
+           for r in snn_clusters(knn, min_shared=1).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+
+
+def test_snn_requires_mutual_listing(spark):
+    # 7 lists 1 but 1 does not list 7: no edge, 7 stays a singleton
+    knn = _knn(spark, [
+        (1, 2), (2, 1), (7, 1), (7, 2),
+    ])
+    out = {r["vec_id"]: r["cluster"]
+           for r in snn_clusters(knn, min_shared=0).collect()}
+    assert out[7] == 7
+    assert out[1] == out[2] == 1
+
+
+def test_snn_shared_threshold_splits(spark):
+    knn = _knn(spark, [
+        (1, 2), (1, 3), (2, 1), (2, 3), (3, 1), (3, 2),
+    ])
+    # each mutual pair shares exactly ONE neighbor: threshold 2 cuts
+    out = {r["vec_id"]: r["cluster"]
+           for r in snn_clusters(knn, min_shared=2).collect()}
+    assert out == {1: 1, 2: 2, 3: 3}
+
+
+def test_snn_self_listing_ignored(spark):
+    knn = _knn(spark, [
+        (1, 1), (1, 2), (2, 2), (2, 1), (3, 3),
+    ])
+    out = {r["vec_id"]: r["cluster"]
+           for r in snn_clusters(knn, min_shared=0).collect()}
+    assert out[1] == out[2] == 1
+    assert out[3] == 3
