@@ -11631,7 +11631,6 @@ _SQL_TRIAD_CENSUS = _mk_triad_sql()
 
 
 _KB_STEPS = 31
-_KB_TAU = None  # computed below, shared verbatim by engine and oracle
 
 
 def _kb_tau() -> int:
