@@ -11978,6 +11978,126 @@ ORDER BY vec_id
 
 
 
+def _q_ann_agreement(spark, sf_dir):
+    """Kendall rank-agreement census (Kendall 1938) between the
+    EXACT cosine top-50 and the PQ-ADC top-50 for the 8 standard
+    query vectors — the quantization-quality eval: integer
+    (n_common, concordant, discordant, only_a, only_b) per query;
+    tau and recall@50 are row-local. Both rankings use the
+    deterministic (score, vec_id) tie-break their own oracles
+    already pin, so the census replays exactly."""
+    from knowledge_graph_spark.operators.search import kendall_agreement
+    from knowledge_graph_spark.operators.simsearch import (
+        brute_force_topk, pq_adc_topk, pq_encode, train_pq_codebook)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    exact = brute_force_topk(emb, queries, k=50)
+    rows = train_pq_codebook(emb, m=4, n_codes=16, n_iter=0,
+                             dim=64).collect()
+    codes = pq_encode(emb, codebook_rows=rows)
+    approx = pq_adc_topk(codes, queries, codebook_rows=rows, k=50)
+    return kendall_agreement(exact, approx).orderBy("query_id")
+
+
+_SQL_ANN_AGREEMENT = r"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+nz AS (
+  SELECT vec_id, e FROM v
+  WHERE sqrt(list_reduce(list_transform(e, x -> x * x),
+                         (a, b) -> a + b)) > 0
+),
+q AS (SELECT vec_id AS query_id, e AS qe FROM nz WHERE vec_id < 8),
+eranked AS MATERIALIZED (
+  SELECT query_id, vec_id, rk AS ra FROM (
+    SELECT q.query_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(e.e, q.qe) DESC,
+                      e.vec_id) AS rk
+    FROM nz e CROSS JOIN q) WHERE rk <= 50
+),
+subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+cb AS (
+  SELECT s.sub, CAST(r.rn - 1 AS INT) AS code_id, r.e AS ce
+  FROM (SELECT e, row_number() OVER (ORDER BY vec_id) AS rn
+        FROM v ORDER BY vec_id LIMIT 16) r, subs s
+),
+d AS (
+  SELECT v.vec_id, cb.sub, cb.code_id,
+         list_sum(list_transform(generate_series(1, 16),
+           i -> (v.e[cb.sub*16 + i] - cb.ce[cb.sub*16 + i])
+              * (v.e[cb.sub*16 + i] - cb.ce[cb.sub*16 + i]))) AS d2
+  FROM v CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, sub, code_id FROM (
+    SELECT vec_id, sub, code_id,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2, code_id) AS rk
+    FROM d) WHERE rk = 1
+),
+qd AS (
+  SELECT qq.vec_id AS query_id, cb.sub, cb.code_id,
+         list_sum(list_transform(generate_series(1, 16),
+           i -> (qq.e[cb.sub*16 + i] - cb.ce[cb.sub*16 + i])
+              * (qq.e[cb.sub*16 + i] - cb.ce[cb.sub*16 + i]))) AS d2
+  FROM (SELECT * FROM v WHERE vec_id < 8) qq CROSS JOIN cb
+),
+adc AS (
+  SELECT qd.query_id, c.vec_id,
+         list_sum(list(qd.d2 ORDER BY qd.sub)) AS adc_d2
+  FROM codes c JOIN qd ON qd.sub = c.sub AND qd.code_id = c.code_id
+  GROUP BY qd.query_id, c.vec_id
+),
+pranked AS MATERIALIZED (
+  SELECT query_id, vec_id, rk AS rb FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_d2, vec_id) AS rk
+    FROM adc) WHERE rk <= 50
+),
+common AS MATERIALIZED (
+  SELECT e.query_id, e.vec_id, e.ra, p.rb
+  FROM eranked e JOIN pranked p USING (query_id, vec_id)
+),
+pairs AS (
+  SELECT x.query_id,
+         CAST(SUM(CASE WHEN y.rb > x.rb THEN 1 ELSE 0 END) AS BIGINT)
+           AS concordant,
+         CAST(SUM(CASE WHEN y.rb < x.rb THEN 1 ELSE 0 END) AS BIGINT)
+           AS discordant
+  FROM common x JOIN common y
+    ON y.query_id = x.query_id AND y.ra > x.ra
+  GROUP BY x.query_id
+),
+ncom AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_common
+         FROM common GROUP BY query_id),
+oa AS (
+  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS only_a
+  FROM eranked e LEFT JOIN pranked p USING (query_id, vec_id)
+  WHERE p.vec_id IS NULL GROUP BY e.query_id
+),
+ob AS (
+  SELECT p.query_id, CAST(COUNT(*) AS BIGINT) AS only_b
+  FROM pranked p LEFT JOIN eranked e USING (query_id, vec_id)
+  WHERE e.vec_id IS NULL GROUP BY p.query_id
+)
+SELECT n.query_id, n.n_common,
+       CAST(COALESCE(pr.concordant, 0) AS BIGINT) AS concordant,
+       CAST(COALESCE(pr.discordant, 0) AS BIGINT) AS discordant,
+       CAST(COALESCE(oa.only_a, 0) AS BIGINT) AS only_a,
+       CAST(COALESCE(ob.only_b, 0) AS BIGINT) AS only_b
+FROM ncom n
+LEFT JOIN pairs pr USING (query_id)
+LEFT JOIN oa USING (query_id)
+LEFT JOIN ob USING (query_id)
+ORDER BY query_id
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # classical relational operators (DuckDB-oracled)
@@ -12066,6 +12186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_cube": _q_sales_cube,
         "coreset_centers": _q_kcenter,
         "snn_clusters": _q_snn_clusters,
+        "ann_agreement": _q_ann_agreement,
         "events_rolling": _q_events_rolling,
         "fd_census": _q_fd_census,
         "fk_census": _q_fk_census,
@@ -12304,6 +12425,7 @@ def oracle_sql() -> dict[str, str]:
         "sales_cube": _SQL_SALES_CUBE,
         "coreset_centers": _SQL_KCENTER,
         "snn_clusters": _SQL_SNN_CLUSTERS,
+        "ann_agreement": _SQL_ANN_AGREEMENT,
         "events_rolling": _SQL_EVENTS_ROLLING,
         "fd_census": _SQL_FD_CENSUS,
         "fk_census": _SQL_FK_CENSUS,

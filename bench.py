@@ -134,7 +134,7 @@ def main():
         "trade_katz", "dyad_census", "conductance", "good_turing",
         "allpairs_sim", "supply_coreness", "triad_census",
         "event_bursts", "supply_msf", "sales_cube", "events_rolling",
-        "coreset_centers", "snn_clusters",
+        "coreset_centers", "snn_clusters", "ann_agreement",
     ]
     qs = entrymod.queries()
     for name in headliners:

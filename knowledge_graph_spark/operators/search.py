@@ -270,3 +270,59 @@ def postings_export(docs: DataFrame, min_df: int = 1,
                    "i -> element_at(_docs, i) - element_at(_docs, i - 1))"),
         ).otherwise(F.array().cast("array<long>")).alias("gaps"),
     )
+
+
+def kendall_agreement(rank_a, rank_b, qid_col: str = "query_id",
+                      item_col: str = "vec_id",
+                      rank_col: str = "rank"):
+    """Kendall rank-agreement census (Kendall, Biometrika 1938)
+    between two per-query rankings of the same corpus — the standard
+    answer to "how much retrieval quality does the cheap tier give
+    up": exact-vs-PQ, exact-vs-IVF, lexical-vs-dense. Per query, the
+    INTEGER ingredients of tau over the COMMON item set —
+    ``(n_common, concordant, discordant)`` — plus the one-sided
+    leakage counts ``only_a`` / ``only_b`` (items one ranking
+    returned that the other pruned; recall@k of B against A is
+    ``n_common / (n_common + only_a)``, row-local). tau itself,
+    ``(C - D) / C(n,2)``, is a row-local division for the caller.
+
+    Scale shape: one (query, item)-keyed join + two anti-join
+    counts; the pair comparison is a query-keyed self-join whose
+    fan-out is bounded by k² BY CONSTRUCTION (inputs are top-k
+    lists — the operator never sees the corpus). All-integer
+    output; rank positions come from the callers' deterministic
+    tie-broken rankings, so nothing drifts cross-engine.
+    """
+    a = rank_a.select(F.col(qid_col).alias("q"),
+                      F.col(item_col).alias("i"),
+                      F.col(rank_col).alias("ra"))
+    b = rank_b.select(F.col(qid_col).alias("q"),
+                      F.col(item_col).alias("i"),
+                      F.col(rank_col).alias("rb"))
+    common = a.join(b, ["q", "i"]).localCheckpoint(eager=True)
+    x = common.select("q", F.col("ra").alias("ra1"),
+                      F.col("rb").alias("rb1"))
+    y = common.select("q", F.col("ra").alias("ra2"),
+                      F.col("rb").alias("rb2"))
+    pairs = (x.join(y, "q").filter(F.col("ra2") > F.col("ra1"))
+             .groupBy("q")
+             .agg(F.sum(F.when(F.col("rb2") > F.col("rb1"), 1)
+                        .otherwise(0)).cast("long").alias("concordant"),
+                  F.sum(F.when(F.col("rb2") < F.col("rb1"), 1)
+                        .otherwise(0)).cast("long").alias("discordant")))
+    ncom = common.groupBy("q").agg(
+        F.count("*").cast("long").alias("n_common"))
+    oa = (a.join(b, ["q", "i"], "left_anti").groupBy("q")
+          .agg(F.count("*").cast("long").alias("only_a")))
+    ob = (b.join(a, ["q", "i"], "left_anti").groupBy("q")
+          .agg(F.count("*").cast("long").alias("only_b")))
+    qs = (a.select("q").unionByName(b.select("q")).distinct())
+    z = F.lit(0).cast("long")
+    return (qs.join(ncom, "q", "left").join(pairs, "q", "left")
+            .join(oa, "q", "left").join(ob, "q", "left")
+            .select(F.col("q").alias(qid_col),
+                    F.coalesce("n_common", z).alias("n_common"),
+                    F.coalesce("concordant", z).alias("concordant"),
+                    F.coalesce("discordant", z).alias("discordant"),
+                    F.coalesce("only_a", z).alias("only_a"),
+                    F.coalesce("only_b", z).alias("only_b")))

@@ -520,3 +520,42 @@ def test_snn_self_listing_ignored(spark):
            for r in snn_clusters(knn, min_shared=0).collect()}
     assert out[1] == out[2] == 1
     assert out[3] == 3
+
+
+# ---------------------------------------------------------------------------
+# Kendall rank agreement
+# ---------------------------------------------------------------------------
+
+from knowledge_graph_spark.operators.search import kendall_agreement
+
+
+def _ranks(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, vec_id long, rank int")
+
+
+def test_kendall_identical_and_reversed(spark):
+    a = _ranks(spark, [(1, 10, 1), (1, 20, 2), (1, 30, 3)])
+    same = kendall_agreement(a, a).collect()[0]
+    assert (same["n_common"], same["concordant"],
+            same["discordant"]) == (3, 3, 0)
+    rev = _ranks(spark, [(1, 10, 3), (1, 20, 2), (1, 30, 1)])
+    out = kendall_agreement(a, rev).collect()[0]
+    assert (out["concordant"], out["discordant"]) == (0, 3)
+
+
+def test_kendall_partial_overlap_counts_leakage(spark):
+    a = _ranks(spark, [(1, 10, 1), (1, 20, 2), (1, 30, 3)])
+    b = _ranks(spark, [(1, 20, 1), (1, 10, 2), (1, 40, 3)])
+    out = kendall_agreement(a, b).collect()[0]
+    # common = {10, 20}: one pair, discordant (a: 10<20, b: 20<10)
+    assert out["n_common"] == 2
+    assert (out["concordant"], out["discordant"]) == (0, 1)
+    assert (out["only_a"], out["only_b"]) == (1, 1)
+
+
+def test_kendall_disjoint_queries_zero_filled(spark):
+    a = _ranks(spark, [(1, 10, 1)])
+    b = _ranks(spark, [(2, 10, 1)])
+    rows = {r["query_id"]: r for r in kendall_agreement(a, b).collect()}
+    assert rows[1]["n_common"] == 0 and rows[1]["only_a"] == 1
+    assert rows[2]["n_common"] == 0 and rows[2]["only_b"] == 1
