@@ -3984,6 +3984,77 @@ ORDER BY b.doc_id
 """
 
 
+_SQL_NB_CONFUSION = r"""
+WITH nb AS MATERIALIZED (
+
+WITH d0 AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                     x -> x != '') AS ws,
+         md5(CAST(doc_id AS VARCHAR)) < '8' AS is_train
+  FROM documents
+),
+trc AS (SELECT source AS label, w AS word, COUNT(*) AS c
+        FROM (SELECT source, unnest(ws) AS w FROM d0 WHERE is_train)
+        GROUP BY 1, 2),
+ltot AS (SELECT label, SUM(c) AS tok FROM trc GROUP BY 1),
+voc AS (SELECT DISTINCT word FROM trc),
+v AS (SELECT COUNT(*) + 1 AS vs FROM voc),
+pri AS (SELECT source AS label, COUNT(*) AS nd FROM d0
+        WHERE is_train GROUP BY 1),
+ptot AS (SELECT SUM(nd) AS t FROM pri),
+consts AS (
+  SELECT p.label, ln(p.nd / CAST(ptot.t AS DOUBLE)) AS log_prior,
+         -ln(l.tok + v.vs) AS log_unseen,
+         CAST(l.tok + v.vs AS DOUBLE) AS denom
+  FROM pri p CROSS JOIN ptot JOIN ltot l ON l.label = p.label CROSS JOIN v
+),
+st AS (SELECT doc_id, w AS word, COUNT(*) AS n
+       FROM (SELECT doc_id, unnest(ws) AS w FROM d0) GROUP BY 1, 2),
+known AS (
+  SELECT st.doc_id, c2.label,
+         SUM(st.n * ln((COALESCE(trc.c, 0) + 1) / c2.denom)) AS mk
+  FROM st JOIN voc ON voc.word = st.word
+  CROSS JOIN consts c2
+  LEFT JOIN trc ON trc.word = st.word AND trc.label = c2.label
+  GROUP BY 1, 2
+),
+uns AS (SELECT st.doc_id, SUM(st.n) AS nu
+        FROM st LEFT JOIN voc ON voc.word = st.word
+        WHERE voc.word IS NULL GROUP BY 1),
+sc AS (
+  SELECT d.doc_id, c2.label,
+         c2.log_prior + COALESCE(k.mk, 0)
+           + COALESCE(u.nu, 0) * c2.log_unseen AS s
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN consts c2
+  LEFT JOIN known k ON k.doc_id = d.doc_id AND k.label = c2.label
+  LEFT JOIN uns u ON u.doc_id = d.doc_id
+),
+best AS (
+  SELECT doc_id, label AS predicted, s
+  FROM sc
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                             ORDER BY s DESC, label) = 1
+)
+SELECT b.doc_id, b.predicted, ROUND(b.s, 6) AS log_score,
+       doc.source AS actual, b.predicted = doc.source AS correct
+FROM best b JOIN documents doc ON doc.doc_id = b.doc_id
+ORDER BY b.doc_id
+),
+labels AS (SELECT DISTINCT source AS l FROM documents),
+grid AS (SELECT a.l AS actual, p.l AS predicted
+         FROM labels a CROSS JOIN labels p),
+counts AS (SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+           FROM nb GROUP BY 1, 2)
+SELECT g.actual, g.predicted, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM grid g LEFT JOIN counts c
+  ON c.actual = g.actual AND c.predicted = g.predicted
+ORDER BY g.actual, g.predicted
+"""
+
+
+
 def _q_lm_perplexity(spark, sf_dir):
     """CCNet-style bigram-LM cross-entropy per document, model trained
     on the English slice (add-0.1 smoothing, <unk> mapping, BOS). Full
@@ -12098,6 +12169,37 @@ ORDER BY query_id
 
 
 
+def _q_nb_confusion(spark, sf_dir):
+    """Confusion-matrix census over the NB source-router (the
+    standard error-analysis artifact: which sources leak into
+    which): dense (actual, predicted, n) grid — all label pairs
+    kept, zero-filled, so the matrix shape is stable across
+    corpora. Integer-only; recall/precision per class are row-local
+    divisions against the marginals."""
+    from knowledge_graph_spark.operators.classify import nb_train_score
+
+    docs = _t(spark, sf_dir, "documents")
+    is_train = F.md5(F.col("doc_id").cast("string")) < "8"
+    preds = nb_train_score(
+        docs.filter(is_train).select(F.col("source").alias("label"),
+                                     "text"),
+        docs,
+    )
+    joined = preds.join(
+        docs.select("doc_id", F.col("source").alias("actual")),
+        "doc_id")
+    labels = docs.select(F.col("source").alias("_l")).distinct()
+    grid = (labels.select(F.col("_l").alias("actual"))
+            .crossJoin(labels.select(F.col("_l").alias("predicted"))))
+    counts = (joined.groupBy("actual", "predicted")
+              .agg(F.count("*").cast("long").alias("n")))
+    return (grid.join(counts, ["actual", "predicted"], "left")
+            .select("actual", "predicted",
+                    F.coalesce("n", F.lit(0).cast("long")).alias("n"))
+            .orderBy("actual", "predicted"))
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # classical relational operators (DuckDB-oracled)
@@ -12187,6 +12289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreset_centers": _q_kcenter,
         "snn_clusters": _q_snn_clusters,
         "ann_agreement": _q_ann_agreement,
+        "nb_confusion": _q_nb_confusion,
         "events_rolling": _q_events_rolling,
         "fd_census": _q_fd_census,
         "fk_census": _q_fk_census,
@@ -12426,6 +12529,7 @@ def oracle_sql() -> dict[str, str]:
         "coreset_centers": _SQL_KCENTER,
         "snn_clusters": _SQL_SNN_CLUSTERS,
         "ann_agreement": _SQL_ANN_AGREEMENT,
+        "nb_confusion": _SQL_NB_CONFUSION,
         "events_rolling": _SQL_EVENTS_ROLLING,
         "fd_census": _SQL_FD_CENSUS,
         "fk_census": _SQL_FK_CENSUS,
