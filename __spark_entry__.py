@@ -12200,6 +12200,83 @@ def _q_nb_confusion(spark, sf_dir):
 
 
 
+def _q_temporal_conflicts(spark, sf_dir):
+    """Temporal functional-constraint violation census (Dylla et al.
+    EDBT 2013; YAGO2 functional time checks) over the same injected
+    is-a fact stream as fact_intervals: declaring `such_as`
+    functional (a city is one kind at a time), every city appears
+    under BOTH 'cities' and 'towns' with overlapping validity — the
+    census must surface exactly those pairs with their integer
+    overlap-day counts. The oracle replays the interval build and
+    the overlap self-join."""
+    from knowledge_graph_spark.operators.patterns import extract_hyponyms
+    from knowledge_graph_spark.operators.temporal import (
+        fact_intervals, temporal_conflicts)
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    city = F.element_at(
+        F.array(*[F.lit(x) for x in
+                  ("lisbon", "porto", "madrid", "seville", "lyon")]),
+        (k % 5 + 1).cast("int"))
+    kind = F.element_at(
+        F.array(F.lit("cities"), F.lit("towns")),
+        (k % 2 + 1).cast("int"))
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" "), kind,
+                 F.lit(" such as "), city).alias("text"),
+    )
+    assertions = extract_hyponyms(pages).select(
+        "doc_id", F.col("hyponym").alias("subj"),
+        F.col("pattern").alias("pred"), F.col("hypernym").alias("obj"))
+    dates = docs.select(
+        "doc_id",
+        F.make_date((k % 3 + 2021).cast("int"), (k % 12 + 1).cast("int"),
+                    (k % 28 + 1).cast("int")).alias("date"))
+    iv = fact_intervals(assertions, dates)
+    return (temporal_conflicts(iv, ["such_as"])
+            .orderBy("subj", "pred", "obj_a", "obj_b"))
+
+
+_SQL_TEMPORAL_CONFLICTS = r"""
+WITH inj AS (
+  SELECT doc_id,
+    text || ' ' || (['cities','towns'])[doc_id % 2 + 1] || ' such as '
+         || (['lisbon','porto','madrid','seville','lyon'])
+              [doc_id % 5 + 1] AS text
+  FROM documents),
+a AS (
+  SELECT doc_id,
+    lower(regexp_extract(x, '([A-Za-z]+) such as ([A-Za-z]+)', 2))
+      AS subj,
+    'such_as' AS pred,
+    lower(regexp_extract(x, '([A-Za-z]+) such as ([A-Za-z]+)', 1))
+      AS obj
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text,
+          '([A-Za-z]+) such as ([A-Za-z]+)', 0)) AS x FROM inj)),
+d AS (
+  SELECT doc_id,
+    make_date(CAST(doc_id % 3 + 2021 AS INT),
+              CAST(doc_id % 12 + 1 AS INT),
+              CAST(doc_id % 28 + 1 AS INT)) AS date
+  FROM documents),
+iv AS (
+  SELECT subj, pred, obj,
+         min(date) AS f, max(date) AS l
+  FROM a JOIN d ON a.doc_id = d.doc_id
+  GROUP BY 1, 2, 3)
+SELECT x.subj, x.pred, x.obj AS obj_a, y.obj AS obj_b,
+       CAST(DATEDIFF('day', GREATEST(x.f, y.f),
+                     LEAST(x.l, y.l)) + 1 AS BIGINT) AS overlap_days
+FROM iv x JOIN iv y
+  ON y.subj = x.subj AND y.pred = x.pred AND y.obj > x.obj
+WHERE NOT (x.l < y.f OR y.l < x.f)
+ORDER BY 1, 2, 3, 4
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # classical relational operators (DuckDB-oracled)
@@ -12290,6 +12367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snn_clusters": _q_snn_clusters,
         "ann_agreement": _q_ann_agreement,
         "nb_confusion": _q_nb_confusion,
+        "temporal_conflicts": _q_temporal_conflicts,
         "events_rolling": _q_events_rolling,
         "fd_census": _q_fd_census,
         "fk_census": _q_fk_census,
@@ -12530,6 +12608,7 @@ def oracle_sql() -> dict[str, str]:
         "snn_clusters": _SQL_SNN_CLUSTERS,
         "ann_agreement": _SQL_ANN_AGREEMENT,
         "nb_confusion": _SQL_NB_CONFUSION,
+        "temporal_conflicts": _SQL_TEMPORAL_CONFLICTS,
         "events_rolling": _SQL_EVENTS_ROLLING,
         "fd_census": _SQL_FD_CENSUS,
         "fk_census": _SQL_FK_CENSUS,

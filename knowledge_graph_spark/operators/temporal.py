@@ -365,3 +365,66 @@ def allen_census(intervals: DataFrame, group_col: str,
     return (pairs.select(rel.alias("relation"))
             .groupBy("relation")
             .agg(F.count("*").cast("long").alias("n")))
+
+
+def temporal_conflicts(intervals: DataFrame,
+                       functional_preds: list,
+                       subj_col: str = "subj", pred_col: str = "pred",
+                       obj_col: str = "obj",
+                       first_col: str = "first_seen",
+                       last_col: str = "last_seen",
+                       max_objects: int = 10000) -> DataFrame:
+    """Temporal functional-constraint violation census (Dylla,
+    Mühleisen & Theobald, EDBT 2013 "temporal consistency
+    constraints"; the functional-predicate time checks behind
+    YAGO2's validity windows — Hoffart et al. 2013): for predicates
+    declared FUNCTIONAL (one true object at a time — capital_of,
+    ceo_of, is-a kind), two facts about the same subject with
+    DIFFERENT objects whose validity windows overlap cannot both be
+    true; the census surfaces every such pair so fusion can retire
+    the staler assertion instead of silently keeping both.
+
+    Returns one row per conflicting pair: ``(subj, pred, obj_a,
+    obj_b, overlap_days)`` with ``obj_a < obj_b`` and
+    ``overlap_days`` the INTEGER size of the window intersection
+    (>= 1 — touching windows conflict on their shared day; DATE
+    arithmetic, nothing floats).
+
+    Scale shape: the functional-pred filter broadcasts as an isin
+    literal; pairs are generated IN-AGGREGATE per (subj, pred) —
+    one collect of (obj, first, last) structs bounded by the
+    subject's object count, with a guard window dropping
+    pathological subjects past ``max_objects`` BEFORE any list
+    materializes (the `_bucket_pairs` convention); the overlap test
+    and day count are row-local. Exchanges carry the (subj, pred)
+    key plus small structs only.
+    """
+    preds = [str(x) for x in functional_preds]
+    f = (intervals.select(
+        F.col(subj_col).alias("s"), F.col(pred_col).alias("p"),
+        F.col(obj_col).alias("o"), F.col(first_col).alias("f"),
+        F.col(last_col).alias("l"))
+        .filter(F.col("p").isin(preds)
+                & F.col("s").isNotNull() & F.col("o").isNotNull()
+                & F.col("f").isNotNull() & F.col("l").isNotNull()))
+    w = Window.partitionBy("s", "p")
+    sized = (f.withColumn("_n", F.count("*").over(w))
+             .filter((F.col("_n") >= 2) & (F.col("_n") <= int(max_objects)))
+             .drop("_n"))
+    grouped = sized.groupBy("s", "p").agg(
+        F.sort_array(F.collect_list(F.struct("o", "f", "l")))
+        .alias("_xs"))
+    gen = F.flatten(F.transform(
+        "_xs",
+        lambda x, i: F.transform(
+            F.slice("_xs", i + F.lit(2), F.size("_xs")),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))
+    pairs = (grouped.select("s", "p", F.explode(gen).alias("_p"))
+             .filter(~((F.col("_p.a.l") < F.col("_p.b.f"))
+                       | (F.col("_p.b.l") < F.col("_p.a.f")))))
+    return pairs.select(
+        F.col("s").alias(subj_col), F.col("p").alias(pred_col),
+        F.col("_p.a.o").alias("obj_a"), F.col("_p.b.o").alias("obj_b"),
+        (F.datediff(F.least("_p.a.l", "_p.b.l"),
+                    F.greatest("_p.a.f", "_p.b.f")) + 1)
+        .cast("long").alias("overlap_days"))

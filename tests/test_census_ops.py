@@ -559,3 +559,55 @@ def test_kendall_disjoint_queries_zero_filled(spark):
     rows = {r["query_id"]: r for r in kendall_agreement(a, b).collect()}
     assert rows[1]["n_common"] == 0 and rows[1]["only_a"] == 1
     assert rows[2]["n_common"] == 0 and rows[2]["only_b"] == 1
+
+
+# ---------------------------------------------------------------------------
+# temporal functional-constraint conflicts
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+
+from knowledge_graph_spark.operators.temporal import temporal_conflicts
+
+
+def _facts(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, "
+              "first_seen date, last_seen date")
+
+
+def _d(s):
+    return _dt.date.fromisoformat(s)
+
+
+def test_temporal_conflicts_overlap_and_disjoint(spark):
+    facts = _facts(spark, [
+        ("acme", "ceo_of", "alice", _d("2021-01-01"), _d("2021-06-30")),
+        ("acme", "ceo_of", "bob", _d("2021-06-01"), _d("2021-12-31")),
+        ("acme", "ceo_of", "carol", _d("2022-01-01"), _d("2022-06-30")),
+        ("acme", "hq_in", "lisbon", _d("2021-01-01"), _d("2021-12-31")),
+    ])
+    out = temporal_conflicts(facts, ["ceo_of"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["obj_a"], r["obj_b"]) == ("alice", "bob")
+    # June 1 .. June 30 inclusive
+    assert r["overlap_days"] == 30
+
+
+def test_temporal_conflicts_touching_windows_conflict(spark):
+    facts = _facts(spark, [
+        ("x", "is_a", "town", _d("2021-01-01"), _d("2021-03-01")),
+        ("x", "is_a", "city", _d("2021-03-01"), _d("2021-06-01")),
+    ])
+    out = temporal_conflicts(facts, ["is_a"]).collect()
+    assert len(out) == 1
+    assert out[0]["overlap_days"] == 1
+
+
+def test_temporal_conflicts_nonfunctional_pred_ignored(spark):
+    facts = _facts(spark, [
+        ("x", "likes", "tea", _d("2021-01-01"), _d("2021-12-31")),
+        ("x", "likes", "coffee", _d("2021-01-01"), _d("2021-12-31")),
+    ])
+    assert temporal_conflicts(facts, ["is_a"]).count() == 0
