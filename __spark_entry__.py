@@ -12277,6 +12277,45 @@ ORDER BY 1, 2, 3, 4
 
 
 
+def _q_gini(spark, sf_dir):
+    """Gini/Lorenz token-inequality ingredients (Gini 1912) over the
+    documents corpus: one BIGINT row (n_terms, total_tokens,
+    rank_weighted_sum) — the rank sum folds over the count-of-counts
+    table via the equal-count-group identity c·(m·o + m(m+1)/2), so
+    no per-term rank ever exists; G is a row-local division. The
+    oracle replays tokenize, count-of-counts, and the same group
+    arithmetic."""
+    from knowledge_graph_spark.operators.textstats import gini_ingredients
+
+    docs = _t(spark, sf_dir, "documents")
+    return gini_ingredients(docs)
+
+
+_SQL_GINI = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+tf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w),
+coc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS m FROM tf GROUP BY c),
+run AS (
+  SELECT c, m,
+         CAST(COALESCE(SUM(m) OVER (ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS o
+  FROM coc
+)
+SELECT CAST(SUM(m) AS BIGINT) AS n_terms,
+       CAST(SUM(c * m) AS BIGINT) AS total_tokens,
+       CAST(SUM(c * (m * o + (m * (m + 1)) // 2)) AS BIGINT)
+         AS rank_weighted_sum
+FROM run
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # classical relational operators (DuckDB-oracled)
@@ -12368,6 +12407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_agreement": _q_ann_agreement,
         "nb_confusion": _q_nb_confusion,
         "temporal_conflicts": _q_temporal_conflicts,
+        "token_gini": _q_gini,
         "events_rolling": _q_events_rolling,
         "fd_census": _q_fd_census,
         "fk_census": _q_fk_census,
@@ -12609,6 +12649,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_agreement": _SQL_ANN_AGREEMENT,
         "nb_confusion": _SQL_NB_CONFUSION,
         "temporal_conflicts": _SQL_TEMPORAL_CONFLICTS,
+        "token_gini": _SQL_GINI,
         "events_rolling": _SQL_EVENTS_ROLLING,
         "fd_census": _SQL_FD_CENSUS,
         "fk_census": _SQL_FK_CENSUS,

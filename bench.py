@@ -135,7 +135,7 @@ def main():
         "allpairs_sim", "supply_coreness", "triad_census",
         "event_bursts", "supply_msf", "sales_cube", "events_rolling",
         "coreset_centers", "snn_clusters", "ann_agreement",
-        "nb_confusion", "temporal_conflicts",
+        "nb_confusion", "temporal_conflicts", "token_gini",
     ]
     qs = entrymod.queries()
     for name in headliners:

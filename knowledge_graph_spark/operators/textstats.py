@@ -1653,3 +1653,56 @@ def good_turing_census(docs: DataFrame, text_col: str = "text",
                                    (F.lit(2) * F.col("r")
                                     - F.col("r_prev")).cast("long")))
             .select("r", "n_r", "r_prev", "r_next"))
+
+
+def gini_ingredients(docs: DataFrame,
+                     text_col: str = "text") -> DataFrame:
+    """Token-inequality census: the INTEGER ingredients of the Gini
+    coefficient / Lorenz curve of the term-frequency distribution
+    (Gini 1912; the vocabulary-concentration diagnostic — a crawl
+    whose token mass collapses onto boilerplate terms shows G -> 1,
+    and drift in G between crawls flags template contamination
+    before any dedup runs).
+
+    The key identity makes this summary-scale: with terms sorted by
+    ascending count, ``S = Σ rank_i·count_i`` never needs per-term
+    ranks — ranks within an equal-count group are interchangeable,
+    so each (count c, group size m, offset o = #terms with smaller
+    count) contributes ``c·(m·o + m(m+1)/2)`` and the whole sum
+    folds over the COUNT-OF-COUNTS table (~O(sqrt(total tokens))
+    rows by Zipf). ``G = 2S/(n·T) − (n+1)/n`` is a row-local
+    division for the caller.
+
+    Returns ONE row ``(n_terms, total_tokens, rank_weighted_sum)``,
+    all BIGINT — integer-exact cross-engine. Overflow bound:
+    ``S <= n_terms · total_tokens`` (BIGINT-safe to ~10^9 terms ×
+    10^9 tokens; swap DECIMAL(38) in past that).
+
+    Scale shape: one row-local tokenize, one vocabulary-bounded
+    term count, one count-of-counts fold, then a running sum over
+    THAT summary only (constant non-foldable partition key).
+    """
+    from pyspark.sql import Window
+
+    tf = (docs.select(F.explode(F.split(F.lower(F.col(text_col)),
+                                        "[^a-z0-9]+")).alias("_w"))
+          .filter(F.col("_w") != "")
+          .groupBy("_w").agg(F.count("*").cast("long").alias("_c")))
+    coc = tf.groupBy(F.col("_c").alias("c")).agg(
+        F.count("*").cast("long").alias("m"))
+    w = (Window.partitionBy(F.pmod(F.col("c"), F.lit(1)))
+         .orderBy("c")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    contrib = (coc
+               .withColumn("o", F.coalesce(F.sum("m").over(w),
+                                           F.lit(0).cast("long")))
+               .select(
+                   "c", "m", "o",
+                   (F.col("c") * (F.col("m") * F.col("o")
+                                  + F.expr("(m * (m + 1)) DIV 2")))
+                   .cast("long").alias("_s")))
+    return contrib.agg(
+        F.sum("m").cast("long").alias("n_terms"),
+        F.sum(F.col("c") * F.col("m")).cast("long")
+        .alias("total_tokens"),
+        F.sum("_s").cast("long").alias("rank_weighted_sum"))

@@ -611,3 +611,47 @@ def test_temporal_conflicts_nonfunctional_pred_ignored(spark):
         ("x", "likes", "coffee", _d("2021-01-01"), _d("2021-12-31")),
     ])
     assert temporal_conflicts(facts, ["is_a"]).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Gini token-inequality ingredients
+# ---------------------------------------------------------------------------
+
+from knowledge_graph_spark.operators.textstats import gini_ingredients
+
+
+def test_gini_hand_computed(spark):
+    # counts: a=1, b=2, c=3 -> sorted ranks 1,2,3
+    # S = 1*1 + 2*2 + 3*3 = 14; n=3, T=6
+    docs = spark.createDataFrame(
+        [(1, "a b b c c c")], "doc_id long, text string")
+    r = gini_ingredients(docs).collect()[0]
+    assert (r["n_terms"], r["total_tokens"],
+            r["rank_weighted_sum"]) == (3, 6, 14)
+
+
+def test_gini_matches_python_sort_reference(spark):
+    import hashlib
+
+    words = []
+    for i in range(30):
+        n = hashlib.md5(f"w{i}".encode()).digest()[0] % 9 + 1
+        words += [f"w{i}"] * n
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string")
+    r = gini_ingredients(docs).collect()[0]
+    from collections import Counter
+
+    counts = sorted(Counter(words).values())
+    S = sum((i + 1) * c for i, c in enumerate(counts))
+    assert (r["n_terms"], r["total_tokens"],
+            r["rank_weighted_sum"]) == (len(counts), sum(counts), S)
+
+
+def test_gini_uniform_distribution_minimal(spark):
+    # equal counts: G = 2S/(nT) - (n+1)/n must be 0
+    docs = spark.createDataFrame(
+        [(1, "a a b b c c")], "doc_id long, text string")
+    r = gini_ingredients(docs).collect()[0]
+    n, T, S = r["n_terms"], r["total_tokens"], r["rank_weighted_sum"]
+    assert 2 * S / (n * T) - (n + 1) / n == 0.0

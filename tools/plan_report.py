@@ -199,11 +199,15 @@ def main():
         # candidate-bounded verify). Excluded as iterative-
         # checkpointed: trade_katz (4 rounds), supply_coreness
         # (h-index fix-point).
-        "kn_counts", "dyad_census", "conductance", "good_turing",
+        "kn_counts", "dyad_census", "conductance",
         "allpairs_sim",
         # classical OLAP: CUBE grouping sets (one Expand + agg, one
         # scan) and RANGE-frame rolling window (event_type-keyed)
         "sales_cube", "events_rolling",
+        # eval/temporal/inequality censuses: k²-bounded pair joins,
+        # guarded in-aggregate pair-gen, summary-only windows
+        "ann_agreement", "nb_confusion", "temporal_conflicts",
+        "token_gini", "good_turing",
         # triad census: wedge join + dyad arithmetic, not iterative
         "triad_census",
         # (event_bursts and supply_msf are iterative — DP steps /
