@@ -12316,6 +12316,123 @@ FROM run
 
 
 
+def _q_robots_wildcards(spark, sf_dir):
+    """RFC 9309 wildcard verdicts (§2.2.3 — `*` and the trailing `$`
+    anchor, the part literal robots_filter declares out of scope):
+    a frontier of pdf/html/tmp paths over 5 hosts against rules
+    exercising `/private/*.pdf$` (segment-spanning star + anchor),
+    `/search*`, a `/private/pub-*` Allow exception, and
+    specificity-by-pattern-length. The oracle replays the regex
+    translation (escape-then-star, detached anchor) in RE2."""
+    from knowledge_graph_spark.operators.crawl import (
+        robots_filter_wildcards)
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id").cast("string")
+    path = (
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.lit("/private/a/doc-"), k, F.lit(".pdf")))
+        .when(F.col("doc_id") % 6 == 1,
+              F.concat(F.lit("/private/doc-"), k, F.lit(".pdfx")))
+        .when(F.col("doc_id") % 6 == 2,
+              F.concat(F.lit("/private/pub-"), k, F.lit(".pdf")))
+        .when(F.col("doc_id") % 6 == 3,
+              F.concat(F.lit("/search"), k))
+        .when(F.col("doc_id") % 6 == 4,
+              F.concat(F.lit("/open/doc-"), k, F.lit(".html")))
+        .otherwise(F.concat(F.lit("/doc-"), k, F.lit(".tmp")))
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://w-"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".example.org"), path).alias("url"),
+    )
+    hosts = (spark.range(5)
+             .select(F.concat(F.lit("w-"), F.col("id").cast("string"),
+                              F.lit(".example.org")).alias("host"),
+                     F.col("id")))
+    def rule(pat, allow):
+        return hosts.select(
+            "host", F.lit(pat).alias("pattern"),
+            F.lit(allow).alias("allow"))
+    rules = (rule("/private/*.pdf$", False)
+             .unionByName(rule("/private/pub-*", True))
+             .unionByName(rule("/search*", False))
+             .unionByName(
+                 hosts.filter(F.col("id") % 2 == 0).select(
+                     "host", F.lit("/*.tmp$").alias("pattern"),
+                     F.lit(False).alias("allow"))))
+    return (robots_filter_wildcards(urls, rules)
+            .orderBy("doc_id"))
+
+
+_SQL_ROBOTS_WILDCARDS = r"""
+WITH u AS (
+  SELECT doc_id,
+         'https://w-' || CAST(doc_id % 5 AS VARCHAR) || '.example.org' ||
+         CASE CAST(doc_id % 6 AS INT)
+           WHEN 0 THEN '/private/a/doc-' || CAST(doc_id AS VARCHAR) || '.pdf'
+           WHEN 1 THEN '/private/doc-' || CAST(doc_id AS VARCHAR) || '.pdfx'
+           WHEN 2 THEN '/private/pub-' || CAST(doc_id AS VARCHAR) || '.pdf'
+           WHEN 3 THEN '/search' || CAST(doc_id AS VARCHAR)
+           WHEN 4 THEN '/open/doc-' || CAST(doc_id AS VARCHAR) || '.html'
+           ELSE '/doc-' || CAST(doc_id AS VARCHAR) || '.tmp' END AS url
+  FROM documents
+),
+hp AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#]*)', 1)) AS host,
+         CASE WHEN regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) = ''
+           THEN '/' ELSE regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) END AS path
+  FROM u
+),
+h AS (SELECT 'w-' || CAST(i AS VARCHAR) || '.example.org' AS host, i
+      FROM range(5) t(i)),
+rules AS (
+  SELECT host, '/private/*.pdf$' AS pattern, FALSE AS allow FROM h
+  UNION ALL SELECT host, '/private/pub-*', TRUE FROM h
+  UNION ALL SELECT host, '/search*', FALSE FROM h
+  UNION ALL SELECT host, '/*.tmp$', FALSE FROM h WHERE i % 2 = 0
+),
+rx AS (
+  SELECT host, pattern, allow,
+         '^' || replace(
+             regexp_replace(
+               CASE WHEN right(pattern, 1) = '$'
+                    THEN substring(pattern, 1, length(pattern) - 1)
+                    ELSE pattern END,
+               '([.\[\]{}()+?^$|\\-])', '\\\1', 'g'),
+             '*', '.*')
+           || CASE WHEN right(pattern, 1) = '$' THEN '$' ELSE '' END
+           AS _rx
+  FROM rules
+),
+cand AS (
+  SELECT hp.doc_id, hp.url, hp.host, hp.path, r.pattern, r.allow,
+         (r.pattern IS NOT NULL
+          AND regexp_matches(hp.path, r._rx)) AS m
+  FROM hp LEFT JOIN rx r ON r.host = hp.host
+),
+best AS (
+  SELECT doc_id, url, host, path, pattern, allow,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY m DESC, length(pattern) DESC, allow DESC,
+                    pattern DESC) AS rn, m
+  FROM cand
+)
+SELECT doc_id, url, host, path,
+       CASE WHEN m THEN allow ELSE TRUE END AS allowed,
+       CASE WHEN m THEN pattern END AS rule_pattern
+FROM best WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # classical relational operators (DuckDB-oracled)
@@ -12408,6 +12525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_confusion": _q_nb_confusion,
         "temporal_conflicts": _q_temporal_conflicts,
         "token_gini": _q_gini,
+        "robots_wildcards": _q_robots_wildcards,
         "events_rolling": _q_events_rolling,
         "fd_census": _q_fd_census,
         "fk_census": _q_fk_census,
@@ -12650,6 +12768,7 @@ def oracle_sql() -> dict[str, str]:
         "nb_confusion": _SQL_NB_CONFUSION,
         "temporal_conflicts": _SQL_TEMPORAL_CONFLICTS,
         "token_gini": _SQL_GINI,
+        "robots_wildcards": _SQL_ROBOTS_WILDCARDS,
         "events_rolling": _SQL_EVENTS_ROLLING,
         "fd_census": _SQL_FD_CENSUS,
         "fk_census": _SQL_FK_CENSUS,

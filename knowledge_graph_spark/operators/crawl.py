@@ -277,3 +277,70 @@ def mirror_hosts(pages: DataFrame, host_col: str = "host",
                       F.col("n_ab").alias("n_shared"),
                       F.col("n_aa").alias("n_a"),
                       F.col("n_bb").alias("n_b"))
+
+
+def robots_filter_wildcards(urls: DataFrame, rules: DataFrame,
+                            url_col: str = "url") -> DataFrame:
+    """RFC 9309 verdicts with FULL pattern support — ``*`` (any
+    character run) and a trailing ``$`` (end anchor), §2.2.3 — the
+    part :func:`robots_filter` declares out of scope; real robots
+    corpora use both heavily (``/*.pdf$``, ``/search*``). Rules are
+    ``(host, pattern, allow)`` with the RAW robots pattern;
+    most-specific-wins is the pattern's OCTET LENGTH (the reference
+    Googlebot interpretation), a tie goes to Allow, no match is
+    allowed.
+
+    Each pattern compiles to an anchored regex ROW-LOCALLY in-plan:
+    a trailing ``$`` is detached first (elsewhere ``$`` is literal,
+    per the reference implementation), every regex metacharacter
+    except ``*`` is escaped, ``*`` becomes ``.*``. A literal-prefix
+    rule therefore matches exactly like ``startswith`` — this
+    operator strictly subsumes the literal one.
+
+    Returns ``(…urls cols, host, path, allowed, rule_pattern)``.
+
+    Scale shape: same as :func:`robots_filter` — broadcast rules,
+    one join, map-side-combined ``max(struct)`` winner. The regex
+    match is row-local codegen; candidate fan-out is rules-per-host
+    bounded. (Dynamic per-row patterns defeat Spark's single-regex
+    cache — at production scale pre-compile the translation into
+    the broadcast rules table once, which this plan already does
+    structurally: the translation depends only on rule columns, so
+    Catalyst evaluates it on the broadcast side of the join.)"""
+    host = url_host(url_col)
+    path = url_path(url_col)
+    keyed = urls.withColumn("host", host).withColumn("path", path)
+
+    ends = F.col("pattern").endswith("$")
+    body = F.when(ends, F.expr("substring(pattern, 1, length(pattern) - 1)")
+                  ).otherwise(F.col("pattern"))
+    esc = F.regexp_replace(
+        body, r"([.\[\]{}()+?^$|\\-])", r"\\$1")
+    rx = F.concat(F.lit("^"),
+                  F.replace(esc, F.lit("*"), F.lit(".*")),
+                  F.when(ends, F.lit("$")).otherwise(F.lit("")))
+    prepared = rules.withColumn("_rx", rx)
+
+    cand = (
+        keyed.join(F.broadcast(prepared), "host", "left")
+        .withColumn(
+            "_m",
+            F.when(
+                F.col("pattern").isNotNull()
+                & F.expr("regexp_like(path, _rx)"),
+                F.struct(
+                    F.length("pattern").alias("l"),
+                    F.col("allow").cast("int").alias("a"),
+                    F.col("pattern").alias("p"),
+                ),
+            ),
+        )
+    )
+    best = (
+        cand.groupBy(*urls.columns, "host", "path")
+        .agg(F.max("_m").alias("_w"))
+    )
+    return best.select(
+        *urls.columns, "host", "path",
+        F.coalesce(F.col("_w.a") == 1, F.lit(True)).alias("allowed"),
+        F.col("_w.p").alias("rule_pattern"))

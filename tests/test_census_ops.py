@@ -655,3 +655,62 @@ def test_gini_uniform_distribution_minimal(spark):
     r = gini_ingredients(docs).collect()[0]
     n, T, S = r["n_terms"], r["total_tokens"], r["rank_weighted_sum"]
     assert 2 * S / (n * T) - (n + 1) / n == 0.0
+
+
+# ---------------------------------------------------------------------------
+# RFC 9309 wildcard robots matching
+# ---------------------------------------------------------------------------
+
+from knowledge_graph_spark.operators.crawl import robots_filter_wildcards
+
+
+def _rurls(spark, paths):
+    return spark.createDataFrame(
+        [(i, f"https://h.example.org{p}") for i, p in enumerate(paths)],
+        "doc_id long, url string")
+
+
+def _rrules(spark, rules):
+    return spark.createDataFrame(
+        [("h.example.org", p, a) for p, a in rules],
+        "host string, pattern string, allow boolean")
+
+
+def test_robots_wildcard_star_and_anchor(spark):
+    urls = _rurls(spark, ["/private/a/doc.pdf", "/private/doc.pdfx",
+                          "/searchresults", "/open/doc.pdf"])
+    rules = _rrules(spark, [("/private/*.pdf$", False),
+                            ("/search*", False)])
+    out = {r["path"]: r["allowed"] for r in
+           robots_filter_wildcards(urls, rules).collect()}
+    assert out["/private/a/doc.pdf"] is False     # * spans segments
+    assert out["/private/doc.pdfx"] is True       # $ anchors the end
+    assert out["/searchresults"] is False         # trailing * open
+    assert out["/open/doc.pdf"] is True           # no match -> allowed
+
+
+def test_robots_wildcard_tie_goes_to_allow(spark):
+    urls = _rurls(spark, ["/a/b"])
+    rules = _rrules(spark, [("/a/*", False), ("/a/b", True)])
+    out = robots_filter_wildcards(urls, rules).collect()[0]
+    assert out["allowed"] is True
+    assert out["rule_pattern"] == "/a/b"
+
+
+def test_robots_wildcard_subsumes_literal_prefixes(spark):
+    urls = _rurls(spark, ["/tmp/x", "/tmp2/x", "/t.mp/x"])
+    rules = _rrules(spark, [("/tmp/", False), ("/t.mp/", False)])
+    out = {r["path"]: r["allowed"] for r in
+           robots_filter_wildcards(urls, rules).collect()}
+    assert out["/tmp/x"] is False
+    assert out["/tmp2/x"] is True
+    # the dot is escaped: /t.mp/ matches only itself, not /tymp/
+    assert out["/t.mp/x"] is False
+
+
+def test_robots_wildcard_specificity_by_pattern_length(spark):
+    urls = _rurls(spark, ["/private/pub-1"])
+    rules = _rrules(spark, [("/private/*", False),
+                            ("/private/pub-*", True)])
+    out = robots_filter_wildcards(urls, rules).collect()[0]
+    assert out["allowed"] is True

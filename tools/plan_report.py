@@ -208,6 +208,8 @@ def main():
         # guarded in-aggregate pair-gen, summary-only windows
         "ann_agreement", "nb_confusion", "temporal_conflicts",
         "token_gini", "good_turing",
+        # RFC 9309 wildcard verdicts (broadcast-side regex compile)
+        "robots_wildcards",
         # triad census: wedge join + dyad arithmetic, not iterative
         "triad_census",
         # (event_bursts and supply_msf are iterative — DP steps /
