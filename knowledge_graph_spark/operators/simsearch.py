@@ -598,7 +598,8 @@ def kcenter_coreset(vectors: DataFrame, k: int,
 
     Deterministic selection: round 1 takes the minimum id; each
     later round takes ``argmax(round(d_min^2, 6))`` with ties broken
-    by ascending id — the squared distance is the shared
+    by ascending id (ids must be numeric — the tie-break negates
+    them inside one max(struct) fold) — the squared distance is the shared
     ``functions/vectors.l2_sq`` sequential fold, so a SQL replay
     using the same fold order reproduces the argmax bit-for-bit.
     Output is SELECTION-ONLY ``(rank, center_id)``: no distance ever
