@@ -12433,6 +12433,51 @@ ORDER BY doc_id
 
 
 
+def _q_stylometry(spark, sf_dir):
+    """Burrows' Delta ingredient matrix (Burrows LLC 2002; Evert et
+    al. 2017) over the documents corpus: the top-30 corpus words ×
+    every source, integer (n_word, n_source_tokens) — the function-
+    word frequency profile behind authorship attribution and
+    machine-template detection. Zero rows kept so the matrix shape
+    is always F × #sources. The oracle replays marker selection
+    (cf desc, word asc) and both count folds."""
+    from knowledge_graph_spark.operators.textstats import (
+        stylometry_ingredients)
+
+    docs = _t(spark, sf_dir, "documents")
+    return (stylometry_ingredients(docs, top_f=30)
+            .orderBy("rank", "source"))
+
+
+_SQL_STYLOMETRY = r"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+'),
+                            x -> x <> '')) AS w
+  FROM documents WHERE source IS NOT NULL
+),
+cf AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+markers AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS BIGINT)
+           AS rank, w AS word
+  FROM cf ORDER BY c DESC, w ASC LIMIT 30
+),
+sw AS (SELECT source, w AS word, CAST(COUNT(*) AS BIGINT) AS n_word
+       FROM toks GROUP BY 1, 2),
+stot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_source_tokens
+         FROM toks GROUP BY source)
+SELECT m.rank, m.word, g.source,
+       CAST(COALESCE(sw.n_word, 0) AS BIGINT) AS n_word,
+       g.n_source_tokens
+FROM markers m
+CROSS JOIN stot g
+LEFT JOIN sw ON sw.source = g.source AND sw.word = m.word
+ORDER BY m.rank, g.source
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # classical relational operators (DuckDB-oracled)
@@ -12526,6 +12571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_conflicts": _q_temporal_conflicts,
         "token_gini": _q_gini,
         "robots_wildcards": _q_robots_wildcards,
+        "stylometry": _q_stylometry,
         "events_rolling": _q_events_rolling,
         "fd_census": _q_fd_census,
         "fk_census": _q_fk_census,
@@ -12769,6 +12815,7 @@ def oracle_sql() -> dict[str, str]:
         "temporal_conflicts": _SQL_TEMPORAL_CONFLICTS,
         "token_gini": _SQL_GINI,
         "robots_wildcards": _SQL_ROBOTS_WILDCARDS,
+        "stylometry": _SQL_STYLOMETRY,
         "events_rolling": _SQL_EVENTS_ROLLING,
         "fd_census": _SQL_FD_CENSUS,
         "fk_census": _SQL_FK_CENSUS,

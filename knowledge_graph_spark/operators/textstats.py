@@ -1706,3 +1706,57 @@ def gini_ingredients(docs: DataFrame,
         F.sum(F.col("c") * F.col("m")).cast("long")
         .alias("total_tokens"),
         F.sum("_s").cast("long").alias("rank_weighted_sum"))
+
+
+def stylometry_ingredients(docs: DataFrame, source_col: str = "source",
+                           text_col: str = "text",
+                           top_f: int = 30) -> DataFrame:
+    """Burrows' Delta ingredient matrix (Burrows, LLC 2002 "'Delta':
+    a measure of stylistic difference"; Evert et al. 2017 for the
+    modern form): per (marker word, source), the INTEGER counts
+    behind the function-word frequency profile — the stylometric
+    signature that attributes authorship, flags machine-templated
+    hosts, and detects register drift between crawl snapshots. The
+    marker vocabulary is the corpus's ``top_f`` most frequent words
+    (Burrows' convention: frequent words are topic-free), selected
+    deterministically by (corpus frequency desc, word asc).
+
+    Returns ``(rank, word, source, n_word, n_source_tokens)`` — the
+    full matrix, all integers. Delta itself (z-score each word's
+    relative frequency across sources, then mean |z_a − z_b| per
+    source pair) is a bounded F×S-matrix computation the caller
+    runs on these sufficient statistics; keeping floats out of the
+    operator keeps the census hash-exact cross-engine.
+
+    Scale shape: one vocabulary-bounded corpus count; the top-F
+    selection is a TakeOrdered over the vocabulary (map-side
+    pruned); per-(source, word) and per-source counts are
+    map-side-combined aggregates joined on the BROADCAST marker
+    list. A missing (source, word) pair surfaces as an explicit
+    zero row — the matrix shape is always F × #sources."""
+    from pyspark.sql import Window
+
+    base = (docs.filter(F.col(source_col).isNotNull())
+            .select(F.col(source_col).alias("source"),
+                    F.explode(F.split(F.lower(F.col(text_col)),
+                                      "[^a-z0-9]+")).alias("_w"))
+            .filter(F.col("_w") != "")
+            .localCheckpoint(eager=True))
+    cf = base.groupBy("_w").agg(F.count("*").cast("long").alias("_cf"))
+    w = (Window.partitionBy(F.pmod(F.col("_cf"), F.lit(1)))
+         .orderBy(F.col("_cf").desc(), F.col("_w").asc()))
+    markers = (cf.orderBy(F.col("_cf").desc(), F.col("_w").asc())
+               .limit(int(top_f))
+               .select(F.row_number().over(w).cast("long").alias("rank"),
+                       F.col("_w").alias("word")))
+    sw = (base.groupBy("source", F.col("_w").alias("word"))
+          .agg(F.count("*").cast("long").alias("n_word")))
+    stot = base.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_source_tokens"))
+    grid = markers.crossJoin(stot.select("source"))
+    return (grid.join(sw, ["source", "word"], "left")
+            .join(stot, "source")
+            .select("rank", "word", "source",
+                    F.coalesce("n_word", F.lit(0).cast("long"))
+                    .alias("n_word"),
+                    "n_source_tokens"))

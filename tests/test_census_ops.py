@@ -714,3 +714,44 @@ def test_robots_wildcard_specificity_by_pattern_length(spark):
                             ("/private/pub-*", True)])
     out = robots_filter_wildcards(urls, rules).collect()[0]
     assert out["allowed"] is True
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta stylometry ingredients
+# ---------------------------------------------------------------------------
+
+from knowledge_graph_spark.operators.textstats import stylometry_ingredients
+
+
+def test_stylometry_matrix_shape_and_counts(spark):
+    docs = spark.createDataFrame(
+        [("a", "the cat and the dog"),
+         ("b", "the fish and a bird the")],
+        "source string, text string")
+    out = stylometry_ingredients(docs, top_f=2).collect()
+    rows = {(r["word"], r["source"]): r for r in out}
+    # corpus: the=4, and=2 -> markers (1, the), (2, and)
+    assert len(out) == 4                       # 2 words x 2 sources
+    assert rows[("the", "a")]["rank"] == 1
+    assert rows[("the", "a")]["n_word"] == 2
+    assert rows[("the", "b")]["n_word"] == 2
+    assert rows[("and", "b")]["n_word"] == 1
+    assert rows[("the", "a")]["n_source_tokens"] == 5
+    assert rows[("the", "b")]["n_source_tokens"] == 6
+
+
+def test_stylometry_zero_fills_missing_pairs(spark):
+    docs = spark.createDataFrame(
+        [("a", "x x x y"), ("b", "x x")],
+        "source string, text string")
+    out = {(r["word"], r["source"]): r["n_word"]
+           for r in stylometry_ingredients(docs, top_f=2).collect()}
+    assert out[("y", "b")] == 0                # explicit zero row
+
+
+def test_stylometry_marker_tie_breaks_on_word(spark):
+    docs = spark.createDataFrame(
+        [("a", "b a")], "source string, text string")
+    out = {r["rank"]: r["word"]
+           for r in stylometry_ingredients(docs, top_f=2).collect()}
+    assert out == {1: "a", 2: "b"}             # cf tie -> word asc

@@ -210,6 +210,9 @@ def main():
         "token_gini", "good_turing",
         # RFC 9309 wildcard verdicts (broadcast-side regex compile)
         "robots_wildcards",
+        # Burrows Delta marker matrix (vocab-bounded TakeOrdered +
+        # broadcast marker join)
+        "stylometry",
         # triad census: wedge join + dyad arithmetic, not iterative
         "triad_census",
         # (event_bursts and supply_msf are iterative — DP steps /
