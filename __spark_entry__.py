@@ -12478,6 +12478,56 @@ ORDER BY m.rank, g.source
 
 
 
+def _q_ql_search(spark, sf_dir):
+    """Dirichlet-smoothed query-likelihood retrieval (Ponte & Croft
+    SIGIR 1998; Zhai & Lafferty SIGIR 2001) for the same 3-term
+    query as bm25_search — the language-modeling ranking next to
+    the probabilistic one: every query term contributes (absent
+    terms pay their smoothed background mass), mu = 2000. The
+    oracle replays the collection LM, the candidate x query-term
+    grid, and the per-term log sum at 6 dp."""
+    from knowledge_graph_spark.operators.search import ql_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return ql_search(docs, _BM25_TERMS).orderBy("doc_id")
+
+
+_SQL_QL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                     x -> x != '') AS w
+  FROM documents
+),
+base AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM toks),
+totals AS (SELECT COUNT(*) AS n_tokens FROM base),
+q(term) AS (VALUES ('spark'), ('table'), ('row')),
+cf AS (
+  SELECT b.term, COUNT(*) AS cf FROM base b JOIN q ON q.term = b.term
+  GROUP BY b.term
+),
+lm AS (
+  SELECT cf.term, cf.cf / t.n_tokens AS p_c FROM cf CROSS JOIN totals t
+),
+tf AS (
+  SELECT b.doc_id, b.dl, b.term, COUNT(*) AS tf
+  FROM base b JOIN q ON q.term = b.term
+  GROUP BY 1, 2, 3
+),
+cand AS (SELECT DISTINCT doc_id, dl FROM tf),
+grid AS (
+  SELECT c.doc_id, c.dl, l.term, l.p_c, COALESCE(tf.tf, 0) AS tf
+  FROM cand c CROSS JOIN lm l
+  LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.term = l.term
+)
+SELECT doc_id,
+       ROUND(SUM(ln((tf + 2000.0 * p_c) / (dl + 2000.0))), 6) AS score
+FROM grid GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # classical relational operators (DuckDB-oracled)
@@ -12572,6 +12622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_gini": _q_gini,
         "robots_wildcards": _q_robots_wildcards,
         "stylometry": _q_stylometry,
+        "ql_search": _q_ql_search,
         "events_rolling": _q_events_rolling,
         "fd_census": _q_fd_census,
         "fk_census": _q_fk_census,
@@ -12816,6 +12867,7 @@ def oracle_sql() -> dict[str, str]:
         "token_gini": _SQL_GINI,
         "robots_wildcards": _SQL_ROBOTS_WILDCARDS,
         "stylometry": _SQL_STYLOMETRY,
+        "ql_search": _SQL_QL,
         "events_rolling": _SQL_EVENTS_ROLLING,
         "fd_census": _SQL_FD_CENSUS,
         "fk_census": _SQL_FK_CENSUS,

@@ -136,7 +136,7 @@ def main():
         "event_bursts", "supply_msf", "sales_cube", "events_rolling",
         "coreset_centers", "snn_clusters", "ann_agreement",
         "nb_confusion", "temporal_conflicts", "token_gini",
-        "robots_wildcards", "stylometry",
+        "robots_wildcards", "stylometry", "ql_search",
     ]
     qs = entrymod.queries()
     for name in headliners:

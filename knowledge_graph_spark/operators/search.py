@@ -326,3 +326,61 @@ def kendall_agreement(rank_a, rank_b, qid_col: str = "query_id",
                     F.coalesce("discordant", z).alias("discordant"),
                     F.coalesce("only_a", z).alias("only_a"),
                     F.coalesce("only_b", z).alias("only_b")))
+
+
+def ql_search(docs: DataFrame, terms: list, mu: float = 2000.0,
+              id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Ponte &
+    Croft SIGIR 1998; Zhai & Lafferty SIGIR 2001 — the language-
+    modeling alternative to BM25, and the stronger baseline on
+    verbose queries): ``score(d) = Σ_w ln((tf_{w,d} + μ·P(w|C)) /
+    (|d| + μ))`` over EVERY query term — absent terms contribute
+    their smoothed background mass, which is what makes the model a
+    proper likelihood and penalizes short matches correctly (the
+    part a naive "sum over matched terms" port silently drops).
+
+    Returns ``(doc_id, score)`` (6-dp, the bm25_search convention)
+    for documents matching at least one query term.
+
+    Scale shape: the collection LM is one vocabulary-bounded
+    aggregate filtered to the query terms (a |Q|-row broadcast);
+    candidates come from the postings of the query terms only; the
+    absent-term background contributions ride a candidate ×
+    |Q|-literal-frame join — never a corpus × vocabulary product.
+    Same tokenization as bm25_search (word_tokens), so the two
+    models rank the same index."""
+    terms = [str(t) for t in terms]
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    word_tokens(text_col).alias("_toks"))
+        .select("doc_id", F.size("_toks").alias("dl"),
+                F.explode("_toks").alias("term"))
+        .localCheckpoint(eager=True)
+    )
+    totals = base.agg(F.count("*").alias("n_tokens"))
+    cf = (base.filter(F.col("term").isin(terms))
+          .groupBy("term").agg(F.count("*").alias("cf")))
+    spark = docs.sparkSession
+    qframe = spark.createDataFrame([(t,) for t in terms],
+                                   "term string")
+    # a query term absent from the whole corpus has P(w|C) = 0 and
+    # tf = 0 everywhere -> ln(0) for every document; the standard
+    # practice (Zhai & Lafferty's implementations) drops OOV terms,
+    # which shifts every score identically and keeps the ranking
+    lm = (qframe.join(cf, "term")
+          .crossJoin(F.broadcast(totals))
+          .select("term",
+                  (F.col("cf") / F.col("n_tokens")).alias("p_c")))
+    tf = (base.filter(F.col("term").isin(terms))
+          .groupBy("doc_id", "dl", "term")
+          .agg(F.count("*").alias("tf")))
+    cand = tf.select("doc_id", "dl").distinct()
+    grid = cand.crossJoin(F.broadcast(lm))
+    scored = (grid.join(tf, ["doc_id", "dl", "term"], "left")
+              .select("doc_id", "dl", "term", "p_c",
+                      F.coalesce("tf", F.lit(0)).alias("tf")))
+    term_ll = F.log((F.col("tf") + F.lit(float(mu)) * F.col("p_c"))
+                    / (F.col("dl") + F.lit(float(mu))))
+    return (scored.groupBy("doc_id")
+            .agg(F.round(F.sum(term_ll), 6).alias("score")))

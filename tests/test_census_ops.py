@@ -755,3 +755,42 @@ def test_stylometry_marker_tie_breaks_on_word(spark):
     out = {r["rank"]: r["word"]
            for r in stylometry_ingredients(docs, top_f=2).collect()}
     assert out == {1: "a", 2: "b"}             # cf tie -> word asc
+
+
+# ---------------------------------------------------------------------------
+# Dirichlet query-likelihood retrieval
+# ---------------------------------------------------------------------------
+
+from knowledge_graph_spark.operators.search import ql_search
+
+
+def test_ql_hand_computed(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"),
+         (3, "date date date")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["score"]
+           for r in ql_search(docs, ["apple", "banana"],
+                              mu=10.0).collect()}
+    # corpus: 8 tokens; p(apple)=2/8, p(banana)=2/8
+    def score(tf_a, tf_b, dl):
+        return round(
+            math.log((tf_a + 10.0 * 0.25) / (dl + 10.0))
+            + math.log((tf_b + 10.0 * 0.25) / (dl + 10.0)), 6)
+
+    assert set(out) == {1, 2}          # doc 3 matches nothing
+    assert out[1] == score(2, 1, 3)
+    assert out[2] == score(0, 1, 2)
+    # the longer, double-matching doc must outrank the single match
+    assert out[1] > out[2]
+
+
+def test_ql_oov_terms_dropped_not_minus_inf(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple apple")], "doc_id long, text string")
+    out = ql_search(docs, ["apple", "zzz"], mu=10.0).collect()
+    assert len(out) == 1
+    import math
+    assert math.isfinite(out[0]["score"])

@@ -213,6 +213,9 @@ def main():
         # Burrows Delta marker matrix (vocab-bounded TakeOrdered +
         # broadcast marker join)
         "stylometry",
+        # Dirichlet query-likelihood (|Q|-broadcast LM, postings-only
+        # candidates, candidate x literal-frame background grid)
+        "ql_search",
         # triad census: wedge join + dyad arithmetic, not iterative
         "triad_census",
         # (event_bursts and supply_msf are iterative — DP steps /
