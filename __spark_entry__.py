@@ -12528,6 +12528,86 @@ ORDER BY doc_id
 
 
 
+def _q_lexrank(spark, sf_dir):
+    """Thresholded-LexRank extractive summaries (Erkan & Radev JAIR
+    2004, degree variant) over the documents corpus: per doc the
+    highest-degree sentence under the INTEGER-exact cosine-0.3
+    adjacency (t_den²·dot² >= t_num²·|a|²·|b|² — no sqrt, no float
+    anywhere), ties to the earliest sentence. The oracle replays
+    sentence split, tf folds, the integer threshold, degrees, and
+    the struct argmax."""
+    from knowledge_graph_spark.operators.textstats import lexrank_summary
+
+    docs = _t(spark, sf_dir, "documents")
+    return lexrank_summary(docs).orderBy("doc_id")
+
+
+_SQL_LEXRANK = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+           regexp_split_to_array(text, '[.!?]+'), x -> trim(x)),
+           x -> x <> '') AS ss
+  FROM documents
+),
+sents AS (
+  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS idx, u.s AS sent
+  FROM (SELECT doc_id,
+               unnest(list_transform(ss,
+                 (x, i) -> struct_pack(i := i, s := x))) AS u
+        FROM base)
+  WHERE u.i - 1 < 50
+),
+tf AS (
+  SELECT doc_id, idx, w, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, idx,
+               unnest(list_filter(regexp_split_to_array(lower(sent),
+                 '[^a-z0-9]+'), x -> x <> '')) AS w
+        FROM sents)
+  GROUP BY 1, 2, 3
+),
+norms AS (SELECT doc_id, idx, CAST(SUM(tf * tf) AS BIGINT) AS n2
+          FROM tf GROUP BY 1, 2),
+dots AS (
+  SELECT a.doc_id, a.idx AS i, b.idx AS j,
+         CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+  FROM tf a JOIN tf b
+    ON b.doc_id = a.doc_id AND b.w = a.w AND b.idx > a.idx
+  GROUP BY 1, 2, 3
+),
+edges AS (
+  SELECT d.doc_id, d.i, d.j
+  FROM dots d
+  JOIN norms na ON na.doc_id = d.doc_id AND na.idx = d.i
+  JOIN norms nb ON nb.doc_id = d.doc_id AND nb.idx = d.j
+  WHERE 100 * d.dot * d.dot >= 9 * na.n2 * nb.n2
+),
+deg AS (
+  SELECT doc_id, idx, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT doc_id, i AS idx FROM edges
+        UNION ALL SELECT doc_id, j FROM edges)
+  GROUP BY 1, 2
+),
+counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sents
+           FROM sents GROUP BY doc_id),
+ranked AS (
+  SELECT s.doc_id,
+         MAX(struct_pack(d := COALESCE(g.d, 0), ni := -s.idx,
+                         s := s.sent)) AS b
+  FROM sents s LEFT JOIN deg g
+    ON g.doc_id = s.doc_id AND g.idx = s.idx
+  GROUP BY s.doc_id
+)
+SELECT c.doc_id, c.n_sents,
+       CAST(-r.b.ni AS BIGINT) AS top_sent_idx,
+       CAST(r.b.d AS BIGINT) AS top_degree,
+       r.b.s AS summary
+FROM counts c JOIN ranked r ON r.doc_id = c.doc_id
+ORDER BY c.doc_id
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # classical relational operators (DuckDB-oracled)
@@ -12623,6 +12703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_wildcards": _q_robots_wildcards,
         "stylometry": _q_stylometry,
         "ql_search": _q_ql_search,
+        "lexrank_summaries": _q_lexrank,
         "events_rolling": _q_events_rolling,
         "fd_census": _q_fd_census,
         "fk_census": _q_fk_census,
@@ -12868,6 +12949,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_wildcards": _SQL_ROBOTS_WILDCARDS,
         "stylometry": _SQL_STYLOMETRY,
         "ql_search": _SQL_QL,
+        "lexrank_summaries": _SQL_LEXRANK,
         "events_rolling": _SQL_EVENTS_ROLLING,
         "fd_census": _SQL_FD_CENSUS,
         "fk_census": _SQL_FK_CENSUS,

@@ -1760,3 +1760,91 @@ def stylometry_ingredients(docs: DataFrame, source_col: str = "source",
                     F.coalesce("n_word", F.lit(0).cast("long"))
                     .alias("n_word"),
                     "n_source_tokens"))
+
+
+def lexrank_summary(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    t_num: int = 3, t_den: int = 10,
+                    max_sents: int = 50) -> DataFrame:
+    """Extractive summarization via thresholded LexRank (Erkan &
+    Radev, JAIR 2004 — the degree variant of §4.1: sentences are
+    nodes, an edge joins sentence pairs whose TF cosine clears the
+    threshold, and the highest-degree sentence is the extract; the
+    paper's own experiments show degree ≈ continuous LexRank at
+    t ≈ 0.3): the corpus-scale "one representative sentence per
+    document" pass that feeds snippet generation and LLM-context
+    compression.
+
+    The threshold is INTEGER-exact: with integer term frequencies,
+    ``cos(a, b) >= t_num/t_den  ⇔  t_den²·dot² >= t_num²·|a|²·|b|²``
+    (both sides BIGINT, dot >= 0 since tf >= 0) — no sqrt, no
+    float, so the adjacency and therefore the summary hash-replay
+    exactly. Ties on degree break to the EARLIEST sentence (lead
+    bias is the standard extractive prior).
+
+    Returns per document with >= 1 sentence: ``(doc_id, n_sents,
+    top_sent_idx, top_degree, summary)`` — idx 0-based in sentence
+    order, ``summary`` the winning sentence's trimmed text
+    (selection-only string).
+
+    Scale shape: everything is DOC-LOCAL — sentence split and
+    tokenize row-local; the pair dot joins on (doc, term) so only
+    same-document sentence pairs ever meet; the quadratic is
+    bounded by ``max_sents``² per document (later sentences are
+    dropped, documented). Exchanges carry (doc, sent-idx, term,
+    int) rows. No cross-document work exists at all.
+    """
+    sents = (docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.expr(
+            f"filter(transform(split({text_col}, '[.!?]+'), "
+            f"x -> trim(x)), x -> x != '')"))
+        .alias("idx", "sent"))
+        .filter(F.col("idx") < int(max_sents))
+        .localCheckpoint(eager=True))
+    tf = (sents.select(
+        "doc_id", "idx",
+        F.explode(F.split(F.lower("sent"), "[^a-z0-9]+")).alias("_w"))
+        .filter(F.col("_w") != "")
+        .groupBy("doc_id", "idx", "_w")
+        .agg(F.count("*").cast("long").alias("_tf"))
+        .localCheckpoint(eager=True))
+    norms = tf.groupBy("doc_id", "idx").agg(
+        F.sum(F.col("_tf") * F.col("_tf")).cast("long").alias("_n2"))
+    a = tf.select("doc_id", F.col("idx").alias("i"), "_w",
+                  F.col("_tf").alias("_ta"))
+    b = tf.select("doc_id", F.col("idx").alias("j"), "_w",
+                  F.col("_tf").alias("_tb"))
+    dots = (a.join(b, ["doc_id", "_w"])
+            .filter(F.col("i") < F.col("j"))
+            .groupBy("doc_id", "i", "j")
+            .agg(F.sum(F.col("_ta") * F.col("_tb")).cast("long")
+                 .alias("_dot")))
+    na = norms.select("doc_id", F.col("idx").alias("i"),
+                      F.col("_n2").alias("_na"))
+    nb = norms.select("doc_id", F.col("idx").alias("j"),
+                      F.col("_n2").alias("_nb"))
+    tn, td = int(t_num), int(t_den)
+    edges = (dots.join(na, ["doc_id", "i"]).join(nb, ["doc_id", "j"])
+             .filter(F.lit(td * td) * F.col("_dot") * F.col("_dot")
+                     >= F.lit(tn * tn) * F.col("_na") * F.col("_nb"))
+             .select("doc_id", "i", "j"))
+    deg = (edges.select("doc_id", F.col("i").alias("idx"))
+           .unionByName(edges.select("doc_id", F.col("j").alias("idx")))
+           .groupBy("doc_id", "idx")
+           .agg(F.count("*").cast("long").alias("_d")))
+    counts = sents.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_sents"))
+    ranked = (sents.join(deg, ["doc_id", "idx"], "left")
+              .select("doc_id", "idx", "sent",
+                      F.coalesce("_d", F.lit(0).cast("long"))
+                      .alias("_d"))
+              .groupBy("doc_id")
+              .agg(F.max(F.struct(F.col("_d"),
+                                  (-F.col("idx")).alias("_ni"),
+                                  F.col("sent"))).alias("_b")))
+    return (counts.join(ranked, "doc_id")
+            .select("doc_id", "n_sents",
+                    (-F.col("_b._ni")).cast("long").alias("top_sent_idx"),
+                    F.col("_b._d").alias("top_degree"),
+                    F.col("_b.sent").alias("summary")))

@@ -794,3 +794,43 @@ def test_ql_oov_terms_dropped_not_minus_inf(spark):
     assert len(out) == 1
     import math
     assert math.isfinite(out[0]["score"])
+
+
+# ---------------------------------------------------------------------------
+# thresholded LexRank extractive summary
+# ---------------------------------------------------------------------------
+
+from knowledge_graph_spark.operators.textstats import lexrank_summary
+
+
+def test_lexrank_central_sentence_wins(spark):
+    # s0 and s2 are near-identical; s1 shares terms with both; s3 is
+    # unrelated. s1 connects to 0 and 2 only if cosine clears 0.3.
+    text = ("the cat sat on the mat. "
+            "the cat ran to the dog. "
+            "the cat sat on the mat again. "
+            "quantum flux capacitors hum quietly.")
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = lexrank_summary(docs).collect()[0]
+    assert r["n_sents"] == 4
+    # the repeated 'cat sat mat' pair plus links to s1 makes s0 win
+    assert r["top_sent_idx"] == 0
+    assert r["top_degree"] >= 2
+    assert r["summary"].startswith("the cat sat")
+
+
+def test_lexrank_tie_breaks_to_earliest(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta. alpha beta. gamma delta. gamma delta.")],
+        "doc_id long, text string")
+    r = lexrank_summary(docs).collect()[0]
+    # two symmetric pairs, every degree equal: earliest sentence wins
+    assert r["top_sent_idx"] == 0
+
+
+def test_lexrank_single_sentence_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "only one sentence here")], "doc_id long, text string")
+    r = lexrank_summary(docs).collect()[0]
+    assert (r["n_sents"], r["top_sent_idx"], r["top_degree"]) == (1, 0, 0)
+    assert r["summary"] == "only one sentence here"

@@ -216,6 +216,9 @@ def main():
         # Dirichlet query-likelihood (|Q|-broadcast LM, postings-only
         # candidates, candidate x literal-frame background grid)
         "ql_search",
+        # thresholded LexRank (doc-local sentence pair joins,
+        # integer-exact cosine threshold)
+        "lexrank_summaries",
         # triad census: wedge join + dyad arithmetic, not iterative
         "triad_census",
         # (event_bursts and supply_msf are iterative — DP steps /
