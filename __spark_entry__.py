@@ -12608,6 +12608,78 @@ ORDER BY c.doc_id
 
 
 
+def _q_opic(spark, sf_dir):
+    """Integer-exact OPIC crawl priorities (Abiteboul, Preda &
+    Cobena WWW 2003) over the international trade digraph: 5 full
+    cash sweeps with BIGINT units — cash DIV outdeg per out-link,
+    remainder stays home, dangling pages keep their wallet — so
+    total cash is conserved exactly and the census replays
+    bit-for-bit. The oracle unrolls every sweep."""
+    from knowledge_graph_spark.operators.crawl import opic_ingredients
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    edges = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+             .join(c, o["o_custkey"] == c["c_custkey"])
+             .join(s, li["l_suppkey"] == s["s_suppkey"])
+             .select(F.col("c_nationkey").cast("long").alias("src"),
+                     F.col("s_nationkey").cast("long").alias("dst")))
+    return opic_ingredients(edges, rounds=5).orderBy("id")
+
+
+def _mk_opic_sql(rounds: int) -> str:
+    parts = [r"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS u,
+                  CAST(s.s_nationkey AS BIGINT) AS v
+  FROM orders o
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+),
+nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+deg AS (
+  SELECT n.id, CAST(COALESCE(d.d, 0) AS BIGINT) AS d
+  FROM nodes n LEFT JOIN (SELECT u AS id, COUNT(*) AS d FROM e
+                          GROUP BY u) d ON d.id = n.id
+),
+s0 AS (SELECT id, d, CAST(1000000 AS BIGINT) AS cash,
+              CAST(0 AS BIGINT) AS history FROM deg)"""]
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+g{t} AS MATERIALIZED (
+  SELECT id, d,
+         CASE WHEN d > 0 THEN cash // d ELSE CAST(0 AS BIGINT) END
+           AS give,
+         CASE WHEN d > 0 THEN cash % d ELSE cash END AS keep,
+         history
+  FROM s{t - 1}
+),
+r{t} AS (
+  SELECT e.v AS id, CAST(SUM(g.give) AS BIGINT) AS rcv
+  FROM e JOIN g{t} g ON g.id = e.u GROUP BY e.v
+),
+s{t} AS MATERIALIZED (
+  SELECT g.id, g.d,
+         g.keep + COALESCE(r.rcv, 0) AS cash,
+         g.history + COALESCE(r.rcv, 0) AS history
+  FROM g{t} g LEFT JOIN r{t} r ON r.id = g.id
+)""")
+    parts.append(f"""
+SELECT id, CAST(cash AS BIGINT) AS cash,
+       CAST(history AS BIGINT) AS history
+FROM s{rounds} ORDER BY id
+""")
+    return "".join(parts)
+
+
+_SQL_OPIC = _mk_opic_sql(5)
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # classical relational operators (DuckDB-oracled)
@@ -12704,6 +12776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stylometry": _q_stylometry,
         "ql_search": _q_ql_search,
         "lexrank_summaries": _q_lexrank,
+        "opic_priorities": _q_opic,
         "events_rolling": _q_events_rolling,
         "fd_census": _q_fd_census,
         "fk_census": _q_fk_census,
@@ -12950,6 +13023,7 @@ def oracle_sql() -> dict[str, str]:
         "stylometry": _SQL_STYLOMETRY,
         "ql_search": _SQL_QL,
         "lexrank_summaries": _SQL_LEXRANK,
+        "opic_priorities": _SQL_OPIC,
         "events_rolling": _SQL_EVENTS_ROLLING,
         "fd_census": _SQL_FD_CENSUS,
         "fk_census": _SQL_FK_CENSUS,

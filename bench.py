@@ -137,7 +137,7 @@ def main():
         "coreset_centers", "snn_clusters", "ann_agreement",
         "nb_confusion", "temporal_conflicts", "token_gini",
         "robots_wildcards", "stylometry", "ql_search",
-        "lexrank_summaries",
+        "lexrank_summaries", "opic_priorities",
     ]
     qs = entrymod.queries()
     for name in headliners:

@@ -344,3 +344,71 @@ def robots_filter_wildcards(urls: DataFrame, rules: DataFrame,
         *urls.columns, "host", "path",
         F.coalesce(F.col("_w.a") == 1, F.lit(True)).alias("allowed"),
         F.col("_w.p").alias("rule_pattern"))
+
+
+def opic_ingredients(edges: DataFrame, rounds: int = 5,
+                     init_cash: int = 1_000_000,
+                     src: str = "src", dst: str = "dst") -> DataFrame:
+    """On-line Page Importance Computation, integer-exact (Abiteboul,
+    Preda & Cobena, WWW 2003 "Adaptive on-line page importance
+    computation" — the crawl-priority estimator that needs no
+    convergence before it is useful: each page holds CASH, spends it
+    equally across its out-links when visited, and its accumulated
+    HISTORY of received cash estimates importance; frontiers fetch
+    highest-cash pages first).
+
+    Determinism is engineered with INTEGER cash units: each round a
+    page sends ``cash DIV outdeg`` along every out-link and keeps
+    ``cash MOD outdeg`` (the indivisible remainder stays home —
+    a documented policy; dangling pages keep everything). All
+    arithmetic is BIGINT, so the census hash-replays bit-for-bit —
+    no damping float, no convergence tolerance.
+
+    Returns ``(id, cash, history)`` after ``rounds`` full sweeps —
+    ``history`` = total cash ever received (the OPIC importance
+    numerator), ``cash`` the residual wallet. Total cash is
+    conserved by construction (Σ cash stays n·init_cash — a
+    self-check the tests pin).
+
+    Scale shape: the distinct edge list and outdegrees compute
+    once; each round is one edge join moving ``(id, long)`` pairs
+    plus one dst-keyed sum — the PageRank exchange shape without
+    the dangling broadcast; per-round localCheckpoint. Hub
+    receivers are AQE's skew case.
+    """
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .filter(F.col("u").isNotNull() & F.col("v").isNotNull()
+                 & (F.col("u") != F.col("v")))
+         .distinct().localCheckpoint(eager=True))
+    nodes = (e.select(F.col("u").alias("id"))
+             .unionByName(e.select(F.col("v").alias("id")))
+             .distinct().localCheckpoint(eager=True))
+    outdeg = e.groupBy(F.col("u").alias("id")).agg(
+        F.count("*").cast("long").alias("_d"))
+    state = (nodes.join(outdeg, "id", "left")
+             .select("id", F.coalesce("_d", F.lit(0).cast("long"))
+                     .alias("_d"),
+                     F.lit(int(init_cash)).cast("long").alias("cash"),
+                     F.lit(0).cast("long").alias("history"))
+             .localCheckpoint(eager=True))
+    for _ in range(int(rounds)):
+        give = F.when(F.col("_d") > 0,
+                      F.expr("cash DIV _d")).otherwise(F.lit(0))
+        keep = F.when(F.col("_d") > 0,
+                      F.expr("cash % _d")).otherwise(F.col("cash"))
+        sender = state.select("id", give.alias("_give"),
+                              keep.alias("_keep"))
+        recv = (e.join(sender.withColumnRenamed("id", "u"), "u")
+                .groupBy(F.col("v").alias("id"))
+                .agg(F.sum("_give").cast("long").alias("_in")))
+        state = (state.join(sender.select("id", "_keep"), "id")
+                 .join(recv, "id", "left")
+                 .select("id", "_d",
+                         (F.col("_keep")
+                          + F.coalesce("_in", F.lit(0).cast("long")))
+                         .alias("cash"),
+                         (F.col("history")
+                          + F.coalesce("_in", F.lit(0).cast("long")))
+                         .alias("history"))
+                 .localCheckpoint(eager=True))
+    return state.select("id", "cash", "history")

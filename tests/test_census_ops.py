@@ -834,3 +834,39 @@ def test_lexrank_single_sentence_doc(spark):
     r = lexrank_summary(docs).collect()[0]
     assert (r["n_sents"], r["top_sent_idx"], r["top_degree"]) == (1, 0, 0)
     assert r["summary"] == "only one sentence here"
+
+
+# ---------------------------------------------------------------------------
+# integer-exact OPIC
+# ---------------------------------------------------------------------------
+
+from knowledge_graph_spark.operators.crawl import opic_ingredients
+
+
+def test_opic_cash_conserved_and_history_grows(spark):
+    out = opic_ingredients(_edges(spark, [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")]),
+        rounds=3, init_cash=100)
+    rows = {r["id"]: r for r in out.collect()}
+    assert sum(r["cash"] for r in rows.values()) == 300
+    # c receives from both a and b: highest history
+    assert rows["c"]["history"] == max(r["history"] for r in rows.values())
+
+
+def test_opic_hand_computed_two_cycle(spark):
+    out = opic_ingredients(_edges(spark, [("a", "b"), ("b", "a")]),
+                           rounds=2, init_cash=7)
+    rows = {r["id"]: r for r in out.collect()}
+    # round 1: each sends 7 (outdeg 1, no remainder); round 2: 7 back
+    assert rows["a"]["cash"] == 7 and rows["b"]["cash"] == 7
+    assert rows["a"]["history"] == 14 and rows["b"]["history"] == 14
+
+
+def test_opic_remainder_stays_home_and_dangling_keeps(spark):
+    out = opic_ingredients(_edges(spark, [("a", "b"), ("a", "c")]),
+                           rounds=1, init_cash=7)
+    rows = {r["id"]: r for r in out.collect()}
+    # a sends 3 each (7 DIV 2), keeps 1; b and c are dangling
+    assert rows["a"]["cash"] == 1
+    assert rows["b"]["cash"] == 10 and rows["c"]["cash"] == 10
+    assert rows["b"]["history"] == 3 and rows["c"]["history"] == 3
