@@ -870,3 +870,68 @@ def test_opic_remainder_stays_home_and_dangling_keeps(spark):
     assert rows["a"]["cash"] == 1
     assert rows["b"]["cash"] == 10 and rows["c"]["cash"] == 10
     assert rows["b"]["history"] == 3 and rows["c"]["history"] == 3
+
+
+# ---------------------------------------------------------------------------
+# independent networkx references for the census suite
+# ---------------------------------------------------------------------------
+
+
+def _hash_graph(seed, n=14, thresh=80, directed=False):
+    import hashlib
+
+    pairs = []
+    for u in range(n):
+        for v in range(n):
+            if u == v or (not directed and u >= v):
+                continue
+            h = hashlib.md5(f"{seed}:{u}:{v}".encode()).digest()[0]
+            if h < thresh:
+                pairs.append((f"n{u:02d}", f"n{v:02d}"))
+    return pairs
+
+
+def test_coreness_matches_networkx_core_number(spark):
+    nx = pytest.importorskip("networkx", reason="independent reference")
+    for seed in (1, 2, 3):
+        pairs = _hash_graph(seed)
+        G = nx.Graph()
+        G.add_edges_from(pairs)
+        want = nx.core_number(G)
+        got = {r["id"]: r["coreness"]
+               for r in coreness(_edges(spark, pairs)).collect()}
+        assert got == want, f"seed {seed}"
+
+
+def test_dyad_census_matches_networkx_reciprocity(spark):
+    nx = pytest.importorskip("networkx", reason="independent reference")
+    for seed in (1, 2):
+        pairs = _hash_graph(seed, directed=True, thresh=60)
+        G = nx.DiGraph()
+        G.add_edges_from(pairs)
+        r = dyad_census(_edges(spark, pairs)).collect()[0]
+        m, a = r["mutual_dyads"], r["asym_dyads"]
+        # nx.reciprocity = fraction of directed edges reciprocated
+        assert 2 * m / (2 * m + a) == pytest.approx(
+            nx.reciprocity(G)), f"seed {seed}"
+        assert r["n_nodes"] == G.number_of_nodes()
+
+
+def test_conductance_matches_networkx(spark):
+    nx = pytest.importorskip("networkx", reason="independent reference")
+    pairs = _hash_graph(4, n=16, thresh=90)
+    G = nx.Graph()
+    G.add_edges_from(pairs)
+    labels = [(f"n{i:02d}", i % 3) for i in range(16)]
+    lab_df = spark.createDataFrame(labels, "id string, community int")
+    rows = {r["community"]: r for r in
+            conductance_census(_edges(spark, pairs), lab_df).collect()}
+    for c in (0, 1, 2):
+        S = {n for n, l in labels if l == c and n in G}
+        want = nx.conductance(G, S)
+        r = rows[c]
+        got = r["cut_edges"] / min(
+            r["volume"], 2 * G.number_of_edges() - r["volume"])
+        assert got == pytest.approx(want), f"community {c}"
+        # identity check too
+        assert r["volume"] == 2 * r["internal_edges"] + r["cut_edges"]
