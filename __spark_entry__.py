@@ -2144,11 +2144,20 @@ def _q_postings(spark, sf_dir):
     """Inverted-index postings export (IIR ch.4) over the documents
     table: delta-encoded posting lists for every term with df >= 2,
     stopword band capped at df <= 450. The oracle rebuilds the same
-    ordered lists and gap encoding in SQL."""
+    ordered lists and gap encoding in SQL. ``gaps`` is space-joined
+    to a plain string at this driver boundary (the operator returns
+    array<long>) — the gate's pandas canonicalizer cannot sort list
+    cells."""
     from knowledge_graph_spark.operators.search import postings_export
 
     docs = _t(spark, sf_dir, "documents")
-    return postings_export(docs, min_df=2, max_df=450).orderBy("term")
+    return (postings_export(docs, min_df=2, max_df=450)
+            .withColumn(
+                "gaps",
+                F.array_join(
+                    F.transform("gaps", lambda x: x.cast("string")),
+                    " "))
+            .orderBy("term"))
 
 
 _SQL_POSTINGS = r"""
@@ -2166,10 +2175,11 @@ l AS (
   FROM p GROUP BY term
 )
 SELECT term, df, CAST(ds[1] AS BIGINT) AS first_doc,
-  CASE WHEN len(ds) >= 2
-       THEN list_transform(generate_series(2, len(ds)),
-                           i -> CAST(ds[i] - ds[i - 1] AS BIGINT))
-       ELSE CAST([] AS BIGINT[]) END AS gaps
+  array_to_string(
+    CASE WHEN len(ds) >= 2
+         THEN list_transform(generate_series(2, len(ds)),
+                             i -> CAST(ds[i] - ds[i - 1] AS BIGINT))
+         ELSE CAST([] AS BIGINT[]) END, ' ') AS gaps
 FROM l WHERE df >= 2 AND df <= 450 ORDER BY term
 """
 
@@ -2844,7 +2854,10 @@ def _q_anchor_texts(spark, sf_dir):
     pipe-less — and Topic (id%5) once pipe-less. The inverted table
     yields per-target inlink/doc counts and the top-5 anchor terms
     (count desc, term asc — deterministic). Oracle replays the regex,
-    the MediaWiki title normalization, and the ordered top-k."""
+    the MediaWiki title normalization, and the ordered top-k.
+    ``top_anchor_terms`` is space-joined to a plain string at this
+    driver boundary (the operator returns array<string>) because the
+    gate's pandas canonicalizer cannot sort list cells."""
     from knowledge_graph_spark.operators.wikilinks import (
         anchor_summary, extract_wikilinks)
 
@@ -2863,6 +2876,8 @@ def _q_anchor_texts(spark, sf_dir):
     )
     return (
         anchor_summary(extract_wikilinks(pages), k=5)
+        .withColumn("top_anchor_terms",
+                    F.array_join("top_anchor_terms", " "))
         .orderBy("target")
     )
 
@@ -2908,7 +2923,8 @@ tc AS (SELECT target, term, COUNT(*) AS c
 top AS (
   SELECT target,
     CAST(COUNT(*) AS BIGINT) AS n_anchor_terms,
-    (list(term ORDER BY c DESC, term ASC))[1:5] AS top_anchor_terms
+    array_to_string((list(term ORDER BY c DESC, term ASC))[1:5], ' ')
+      AS top_anchor_terms
   FROM tc GROUP BY target
 ),
 stats AS (
@@ -2918,7 +2934,7 @@ stats AS (
 )
 SELECT s.target, s.n_inlinks, s.n_docs,
        COALESCE(t.n_anchor_terms, 0) AS n_anchor_terms,
-       COALESCE(t.top_anchor_terms, []) AS top_anchor_terms
+       COALESCE(t.top_anchor_terms, '') AS top_anchor_terms
 FROM stats s LEFT JOIN top t USING (target)
 ORDER BY s.target
 """

@@ -433,7 +433,10 @@ def kleinberg_bursts(events: DataFrame, n_steps: int,
                     F.coalesce("r", F.lit(0).cast("long")).alias("r"),
                     F.coalesce("d", F.lit(0).cast("long")).alias("d"),
                     "rtot", "dtot"))
-    p0 = F.col("rtot") / F.col("dtot")
+    # clamp BOTH rates below 1: a series carrying every event at every
+    # step (rtot == dtot) makes the unclamped p0 = 1 and
+    # (d-r)*ln(1-p0) NULL, which would propagate NULL costs/paths
+    p0 = F.least(F.col("rtot") / F.col("dtot"), F.lit(0.999999))
     p1 = F.least(p0 * int(s_ratio), F.lit(0.999999))
 
     def _cost(p):

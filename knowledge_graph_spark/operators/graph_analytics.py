@@ -2082,11 +2082,13 @@ def dyad_census(edges: DataFrame, src: str = "src",
                .distinct()
                .agg(F.count("*").cast("long").alias("n"))
                .select("n"))
+    # coalesce: SUM over an EMPTY dyad set is NULL — the empty-graph
+    # contract is one all-zeros row (n_nodes 0, every census count 0)
     summary = dyads.agg(
-        F.sum(F.when(F.col("_m") == 2, 1).otherwise(0))
-        .cast("long").alias("mutual_dyads"),
-        F.sum(F.when(F.col("_m") == 1, 1).otherwise(0))
-        .cast("long").alias("asym_dyads"))
+        F.coalesce(F.sum(F.when(F.col("_m") == 2, 1).otherwise(0)),
+                   F.lit(0)).cast("long").alias("mutual_dyads"),
+        F.coalesce(F.sum(F.when(F.col("_m") == 1, 1).otherwise(0)),
+                   F.lit(0)).cast("long").alias("asym_dyads"))
     return (summary.crossJoin(F.broadcast(n_nodes))
             .select(F.col("n").alias("n_nodes"),
                     "mutual_dyads", "asym_dyads",
@@ -2113,9 +2115,14 @@ def conductance_census(edges: DataFrame, communities: DataFrame,
 
     Returns per community: ``(community, n_nodes, volume,
     internal_edges, cut_edges)`` — all BIGINT; ``internal_edges``
-    counts each inside-C edge once, ``volume = 2*internal + cut``
-    (the identity doubles as a self-check), and phi is a row-local
-    division for API users (total volume = sum over the census).
+    counts each inside-C edge once, and phi is a row-local division
+    for API users (total volume = sum over the census). ``volume``
+    sums RAW-graph degrees of C's members, so the self-check
+    identity ``volume = 2*internal + cut`` holds only when every
+    edge endpoint carries a community label; edges touching an
+    unlabeled node count toward their labeled endpoint's volume but
+    toward neither internal nor cut (see
+    test_conductance_drops_unlabeled_endpoints).
 
     Scale shape: one undirected-distinct fold, one (id, community)
     join per endpoint (AQE skew case on hub communities), then two

@@ -629,7 +629,13 @@ def kcenter_coreset(vectors: DataFrame, k: int,
     if first is None:
         return pts.sparkSession.createDataFrame(
             [], "rank int, center_id long")
+    # k > |corpus| would keep re-selecting the min-id zero-distance
+    # point forever (duplicate center_ids at increasing rank); the
+    # corpus size bounds the usable k
+    n_pts = pts.count()
+    k = min(int(k), n_pts)
     centers = [(1, first)]
+    chosen = {first}
 
     def _vec_lit(cid):
         row = pts.filter(F.col("id") == cid).select("v").collect()[0]
@@ -646,7 +652,10 @@ def kcenter_coreset(vectors: DataFrame, k: int,
                .select((-F.col("_b._ni")).alias("id"))
                .collect())
         nxt = top[0][0]
+        if nxt in chosen:  # duplicate vectors exhausted the corpus
+            break
         centers.append((r, nxt))
+        chosen.add(nxt)
         state = (state.withColumn("_c", _vec_lit(nxt))
                  .withColumn("_d6",
                              F.least("_d6",

@@ -421,7 +421,11 @@ def temporal_conflicts(intervals: DataFrame,
             lambda y: F.struct(x.alias("a"), y.alias("b")))))
     pairs = (grouped.select("s", "p", F.explode(gen).alias("_p"))
              .filter(~((F.col("_p.a.l") < F.col("_p.b.f"))
-                       | (F.col("_p.b.l") < F.col("_p.a.f")))))
+                       | (F.col("_p.b.l") < F.col("_p.a.f"))))
+             # same-object duplicates (two extraction runs of one
+             # (s,p,o)) are re-assertions, not conflicts — and the
+             # obj_a < obj_b contract requires distinct objects
+             .filter(F.col("_p.a.o") != F.col("_p.b.o")))
     return pairs.select(
         F.col("s").alias(subj_col), F.col("p").alias(pred_col),
         F.col("_p.a.o").alias("obj_a"), F.col("_p.b.o").alias("obj_b"),

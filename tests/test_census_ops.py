@@ -935,3 +935,67 @@ def test_conductance_matches_networkx(spark):
         assert got == pytest.approx(want), f"community {c}"
         # identity check too
         assert r["volume"] == 2 * r["internal_edges"] + r["cut_edges"]
+
+
+# ---------------------------------------------------------------------------
+# round-5 advisor regressions
+# ---------------------------------------------------------------------------
+
+
+def test_temporal_conflicts_same_object_duplicate_not_conflict(spark):
+    # two extraction runs asserting the SAME (s,p,o) with overlapping
+    # validity are re-assertions, never conflicts (obj_a < obj_b
+    # contract requires distinct objects)
+    facts = _facts(spark, [
+        ("acme", "ceo_of", "alice", _d("2021-01-01"), _d("2021-06-30")),
+        ("acme", "ceo_of", "alice", _d("2021-03-01"), _d("2021-09-30")),
+    ])
+    assert temporal_conflicts(facts, ["ceo_of"]).count() == 0
+
+
+def test_temporal_conflicts_duplicate_plus_real_conflict(spark):
+    facts = _facts(spark, [
+        ("acme", "ceo_of", "alice", _d("2021-01-01"), _d("2021-06-30")),
+        ("acme", "ceo_of", "alice", _d("2021-02-01"), _d("2021-07-31")),
+        ("acme", "ceo_of", "bob", _d("2021-06-01"), _d("2021-12-31")),
+    ])
+    out = temporal_conflicts(facts, ["ceo_of"]).collect()
+    assert all(r["obj_a"] != r["obj_b"] for r in out)
+    assert {(r["obj_a"], r["obj_b"]) for r in out} == {("alice", "bob")}
+    assert len(out) == 2  # each alice interval conflicts with bob's
+
+
+def test_kleinberg_single_series_all_events_defined(spark):
+    # one series carries every event: unclamped p0 would be 1 and
+    # (d-r)*ln(1-p0) NULL -> NULL costs/paths; the clamp keeps the
+    # output defined and burst-free (rate can't exceed the base rate)
+    counts = {"only": [5, 5, 5, 5]}
+    out = kleinberg_bursts(_events(spark, counts), n_steps=4,
+                           tau_scaled=1000).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["path"] is not None and len(r["path"]) == 4
+    assert r["path"] == "0000"
+
+
+def test_kcenter_k_exceeding_corpus_stops_at_n(spark):
+    pts = _points(spark, [(1, [0.0, 0.0]), (2, [3.0, 0.0]),
+                          (3, [0.0, 4.0])])
+    rows = kcenter_coreset(pts, k=10).collect()
+    ids = [r["center_id"] for r in rows]
+    assert sorted(ids) == [1, 2, 3]          # no duplicate centers
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+
+
+def test_kcenter_duplicate_vectors_terminate_early(spark):
+    pts = _points(spark, [(1, [1.0, 1.0]), (2, [1.0, 1.0]),
+                          (3, [1.0, 1.0])])
+    rows = kcenter_coreset(pts, k=3).collect()
+    ids = [r["center_id"] for r in rows]
+    assert len(ids) == len(set(ids))         # never re-emit a center
+
+
+def test_dyad_census_empty_graph_all_zeros_row(spark):
+    row = dyad_census(_edges(spark, [])).collect()[0]
+    assert (row["n_nodes"], row["mutual_dyads"], row["asym_dyads"],
+            row["null_dyads"]) == (0, 0, 0, 0)

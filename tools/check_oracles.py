@@ -23,6 +23,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import pandas as pd
 
 import __spark_entry__ as entrymod
 from knowledge_graph_spark.session import get_spark
@@ -42,9 +43,22 @@ def norm_cell(v):
 
 
 def value_hash(rows, cols):
+    """Driver-fidelity canonicalizer: build a pandas frame and
+    ``sort_values`` over ALL columns (sorted by name) exactly like the
+    driver's comparator, THEN hash the normalized cells. A non-scalar
+    cell (list/dict/Row) makes pandas' lexsort throw ``TypeError:
+    unhashable type`` — the same crash the driver produced on
+    anchor_texts in r04 — so that class of bug can no longer pass
+    locally (the old str()-based hasher silently accepted it)."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    names = [cols[i] for i in order]
+    df = pd.DataFrame(
+        [[r[i] for i in order] for r in rows], columns=names)
+    if len(df):
+        df = df.sort_values(by=names, kind="mergesort")  # driver path
     lines = sorted(
-        "\x01".join(norm_cell(r[i]) for i in order) for r in rows
+        "\x01".join(norm_cell(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
     )
     h = hashlib.sha256()
     for ln in lines:
@@ -75,6 +89,17 @@ def main():
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            continue
+        # the driver's pandas comparator cannot sort list/map/struct
+        # cells — any such output column is a guaranteed driver crash
+        nonscalar = [f.name for f in sdf.schema.fields
+                     if f.dataType.typeName() in
+                     ("array", "map", "struct")]
+        if nonscalar:
+            failures.append(name)
+            print(f"FAIL  {name}: non-scalar output columns "
+                  f"{nonscalar} (driver comparator cannot sort these "
+                  f"— flatten via array_join/to_json)")
             continue
         if name not in oracles:
             print(f"ok    {name}: rows-only, {len(srows)} rows "
