@@ -68,8 +68,10 @@ def _fake_decode(payload: bytes, kind: str) -> dict:
 
 
 def _real_decode(payload: bytes, kind: str) -> dict:
-    """Production codec path: PIL for images, soundfile for audio
-    (video needs pyav — still a declared stub). Imports live inside the
+    """Production codec path: PIL for images, soundfile for audio,
+    and a pure-Python container-header parse for video (MP4 box walk
+    / EBML element walk — functions/mediameta.py; metadata only,
+    frame decode would need pyav). Imports live inside the
     function so environments without the libraries can still import
     this module; a missing library surfaces as ImportError (codec=auto
     falls back to the fake; codec=real quarantines the row with a
@@ -93,7 +95,13 @@ def _real_decode(payload: bytes, kind: str) -> dict:
                     "sample_rate": int(f.samplerate),
                     "duration_s": round(len(f) / f.samplerate, 2)}
     if kind == "video":
-        raise NotImplementedError("video decode requires pyav; not wired")
+        from knowledge_graph_spark.functions.mediameta import (
+            parse_video_metadata)
+
+        m = parse_video_metadata(bytes(payload))
+        return {"width": int(m["width"]), "height": int(m["height"]),
+                "n_frames": int(m["n_frames"]), "sample_rate": 0,
+                "duration_s": float(m["duration_s"])}
     raise NotImplementedError(f"unknown media kind: {kind}")
 
 
@@ -102,10 +110,15 @@ def _decode_one(payload: bytes, kind: str, codec: str = "fake") -> dict:
         return _fake_decode(payload, kind)
     if codec == "real":
         return _real_decode(payload, kind)
-    # auto: the real codec when wired for this kind, else the fake
+    # auto: best-effort — the real codec when it is wired for this
+    # kind AND the payload actually parses, else the deterministic
+    # fake; auto never quarantines (ValueError/OSError = unparseable
+    # payload, RuntimeError = libsndfile reject, ImportError =
+    # library absent, NotImplementedError = kind not wired)
     try:
         return _real_decode(payload, kind)
-    except (ImportError, NotImplementedError):
+    except (ImportError, NotImplementedError, ValueError, OSError,
+            RuntimeError):
         return _fake_decode(payload, kind)
 
 

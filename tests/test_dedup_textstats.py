@@ -330,14 +330,116 @@ def test_multimodal_real_codec_audio(spark):
 def test_multimodal_codec_auto_falls_back_deterministically(spark):
     """codec='auto' on arbitrary bytes must yield the SAME rows as the
     fake in an environment without codecs, and never quarantine —
-    exactly the default goldens' behavior (video is always fake: the
-    pyav kernel is a declared stub)."""
+    exactly the default goldens' behavior (synthetic payloads are not
+    valid containers, so even the wired pure-Python video header
+    parser falls back to the fake under auto)."""
     media = M.synthetic_media(spark, 12)
     fake = {r["media_id"]: tuple(r) for r in M.decode_metadata(media).collect()}
     auto = M.decode_metadata(media, codec="auto").collect()
     assert all(r["ok"] for r in auto)
     if not (_have("PIL") or _have("soundfile")):
         assert {r["media_id"]: tuple(r) for r in auto} == fake
+
+
+def _mp4_box(btype: bytes, body: bytes) -> bytes:
+    import struct as _s
+    return _s.pack(">I", 8 + len(body)) + btype + body
+
+
+def _mini_mp4(width=640, height=360, timescale=600, duration=3000,
+              frame_counts=(48, 24)) -> bytes:
+    """Minimal but structurally valid ISO BMFF stream: ftyp + moov
+    {mvhd v0, trak {tkhd, mdia {hdlr 'vide', minf {stbl {stts}}}}}."""
+    import struct as _s
+
+    mvhd = _mp4_box(b"mvhd", bytes(12)
+                    + _s.pack(">II", timescale, duration) + bytes(80))
+    tkhd = _mp4_box(b"tkhd", bytes(76)
+                    + _s.pack(">II", width << 16, height << 16))
+    hdlr = _mp4_box(b"hdlr", bytes(8) + b"vide" + bytes(12))
+    stts = _mp4_box(b"stts", bytes(4)
+                    + _s.pack(">I", len(frame_counts))
+                    + b"".join(_s.pack(">II", c, 25)
+                               for c in frame_counts))
+    stbl = _mp4_box(b"stbl", stts)
+    minf = _mp4_box(b"minf", stbl)
+    mdia = _mp4_box(b"mdia", hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    return _mp4_box(b"ftyp", b"isom" + bytes(8)) + moov
+
+
+def _ebml_el(eid_bytes: bytes, body: bytes) -> bytes:
+    assert len(body) < 127
+    return eid_bytes + bytes([0x80 | len(body)]) + body
+
+
+def _mini_webm(width=1280, height=720, duration_ticks=12_500.0,
+               timescale_ns=1_000_000) -> bytes:
+    import struct as _s
+
+    header = _ebml_el(b"\x1a\x45\xdf\xa3", b"")
+    info = _ebml_el(b"\x15\x49\xa9\x66",
+                    _ebml_el(b"\x2a\xd7\xb1",
+                             timescale_ns.to_bytes(3, "big"))
+                    + _ebml_el(b"\x44\x89",
+                               _s.pack(">f", duration_ticks)))
+    video = _ebml_el(b"\xe0",
+                     _ebml_el(b"\xb0", width.to_bytes(2, "big"))
+                     + _ebml_el(b"\xba", height.to_bytes(2, "big")))
+    track = _ebml_el(b"\xae", _ebml_el(b"\x83", b"\x01") + video)
+    tracks = _ebml_el(b"\x16\x54\xae\x6b", track)
+    segment = _ebml_el(b"\x18\x53\x80\x67", info + tracks)
+    return header + segment
+
+
+def test_video_mp4_header_parse_exact():
+    from knowledge_graph_spark.functions.mediameta import parse_mp4
+
+    m = parse_mp4(_mini_mp4())
+    assert m == {"width": 640, "height": 360, "n_frames": 72,
+                 "duration_s": 5.0}  # 3000 ticks / 600 ts
+
+
+def test_video_mp4_rejects_garbage_and_hostile_sizes():
+    import struct as _s
+
+    from knowledge_graph_spark.functions.mediameta import parse_mp4
+
+    with pytest.raises(ValueError):
+        parse_mp4(b"definitely not an mp4 stream....")
+    # a box claiming to be longer than the buffer must not over-read
+    evil = _s.pack(">I", 1 << 30) + b"moov" + bytes(32)
+    with pytest.raises(ValueError):
+        parse_mp4(evil)
+
+
+def test_video_webm_header_parse_exact():
+    from knowledge_graph_spark.functions.mediameta import parse_ebml
+
+    m = parse_ebml(_mini_webm())
+    # 12500 ticks * 1e6 ns = 12.5 s; no frame count in the header
+    assert m == {"width": 1280, "height": 720, "n_frames": 0,
+                 "duration_s": 12.5}
+
+
+def test_multimodal_real_codec_video(spark):
+    """codec='real' video now parses container headers in pure
+    Python — MP4 and WebM rows decode with exact metadata, garbage
+    quarantines with a visible error (no pyav anywhere)."""
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(_mini_mp4())),
+         (2, "video", bytearray(_mini_webm())),
+         (3, "video", bytearray(b"not a container"))],
+        "media_id long, kind string, payload binary")
+    rows = {r["media_id"]: r
+            for r in M.decode_metadata(media, codec="real").collect()}
+    assert rows[1]["ok"] and (rows[1]["width"], rows[1]["height"],
+                              rows[1]["n_frames"],
+                              rows[1]["duration_s"]) == (640, 360, 72, 5.0)
+    assert rows[2]["ok"] and (rows[2]["width"], rows[2]["height"],
+                              rows[2]["duration_s"]) == (1280, 720, 12.5)
+    assert not rows[3]["ok"] and rows[3]["error"]
 
 
 def test_frame_sampling(spark):
