@@ -12695,6 +12695,120 @@ FROM s{rounds} ORDER BY id
 _SQL_OPIC = _mk_opic_sql(5)
 
 
+def _q_stream_windowed_counts(spark, sf_dir):
+    """Structured-Streaming windowed aggregation driven END-TO-END
+    inside the one-shot query contract: the events table is staged
+    as an 8-file parquet drop directory, read back through a REAL
+    file-source stream (maxFilesPerTrigger=2 -> 4 micro-batches),
+    aggregated by streaming/ingest.py::windowed_event_counts
+    (withWatermark + window), and drained into a memory sink under
+    trigger(availableNow) in complete mode — so the final table
+    must equal the batch tumbling-window aggregation the oracle
+    computes. This gives the streaming surface an oracle-checked
+    row instead of pytest-only coverage (complete mode emits every
+    window; watermark state eviction is exercised by the pytest
+    append-mode twin in tests/test_streaming.py)."""
+    import tempfile
+
+    from knowledge_graph_spark.streaming.ingest import (
+        windowed_event_counts)
+
+    src = tempfile.mkdtemp(prefix="stream_wc_src_")
+    ck = tempfile.mkdtemp(prefix="stream_wc_ck_")
+    (_t(spark, sf_dir, "events")
+     .select("event_id", "ts", "user_id", "event_type", "value")
+     .repartition(8).write.mode("overwrite").parquet(src))
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double")
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    out = windowed_event_counts(stream, window="6 hours",
+                                watermark="2 hours")
+    sink = "stream_windowed_counts_sink"
+    spark.catalog.dropTempView(sink)
+    q = (out.writeStream.format("memory").queryName(sink)
+         .outputMode("complete")
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(sink)
+            .select(F.unix_timestamp("window_start")
+                    .alias("window_epoch"),
+                    "event_type",
+                    F.col("n_events").cast("long").alias("n_events"),
+                    F.round("total_value", 4).alias("total_value"))
+            .orderBy("window_epoch", "event_type"))
+
+
+_SQL_STREAM_WINDOWED_COUNTS = """
+SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600 AS window_epoch,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_epoch, event_type
+"""
+
+
+def _q_stream_dedup_replay(spark, sf_dir):
+    """Streaming exact-content dedup (dropDuplicatesWithinWatermark)
+    driven end-to-end: documents become a crawl-page drop directory
+    (every doc_id % 5 == 0 page carries SHARED boilerplate text —
+    one large duplicate group — and timestamps span 50 minutes, all
+    inside the 1-hour watermark horizon so nothing is ever late),
+    streamed through streaming/ingest.py::streaming_dedup over 4
+    micro-batches into a memory sink. WHICH row of a duplicate
+    group survives is micro-batch-order dependent, so the output is
+    the order-free contract: one row (n_in, n_out) where n_out must
+    equal the count of DISTINCT page texts — exact streaming dedup,
+    no survivor identity exposed."""
+    import tempfile
+
+    from knowledge_graph_spark.streaming.ingest import streaming_dedup
+
+    src = tempfile.mkdtemp(prefix="stream_dd_src_")
+    ck = tempfile.mkdtemp(prefix="stream_dd_ck_")
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    pages = docs.select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 50)
+                 .cast("string"), F.lit(".example/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(secs=(F.col("doc_id") % 3000)
+                           .cast("double"))).alias("warc_ts"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit("SHARED BOILERPLATE PAGE"))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    n_in = pages.count()
+    pages.repartition(8).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream
+              .schema("url string, warc_ts timestamp, text string")
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    deduped = streaming_dedup(stream, watermark="1 hour",
+                              fallback_col=None)
+    sink = "stream_dedup_replay_sink"
+    spark.catalog.dropTempView(sink)
+    q = (deduped.writeStream.format("memory").queryName(sink)
+         .outputMode("append")
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(sink)
+            .agg(F.lit(n_in).cast("long").alias("n_in"),
+                 F.count("*").cast("long").alias("n_out")))
+
+
+_SQL_STREAM_DEDUP_REPLAY = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_in,
+       CAST(COUNT(DISTINCT CASE WHEN doc_id % 5 = 0
+                                THEN 'SHARED BOILERPLATE PAGE'
+                                ELSE text END) AS BIGINT) AS n_out
+FROM documents WHERE text IS NOT NULL
+"""
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -12706,6 +12820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily": _q_events_daily,
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
+        "stream_windowed_counts": _q_stream_windowed_counts,
+        "stream_dedup_replay": _q_stream_dedup_replay,
         "supplier_nation_union": _q_supplier_nation_union,
         "order_priority_semi": _q_order_priority_semi,
         "asof_purchases": _q_asof_purchases,
@@ -12954,6 +13070,8 @@ def oracle_sql() -> dict[str, str]:
         "events_daily": _SQL_EVENTS_DAILY,
         "events_windowed": _SQL_EVENTS_WINDOWED,
         "events_sessions": _SQL_EVENTS_SESSIONS,
+        "stream_windowed_counts": _SQL_STREAM_WINDOWED_COUNTS,
+        "stream_dedup_replay": _SQL_STREAM_DEDUP_REPLAY,
         "supplier_nation_union": _SQL_SUPPLIER_NATION_UNION,
         "order_priority_semi": _SQL_ORDER_PRIORITY,
         "asof_purchases": _SQL_ASOF,
