@@ -32,6 +32,11 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # comparable across parallelism levels; large enough that per-page work
 # dominates the pipeline's fixed orchestration cost
 KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "100000"))
+# optional scale-trend row: re-run the FULL pipeline at this page count
+# (e.g. 1000000 = the 10x row recorded in BENCH/BASELINE.md §1) and
+# attach it to the JSON as "scale_row", so round-over-round scale
+# regressions stay visible. 0 = off (the driver's per-round run).
+SCALE_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "0"))
 
 
 def main():
@@ -138,6 +143,7 @@ def main():
         "nb_confusion", "temporal_conflicts", "token_gini",
         "robots_wildcards", "stylometry", "ql_search",
         "lexrank_summaries", "opic_priorities",
+        "stream_windowed_counts", "stream_dedup_replay",
     ]
     qs = entrymod.queries()
     for name in headliners:
@@ -160,6 +166,26 @@ def main():
         "triples_per_sec": round(n_triples / kg_wall, 1),
         "pages_per_sec": round(KG_PAGES / kg_wall, 1),
     }
+
+    # ---- optional 10x scale-trend row ---------------------------------
+    if SCALE_PAGES:
+        generate_spark(spark, SCALE_PAGES, partitions=CPUS * 4).write \
+            .parquet(f"{tmp}/pages_scale")
+        big = spark.read.parquet(f"{tmp}/pages_scale")
+        t0 = time.time()
+        whb = KGWarehouse(f"{tmp}/wh_scale")
+        run_pipeline(spark, big, whb, graph_id="graph_scale",
+                     partitions=CPUS, link_entities=True)
+        scale_wall = time.time() - t0
+        nt = whb.triples.read(spark).count()
+        out["scale_row"] = {
+            "pages": SCALE_PAGES,
+            "wall_s": round(scale_wall, 3),
+            "triples": nt,
+            "pages_per_sec": round(SCALE_PAGES / scale_wall, 1),
+            "triples_per_sec": round(nt / scale_wall, 1),
+        }
+
     print(json.dumps(out))
     spark.stop()
 

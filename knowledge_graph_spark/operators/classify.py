@@ -81,11 +81,32 @@ def nb_train_score(train: DataFrame, score: DataFrame,
             (F.col("tok") + F.col("_v")).alias("_denom"),
         )
     )
+    # the per-label constants fold into ONE literal struct array: a
+    # bounded driver action (labels are routing classes — ≤ dozens by
+    # construction, the bpe-vocab collect convention), replacing a
+    # per-reference broadcast-join fan (the r4 plan carried 26
+    # broadcast joins re-deriving this ≤|labels|-row frame) with
+    # exploded literals that cost zero exchanges. IEEE754 doubles
+    # round-trip the driver exactly, so probabilities are unchanged.
+    const_rows = sorted(consts.collect(), key=lambda r: str(r["label"]))
+    if not const_rows:  # empty training set: nothing can be predicted
+        ltype = train.schema[label_col].dataType.simpleString()
+        return (score.select(F.col(id_col)).limit(0)
+                .withColumn("predicted", F.lit(None).cast(ltype))
+                .withColumn("log_score", F.lit(None).cast("double")))
+    lab_structs = F.array(*[
+        F.struct(F.lit(r["label"]).alias("label"),
+                 F.lit(float(r["_denom"])).alias("_denom"),
+                 F.lit(float(r["log_prior"])).alias("log_prior"),
+                 F.lit(float(r["log_unseen"])).alias("log_unseen"))
+        for r in const_rows])
     # dense (word x label) grid: every vocabulary word gets a row per
     # label (missing counts smooth to +1), so inference needs no
     # per-label missing-word bookkeeping
     grid = (
-        vocab.crossJoin(consts.select("label", "_denom"))
+        vocab.select("word", F.explode(lab_structs).alias("_l"))
+        .select("word", F.col("_l.label").alias("label"),
+                F.col("_l._denom").alias("_denom"))
         .join(tr, ["label", "word"], "left")
         .select("word", "label",
                 F.log((F.coalesce(F.col("c"), F.lit(0)) + F.lit(1))
@@ -115,8 +136,10 @@ def nb_train_score(train: DataFrame, score: DataFrame,
     )
     ids = score.select(id_col).distinct()
     scored = (
-        ids.crossJoin(F.broadcast(consts.select(
-            "label", "log_prior", "log_unseen")))
+        ids.select(F.col(id_col), F.explode(lab_structs).alias("_l"))
+        .select(F.col(id_col), F.col("_l.label").alias("label"),
+                F.col("_l.log_prior").alias("log_prior"),
+                F.col("_l.log_unseen").alias("log_unseen"))
         .join(known, [id_col, "label"], "left")
         .join(unseen_n, [id_col], "left")
         .select(

@@ -3,7 +3,11 @@
 ``queries()`` entry and its ``oracle_sql()`` twin at sf0.01, compare
 row count, schema (column names), and order-insensitive value hash.
 
-Usage: python tools/check_oracles.py [sf_dir] [query ...]
+Usage: python tools/check_oracles.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` writes a per-query artifact (match flags, row counts, the
+16-hex value hash both sides agreed on, wall seconds) so a sweep's
+evidence can be committed and re-verified by re-running this tool.
 
 NOTE: the golden-twin oracles (bpe_merges/bpe_encoded/lpa_*/minhash_
 pairs/simhash_neardups/dedup_near_survivors/fingerprints/...) replay
@@ -68,8 +72,14 @@ def value_hash(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    report = {}
     spark = get_spark(app="oracle-check")
 
     con = duckdb.connect()
@@ -88,6 +98,8 @@ def main():
             scols = sdf.columns
         except Exception as e:
             failures.append(name)
+            report[name] = {"status": "spark_error",
+                            "err": f"{type(e).__name__}: {e}"}
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             continue
         # the driver's pandas comparator cannot sort list/map/struct
@@ -97,11 +109,16 @@ def main():
                      ("array", "map", "struct")]
         if nonscalar:
             failures.append(name)
+            report[name] = {"status": "non_scalar_schema",
+                            "columns": nonscalar}
             print(f"FAIL  {name}: non-scalar output columns "
                   f"{nonscalar} (driver comparator cannot sort these "
                   f"— flatten via array_join/to_json)")
             continue
         if name not in oracles:
+            report[name] = {"status": "rows_only",
+                            "spark_rows": len(srows),
+                            "sec": round(time.time() - t0, 2)}
             print(f"ok    {name}: rows-only, {len(srows)} rows "
                   f"({time.time() - t0:.1f}s)")
             if len(srows) == 0:
@@ -113,6 +130,7 @@ def main():
             orows = rel.fetchall()
         except Exception as e:
             failures.append(name)
+            report[name] = {"status": "duckdb_error", "err": str(e)}
             print(f"FAIL  {name}: duckdb error {e}")
             continue
         problems = []
@@ -138,6 +156,9 @@ def main():
                 problems.append(f"value hash {sh} vs {oh}")
         if problems:
             failures.append(name)
+            report[name] = {"status": "mismatch", "problems": problems,
+                            "spark_rows": len(srows),
+                            "oracle_rows": len(orows)}
             print(f"FAIL  {name}: {'; '.join(problems)}")
             # show first diff rows for debugging (both sides projected
             # to sorted-column order, same as the hash, so a column-
@@ -151,10 +172,25 @@ def main():
             for x in list(oset - sset)[:3]:
                 print(f"      oracle-only: {x}")
         else:
+            report[name] = {"status": "match", "rows": len(srows),
+                            "value_hash": sh,
+                            "sec": round(time.time() - t0, 2)}
             print(f"ok    {name}: {len(srows)} rows match "
                   f"({time.time() - t0:.1f}s)")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_out:
+        import json
+
+        n_ok = sum(1 for v in report.values()
+                   if v["status"] in ("match", "rows_only"))
+        payload = {"sf_dir": sf_dir,
+                   "n_queries": len(report), "n_ok": n_ok,
+                   "n_failures": len(failures),
+                   "failures": failures, "queries": report}
+        with open(json_out, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     spark.stop()
     sys.exit(1 if failures else 0)
 
