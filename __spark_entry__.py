@@ -12713,24 +12713,34 @@ def _q_stream_windowed_counts(spark, sf_dir):
     from knowledge_graph_spark.streaming.ingest import (
         windowed_event_counts)
 
+    import shutil
+
     src = tempfile.mkdtemp(prefix="stream_wc_src_")
     ck = tempfile.mkdtemp(prefix="stream_wc_ck_")
-    (_t(spark, sf_dir, "events")
-     .select("event_id", "ts", "user_id", "event_type", "value")
-     .repartition(8).write.mode("overwrite").parquet(src))
-    stream = (spark.readStream
-              .schema("event_id long, ts timestamp, user_id long, "
-                      "event_type string, value double")
-              .option("maxFilesPerTrigger", 2).parquet(src))
-    out = windowed_event_counts(stream, window="6 hours",
-                                watermark="2 hours")
-    sink = "stream_windowed_counts_sink"
-    spark.catalog.dropTempView(sink)
-    q = (out.writeStream.format("memory").queryName(sink)
-         .outputMode("complete")
-         .option("checkpointLocation", ck)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    try:
+        (_t(spark, sf_dir, "events")
+         .select("event_id", "ts", "user_id", "event_type", "value")
+         .repartition(8).write.mode("overwrite").parquet(src))
+        stream = (spark.readStream
+                  .schema("event_id long, ts timestamp, user_id long, "
+                          "event_type string, value double")
+                  .option("maxFilesPerTrigger", 2).parquet(src))
+        out = windowed_event_counts(stream, window="6 hours",
+                                    watermark="2 hours")
+        sink = "stream_windowed_counts_sink"
+        spark.catalog.dropTempView(sink)
+        q = (out.writeStream.format("memory").queryName(sink)
+             .outputMode("complete")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        # the memory sink holds its rows in driver memory — the
+        # staged drop dir and checkpoint are dead weight once the
+        # stream terminates (repeated sweeps/benches would otherwise
+        # accumulate an sf-sized parquet copy per invocation)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
     return (spark.table(sink)
             .select(F.unix_timestamp("window_start")
                     .alias("window_epoch"),
@@ -12767,35 +12777,41 @@ def _q_stream_dedup_replay(spark, sf_dir):
 
     from knowledge_graph_spark.streaming.ingest import streaming_dedup
 
+    import shutil
+
     src = tempfile.mkdtemp(prefix="stream_dd_src_")
     ck = tempfile.mkdtemp(prefix="stream_dd_ck_")
-    docs = _t(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull())
-    pages = docs.select(
-        F.concat(F.lit("https://h"), (F.col("doc_id") % 50)
-                 .cast("string"), F.lit(".example/"),
-                 F.col("doc_id").cast("string")).alias("url"),
-        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
-         + F.make_interval(secs=(F.col("doc_id") % 3000)
-                           .cast("double"))).alias("warc_ts"),
-        F.when(F.col("doc_id") % 5 == 0,
-               F.lit("SHARED BOILERPLATE PAGE"))
-        .otherwise(F.col("text")).alias("text"),
-    )
-    n_in = pages.count()
-    pages.repartition(8).write.mode("overwrite").parquet(src)
-    stream = (spark.readStream
-              .schema("url string, warc_ts timestamp, text string")
-              .option("maxFilesPerTrigger", 2).parquet(src))
-    deduped = streaming_dedup(stream, watermark="1 hour",
-                              fallback_col=None)
-    sink = "stream_dedup_replay_sink"
-    spark.catalog.dropTempView(sink)
-    q = (deduped.writeStream.format("memory").queryName(sink)
-         .outputMode("append")
-         .option("checkpointLocation", ck)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    try:
+        docs = _t(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull())
+        pages = docs.select(
+            F.concat(F.lit("https://h"), (F.col("doc_id") % 50)
+                     .cast("string"), F.lit(".example/"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+             + F.make_interval(secs=(F.col("doc_id") % 3000)
+                               .cast("double"))).alias("warc_ts"),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit("SHARED BOILERPLATE PAGE"))
+            .otherwise(F.col("text")).alias("text"),
+        )
+        n_in = pages.count()
+        pages.repartition(8).write.mode("overwrite").parquet(src)
+        stream = (spark.readStream
+                  .schema("url string, warc_ts timestamp, text string")
+                  .option("maxFilesPerTrigger", 2).parquet(src))
+        deduped = streaming_dedup(stream, watermark="1 hour",
+                                  fallback_col=None)
+        sink = "stream_dedup_replay_sink"
+        spark.catalog.dropTempView(sink)
+        q = (deduped.writeStream.format("memory").queryName(sink)
+             .outputMode("append")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
     return (spark.table(sink)
             .agg(F.lit(n_in).cast("long").alias("n_in"),
                  F.count("*").cast("long").alias("n_out")))

@@ -82,7 +82,17 @@ def _find_boxes(buf, start, end, path, depth=0):
 def parse_mp4(payload: bytes) -> dict:
     """MP4 header metadata: {width, height, n_frames, duration_s}.
     Raises ValueError when the payload is not a parseable ISO BMFF
-    stream with a moov box."""
+    stream with a moov box — including truncated boxes, which would
+    otherwise surface as struct.error/IndexError and break the
+    caller's single-error-class contract (codec='auto' catches
+    ValueError to fall back; anything else quarantines)."""
+    try:
+        return _parse_mp4(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed MP4: {e}") from e
+
+
+def _parse_mp4(payload: bytes) -> dict:
     if len(payload) < 16:
         raise ValueError("too short for an MP4")
     moovs = _find_boxes(payload, 0, len(payload), (b"moov",))
@@ -113,7 +123,12 @@ def parse_mp4(payload: bytes) -> dict:
         if handler != b"vide":
             continue
         for k0, k1 in _find_boxes(payload, t0, t1, (b"tkhd",)):
-            # width/height are the last two 16.16 fixed-point fields
+            # width/height are the last two 16.16 fixed-point fields;
+            # a body shorter than the v0 spec size would make k1-8
+            # point OUTSIDE the box into sibling bytes (silent garbage
+            # dimensions) — reject instead
+            if k1 - k0 < 84:
+                raise ValueError("tkhd box shorter than spec")
             w_fixed, h_fixed = struct.unpack_from(">II", payload, k1 - 8)
             width, height = w_fixed >> 16, h_fixed >> 16
             break
@@ -197,7 +212,16 @@ def _float(buf, b0, b1):
 def parse_ebml(payload: bytes) -> dict:
     """WebM/Matroska header metadata: {width, height, n_frames,
     duration_s}; n_frames is 0 (the Matroska header carries no total
-    sample count). Raises ValueError on non-EBML input."""
+    sample count). Raises ValueError on non-EBML input, including
+    truncated element bodies (struct.error/IndexError folded into
+    the single documented error class)."""
+    try:
+        return _parse_ebml(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed EBML: {e}") from e
+
+
+def _parse_ebml(payload: bytes) -> dict:
     if not payload.startswith(_EBML_MAGIC):
         raise ValueError("no EBML magic")
     width = height = 0

@@ -631,9 +631,8 @@ def kcenter_coreset(vectors: DataFrame, k: int,
             [], "rank int, center_id long")
     # k > |corpus| would keep re-selecting the min-id zero-distance
     # point forever (duplicate center_ids at increasing rank); the
-    # corpus size bounds the usable k
-    n_pts = pts.count()
-    k = min(int(k), n_pts)
+    # re-selection break below terminates the loop as soon as the
+    # distinct points are exhausted — no corpus count needed
     centers = [(1, first)]
     chosen = {first}
 

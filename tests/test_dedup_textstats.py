@@ -1935,3 +1935,57 @@ def test_corpus_report_card(spark):
     assert books["n_en"] == 1 and books["n_other"] == 1   # NULL text
     assert web["n_quality_hi"] == 2       # the short zh doc fails
     assert web["n_gopher_pass"] <= 2
+
+
+def test_video_mp4_truncated_boxes_raise_valueerror_only():
+    """Truncated-but-structurally-boxed payloads must surface as the
+    documented ValueError (never struct.error/IndexError), so
+    codec='auto' falls back to the fake instead of quarantining."""
+    import struct as _s
+
+    from knowledge_graph_spark.functions.mediameta import (
+        parse_ebml, parse_mp4)
+
+    # moov{mvhd with 4-byte body}: unpack_from past the body
+    trunc = _mp4_box(b"ftyp", b"isom" + bytes(8)) + _mp4_box(
+        b"moov", _mp4_box(b"mvhd", bytes(4)))
+    with pytest.raises(ValueError):
+        parse_mp4(trunc)
+    # moov{mvhd with empty body at buffer end}: version byte read
+    empty = _mp4_box(b"moov", _mp4_box(b"mvhd", b""))
+    with pytest.raises(ValueError):
+        parse_mp4(empty)
+    # EBML with a truncated float Duration body
+    bad_ebml = (_ebml_el(b"\x1a\x45\xdf\xa3", b"")
+                + _ebml_el(b"\x18\x53\x80\x67",
+                           _ebml_el(b"\x15\x49\xa9\x66",
+                                    _ebml_el(b"\x44\x89", b"\x01"))))
+    with pytest.raises(ValueError):
+        parse_ebml(bad_ebml)
+
+
+def test_video_mp4_short_tkhd_rejected_not_garbage():
+    """A tkhd body below the 84-byte v0 spec would make the
+    trailing-8-bytes read escape the box and return garbage
+    dimensions; it must reject instead."""
+    import struct as _s
+
+    from knowledge_graph_spark.functions.mediameta import parse_mp4
+
+    mvhd = _mp4_box(b"mvhd", bytes(12) + _s.pack(">II", 600, 3000)
+                    + bytes(80))
+    hdlr = _mp4_box(b"hdlr", bytes(8) + b"vide" + bytes(12))
+    short_tkhd = _mp4_box(b"tkhd", bytes(12))   # < 84-byte spec body
+    trak = _mp4_box(b"trak", short_tkhd + _mp4_box(b"mdia", hdlr))
+    with pytest.raises(ValueError):
+        parse_mp4(_mp4_box(b"moov", mvhd + trak))
+
+
+def test_codec_auto_survives_truncated_containers(spark):
+    """auto on a truncated MP4 falls back to the fake decoder."""
+    trunc = _mp4_box(b"moov", _mp4_box(b"mvhd", bytes(4)))
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(trunc))],
+        "media_id long, kind string, payload binary")
+    row = M.decode_metadata(media, codec="auto").first()
+    assert row["ok"]

@@ -85,3 +85,39 @@ def test_hugeint_is_the_arrow_trap_we_think_it_is():
     assert rel.fetchall() == [(1,)]
     tbl = c.execute("SELECT SUM(x) AS s FROM (SELECT 1 AS x)").arrow()
     assert str(tbl.schema.field("s").type).startswith("decimal128")
+
+
+def _load_check_oracles():
+    import sys
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools", "check_oracles.py")
+    spec = importlib.util.spec_from_file_location("co_mod", path)
+    mod = importlib.util.module_from_spec(spec)
+    # the tool imports __spark_entry__ at module level; that's fine
+    # (queries() is lazy), but keep sys.path sane for the import
+    sys.path.insert(0, os.path.dirname(path))
+    try:
+        spec.loader.exec_module(mod)
+    finally:
+        sys.path.pop(0)
+    return mod
+
+
+def test_value_hash_keeps_int64_precision_with_nulls():
+    """pandas would coerce a nullable int column to float64 and
+    collapse 64-bit fingerprints past 2**53 — two different values
+    must still hash differently when a NULL is present (r5 review
+    finding: the coercion produced a false PASS)."""
+    co = _load_check_oracles()
+    a = co.value_hash([(9223372036854775807,), (None,)], ["h"])
+    b = co.value_hash([(9223372036854775806,), (None,)], ["h"])
+    assert a != b
+
+
+def test_value_hash_probe_raises_on_list_cells():
+    """The driver-fidelity probe must surface unsortable cells as
+    TypeError (the driver's comparator crash class) instead of
+    silently stringifying them."""
+    co = _load_check_oracles()
+    with pytest.raises(TypeError):
+        co.value_hash([(1, ["x", "y"]), (2, ["z"])], ["id", "terms"])

@@ -47,22 +47,30 @@ def norm_cell(v):
 
 
 def value_hash(rows, cols):
-    """Driver-fidelity canonicalizer: build a pandas frame and
-    ``sort_values`` over ALL columns (sorted by name) exactly like the
-    driver's comparator, THEN hash the normalized cells. A non-scalar
-    cell (list/dict/Row) makes pandas' lexsort throw ``TypeError:
-    unhashable type`` — the same crash the driver produced on
-    anchor_texts in r04 — so that class of bug can no longer pass
-    locally (the old str()-based hasher silently accepted it)."""
+    """Order-insensitive value hash with a driver-fidelity probe.
+
+    The probe: build a pandas frame and ``sort_values`` over ALL
+    columns (sorted by name) exactly like the driver's comparator —
+    a non-scalar cell (list/dict/Row) makes pandas' lexsort throw
+    ``TypeError: unhashable type``, the same crash the driver
+    produced on anchor_texts in r04, so that class of bug can no
+    longer pass locally.
+
+    The hash itself is computed from the ORIGINAL row values, not
+    the pandas frame: pandas coerces a nullable int64 column to
+    float64, which collapses 64-bit values past 2**53 (two genuinely
+    different xxhash64 fingerprints would hash equal — a false
+    PASS). ``dtype=object`` on the probe frame avoids that coercion
+    there too while keeping the unhashable-cell crash."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     names = [cols[i] for i in order]
     df = pd.DataFrame(
-        [[r[i] for i in order] for r in rows], columns=names)
+        [[r[i] for i in order] for r in rows], columns=names,
+        dtype=object)
     if len(df):
-        df = df.sort_values(by=names, kind="mergesort")  # driver path
+        df.sort_values(by=names, kind="mergesort")  # driver probe
     lines = sorted(
-        "\x01".join(norm_cell(v) for v in row)
-        for row in df.itertuples(index=False, name=None)
+        "\x01".join(norm_cell(r[i]) for i in order) for r in rows
     )
     h = hashlib.sha256()
     for ln in lines:
@@ -148,12 +156,23 @@ def main():
             problems.append(f"hash-unsafe oracle types {odd}")
         if len(srows) != len(orows):
             problems.append(f"rowcount {len(srows)} vs {len(orows)}")
+        sh = None
         if sorted(scols) != sorted(ocols):
             problems.append(f"schema {sorted(scols)} vs {sorted(ocols)}")
         else:
-            sh, oh = value_hash(srows, scols), value_hash(orows, ocols)
-            if sh != oh:
-                problems.append(f"value hash {sh} vs {oh}")
+            # the oracle side can hold list cells even when the spark
+            # side is clean (e.g. a flattened query whose SQL twin
+            # still emits BIGINT[]): report it as THIS query's
+            # failure instead of crashing the whole run
+            try:
+                sh, oh = value_hash(srows, scols), value_hash(orows, ocols)
+            except TypeError as e:
+                problems.append(
+                    f"unsortable cells (driver comparator would "
+                    f"crash): {e}")
+            else:
+                if sh != oh:
+                    problems.append(f"value hash {sh} vs {oh}")
         if problems:
             failures.append(name)
             report[name] = {"status": "mismatch", "problems": problems,
