@@ -1016,9 +1016,9 @@ hp AS (
          lower(regexp_extract(url,
            '^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#]*)', 1)) AS host,
          CASE WHEN regexp_extract(url,
-           '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) = ''
+           '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)', 1) = ''
            THEN '/' ELSE regexp_extract(url,
-           '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) END AS path
+           '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)', 1) END AS path
   FROM u
 ),
 h AS (SELECT 'site-' || CAST(i AS VARCHAR) || '.example.org' AS host, i
@@ -1036,7 +1036,7 @@ cand AS (
            PARTITION BY hp.doc_id
            ORDER BY (r.path_prefix IS NOT NULL
                      AND starts_with(hp.path, r.path_prefix)) DESC,
-                    length(r.path_prefix) DESC, r.allow DESC,
+                    strlen(r.path_prefix) DESC, r.allow DESC,
                     r.path_prefix DESC) AS rn,
          (r.path_prefix IS NOT NULL
           AND starts_with(hp.path, r.path_prefix)) AS m
@@ -2828,7 +2828,7 @@ WITH inj AS (
 raw AS (
   SELECT doc_id,
     unnest(regexp_extract_all(text,
-      '<script type="application/ld\+json">(.*?)</script>', 1)) AS b
+      '(?s)<script type="application/ld\+json">(.*?)</script>', 1)) AS b
   FROM inj
 ),
 p AS (
@@ -7853,7 +7853,7 @@ WITH inj AS (
 ),
 types AS (
   SELECT doc_id, '@type' AS prop,
-         unnest(regexp_extract_all(text, 'itemtype="([^"]+)"', 1))
+         unnest(regexp_extract_all(text, '\sitemtype="([^"]+)"', 1))
            AS value,
          'type' AS source
   FROM inj
@@ -7861,13 +7861,13 @@ types AS (
 tags AS (
   SELECT doc_id,
     unnest(regexp_extract_all(text,
-      '<[^<>]*itemprop="[^"]*"[^<>]*>[^<]*', 0)) AS m
+      '<[^<>]*\sitemprop="[^"]*"[^<>]*>[^<]*', 0)) AS m
   FROM inj
 ),
 fields AS (
   SELECT doc_id,
-         regexp_extract(m, 'itemprop="([^"]+)"', 1) AS prop,
-         regexp_extract(m, 'content="([^"]+)"', 1) AS c,
+         regexp_extract(m, '\sitemprop="([^"]+)"', 1) AS prop,
+         regexp_extract(m, '\scontent="([^"]+)"', 1) AS c,
          trim(regexp_extract(m, '>([^<]*)$', 1)) AS t
   FROM tags
 ),
@@ -12400,9 +12400,9 @@ hp AS (
          lower(regexp_extract(url,
            '^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#]*)', 1)) AS host,
          CASE WHEN regexp_extract(url,
-           '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) = ''
+           '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)', 1) = ''
            THEN '/' ELSE regexp_extract(url,
-           '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) END AS path
+           '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)', 1) END AS path
   FROM u
 ),
 h AS (SELECT 'w-' || CAST(i AS VARCHAR) || '.example.org' AS host, i
@@ -12436,7 +12436,7 @@ best AS (
   SELECT doc_id, url, host, path, pattern, allow,
          row_number() OVER (
            PARTITION BY doc_id
-           ORDER BY m DESC, length(pattern) DESC, allow DESC,
+           ORDER BY m DESC, strlen(pattern) DESC, allow DESC,
                     pattern DESC) AS rn, m
   FROM cand
 )

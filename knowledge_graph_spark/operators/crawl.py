@@ -37,6 +37,10 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#]*)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
+# RFC 9309 match target: the path AND the optional query (fragment
+# excluded) — rules like 'Disallow: /*?' target the query, and an
+# end anchor must see it ('/doc.pdf?dl=1' does NOT end at .pdf)
+_TARGET_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)"
 
 
 def url_host(url) -> "F.Column":
@@ -52,6 +56,18 @@ def url_path(url) -> "F.Column":
     return F.when(p == "", F.lit("/")).otherwise(p)
 
 
+def url_match_target(url) -> "F.Column":
+    """RFC 9309 rule-match target: path + optional query ('?...'),
+    fragment dropped; '/' when empty, and a query-only url
+    ('https://h?x=1') normalizes to '/?x=1' like the reference
+    Googlebot parser."""
+    u = F.col(url) if isinstance(url, str) else url
+    p = F.regexp_extract(u, _TARGET_RE, 1)
+    return (F.when(p == "", F.lit("/"))
+            .when(~p.startswith("/"), F.concat(F.lit("/"), p))
+            .otherwise(p))
+
+
 def robots_filter(urls: DataFrame, rules: DataFrame,
                   url_col: str = "url") -> DataFrame:
     """RFC 9309 verdict per url: ``(…urls cols, host, path, allowed,
@@ -60,11 +76,17 @@ def robots_filter(urls: DataFrame, rules: DataFrame,
     ``rules`` is the parsed robots corpus: ``(host, path_prefix,
     allow)`` — one row per Allow/Disallow line, ``path_prefix`` the
     literal prefix (wildcards out of scope, declared). Matching rule
-    set = same host AND ``startswith(path, path_prefix)``; the
-    longest prefix wins, a tie goes to Allow, and a url with no
-    matching rule is allowed (all RFC 9309 §2.2.2). ``rule_prefix``
-    is the winning rule's prefix (NULL when no rule matched) so
-    verdicts are auditable.
+    set = same host AND ``startswith(target, path_prefix)`` where
+    the target is the RFC 9309 match target — the PATH PLUS THE
+    QUERY STRING (``url_match_target``; rules like ``/search?`` must
+    be able to match); the longest prefix wins, a tie goes to Allow,
+    and a url with no matching rule is allowed (all RFC 9309
+    §2.2.2). ``rule_prefix`` is the winning rule's prefix (NULL when
+    no rule matched) so verdicts are auditable. The output ``path``
+    column carries that match target. ``urls`` rows are treated as a
+    SET: the verdict aggregate groups by the full frontier row, so
+    exact duplicate rows collapse to one output row — dedupe or key
+    the frontier upstream if per-occurrence output matters.
 
     Scale shape: rules are broadcast (bounded by total robots.txt
     lines); candidates = one broadcast join + startswith filter; the
@@ -72,7 +94,7 @@ def robots_filter(urls: DataFrame, rules: DataFrame,
     frontier row — map-side combined, so the exchange carries one
     candidate rule per url per task, not the match set."""
     host = url_host(url_col)
-    path = url_path(url_col)
+    path = url_match_target(url_col)
     keyed = urls.withColumn("host", host).withColumn("path", path)
 
     cand = (
@@ -83,7 +105,7 @@ def robots_filter(urls: DataFrame, rules: DataFrame,
                 F.col("path_prefix").isNotNull()
                 & F.col("path").startswith(F.col("path_prefix")),
                 F.struct(
-                    F.length("path_prefix").alias("l"),
+                    F.octet_length("path_prefix").alias("l"),
                     F.col("allow").cast("int").alias("a"),
                     F.col("path_prefix").alias("p"),
                 ),
@@ -297,7 +319,11 @@ def robots_filter_wildcards(urls: DataFrame, rules: DataFrame,
     rule therefore matches exactly like ``startswith`` — this
     operator strictly subsumes the literal one.
 
-    Returns ``(…urls cols, host, path, allowed, rule_pattern)``.
+    Returns ``(…urls cols, host, path, allowed, rule_pattern)``;
+    ``path`` is the RFC match target (path + optional query — a
+    ``/*.pdf$`` anchor correctly declines ``/doc.pdf?dl=1``), and
+    like the literal filter the verdict aggregate treats ``urls``
+    rows as a set (exact duplicates collapse).
 
     Scale shape: same as :func:`robots_filter` — broadcast rules,
     one join, map-side-combined ``max(struct)`` winner. The regex
@@ -308,7 +334,7 @@ def robots_filter_wildcards(urls: DataFrame, rules: DataFrame,
     structurally: the translation depends only on rule columns, so
     Catalyst evaluates it on the broadcast side of the join.)"""
     host = url_host(url_col)
-    path = url_path(url_col)
+    path = url_match_target(url_col)
     keyed = urls.withColumn("host", host).withColumn("path", path)
 
     ends = F.col("pattern").endswith("$")
@@ -329,7 +355,10 @@ def robots_filter_wildcards(urls: DataFrame, rules: DataFrame,
                 F.col("pattern").isNotNull()
                 & F.expr("regexp_like(path, _rx)"),
                 F.struct(
-                    F.length("pattern").alias("l"),
+                    # octet, not character, length: the documented
+                    # Googlebot specificity rule diverges on
+                    # multibyte patterns
+                    F.octet_length("pattern").alias("l"),
                     F.col("allow").cast("int").alias("a"),
                     F.col("pattern").alias("p"),
                 ),

@@ -69,6 +69,11 @@ def pack_sequences(docs: DataFrame, capacity: int, n_shards: int = 8,
             f"pack_sequences needs an integral {id_col!r} "
             f"(got {id_type}); derive one upstream, e.g. "
             "xxhash64 of the natural key")
+    # same loudness for the shard count: pmod(id, 0) is NULL (or a
+    # DIVIDE_BY_ZERO under ANSI), which would silently funnel every
+    # row into one NULL shard
+    if int(n_shards) < 1:
+        raise ValueError(f"n_shards must be >= 1 (got {n_shards})")
     slim = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.pmod(F.col(id_col).cast("long"), F.lit(n_shards))

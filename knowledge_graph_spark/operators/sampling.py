@@ -87,6 +87,12 @@ def hash_split(df: DataFrame, weights: dict[str, float],
     total = float(sum(weights.values()))
     if total <= 0:
         raise ValueError("weights must sum > 0")
+    bad = {k: v for k, v in weights.items() if v < 0}
+    if bad:
+        # a negative weight makes the cumulative threshold DECREASE,
+        # so its split (and any split shadowed by the earlier larger
+        # threshold) silently receives zero rows
+        raise ValueError(f"negative split weights: {bad}")
     names = list(weights)
     h = (F.xxhash64(F.col(key_col)) if seed == SPARK_SEED
          else F.xxhash64(F.col(key_col), F.lit(seed)))
@@ -239,6 +245,20 @@ def budget_select(docs: DataFrame, budget: int, score: Column,
     ).filter((F.col("n_tokens") > 0) & F.col("score").isNotNull())
 
     id_is_numeric = isinstance(base.schema["doc_id"].dataType, IntegralType)
+    # fractional numeric ids would fall to the STRING-prefix tiebreak,
+    # whose lexicographic buckets are not monotone in numeric order
+    # ('10.5' < '9.2' as text) — the selection would silently diverge
+    # from the documented global-window result. Integral and string
+    # ids are the supported domains; reject everything else loudly.
+    from pyspark.sql.types import StringType
+
+    if not id_is_numeric and not isinstance(
+            base.schema["doc_id"].dataType, StringType):
+        raise ValueError(
+            f"budget_select id_col must be integral or string, got "
+            f"{base.schema['doc_id'].dataType.simpleString()} — cast "
+            f"fractional ids to string only if their text form sorts "
+            f"like their numeric form")
     remaining = int(budget)
     kept: list[DataFrame] = []
     cur = base
@@ -291,8 +311,14 @@ def budget_select(docs: DataFrame, budget: int, score: Column,
             if ilo == ihi:  # a single row repeated — window it
                 window_input = bnd
                 break
+            # subtract in DOUBLE: xxhash64-style ids span the full
+            # int64 range, so long-typed doc_id - ilo overflows (ANSI
+            # throws; legacy wraps non-monotone). The double cast is
+            # monotone non-decreasing, which is all bucketing needs —
+            # ilo still lands in slice 0 and ihi in the last, so each
+            # round keeps shrinking the boundary bucket.
             bucket = F.least(
-                F.floor((F.col("doc_id") - F.lit(ilo))
+                F.floor((F.col("doc_id").cast("double") - F.lit(float(ilo)))
                         / F.lit(float(ihi - ilo)) * refine_buckets),
                 F.lit(refine_buckets - 1),
             ).cast("long")
@@ -407,8 +433,12 @@ def weighted_sample_k(df: DataFrame, k: int, weight: Column,
         .filter(F.col("_w").isNotNull() & (F.col("_w") > 0))
         .withColumn("_es", -F.log(u) / F.col("_w"))
     )
+    # constant-valued, non-foldable key for the unstratified case —
+    # pmod, same construction budget_select documents (the simplifier
+    # folds `x * 0` specs back to empty, re-raising the WindowExec
+    # warning this key exists to avoid)
     part = (F.col(stratum_col) if stratum_col
-            else F.col("_w") * 0)  # constant-valued, non-foldable
+            else F.pmod(F.col("_w").cast("long"), F.lit(1)))
     w = Window.partitionBy(part).orderBy(F.col("_es"), F.col(key_col))
     return (
         base.withColumn("_rn", F.row_number().over(w))

@@ -26,7 +26,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-_SCRIPT_RE = r'<script type="application/ld\+json">(.*?)</script>'
+# (?s): '.' must cross newlines — real JSON-LD is overwhelmingly
+# pretty-printed (multi-line); without DOTALL those blocks silently
+# never extract (same reason _SITEMAP_ENTRY_RE carries it)
+_SCRIPT_RE = r'(?s)<script type="application/ld\+json">(.*?)</script>'
 _LD_SCHEMA = "`@type` STRING, name STRING, url STRING"
 
 
@@ -185,7 +188,10 @@ def infobox_triples(cells: DataFrame, subjects: DataFrame,
 # text up to the next '<' (so both content-attribute and element-text
 # values are visible in ONE extracted span). RE2-compatible: no
 # lookaround, so the same pattern runs verbatim in the SQL oracle.
-_ITEMPROP_TAG_RE = r'<[^<>]*itemprop="[^"]*"[^<>]*>[^<]*'
+# The \s before each attribute name is the word boundary that keeps
+# data-itemprop= / xcontent= lookalikes from substring-matching
+# (attributes are always whitespace-separated in a tag).
+_ITEMPROP_TAG_RE = r'<[^<>]*\sitemprop="[^"]*"[^<>]*>[^<]*'
 
 
 def extract_microdata(pages: DataFrame, id_col: str = "doc_id",
@@ -219,19 +225,21 @@ def extract_microdata(pages: DataFrame, id_col: str = "doc_id",
     types = pages.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.expr(
-            f"regexp_extract_all({text_col}, 'itemtype=\"([^\"]+)\"', 1)"
+            f"regexp_extract_all({text_col}, "
+            f"'\\\\sitemtype=\"([^\"]+)\"', 1)"
         )).alias("value"),
     ).select("doc_id", F.lit("@type").alias("prop"), "value",
              F.lit("type").alias("source"))
 
+    tag_sql_re = _ITEMPROP_TAG_RE.replace("\\", "\\\\")
     tags = pages.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.expr(
-            f"regexp_extract_all({text_col}, '{_ITEMPROP_TAG_RE}', 0)"
+            f"regexp_extract_all({text_col}, '{tag_sql_re}', 0)"
         )).alias("_m"),
     )
-    prop = F.regexp_extract("_m", r'itemprop="([^"]+)"', 1)
-    content = F.regexp_extract("_m", r'content="([^"]+)"', 1)
+    prop = F.regexp_extract("_m", r'\sitemprop="([^"]+)"', 1)
+    content = F.regexp_extract("_m", r'\scontent="([^"]+)"', 1)
     inner = F.trim(F.regexp_extract("_m", r">([^<]*)$", 1))
     props = (
         tags.select(

@@ -999,3 +999,53 @@ def test_dyad_census_empty_graph_all_zeros_row(spark):
     row = dyad_census(_edges(spark, [])).collect()[0]
     assert (row["n_nodes"], row["mutual_dyads"], row["asym_dyads"],
             row["null_dyads"]) == (0, 0, 0, 0)
+
+
+def test_robots_wildcard_query_string_is_matchable(spark):
+    """RFC 9309 match target = path + query: 'Disallow: /*?' (one of
+    the most common real rules) must match urls WITH a query, and an
+    end anchor must see the query ('/doc.pdf?dl=1' does not end at
+    .pdf) — r5 review finding: the query was stripped pre-match."""
+    urls = _rurls(spark, ["/page?session=1", "/page"])
+    rules = _rrules(spark, [("/*?", False)])
+    out = {r["doc_id"]: r for r in
+           robots_filter_wildcards(urls, rules).collect()}
+    assert out[0]["allowed"] is False          # query rule fires
+    assert out[0]["path"] == "/page?session=1"
+    assert out[1]["allowed"] is True           # no query -> no match
+    # end anchor must see the query: /doc.pdf?dl=1 does not end .pdf
+    urls2 = _rurls(spark, ["/doc.pdf", "/doc.pdf?dl=1"])
+    rules2 = _rrules(spark, [("/*.pdf$", False)])
+    out2 = {r["doc_id"]: r["allowed"] for r in
+            robots_filter_wildcards(urls2, rules2).collect()}
+    assert out2[0] is False and out2[1] is True
+
+
+def test_robots_literal_prefix_matches_into_query(spark):
+    from knowledge_graph_spark.operators.crawl import robots_filter
+
+    urls = spark.createDataFrame(
+        [(1, "https://a.org/search?q=x"), (2, "https://a.org/search")],
+        "doc_id long, url string")
+    rules = spark.createDataFrame(
+        [("a.org", "/search?", False)],
+        "host string, path_prefix string, allow boolean")
+    out = {r["doc_id"]: r["allowed"] for r in
+           robots_filter(urls, rules).collect()}
+    assert out[1] is False and out[2] is True
+
+
+def test_robots_wildcard_specificity_counts_octets(spark):
+    """Most-specific-wins compares OCTET length (the reference
+    Googlebot rule): a 5-char/9-octet Allow must beat a
+    7-char/7-octet Disallow when both match."""
+    urls = _rurls(spark, ["/pуть-x"])  # /путь-x
+    rules = _rrules(spark, [("/pуть*", True),
+                            ("/p*", False)])
+    out = robots_filter_wildcards(urls, rules).collect()[0]
+    assert out["allowed"] is True
+    urls2 = _rurls(spark, ["/ab"])
+    # ASCII sanity: octet == char length, longer still wins
+    rules2 = _rrules(spark, [("/a*", True), ("/ab*", False)])
+    assert robots_filter_wildcards(
+        urls2, rules2).collect()[0]["allowed"] is False

@@ -158,6 +158,22 @@ def test_extract_jsonld_validity_rule(spark):
     }
 
 
+def test_extract_jsonld_multiline_blocks(spark):
+    """Pretty-printed (multi-line) JSON-LD is the dominant real-world
+    form; the (?s) DOTALL flag must let '.' cross newlines (r5 review
+    finding: without it these blocks silently never extracted)."""
+    from knowledge_graph_spark.operators.structured import extract_jsonld
+
+    block = ('<script type="application/ld+json">\n{\n'
+             '  "@type": "Organization",\n  "name": "Acme"\n}\n'
+             '</script>')
+    pages = spark.createDataFrame(
+        [(1, "before " + block + " after")], "doc_id long, text string")
+    rows = [(r["ld_type"], r["ld_name"])
+            for r in extract_jsonld(pages).collect()]
+    assert rows == [("Organization", "Acme")]
+
+
 def test_commonness_linking(spark):
     from knowledge_graph_spark.operators.wikilinks import (
         commonness_dictionary, link_mentions)
@@ -465,6 +481,25 @@ def test_extract_microdata_forms_and_drops(spark):
         (1, "birthDate", "1815-12-10", "content"),
         (1, "deathDate", "1852-11-27", "content"),
     }
+
+
+def test_extract_microdata_ignores_lookalike_attributes(spark):
+    """data-itemprop= / data-content= / data-itemtype= must not
+    substring-match the real microdata attributes (r5 review finding:
+    unanchored patterns harvested them)."""
+    from knowledge_graph_spark.operators.structured import (
+        extract_microdata)
+
+    text = (
+        '<div data-itemtype="https://bogus.example/X">'
+        '<span itemprop="description" data-content="tooltip text">'
+        'Real value</span>'
+        '<b data-itemprop="fake">not a prop</b></div>')
+    pages = spark.createDataFrame(
+        [(1, text)], "doc_id long, text string")
+    got = {(r["prop"], r["value"], r["source"])
+           for r in extract_microdata(pages).collect()}
+    assert got == {("description", "Real value", "text")}
 
 
 def test_to_ntriples_escaping_and_slugs(spark):

@@ -1989,3 +1989,54 @@ def test_codec_auto_survives_truncated_containers(spark):
         "media_id long, kind string, payload binary")
     row = M.decode_metadata(media, codec="auto").first()
     assert row["ok"]
+
+
+def test_hash_split_rejects_negative_weight(spark):
+    from knowledge_graph_spark.operators.sampling import hash_split
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError):
+        hash_split(docs, {"train": 1.0, "val": -0.5, "test": 0.5})
+
+
+def test_budget_select_rejects_fractional_ids(spark):
+    from knowledge_graph_spark.operators.sampling import budget_select
+
+    docs = spark.createDataFrame(
+        [(1.5, "a b", 2.0), (9.2, "c d", 1.0), (10.5, "e f", 1.0)],
+        "doc_id double, text string, s double")
+    with pytest.raises(ValueError):
+        budget_select(docs, budget=3, score=F.col("s"))
+
+
+def test_budget_select_full_int64_range_ids(spark):
+    """xxhash64-style ids span the whole int64 range; the tiebreak
+    refinement must bucket them without long overflow (r5 review
+    finding: doc_id - ilo threw/wrapped). Tied scores force the
+    numeric-id refinement path with a tiny row cap."""
+    from knowledge_graph_spark.operators.sampling import budget_select
+
+    rows = [(-(2**63) + 7 * i, "w " * 3, 1.0) for i in range(4)]
+    rows += [(2**63 - 1 - 11 * i, "w " * 3, 1.0) for i in range(4)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, s double")
+    out = budget_select(docs, budget=9, score=F.col("s"),
+                        boundary_row_cap=2, refine_buckets=4)
+    got = sorted(r["doc_id"] for r in out.collect())
+    # global rank = score desc (all tied) then id asc; 3 tokens each,
+    # budget 9 -> the 3 smallest ids win
+    want = sorted(r[0] for r in rows)[:3]
+    assert got == want
+
+
+def test_weighted_sample_k_unstratified_constant_key(spark):
+    from knowledge_graph_spark.operators.sampling import weighted_sample_k
+
+    docs = spark.createDataFrame(
+        [(i, float(1 + i % 3)) for i in range(20)],
+        "doc_id long, w double")
+    out = weighted_sample_k(docs, k=5, weight=F.col("w"))
+    assert out.count() == 5
+    again = {r["doc_id"] for r in
+             weighted_sample_k(docs, k=5, weight=F.col("w")).collect()}
+    assert {r["doc_id"] for r in out.collect()} == again  # deterministic

@@ -226,3 +226,14 @@ def test_span_corruption_roundtrip_property(spark):
         masked = sum(len(v) for k, v in spans.items() if k < r["n_spans"])
         assert masked + len([t for t in r["input_text"].split()
                              if not t.startswith("<extra_id_")]) == n
+
+
+def test_pack_sequences_rejects_bad_n_shards(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    from knowledge_graph_spark.operators.packing import pack_sequences
+
+    import pytest
+    with pytest.raises(ValueError):
+        pack_sequences(docs, capacity=8, n_shards=0)
+    with pytest.raises(ValueError):
+        pack_sequences(docs, capacity=8, n_shards=-2)
