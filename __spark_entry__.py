@@ -9959,9 +9959,13 @@ q0 AS MATERIALIZED (SELECT item, round(AVG(y), 9) AS q FROM v
                     GROUP BY item),
 ni AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM q0)"""
     for i in range(iters):
-        alpha = cl.format(x="SUM(q.q * v.y) / SUM(q.q)")
+        # GREATEST floor mirrors the engine's _mstep zero-denominator
+        # guard (identical whenever the denominator is non-degenerate)
+        alpha = cl.format(
+            x="SUM(q.q * v.y) / GREATEST(SUM(q.q), 1e-6)")
         beta = cl.format(
-            x="SUM((1.0 - q.q) * (1 - v.y)) / SUM(1.0 - q.q)")
+            x="SUM((1.0 - q.q) * (1 - v.y)) "
+              "/ GREATEST(SUM(1.0 - q.q), 1e-6)")
         p = cl.format(x="SUM(q) / (SELECT n FROM ni)")
         q += f""",
 par{i} AS MATERIALIZED (

@@ -53,8 +53,12 @@ def fuse_triples(assertions: DataFrame,
       share ``support/support_total`` is the fusion confidence —
       counts exposed, the caller divides)
     """
-    conf = (F.col(confidence_col).cast("long") if confidence_col
-            else F.lit(1).cast("long"))
+    # NULL confidence coalesces to 0 (an assertion with no stated
+    # confidence carries no vote weight): left NULL, SUM(support)
+    # would be NULL and -support = NULL sorts FIRST in min(struct),
+    # letting an unweighted candidate beat every real vote
+    conf = (F.coalesce(F.col(confidence_col).cast("long"), F.lit(0))
+            if confidence_col else F.lit(1).cast("long"))
     votes = (
         assertions.select(
             F.col(subj_col).alias("subj"), F.col(pred_col).alias("pred"),

@@ -41,6 +41,29 @@ def _clamp9(col):
                    F.lit(1.0 - _LO))
 
 
+def _mstep(vq):
+    """Per-worker M-step: alpha/beta from posterior-weighted votes.
+    One helper for the in-loop update AND the final reporting pass so
+    they can never drift. Denominators are floored at ``_LO``: the
+    E-step rounds q to 9 dp WITHOUT clamping, so a worker whose rated
+    items all sit at q == 0 (or 1 — e.g. unanimous votes) would
+    otherwise divide by zero, which ANSI Spark raises as a job-killing
+    error; the floor leaves every non-degenerate result bit-identical
+    (denominators are otherwise >= _LO by construction)."""
+    return (vq.groupBy("worker").agg(
+        F.sum(F.col("q") * F.col("y")).alias("_a_num"),
+        F.sum("q").alias("_a_den"),
+        F.sum((1.0 - F.col("q")) * (1 - F.col("y"))).alias("_b_num"),
+        F.sum(1.0 - F.col("q")).alias("_b_den"))
+        .select("worker",
+                _clamp9(F.col("_a_num")
+                        / F.greatest(F.col("_a_den"), F.lit(_LO)))
+                .alias("alpha"),
+                _clamp9(F.col("_b_num")
+                        / F.greatest(F.col("_b_den"), F.lit(_LO)))
+                .alias("beta")))
+
+
 def dawid_skene(votes: DataFrame, item_col: str = "item",
                 worker_col: str = "worker", label_col: str = "label",
                 iterations: int = 10) -> tuple:
@@ -71,18 +94,7 @@ def dawid_skene(votes: DataFrame, item_col: str = "item",
     if n_items == 0:
         raise ValueError("dawid_skene: no votes")
     for _ in range(int(iterations)):
-        vq = v.join(q, "item")
-        par = (vq.groupBy("worker").agg(
-            F.sum(F.col("q") * F.col("y")).alias("_a_num"),
-            F.sum("q").alias("_a_den"),
-            F.sum((1.0 - F.col("q")) * (1 - F.col("y")))
-            .alias("_b_num"),
-            F.sum(1.0 - F.col("q")).alias("_b_den"))
-            .select("worker",
-                    _clamp9(F.col("_a_num") / F.col("_a_den"))
-                    .alias("alpha"),
-                    _clamp9(F.col("_b_num") / F.col("_b_den"))
-                    .alias("beta")))
+        par = _mstep(v.join(q, "item"))
         pr = q.agg(_clamp9(F.sum("q") / F.lit(float(n_items)))
                    .alias("p"))
         # z = logit(p) + sum over votes of ln(f1) - ln(f0)
@@ -112,17 +124,9 @@ def dawid_skene(votes: DataFrame, item_col: str = "item",
                      (F.col("q") > 0.5).cast("long").alias("label_hat")))
     wcounts = v.groupBy("worker").agg(
         F.count("*").cast("long").alias("n_votes"))
-    # final M-step params from the final posteriors, for reporting
-    vq = v.join(q, "item")
-    wpar = (vq.groupBy("worker").agg(
-        F.sum(F.col("q") * F.col("y")).alias("_a_num"),
-        F.sum("q").alias("_a_den"),
-        F.sum((1.0 - F.col("q")) * (1 - F.col("y"))).alias("_b_num"),
-        F.sum(1.0 - F.col("q")).alias("_b_den"))
-        .select("worker",
-                _clamp9(F.col("_a_num") / F.col("_a_den")).alias("alpha"),
-                _clamp9(F.col("_b_num") / F.col("_b_den")).alias("beta")))
-    workers = wcounts.join(wpar, "worker")
+    # final M-step params from the final posteriors, for reporting —
+    # the SAME helper as the in-loop update, so they cannot drift
+    workers = wcounts.join(_mstep(v.join(q, "item")), "worker")
     items = items.localCheckpoint(eager=True)
     workers = workers.localCheckpoint(eager=True)
     v.unpersist()

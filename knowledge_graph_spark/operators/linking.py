@@ -155,12 +155,14 @@ def same_as_edges(
     - one name is a prefix of the other with >= 3 shared chars — the
       abbreviation pattern (华星科技 ⊂ 华星科技公司), which is how
       Chinese news actually shortens org names."""
+    # candidate pairs arrive with name_a < name_b in UTF8-binary
+    # order (scored_pairs sorts inside the bucket aggregate), and a
+    # proper prefix always sorts before its extension — so only the
+    # "name_a is the prefix" direction can ever occur; the length
+    # guard on name_a is therefore the right (and only needed) one
     prefix_rule = (
         (F.length("name_a") >= 3)
-        & (
-            F.col("name_b").startswith(F.col("name_a"))
-            | F.col("name_a").startswith(F.col("name_b"))
-        )
+        & F.col("name_b").startswith(F.col("name_a"))
     )
     return scored_pairs(names, max_bucket).filter(
         (F.col("score") >= threshold) | prefix_rule
@@ -308,7 +310,12 @@ def bitext_candidates(docs: DataFrame, id_col: str = "doc_id",
         F.struct(F.col(id_col).alias("id"),
                  F.col(lang_col).alias("lang"),
                  F.length(text_col).alias("len")).alias("m"),
-    ).filter(F.size(F.split("fingerprint", ",")) >= min_runs)
+    ).filter(
+        # split('') is [''] with size 1, so a run-LESS page would pass
+        # min_runs=1 and the whole run-less corpus would collide on
+        # the shared '' fingerprint — require a non-empty print first
+        (F.col("fingerprint") != "")
+        & (F.size(F.split("fingerprint", ",")) >= min_runs))
     grouped = (keyed.groupBy("fingerprint")
                .agg(F.array_sort(F.collect_list("m")).alias("ms"))
                .filter((F.size("ms") >= 2)
@@ -342,7 +349,10 @@ def entity_salience(docs: DataFrame, entities: DataFrame,
     where first_pos is the 1-based token position of the first
     mention and rank orders the doc's entities by (mentions DESC,
     first_pos ASC, entity ASC) — rank 1 is what the page is about,
-    the subject anchor infobox/linking stages key on.
+    the subject anchor infobox/linking stages key on. Matching is
+    case-insensitive: the dictionary is case-folded to match the
+    lowercased token stream, and the output ``entity`` carries the
+    folded form.
 
     Scale shape: tokenization is row-local (the body never survives
     the posexplode); the dictionary join broadcasts (an entity
@@ -356,9 +366,12 @@ def entity_salience(docs: DataFrame, entities: DataFrame,
         F.posexplode(F.split(F.lower(F.col(text_col)),
                              r"[^\p{L}\p{N}]+")).alias("pos", "token"),
     )
+    # case-fold the dictionary like the token stream (the sibling
+    # resolve_pronouns does the same): a mixed-case entry ('Acme')
+    # would otherwise silently match zero lowercased tokens
     hits = toks.join(
-        F.broadcast(entities.select(F.col(entity_col).alias("token"))
-                    .distinct()),
+        F.broadcast(entities.select(
+            F.lower(F.col(entity_col)).alias("token")).distinct()),
         "token")
     per = (hits.groupBy("doc_id", F.col("token").alias("entity"))
            .agg(F.count("*").cast("long").alias("n_mentions"),

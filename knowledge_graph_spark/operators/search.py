@@ -36,17 +36,23 @@ def bm25_search(docs: DataFrame, terms: list[str], k1: float = 1.2,
     ``ln((N - df + 0.5)/(df + 0.5) + 1)``, always positive).
     Tokenization = :func:`word_tokens` (lowercased, split on
     non-letter/digit runs) — the same definition the dedup shingles
-    use."""
+    use; query ``terms`` pass through the same case fold, so
+    'Spark' finds documents containing 'spark'."""
+    terms = [str(t).lower() for t in terms]
     base = (
         docs.select(F.col(id_col).alias("doc_id"),
                     word_tokens(text_col).alias("_toks"))
         .select("doc_id", F.size("_toks").alias("dl"),
                 F.explode("_toks").alias("term"))
     )
+    # localCheckpoint: tf feeds the df aggregate AND the final join,
+    # and each reference would otherwise re-run the full corpus
+    # tokenize+explode (the ql_search pattern, applied here too)
     tf = (
         base.filter(F.col("term").isin(list(terms)))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
     )
     dfs = tf.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df"))
@@ -245,6 +251,15 @@ def postings_export(docs: DataFrame, min_df: int = 1,
     or Lucene's). Exchanges carry ``(term, long)`` pairs only."""
     if min_df < 1:
         raise ValueError(f"min_df must be >= 1 (got {min_df})")
+    # delta encoding needs numeric doc ids; a string id would hit the
+    # long cast mid-job as CAST_INVALID_INPUT under ANSI (or NULL-out
+    # silently with ANSI off) — reject up front like pack_sequences
+    id_type = docs.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"postings_export needs an integral {id_col!r} for gap "
+            f"encoding (got {id_type}); derive one upstream, e.g. "
+            "xxhash64 of the natural key")
     from ..functions.vectors import ws_tokens
 
     postings = (
@@ -349,8 +364,9 @@ def ql_search(docs: DataFrame, terms: list, mu: float = 2000.0,
     absent-term background contributions ride a candidate ×
     |Q|-literal-frame join — never a corpus × vocabulary product.
     Same tokenization as bm25_search (word_tokens), so the two
-    models rank the same index."""
-    terms = [str(t) for t in terms]
+    models rank the same index — query terms are case-folded like
+    the token stream."""
+    terms = [str(t).lower() for t in terms]
     base = (
         docs.select(F.col(id_col).alias("doc_id"),
                     word_tokens(text_col).alias("_toks"))

@@ -364,3 +364,22 @@ def test_kneser_ney_ingredients(spark):
     assert out[("b", "a")]["c_w1"] == 2          # b -> a, c
     assert out[("b", "a")]["n1p_hist"] == 2
     assert ("b", "x") not in out                 # never crosses docs
+
+
+def test_dawid_skene_unanimous_votes_do_not_crash(spark):
+    """Every vote 0 drives the posterior q to exactly 0, zeroing the
+    alpha M-step denominator — under ANSI Spark that divided by zero
+    and killed the job (r5 review finding). The floored denominator
+    must yield a defined, clamped result instead."""
+    from knowledge_graph_spark.operators.labels import dawid_skene
+
+    votes = spark.createDataFrame(
+        [(i, w, 0) for i in range(6) for w in range(3)],
+        "item long, worker long, label int")
+    items, workers = dawid_skene(votes, iterations=3)
+    rows = items.collect()
+    assert len(rows) == 6
+    assert all(r["label_hat"] == 0 and r["q"] is not None for r in rows)
+    wrows = workers.collect()
+    assert all(w["alpha"] is not None and w["beta"] is not None
+               for w in wrows)

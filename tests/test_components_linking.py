@@ -948,3 +948,76 @@ def test_bootstrap_relations_one_iteration(spark):
         ("Carol", "works at", "Initech"): (1, 2),
         ("Erin", "works at", "Umbrella"): (1, 2),
     }
+
+
+# ---------------------------------------------------------------------------
+# round-5 review regressions (fusion / linking / search)
+# ---------------------------------------------------------------------------
+
+
+def test_fuse_triples_null_confidence_cannot_win(spark):
+    """A NULL-confidence assertion must not beat a supported one:
+    unguarded, SUM over the all-NULL group made support NULL and
+    -NULL sorted first in the argmax struct (r5 review finding)."""
+    from knowledge_graph_spark.operators.fusion import fuse_triples
+
+    a = spark.createDataFrame(
+        [("s", "p", "good", "src1", 10),
+         ("s", "p", "bad", "src2", None)],
+        "subj string, pred string, obj string, source_id string, "
+        "conf long")
+    row = fuse_triples(a, confidence_col="conf").collect()[0]
+    assert row["obj"] == "good"
+    assert row["support"] == 10
+    assert row["support_total"] == 10  # NULL conf carries zero vote
+
+
+def test_entity_salience_case_folds_dictionary(spark):
+    from knowledge_graph_spark.operators.linking import entity_salience
+
+    docs = spark.createDataFrame(
+        [(1, "Acme acquired Zeta while acme grew")],
+        "doc_id long, text string")
+    ents = spark.createDataFrame([("Acme",), ("ZETA",)],
+                                 "entity string")
+    rows = {r["entity"]: r for r in
+            entity_salience(docs, ents).collect()}
+    assert rows["acme"]["n_mentions"] == 2
+    assert rows["zeta"]["n_mentions"] == 1
+
+
+def test_bm25_and_ql_case_fold_query_terms(spark):
+    from knowledge_graph_spark.operators.search import (
+        bm25_search, ql_search)
+
+    docs = spark.createDataFrame(
+        [(1, "spark shuffles data"), (2, "ducks swim")],
+        "doc_id long, text string")
+    assert bm25_search(docs, ["Spark"]).count() == 1
+    assert ql_search(docs, ["SPARK"]).count() == 1
+
+
+def test_bitext_runless_pages_never_pair(spark):
+    """Pages with ZERO digit runs share the '' fingerprint; under
+    min_runs=1 they must still never pair (split('') has size 1 —
+    the r5 review off-by-one)."""
+    from knowledge_graph_spark.operators.linking import (
+        bitext_candidates)
+
+    docs = spark.createDataFrame(
+        [(1, "no digits here", "en"), (2, "sin digitos", "es"),
+         (3, "invoice 12345 en", "en"), (4, "factura 12345 es", "es")],
+        "doc_id long, text string, lang string")
+    pairs = bitext_candidates(docs, min_runs=1).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(3, 4)}
+
+
+def test_postings_export_rejects_string_ids(spark):
+    import pytest
+
+    from knowledge_graph_spark.operators.search import postings_export
+
+    docs = spark.createDataFrame(
+        [("u1", "a b"), ("u2", "a c")], "doc_id string, text string")
+    with pytest.raises(ValueError):
+        postings_export(docs)
