@@ -1471,6 +1471,7 @@ l AS (
   SELECT doc_id, ls[i] AS line
   FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i
         FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM inj))
+  WHERE trim(ls[i]) <> ''
 ),
 tag AS (
   SELECT doc_id,
@@ -3363,31 +3364,29 @@ WITH toks AS (
   FROM documents WHERE doc_id < 200
 ),
 e2 AS (
-  SELECT doc_id, unnest(
-    CASE WHEN len(w) >= 2
-    THEN list_transform(range(len(w) - 1),
-         i -> list_aggregate(list_slice(w, i + 1, i + 2), 'string_agg', ' '))
-    ELSE [list_aggregate(w, 'string_agg', ' ')] END) AS g
-  FROM toks
+  SELECT doc_id,
+         unnest(list_transform(range(len(w) - 1),
+           i -> list_aggregate(list_slice(w, i + 1, i + 2),
+                               'string_agg', ' '))) AS g
+  FROM toks WHERE len(w) >= 2
 ),
 c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM e2 GROUP BY 1, 2),
 t2 AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_2gram_frac
        FROM c2 GROUP BY 1),
 e3 AS (
-  SELECT doc_id, unnest(
-    CASE WHEN len(w) >= 3
-    THEN list_transform(range(len(w) - 2),
-         i -> list_aggregate(list_slice(w, i + 1, i + 3), 'string_agg', ' '))
-    ELSE [list_aggregate(w, 'string_agg', ' ')] END) AS g
-  FROM toks
+  SELECT doc_id,
+         unnest(list_transform(range(len(w) - 2),
+           i -> list_aggregate(list_slice(w, i + 1, i + 3),
+                               'string_agg', ' '))) AS g
+  FROM toks WHERE len(w) >= 3
 ),
 d3 AS (SELECT doc_id,
               1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*) AS dup_3gram_frac
        FROM e3 GROUP BY 1)
-SELECT t2.doc_id,
-       ROUND(top_2gram_frac, 6) AS top_2gram_frac,
-       ROUND(dup_3gram_frac, 6) AS dup_3gram_frac
-FROM t2 JOIN d3 USING (doc_id)
+SELECT toks.doc_id,
+       ROUND(COALESCE(top_2gram_frac, 0.0), 6) AS top_2gram_frac,
+       ROUND(COALESCE(dup_3gram_frac, 0.0), 6) AS dup_3gram_frac
+FROM toks LEFT JOIN t2 USING (doc_id) LEFT JOIN d3 USING (doc_id)
 ORDER BY doc_id
 """
 
@@ -10395,8 +10394,10 @@ inst2 AS (
   FROM inst WHERE phrase <> ''
 ),
 inst3 AS (SELECT * FROM inst2 WHERE n_words BETWEEN 2 AND 4),
+-- word stats over ALL candidate runs (RAKE definition), not the
+-- length-banded emitted phrases — mirrors the engine
 words AS (SELECT n_words, unnest(string_split(phrase, ' ')) AS w
-          FROM inst3),
+          FROM inst2),
 stats AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
                  CAST(SUM(n_words) AS BIGINT) AS deg
           FROM words GROUP BY w),
@@ -11251,10 +11252,13 @@ _SQL_HEAPS_CENSUS = r"""
 WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL),
 lohi AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM d),
 toks AS (
-  SELECT least(10, CAST(floor(CAST(doc_id - lo AS DOUBLE) * 10
-                              / (hi - lo + 1)) AS INT) + 1) AS s,
+  SELECT least(10, CAST(floor((CAST(doc_id AS DOUBLE)
+                               - CAST(lo AS DOUBLE)) * 10
+                              / (CAST(hi AS DOUBLE)
+                                 - CAST(lo AS DOUBLE) + 1)) AS INT)
+                   + 1) AS s,
          unnest(list_filter(regexp_split_to_array(lower(text),
-                                                  '[^a-z0-9]+'),
+                                                  '[^\p{L}\p{N}]+'),
                             x -> x <> '')) AS w
   FROM d, lohi
 ),

@@ -76,9 +76,14 @@ def line_language_profile(pages: DataFrame, id_col: str = "doc_id",
     navigation in one, content in another; a page whose lines
     disagree is a poor training document in EITHER language).
 
-    Splits each page on newlines, applies :func:`with_language_id`'s
-    rule per line, and reports the per-document majority:
-    ``(doc_id, n_lines, majority_lang, n_majority, n_minority)``.
+    Splits each page on newlines, DROPS blank (whitespace-only)
+    lines — they are paragraph separators, not paragraphs; CCNet
+    LIDs only non-empty lines, and counting them as 'other' would
+    manufacture code-switching on clean multi-paragraph prose — then
+    applies :func:`with_language_id`'s rule per line and reports the
+    per-document majority: ``(doc_id, n_lines, majority_lang,
+    n_majority, n_minority)``. A page with no non-blank line has no
+    profile row (nothing to LID).
     Majority ties break toward the lexicographically greatest
     language tag (``max(struct(count, lang))`` — declared, replayable
     ordering). ``n_minority / n_lines`` is the code-switching
@@ -92,7 +97,7 @@ def line_language_profile(pages: DataFrame, id_col: str = "doc_id",
         F.posexplode(
             F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
         ).alias("idx", "line"),
-    )
+    ).filter(F.trim("line") != "")
     tagged = with_language_id(lines, text_col="line")
     per = tagged.groupBy("doc_id", "lang_pred").agg(
         F.count("*").alias("c"))
@@ -352,7 +357,14 @@ def with_fingerprint(docs: DataFrame, text_col: str = "text",
     )
     return (
         docs.withColumn("content_hash", F.sha2(F.col(text_col), 256))
-        .withColumn("fingerprint", F.array_min(sub_hashes))
+        # NULL text must fingerprint as NULL, like content_hash: the
+        # substring of NULL is NULL and xxhash64(NULL) is the SEED, so
+        # every NULL-text (held-out) doc would otherwise share one
+        # non-NULL fingerprint and collapse into a single bogus
+        # near-dup cluster
+        .withColumn("fingerprint",
+                    F.when(F.col(text_col).isNotNull(),
+                           F.array_min(sub_hashes)))
     )
 
 
@@ -392,7 +404,6 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     (local[32]); the selected SETS differ across hash functions (a
     different hash has different minima), so pick one corpus-wide and
     keep it."""
-    from ..functions.vectors import ws_tokens
     from .sketches import h52
 
     slim = docs.select(
@@ -464,6 +475,14 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     - ``dup_3gram_frac`` — fraction of word-3-gram occurrences that are
       repeats (1 − distinct/total)
 
+    A document with fewer than n tokens has NO n-grams and scores
+    0.0 on that signal (nothing is repeated — the ``word_ngrams``
+    whole-text fallback used before r5 scored every 1-2-word doc a
+    maximally-repetitive 1.0, flagging short pages as template spam
+    on the wrong axis; Gopher separates length filters from
+    repetition filters). NULL text likewise scores (0.0, 0.0).
+    Every input document gets exactly one output row.
+
     Set-based and shuffle-bounded: explode grams → per-(doc, gram)
     count → per-doc aggregate. The gram shuffles carry short strings
     keyed by doc id, never document bodies; the final per-doc joins
@@ -471,23 +490,36 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     stages of MinHash dedup (proven there). The id column is emitted
     under the caller's ``id_col`` name so joins back to the input line
     up."""
-    from ..functions.vectors import word_ngrams
 
-    g2 = docs.select(F.col(id_col).alias("doc_id"),
-                     F.explode(word_ngrams(text_col, 2)).alias("g"))
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       word_tokens(text_col).alias("ws"))
+
+    def _grams(n):
+        return (toks.filter(F.size("ws") >= n)
+                .select("doc_id", F.explode(F.expr(
+                    f"transform(sequence(0, size(ws) - {n}), "
+                    f"i -> array_join(slice(ws, i + 1, {n}), ' '))"))
+                    .alias("g")))
+
     top2 = (
-        g2.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        _grams(2).groupBy("doc_id", "g").agg(F.count("*").alias("c"))
         .groupBy("doc_id")
         .agg((F.max("c") / F.sum("c")).alias("top_2gram_frac"))
     )
-    g3 = docs.select(F.col(id_col).alias("doc_id"),
-                     F.explode(word_ngrams(text_col, 3)).alias("g"))
     dup3 = (
-        g3.groupBy("doc_id")
+        _grams(3).groupBy("doc_id")
         .agg((F.lit(1.0) - F.countDistinct("g") / F.count("*"))
              .alias("dup_3gram_frac"))
     )
-    return top2.join(dup3, "doc_id").withColumnRenamed("doc_id", id_col)
+    spine = toks.select("doc_id")
+    return (spine.join(top2, "doc_id", "left")
+            .join(dup3, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("top_2gram_frac", F.lit(0.0))
+                    .alias("top_2gram_frac"),
+                    F.coalesce("dup_3gram_frac", F.lit(0.0))
+                    .alias("dup_3gram_frac"))
+            .withColumnRenamed("doc_id", id_col))
 
 
 # ---------------------------------------------------------------------------
@@ -671,7 +703,6 @@ def lm_perplexity(docs: DataFrame, target, id_col: str = "doc_id",
         .select(F.col(id_col), "_pos",
                 F.coalesce(F.col("w"), F.lit(_LM_UNK)).alias("_cur"))
     )
-    from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy("_pos")
     bigr = scored_toks.select(
@@ -731,12 +762,19 @@ def perplexity_buckets(docs: DataFrame, target, lang_col: str = "lang",
     row per language — broadcast back, assignment row-local. The
     exact ``percentile`` keeps the oracle bit-replayable; a production
     run at 100 TB would swap in ``approx_percentile`` (same two-pass
-    broadcast shape, documented trade)."""
+    broadcast shape, documented trade).
+
+    Documents with NULL ``lang_col`` carry no bucket either (a
+    tercile is per-LANGUAGE-cohort; there is no cohort to cut
+    against) — filtered EXPLICITLY up front, not dropped as a side
+    effect of the NULL-never-matches equi-join, so they also never
+    leak into a NULL-lang cuts group."""
     scored = lm_perplexity(docs, target, id_col, text_col, alpha)
     sx = (
         scored.filter(F.col("n_scored") >= 1)
         .select(id_col, F.round("xent", round_dp).alias("xent_r"))
-        .join(docs.select(id_col, F.col(lang_col).alias("lang")), id_col)
+        .join(docs.filter(F.col(lang_col).isNotNull())
+              .select(id_col, F.col(lang_col).alias("lang")), id_col)
     )
     cuts = sx.groupBy("lang").agg(
         F.percentile("xent_r", F.lit([1 / 3, 2 / 3])).alias("_c"))
@@ -1006,7 +1044,6 @@ def host_profile(pages: DataFrame, url_col: str = "url",
     re-aggregated total would scan the corpus twice instead).
     Everything is codegen (parse_url, length, conditional counts);
     no UDFs."""
-    from pyspark.sql import Window
 
     host = F.expr(f"parse_url({url_col}, 'HOST')")
     per = (
@@ -1113,7 +1150,6 @@ def textrank_keywords(docs: DataFrame, text_col: str = "text",
                     .alias("score"))
             .localCheckpoint(eager=True)
         )
-    from pyspark.sql import Window
 
     # rank over the ROUNDED score: the oracle's pure-Python twin sums
     # floats in a different order (sub-ulp differences), and a rank
@@ -1203,7 +1239,6 @@ def term_powerlaw(docs: DataFrame, text_col: str = "text",
     combine (the term vocabulary bounds the exchange), then the
     bounded frequency census — terms never co-occur on any wire.
     """
-    from ..functions.vectors import word_tokens
     from .graph_analytics import powerlaw_ingredients
 
     freqs = (docs.select(F.explode(word_tokens(text_col)).alias("w"))
@@ -1268,22 +1303,29 @@ def rake_phrases(docs: DataFrame, text_col: str = "text",
     s = F.lower(F.col(text_col))
     s = F.regexp_replace(s, "[^a-z0-9]+", " ")
     s = F.regexp_replace(s, rf"\b({alt})\b", "|")
-    inst = (docs.select(F.col(id_col).alias("_doc"),
+    cand = (docs.select(F.col(id_col).alias("_doc"),
                         F.explode(F.split(s, r"\|")).alias("_p"))
             .select("_doc",
                     F.trim(F.regexp_replace(F.col("_p"), " +", " "))
                     .alias("phrase"))
             .filter(F.col("phrase") != "")
             .withColumn("n_words", F.size(F.split(F.col("phrase"), " "))
-                        .cast("long"))
-            .filter((F.col("n_words") >= int(min_words))
-                    & (F.col("n_words") <= int(max_words))))
-    inst = inst.localCheckpoint(eager=True)  # feeds word stats AND phrases
-    words = inst.select("n_words",
+                        .cast("long")))
+    # feeds word stats AND the filtered phrase table
+    cand = cand.localCheckpoint(eager=True)
+    # word degree/frequency come from ALL candidate runs — RAKE's
+    # definition. Filtering first would erase the contribution of
+    # runs outside [min_words, max_words] (e.g. a standalone 'dog'
+    # under min_words=2) and inflate the deg/freq of multi-word
+    # phrases sharing those words; only the EMITTED phrases obey the
+    # length band.
+    words = cand.select("n_words",
                         F.explode(F.split("phrase", " ")).alias("w"))
     stats = words.groupBy("w").agg(
         F.count("*").cast("long").alias("_freq"),
         F.sum("n_words").cast("long").alias("_deg"))
+    inst = cand.filter((F.col("n_words") >= int(min_words))
+                       & (F.col("n_words") <= int(max_words)))
     phrases = inst.groupBy("phrase", "n_words").agg(
         F.count("*").cast("long").alias("n_occur"),
         F.count_distinct(F.col("_doc")).cast("long").alias("n_docs"))
@@ -1377,8 +1419,17 @@ def heaps_census(docs: DataFrame, id_col: str = "doc_id",
     ``buckets``-row summary — keyed by a constant non-foldable
     partition so the plan carries no real unpartitioned window.
     """
-    from pyspark.sql import Window
+    from pyspark.sql.types import IntegralType
 
+
+    # the slice arithmetic is closed-form over a numeric id range; a
+    # string id would NULL out silently (least() skips NULLs) and
+    # pile the whole corpus into the LAST slice — reject loudly
+    if not isinstance(docs.schema[id_col].dataType, IntegralType):
+        raise ValueError(
+            f"heaps_census needs an integral {id_col!r} (got "
+            f"{docs.schema[id_col].dataType.simpleString()}); derive "
+            "one upstream, e.g. xxhash64 of the natural key")
     # NULL ids carry no position in the prefix order — drop them
     # (a NULL slice would also sort NULLS FIRST in Spark but NULLS
     # LAST in DuckDB, silently skewing the running sums)
@@ -1387,16 +1438,21 @@ def heaps_census(docs: DataFrame, id_col: str = "doc_id",
     lo_hi = ids.agg(F.min("_id").alias("_lo"),
                     F.max("_id").alias("_hi"))
     b = int(buckets)
-    # slice = 1..b by id position in [lo, hi] (closed-form, no sort)
+    # slice = 1..b by id position in [lo, hi] (closed-form, no sort;
+    # all arithmetic in DOUBLE — hash-derived ids span the full int64
+    # range, where id - lo and hi - lo + 1 overflow long); tokens are
+    # the repo-canonical word_tokens so the census composes with the
+    # Zipf/Yule vocabulary as documented (the old ASCII-only split
+    # censused nothing on CJK text)
     toks = (docs.crossJoin(F.broadcast(lo_hi))
             .select(
                 F.least(F.lit(b), (F.floor(
-                    (F.col(id_col) - F.col("_lo")).cast("double")
-                    * b / (F.col("_hi") - F.col("_lo") + 1)) + 1)
+                    (F.col(id_col).cast("double")
+                     - F.col("_lo").cast("double"))
+                    * b / (F.col("_hi").cast("double")
+                           - F.col("_lo").cast("double") + 1)) + 1)
                     .cast("int")).alias("_s"),
-                F.explode(F.split(F.lower(F.col(text_col)),
-                                  "[^a-z0-9]+")).alias("_w"))
-            .filter(F.col("_w") != ""))
+                F.explode(word_tokens(text_col)).alias("_w")))
     per_word = toks.groupBy("_w").agg(
         F.min("_s").alias("_first"),
         F.count("*").cast("long").alias("_n"))
@@ -1477,7 +1533,6 @@ def yule_census(docs: DataFrame, slice_col: str = "lang",
     Scale shape: one explode + (slice, term)-keyed count with
     map-side combine (exchange bounded by per-slice vocabulary),
     then one slice-keyed fold. Terms never co-occur on any wire."""
-    from ..functions.vectors import word_tokens
 
     freqs = (docs.select(F.col(slice_col).alias("slice"),
                          F.explode(word_tokens(text_col)).alias("w"))
@@ -1514,9 +1569,7 @@ def log_odds_terms(docs: DataFrame, group_a, group_b,
     the term key, two one-row total aggregates broadcast in-plan,
     then a salt-free top-k over the already-vocabulary-bounded
     scored frame."""
-    from pyspark.sql import Window
 
-    from ..functions.vectors import word_tokens
 
     def _counts(group):
         vals = group if isinstance(group, (list, tuple)) else [group]
@@ -1587,13 +1640,18 @@ def kneser_ney_ingredients(docs: DataFrame, text_col: str = "text",
     the bigram vocabulary), then two vocabulary-keyed folds joined
     back — words never co-occur on any wire beyond the bigram key
     itself."""
-    from ..functions.vectors import word_tokens
 
     toks = docs.select(word_tokens(text_col).alias("ws"))
-    bigrams = toks.select(F.explode(F.expr(
-        "transform(sequence(0, size(ws) - 2), "
-        "i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).alias("b")) \
-        .select("b.w1", "b.w2")
+    # docs with < 2 tokens carry no bigram — and MUST be filtered:
+    # sequence(0, size-2) steps DOWNWARD for them, generating
+    # negative indexes that ANSI Spark raises as INVALID_ARRAY_INDEX
+    # (the training_triples trap, same guard as textrank/pmi)
+    bigrams = (toks.filter(F.size("ws") >= 2)
+               .select(F.explode(F.expr(
+                   "transform(sequence(0, size(ws) - 2), "
+                   "i -> struct(ws[i] AS w1, ws[i+1] AS w2))"))
+                   .alias("b"))
+               .select("b.w1", "b.w2"))
     cb = (bigrams.groupBy("w1", "w2")
           .agg(F.count("*").cast("long").alias("c_big")))
     hist = (cb.groupBy("w1")
@@ -1632,7 +1690,6 @@ def good_turing_census(docs: DataFrame, text_col: str = "text",
     over THAT summary only — keyed by a constant non-foldable
     partition, so no corpus-scale row ever meets a window.
     """
-    from pyspark.sql import Window
 
     tf = (docs.select(F.explode(F.split(F.lower(F.col(text_col)),
                                         "[^a-z0-9]+")).alias("_w"))
@@ -1682,7 +1739,6 @@ def gini_ingredients(docs: DataFrame,
     term count, one count-of-counts fold, then a running sum over
     THAT summary only (constant non-foldable partition key).
     """
-    from pyspark.sql import Window
 
     tf = (docs.select(F.explode(F.split(F.lower(F.col(text_col)),
                                         "[^a-z0-9]+")).alias("_w"))
@@ -1734,7 +1790,6 @@ def stylometry_ingredients(docs: DataFrame, source_col: str = "source",
     map-side-combined aggregates joined on the BROADCAST marker
     list. A missing (source, word) pair surfaces as an explicit
     zero row — the matrix shape is always F × #sources."""
-    from pyspark.sql import Window
 
     base = (docs.filter(F.col(source_col).isNotNull())
             .select(F.col(source_col).alias("source"),

@@ -1855,8 +1855,23 @@ def test_line_language_profile_majority_and_ties(spark):
     assert out[2]["majority_lang"] == "zh" and out[2]["n_minority"] == 0
     # tie 'en' vs 'other' breaks to the lexicographically greatest
     assert out[3]["majority_lang"] == "other"
-    assert out[4]["n_lines"] == 1                # NULL -> one '' line
-    assert out[4]["majority_lang"] == "other"
+    # NULL/blank-only text has no non-blank line -> no profile row
+    # (r5: blank lines are paragraph separators, never 'other' lines)
+    assert 4 not in out
+
+
+def test_line_language_profile_drops_blank_lines(spark):
+    from knowledge_graph_spark.operators.textstats import (
+        line_language_profile)
+
+    pages = spark.createDataFrame(
+        [(1, "the cat is here and ready\n\nthe dog is there and fed\n"
+             "\n  \nthe fox was seen by all")],
+        "doc_id long, text string")
+    row = line_language_profile(pages).collect()[0]
+    # 3 prose paragraphs, zero manufactured 'other' lines
+    assert (row["n_lines"], row["majority_lang"],
+            row["n_minority"]) == (3, "en", 0)
 
 
 def test_repetition_plan_greedy_fill(spark):
@@ -2040,3 +2055,104 @@ def test_weighted_sample_k_unstratified_constant_key(spark):
     again = {r["doc_id"] for r in
              weighted_sample_k(docs, k=5, weight=F.col("w")).collect()}
     assert {r["doc_id"] for r in out.collect()} == again  # deterministic
+
+
+# ---------------------------------------------------------------------------
+# round-5 textstats review regressions
+# ---------------------------------------------------------------------------
+
+
+def test_kneser_ney_short_docs_do_not_crash(spark):
+    """Docs with <2 tokens generated a DOWNWARD sequence and negative
+    array indexes — a job-killing INVALID_ARRAY_INDEX under ANSI
+    Spark (r5 review finding). They carry no bigram and must simply
+    contribute nothing."""
+    from knowledge_graph_spark.operators.textstats import (
+        kneser_ney_ingredients)
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat the cat ran"), (2, ""), (3, "x"), (4, None)],
+        "doc_id long, text string")
+    rows = {(r["w1"], r["w2"]): r["c_big"]
+            for r in kneser_ney_ingredients(docs, min_count=2).collect()}
+    assert rows == {("the", "cat"): 2}
+
+
+def test_heaps_census_counts_unicode_and_rejects_string_ids(spark):
+    from knowledge_graph_spark.operators.textstats import heaps_census
+
+    docs = spark.createDataFrame(
+        [(1, "café niño données"), (2, "café again")],
+        "doc_id long, text string")
+    out = {r["prefix"]: r for r in
+           heaps_census(docs, buckets=2).collect()}
+    assert out[2]["n_tokens"] == 5        # unicode words all censused
+    assert out[2]["n_vocab"] == 4
+    sdocs = spark.createDataFrame([("a", "x y")],
+                                  "doc_id string, text string")
+    with pytest.raises(ValueError):
+        heaps_census(sdocs)
+
+
+def test_with_fingerprint_null_text_is_null(spark):
+    """NULL text must fingerprint as NULL like content_hash — the
+    xxhash64 seed constant previously clustered every held-out doc
+    as one bogus near-dup group (r5 review finding)."""
+    from knowledge_graph_spark.operators.textstats import (
+        with_fingerprint)
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real text body here")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in with_fingerprint(docs).collect()}
+    assert rows[1]["fingerprint"] is None
+    assert rows[2]["fingerprint"] is None
+    assert rows[3]["fingerprint"] is not None
+
+
+def test_rake_word_stats_cover_all_candidate_runs(spark):
+    """RAKE word degree/frequency come from ALL candidate runs; the
+    min_words band filters only the EMITTED phrases (r5 review
+    finding: stats-after-filter inflated multi-word scores)."""
+    from knowledge_graph_spark.operators.textstats import rake_phrases
+
+    docs = spark.createDataFrame(
+        [(1, "good dog of dog of dog")], "doc_id long, text string")
+    out = {r["phrase"]: r for r in
+           rake_phrases(docs, stopwords=("of",), min_words=2).collect()}
+    assert set(out) == {"good dog"}
+    # freq(dog)=3 (all three runs), deg(dog)=2+1+1=4; freq(good)=1,
+    # deg(good)=2 -> sum_freq=4, sum_deg=6
+    assert out["good dog"]["sum_freq"] == 4
+    assert out["good dog"]["sum_deg"] == 6
+
+
+def test_repetition_stats_short_docs_score_zero(spark):
+    from knowledge_graph_spark.operators.textstats import (
+        repetition_stats)
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, None),
+         (4, "a b a b a b a b")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert len(rows) == 4                    # every input doc present
+    for d in (1, 2, 3):
+        assert rows[d]["top_2gram_frac"] == 0.0
+        assert rows[d]["dup_3gram_frac"] == 0.0
+    assert rows[4]["top_2gram_frac"] > 0.5   # genuinely repetitive
+    assert rows[4]["dup_3gram_frac"] > 0.5
+
+
+def test_perplexity_buckets_null_lang_documented_drop(spark):
+    from knowledge_graph_spark.operators.textstats import (
+        perplexity_buckets)
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat", "en"),
+         (2, "the dog ran to the park", "en"),
+         (3, "the fox hid in the den", None)],
+        "doc_id long, text string, lang string")
+    out = perplexity_buckets(docs, target=F.col("doc_id") == 1)
+    rows = {r["doc_id"] for r in out.collect()}
+    assert rows == {1, 2}                    # NULL lang: no cohort
