@@ -1773,11 +1773,11 @@ a AS (
         FROM inj)
   UNION ALL
   SELECT doc_id,
-    regexp_extract(m, '"([^"]+),?" (?:said|says|wrote|argued|claimed|noted|added) ([A-Z][a-z]+(?: [A-Z][a-z]+)?)', 2),
-    regexp_extract(m, '"([^"]+),?" (?:said|says|wrote|argued|claimed|noted|added) ([A-Z][a-z]+(?: [A-Z][a-z]+)?)', 1),
+    regexp_extract(m, '"([^"]+?),?" (?:said|says|wrote|argued|claimed|noted|added) ([A-Z][a-z]+(?: [A-Z][a-z]+)?)', 2),
+    regexp_extract(m, '"([^"]+?),?" (?:said|says|wrote|argued|claimed|noted|added) ([A-Z][a-z]+(?: [A-Z][a-z]+)?)', 1),
     'after'
   FROM (SELECT doc_id, unnest(regexp_extract_all(text,
-          '"([^"]+),?" (?:said|says|wrote|argued|claimed|noted|added) ([A-Z][a-z]+(?: [A-Z][a-z]+)?)', 0)) AS m
+          '"([^"]+?),?" (?:said|says|wrote|argued|claimed|noted|added) ([A-Z][a-z]+(?: [A-Z][a-z]+)?)', 0)) AS m
         FROM inj)
 )
 SELECT doc_id, speaker, quote, position FROM a

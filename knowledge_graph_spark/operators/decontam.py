@@ -33,13 +33,18 @@ def _gram_col(text_col: str, n: int):
         f"filter(split(lower({text_col}), '[^\\\\p{{L}}\\\\p{{N}}]+'),"
         " x -> x != '')"
     )
+    # the short-text fallback folds the whole token list into ONE
+    # gram; an EMPTY token list would fold to the empty string, and a
+    # shared '' gram would flag every blank/punctuation-only corpus
+    # page as contaminated by a blank eval row — filter it out
     grams = F.expr(
         f"""
-        CASE WHEN size(_w) >= {n}
-        THEN transform(sequence(0, size(_w) - {n}),
-                       i -> array_join(slice(_w, i + 1, {n}), ' '))
-        ELSE array(array_join(_w, ' '))
-        END
+        filter(
+          CASE WHEN size(_w) >= {n}
+          THEN transform(sequence(0, size(_w) - {n}),
+                         i -> array_join(slice(_w, i + 1, {n}), ' '))
+          ELSE array(array_join(_w, ' '))
+          END, x -> x != '')
         """
     )
     return toks, grams

@@ -163,9 +163,14 @@ def dedup_exact_best(docs: DataFrame, priority_col: str,
         # min over (-priority, id): highest priority, ties to min id.
         # Only the (numeric, by contract: it's a score) priority is
         # negated — the id can be any orderable type, same as
-        # dedup_exact's min()
+        # dedup_exact's min(). A NULL priority coalesces to +inf on
+        # the negated axis: NULL struct fields sort FIRST ascending,
+        # so an unscored copy would otherwise beat every scored one —
+        # the opposite of the documented best-copy policy
         .agg(F.expr(
-            "min_by(_did, named_struct('np', -_p, 'i', _did))"
+            "min_by(_did, named_struct("
+            "'np', coalesce(-_p, cast('Infinity' as double)), "
+            "'i', _did))"
         ).alias(id_col))
         .select(id_col)
     )
@@ -200,8 +205,18 @@ def span_dedup(docs: DataFrame, block_words: int = 8,
     as everywhere in this module: distinct blocks colliding in xxhash64
     (P ≈ n²/2^65) would merge their survivor decision."""
     k = int(block_words)
+    # NULL text must keep its one-row-per-doc contract: split(NULL)
+    # propagates NULL through sequence/posexplode (row vanishes under
+    # ANSI; phantom NULL blocks under legacy sizeOfNull) — route NULL
+    # docs around the block machinery as (0, 0, '') rows instead
+    base = docs.filter(F.col(text_col).isNotNull())
+    nulls = docs.filter(F.col(text_col).isNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.lit(0).cast("long").alias("n_blocks"),
+        F.lit(0).cast("long").alias("n_dropped"),
+        F.lit("").alias("clean_text"))
     blocks = (
-        docs.select(F.col(id_col).alias("doc_id"),
+        base.select(F.col(id_col).alias("doc_id"),
                     F.split(F.col(text_col), " ").alias("_toks"))
         .select(
             "doc_id",
@@ -225,14 +240,15 @@ def span_dedup(docs: DataFrame, block_words: int = 8,
     return (
         flagged.groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_blocks"),
+            F.count("*").cast("long").alias("n_blocks"),
             F.sum(F.when(F.col("_keep").isNull(), 1).otherwise(0))
-            .alias("n_dropped"),
+            .cast("long").alias("n_dropped"),
             F.array_join(F.expr(
                 "transform(array_sort(collect_list(CASE WHEN _keep "
                 "THEN struct(bidx, blk) END)), x -> x.blk)"
             ), " ").alias("clean_text"),
         )
+        .unionByName(nulls)
     )
 
 
@@ -373,6 +389,13 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     in-aggregate (:func:`_bucket_pairs`): signature agg + bucket agg +
     distinct = 3 shuffles total (round 1's window+self-join plan ran
     26 exchanges)."""
+    # same loud contract as dedup_incremental: rows=0 would build a
+    # zero-arg xxhash64 (opaque analysis error) and a non-divisible
+    # combination would silently drop hashes, changing the documented
+    # P(candidate | s) curve
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must divide into bands={bands}")
     rows = num_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, n, num_hashes)
     band_cols = [
@@ -577,27 +600,51 @@ def dedup_incremental(existing: DataFrame, incoming: DataFrame,
               ["_band", "_bkey"])
         .select("id_a", "id_b").distinct()
     )
-    union_docs = existing.select(id_col, text_col).unionByName(
-        incoming.select(id_col, text_col))
+    # the verification corpus must keep the two SIDES apart: a
+    # re-crawled page carries the same id on both sides, and a bare
+    # id-keyed union would merge both versions' shingle streams into
+    # one doc (double-counted sizes, inflated intersections for every
+    # candidate touching that id). Side-tagged string ids ('i/' and
+    # 'e/') make every verification row unambiguous.
+    def _sid(c):
+        return F.col(c).cast("string")
+
+    union_docs = (existing.select(
+        F.concat(F.lit("e/"), _sid(id_col)).alias(id_col),
+        F.col(text_col))
+        .unionByName(incoming.select(
+            F.concat(F.lit("i/"), _sid(id_col)).alias(id_col),
+            F.col(text_col))))
+    cand_t = cand.select(
+        F.concat(F.lit("i/"), F.col("id_a").cast("string")).alias("id_a"),
+        F.concat(F.lit("e/"), F.col("id_b").cast("string")).alias("id_b"))
     verified = (
-        ngram_jaccard_pairs(union_docs, cand, id_col, text_col, n)
+        ngram_jaccard_pairs(union_docs, cand_t, id_col, text_col, n)
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b")
+        .select(F.expr("substring(id_a, 3)").alias("id_a"),
+                F.expr("substring(id_b, 3)").alias("id_b"))
     )
+
+    def content_keys_s(df, alias):
+        return df.select(
+            _sid(id_col).alias(alias),
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_ck"))
+
     # near = verified minus byte-identical (exact wins the precedence)
     near_not_exact = (
-        verified.join(content_keys(incoming, "id_a"), "id_a")
-        .join(content_keys(existing, "id_b")
+        verified.join(content_keys_s(incoming, "id_a"), "id_a")
+        .join(content_keys_s(existing, "id_b")
               .withColumnRenamed("_ck", "_ckb"), "id_b")
         .filter(F.col("_ck") != F.col("_ckb"))
         .groupBy("id_a")
         .agg(F.count("*").alias("n_near_matches"))
     )
     return (
-        incoming.select(F.col(id_col))
+        incoming.select(F.col(id_col), _sid(id_col).alias("_sid"))
         .join(exact.withColumnRenamed("id_a", id_col), id_col, "left")
-        .join(near_not_exact.withColumnRenamed("id_a", id_col),
-              id_col, "left")
+        .join(near_not_exact.withColumnRenamed("id_a", "_sid"),
+              "_sid", "left")
+        .drop("_sid")
         .select(
             id_col,
             F.when(F.col("n_exact_matches").isNotNull(), "exact")
@@ -1009,12 +1056,19 @@ def semantic_dedup(embeddings: DataFrame, id_col: str = "vec_id",
 
     w = Window.partitionBy("cell_id")
     sized = assigned.withColumn("_n", F.count("*").over(w))
-    pairable = sized.filter((F.col("_n") >= 2) & (F.col("_n") <= max_cluster))
+    # zero-norm guard (same stance as embedding_near_duplicates): a
+    # zero vector's cosine is 0/0 = NaN, and Spark compares NaN ABOVE
+    # every number, so an unguarded NaN >= threshold would drop every
+    # higher-id member of the zero vector's cell. Zero vectors never
+    # pair (they all keep); they still get their cell assignment.
+    from ..functions.vectors import cosine as _cos, norm as _norm
+    pairable = (sized
+                .filter((F.col("_n") >= 2) & (F.col("_n") <= max_cluster))
+                .filter(_norm("vec") > 0))
     a = pairable.select(F.col("cell_id"), F.col("vec_id").alias("id_a"),
                         F.col("vec").alias("va"))
     b = pairable.select(F.col("cell_id"), F.col("vec_id").alias("id_b"),
                         F.col("vec").alias("vb"))
-    from ..functions.vectors import cosine as _cos
     dropped = (
         a.join(b, "cell_id")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -1032,7 +1086,7 @@ def semantic_dedup(embeddings: DataFrame, id_col: str = "vec_id",
 def allpairs_jaccard(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", n: int = 3,
                      t_num: int = 1, t_den: int = 2,
-                     max_bucket: int = 100000) -> DataFrame:
+                     max_bucket: int = 4096) -> DataFrame:
     """EXACT all-pairs similarity join with prefix filtering (Bayardo,
     Ma & Srikant, WWW 2007 "Scaling up all pairs similarity search";
     Chaudhuri et al. ICDE 2006 SSJoin): every document pair whose
@@ -1060,7 +1114,11 @@ def allpairs_jaccard(docs: DataFrame, id_col: str = "doc_id",
     verification is the :func:`ngram_jaccard_pairs` shape — a
     shingle-keyed join over candidate participants only.
     ``max_bucket`` is the skew guard: a prefix token hotter than it
-    drops its bucket (documented recall trade AT THE GUARD only —
+    drops its bucket. The 4096 default caps the in-aggregate pair
+    expansion at ~8.4M structs per bucket row (the old 100k default
+    admitted a ~5e9-struct single aggregation row — an executor OOM
+    on a boilerplate flood, defeating the guard's purpose); it is a
+    (documented) recall trade AT THE GUARD only —
     leave it above the corpus's max prefix-token df for the exact
     contract; lower it only when a boilerplate-token flood is worth
     bounded recall loss)."""

@@ -80,9 +80,12 @@ def hyponym_census(pages: DataFrame, id_col: str = "doc_id",
 _SAY_VERBS = "said|says|wrote|argued|claimed|noted|added"
 
 # Speaker said, "quote"   /   "quote," said Speaker
+# The BEFORE capture is LAZY ([^"]+?): a greedy run would absorb the
+# attribution comma into the quote ('"We will win," said X' -> quote
+# 'We will win,'), making the ',?' it was written to strip dead code
 _QUOTE_AFTER = (r'([A-Z][a-z]+(?: [A-Z][a-z]+)?) '
                 r'(?:' + _SAY_VERBS + r'),? "([^"]+)"')
-_QUOTE_BEFORE = (r'"([^"]+),?" (?:' + _SAY_VERBS + r') '
+_QUOTE_BEFORE = (r'"([^"]+?),?" (?:' + _SAY_VERBS + r') '
                  r'([A-Z][a-z]+(?: [A-Z][a-z]+)?)')
 
 

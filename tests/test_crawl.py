@@ -324,7 +324,8 @@ def test_extract_quotes_attribution(spark):
             for r in extract_quotes(pages).collect()}
     assert (1, "Jane Roe", "the merger closes friday",
             "before") in rows
-    assert (1, "Bob", "we disagree,", "after") in rows
+    # attribution comma stripped (r5 fix: lazy capture + ',?')
+    assert (1, "Bob", "we disagree", "after") in rows
     assert (2, "Ada Lovelace", "engines compute", "before") in rows
     # lowercase speaker never matches the capitalized-name template
     assert not any(r[1] == "person" for r in rows)

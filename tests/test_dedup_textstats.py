@@ -2156,3 +2156,105 @@ def test_perplexity_buckets_null_lang_documented_drop(spark):
     out = perplexity_buckets(docs, target=F.col("doc_id") == 1)
     rows = {r["doc_id"] for r in out.collect()}
     assert rows == {1, 2}                    # NULL lang: no cohort
+
+
+# ---------------------------------------------------------------------------
+# round-5 dedup/patterns/decontam review regressions
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_exact_best_null_priority_loses(spark):
+    from knowledge_graph_spark.operators.dedup import dedup_exact_best
+
+    docs = spark.createDataFrame(
+        [(1, "same body", None), (2, "same body", 0.9),
+         (3, "same body", 0.1)],
+        "doc_id long, text string, priority double")
+    kept = {r["doc_id"] for r in
+            dedup_exact_best(docs, "priority").collect()}
+    assert kept == {2}          # scored best wins, NULL never does
+
+
+def test_span_dedup_null_text_one_row_contract(spark):
+    from knowledge_graph_spark.operators.dedup import span_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, None), (3, None)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in span_dedup(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    for d in (2, 3):
+        assert (rows[d]["n_blocks"], rows[d]["n_dropped"],
+                rows[d]["clean_text"]) == (0, 0, "")
+
+
+def test_semantic_dedup_zero_vectors_never_drop_others(spark):
+    from knowledge_graph_spark.operators.dedup import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0]),            # zero vector, lowest id
+         (2, [1.0, 0.0]), (3, [0.0, 1.0])],   # orthogonal: no dups
+        "vec_id long, embedding array<double>")
+    rows = {r["vec_id"]: r["keep"] for r in
+            semantic_dedup(emb, n_clusters=1).collect()}
+    assert rows == {1: 1, 2: 1, 3: 1}   # NaN cosine must not drop 2/3
+
+
+def test_dedup_incremental_shared_id_sides_stay_separate(spark):
+    """A re-crawled page carries the SAME id on both sides; its two
+    versions must not merge into one shingle stream (r5 review
+    finding: union by bare id corrupted every Jaccard on that id)."""
+    from knowledge_graph_spark.operators.dedup import dedup_incremental
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lambda mu nu xi omicron pi rho sigma tau")
+    existing = spark.createDataFrame(
+        [(42, base + " upsilon")], "doc_id long, text string")
+    incoming = spark.createDataFrame(
+        [(42, "an entirely different page about spark clusters now "
+              "with nothing shared at all between the two versions")],
+        "doc_id long, text string")
+    row = dedup_incremental(existing, incoming).collect()[0]
+    # disjoint texts: the re-crawl is NEW, not near/exact
+    assert row["verdict"] == "new"
+    assert row["n_near_matches"] == 0 and row["n_exact_matches"] == 0
+    # and a genuinely near pair across sides still verifies
+    # (one word changed in 20 -> J = 16/20 = 0.8 >= 0.7)
+    inc2 = spark.createDataFrame(
+        [(42, base + " phi")], "doc_id long, text string")
+    row2 = dedup_incremental(existing, inc2).collect()[0]
+    assert row2["verdict"] == "near"
+
+
+def test_minhash_lsh_pairs_validates_band_divisibility(spark):
+    from knowledge_graph_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame([(1, "a b c d")],
+                                 "doc_id long, text string")
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(docs, num_hashes=4)      # bands=8 > hashes
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(docs, num_hashes=16, bands=5)
+
+
+def test_decontaminate_blank_eval_rows_match_nothing(spark):
+    from knowledge_graph_spark.operators.decontam import (
+        ngram_decontaminate)
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "!!!"), (3, "real words in this page")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, ""), (101, "?!")], "eval_id long, text string")
+    assert ngram_decontaminate(docs, ev, n=8).count() == 0
+
+
+def test_extract_quotes_strips_attribution_comma(spark):
+    from knowledge_graph_spark.operators.patterns import extract_quotes
+
+    pages = spark.createDataFrame(
+        [(1, '"We will win," said Smith and left the hall.')],
+        "doc_id long, text string")
+    row = extract_quotes(pages).collect()[0]
+    assert row["quote"] == "We will win"
+    assert row["speaker"] == "Smith"
