@@ -121,7 +121,12 @@ def connected_components(
             f"edge endpoint types differ ({ut.simpleString()} vs "
             f"{edges.schema['v'].dataType.simpleString()}) — labels "
             "mix both sides; cast one side first")
-    cur = edges.select("u", "v").filter(F.col("u") != F.col("v")).distinct()
+    # materialize once: count(), the driver collect, and the first
+    # star round each re-execute the scan + distinct exchange
+    # otherwise — on a web-scale edge set that is a full shuffle
+    # repeated per action
+    cur = (edges.select("u", "v").filter(F.col("u") != F.col("v"))
+           .distinct().localCheckpoint(eager=True))
 
     n_edges = cur.count()
     if n_edges == 0:

@@ -42,6 +42,14 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
     quality) run FIRST so the aggregation stages (repetition, dedup)
     see only candidate rows — predicate pushdown does the same thing
     inside one stage; this does it across stages."""
+    unknown = set(gates or {}) - set(DEFAULT_GATES)
+    if unknown:
+        # a typo'd gate key would merge in unused and the DEFAULT
+        # threshold would silently apply — the caller believes they
+        # changed the cascade when they did not
+        raise ValueError(
+            f"unknown gate keys {sorted(unknown)}; valid: "
+            f"{sorted(DEFAULT_GATES)}")
     g = {**DEFAULT_GATES, **(gates or {})}
     d = with_quality_score(with_language_id(docs, text_col), text_col)
     if lang is not None:
@@ -108,8 +116,12 @@ def corpus_report(docs: DataFrame, source_col: str = "source",
             F.col("lang_pred"),
             (F.col("quality") >= F.lit(float(min_quality)))
             .alias("_hi"),
-            F.xxhash64(F.coalesce(F.col(text_col), F.lit("")))
-            .alias("_h"),
+            # NULL text hashes to NULL: a NULL join/group key never
+            # groups with anything here, matching dedup_exact's "no
+            # basis to merge" policy — the report predicts exactly
+            # what the dedup stage would remove (coalescing to ''
+            # counted every held-out doc as a duplicate of the rest)
+            F.xxhash64(F.col(text_col)).alias("_h"),
         )
         .join(gop, "_gid")
     )

@@ -44,6 +44,11 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     session_end, n_events, total_value). session_id is 1-based per
     user in time order — deterministic, so it value-matches a SQL
     oracle using the identical two-window construction."""
+    # NULL user/ts rows (anonymous events, join misses) would all
+    # land in ONE window partition and stitch unrelated events into
+    # fake sessions — same guard stance as cusum/trend/kleinberg
+    events = events.filter(F.col("user_id").isNotNull()
+                           & F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # microsecond-exact gap: unix_timestamp() truncates to seconds and
     # would mis-classify gaps that straddle the threshold fractionally;
@@ -112,6 +117,8 @@ def funnel(events: DataFrame, steps: list[str], user_col: str = "user_id",
     ``(user, timestamp)`` pairs. No windows, no per-user event
     collection — hub users with millions of events cost nothing
     beyond their aggregate partials."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
     user, ts = F.col(user_col), F.col(ts_col)
     base = (
         events.select(user.alias("user"), ts.alias("_ts"),
@@ -216,6 +223,9 @@ def daily_anomalies(events: DataFrame, threshold: float = 2.0,
     daily = (
         events.select(F.col(type_col).alias("event_type"),
                       F.to_date(F.col(ts_col)).alias("day"))
+        # a NULL day bucket (NULL ts) would enter every type's
+        # mean/stddev and skew all z-scores — drop it
+        .filter(F.col("day").isNotNull())
         .groupBy("event_type", "day")
         .agg(F.count("*").alias("n_events"))
     )
@@ -251,6 +261,11 @@ def transition_matrix(events: DataFrame, user_col: str = "user_id",
     aggregate with map-side combine and a row-count window over the
     AGGREGATED frame (one row per observed pair — metadata-scale) for
     the denominator. Event payloads are pruned at the scan."""
+    # NULL users would fabricate transitions BETWEEN different real
+    # users' events (one shared window partition); NULL ts has no
+    # position in the sequence
+    events = events.filter(F.col(user_col).isNotNull()
+                           & F.col(ts_col).isNotNull())
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col),
                                              F.col(type_col))
     seq = events.select(
@@ -373,7 +388,13 @@ def kleinberg_bursts(events: DataFrame, n_steps: int,
     series, the minimum-cost state path of a two-state automaton
     whose base state emits the series' background rate ``p0 = R/D``
     and whose burst state emits ``p1 = s_ratio * p0``; entering the
-    burst state costs ``tau``, leaving is free. The classic detector
+    burst state costs ``tau``, leaving is free. Costs live on an
+    integer micro-nat lattice (round(raw * 1e6)), which hash-replays
+    cross-engine but bounds the domain: a single series accumulating
+    ~1e12 events at extreme rate ratios pushes r*|ln p|*1e6 toward
+    the BIGINT ceiling — shard series keys (or coarsen n_steps)
+    before that scale; the DP itself is per-key and unaffected by
+    corpus size. The classic detector
     for topic surges and crawl-traffic flares that a plain z-score
     census (:func:`daily_anomalies`) misses when bursts span
     multiple days — the DP trades per-day evidence against the

@@ -353,10 +353,14 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, item_col: str,
                    F.lit(width)).alias("col"),
         ) for i in range(depth)
     ])).alias("cell")
-    probe_cells = probes.select(item_col, cells).select(
-        item_col, F.col("cell.row").alias("row"),
-        F.col("cell.col").alias("col"),
-    )
+    # NULL probes hash to NULL cells and can never join a counter —
+    # drop them (probe_bloom's contract), instead of emitting a
+    # phantom (NULL, 0) estimate row
+    probe_cells = (probes.filter(F.col(item_col).isNotNull())
+                   .select(item_col, cells).select(
+                       item_col, F.col("cell.row").alias("row"),
+                       F.col("cell.col").alias("col"),
+                   ))
     return (
         probe_cells.join(F.broadcast(sketch), ["row", "col"], "left")
         .groupBy(item_col)

@@ -68,8 +68,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
     # oracle) says NULL = NULL is not a match, but the window below
     # groups NULL partition keys together — so null-key right rows are
     # dropped here, and null-key LEFT rows land alone in the NULL
-    # partition and correctly emit with a NULL payload
-    rhs = right.filter(F.col(on).isNotNull()).select(
+    # partition and correctly emit with a NULL payload. NULL-TIMESTAMP
+    # right rows are dropped for the same reason: ascending sort puts
+    # them FIRST in the partition, where last(ignorenulls) would carry
+    # their payload into every left row as a spurious "most recent"
+    # match (ASOF's l.ts >= r.ts is never true for a NULL r.ts)
+    rhs = right.filter(F.col(on).isNotNull()
+                       & F.col(ts_col).isNotNull()).select(
         F.col(on), F.col(ts_col).alias("_rts"),
         F.struct(*[F.col(c).alias(c) for c in payload]).alias("_pay"),
     ).withColumn("_side", F.lit(0))
@@ -161,9 +166,16 @@ def scd2_history(facts: DataFrame, key_col: str = "user_id",
     if tiebreak_col is not None:
         order.append(F.col(tiebreak_col))
     w = Window.partitionBy(key_col).orderBy(*order)
+    # null-SAFE change detection: `value != lag` evaluates NULL when
+    # either side is NULL, which silently absorbed NULL assertions
+    # into the preceding run (and made first() over the mixed run
+    # nondeterministic). row_number marks the genuine first row —
+    # lag().isNull() cannot, because a true NULL previous VALUE also
+    # makes lag NULL.
+    rn = F.row_number().over(w)
     changed = F.when(
-        F.lag(value_col).over(w).isNull()
-        | (F.col(value_col) != F.lag(value_col).over(w)), 1
+        (rn == 1)
+        | ~F.col(value_col).eqNullSafe(F.lag(value_col).over(w)), 1
     ).otherwise(0)
     runs = (
         facts.select(key_col, value_col, ts_col,
@@ -322,13 +334,19 @@ def allen_relation_expr(s1="s1", e1="e1", s2="s2", e2="e2"):
     1983). Valid Spark SQL and DuckDB SQL alike — the oracle embeds
     the same string, so the cascade can never drift between
     engines."""
+    import re
+
     parts = " ".join(
         f"WHEN {cond} THEN '{name}'"
         for name, cond in _ALLEN_CASES)
     expr = f"CASE {parts} END"
-    for a, b in (("s1", s1), ("e1", e1), ("s2", s2), ("e2", e2)):
-        expr = expr.replace(a, b)
-    return expr
+    # SIMULTANEOUS substitution: sequential str.replace corrupts the
+    # SQL whenever an earlier replacement value contains a later
+    # placeholder (s1='phase1_s' introduces 'e1' inside 'phase1'),
+    # rewriting user column names into garbage
+    mapping = {"s1": s1, "e1": e1, "s2": s2, "e2": e2}
+    return re.sub(r"\b(s1|e1|s2|e2)\b",
+                  lambda m: mapping[m.group(1)], expr)
 
 
 def allen_census(intervals: DataFrame, group_col: str,

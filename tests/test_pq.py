@@ -157,3 +157,88 @@ def test_pq_encode_plan_is_zero_shuffle(spark, emb):
 def test_pq_rejects_indivisible_dim(spark, emb):
     with pytest.raises(ValueError, match="subspaces"):
         train_pq_codebook(emb, m=5, n_codes=16, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# round-5 temporal review regressions
+# ---------------------------------------------------------------------------
+
+import pytest as _pytest
+
+
+def test_asof_join_null_ts_right_rows_never_match(spark):
+    """A NULL-ts right row sorts FIRST ascending and last(ignorenulls)
+    would carry its payload into every left row as a spurious match
+    (r5 review finding); DuckDB ASOF never matches NULL r.ts."""
+    from knowledge_graph_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 5)], "user_id long, ts long")
+    right = spark.createDataFrame([(1, None, 9)],
+                                  "user_id long, ts long, val long")
+    row = asof_join(left, right, on="user_id", ts_col="ts").collect()[0]
+    assert row["r_val"] is None
+
+
+def test_scd2_null_values_form_their_own_runs(spark):
+    from knowledge_graph_spark.operators.temporal import scd2_history
+
+    facts = spark.createDataFrame(
+        [(1, "a", 10), (1, None, 20), (1, None, 30), (1, "a", 40)],
+        "user_id long, event_type string, ts long")
+    rows = sorted(scd2_history(facts).collect(),
+                  key=lambda r: r["valid_from"])
+    assert [r["event_type"] for r in rows] == ["a", None, "a"]
+    assert [r["n_events"] for r in rows] == [1, 2, 1]
+    assert rows[1]["valid_from"] == 20 and rows[1]["valid_to"] == 40
+
+
+def test_allen_expr_survives_overlapping_column_names(spark):
+    from knowledge_graph_spark.operators.temporal import (
+        allen_relation_expr)
+
+    expr = allen_relation_expr(s1="phase1_s", e1="phase1_e",
+                               s2="phase2_s", e2="phase2_e")
+    assert "phasphase" not in expr          # no cascade corruption
+    df = spark.createDataFrame(
+        [(1, 6, 5, 9)],
+        "phase1_s long, phase1_e long, phase2_s long, phase2_e long")
+    from pyspark.sql import functions as F
+    assert df.select(
+        F.expr(expr).alias("rel")).collect()[0]["rel"] == "overlaps"
+
+
+def test_sessionize_and_transitions_drop_null_users(spark):
+    import datetime as dt
+
+    from knowledge_graph_spark.operators.events import (
+        sessionize, transition_matrix)
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, t0, 10, "view", 1.0),
+         (2, t0 + dt.timedelta(minutes=1), None, "view", 1.0),
+         (3, t0 + dt.timedelta(minutes=2), None, "click", 1.0)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double")
+    s = sessionize(ev).collect()
+    assert len(s) == 1 and s[0]["user_id"] == 10
+    # NULL users must not fabricate a view->click transition
+    assert transition_matrix(ev).count() == 0
+
+
+def test_funnel_rejects_empty_steps(spark):
+    from knowledge_graph_spark.operators.events import funnel
+
+    ev = spark.createDataFrame([(1, 1, "a")],
+                               "user_id long, ts long, event_type string")
+    with _pytest.raises(ValueError):
+        funnel(ev, steps=[])
+
+
+def test_curate_rejects_unknown_gate_keys(spark):
+    from knowledge_graph_spark.operators.curate import curate_corpus
+
+    docs = spark.createDataFrame([(1, "text here", "s")],
+                                 "doc_id long, text string, source string")
+    with _pytest.raises(ValueError):
+        curate_corpus(docs, gates={"max_top2gram_frac": 0.2})  # typo
