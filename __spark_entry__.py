@@ -7503,11 +7503,11 @@ g AS (
 SELECT doc_id, raw, mantissa,
        CASE WHEN sw <> '' THEN sw END AS scale_word,
        CASE WHEN unit = '%' THEN 'percent' ELSE unit END AS unit,
-       CAST(round(CAST(mantissa AS DOUBLE)
+       TRY_CAST(round(TRY_CAST(mantissa AS DECIMAL(32,6))
          * CASE sw WHEN 'thousand' THEN 1000
                    WHEN 'million' THEN 1000000
                    WHEN 'billion' THEN 1000000000 ELSE 1 END
-         * 1000) AS BIGINT) AS value_milli
+         * 1000, 0) AS BIGINT) AS value_milli
 FROM g
 ORDER BY doc_id, raw, unit, value_milli
 """
@@ -9136,12 +9136,14 @@ WITH bi AS (
   FROM lineitem
   WHERE l_orderkey IS NOT NULL
 ),
-sup AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM bi GROUP BY i),
-census AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_baskets
-           FROM bi),
 sz AS (SELECT b, COUNT(*) AS c FROM bi GROUP BY b),
-okb AS (SELECT bi.* FROM bi JOIN sz USING (b)
-        WHERE sz.c BETWEEN 2 AND 256),
+-- guarded universe: every statistic (supports, basket census, pairs)
+-- censuses baskets <= max_basket, mirroring the engine
+g AS (SELECT bi.*, sz.c FROM bi JOIN sz USING (b) WHERE sz.c <= 256),
+sup AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY i),
+census AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_baskets
+           FROM g),
+okb AS (SELECT * FROM g WHERE c >= 2),
 co AS (
   SELECT t1.i AS item_a, t2.i AS item_b,
          CAST(COUNT(*) AS BIGINT) AS pair_count

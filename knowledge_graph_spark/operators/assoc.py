@@ -47,14 +47,23 @@ def frequent_item_pairs(baskets: DataFrame,
           .distinct()
           .localCheckpoint(eager=True))  # pairs + supports + census
 
-    supports = bi.groupBy("i").agg(F.count("*").cast("long").alias("n"))
-    census = bi.agg(F.countDistinct("b").cast("long").alias("n_baskets"))
-
+    # EVERY statistic censuses the same guarded universe: an
+    # oversized basket is dropped from supports and the basket count
+    # too, not just from pairing — otherwise conf(a->b) =
+    # pair_count/count_a mixes a guarded numerator with an unguarded
+    # denominator and deflates every rule touching the dropped
+    # basket's items. Singleton baskets DO count toward supports
+    # (they carry real item evidence; they just generate no pairs).
     from pyspark.sql import Window
     w = Window.partitionBy("b")
-    sized = (bi.withColumn("_n", F.count("*").over(w))
-             .filter((F.col("_n") >= 2) & (F.col("_n") <= int(max_basket)))
-             .drop("_n"))
+    guarded = (bi.withColumn("_n", F.count("*").over(w))
+               .filter(F.col("_n") <= int(max_basket))
+               .localCheckpoint(eager=True))
+    supports = (guarded.groupBy("i")
+                .agg(F.count("*").cast("long").alias("n")))
+    census = guarded.agg(
+        F.countDistinct("b").cast("long").alias("n_baskets"))
+    sized = guarded.filter(F.col("_n") >= 2).drop("_n")
     grouped = sized.groupBy("b").agg(
         F.sort_array(F.collect_list("i")).alias("_is"))
     pairs = F.flatten(

@@ -44,6 +44,11 @@ def nb_train_score(train: DataFrame, score: DataFrame,
     the training vocabulary size + 1 (unseen words share one smoothed
     bucket). Ties break to the smallest label. Documents with no
     tokens are classified by priors alone."""
+    # unlabeled rows train nothing: a NULL label would keep its
+    # prior (groupBy groups NULLs) but lose its token mass to the
+    # NULL-never-matches equi-joins, competing with the minimum
+    # denominator and winning every all-unseen-words document
+    train = train.filter(F.col(label_col).isNotNull())
     tr = (
         train.select(F.col(label_col).alias("label"),
                      F.explode(word_tokens(text_col)).alias("word"))

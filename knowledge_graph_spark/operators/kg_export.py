@@ -37,9 +37,17 @@ def dense_ids(values: DataFrame, col: str = "v",
     The per-bucket window sees ~1/``buckets`` of the vocabulary (raise
     ``buckets`` for larger vocabularies); the offset window runs over
     at most ``buckets`` rows — metadata-scale regardless of corpus
-    size."""
+    size. NULL values carry no id (xxhash64(NULL) is the seed — a
+    real-looking hash — so an unfiltered NULL would silently own a
+    dense id no actual value maps to)."""
+    if buckets < 1:
+        # pmod(h, 0) is NULL and the bucket equi-join would match
+        # nothing — a silently EMPTY id table (same loud-guard class
+        # as training_triples' negatives check)
+        raise ValueError(f"buckets must be >= 1 (got {buckets})")
     b = (
         values.select(col).distinct()
+        .filter(F.col(col).isNotNull())
         .withColumn("_b", F.pmod(F.xxhash64(F.col(col)), F.lit(buckets)))
     )
     ranked = b.withColumn(
@@ -87,8 +95,16 @@ def training_triples(edges: DataFrame, negatives: int = 2,
             f"negatives={negatives}: need >= 1 corruption per triple "
             "(to export positives only, project the distinct edge set "
             "through dense_ids directly)")
-    e = edges.select(F.col(src).alias("_h"), F.col(dst).alias("_t"),
-                     F.col(rel).alias("_r")).distinct()
+    # NULL-endpoint/relation edges can never join their ids back
+    # (inner equi-joins) — but their endpoints would still enter the
+    # entity vocabulary, inflating n_ents and letting the negative
+    # sampler emit a phantom tail id no real entity owns. Filter them
+    # before the vocabulary forms.
+    e = (edges.select(F.col(src).alias("_h"), F.col(dst).alias("_t"),
+                      F.col(rel).alias("_r"))
+         .filter(F.col("_h").isNotNull() & F.col("_t").isNotNull()
+                 & F.col("_r").isNotNull())
+         .distinct())
     ents = dense_ids(
         e.select(F.col("_h").alias("v"))
         .unionByName(e.select(F.col("_t").alias("v"))),
@@ -277,10 +293,14 @@ def ranking_metrics(scored: DataFrame, ks: tuple[int, ...] = (1, 3, 10),
     entity vocabulary (millions of candidates per query, the filtered
     KG-eval protocol) exchanges only (query, long) rows. Then one
     global rollup of (long) counters."""
+    # NULL-score candidates are unrankable and are dropped; a query
+    # whose POSITIVE has no score is unevaluable and drops whole (the
+    # inner join below) — otherwise its NULL rank would be counted by
+    # n_queries but silently skipped by sum_rank/hits, biasing MRR
     cands = scored.select(
         F.col(query_col).alias("query_id"),
         F.col(score_col).alias("_s"),
-        F.col(label_col).alias("_p"))
+        F.col(label_col).alias("_p")).filter(F.col("_s").isNotNull())
     pos = cands.filter(F.col("_p")).groupBy("query_id").agg(
         F.max("_s").alias("_ps"))
     per_query = (

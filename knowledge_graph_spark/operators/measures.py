@@ -62,6 +62,12 @@ def extract_quantities(pages: DataFrame, id_col: str = "doc_id",
         F.when(scale_word != "", scale_word).alias("scale_word"),
         F.when(unit == "%", F.lit("percent")).otherwise(unit)
         .alias("unit"),
-        F.round(mant.cast("double") * scale * 1000, 0).cast("bigint")
+        # DECIMAL, not double: the docstring's integer-exactness
+        # contract breaks past 2^53 through a double (and a huge
+        # quantity would silently clamp at the bigint cast);
+        # try_cast surfaces out-of-range values as NULL with the raw
+        # string still present — visible, never garbage
+        F.round(mant.try_cast("decimal(32,6)") * scale * 1000, 0)
+        .try_cast("bigint")
         .alias("value_milli"),
     )

@@ -46,31 +46,41 @@ def fd_profile(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
     the FD holds). NULLs are excluded on either side — the TANE
     convention.
 
-    Scale shape: per pair, one distinct fold of ``(A, B)`` value
-    pairs (never rows), one A-keyed count, one single-row summary;
-    the per-pair results union to a |pairs|-row frame.
+    Scale shape: ALL pairs melt into ONE ``(pair, A, B)`` stream
+    (the column_profile pattern — a 20-pair audit still reads the
+    table once, where a per-pair loop would issue 20 independent
+    scan+distinct pipelines), then one distinct fold, one
+    (pair, A)-keyed count, one |pairs|-row summary joined to a
+    literal pair spine so pairs with zero valid rows still emit
+    their all-zeros row.
     """
     if not pairs:
         raise ValueError("fd_profile needs >= 1 (lhs, rhs) column pair")
-    outs = []
-    for lhs, rhs in pairs:
-        d = (df.select(F.col(lhs).cast("string").alias("_a"),
-                       F.col(rhs).cast("string").alias("_b"))
-             .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
-             .distinct())
-        per_key = d.groupBy("_a").agg(F.count("*").alias("_nb"))
-        outs.append(per_key.agg(
-            F.lit(lhs).alias("lhs"), F.lit(rhs).alias("rhs"),
-            F.count("*").cast("long").alias("n_lhs"),
-            F.coalesce(F.sum("_nb"), F.lit(0)).cast("long")
-            .alias("n_pairs"),
-            F.coalesce(F.sum(F.when(F.col("_nb") >= 2, 1)
-                             .otherwise(0)), F.lit(0)).cast("long")
-            .alias("n_violating_keys")))
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionByName(o)
-    return res
+    melted = (df.select(F.explode(F.array(*[
+        F.struct(F.lit(i).alias("_p"),
+                 F.col(lhs).cast("string").alias("_a"),
+                 F.col(rhs).cast("string").alias("_b"))
+        for i, (lhs, rhs) in enumerate(pairs)])).alias("_m"))
+        .select("_m._p", "_m._a", "_m._b")
+        .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+        .distinct())
+    per_key = melted.groupBy("_p", "_a").agg(F.count("*").alias("_nb"))
+    summary = per_key.groupBy("_p").agg(
+        F.count("*").cast("long").alias("n_lhs"),
+        F.sum("_nb").cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("_nb") >= 2, 1).otherwise(0))
+        .cast("long").alias("n_violating_keys"))
+    spine = df.sparkSession.createDataFrame(
+        [(i, lhs, rhs) for i, (lhs, rhs) in enumerate(pairs)],
+        "_p int, lhs string, rhs string")
+    return (spine.join(summary, "_p", "left")
+            .select("lhs", "rhs",
+                    F.coalesce("n_lhs", F.lit(0)).cast("long")
+                    .alias("n_lhs"),
+                    F.coalesce("n_pairs", F.lit(0)).cast("long")
+                    .alias("n_pairs"),
+                    F.coalesce("n_violating_keys", F.lit(0))
+                    .cast("long").alias("n_violating_keys")))
 
 
 def inclusion_profile(
@@ -138,9 +148,16 @@ def column_profile(df: DataFrame, cols: list[str] | None = None,
     if not names:
         raise ValueError("column_profile needs >= 1 column")
     prefix = f"{table_name}." if table_name else ""
+    # backtick-quote the derived names: harvested web-table schemas
+    # carry dotted column names ('price.usd'), which bare F.col/df[c]
+    # would parse as a nested-field path and crash with
+    # UNRESOLVED_COLUMN (embedded backticks double per SQL quoting)
+    def _q(c):
+        return F.col("`" + c.replace("`", "``") + "`")
+
     melted = df.select(F.explode(F.array(*[
         F.struct(F.lit(prefix + c).alias("_c"),
-                 F.col(c).cast("string").alias("_v"))
+                 _q(c).cast("string").alias("_v"))
         for c in names
     ])).alias("_m")).select(F.col("_m._c").alias("_c"),
                             F.col("_m._v").alias("_v"))

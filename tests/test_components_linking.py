@@ -1021,3 +1021,17 @@ def test_postings_export_rejects_string_ids(spark):
         [("u1", "a b"), ("u2", "a c")], "doc_id string, text string")
     with pytest.raises(ValueError):
         postings_export(docs)
+
+
+def test_nb_null_labels_never_predicted(spark):
+    from knowledge_graph_spark.operators.classify import nb_train_score
+
+    train = spark.createDataFrame(
+        [("spam", "buy now cheap"), ("ham", "meeting at noon"),
+         (None, "stray unlabeled tokens here")],
+        "label string, text string")
+    score = spark.createDataFrame(
+        [(1, "zzz qqq www")],  # all-unseen words
+        "doc_id long, text string")
+    row = nb_train_score(train, score).collect()[0]
+    assert row["predicted"] in ("spam", "ham")

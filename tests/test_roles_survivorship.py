@@ -656,3 +656,69 @@ def test_term_dispersion_bursty_vs_dispersed(spark):
         (4, 1, 4)
     assert (got["y"]["cf"], got["y"]["df"], got["y"]["max_tf"]) == \
         (4, 4, 1)
+
+
+def test_fd_profile_empty_pair_rows_survive_melt(spark):
+    """Pairs whose valid (non-null) row set is empty must still emit
+    an all-zeros row (the r5 one-pass melt keeps the spine join)."""
+    from knowledge_graph_spark.operators.profiling import fd_profile
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "k long, dead string")
+    rows = {(r["lhs"], r["rhs"]): r for r in
+            fd_profile(df, [("k", "dead"), ("k", "k")]).collect()}
+    assert rows[("k", "dead")]["n_lhs"] == 0
+    assert rows[("k", "dead")]["n_violating_keys"] == 0
+    assert rows[("k", "k")]["n_lhs"] == 2
+
+
+def test_column_profile_dotted_column_names(spark):
+    from knowledge_graph_spark.operators.profiling import column_profile
+
+    df = spark.range(3).toDF("id").withColumn("price.usd",
+                                              F.col("id") * 2)
+    rows = {r["table_col"]: r for r in column_profile(df).collect()}
+    assert rows["price.usd"]["n_distinct"] == 3
+
+
+def test_ranking_metrics_null_scored_positive_drops_query(spark):
+    from knowledge_graph_spark.operators.kg_export import ranking_metrics
+
+    scored = spark.createDataFrame(
+        [(1, 5.0, True), (1, 3.0, False),
+         (2, None, True), (2, 7.0, False)],
+        "query_id long, score double, is_positive boolean")
+    row = ranking_metrics(scored).collect()[0]
+    # query 2's positive is unscored -> whole query drops, counts stay
+    # consistent (n_queries == number of summed ranks)
+    assert row["n_queries"] == 1 and row["sum_rank"] == 1
+
+
+def test_training_triples_null_endpoints_never_enter_vocab(spark):
+    from knowledge_graph_spark.operators.kg_export import (
+        dense_ids, training_triples)
+
+    edges = spark.createDataFrame(
+        [("a", "b", "r"), ("a", None, "r"), (None, "b", "r")],
+        "src string, dst string, rel_type string")
+    out = training_triples(edges, negatives=4)
+    # vocabulary = {a, b}: every sampled neg_t_id must be 0 or 1
+    assert {r["neg_t_id"] for r in out.collect()} <= {0, 1}
+    import pytest
+    with pytest.raises(ValueError):
+        dense_ids(edges.select(F.col("src").alias("v")), buckets=0)
+
+
+def test_frequent_item_pairs_census_is_guard_consistent(spark):
+    from knowledge_graph_spark.operators.assoc import frequent_item_pairs
+
+    rows = [("b1", x) for x in ("a", "b")] + [("b2", x) for x in ("a", "b")]
+    rows += [("big", f"i{k}") for k in range(10)] + [("big", "a"),
+                                                     ("big", "b")]
+    bk = spark.createDataFrame(rows, "basket string, item string")
+    out = frequent_item_pairs(bk, min_support=2, max_basket=4)
+    r = {(x["item_a"], x["item_b"]): x for x in out.collect()}[("a", "b")]
+    # the oversized basket is invisible to EVERY statistic
+    assert r["pair_count"] == 2
+    assert r["count_a"] == 2 and r["count_b"] == 2
+    assert r["n_baskets"] == 2
