@@ -48,13 +48,21 @@ def sanitize_relation_type(rel_type: str) -> str:
     raise ValueError(f"illegal relation type: {rel_type}")
 
 
+def _sanitized_type_col(type_col) -> "F.Column":
+    """THE sanitization rule as a Column (kg_writer.py:11-16): '-' ->
+    '_', must fullmatch _VALID_REL, uppercased; NULL when invalid.
+    Single source of truth — with_sanitized_type, the row-local edge
+    builder, and the counter SQL all derive from it/_VALID_REL, so
+    the rule cannot drift between the tables and the counters."""
+    c = F.col(type_col) if isinstance(type_col, str) else type_col
+    cleaned = F.regexp_replace(c, "-", "_")
+    return (F.when(cleaned.rlike(_VALID_REL), F.upper(cleaned))
+            .otherwise(F.lit(None)))
+
+
 def with_sanitized_type(relations: DataFrame) -> DataFrame:
     """Adds ``rel_type`` (sanitized, NULL when invalid) columnar-ly."""
-    cleaned = F.regexp_replace(F.col("type"), "-", "_")
-    return relations.withColumn(
-        "rel_type",
-        F.when(cleaned.rlike(_VALID_REL), F.upper(cleaned)).otherwise(F.lit(None)),
-    )
+    return relations.withColumn("rel_type", _sanitized_type_col("type"))
 
 
 def build_nodes(entities: DataFrame, graph_id: str, user_id: str) -> DataFrame:
@@ -153,19 +161,23 @@ def build_edges_rowlocal(
         "url", ids.alias("_ids"), F.explode("relations").alias("r")
     )
     nid = lambda c: F.concat_ws(":", F.hex(F.xxhash64("url")), F.col(c))
-    cleaned = F.regexp_replace(F.col("r.type"), "-", "_")
     flagged = rows.select(
         "url",
         nid("r.source").alias("src"),
         nid("r.target").alias("dst"),
         F.col("r.type").alias("type"),
-        F.when(cleaned.rlike(_VALID_REL), F.upper(cleaned))
-        .otherwise(F.lit(None)).alias("rel_type"),
+        _sanitized_type_col("r.type").alias("rel_type"),
         F.col("r.verb").alias("verb"),
         F.coalesce(F.col("r.similarity"), F.lit(0.0)).alias("similarity"),
-        (
+        # NULL-safe: array_contains over a NULL entities array (or a
+        # NULL source/target) is NULL, and a NULL _ok failed BOTH the
+        # good filter and the ~_ok dropped filter — the relation
+        # vanished from both tables with no quarantine record. An
+        # unresolvable membership test IS a missing endpoint.
+        F.coalesce(
             F.array_contains("_ids", F.col("r.source"))
-            & F.array_contains("_ids", F.col("r.target"))
+            & F.array_contains("_ids", F.col("r.target")),
+            F.lit(False),
         ).alias("_ok"),
     )
     good = flagged.filter(F.col("_ok") & F.col("rel_type").isNotNull())
@@ -284,8 +296,21 @@ def materialize_graph(
                                       touched_keys=[graph_id])
 
     def _commit_dropped():
-        return dropped_table.append(dropped, batch_id=f"{bid}/dropped",
-                                    partition_by=["graph_id"])
+        if mor_seq is not None:
+            # streaming path: the input IS the micro-batch's own
+            # extraction, so the quarantine rows are a true delta
+            return dropped_table.append(
+                dropped, batch_id=f"{bid}/dropped",
+                partition_by=["graph_id"])
+        # batch path: ``dropped`` is re-derived from the graph's FULL
+        # accumulated extraction — an append would duplicate every
+        # previously quarantined relation on each update batch and
+        # keep stale rows from pages whose re-crawl fixed the
+        # relation. Replace this graph's partition wholesale (the
+        # triples-stage convention).
+        return dropped_table.overwrite_partitions(
+            dropped, partition_by=["graph_id"],
+            touched_keys=[graph_id], batch_id=f"{bid}/dropped")
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -307,25 +332,40 @@ def materialize_graph(
         # counters diverge from the tables on foreign extraction
         # inputs whose relations reference absent entity ids
         valid = (
-            "size(filter(relations, r -> "
-            "regexp_like(replace(r.type, '-', '_'), '^[A-Za-z0-9_]+$') "
-            "and array_contains(transform(entities, e -> e.id), r.source) "
-            "and array_contains(transform(entities, e -> e.id), r.target)"
-            "))"
+            "greatest(size(filter(coalesce(relations, array()), r -> "
+            f"regexp_like(replace(r.type, '-', '_'), '{_VALID_REL}') "
+            "and coalesce(array_contains("
+            "transform(entities, e -> e.id), r.source) "
+            "and array_contains(transform(entities, e -> e.id), "
+            "r.target), false))), 0)"
         )
+        # NULL-safe sizes: a NULL entities/relations column (foreign
+        # or schema-evolved input) must count 0 — greatest(x, 0)
+        # covers BOTH null semantics (ANSI size(NULL)=NULL is skipped
+        # by greatest; legacy size(NULL)=-1 clamps to 0)
         stats = extracted.select(
-            F.sum(F.size("entities")).alias("n_nodes"),
+            F.sum(F.greatest(F.size("entities"), F.lit(0)))
+            .alias("n_nodes"),
             F.sum(F.expr(valid)).alias("n_valid"),
-            F.sum(F.size("relations")).alias("n_rel"),
+            F.sum(F.greatest(F.size("relations"), F.lit(0)))
+            .alias("n_rel"),
         ).first()
         n_nodes = stats["n_nodes"] or 0
         n_valid = stats["n_valid"] or 0
         n_dropped = (stats["n_rel"] or 0) - n_valid
+    def _total(table, r):
+        # an idempotent resume skips the commit; the snapshot size
+        # then comes from the manifest's current entry instead of
+        # collapsing to 0 (the docstring's *_total contract)
+        if r.get("skipped", False):
+            return (table.current_entry() or {}).get("rows", 0)
+        return r.get("rows", 0)
+
     return {
         "nodes": n_nodes,
         "edges": n_valid,
         "dropped_relations": n_dropped,
-        "nodes_total": r1.get("rows", 0),
-        "edges_total": r2.get("rows", 0),
-        "dropped_total": r3.get("rows", 0),
+        "nodes_total": _total(nodes_table, r1),
+        "edges_total": _total(edges_table, r2),
+        "dropped_total": _total(dropped_table, r3),
     }

@@ -40,9 +40,13 @@ def graph_links(nodes: DataFrame, edges: DataFrame, graph_id: str) -> DataFrame:
         F.col("name").alias("dst_name"),
         F.col("type").alias("dst_type"),
     )
+    # no forced broadcast: a single graph's node set is usually small
+    # (the planner/AQE broadcasts it from size stats), but at the
+    # engine's scale one graph CAN be arbitrarily large — a forced
+    # broadcast would OOM instead of degrading to a shuffle join
     return (
-        e.join(F.broadcast(a), on="src", how="inner")
-        .join(F.broadcast(b), on="dst", how="inner")
+        e.join(a, on="src", how="inner")
+        .join(b, on="dst", how="inner")
         .select(
             "src", "dst", "rel_type", "verb", "similarity",
             # the reference spreads EVERY relationship property into the
@@ -119,7 +123,16 @@ def query_graphs_by_user(nodes: DataFrame, edges: DataFrame, user_id: str) -> Da
     graph_nodes = n.groupBy("graph_id").agg(
         F.collect_list(F.struct("id", "name", "type")).alias("nodes")
     )
-    e = edges.filter(F.col("user_id") == user_id)
+    # links come from GRAPH membership, not the edge rows' user_id:
+    # edges keep their FIRST writer's user_id (ON CREATE semantics)
+    # while nodes take the last writer's, so after an update batch
+    # under a different user the edge-side user filter would hide
+    # every pre-existing link of the user's graphs. The reference
+    # loops over the user's graphs and collects ALL their links
+    # (kg_writer.py:152-154) — membership is the graph's, applied
+    # here as a semi join against the user's graph set.
+    e = edges.join(n.select("graph_id").distinct(), "graph_id",
+                   "left_semi")
     graph_links_agg = e.groupBy("graph_id").agg(
         F.collect_list(
             F.struct(
@@ -166,14 +179,18 @@ def _detach(nodes_kept: DataFrame, edges: DataFrame) -> DataFrame:
     The node key is (graph_id, id) — SURVEY.md §7.4.1 — so the
     endpoint-existence semi-joins carry graph_id too; without it, graphs
     built from the same corpus (same url-hash ids) would keep each
-    other's edges alive."""
-    ids = nodes_kept.select("graph_id", F.col("id")).distinct()
-    return (
-        edges.join(ids.withColumnRenamed("id", "src"),
-                   on=["graph_id", "src"], how="left_semi")
-        .join(ids.withColumnRenamed("id", "dst"),
-              on=["graph_id", "dst"], how="left_semi")
-    )
+    other's edges alive. The graph_id leg is NULL-SAFE: the rows Q7
+    deliberately preserves have graph_id NULL, and a plain equi-join
+    key would drop their edges even when both endpoints survive —
+    DETACH deleting edges of undeleted nodes."""
+    ids = (nodes_kept.select(F.col("graph_id").alias("_g"),
+                             F.col("id").alias("_i")).distinct())
+    e1 = edges.join(
+        ids, F.col("graph_id").eqNullSafe(F.col("_g"))
+        & (F.col("src") == F.col("_i")), "left_semi")
+    return e1.join(
+        ids, F.col("graph_id").eqNullSafe(F.col("_g"))
+        & (F.col("dst") == F.col("_i")), "left_semi")
 
 
 def clear_all_graphs(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFrame]:

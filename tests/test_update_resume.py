@@ -191,3 +191,88 @@ def test_second_graph_scopes_to_its_own_pages(spark, tmp_path):
                     .filter("graph_id = 'gB'").select("url")
                     .distinct().collect()}
     assert nodes_b_urls <= urls_b
+
+
+# ---------------------------------------------------------------------------
+# round-5 KG-core review regressions
+# ---------------------------------------------------------------------------
+
+
+def test_update_batch_does_not_duplicate_dropped_relations(spark, tmp_path):
+    """Stage 3 re-derives quarantined relations from the graph's FULL
+    extraction on every batch; the dropped table must hold ONE copy
+    (partition overwrite), not an append per batch (r5 review
+    finding: every update batch doubled the quarantine)."""
+    wh = KGWarehouse(str(tmp_path))
+    pages = generate_spark(spark, 40, partitions=2)
+    run_pipeline(spark, pages, wh, graph_id="g1", link_entities=False)
+    first = wh.dropped.read(spark).count()
+    # idempotent update batch over the same pages
+    run_pipeline(spark, pages, wh, graph_id="g1", link_entities=False,
+                 batch_suffix="r2")
+    assert wh.dropped.read(spark).count() == first
+
+
+def test_materialize_resume_totals_survive_skip(spark, tmp_path):
+    wh = KGWarehouse(str(tmp_path))
+    pages = generate_spark(spark, 30, partitions=2)
+    c1 = run_pipeline(spark, pages, wh, graph_id="g1",
+                      link_entities=False)
+    # identical re-run: all commits skip, totals must NOT collapse to 0
+    c2 = run_pipeline(spark, pages, wh, graph_id="g1",
+                      link_entities=False)
+    assert c2["nodes_total"] == c1["nodes_total"] > 0
+    assert c2["edges_total"] == c1["edges_total"] > 0
+
+
+def test_rowlocal_null_entities_quarantined_not_lost(spark):
+    from knowledge_graph_spark.operators.graph_build import (
+        build_edges_rowlocal)
+
+    extracted = spark.createDataFrame(
+        [("u1", None,
+          [{"source": "e1", "target": "e2", "type": "ACQUIRE",
+            "verb": "买", "similarity": 0.5}])],
+        "url string, "
+        "entities array<struct<id:string,name:string,type:string>>, "
+        "relations array<struct<source:string,target:string,"
+        "type:string,verb:string,similarity:double>>")
+    edges, dropped = build_edges_rowlocal(extracted, "g", "u")
+    assert edges.count() == 0
+    d = dropped.collect()
+    assert len(d) == 1 and d[0]["reason"] == "missing_endpoint"
+
+
+def test_user_graph_links_survive_cross_user_update(spark, tmp_path):
+    """Edges keep the FIRST writer's user_id (ON CREATE); Q4 must
+    list a graph's links by graph membership, not the edge rows'
+    user_id (r5 review finding: links vanished for every user)."""
+    from knowledge_graph_spark.operators.queries import (
+        query_graphs_by_user)
+
+    wh = KGWarehouse(str(tmp_path))
+    pages = generate_spark(spark, 40, partitions=2)
+    run_pipeline(spark, pages, wh, graph_id="g1", user_id="userB",
+                 link_entities=False)
+    run_pipeline(spark, pages, wh, graph_id="g1", user_id="userA",
+                 link_entities=False, batch_suffix="r2")
+    nodes, edges = wh.nodes.read(spark), wh.edges.read(spark)
+    row = query_graphs_by_user(nodes, edges, "userA").collect()[0]
+    assert len(row["links"]) > 0
+
+
+def test_detach_keeps_null_graph_edges_of_surviving_nodes(spark):
+    from knowledge_graph_spark.operators.queries import clear_all_graphs
+
+    nodes = spark.createDataFrame(
+        [(None, "n1", "a"), (None, "n2", "b"), ("g1", "n3", "c")],
+        "graph_id string, id string, name string")
+    edges = spark.createDataFrame(
+        [(None, "n1", "n2", "REL"), ("g1", "n3", "n1", "REL")],
+        "graph_id string, src string, dst string, rel_type string")
+    kept_nodes, kept_edges = clear_all_graphs(nodes, edges)
+    rows = kept_edges.collect()
+    # the NULL-graph edge between surviving NULL-graph nodes lives;
+    # the g1 edge dies with its graph
+    assert len(rows) == 1
+    assert (rows[0]["src"], rows[0]["dst"]) == ("n1", "n2")
