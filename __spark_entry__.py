@@ -11169,7 +11169,7 @@ blobs AS (
 ),
 parts AS (
   SELECT blob_id,
-         regexp_split_to_array(warc, 'WARC/1\.0\r\n') AS a
+         regexp_split_to_array(warc, '(?m)^WARC/1\.0\r\n') AS a
   FROM blobs
 ),
 recs AS (

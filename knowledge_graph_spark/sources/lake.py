@@ -25,9 +25,12 @@ provides the minimal equivalent:
 Partition layout: rows are bucketed by a synthetic ``_pk`` string
 column (``"|".join(partition values)``) so the data files keep every
 user column; the manifest maps partition key -> list of directory
-references (possibly spanning snapshots). Keys must be non-null and
-must not contain ``"|"`` (graph ids, url-hash buckets — the engine's
-partition columns — satisfy this by construction).
+references (possibly spanning snapshots). Keys must be non-null,
+non-EMPTY, and must not contain ``"|"`` (graph ids, url-hash buckets
+— the engine's partition columns — satisfy this by construction; an
+empty string would be written as Hive's __HIVE_DEFAULT_PARTITION__
+and desynchronize the manifest index from the directory names —
+``_keys_of`` validates and raises).
 
 On a real cluster this class is swapped for
 ``spark.sql("MERGE INTO ...")`` against Iceberg; the call sites are
@@ -338,12 +341,28 @@ class LakeTable:
 
         F = _f()
         w = Window.partitionBy(*mor["key"])
+        # a tombstone at seq T kills every STRICTLY OLDER row under
+        # either policy, and never competes itself; live rows AT the
+        # tombstone's own seq survive (the streaming convention: a
+        # batch tombstones its full key set at its own seq so a
+        # re-crawl with zero rows clears stale state while the same
+        # batch's live rows win). Rows written after a tombstone
+        # compete fresh under the policy. The old single-window form
+        # picked the policy winner FIRST, so under policy='first' an
+        # early live row beat any later tombstone — the delete
+        # silently no-oped while read_changes still emitted its CDC
+        # 'delete'.
+        last_tomb = F.max(
+            F.when(F.col(_TOMB), F.col(_SEQ))).over(w)
+        alive = (df.withColumn("_lt", last_tomb)
+                 .filter((~F.col(_TOMB))
+                         & (F.col("_lt").isNull()
+                            | (F.col(_SEQ) >= F.col("_lt")))))
         win = (F.max if mor["policy"] == "last" else F.min)(_SEQ).over(w)
         return (
-            df.withColumn("_win", win)
+            alive.withColumn("_win", win)
             .filter(F.col(_SEQ) == F.col("_win"))
-            .filter(~F.col(_TOMB))
-            .drop(_SEQ, _TOMB, "_win")
+            .drop(_SEQ, _TOMB, "_win", "_lt")
         )
 
     # ---- write primitives ---------------------------------------------
@@ -418,9 +437,25 @@ class LakeTable:
         # per-partition lineage counters (north-star requirement) from
         # the written footers — zero Spark jobs
         dirs, counts = {}, {}
+        n_seg = len(partition_by)
         for d in os.listdir(path):
             if d.startswith(_PK + "="):
                 key = urllib.parse.unquote(d[len(_PK) + 1:])
+                # zero-job write-side validation (catches the paths
+                # that never ran _keys_of): a NULL/empty partition
+                # value writes as __HIVE_DEFAULT_PARTITION__ (or an
+                # empty/short-segment key) and would permanently
+                # desynchronize the manifest index from _keys_of's
+                # '' form — refuse the commit while the snapshot dir
+                # is still orphaned (never referenced by a manifest)
+                if (key == "__HIVE_DEFAULT_PARTITION__"
+                        or key.count("|") != n_seg - 1
+                        or "" in key.split("|")):
+                    raise ValueError(
+                        f"{self.dir}: invalid partition key {key!r} "
+                        f"for spec {partition_by}: partition columns "
+                        "must be non-null, non-empty strings "
+                        "without '|'")
                 dirs[key] = [f"{snap_name}/{d}"]
                 counts[key] = self._footer_rows(os.path.join(path, d))
         return dirs, counts, sum(counts.values())
@@ -484,10 +519,26 @@ class LakeTable:
     @staticmethod
     def _keys_of(df: DataFrame, partition_by: list[str]) -> set[str]:
         """Distinct partition keys present in df (small collect: one
-        string per touched partition)."""
-        F = _f()
-        pk = F.concat_ws("|", *[F.col(c).cast("string") for c in partition_by])
-        return {r["k"] for r in df.select(pk.alias("k")).distinct().collect()}
+        string per touched partition). Uses THE _pk_col encoding — the
+        manifest index and the written directory keys must stay
+        byte-identical or partition-scoped merges silently miss."""
+        pk = LakeTable._pk_col(partition_by)
+        keys = {r["k"] for r in
+                df.select(pk.alias("k")).distinct().collect()}
+        bad = [k for k in keys
+               if k.count("|") != len(partition_by) - 1
+               or "" in k.split("|")]
+        if bad:
+            # a NULL segment (concat_ws drops it -> wrong segment
+            # count) or an empty-string value (written as Hive's
+            # __HIVE_DEFAULT_PARTITION__, never matching the
+            # manifest's '' key) would silently desynchronize the
+            # key index from the written directories
+            raise ValueError(
+                f"invalid partition key values {sorted(bad)[:5]} for "
+                f"spec {partition_by}: partition columns must be "
+                "non-null, non-empty strings without '|'")
+        return keys
 
     @staticmethod
     def _match_subset(old_keys, partition_by, key_df: DataFrame) -> set[str]:
@@ -552,7 +603,15 @@ class LakeTable:
             mor = entry["mor"]
         if partition_by and (entry is None or old_dirs is not None):
             snap_name = f"snap-{self._next_snap_id():06d}"
-            new_dirs, new_counts, new_rows = self._persist(df, snap_name, partition_by)
+            # n_keys scales the write salt: a single-key batch (one
+            # graph's streaming micro-batch) would otherwise funnel
+            # through WRITE_SALT tasks while the cluster idles — the
+            # same degeneration the COW paths already pass
+            # n_keys=len(touched) to avoid; the distinct-keys probe is
+            # one tiny job against a batch-sized frame
+            new_dirs, new_counts, new_rows = self._persist(
+                df, snap_name, partition_by,
+                n_keys=len(self._keys_of(df, partition_by)) or None)
             dirs = {k: list(v) for k, v in (old_dirs or {}).items()}
             counts = dict((entry or {}).get("partition_rows") or {})
             for k, paths in new_dirs.items():
@@ -625,6 +684,12 @@ class LakeTable:
         Callers whose batches are key-unique by construction pass
         ``dedupe=False`` and skip that shuffle.
         """
+        if when_matched not in ("update", "ignore"):
+            # validate BEFORE the first write: _merged only runs once
+            # the table exists, so a typo'd policy would commit the
+            # first batch under op 'merge:<typo>' and only fail on
+            # batch two
+            raise ValueError(f"unknown when_matched: {when_matched}")
         if batch_id and batch_id in self.applied_batches():
             return {"skipped": True, "batch_id": batch_id}
         if dedupe:
@@ -812,6 +877,18 @@ class LakeTable:
             # (a tombstone must land in the same partition as the rows
             # it kills, or partition-scoped reads would miss it); all
             # other columns null
+            missing = [c for c in (partition_by or [])
+                       if c not in tombstone_keys.columns]
+            if missing:
+                # a missing partition column would become NULL,
+                # concat_ws would drop the segment, and the tombstone
+                # would land in the WRONG partition — partition-scoped
+                # reads would then resolve the dead rows as live while
+                # full reads kill them
+                raise ValueError(
+                    f"{self.dir}: tombstone_keys must carry every "
+                    f"partition column (missing {missing}) so each "
+                    "tombstone lands in the partition it kills")
             keep = list(on) + [
                 c for c in (partition_by or [])
                 if c in tombstone_keys.columns and c not in on
@@ -942,6 +1019,21 @@ class LakeTable:
         spec = entry.get("partition_spec")
         dirs = entry.get("partition_dirs")
         if not spec or dirs is None:
+            return None
+        # SOUNDNESS GUARD: the NULL-substitution trick below concludes
+        # "cannot match" from a definitive FALSE — valid only when a
+        # NULL data column can never produce one. Null-TOLERANT
+        # operators (IS [NOT] NULL, <=>, isnull()/isnotnull(),
+        # coalesce/ifnull/nvl) return real booleans on the NULL
+        # substitute ("v IS NOT NULL" -> FALSE) and would prune
+        # partitions whose actual rows match; bail to the full
+        # rewrite when any such token appears.
+        import re as _re
+        if _re.search(
+                r"\bis\s+(not\s+)?null\b|<=>|\bisnull\s*\(|"
+                r"\bisnotnull\s*\(|\bcoalesce\s*\(|"
+                r"\bifnull\s*\(|\bnvl\s*\(",
+                condition, _re.IGNORECASE):
             return None
         try:
             F = _f()

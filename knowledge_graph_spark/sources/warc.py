@@ -36,8 +36,12 @@ from pyspark.sql import DataFrame, functions as F
 WARC_MARKER = "WARC/1.0\r\n"
 
 #: the same marker as a regex (split() takes a pattern; the dot must
-#: not match "WARC/1x0..."); shared with the SQL oracle
-WARC_MARKER_RE = r"WARC/1\.0\r\n"
+#: not match "WARC/1x0..."). (?m)^ anchors the marker at LINE STARTS
+#: only — the documented textual-split convention; unanchored, a
+#: mid-line "... WARC/1.0\r\n" inside a payload would truncate the
+#: real record and fabricate a garbage one. Shared with the SQL
+#: oracle.
+WARC_MARKER_RE = r"(?m)^WARC/1\.0\r\n"
 
 #: header block ends at the first blank line; payload is the rest
 _HDR_RE = r"(?s)^(.*?)\r\n\r\n(.*)$"
@@ -56,11 +60,19 @@ def parse_warc_text(blobs: DataFrame, blob_col: str = "warc",
     """
     parts = F.split(F.col(blob_col), WARC_MARKER_RE, -1)
     rec = (blobs.select(F.col(id_col),
+                        F.size(parts).alias("_np"),
                         F.posexplode(parts).alias("rec_idx", "_r"))
-           # everything before the first marker is non-record preamble
-           .filter(F.col("rec_idx") >= 1)
+           # everything before the first marker is non-record
+           # preamble — EXCEPT when the blob contains no marker at
+           # all (corrupt/mis-decoded file): that blob must surface
+           # as ONE malformed record (NULL headers — the quarantine
+           # signal) instead of vanishing from the output entirely
+           .filter((F.col("rec_idx") >= 1)
+                   | ((F.col("_np") == 1) & (F.col("_r") != "")))
            .select(id_col,
-                   (F.col("rec_idx") - 1).cast("long").alias("rec_idx"),
+                   (F.col("rec_idx")
+                    - F.when(F.col("_np") == 1, F.lit(0))
+                    .otherwise(F.lit(1))).cast("long").alias("rec_idx"),
                    F.col("_r")))
     hdr = F.regexp_extract(F.col("_r"), _HDR_RE, 1)
     body = F.regexp_extract(F.col("_r"), _HDR_RE, 2)

@@ -656,3 +656,73 @@ def test_partition_spec_mismatch_is_loud(spark, tbl):
         tbl.append(df)
     with pytest.raises(ValueError, match="partition spec"):
         tbl.merge_into(df, on=["k"], partition_by=["k"])
+
+
+# ---------------------------------------------------------------------------
+# round-5 storage review regressions
+# ---------------------------------------------------------------------------
+
+
+def test_delete_where_null_tolerant_predicate_not_pruned(spark, tbl):
+    """'v IS NOT NULL' evaluated FALSE on the NULL-substituted key
+    frame, so every partition was pruned and the DELETE silently
+    no-oped (r5 review finding). Null-tolerant predicates must take
+    the full-rewrite path."""
+    df = spark.createDataFrame(
+        [("g1", 1, "x"), ("g2", 2, None)], "g string, k int, v string")
+    tbl.overwrite(df, partition_by=["g"])
+    tbl.delete_where(spark, "v IS NOT NULL")
+    rows = tbl.read(spark).collect()
+    assert len(rows) == 1 and rows[0]["v"] is None
+
+
+def test_mor_tombstone_kills_first_policy_rows(spark, tbl):
+    """Under policy='first' (ON CREATE tables) a later tombstone must
+    still delete the key — the old resolution picked the min-seq
+    winner before the tombstone filter, so deletes silently no-oped
+    while read_changes emitted their CDC rows (r5 review finding)."""
+    df = spark.createDataFrame([("g1", "k1", "v0")],
+                               "g string, k string, v string")
+    tbl.merge_on_read(df, on=["g", "k"], seq=0, policy="first",
+                      partition_by=["g"])
+    dead = spark.createDataFrame([("g1", "k1")], "g string, k string")
+    empty = df.limit(0)
+    tbl.merge_on_read(empty, on=["g", "k"], seq=1, policy="first",
+                      tombstone_keys=dead, partition_by=["g"])
+    assert tbl.read(spark).count() == 0
+    # a write AFTER the tombstone re-creates the key (first-wins
+    # among post-tombstone rows)
+    df2 = spark.createDataFrame([("g1", "k1", "v2")],
+                                "g string, k string, v string")
+    tbl.merge_on_read(df2, on=["g", "k"], seq=2, policy="first",
+                      partition_by=["g"])
+    rows = tbl.read(spark).collect()
+    assert len(rows) == 1 and rows[0]["v"] == "v2"
+
+
+def test_mor_tombstone_missing_partition_column_raises(spark, tmp_path):
+    from knowledge_graph_spark.sources.lake import LakeTable
+
+    t = LakeTable(str(tmp_path), "tt")
+    df = spark.createDataFrame([("g1", 3, "u1", "v")],
+                               "g string, b int, u string, v string")
+    t.merge_on_read(df, on=["g", "u"], seq=0, policy="last",
+                    partition_by=["g", "b"])
+    dead = spark.createDataFrame([("g1", "u1")], "g string, u string")
+    with pytest.raises(ValueError):
+        t.merge_on_read(df.limit(0), on=["g", "u"], seq=1,
+                        policy="last", tombstone_keys=dead,
+                        partition_by=["g", "b"])
+
+
+def test_empty_string_partition_value_raises(spark, tbl):
+    df = spark.createDataFrame([("", 1)], "g string, k int")
+    with pytest.raises(ValueError):
+        tbl.merge_into(df, on=["k"], partition_by=["g"])
+
+
+def test_merge_into_validates_policy_before_first_commit(spark, tbl):
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    with pytest.raises(ValueError):
+        tbl.merge_into(df, on=["k"], when_matched="replace")
+    assert not tbl.exists()      # nothing committed under the typo

@@ -722,3 +722,33 @@ def test_frequent_item_pairs_census_is_guard_consistent(spark):
     assert r["pair_count"] == 2
     assert r["count_a"] == 2 and r["count_b"] == 2
     assert r["n_baskets"] == 2
+
+
+def test_warc_midline_marker_does_not_split(spark):
+    """The marker is anchored at line starts (the documented textual
+    convention): a payload mentioning 'WARC/1.0\\r\\n' mid-line must
+    not truncate the record (r5 review finding)."""
+    from knowledge_graph_spark.sources.warc import parse_warc_text
+
+    blob = ("WARC/1.0\r\nWARC-Type: conversion\r\n\r\n"
+            "see WARC/1.0\r\ncontinued text\r\n\r\n")
+    blobs = spark.createDataFrame([(1, blob)],
+                                  "blob_id long, warc string")
+    rows = parse_warc_text(blobs, "warc", "blob_id").collect()
+    assert len(rows) == 1
+    assert rows[0]["payload"] == "see WARC/1.0\r\ncontinued text"
+
+
+def test_warc_markerless_blob_quarantines(spark):
+    """A blob with no record marker (corrupt/mis-decoded file) must
+    surface as one NULL-header quarantine row, never vanish."""
+    from knowledge_graph_spark.sources.warc import parse_warc_text
+
+    blobs = spark.createDataFrame(
+        [(1, "just some garbage bytes"),
+         (2, "WARC/1.0\r\nWARC-Type: conversion\r\n\r\nreal\r\n\r\n")],
+        "blob_id long, warc string")
+    rows = {r["blob_id"]: r for r in
+            parse_warc_text(blobs, "warc", "blob_id").collect()}
+    assert rows[1]["warc_type"] is None          # quarantine signal
+    assert rows[2]["warc_type"] == "conversion"
