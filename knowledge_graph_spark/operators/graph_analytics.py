@@ -40,6 +40,25 @@ def _undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
+def _sym_partitioned(edges: DataFrame, src: str,
+                     dst: str) -> DataFrame:
+    """Symmetrized distinct edge list, self-loops dropped, hash-
+    partitioned on src and PERSISTED — the shared frontier-join
+    layout of the BFS family (shortest_paths / landmark_distances /
+    stress_centrality). One helper so symmetrization policy lives in
+    one place (the _undirected rule)."""
+    return (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .unionByName(
+            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+            .filter(F.col("src") != F.col("dst")))
+        .distinct()
+        .repartition(F.col("src"))
+        .persist()
+    )
+
+
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iterations: int = 10, damping: float = 0.85,
              n_nodes: int | None = None) -> DataFrame:
@@ -50,8 +69,15 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     the one sizing count. Fixed ``iterations`` keeps the operator
     deterministic and oracle-reproducible; 10 rounds is within ~1e-3
     of convergence on graphs with damping 0.85."""
-    pairs = edges.select(F.col(src).alias("src"),
-                         F.col(dst).alias("dst")).distinct()
+    # NULL endpoints out: a (y, NULL) edge would count toward y's
+    # out-degree, send rank into a dst the USING-join can never match
+    # (mass silently vanishes — ranks no longer sum to 1) and emit a
+    # spurious id=NULL node row
+    pairs = (edges.select(F.col(src).alias("src"),
+                          F.col(dst).alias("dst"))
+             .filter(F.col("src").isNotNull()
+                     & F.col("dst").isNotNull())
+             .distinct())
     nodes = (
         pairs.select(F.col("src").alias("id"))
         .unionByName(pairs.select(F.col("dst").alias("id")))
@@ -128,8 +154,11 @@ def personalized_pagerank(edges: DataFrame, sources: DataFrame,
     raw seed count would silently leak their share of the teleport mass
     and break the ranks-sum-to-1 invariant. Raises if NO seed is an
     endpoint (the all-zero teleport would return all-zero ranks)."""
-    pairs = edges.select(F.col(src).alias("src"),
-                         F.col(dst).alias("dst")).distinct()
+    pairs = (edges.select(F.col(src).alias("src"),
+                          F.col(dst).alias("dst"))
+             .filter(F.col("src").isNotNull()
+                     & F.col("dst").isNotNull())
+             .distinct())
     nodes = (
         pairs.select(F.col("src").alias("id"))
         .unionByName(pairs.select(F.col("dst").alias("id")))
@@ -416,16 +445,7 @@ def shortest_paths(edges: DataFrame, sources: DataFrame | None = None,
     # edge list is shuffled once, not once per hop (when the frontier
     # is small AQE broadcasts it instead; when it isn't — the web-scale
     # case — only the frontier side moves)
-    sym = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .unionByName(
-            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
-            .filter(F.col("src") != F.col("dst")))
-        .distinct()
-        .repartition(F.col("src"))
-        .persist()
-    )
+    sym = _sym_partitioned(edges, src, dst)
     if sources is None:
         sources = sym.agg(F.min("src").alias("id"))
     frontier = (
@@ -607,8 +627,11 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
         # the loop must run at least once — auth is only defined inside
         # it, so 0 would crash on None rather than return anything
         raise ValueError(f"iterations={iterations}: need >= 1")
-    pairs = edges.select(F.col(src).alias("src"),
-                         F.col(dst).alias("dst")).distinct().persist()
+    pairs = (edges.select(F.col(src).alias("src"),
+                          F.col(dst).alias("dst"))
+             .filter(F.col("src").isNotNull()
+                     & F.col("dst").isNotNull())
+             .distinct()).persist()
     nodes = (
         pairs.select(F.col("src").alias("id"))
         .unionByName(pairs.select(F.col("dst").alias("id")))
@@ -677,8 +700,14 @@ def weighted_shortest_paths(
     small on small-diameter web/KG graphs; ``max_rounds`` bounds
     adversarial chains. Integer-valued weights keep the double sums
     exact, so results value-match an exact SQL oracle."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
-                     F.col(weight).cast("double").alias("w"))
+    # NULL endpoints/weights out: min(w)=NULL would enter the dist
+    # frame (the improvement filter passes NULL candidates) and
+    # NULL distances would spread BFS-like through everything
+    # reachable only through that edge
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                      F.col(weight).cast("double").alias("w"))
+         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull()
+                 & F.col("w").isNotNull()))
     if not directed:
         e = e.unionByName(
             e.select(F.col("dst").alias("src"),
@@ -758,6 +787,11 @@ def neighborhood_mean(edges: DataFrame, features: DataFrame,
                           F.col(vec_col).alias("vec"))
     if hops > 0:
         cur = cur.localCheckpoint(eager=True)
+        # the symmetric edge fold is loop-invariant: materialize it
+        # once instead of re-running the distinct + union inside
+        # every hop's contrib join (the shuffle-once rule the other
+        # iterative operators here follow)
+        sym = sym.localCheckpoint(eager=True)
     for _ in range(hops):
         contrib = (
             sym.join(cur.select(F.col("id").alias("b"), "vec"), "b")
@@ -1004,6 +1038,15 @@ def strongly_connected_components(edges: DataFrame, src: str = "src",
             .join(live_nodes.withColumnRenamed("id", "v"), "v", "left_semi")
             .localCheckpoint(eager=True)
         )
+    if not live_nodes.isEmpty():
+        # silently dropping the unresolved remainder would violate the
+        # "every endpoint node gets a row" contract AND corrupt any
+        # census built on the output (bowtie regions) — fail loudly
+        raise RuntimeError(
+            f"strongly_connected_components: {live_nodes.count()} "
+            f"nodes unresolved after max_rounds={max_rounds} peeling "
+            "rounds (a long chain of singleton SCCs in condensation "
+            "order); raise max_rounds")
     if out is None:
         spark_nodes = live_nodes
         return spark_nodes.select("id", F.col("id").alias("scc_id"))
@@ -1214,20 +1257,13 @@ def find_motif(triples: DataFrame, pattern: str,
 
     out_cols: list[str] = []
     acc = None
-    anon = 0
     for (sv, ptok, ov) in atoms:
         cols = [F.col("_s").alias(sv)]
         atom = t
         if ptok.startswith("?") and len(ptok) > 1:
-            pv = ptok[1:]
-            cols.append(F.col("_p").alias(pv))
-            new_vars = [sv, pv, ov]
-        elif ptok == "" or ptok == "?":
-            anon += 1
-            new_vars = [sv, ov]
-        else:
+            cols.append(F.col("_p").alias(ptok[1:]))
+        elif ptok not in ("", "?"):
             atom = atom.filter(F.col("_p") == F.lit(ptok))
-            new_vars = [sv, ov]
         if ov == sv:
             atom = atom.filter(F.col("_s") == F.col("_o"))
         else:
@@ -1339,13 +1375,19 @@ def powerlaw_ingredients(values: DataFrame, value_col: str,
     term_int = F.round(
         F.log(F.col("d").cast("double") / F.lit(float(d_min) - 0.5))
         * F.lit(1000000.0), 0).cast("long")
+    # coalesce: aggregates over an EMPTY census are NULL — the
+    # empty-input contract is one all-zeros row (dyad_census rule)
     return (census.agg(
-        F.sum("n_d").cast("long").alias("n_nodes"),
-        F.sum(F.when(F.col("d") >= d_min, F.col("n_d"))
-              .otherwise(F.lit(0))).cast("long").alias("n_tail"),
-        F.max("d").cast("long").alias("max_degree"),
-        F.sum(F.when(F.col("d") >= d_min, term_int * F.col("n_d"))
-              .otherwise(F.lit(0).cast("long")))
+        F.coalesce(F.sum("n_d"), F.lit(0)).cast("long")
+        .alias("n_nodes"),
+        F.coalesce(F.sum(F.when(F.col("d") >= d_min, F.col("n_d"))
+                         .otherwise(F.lit(0))), F.lit(0))
+        .cast("long").alias("n_tail"),
+        F.coalesce(F.max("d"), F.lit(0)).cast("long")
+        .alias("max_degree"),
+        F.coalesce(F.sum(F.when(F.col("d") >= d_min,
+                                term_int * F.col("n_d"))
+                         .otherwise(F.lit(0).cast("long"))), F.lit(0))
         .cast("long").alias("sum_log_1e6"))
         .select("n_nodes", "n_tail",
                 F.lit(int(d_min)).cast("long").alias("d_min"),
@@ -1442,8 +1484,11 @@ def spam_mass(edges: DataFrame, trusted: DataFrame, src: str = "src",
     sequential job chain is half as long — the wall-clock win at toy
     scale, and one fewer full rank-exchange per round at any scale.
     """
-    pairs = edges.select(F.col(src).alias("src"),
-                         F.col(dst).alias("dst")).distinct()
+    pairs = (edges.select(F.col(src).alias("src"),
+                          F.col(dst).alias("dst"))
+             .filter(F.col("src").isNotNull()
+                     & F.col("dst").isNotNull())
+             .distinct())
     nodes = (
         pairs.select(F.col("src").alias("id"))
         .unionByName(pairs.select(F.col("dst").alias("id")))
@@ -1535,16 +1580,7 @@ def landmark_distances(edges: DataFrame, landmarks: DataFrame,
     in the SAME frontier, so the index costs one BFS sweep, not one
     per landmark.
     """
-    sym = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .unionByName(
-            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
-            .filter(F.col("src") != F.col("dst")))
-        .distinct()
-        .repartition(F.col("src"))
-        .persist()
-    )
+    sym = _sym_partitioned(edges, src, dst)
     lm = landmarks.select(
         F.col(landmarks.columns[0]).alias("landmark")).distinct()
     # keep only landmarks that are actual endpoints (dist-0 seeds)
@@ -1702,17 +1738,7 @@ def stress_centrality(edges: DataFrame, sources: DataFrame,
     combinatorially on dense graphs — BIGINT holds to ~2^63, so cap
     ``max_hops`` (the horizon is also the variance knob) rather
     than sweeping deep on high-degree webgraphs."""
-    sym = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .unionByName(
-            edges.select(F.col(dst).alias("src"),
-                         F.col(src).alias("dst"))
-            .filter(F.col("src") != F.col("dst")))
-        .distinct()
-        .repartition(F.col("src"))
-        .persist()
-    )
+    sym = _sym_partitioned(edges, src, dst)
     piv = sources.select(
         F.col(sources.columns[0]).alias("s")).distinct()
     frontier = (
@@ -1841,6 +1867,8 @@ def salsa(edges: DataFrame, src: str = "src",
 
     pairs = (edges.select(F.col(src).alias("src"),
                           F.col(dst).alias("dst"))
+             .filter(F.col("src").isNotNull()
+                     & F.col("dst").isNotNull())
              .distinct().persist())
 
     def _side(end_col: str, other_col: str, side_name: str):
@@ -1865,7 +1893,10 @@ def salsa(edges: DataFrame, src: str = "src",
                  .agg(F.count("*").cast("long").alias("comp_size"),
                       F.sum("deg").cast("long").alias("comp_deg")))
         tot = lab.agg(F.count("*").cast("long").alias("n_side"))
-        return (lab.join(F.broadcast(stats), "comp")
+        # no forced broadcast: the per-component stats frame is
+        # data-dependent (up to one row per node on a fragmented
+        # co-citation graph) — let the planner/AQE pick the strategy
+        return (lab.join(stats, "comp")
                 .crossJoin(F.broadcast(tot))
                 .select("id", F.lit(side_name).alias("side"), "deg",
                         "comp_size", "comp_deg", "n_side",
@@ -1958,36 +1989,54 @@ def dominant_matching(edges: DataFrame, src: str = "src",
     against both bests, two anti-joins to drop matched endpoints;
     the edge frame is localCheckpoint-ed so lineage stays flat.
     Exchanges carry (id, id, numeric) triples only."""
-    # parallel (u, v) edges fold to their max weight FIRST — the
-    # dominance test compares partners, so without this fold every
-    # parallel copy of a dominant pair would match (found by the
-    # multigraph property test)
+    # parallel (u, v) edges — and the REVERSE orientation of the
+    # same undirected pair — fold to one row FIRST (max weight, ties
+    # to the max-struct orientation — deterministic): the dominance
+    # test compares partners, so without the fold every parallel or
+    # reversed copy of a dominant pair would match (multigraph
+    # property test; r5 review). Self-loops are dropped like every
+    # other operator here — a node cannot partner itself.
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"),
                       F.col(weight).alias("w"))
          .filter(F.col("w").isNotNull() & F.col("u").isNotNull()
-                 & F.col("v").isNotNull())
-         .groupBy("u", "v").agg(F.max("w").alias("w"))
+                 & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
+         .withColumn("_k1", F.least("u", "v"))
+         .withColumn("_k2", F.greatest("u", "v"))
+         .groupBy("_k1", "_k2")
+         .agg(F.max(F.struct("w", "u", "v")).alias("_m"))
+         .select(F.col("_m.u").alias("u"), F.col("_m.v").alias("v"),
+                 F.col("_m.w").alias("w"))
          .localCheckpoint(eager=True))
     out = None
     for _ in range(int(rounds)):
         if e.isEmpty():
             break
-        bu = (e.groupBy("u")
-              .agg(F.max(F.struct("w", "v")).alias("_b"))
-              .select("u", F.col("_b.v").alias("_bv")))
-        bv = (e.groupBy("v")
-              .agg(F.max(F.struct("w", "u")).alias("_b"))
-              .select("v", F.col("_b.u").alias("_bu")))
-        m = (e.join(bu, "u").join(bv, "v")
-             .filter((F.col("v") == F.col("_bv"))
-                     & (F.col("u") == F.col("_bu")))
+        # per-NODE best over BOTH incidences: a node appearing as src
+        # of one edge and dst of another (general graphs) has ONE
+        # best partner, not one per column — the per-column form
+        # matched such a node twice (r5 review; the bipartite caller
+        # masked it)
+        inc = (e.select(F.col("u").alias("n"), F.col("v").alias("p"),
+                        "w")
+               .unionByName(e.select(F.col("v").alias("n"),
+                                     F.col("u").alias("p"), "w")))
+        best = (inc.groupBy("n")
+                .agg(F.max(F.struct("w", "p")).alias("_b"))
+                .select("n", F.col("_b.p").alias("bp")))
+        m = (e.join(best.select(F.col("n").alias("u"),
+                                F.col("bp").alias("_bu")), "u")
+             .join(best.select(F.col("n").alias("v"),
+                               F.col("bp").alias("_bv")), "v")
+             .filter((F.col("_bu") == F.col("v"))
+                     & (F.col("_bv") == F.col("u")))
              .select("u", "v", "w")
              .localCheckpoint(eager=True))
         out = m if out is None else out.unionByName(m)
-        e = (e.join(m.select(F.col("u").alias("_mu")),
-                    e["u"] == F.col("_mu"), "left_anti")
-             .join(m.select(F.col("v").alias("_mv")),
-                   e["v"] == F.col("_mv"), "left_anti")
+        matched = (m.select(F.col("u").alias("_mn"))
+                   .unionByName(m.select(F.col("v").alias("_mn")))
+                   .distinct())
+        e = (e.join(matched, e["u"] == F.col("_mn"), "left_anti")
+             .join(matched, e["v"] == F.col("_mn"), "left_anti")
              .localCheckpoint(eager=True))
     if out is None:
         out = e.limit(0)

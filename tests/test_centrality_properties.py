@@ -273,3 +273,79 @@ def test_sorted_neighborhood_matches_bruteforce(spark):
                  for i in range(len(order))
                  for j in range(i + 1, min(i + 4, len(order))))
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# round-5 graph-analytics review regressions
+# ---------------------------------------------------------------------------
+
+
+def test_dominant_matching_general_graph_one_partner_per_node(spark):
+    """On non-bipartite input a node may appear in both edge columns;
+    its best partner is over BOTH incidences and it gets at most ONE
+    partner (r5 review finding: per-column bests matched node 2 twice
+    on {(1,2,10),(2,3,5)})."""
+    from knowledge_graph_spark.operators.graph_analytics import (
+        dominant_matching)
+
+    e = spark.createDataFrame(
+        [(1, 2, 10.0), (2, 3, 5.0)], "src long, dst long, w double")
+    rows = dominant_matching(e, weight="w").collect()
+    assert len(rows) == 1
+    assert (rows[0]["src"], rows[0]["dst"]) == (1, 2)
+    # self-loops never match
+    e2 = spark.createDataFrame(
+        [(7, 7, 100.0), (7, 8, 50.0)], "src long, dst long, w double")
+    rows2 = dominant_matching(e2, weight="w").collect()
+    assert [(r["src"], r["dst"]) for r in rows2] == [(7, 8)]
+
+
+def test_pagerank_null_endpoints_filtered_and_mass_conserved(spark):
+    from knowledge_graph_spark.operators.graph_analytics import pagerank
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", None), (None, "b")],
+        "src string, dst string")
+    rows = pagerank(e, iterations=5).collect()
+    assert {r["id"] for r in rows} == {"a", "b"}   # no NULL node
+    assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-9
+
+
+def test_weighted_sssp_null_weights_do_not_spread(spark):
+    from knowledge_graph_spark.operators.graph_analytics import (
+        weighted_shortest_paths)
+
+    e = spark.createDataFrame(
+        [("s", "a", None), ("a", "b", 2.0), ("s", "c", 1.0)],
+        "src string, dst string, w double")
+    sources = spark.createDataFrame([("s",)], "id string")
+    rows = {r["id"]: r["dist"] for r in
+            weighted_shortest_paths(e, sources=sources).collect()}
+    # a/b reachable only through the NULL-weight edge: absent, not
+    # NULL-dist rows
+    assert rows == {"s": 0.0, "c": 1.0}
+
+
+def test_scc_raises_loudly_on_round_exhaustion(spark):
+    import pytest
+
+    from knowledge_graph_spark.operators.graph_analytics import (
+        strongly_connected_components)
+
+    # an id-increasing path resolves ONE node per peel round
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src long, dst long")
+    with pytest.raises(RuntimeError):
+        strongly_connected_components(e, max_rounds=3)
+    out = strongly_connected_components(e, max_rounds=20)
+    assert out.count() == 9                     # every node labeled
+
+
+def test_degree_powerlaw_empty_input_zeros(spark):
+    from knowledge_graph_spark.operators.graph_analytics import (
+        powerlaw_ingredients)
+
+    empty = spark.createDataFrame([], "d long")
+    row = powerlaw_ingredients(empty, "d", d_min=2).collect()[0]
+    assert (row["n_nodes"], row["n_tail"], row["max_degree"],
+            row["sum_log_1e6"]) == (0, 0, 0, 0)
