@@ -46,9 +46,17 @@ def zorder_key2(col_a, col_b, bits: int = 16) -> Column:
 def zorder_key2_sql(col_a: str, col_b: str, bits: int = 16) -> str:
     """The same interleave as :func:`zorder_key2` as a SQL string
     valid in Spark SQL and DuckDB — the oracle embeds it so the two
-    engines share one bit-layout definition."""
+    engines share one bit-layout definition. Inputs are widened to
+    BIGINT FIRST (the Python twin's .cast('long')): a 32-bit column
+    shifted to bit position 31 would otherwise overflow at INTEGER
+    width — wrapping negative on Spark, erroring on DuckDB — and the
+    two engines' keys would silently diverge."""
+    if not 1 <= bits <= 31:
+        raise ValueError("zorder_key2_sql: bits must be in [1, 31]")
+    a = f"CAST({col_a} AS BIGINT)"
+    b = f"CAST({col_b} AS BIGINT)"
     terms = []
     for i in range(bits):
-        terms.append(f"((({col_a} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({col_b} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"

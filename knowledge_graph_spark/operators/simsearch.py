@@ -58,8 +58,14 @@ def _per_query_topk(scored: DataFrame, k: int,
     yields cosine 0/0 = NaN, and Spark orders NaN ABOVE every number —
     unguarded, every query's rank 1 would be a meaningless zero-vector
     match. A directionless vector has no defined similarity, so it is
-    excluded (row-local filter, before any exchange)."""
-    scored = scored.filter(~F.isnan(score_col))
+    excluded (row-local filter, before any exchange). NULL scores
+    (e.g. a ragged vector whose zip_with padded NULLs through the
+    dot product) are equally undefined and equally dropped —
+    isnan(NULL) is false, so a bare NaN filter would let them
+    through as rank-k garbage whenever a query has fewer than k
+    real candidates."""
+    scored = scored.filter(F.col(score_col).isNotNull()
+                           & ~F.isnan(score_col))
     order = F.asc(score_col) if ascending else F.desc(score_col)
     salt = F.pmod(F.xxhash64("vec_id"), F.lit(salt_buckets))
     w_local = Window.partitionBy("query_id", "_salt").orderBy(
@@ -135,6 +141,11 @@ def train_ivf_centroids(vectors: DataFrame, n_cells: int = 16,
                        F.col(vec_col).cast("array<double>").alias("vec"))
     first = v.select(F.size("vec").alias("d")).first()
     dim = first["d"] if first else 0
+    # ragged guard (the train_pq_codebook convention): a vector of a
+    # different dimension would crash the per-dim re-average under
+    # ANSI (INVALID_ARRAY_INDEX) or silently skew assignment via
+    # NULL-padded distances
+    v = v.filter(F.size("vec") == dim)
     n = v.count()
     if n > sample_cap:
         k = -(-n // sample_cap)  # ceil
@@ -431,6 +442,12 @@ def pq_encode(vectors: DataFrame, codebook: DataFrame | None = None,
     v = vectors.select(F.col(id_col).alias("vec_id"),
                        F.col(vec_col).cast("array<double>").alias("vec")) \
         .filter(F.size("vec") == m * sub_dim)
+    # a NaN component makes every codeword's distance NaN, so
+    # array_position misses (NaN != NaN in SQL equality) and the code
+    # becomes -1 — which pq_adc_topk's table lookup then hits as an
+    # ANSI INVALID_ARRAY_INDEX job kill. An undefined quantization is
+    # dropped like a ragged vector.
+    v = v.filter(~F.exists("vec", lambda x: F.isnan(x)))
 
     def _code(j):
         sub = F.slice("vec", j * sub_dim + 1, sub_dim)
@@ -501,17 +518,24 @@ def hard_negatives(vectors: DataFrame, queries: DataFrame, k: int = 10,
     filter drops same-label rows BEFORE any exchange, and the salted
     two-phase top-k keeps every reducer's input bounded. For 10^9-row
     corpora compose with the IVF path instead: assign queries to
-    probed cells, filter labels, then this ranking."""
+    probed cells, filter labels, then this ranking.
+
+    NULL labels are dropped on BOTH sides up front (mining is
+    label-driven; `label != qlabel` evaluates NULL against a NULL
+    label, which would silently yield zero negatives for a
+    NULL-labeled query and silently exclude NULL-labeled corpus
+    rows from every query — an explicit filter makes the contract
+    visible)."""
     v = vectors.select(F.col(id_col).alias("vec_id"),
                        F.col(label_col).alias("label"),
                        F.col(vec_col).alias("vec"),
                        _norm(vec_col).alias("vnorm")) \
-        .filter(F.col("vnorm") > 0)
+        .filter((F.col("vnorm") > 0) & F.col("label").isNotNull())
     q = queries.select(F.col(qid_col).alias("query_id"),
                        F.col(qlabel_col).alias("qlabel"),
                        F.col(qvec_col).alias("qvec"),
                        _norm(qvec_col).alias("qnorm")) \
-        .filter(F.col("qnorm") > 0)
+        .filter((F.col("qnorm") > 0) & F.col("qlabel").isNotNull())
     scored = (
         v.crossJoin(F.broadcast(q))
         .filter(F.col("label") != F.col("qlabel"))

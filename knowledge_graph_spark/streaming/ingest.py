@@ -96,18 +96,23 @@ def start_kg_ingest(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        sig = batch_df.agg(
-            F.expr("bit_xor(xxhash64(url, warc_ts, text, html))").alias("s")
-        ).first()["s"]
-        bid = f"stream/{graph_id}/{sig & 0xFFFFFFFFFFFFFFFF:016x}"
         # one trigger can deliver the same url twice (two file drops in
         # one batch): keep the newest crawl so downstream merges stay
-        # key-unique and node/triple tables never hold duplicate rows
+        # key-unique and node/triple tables never hold duplicate rows.
+        # Dedup BEFORE the content fingerprint: xor over a multiset
+        # self-cancels duplicate rows, so {A, A, B} would collide with
+        # an already-applied {B} batch and rows A would be skipped as
+        # a replay — silent data loss (r5 review finding). Over the
+        # url-unique frame the xor fold is duplication-free.
         w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
         batch_df = (
             batch_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn")
         )
+        sig = batch_df.agg(
+            F.expr("bit_xor(xxhash64(url, warc_ts, text, html))").alias("s")
+        ).first()["s"]
+        bid = f"stream/{graph_id}/{sig & 0xFFFFFFFFFFFFFFFF:016x}"
         # the micro-batch's own extraction IS the commit input — never
         # re-read the accumulated extracted table per trigger (that scan
         # is O(table), the opposite of incremental). persist() because
@@ -216,7 +221,19 @@ def streaming_dedup(
     content = F.col(content_col).cast("binary")
     if fallback_col and fallback_col in pages_stream.columns:
         content = F.coalesce(content, F.col(fallback_col).cast("binary"))
-    hashed = pages_stream.withColumn("_content_hash", F.sha2(content, 256))
+    ch = F.sha2(content, 256)
+    # content-LESS rows (both text and html NULL — failed fetches,
+    # redirect records) hash to NULL, and dropDuplicates groups NULL
+    # keys together: every such row in a horizon would collapse to
+    # one. Key them by url instead (distinct urls survive; a same-url
+    # resend still dedupes), or by a per-row uuid when no url column
+    # exists (no dedup is safer than collapsing distinct pages).
+    if "url" in pages_stream.columns:
+        fallback_key = F.concat(F.lit("nullcontent:"), F.col("url"))
+    else:
+        fallback_key = F.expr("uuid()")
+    hashed = pages_stream.withColumn(
+        "_content_hash", F.coalesce(ch, fallback_key))
     return (
         hashed.withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["_content_hash"])

@@ -11,22 +11,37 @@ CLOSED-session output matches the batch operator
 (:func:`knowledge_graph_spark.operators.events.sessionize`) exactly,
 so the streaming and batch paths are twin-checkable.
 
+Emission discipline (the append-sink correctness rule): a session may
+be emitted ONLY once the watermark has passed ``session_end + gap`` —
+before that, a late-but-still-accepted event (ts >= watermark) could
+attach to it (``ts - end <= gap``), and an append sink cannot retract.
+Sessions closed by an intra-batch gap therefore WAIT in state as
+"pending" until they mature; emitting them immediately (the pre-r5
+behavior) split sessions that a late event would have merged,
+breaking the batch-equivalence contract.
+
 State design (bounded, per the 100 TB rule):
-- one fixed-size tuple per OPEN session per user — (start_us, last_us,
-  n_events, total_value); closed sessions leave state immediately;
-- event-time timeout at ``last_ts + gap``: when the watermark passes
-  it, the open session closes and the key's state is removed — state
-  size is O(active users within the watermark horizon), not O(users
-  ever seen);
-- timestamps ride as int64 microseconds inside the state tuple (no
-  tz/py-datetime round-trips in the hot path).
+- one array of fixed-size session tuples per user — the OPEN session
+  plus any pending (gap-closed but not yet watermark-matured) ones;
+  pending sessions drain on the next invocation or timeout, so the
+  array length is bounded by the number of sessions a user can start
+  within one watermark horizon (horizon / gap);
+- event-time timeout at ``min(last) + gap``: when the watermark
+  passes the earliest session's close point, matured sessions emit
+  and state shrinks; the key's state is removed when nothing remains
+  — state size is O(active users within the watermark horizon);
+- timestamps ride as int64 microseconds inside the state tuples (no
+  tz/py-datetime round-trips in the hot path). NULL event values
+  count 0 toward ``total_value`` (the batch ``F.sum`` skips NULLs)
+  and the emitted total is rounded to 4 dp like the batch twin.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
-    DoubleType, LongType, StructField, StructType, TimestampType,
+    ArrayType, DoubleType, LongType, StructField, StructType,
+    TimestampType,
 )
 
 SESSION_OUTPUT = StructType([
@@ -37,12 +52,14 @@ SESSION_OUTPUT = StructType([
     StructField("total_value", DoubleType()),
 ])
 
-_STATE = StructType([
+_SESSION = StructType([
     StructField("start_us", LongType()),
     StructField("last_us", LongType()),
     StructField("n", LongType()),
     StructField("total", DoubleType()),
 ])
+
+_STATE = StructType([StructField("sessions", ArrayType(_SESSION))])
 
 
 def sessionize_stream(events_stream: DataFrame, gap_minutes: int = 30,
@@ -50,29 +67,52 @@ def sessionize_stream(events_stream: DataFrame, gap_minutes: int = 30,
     """events stream (event_id, ts, user_id, event_type, value) ->
     stream of CLOSED sessions (append mode).
 
-    A session closes when (a) a later event of the same user arrives
-    more than ``gap`` after it (intra-stream close), or (b) the
-    watermark passes ``last_ts + gap`` (event-time timeout)."""
+    A session EMITS only when the watermark passes ``last_ts + gap``
+    (whether the gap was observed intra-stream or via event-time
+    timeout) — the earliest moment no acceptable event can still
+    attach. NULL user_id / ts rows are dropped like the batch
+    operator (they would stitch unrelated events into fake
+    sessions)."""
     import pandas as pd
 
     gap_us = gap_minutes * 60 * 1_000_000
 
-    def _emit(user: int, s: tuple) -> "pd.DataFrame":
-        start_us, last_us, n, total = s
+    def _emit(user: int, sessions: list) -> "pd.DataFrame":
         return pd.DataFrame([{
             "user_id": user,
-            "session_start": pd.Timestamp(start_us, unit="us"),
-            "session_end": pd.Timestamp(last_us, unit="us"),
-            "n_events": n,
-            "total_value": total,
-        }])
+            "session_start": pd.Timestamp(s[0], unit="us"),
+            "session_end": pd.Timestamp(s[1], unit="us"),
+            "n_events": s[2],
+            "total_value": round(s[3], 4),
+        } for s in sorted(sessions)])
+
+    def _split(sessions: list, wm_us: int):
+        """(matured, kept): a session is safe to emit iff the
+        watermark passed last + gap."""
+        matured = [s for s in sessions if s[1] + gap_us < wm_us]
+        kept = [s for s in sessions if s[1] + gap_us >= wm_us]
+        return matured, kept
+
+    def _flush(user, state, sessions):
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        matured, kept = _split(sessions, wm_us)
+        if kept:
+            state.update((kept,))
+            # fire when the earliest remaining session matures; the
+            # timestamp must sit strictly past the current watermark
+            nxt_ms = min(s[1] + gap_us for s in kept) // 1000 + 1
+            state.setTimeoutTimestamp(max(nxt_ms,
+                                          state.getCurrentWatermarkMs() + 1))
+        else:
+            state.remove()
+        if matured:
+            yield _emit(user, matured)
 
     def fn(key, pdfs, state):
         user = key[0]
         if state.hasTimedOut:
-            s = tuple(state.get)
-            state.remove()
-            yield _emit(user, s)
+            (sessions,) = state.get
+            yield from _flush(user, state, [tuple(s) for s in sessions])
             return
         frames = [pdf for pdf in pdfs if len(pdf)]
         if not frames:
@@ -81,36 +121,35 @@ def sessionize_stream(events_stream: DataFrame, gap_minutes: int = 30,
         ts_us = (rows["ts"].astype("int64") // 1000).to_numpy()
         vals = rows["value"].to_numpy()
 
-        # Interval-merge the batch's events WITH the stored open session
-        # as one atom [start,last]. applyInPandasWithState delivers
-        # late-but-within-watermark rows, so a batch may carry events
-        # OLDER than the open session — a naive "extend last" walk would
-        # regress last_us and split sessions batch order would keep.
-        # The atom merge is exact: an event inside the span always
-        # attaches (consecutive session gaps are <= gap, so both
-        # sub-gaps of any interior insertion are too), and events before
-        # the span chain exactly as a global sort would.
-        items = [(int(t), int(t), 1, float(v)) for t, v in zip(ts_us, vals)]
+        # Interval-merge the batch's events WITH every stored session
+        # atom. applyInPandasWithState delivers late-but-within-
+        # watermark rows, so a batch may carry events OLDER than a
+        # pending session — the atom merge attaches them exactly as a
+        # global sort would (consecutive session gaps are <= gap, so
+        # both sub-gaps of any interior insertion are too).
+        items = [(int(t), int(t), 1,
+                  0.0 if pd.isna(v) else float(v))
+                 for t, v in zip(ts_us, vals)]
         if state.exists:
-            items.append(tuple(state.get))
+            (sessions,) = state.get
+            items.extend(tuple(s) for s in sessions)
         items.sort(key=lambda x: (x[0], x[1]))
-        closed = []
+        merged = []
         cur = items[0]
         for it in items[1:]:
             if it[0] - cur[1] <= gap_us:
                 cur = (cur[0], max(cur[1], it[1]),
                        cur[2] + it[2], cur[3] + it[3])
             else:
-                closed.append(cur)
+                merged.append(cur)
                 cur = it
-        state.update(cur)
-        # event-time timeout: fire when the watermark passes last + gap
-        state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
-        for s in closed:
-            yield _emit(user, s)
+        merged.append(cur)
+        yield from _flush(user, state, merged)
 
     return (
-        events_stream.withWatermark("ts", watermark)
+        events_stream
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,

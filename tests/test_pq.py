@@ -242,3 +242,68 @@ def test_curate_rejects_unknown_gate_keys(spark):
                                  "doc_id long, text string, source string")
     with _pytest.raises(ValueError):
         curate_corpus(docs, gates={"max_top2gram_frac": 0.2})  # typo
+
+
+# ---------------------------------------------------------------------------
+# round-5 simsearch/streaming review regressions
+# ---------------------------------------------------------------------------
+
+
+def test_topk_ragged_vectors_never_rank(spark):
+    """A shorter vector NULL-pads through the dot product; NULL
+    cosine must be dropped like NaN, not survive as rank-k garbage."""
+    from knowledge_graph_spark.operators.simsearch import (
+        brute_force_topk)
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.5])],       # ragged corpus
+        "vec_id long, embedding array<double>")
+    qs = spark.createDataFrame(
+        [(10, [1.0, 0.0])], "query_id long, query_vec array<double>")
+    rows = brute_force_topk(vecs, qs, k=5).collect()
+    assert all(r["cosine"] is not None for r in rows)
+    assert {r["vec_id"] for r in rows} == {1}
+
+
+def test_ivf_training_ignores_ragged_vectors(spark):
+    from knowledge_graph_spark.operators.simsearch import (
+        train_ivf_centroids)
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)] + [(99, [1.0])],
+        "vec_id long, embedding array<double>")
+    cent = train_ivf_centroids(vecs, n_cells=2, n_iter=2).collect()
+    assert len(cent) == 2
+    assert all(len(c["centroid"]) == 2 for c in cent)
+
+
+def test_pq_encode_drops_nan_vectors(spark):
+    from knowledge_graph_spark.operators.simsearch import (
+        pq_adc_topk, pq_encode, train_pq_codebook)
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5), 1.0, 0.5]) for i in range(12)],
+        "vec_id long, embedding array<double>")
+    cb = train_pq_codebook(vecs, m=2, n_codes=4)
+    bad = spark.createDataFrame(
+        [(100, [float("nan"), 1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>")
+    codes = pq_encode(vecs.unionByName(bad), codebook=cb)
+    assert codes.filter(F.col("vec_id") == 100).count() == 0
+    # and the ADC ranking over the clean codes still runs
+    qs = spark.createDataFrame(
+        [(1, [0.0, 1.0, 1.0, 0.5])], "query_id long, query_vec array<double>")
+    assert pq_adc_topk(codes, qs, codebook=cb, k=3).count() == 3
+
+
+def test_zorder_sql_wide_ints_match_python_twin(spark):
+    from knowledge_graph_spark.functions.layout import (
+        zorder_key2, zorder_key2_sql)
+
+    df = spark.createDataFrame(
+        [(40000, 40000), (1, 2), (65535, 65535)], "a int, b int")
+    out = df.select(
+        zorder_key2("a", "b").alias("py"),
+        F.expr(zorder_key2_sql("a", "b")).alias("sql")).collect()
+    for r in out:
+        assert r["py"] == r["sql"] and r["py"] >= 0
