@@ -2737,9 +2737,10 @@ links AS (
         FROM lk)
 ),
 pairs AS (
-  SELECT lower(trim(anchor)) AS anchor_key, target,
+  SELECT lower(regexp_replace(trim(anchor), '\s+', ' ', 'g'))
+           AS anchor_key, target,
          CAST(COUNT(*) AS BIGINT) AS n_pair
-  FROM links WHERE lower(trim(anchor)) != ''
+  FROM links WHERE lower(trim(anchor)) != '' AND target <> ''
   GROUP BY 1, 2
 ),
 best AS (

@@ -38,10 +38,18 @@ _RE_BOILERPLATE_TAGS = re.compile(
     r"<(nav|header|footer|aside)\b[^>]*>.*?</\1\s*>",
     re.IGNORECASE | re.DOTALL,
 )
-# div/section/ul with boilerplate-ish class or id (non-nested contract)
+# div/section/ul with boilerplate-ish class or id (non-nested
+# contract). The attribute NAME is anchored on whitespace — without
+# it, 'id' matched as a substring of data-testid/aria-describedby and
+# whole CONTENT divs were silently deleted. Values match in double
+# quotes, single quotes, or unquoted (all legal HTML).
+_BP_WORDS = r"(?:nav|menu|footer|banner|sidebar|advert|cookie|breadcrumb)"
 _RE_BOILERPLATE_CLASS = re.compile(
-    r"<(div|section|ul|span)\b[^>]*(?:class|id)\s*=\s*\"[^\"]*"
-    r"(?:nav|menu|footer|banner|sidebar|advert|cookie|breadcrumb)[^\"]*\"[^>]*>.*?</\1\s*>",
+    r"<(div|section|ul|span)\b[^>]*\s(?:class|id)\s*=\s*"
+    r"(?:\"[^\"]*" + _BP_WORDS + r"[^\"]*\""
+    r"|'[^']*" + _BP_WORDS + r"[^']*'"
+    r"|[^\s>\"']*" + _BP_WORDS + r"[^\s>]*)"
+    r"[^>]*>.*?</\1\s*>",
     re.IGNORECASE | re.DOTALL,
 )
 _RE_BLOCK_TAGS = re.compile(
@@ -50,25 +58,28 @@ _RE_BLOCK_TAGS = re.compile(
     re.IGNORECASE,
 )
 _RE_ANY_TAG = re.compile(r"<[^>]+>")
-_RE_CHARREF = re.compile(r"&#(\d+);|&#x([0-9a-fA-F]+);")
+# ONE left-to-right pass over numeric charrefs (decimal + hex, either
+# X case — HTML permits '&#X41;') AND the five named entities: the old
+# two-pass form decoded '&#38;' -> '&' FIRST, and the synthesized
+# '&amp;'/'&lt;' then got re-interpreted by the named-entity pass —
+# double-unescaping that broke the byte-identical contract. re.sub
+# never rescans its own replacements, so the single pass is exact.
+_RE_ENTITY = re.compile(
+    r"&#(\d+);|&#[xX]([0-9a-fA-F]+);|&(lt|gt|quot|amp|nbsp);")
 
-_ENTITIES = [
-    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),  # &amp; last
-]
+_NAMED = {"lt": "<", "gt": ">", "quot": '"', "amp": "&", "nbsp": " "}
 
 
 def _unescape(text: str) -> str:
-    def charref(m: re.Match) -> str:
+    def rep(m: re.Match) -> str:
+        if m.group(3):
+            return _NAMED[m.group(3)]
         code = int(m.group(1)) if m.group(1) else int(m.group(2), 16)
         try:
             return chr(code)
         except (ValueError, OverflowError):
             return ""
-    text = _RE_CHARREF.sub(charref, text)
-    for ent, ch in _ENTITIES:
-        text = text.replace(ent, ch)
-    return text
+    return _RE_ENTITY.sub(rep, text)
 
 
 def html_to_text(html: str | bytes | None) -> str:

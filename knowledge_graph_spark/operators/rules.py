@@ -149,16 +149,21 @@ def characteristic_sets(triples: DataFrame,
         .filter(F.col("s").isNotNull() & F.col("p").isNotNull())
         .groupBy("s")
         .agg(
-            F.concat_ws(
-                ",", F.sort_array(F.collect_set("p"))).alias("char_set"),
-            F.size(F.collect_set("p")).cast("long").alias("set_size"),
+            F.sort_array(F.collect_set("p")).alias("_set"),
             F.count("*").cast("long").alias("n_t"),
         )
     )
+    # group by the predicate ARRAY itself, not its comma-join: with
+    # comma-bearing predicate names, {'a,b','c'} and {'a','b,c'}
+    # share the joined string and would merge into one bogus census
+    # row; the join is display-only
     return (
-        per_subj.groupBy("char_set", "set_size")
+        per_subj.groupBy("_set")
         .agg(F.count("*").cast("long").alias("n_subjects"),
              F.sum("n_t").cast("long").alias("n_triples"))
+        .select(F.array_join("_set", ",").alias("char_set"),
+                F.size("_set").cast("long").alias("set_size"),
+                "n_subjects", "n_triples")
     )
 
 

@@ -74,7 +74,7 @@ def extract_wikilinks(pages: DataFrame, id_col: str = "doc_id",
         "doc_id",
         _normalize_target(target_raw).alias("target"),
         F.trim(anchor).alias("anchor"),
-    )
+    ).filter(F.col("target") != "")  # pipe-trick '[[|x]]' has no target
 
 
 def anchor_summary(links: DataFrame, k: int = 5) -> DataFrame:
@@ -136,7 +136,13 @@ def commonness_dictionary(links: DataFrame) -> DataFrame:
     implemented as a second aggregation + join on ``anchor_key``; both
     exchanges carry ``(string, string, long)`` rows."""
     pairs = (
-        links.select(F.lower(F.trim("anchor")).alias("anchor_key"),
+        # the key collapses internal whitespace runs too: consumer
+        # surfaces (distant_labels / link_mentions candidates) are
+        # single-space token joins, so a multi-space anchor would
+        # otherwise never match anything
+        links.select(F.lower(F.regexp_replace(F.trim("anchor"),
+                                              r"\s+", " "))
+                     .alias("anchor_key"),
                      "target")
         .filter(F.col("anchor_key") != "")
         .groupBy("anchor_key", "target")

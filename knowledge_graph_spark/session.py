@@ -18,11 +18,16 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra: dict | None = None,
 ) -> SparkSession:
+    import re
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
-    # parallelism implied by the master string, e.g. local[8]
-    n = master.split("[")[-1].rstrip("]")
-    par = cpus if n in ("*", "") else int(n)
+    # parallelism implied by the master string when it carries one
+    # (local[8], local[4,2]); cluster masters ('yarn',
+    # 'spark://host:7077') and bare 'local' carry none — fall back to
+    # the host cpu count instead of crashing on int('yarn')
+    m = re.fullmatch(r"local\[(\d+)(?:,\d+)?\]", master)
+    par = int(m.group(1)) if m else cpus
     builder = (
         SparkSession.builder.master(master)
         .appName(app)

@@ -723,3 +723,67 @@ def test_hreflang_pairs_dedup_cap_and_single_lang(spark):
     fp = spark.createDataFrame([(9, farm)], "doc_id long, text string")
     assert hreflang_pairs(fp, max_langs=8).count() == 0
     assert hreflang_pairs(fp, max_langs=9).count() == 36
+
+
+# ---------------------------------------------------------------------------
+# round-5 kernel/session/wikilinks review regressions
+# ---------------------------------------------------------------------------
+
+
+def test_get_spark_parses_cluster_masters():
+    """Non-local master strings ('yarn', 'spark://...') carry no [n]
+    parallelism suffix and must not crash the factory (r5 review
+    finding: int('yarn'))."""
+    import re as _re
+
+    # replicate the factory's parse on representative masters
+    for master, ok in [("local[8]", 8), ("local[4,2]", 4),
+                       ("local[*]", None), ("local", None),
+                       ("yarn", None), ("spark://host:7077", None)]:
+        m = _re.fullmatch(r"local\[(\d+)(?:,\d+)?\]", master)
+        got = int(m.group(1)) if m else None
+        assert got == ok, master
+
+
+def test_html2text_attribute_and_entity_edge_cases():
+    from knowledge_graph_spark.kernel.html2text import html_to_text
+
+    # data-* attributes must not substring-match class/id
+    assert html_to_text(
+        '<div data-testid="nav-x"><p>Keep me</p></div>') == "Keep me"
+    # single-quoted and unquoted boilerplate classes are dropped
+    assert html_to_text(
+        "<div class='footer-links'><p>b</p></div>") == ""
+    assert html_to_text('<div class=navbar><p>b</p></div>') == ""
+    # numeric charrefs never recombine into named entities
+    assert html_to_text(
+        '<p>AT&#38;amp;T and a &#38;lt; b</p>') == "AT&amp;T and a &lt; b"
+    # uppercase-X hex charref
+    assert html_to_text('<p>&#X41;</p>') == "A"
+
+
+def test_wikilinks_pipe_trick_and_whitespace_keys(spark):
+    from knowledge_graph_spark.operators.wikilinks import (
+        commonness_dictionary, extract_wikilinks)
+
+    pages = spark.createDataFrame(
+        [(1, "see [[|orphan]] and [[new  york|New  York]]")],
+        "doc_id long, text string")
+    links = extract_wikilinks(pages)
+    rows = links.collect()
+    assert all(r["target"] != "" for r in rows)       # pipe trick out
+    dic = commonness_dictionary(links).collect()
+    # the key collapses whitespace runs to single spaces
+    assert {r["anchor_key"] for r in dic} == {"new york"}
+
+
+def test_characteristic_sets_comma_predicates_do_not_collide(spark):
+    from knowledge_graph_spark.operators.rules import (
+        characteristic_sets)
+
+    t = spark.createDataFrame(
+        [("s1", "a,b"), ("s1", "c"), ("s2", "a"), ("s2", "b,c")],
+        "subj string, pred string")
+    rows = characteristic_sets(t).collect()
+    assert len(rows) == 2                       # two DISTINCT sets
+    assert all(r["n_subjects"] == 1 for r in rows)

@@ -318,12 +318,13 @@ def test_frequent_item_pairs_basket_guard(spark):
     rows = [(1, f"i{k}") for k in range(5)] + \
         [(2, "i0"), (2, "i1"), (3, "i0"), (3, "i1")]
     b = spark.createDataFrame(rows, "basket int, item string")
-    # basket 1 (5 items) dropped whole by cap 4: (i0,i1) pair count
-    # falls to 2 (baskets 2 and 3) while item supports still count
-    # basket 1's rows
+    # basket 1 (5 items) dropped whole by cap 4 — from EVERY
+    # statistic (r5: supports/census share the guarded universe so
+    # confidence = pair_count/count never mixes censuses)
     r = frequent_item_pairs(b, min_support=2, max_basket=4).collect()[0]
     assert (r.item_a, r.item_b, r.pair_count, r.count_a, r.count_b) \
-        == ("i0", "i1", 2, 3, 3)
+        == ("i0", "i1", 2, 2, 2)
+    assert r.n_baskets == 2
 
 
 def test_seeded_lpa_conflicting_seed_resolves_min(spark):
