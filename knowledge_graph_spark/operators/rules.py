@@ -35,6 +35,81 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _fold_kb(triples: DataFrame, subj_col: str, pred_col: str,
+             obj_col: str) -> DataFrame:
+    """NULL-filtered distinct (s, p, o) KB, pinned with one eager
+    localCheckpoint — THE fold every mining/application entry point
+    shares (referenced multiple times downstream; each reference
+    would otherwise re-execute the distinct shuffle)."""
+    return (triples.select(F.col(subj_col).alias("s"),
+                           F.col(pred_col).alias("p"),
+                           F.col(obj_col).alias("o"))
+            .filter(F.col("s").isNotNull() & F.col("p").isNotNull()
+                    & F.col("o").isNotNull())
+            .distinct()
+            .localCheckpoint(eager=True))
+
+
+def _body_sides(t: DataFrame, max_z_degree: int | None = None):
+    """(left, right) chain-body atom projections with the per-z hub
+    guard applied BEFORE the join fans out."""
+    left = t.select(F.col("s").alias("x"), F.col("p").alias("r1"),
+                    F.col("o").alias("z"))
+    right = t.select(F.col("s").alias("z"), F.col("p").alias("r2"),
+                     F.col("o").alias("y"))
+    if max_z_degree is not None:
+        zcap = int(max_z_degree)
+        z_out = (left.groupBy("z").agg(F.count("*").alias("_d"))
+                 .filter(F.col("_d") <= zcap).select("z"))
+        z_in = (right.groupBy("z").agg(F.count("*").alias("_d"))
+                .filter(F.col("_d") <= zcap).select("z"))
+        left = left.join(z_out, "z", "leftsemi")
+        right = right.join(z_in, "z", "leftsemi")
+    return left, right
+
+
+def _mine_counters(body: DataFrame, t: DataFrame,
+                   min_support: int) -> DataFrame:
+    """support / body_pairs / pca_pairs over a PINNED body — the one
+    source of truth for the AMIE counters (amie_rules and complete_kb
+    both compose it; a fix here propagates to both)."""
+    heads = t.select(F.col("p").alias("r3"), F.col("s").alias("x"),
+                     F.col("o").alias("y"))
+    support = (body.join(heads, ["x", "y"])
+               .groupBy("r1", "r2", "r3")
+               .agg(F.count("*").cast("long").alias("support"))
+               .filter(F.col("support") >= int(min_support)))
+    body_n = (body.groupBy("r1", "r2")
+              .agg(F.count("*").cast("long").alias("body_pairs")))
+    # PCA denominator: body pairs whose x has SOME r3 edge. One
+    # distinct (r3, x) table joined on x — (predicate, subject)
+    # pairs, orders below the body size.
+    r3x = heads.select("r3", "x").distinct()
+    pca = (body.join(r3x, "x")
+           .groupBy("r1", "r2", "r3")
+           .agg(F.count("*").cast("long").alias("pca_pairs")))
+    return (support
+            .join(body_n, ["r1", "r2"])
+            .join(pca, ["r1", "r2", "r3"])
+            .select("r1", "r2", "r3", "support", "body_pairs",
+                    "pca_pairs"))
+
+
+def _infer_heads(body: DataFrame, rules: DataFrame,
+                 t: DataFrame) -> DataFrame:
+    """Candidate heads from body x broadcast rules, minus triples the
+    KB already asserts — shared by apply_rules and complete_kb."""
+    cand = (body.join(F.broadcast(rules), ["r1", "r2"])
+            .select("x", F.col("r3").alias("p"), F.col("y").alias("o"),
+                    "r1", "r2", "support", "body_pairs", "pca_pairs"))
+    return (cand.join(t.select(F.col("s").alias("x"), "p",
+                               F.col("o").alias("o")),
+                      ["x", "p", "o"], "left_anti")
+            .select(F.col("x").alias("subj"), F.col("p").alias("pred"),
+                    F.col("o").alias("obj"), "r1", "r2", "support",
+                    "body_pairs", "pca_pairs"))
+
+
 def amie_rules(triples: DataFrame,
                subj_col: str = "subj", pred_col: str = "pred",
                obj_col: str = "obj",
@@ -71,58 +146,21 @@ def amie_rules(triples: DataFrame,
     # ``assume_distinct`` skips that fold for callers who pin an
     # already-deduped NULL-free KB (e.g. mine-then-apply pipelines
     # that localCheckpoint the KB once and share it).
-    t = (triples.select(F.col(subj_col).alias("s"),
-                        F.col(pred_col).alias("p"),
-                        F.col(obj_col).alias("o")))
-    if not assume_distinct:
-        t = (t.filter(F.col("s").isNotNull() & F.col("p").isNotNull()
-                      & F.col("o").isNotNull())
-             .distinct()
-             .localCheckpoint(eager=True))
+    if assume_distinct:
+        t = triples.select(F.col(subj_col).alias("s"),
+                           F.col(pred_col).alias("p"),
+                           F.col(obj_col).alias("o"))
+    else:
+        t = _fold_kb(triples, subj_col, pred_col, obj_col)
 
-    left = t.select(F.col("s").alias("x"), F.col("p").alias("r1"),
-                    F.col("o").alias("z"))
-    right = t.select(F.col("s").alias("z"), F.col("p").alias("r2"),
-                     F.col("o").alias("y"))
-    if max_z_degree is not None:
-        zcap = int(max_z_degree)
-        z_out = (left.groupBy("z").agg(F.count("*").alias("_d"))
-                 .filter(F.col("_d") <= zcap).select("z"))
-        z_in = (right.groupBy("z").agg(F.count("*").alias("_d"))
-                .filter(F.col("_d") <= zcap).select("z"))
-        left = left.join(z_out, "z", "leftsemi")
-        right = right.join(z_in, "z", "leftsemi")
-
+    left, right = _body_sides(t, max_z_degree)
     # body paths, collapsed to distinct (r1, r2, x, y) — the same
     # (x, y) reachable through two z values counts once, per the
     # AMIE support definition
     body = (left.join(right, "z")
             .select("r1", "r2", "x", "y").distinct()
             .localCheckpoint(eager=True))
-
-    heads = t.select(F.col("p").alias("r3"), F.col("s").alias("x"),
-                     F.col("o").alias("y"))
-    support = (body.join(heads, ["x", "y"])
-               .groupBy("r1", "r2", "r3")
-               .agg(F.count("*").cast("long").alias("support"))
-               .filter(F.col("support") >= int(min_support)))
-
-    body_n = (body.groupBy("r1", "r2")
-              .agg(F.count("*").cast("long").alias("body_pairs")))
-
-    # PCA denominator: body pairs whose x has SOME r3 edge. One
-    # distinct (r3, x) table joined on x — (predicate, subject)
-    # pairs, orders below the body size.
-    r3x = heads.select("r3", "x").distinct()
-    pca = (body.join(r3x, "x")
-           .groupBy("r1", "r2", "r3")
-           .agg(F.count("*").cast("long").alias("pca_pairs")))
-
-    return (support
-            .join(body_n, ["r1", "r2"])
-            .join(pca, ["r1", "r2", "r3"])
-            .select("r1", "r2", "r3", "support", "body_pairs",
-                    "pca_pairs"))
+    return _mine_counters(body, t, min_support)
 
 
 def characteristic_sets(triples: DataFrame,
@@ -273,22 +311,17 @@ def apply_rules(triples: DataFrame, rules: DataFrame,
                  >= int(min_conf_pct) * F.col("body_pairs"))
          .localCheckpoint(eager=True))
 
-    t = (triples.select(F.col(subj_col).alias("s"),
-                        F.col(pred_col).alias("p"),
-                        F.col(obj_col).alias("o")))
-    if not assume_distinct:
-        # ``assume_distinct`` skips the fold for callers who pin an
-        # already-deduped NULL-free KB (the mine-then-apply pipeline
-        # shares one localCheckpoint across both operators)
-        t = (t.filter(F.col("s").isNotNull() & F.col("p").isNotNull()
-                      & F.col("o").isNotNull())
-             .distinct()
-             .localCheckpoint(eager=True))
+    if assume_distinct:
+        # skips the fold for callers who pin an already-deduped
+        # NULL-free KB (the mine-then-apply pipeline shares one
+        # localCheckpoint across both operators)
+        t = triples.select(F.col(subj_col).alias("s"),
+                           F.col(pred_col).alias("p"),
+                           F.col(obj_col).alias("o"))
+    else:
+        t = _fold_kb(triples, subj_col, pred_col, obj_col)
 
-    left = t.select(F.col("s").alias("x"), F.col("p").alias("r1"),
-                    F.col("o").alias("z"))
-    right = t.select(F.col("s").alias("z"), F.col("p").alias("r2"),
-                     F.col("o").alias("y"))
+    left, right = _body_sides(t)
     # restrict each side to predicates any surviving rule uses —
     # broadcast semi joins that prune the body join's inputs before
     # the z-hash exchange
@@ -299,15 +332,7 @@ def apply_rules(triples: DataFrame, rules: DataFrame,
 
     body = (left.join(right, "z")
             .select("r1", "r2", "x", "y").distinct())
-    cand = (body.join(F.broadcast(r), ["r1", "r2"])
-            .select("x", F.col("r3").alias("p"), F.col("y").alias("o"),
-                    "r1", "r2", "support", "body_pairs", "pca_pairs"))
-    return (cand.join(t.select(F.col("s").alias("x"), "p",
-                               F.col("o").alias("o")),
-                      ["x", "p", "o"], "left_anti")
-            .select(F.col("x").alias("subj"), F.col("p").alias("pred"),
-                    F.col("o").alias("obj"), "r1", "r2", "support",
-                    "body_pairs", "pca_pairs"))
+    return _infer_heads(body, r, t)
 
 
 def predicate_stats(triples: DataFrame,
@@ -377,56 +402,13 @@ def complete_kb(triples: DataFrame,
     of the (tiny) mined-rule table back onto it, one existing-head
     anti join.
     """
-    t = (triples.select(F.col(subj_col).alias("s"),
-                        F.col(pred_col).alias("p"),
-                        F.col(obj_col).alias("o"))
-         .filter(F.col("s").isNotNull() & F.col("p").isNotNull()
-                 & F.col("o").isNotNull())
-         .distinct()
-         .localCheckpoint(eager=True))
-
-    left = t.select(F.col("s").alias("x"), F.col("p").alias("r1"),
-                    F.col("o").alias("z"))
-    right = t.select(F.col("s").alias("z"), F.col("p").alias("r2"),
-                     F.col("o").alias("y"))
-    if max_z_degree is not None:
-        zcap = int(max_z_degree)
-        z_out = (left.groupBy("z").agg(F.count("*").alias("_d"))
-                 .filter(F.col("_d") <= zcap).select("z"))
-        z_in = (right.groupBy("z").agg(F.count("*").alias("_d"))
-                .filter(F.col("_d") <= zcap).select("z"))
-        left = left.join(z_out, "z", "leftsemi")
-        right = right.join(z_in, "z", "leftsemi")
-
+    t = _fold_kb(triples, subj_col, pred_col, obj_col)
+    left, right = _body_sides(t, max_z_degree)
     body = (left.join(right, "z")
             .select("r1", "r2", "x", "y").distinct()
             .localCheckpoint(eager=True))
-
-    heads = t.select(F.col("p").alias("r3"), F.col("s").alias("x"),
-                     F.col("o").alias("y"))
-    support = (body.join(heads, ["x", "y"])
-               .groupBy("r1", "r2", "r3")
-               .agg(F.count("*").cast("long").alias("support"))
-               .filter(F.col("support") >= int(min_support)))
-    body_n = (body.groupBy("r1", "r2")
-              .agg(F.count("*").cast("long").alias("body_pairs")))
-    r3x = heads.select("r3", "x").distinct()
-    pca = (body.join(r3x, "x")
-           .groupBy("r1", "r2", "r3")
-           .agg(F.count("*").cast("long").alias("pca_pairs")))
-    rules = (support
-             .join(body_n, ["r1", "r2"])
-             .join(pca, ["r1", "r2", "r3"])
+    rules = (_mine_counters(body, t, min_support)
              .filter(F.col("support") * 100
                      >= int(min_conf_pct) * F.col("body_pairs"))
              .localCheckpoint(eager=True))
-
-    cand = (body.join(F.broadcast(rules), ["r1", "r2"])
-            .select("x", F.col("r3").alias("p"), F.col("y").alias("o"),
-                    "r1", "r2", "support", "body_pairs", "pca_pairs"))
-    return (cand.join(t.select(F.col("s").alias("x"), "p",
-                               F.col("o").alias("o")),
-                      ["x", "p", "o"], "left_anti")
-            .select(F.col("x").alias("subj"), F.col("p").alias("pred"),
-                    F.col("o").alias("obj"), "r1", "r2", "support",
-                    "body_pairs", "pca_pairs"))
+    return _infer_heads(body, rules, t)
